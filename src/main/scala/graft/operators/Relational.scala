@@ -1,0 +1,357 @@
+package graft.operators
+
+import graft.util._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 B.1 scans, B.2 projection/filter, B.3 joins, B.6
+  * sort/limit/top-K, B.7 set ops.
+  *
+  * Scale notes (100 TB posture):
+  *   - dimension joins (region/nation) use explicit broadcast();
+  *   - big-big joins (orders⋈customer, orders⋈events) stay shuffle
+  *     hash/sort-merge on their natural keys — no driver collect anywhere;
+  *   - the theta band join is a broadcast-nested-loop over a bounded
+  *     dimension (part), never big×big;
+  *   - the as-of join composes range-join + per-key window (the standard
+  *     distributed asof pattern — shuffle once on user_id, no cartesian).
+  */
+object Relational {
+
+  // ---- B.1 scans -----------------------------------------------------
+  def scanParquet(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").orderBy("r_regionkey")
+
+  val scanParquetSql = "SELECT * FROM region ORDER BY r_regionkey"
+
+  /** column pruning + predicate pushdown (explain-asserted in tests) */
+  def scanPruned(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .where(col("l_quantity") >= 49)
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val scanPrunedSql =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE l_quantity >= 49 ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- B.2 projection / filter --------------------------------------
+  def filterPred(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .where(col("event_type") === "error" && col("value") > 100)
+      .select("event_id", "user_id", "value")
+      .orderBy("event_id")
+
+  val filterPredSql =
+    """SELECT event_id, user_id, value FROM events
+      |WHERE event_type = 'error' AND value > 100 ORDER BY event_id""".stripMargin
+
+  /** derived arithmetic in exact DECIMAL (both engines), then round→double */
+  def projectArith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        r4((d2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - d2(col("l_discount")))
+          * (lit(1).cast(DecimalType(18, 2)) + d2(col("l_tax")))).cast(DecimalType(38, 6)))
+          .as("charge"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val projectArithSql =
+    """SELECT l_orderkey, l_linenumber,
+      |CAST(round(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |     * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(38,6)), 4) AS DOUBLE) AS charge
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  def filterInBetween(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        && col("o_totalprice").between(50000, 100000))
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  val filterInBetweenSql =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+      |AND o_totalprice BETWEEN 50000 AND 100000 ORDER BY o_orderkey""".stripMargin
+
+  /** outer-join-produced nulls + IS NULL / coalesce 3VL */
+  def filterNull(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(col("c_custkey"), col("o_custkey").isNull.as("no_orders"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  val filterNullSql =
+    """SELECT c_custkey, o.o_custkey IS NULL AS no_orders, coalesce(o.n_orders, 0) AS n_orders
+      |FROM customer c LEFT JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) o
+      |ON c.c_custkey = o.o_custkey ORDER BY c_custkey""".stripMargin
+
+  // ---- B.3 joins -----------------------------------------------------
+  def joinInner(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), r4(sum(d2(col("o_totalprice")))).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  val joinInnerSql =
+    """SELECT c_mktsegment, count(*) AS n,
+      |CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** small-dim broadcast join (explain-asserted BroadcastHashJoin) */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy("n_nationkey")
+  }
+
+  val joinBroadcastSql =
+    """SELECT n_nationkey, n_name, r_name FROM nation JOIN region
+      |ON n_regionkey = r_regionkey ORDER BY n_nationkey""".stripMargin
+
+  def joinLeft(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        r4(sum(d2(col("o_totalprice")))).as("total"))
+      .orderBy("c_custkey")
+  }
+
+  val joinLeftSql =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+      |CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS total
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def joinFull(s: SparkSession, dir: String): DataFrame = {
+    val su = t(s, dir, "supplier").groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+    val cu = t(s, dir, "customer").groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+    su.join(cu, su("s_nationkey") === cu("c_nationkey"), "full")
+      .select(coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+      .orderBy("nationkey")
+  }
+
+  val joinFullSql =
+    """SELECT coalesce(s.s_nationkey, c.c_nationkey) AS nationkey,
+      |coalesce(s.n_supp, 0) AS n_supp, coalesce(c.n_cust, 0) AS n_cust
+      |FROM (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+      |FULL JOIN (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+      |ON s.s_nationkey = c.c_nationkey ORDER BY nationkey""".stripMargin
+
+  def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  val joinSemiSql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  val joinAntiSql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** non-equi band join over the bounded `part` dimension (broadcast NL;
+    * at scale this is the classic range-join — bucketize p_retailprice to
+    * turn it into an equi-join + residual filter if `part` ever grows) */
+  def joinThetaRange(s: SparkSession, dir: String): DataFrame = {
+    val p1 = t(s, dir, "part").select(col("p_partkey").as("k1"), col("p_retailprice").as("pr1"))
+    val p2 = t(s, dir, "part").select(col("p_partkey").as("k2"), col("p_retailprice").as("pr2"))
+    p1.join(broadcast(p2), col("k1") < col("k2")
+        && abs(col("pr1") - col("pr2")) <= 5.0)
+      .select("k1", "k2").orderBy("k1", "k2")
+  }
+
+  val joinThetaRangeSql =
+    """SELECT p1.p_partkey AS k1, p2.p_partkey AS k2
+      |FROM part p1 JOIN part p2
+      |ON p1.p_partkey < p2.p_partkey AND abs(p1.p_retailprice - p2.p_retailprice) <= 5.0
+      |ORDER BY k1, k2""".stripMargin
+
+  /** as-of join: each purchase ⟵ the same user's latest prior signup/view.
+    * Composite: range join on (user, prior.ts ≤ purchase.ts) + per-purchase
+    * row_number()=1 — one shuffle on user_id, no cartesian. */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_ts_us"))
+    val prior = ev.where(col("event_type").isin("signup", "view"))
+      .select(col("event_id").as("m_id"), col("user_id"), col("ts_us").as("m_ts_us"),
+        col("event_type").as("m_type"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("p_id").orderBy(col("m_ts_us").desc, col("m_id").desc)
+    purch.join(prior, Seq("user_id"))
+      .where(col("m_ts_us") <= col("p_ts_us"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("p_id", "user_id", "p_ts_us", "m_id", "m_type")
+      .orderBy("p_id")
+  }
+
+  val joinAsofSql =
+    """SELECT p_id, user_id, p_ts_us, m_id, m_type FROM (
+      |  SELECT p.event_id AS p_id, p.user_id, epoch_us(p.ts::TIMESTAMP) AS p_ts_us,
+      |         m.event_id AS m_id, m.event_type AS m_type,
+      |         row_number() OVER (PARTITION BY p.event_id
+      |           ORDER BY m.ts DESC, m.event_id DESC) AS rn
+      |  FROM events p JOIN events m
+      |    ON p.user_id = m.user_id AND m.ts <= p.ts
+      |  WHERE p.event_type = 'purchase' AND m.event_type IN ('signup','view')
+      |) x WHERE rn = 1 ORDER BY p_id""".stripMargin
+
+  def joinCross(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").select(col("r_name"))
+      .crossJoin(t(s, dir, "supplier").select(col("s_name")))
+      .orderBy("r_name", "s_name")
+
+  val joinCrossSql =
+    "SELECT r_name, s_name FROM region CROSS JOIN supplier ORDER BY r_name, s_name"
+
+  // ---- B.6 sort / limit / top-K --------------------------------------
+  /** global top-10 (TakeOrderedAndProject physical op) */
+  def topkGlobal(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  val topkGlobalSql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  def sortMulti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .orderBy(col("s_nationkey").asc_nulls_first, col("s_acctbal").desc, col("s_suppkey").asc)
+
+  val sortMultiSql =
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+      |ORDER BY s_nationkey ASC NULLS FIRST, s_acctbal DESC, s_suppkey ASC""".stripMargin
+
+  /** top-3 per group (ClickHouse LIMIT BY analog) */
+  def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  val topkPerGroupSql =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) x
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // ---- B.7 set ops ---------------------------------------------------
+  def unionAll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      .unionAll(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+
+  val unionAllSql =
+    """SELECT c_nationkey AS nk FROM customer UNION ALL
+      |SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin
+
+  def unionDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      .union(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+      .distinct()
+      .orderBy("nk")
+
+  val unionDistinctSql =
+    """SELECT c_nationkey AS nk FROM customer UNION
+      |SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin
+
+  def intersectQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+
+  val intersectSql =
+    """SELECT c_nationkey AS nk FROM customer INTERSECT
+      |SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin
+
+  def exceptQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      .except(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+
+  val exceptSql =
+    """SELECT c_nationkey AS nk FROM customer EXCEPT
+      |SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_scan_parquet" -> scanParquet _,
+    "q_scan_pruned" -> scanPruned _,
+    "q_filter_pred" -> filterPred _,
+    "q_project_arith" -> projectArith _,
+    "q_filter_in_between" -> filterInBetween _,
+    "q_filter_null" -> filterNull _,
+    "q_join_inner" -> joinInner _,
+    "q_join_broadcast" -> joinBroadcast _,
+    "q_join_left" -> joinLeft _,
+    "q_join_full" -> joinFull _,
+    "q_join_semi" -> joinSemi _,
+    "q_join_anti" -> joinAnti _,
+    "q_join_theta_range" -> joinThetaRange _,
+    "q_join_asof" -> joinAsof _,
+    "q_join_cross" -> joinCross _,
+    "q_topk_global" -> topkGlobal _,
+    "q_sort_multi" -> sortMulti _,
+    "q_topk_per_group" -> topkPerGroup _,
+    "q_union_all" -> unionAll _,
+    "q_union_distinct" -> unionDistinct _,
+    "q_intersect" -> intersectQ _,
+    "q_except" -> exceptQ _)
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_parquet" -> scanParquetSql,
+    "q_scan_pruned" -> scanPrunedSql,
+    "q_filter_pred" -> filterPredSql,
+    "q_project_arith" -> projectArithSql,
+    "q_filter_in_between" -> filterInBetweenSql,
+    "q_filter_null" -> filterNullSql,
+    "q_join_inner" -> joinInnerSql,
+    "q_join_broadcast" -> joinBroadcastSql,
+    "q_join_left" -> joinLeftSql,
+    "q_join_full" -> joinFullSql,
+    "q_join_semi" -> joinSemiSql,
+    "q_join_anti" -> joinAntiSql,
+    "q_join_theta_range" -> joinThetaRangeSql,
+    "q_join_asof" -> joinAsofSql,
+    "q_join_cross" -> joinCrossSql,
+    "q_topk_global" -> topkGlobalSql,
+    "q_sort_multi" -> sortMultiSql,
+    "q_topk_per_group" -> topkPerGroupSql,
+    "q_union_all" -> unionAllSql,
+    "q_union_distinct" -> unionDistinctSql,
+    "q_intersect" -> intersectSql,
+    "q_except" -> exceptSql)
+}

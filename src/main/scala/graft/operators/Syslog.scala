@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.model
+import graft.util._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parser-derived declared queries (SURVEY.md §2 Table A `q_parse_syslog`,
+  * B.2 `q_case_map`, B.10 `q_udf_expr_severity` / `q_udtf_tokenize`) plus
+  * the flagship severity-per-hour histogram. All run on the inline raw-line
+  * corpus (FIXTURES.md §1) so the DuckDB oracle sees identical input. */
+object Syslog {
+
+  /** flagship: parse → hour bucket × severity counts (the canonical NOC
+    * query the reference's ClickHouse table exists to serve) */
+  def flagship(s: SparkSession, dir: String): DataFrame =
+    model.rawLines(s)
+      .withColumn("p", model.parseSyslog(col("raw")))
+      .select(date_trunc("hour", col("ts")).as("hour"), col("p.severity").as("severity"))
+      .groupBy("hour", "severity").agg(count(lit(1)).as("n"))
+      .orderBy("hour", "severity")
+
+  val flagshipSql: String =
+    s"""SELECT date_trunc('hour', ts) AS hour, severity, count(*) AS n
+       |FROM (${model.parseSyslogOracleSql(model.rawLinesValuesSql)} ) parsed
+       |JOIN ${model.rawLinesValuesSql.replace(" f(", " g(")} ON parsed.id = g.id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def parseSyslogQ(s: SparkSession, dir: String): DataFrame =
+    model.rawLines(s)
+      .withColumn("p", model.parseSyslog(col("raw")))
+      .select(col("id"), col("p.severity").as("severity"),
+        col("p.categories").as("categories"), col("p.message").as("message"))
+      .orderBy("id")
+
+  val parseSyslogSql: String =
+    model.parseSyslogOracleSql(model.rawLinesValuesSql) + " ORDER BY id"
+
+  /** severity token → code mapping as a standalone relational op over the
+    * distinct token universe (lib/lopParse.go:52-72) */
+  def caseMap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = (model.knownTokens ++ Seq("weird", "unknownsev", "")).toDF("tok")
+    toks.select(col("tok"), model.severityCode(col("tok")).as("code"),
+        model.severityKnown(col("tok")).as("known"))
+      .orderBy("tok")
+  }
+
+  val caseMapSql: String = {
+    val vals = (model.knownTokens ++ Seq("weird", "unknownsev", ""))
+      .map(t => s"('$t')").mkString(", ")
+    val sevCase = model.severityTokens.map { case (t, c) => s"WHEN tok = '$t' THEN $c" }.mkString(" ")
+    val known = model.knownTokens.map(t => s"'$t'").mkString(", ")
+    s"""SELECT tok, CAST(CASE $sevCase ELSE 6 END AS TINYINT) AS code,
+       |tok IN ($known) AS known
+       |FROM (VALUES $vals) t(tok) ORDER BY tok""".stripMargin
+  }
+
+  /** scalar-UDF surface demo: same severity decode registered as a Scala
+    * udf (the expression twin `q_case_map` is the production path — this
+    * pins the udf registration machinery). */
+  def udfSeverity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = model.severityTokens.toMap
+    val sevUdf = udf((tok: String) => m.getOrElse(tok, 6))
+    s.udf.register("severity_of", sevUdf)
+    model.knownTokens.toDF("tok")
+      .select(col("tok"), sevUdf(col("tok")).cast(ByteType).as("code"))
+      .orderBy("tok")
+  }
+
+  val udfSeveritySql: String = {
+    val vals = model.knownTokens.map(t => s"('$t')").mkString(", ")
+    val sevCase = model.severityTokens.map { case (t, c) => s"WHEN tok = '$t' THEN $c" }.mkString(" ")
+    s"SELECT tok, CAST(CASE $sevCase ELSE 6 END AS TINYINT) AS code FROM (VALUES $vals) t(tok) ORDER BY tok"
+  }
+
+  /** generator (UDTF) surface: message → one row per word (1→N) */
+  def tokenize(s: SparkSession, dir: String): DataFrame =
+    model.rawLines(s)
+      .withColumn("message", model.parseSyslog(col("raw")).getField("message"))
+      .select(col("id"), explode(split(col("message"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .orderBy("id", "word")
+
+  val tokenizeSql: String =
+    s"""SELECT id, w AS word
+       |FROM (${model.parseSyslogOracleSql(model.rawLinesValuesSql)} ) parsed,
+       |     UNNEST(string_split(parsed.message, ' ')) AS u(w)
+       |WHERE w <> '' ORDER BY id, word""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_severity_hourly" -> flagship _,
+    "q_parse_syslog" -> parseSyslogQ _,
+    "q_case_map" -> caseMap _,
+    "q_udf_expr_severity" -> udfSeverity _,
+    "q_udtf_tokenize" -> tokenize _)
+
+  val oracle: Map[String, String] = Map(
+    "q_severity_hourly" -> flagshipSql,
+    "q_parse_syslog" -> parseSyslogSql,
+    "q_case_map" -> caseMapSql,
+    "q_udf_expr_severity" -> udfSeveritySql,
+    "q_udtf_tokenize" -> tokenizeSql)
+}
