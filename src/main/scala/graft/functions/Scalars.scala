@@ -1,0 +1,294 @@
+package graft.functions
+
+import graft.util._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 B.8 — the ClickHouse scalar-function families usable over
+  * the mikrotik_logs schema, exercised on the fixture tables. All stock
+  * `org.apache.spark.sql.functions` (whole-stage codegen'd, no UDF).
+  * Oracle SQL pins every cross-dialect divergence explicitly (dayofweek
+  * base, floor/ceil return types, regex dialect kept to the common subset).
+  */
+object Scalars {
+
+  def strBasic(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lname"),
+        upper(col("p_brand")).as("ubrand"),
+        length(col("p_name")).as("len"),
+        trim(col("p_name")).as("trimmed"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("cat"),
+        substring(col("p_type"), 1, 5).as("type5"))
+      .orderBy("p_partkey")
+
+  val strBasicSql =
+    """SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand,
+      |length(p_name) AS len, trim(p_name) AS trimmed,
+      |concat(p_brand, '#', p_type) AS cat, substr(p_type, 1, 5) AS type5
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** splitByChar + element access; the device ip:port normalization from
+    * SURVEY.md §1.2 exercised on syslog fixture devices */
+  def strSplitIndex(s: SparkSession, dir: String): DataFrame =
+    graft.model.rawLines(s).select(
+        col("id"),
+        substring_index(col("device"), ":", 1).as("ip"),
+        element_at(split(col("device"), ":"), 2).as("port"),
+        element_at(split(substring_index(col("device"), ":", 1), "\\."), 4).as("last_octet"))
+      .orderBy("id")
+
+  val strSplitIndexSql =
+    s"""SELECT id, split_part(device, ':', 1) AS ip,
+       |string_split(device, ':')[2] AS port,
+       |string_split(split_part(device, ':', 1), '.')[4] AS last_octet
+       |FROM ${graft.model.rawLinesValuesSql} ORDER BY id""".stripMargin
+
+  def strMatch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .where(col("p_name").like("%a%") && col("p_type").rlike("BRASS|STEEL"))
+      .select(col("p_partkey"), col("p_name"), col("p_type"),
+        col("p_brand").ilike("BRAND%").as("is_brand"))
+      .orderBy("p_partkey")
+
+  val strMatchSql =
+    """SELECT p_partkey, p_name, p_type, p_brand ILIKE 'BRAND%' AS is_brand
+      |FROM part WHERE p_name LIKE '%a%' AND regexp_matches(p_type, 'BRASS|STEEL')
+      |ORDER BY p_partkey""".stripMargin
+
+  /** pull the first integer out of the JSON-ish props text */
+  def strRegexExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+        col("event_id"),
+        regexp_extract(col("props"), "([0-9]+)", 1).as("first_num"))
+      .orderBy("event_id")
+
+  val strRegexExtractSql =
+    """SELECT event_id, coalesce(regexp_extract(props, '([0-9]+)', 1), '') AS first_num
+      |FROM events ORDER BY event_id""".stripMargin
+
+  def strReplace(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_replace(col("p_type"), "[AEIOU]", "_").as("novowel"),
+        translate(col("p_name"), " ", "-").as("dashed"))
+      .orderBy("p_partkey")
+
+  val strReplaceSql =
+    """SELECT p_partkey, regexp_replace(p_type, '[AEIOU]', '_', 'g') AS novowel,
+      |replace(p_name, ' ', '-') AS dashed
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** THE canonical log query: time-bucketed counts */
+  def dateTrunc(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("hour")
+
+  val dateTruncSql =
+    """SELECT date_trunc('hour', ts::TIMESTAMP) AS hour, count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** date part extraction — dow numbering pinned: Spark 1=Sunday,
+    * DuckDB dayofweek 0=Sunday → oracle adds 1 */
+  def dateParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        hour(col("o_orderdate")).as("h"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        quarter(col("o_orderdate")).as("q"))
+      .orderBy("o_orderkey")
+
+  val datePartsSql =
+    """SELECT o_orderkey, year(o_orderdate)::INT AS y, month(o_orderdate)::INT AS m,
+      |day(o_orderdate)::INT AS d, hour(o_orderdate)::INT AS h,
+      |(dayofweek(o_orderdate) + 1)::INT AS dow, quarter(o_orderdate)::INT AS q
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  def dateArith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_add(col("o_orderdate"), 30).as("due"),
+        datediff(lit("2025-01-01").cast(DateType), col("o_orderdate")).as("age_days"),
+        (col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("plus90"))
+      .orderBy("o_orderkey")
+
+  val dateArithSql =
+    """SELECT o_orderkey, (o_orderdate::DATE + 30) AS due,
+      |date_diff('day', o_orderdate::DATE, DATE '2025-01-01') AS age_days,
+      |o_orderdate + INTERVAL 90 DAY AS plus90
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  def dateFormat(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        to_date(col("o_orderdate")).as("d"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy("o_orderkey")
+
+  val dateFormatSql =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS ym,
+      |o_orderdate::DATE AS d, epoch(o_orderdate)::BIGINT AS epoch_s
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** math family; libm-edge functions (sqrt/ln/exp) round(…,4) — values
+    * are far from .00005 boundaries at these magnitudes */
+  def mathFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_orderkey") <= 200)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        r4(sqrt(col("l_quantity"))).as("sqrt_q"),
+        r4(log(col("l_quantity") + 1)).as("ln_q"),
+        r4(exp(col("l_discount"))).as("exp_d"),
+        r4(pow(col("l_quantity"), 2)).as("q2"),
+        floor(col("l_extendedprice")).cast(LongType).as("fl"),
+        ceil(col("l_extendedprice")).cast(LongType).as("ce"),
+        abs(col("l_quantity") * -1).as("absq"),
+        (col("l_quantity").cast(LongType) % 7).as("mod7"),
+        (col("l_quantity").cast(LongType) / lit(7L)).cast(LongType).as("div7"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val mathFuncsSql =
+    """SELECT l_orderkey, l_linenumber,
+      |CAST(round(sqrt(l_quantity), 4) AS DOUBLE) AS sqrt_q,
+      |CAST(round(ln(l_quantity + 1), 4) AS DOUBLE) AS ln_q,
+      |CAST(round(exp(l_discount), 4) AS DOUBLE) AS exp_d,
+      |CAST(round(pow(l_quantity, 2), 4) AS DOUBLE) AS q2,
+      |CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+      |CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+      |abs(l_quantity * -1) AS absq,
+      |CAST(l_quantity AS BIGINT) % 7 AS mod7,
+      |CAST(l_quantity AS BIGINT) // 7 AS div7
+      |FROM lineitem WHERE l_orderkey <= 200 ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** if/multiIf/coalesce/nullIf/greatest/least */
+  def condFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "low")
+          .otherwise("high").as("band"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_pos"),
+        least(col("c_acctbal"), lit(1000.0)).as("bal_cap"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("-")).as("seg_c"))
+      .orderBy("c_custkey")
+
+  val condFuncsSql =
+    """SELECT c_custkey,
+      |CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS band,
+      |greatest(c_acctbal, 0.0) AS bal_pos,
+      |least(c_acctbal, 1000.0) AS bal_cap,
+      |nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+      |coalesce(nullif(c_mktsegment, 'BUILDING'), '-') AS seg_c
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .where(col("doc_id") < 50)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        array_contains(col("toks"), "spark").as("has_spark"),
+        array_position(col("toks"), "spark").as("spark_pos"),
+        array_sort(array_distinct(col("toks"))).as("vocab"),
+        array_join(slice(col("toks"), 1, 3), "_").as("first3"))
+      .orderBy("doc_id")
+
+  val arrayFuncsSql =
+    """SELECT doc_id, len(toks) AS n_toks, list_contains(toks, 'spark') AS has_spark,
+      |coalesce(list_position(toks, 'spark'), 0) AS spark_pos,
+      |list_sort(list_distinct(toks)) AS vocab,
+      |array_to_string(toks[1:3], '_') AS first3
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 50) x
+      |ORDER BY doc_id""".stripMargin
+
+  /** higher-order lambdas: filter / transform */
+  def arrayLambda(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .where(col("doc_id") < 50)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        filter(col("toks"), x => length(x) > 4).as("long_toks"),
+        transform(col("toks"), x => upper(x)).as("upper_toks"),
+        aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).as("total_chars"))
+      .orderBy("doc_id")
+
+  val arrayLambdaSql =
+    """SELECT doc_id, list_filter(toks, x -> length(x) > 4) AS long_toks,
+      |list_transform(toks, x -> upper(x)) AS upper_toks,
+      |coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS total_chars
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 50) x
+      |ORDER BY doc_id""".stripMargin
+
+  /** arrayJoin / UNNEST — 1→N generator */
+  def explodeQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .where(col("doc_id") < 10)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .orderBy("doc_id", "pos")
+
+  val explodeSql =
+    """SELECT doc_id, (i - 1)::INT AS pos, toks[i] AS tok
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 10) x
+      |JOIN generate_series(1, 100000) g(i) ON i <= len(toks)
+      |ORDER BY doc_id, pos""".stripMargin
+
+  /** JSONExtract on events.props */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k_typed"))
+      .orderBy("event_id")
+
+  val jsonExtractSql =
+    """SELECT event_id, json_extract_string(props, '$.k')::INT AS k,
+      |json_extract(props, '$.k')::INT AS k_typed
+      |FROM events ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_str_basic" -> strBasic _,
+    "q_str_split_index" -> strSplitIndex _,
+    "q_str_match" -> strMatch _,
+    "q_str_regex_extract" -> strRegexExtract _,
+    "q_str_replace" -> strReplace _,
+    "q_date_trunc" -> dateTrunc _,
+    "q_date_parts" -> dateParts _,
+    "q_date_arith" -> dateArith _,
+    "q_date_format" -> dateFormat _,
+    "q_math_funcs" -> mathFuncs _,
+    "q_cond_funcs" -> condFuncs _,
+    "q_array_funcs" -> arrayFuncs _,
+    "q_array_lambda" -> arrayLambda _,
+    "q_explode" -> explodeQ _,
+    "q_json_extract" -> jsonExtract _)
+
+  val oracle: Map[String, String] = Map(
+    "q_str_basic" -> strBasicSql,
+    "q_str_split_index" -> strSplitIndexSql,
+    "q_str_match" -> strMatchSql,
+    "q_str_regex_extract" -> strRegexExtractSql,
+    "q_str_replace" -> strReplaceSql,
+    "q_date_trunc" -> dateTruncSql,
+    "q_date_parts" -> datePartsSql,
+    "q_date_arith" -> dateArithSql,
+    "q_date_format" -> dateFormatSql,
+    "q_math_funcs" -> mathFuncsSql,
+    "q_cond_funcs" -> condFuncsSql,
+    "q_array_funcs" -> arrayFuncsSql,
+    "q_array_lambda" -> arrayLambdaSql,
+    "q_explode" -> explodeSql,
+    "q_json_extract" -> jsonExtractSql)
+}

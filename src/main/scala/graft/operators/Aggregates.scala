@@ -1,0 +1,231 @@
+package graft.operators
+
+import graft.util._
+import graft.functions.TopK
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 B.4 — the aggregation surface the reference delegates to
+  * ClickHouse (uniq/quantile/topK/argMax/groupArray analogs).
+  *
+  * Scale notes: every aggregate here is hash-partial+final (map-side
+  * combine before the shuffle); distinct uses Spark's expand+2-phase plan;
+  * HLL replaces exact distinct where 100 TB cardinality would OOM;
+  * the topK UDAF bounds per-group state (see TopKAggregator). Money sums
+  * run on DECIMAL for exact, order-independent results (oracle parity).
+  */
+object Aggregates {
+
+  /** flagship TPC-H-Q1-style multi-aggregate (partial+final hash agg) */
+  def aggHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        r4(sum(d2(col("l_quantity")))).as("sum_qty"),
+        r4(sum(d2(col("l_extendedprice")))).as("sum_base_price"),
+        r4(sum(d2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - d2(col("l_discount"))))).as("sum_disc_price"),
+        r4(sum(d2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - d2(col("l_discount")))
+          * (lit(1).cast(DecimalType(18, 2)) + d2(col("l_tax"))))).as("sum_charge"),
+        avgD2(col("l_quantity")).as("avg_qty"),
+        avgD2(col("l_extendedprice")).as("avg_price"),
+        avgD2(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val aggHashSql =
+    """SELECT l_returnflag, l_linestatus,
+      |CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_qty,
+      |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_base_price,
+      |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 4) AS DOUBLE) AS sum_disc_price,
+      |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))), 4) AS DOUBLE) AS sum_charge,
+      |CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 4) AS DOUBLE) AS avg_qty,
+      |CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 4) AS DOUBLE) AS avg_price,
+      |CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 4) AS DOUBLE) AS avg_disc,
+      |count(*) AS count_order
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def aggDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  val aggDistinctSql =
+    """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** HLL++ sketch distinct (ClickHouse uniq()) — deterministic but not
+    * cross-engine comparable → rows-only driver check + unit test vs exact */
+  def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy("event_type")
+
+  def aggRollup(s: SparkSession, dir: String): DataFrame = {
+    {
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "c_acctbal")
+      .createOrReplaceTempView("cnr_rollup")
+    // DataFrame-DSL rollup + grouping() trips the ambiguous-self-join
+    // analyzer check on multi-join inputs; the SQL path plans the same
+    // Aggregate(Rollup) node
+    s.sql(
+      """SELECT r_name, n_name, count(*) AS n,
+        |CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 4) AS DOUBLE) AS bal,
+        |CAST(grouping(r_name) AS INT) AS g_r, CAST(grouping(n_name) AS INT) AS g_n
+        |FROM cnr_rollup GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY g_r, g_n, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    }
+  }
+
+  val aggRollupSql =
+    """SELECT r_name, n_name, count(*) AS n,
+      |CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 4) AS DOUBLE) AS bal,
+      |GROUPING(r_name) AS g_r, GROUPING(n_name) AS g_n
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY g_r, g_n, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), r4(sum(d2(col("o_totalprice")))).as("total"),
+        grouping(col("o_orderstatus")).as("g_s"), grouping(col("o_orderpriority")).as("g_p"))
+      .orderBy(col("g_s"), col("g_p"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val aggCubeSql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS total,
+      |GROUPING(o_orderstatus) AS g_s, GROUPING(o_orderpriority) AS g_p
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY g_s, g_p, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |GROUPING(o_orderstatus) AS g_s, GROUPING(o_orderpriority) AS g_p
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_s, g_p, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  val aggGroupingSetsSql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |GROUPING(o_orderstatus) AS g_s, GROUPING(o_orderpriority) AS g_p
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_s, g_p, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** exact interpolated percentile (ClickHouse quantile()); p ∈ {0.5, 0.9}
+    * keeps the true value ≤3 decimals → round(…,4) is exact cross-engine */
+  def aggQuantile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        r4(expr("percentile(l_quantity, 0.5)")).as("p50_qty"),
+        r4(expr("percentile(l_quantity, 0.9)")).as("p90_qty"),
+        r4(expr("percentile(l_extendedprice, 0.5)")).as("p50_price"))
+      .orderBy("l_returnflag")
+
+  val aggQuantileSql =
+    """SELECT l_returnflag,
+      |CAST(round(quantile_cont(l_quantity, 0.5), 4) AS DOUBLE) AS p50_qty,
+      |CAST(round(quantile_cont(l_quantity, 0.9), 4) AS DOUBLE) AS p90_qty,
+      |CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE) AS p50_price
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** ClickHouse argMax/argMin — value of A at extremum of B, tie-broken by
+    * (ts_us, event_id) struct ordering so it is total */
+  def aggArgmax(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        max_by(col("event_type"), struct(col("ts_us"), col("event_id"))).as("last_type"),
+        min_by(col("event_type"), struct(col("ts_us"), col("event_id"))).as("first_type"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+
+  val aggArgmaxSql =
+    """WITH o AS (SELECT user_id, event_type,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rf
+      |  FROM events),
+      |c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+      |SELECT c.user_id, l.event_type AS last_type, f.event_type AS first_type, c.n
+      |FROM c JOIN o l ON c.user_id = l.user_id AND l.rl = 1
+      |       JOIN o f ON c.user_id = f.user_id AND f.rf = 1
+      |ORDER BY c.user_id""".stripMargin
+
+  /** ClickHouse groupArray/groupUniqArray — sorted for determinism */
+  def aggCollectSorted(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy("c_nationkey")
+      .agg(array_sort(collect_set(col("c_mktsegment"))).as("segments"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+
+  val aggCollectSortedSql =
+    """SELECT c_nationkey, list_sort(list_distinct(list(c_mktsegment))) AS segments,
+      |count(*) AS n FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** ClickHouse countIf/sumIf/avgIf */
+  def aggConditional(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(when(col("l_discount") > 0.05, 1)).as("n_disc"),
+        r4(coalesce(sum(when(col("l_tax") > 0.04, d2(col("l_quantity")))), lit(0).cast(DecimalType(18, 2)))).as("qty_taxed"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  val aggConditionalSql =
+    """SELECT l_returnflag,
+      |count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+      |CAST(round(coalesce(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_tax > 0.04), 0), 4) AS DOUBLE) AS qty_taxed,
+      |count(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** custom space-saving topK UDAF (exact here since capacity ≫ distinct) */
+  def udafTopk(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("user_id")
+      .agg(TopK.topk(col("event_type"), 3).as("top_types"))
+      .orderBy("user_id")
+
+  val udafTopkSql =
+    """SELECT user_id, list(event_type ORDER BY cnt DESC, event_type ASC)[1:3] AS top_types
+      |FROM (SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2) x
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_agg_hash" -> aggHash _,
+    "q_agg_distinct" -> aggDistinct _,
+    "q_agg_approx_distinct" -> aggApproxDistinct _,
+    "q_agg_rollup" -> aggRollup _,
+    "q_agg_cube" -> aggCube _,
+    "q_agg_grouping_sets" -> aggGroupingSets _,
+    "q_agg_quantile" -> aggQuantile _,
+    "q_agg_argmax" -> aggArgmax _,
+    "q_agg_collect_sorted" -> aggCollectSorted _,
+    "q_agg_conditional" -> aggConditional _,
+    "q_udaf_topk" -> udafTopk _)
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_hash" -> aggHashSql,
+    "q_agg_distinct" -> aggDistinctSql,
+    "q_agg_rollup" -> aggRollupSql,
+    "q_agg_cube" -> aggCubeSql,
+    "q_agg_grouping_sets" -> aggGroupingSetsSql,
+    "q_agg_quantile" -> aggQuantileSql,
+    "q_agg_argmax" -> aggArgmaxSql,
+    "q_agg_collect_sorted" -> aggCollectSortedSql,
+    "q_agg_conditional" -> aggConditionalSql,
+    "q_udaf_topk" -> udafTopkSql)
+}

@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.util._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2 B.5 window functions + B.9 batch twins of the streaming
+  * windows (tumbling/sliding/session).
+  *
+  * Scale notes: every window partitions on a real key (customer/user) so
+  * state is distributed; frames are pinned ROWS (not default RANGE) wherever
+  * a running value is computed, and order keys always carry a unique
+  * tie-break so cross-engine row order is total. Session windows use the
+  * lag+cumulative-sum gaps-and-islands form — one shuffle on user_id.
+  */
+object Windows {
+
+  def winRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"), rank().over(w).as("rk"), dense_rank().over(w).as("drk"))
+      .where(col("rn") <= 5)
+      .orderBy("o_custkey", "rn")
+  }
+
+  val winRankSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+      |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |) x WHERE rn <= 5 ORDER BY o_custkey, rn""".stripMargin
+
+  /** inter-event gap per user in µs (lag over event time) */
+  def winLagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  val winLagLeadSql =
+    """SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+      |  epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP), 1) OVER w AS gap_us,
+      |  lead(event_type, 1) OVER w AS next_type
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |ORDER BY user_id, ts_us, event_id""".stripMargin
+
+  /** running total, pinned ROWS frame, exact decimal accumulation */
+  def winRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        r4(sum(d2(col("o_totalprice"))).over(w)).as("running_total"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  val winRunningSql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |  PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS running_total
+      |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** 3-row moving average (decimal sum / count → deterministic) */
+  def winMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(-2, 0)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        r4(sum(d2(col("value"))).over(w).cast(DoubleType) / count(col("value")).over(w)).as("mavg"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val winMovingAvgSql =
+    """SELECT user_id, event_id,
+      |CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(value) OVER w, 4) AS DOUBLE) AS mavg
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** RANGE frame over a numeric key: sum of orders within 1000.0 of the
+    * current totalprice (per status) — frame membership is value-based so
+    * ties share identical frames in both engines */
+  def winRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice").asc)
+      .rangeBetween(-1000L, 0L)
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_in_band"),
+        r4(sum(d2(col("o_totalprice"))).over(w)).as("band_total"))
+      .orderBy("o_orderkey")
+  }
+
+  val winRangeFrameSql =
+    """SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |count(*) OVER w AS n_in_band,
+      |CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 4) AS DOUBLE) AS band_total
+      |FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC
+      |  RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
+  def winNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), ntile(4).over(w).as("quartile"))
+      .orderBy("o_orderkey")
+  }
+
+  val winNtileSql =
+    """SELECT o_orderkey, o_totalprice,
+      |ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---- B.9 batch twins of streaming windows ---------------------------
+
+  /** tumbling 1h event-time window (batch twin of the streaming agg) */
+  def windowTumbling(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+      .orderBy("ws", "event_type")
+
+  val windowTumblingSql =
+    """SELECT date_trunc('hour', ts::TIMESTAMP) AS ws, event_type, count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** sliding 1h window every 30min — each event lands in 2 windows */
+  def windowSliding(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+      .orderBy("ws", "event_type")
+
+  val windowSlidingSql =
+    """SELECT ws, event_type, count(*) AS n FROM (
+      |  SELECT make_timestamp((epoch_us(ts::TIMESTAMP) // 1800000000) * 1800000000) AS ws,
+      |         event_type FROM events
+      |  UNION ALL
+      |  SELECT make_timestamp((epoch_us(ts::TIMESTAMP) // 1800000000) * 1800000000
+      |           - 1800000000) AS ws,
+      |         event_type FROM events
+      |) x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** session windows, 30-min inactivity gap, per user — gaps-and-islands
+    * (lag + cumulative sum of new-session flags), identical SQL shape in
+    * the oracle; streaming twin uses session_window() in tests */
+  def windowSession(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(wCum))
+      .groupBy("user_id", "sess_id")
+      .agg(min(col("ts_us")).as("sess_start_us"), max(col("ts_us")).as("sess_end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  val windowSessionSql =
+    """SELECT user_id, sess_id, min(ts_us) AS sess_start_us, max(ts_us) AS sess_end_us,
+      |       count(*) AS n_events
+      |FROM (
+      |  SELECT user_id, ts_us, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM (
+      |    SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+      |      CASE WHEN lag(epoch_us(ts::TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |             OR epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |           THEN 1 ELSE 0 END AS new_sess
+      |    FROM events) a
+      |) b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_win_rank" -> winRank _,
+    "q_win_lag_lead" -> winLagLead _,
+    "q_win_running" -> winRunning _,
+    "q_win_moving_avg" -> winMovingAvg _,
+    "q_win_range_frame" -> winRangeFrame _,
+    "q_win_ntile" -> winNtile _,
+    "q_window_tumbling" -> windowTumbling _,
+    "q_window_sliding" -> windowSliding _,
+    "q_window_session" -> windowSession _)
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rank" -> winRankSql,
+    "q_win_lag_lead" -> winLagLeadSql,
+    "q_win_running" -> winRunningSql,
+    "q_win_moving_avg" -> winMovingAvgSql,
+    "q_win_range_frame" -> winRangeFrameSql,
+    "q_win_ntile" -> winNtileSql,
+    "q_window_tumbling" -> windowTumblingSql,
+    "q_window_sliding" -> windowSlidingSql,
+    "q_window_session" -> windowSessionSql)
+}
