@@ -19,6 +19,9 @@ object SparkEntry {
     operators.Relational.queries ++
     operators.Aggregates.queries ++
     operators.Windows.queries ++
+    operators.Dedup.queries ++
+    operators.Similarity.queries ++
+    operators.TextAnalysis.queries ++
     functions.Scalars.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -28,5 +31,8 @@ object SparkEntry {
     operators.Relational.oracle ++
     operators.Aggregates.oracle ++
     operators.Windows.oracle ++
+    operators.Dedup.oracle ++
+    operators.Similarity.oracle ++
+    operators.TextAnalysis.oracle ++
     functions.Scalars.oracle
 }

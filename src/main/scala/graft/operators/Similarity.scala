@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.util._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** North-star similarity search over the `embeddings` table (SURVEY.md §2
+  * B.11 `q_sim_cosine` + ANN extensions).
+  *
+  * Scale design:
+  *   - brute-force cosine is the BASELINE: probe set broadcast, one pass
+  *     over the big side, TakeOrderedAndProject top-k — linear scan, no
+  *     shuffle of the embedding column;
+  *   - the scale path is sign-LSH (random hyperplanes): an 8-bit bucket id
+  *     computed per row from deterministic xxhash64-derived ±1 planes turns
+  *     ANN into an equi-join on bucket — candidates ≈ N/256 per probe;
+  *   - embedding near-dup = the same exact-cosine check LSH candidates
+  *     would feed, run over a bounded probe sample (vec_id % 100 = 0);
+  *   - all dot products via higher-order functions (zip_with + aggregate),
+  *     CAST to DOUBLE per element → deterministic, codegen-friendly, and
+  *     thresholds applied on ROUNDED cosine so the cut is reproducible
+  *     cross-engine.
+  */
+object Similarity {
+
+  /** cosine(e1, e2) as pure column expressions (float[] → double math) */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+  private def norm(a: String): Column = sqrt(dot(a, a))
+  private def cosine(a: String, b: String): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** DuckDB twin of cosine via correlated element sums (positional,
+    * double-precision, matches Spark bit-for-bit after round(…,4)) */
+  private def cosineOracle(probeFilter: String, pairFilter: String): String =
+    s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE $probeFilter),
+       |terms AS (
+       |  SELECT p.pid, e.vec_id,
+       |    sum(e.embedding[i]::DOUBLE * p.pe[i]::DOUBLE) AS dot,
+       |    sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE) AS n2,
+       |    sum(p.pe[i]::DOUBLE * p.pe[i]::DOUBLE) AS np2
+       |  FROM embeddings e, p, generate_series(1, 64) g(i)
+       |  WHERE $pairFilter
+       |  GROUP BY 1, 2)""".stripMargin
+
+  // ---- brute-force top-k ----------------------------------------------
+  def simCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val probe = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("pe"))
+    e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), r4(cosine("embedding", "pe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  val simCosineSql =
+    cosineOracle("vec_id = 0", "e.vec_id <> 0") +
+    """
+      |SELECT vec_id, CAST(round(dot / (sqrt(n2) * sqrt(np2)), 4) AS DOUBLE) AS cos
+      |FROM terms ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  // ---- embedding cosine near-dup (probe-sampled exact scan) -----------
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val probes = e.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("d1"), col("embedding").as("e1"))
+    e.select(col("vec_id").as("d2"), col("embedding").as("e2"))
+      .join(broadcast(probes), col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), r4(cosine("e1", "e2")).as("cos"))
+      .where(col("cos") >= 0.8)
+      .orderBy("d1", "d2")
+  }
+
+  val dedupEmbeddingSql =
+    cosineOracle("vec_id % 100 = 0", "p.pid < e.vec_id") +
+    """
+      |SELECT pid AS d1, vec_id AS d2, cos FROM (
+      |  SELECT pid, vec_id, CAST(round(dot / (sqrt(n2) * sqrt(np2)), 4) AS DOUBLE) AS cos
+      |  FROM terms) x
+      |WHERE cos >= 0.8 ORDER BY d1, d2""".stripMargin
+
+  // ---- sign-LSH ANN ---------------------------------------------------
+  val LshPlanes = 8
+
+  /** 8-bit random-hyperplane bucket id; plane components are deterministic
+    * ±1 from xxhash64(plane, dim) — no stored model, recomputable anywhere */
+  def lshBucket(embCol: String): Column = expr(
+    s"""aggregate(sequence(0, ${LshPlanes - 1}), 0, (acc, j) ->
+       |  acc + shiftleft(CASE WHEN
+       |    aggregate(sequence(0, 63), 0D, (a, d) ->
+       |      a + CAST(element_at($embCol, d + 1) AS DOUBLE) *
+       |          IF((xxhash64(j, d) & 1) = 1, 1.0D, -1.0D)) >= 0D
+       |  THEN 1 ELSE 0 END, j))""".stripMargin)
+
+  /** ANN top-10 for probe vec_id=0: exact cosine restricted to the probe's
+    * LSH bucket (the N/256 candidate set) — deterministic, verified against
+    * brute force in tests; no DuckDB oracle (approximate result set) */
+  def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").withColumn("bucket", lshBucket("embedding"))
+    val probe = e.where(col("vec_id") === 0)
+      .select(col("bucket"), col("embedding").as("pe"))
+    e.where(col("vec_id") =!= 0)
+      .join(broadcast(probe), Seq("bucket"))
+      .select(col("vec_id"), r4(cosine("embedding", "pe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sim_cosine" -> simCosine _,
+    "q_dedup_embedding" -> dedupEmbedding _,
+    "q_sim_ann_lsh" -> simAnnLsh _)
+
+  val oracle: Map[String, String] = Map(
+    "q_sim_cosine" -> simCosineSql,
+    "q_dedup_embedding" -> dedupEmbeddingSql)
+}

@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.util._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** North-star text analysis over `documents` (SURVEY.md §2 B.11 +
+  * training-data-pipeline extensions): corpus stats, token frequency,
+  * heuristic language ID, quality scoring, token counting, and
+  * winnowing-style document fingerprinting.
+  *
+  * Everything is per-row column expressions + one hash aggregation —
+  * embarrassingly parallel at 100 TB; the only shuffles are the final
+  * group-bys, all preceded by map-side partial aggregation.
+  */
+object TextAnalysis {
+
+  private def toks: Column = split(col("text"), " ")
+
+  // ---- corpus stats ---------------------------------------------------
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), col("n_chars"), size(toks).as("n_words"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        r4(sum(col("n_words")).cast(DoubleType) / count(lit(1))).as("avg_words"))
+      .orderBy("lang")
+
+  val textStatsSql =
+    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      |CAST(round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_words
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- token frequency top-20 ----------------------------------------
+  def tokenFreq(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(20)
+
+  val tokenFreqSql =
+    """SELECT tok, count(*) AS cnt
+      |FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) x
+      |WHERE tok <> '' GROUP BY 1 ORDER BY cnt DESC, tok ASC LIMIT 20""".stripMargin
+
+  // ---- heuristic language ID -----------------------------------------
+  /** tiny per-language stopword lists; winner = running strict-> max in
+    * list order (en,es,de,fr,zh) — deterministic, mirrored in the oracle */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("lang"), toks.as("tk"))
+    val scores = langStopwords.map { case (l, ws) =>
+      l -> size(array_intersect(col("tk"), lit(ws.toArray)))
+    }.toMap
+    var bestLang: Column = lit(langStopwords.head._1)
+    var bestScore: Column = scores(langStopwords.head._1)
+    for ((l, _) <- langStopwords.tail) {
+      val better = scores(l) > bestScore
+      bestLang = when(better, lit(l)).otherwise(bestLang)
+      bestScore = when(better, scores(l)).otherwise(bestScore)
+    }
+    base.select(col("doc_id"), col("lang"), bestLang.as("guessed"), bestScore.as("score"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql = {
+    def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    val sc = langStopwords.map { case (l, ws) =>
+      s"len(list_intersect(tk, ${lst(ws)})) AS s_$l"
+    }.mkString(", ")
+    // reverse-order strict-> CASE ≡ the Scala fold above
+    val langs = langStopwords.map(_._1)
+    val cases = langs.tail.reverse.map { l =>
+      val prev = langs.take(langs.indexOf(l)).map("s_" + _)
+      val prevMax = if (prev.size == 1) prev.head else s"greatest(${prev.mkString(", ")})"
+      s"WHEN s_$l > $prevMax THEN '$l'"
+    }.mkString(" ")
+    val scoreExpr = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    // score = value of the winner = running max (strict fold keeps first-seen on ties = overall greatest)
+    s"""SELECT doc_id, lang, CASE $cases ELSE 'en' END AS guessed, $scoreExpr::INT AS score
+       |FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk, $sc
+       |      FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS tk FROM documents) i) x
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- quality scoring ------------------------------------------------
+  /** length / diversity / word-shape heuristic in [0,1]; all-double
+    * arithmetic in identical order both engines, then round(…,4) */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), toks.as("tk"), length(col("text")).as("nc"))
+      .select(col("doc_id"),
+        size(col("tk")).as("n_words"),
+        r4f(size(array_distinct(col("tk"))).cast(DoubleType) / size(col("tk"))).as("distinct_ratio"),
+        r4f(
+          least(lit(1.0), size(col("tk")).cast(DoubleType) / 50.0) * 0.4
+          + (size(array_distinct(col("tk"))).cast(DoubleType) / size(col("tk"))) * 0.3
+          + least(lit(1.0), ((col("nc") - (size(col("tk")) - 1)).cast(DoubleType) / size(col("tk"))) / 8.0) * 0.3)
+          .as("quality"))
+      .orderBy("doc_id")
+
+  val qualityScoreSql =
+    """SELECT doc_id, len(tk) AS n_words,
+      |CAST(floor(len(list_distinct(tk))::DOUBLE / len(tk) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS distinct_ratio,
+      |CAST(floor((
+      |  least(1.0::DOUBLE, len(tk)::DOUBLE / 50.0::DOUBLE) * 0.4::DOUBLE
+      |  + (len(list_distinct(tk))::DOUBLE / len(tk)) * 0.3::DOUBLE
+      |  + least(1.0::DOUBLE, ((length(text) - (len(tk) - 1))::DOUBLE / len(tk)) / 8.0::DOUBLE) * 0.3::DOUBLE
+      |  ) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS quality
+      |FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents) x
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- token counting -------------------------------------------------
+  /** whitespace tokens + BPE-ish regex tokens (word/number/punct runs) */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(toks).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("re_tokens"),
+        length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  val tokenCountSql =
+    """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+      |len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+      |length(text) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- winnowing fingerprints ----------------------------------------
+  /** positional word-3-gram hashes (md5-derived 60-bit ints — portable),
+    * sliding-window (w=5) minima, per-doc fingerprint summary. The
+    * window-min dedup is the winnowing selection step (Schleimer et al.,
+    * MOSS) — at scale the fingerprint set is the doc's dedup sketch. */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(-4, 0)
+    t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("tk"))
+      .where(size(col("tk")) >= 3)
+      .select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+          .as(Seq("pos", "gram")))
+      .withColumn("h", conv(substring(md5(col("gram")), 1, 15), 16, 10).cast(LongType))
+      .withColumn("wmin", min(col("h")).over(w))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("wmin")).as("n_fp"),
+        min(col("wmin")).as("fp_min"), max(col("wmin")).as("fp_max"))
+      .orderBy("doc_id")
+  }
+
+  val docFingerprintSql =
+    """WITH g AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]), 1, 15))::BIGINT AS h
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE len(string_split(text, ' ')) >= 3) x
+      |  JOIN generate_series(1, 100000) s(i) ON i <= len(tk) - 2),
+      |wm AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS wmin FROM g)
+      |SELECT doc_id, count(DISTINCT wmin) AS n_fp, min(wmin) AS fp_min, max(wmin) AS fp_max
+      |FROM wm GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_text_stats" -> textStats _,
+    "q_token_freq" -> tokenFreq _,
+    "q_lang_id" -> langId _,
+    "q_quality_score" -> qualityScore _,
+    "q_token_count" -> tokenCount _,
+    "q_doc_fingerprint" -> docFingerprint _)
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" -> textStatsSql,
+    "q_token_freq" -> tokenFreqSql,
+    "q_lang_id" -> langIdSql,
+    "q_quality_score" -> qualityScoreSql,
+    "q_token_count" -> tokenCountSql,
+    "q_doc_fingerprint" -> docFingerprintSql)
+}

@@ -35,6 +35,15 @@ object util {
   /** round to 4 and emit DOUBLE (final output form for aggregates) */
   def r4(c: Column): Column = round(c, 4).cast(DoubleType)
 
+  /** Tie-stable 4-dp rounding for pure-double pipelines: Spark's round()
+    * decimalizes doubles via their SHORTEST string repr (0.5377499..95 →
+    * "0.53775" → HALF_UP → .5378) while DuckDB rounds the binary value
+    * (→ .5377). floor(x·10⁴+0.5)/10⁴ is plain IEEE arithmetic, so equal
+    * input doubles give equal outputs in both engines.
+    * Oracle twin: floor(x * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE */
+  def r4f(c: Column): Column =
+    (floor(c * 10000d + 0.5d) / 10000d).cast(DoubleType)
+
   /** exact decimal average → double: sum(decimal)/count, deterministic in
     * both engines (DuckDB twin: round(CAST(sum(CAST(x AS DECIMAL(18,2))) AS
     * DOUBLE)/count(x), 4)) */
