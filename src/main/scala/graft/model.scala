@@ -44,19 +44,23 @@ object model {
 
   def severityKnown(tok: Column): Column = tok.isin(knownTokens: _*)
 
-  /** full parse: raw line → struct(severity, categories, message) */
+  /** full parse: raw line → struct(severity, categories, message).
+    * try_element_at (not element_at) everywhere an index can be absent:
+    * under ANSI mode (Spark 4 default) element_at THROWS on out-of-bounds —
+    * a space-free datagram would crash the job exactly like the reference's
+    * lopParse.go:33 panic this parser is specified to fix. */
   def parseSyslog(raw: Column): Column = {
     val parts   = split(raw, " ", 2)
     val catStr  = parts.getItem(0)
-    val msg     = coalesce(element_at(parts, 2), lit(""))
+    val msg     = coalesce(try_element_at(parts, lit(2)), lit(""))
     val topics  = split(catStr, ",")
     val fb      = size(topics) < 2
-    val sevTok  = element_at(topics, 2)
+    val sevTok  = try_element_at(topics, lit(2))
     val known   = severityKnown(sevTok)
     val emptyA  = array().cast(ArrayType(StringType))
     val cats = when(fb, array(lit("unknown"))).otherwise(
       concat(
-        array(element_at(topics, 1)),
+        array(topics.getItem(0)),
         slice(topics, lit(3), greatest(size(topics) - 2, lit(0))),
         when(known, emptyA).otherwise(array(sevTok))))
     struct(

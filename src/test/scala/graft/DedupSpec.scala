@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.TopK
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Oracle-free north-star operators (SURVEY.md §2 B.4/B.11): planted-dup
+  * recall for MinHash/SimHash/LSH, approx-distinct error bound, topK. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** tmp dir with planted documents + embeddings parquet fixtures */
+  private lazy val fixtureDir: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_fix").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again until done"
+    val docs = Seq(
+      (1L, base, "en", "src0", base.length.toLong),
+      (2L, base.replace("done", "finished"), "en", "src0", base.length.toLong), // near-dup of 1
+      (3L, base, "en", "src1", base.length.toLong), // exact dup of 1
+      (4L, "completely different words about spark query engines and shuffles here now", "en", "src2", 70L),
+      (5L, "yet another unrelated document mentioning parquet files and column pruning", "en", "src3", 70L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val v0 = vec()
+    val nearV0 = v0.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val embs = Seq(
+      (0L, v0, 0), (100L, nearV0, 0), (200L, vec(), 1),
+      (1L, vec(), 2), (2L, vec(), 3), (3L, vec(), 4), (4L, v0.map(-_), 5))
+    embs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("q_dedup_minhash finds the planted near-dup and exact-dup pairs") {
+    val pairs = operators.Dedup.dedupMinhash(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs.exists { case (a, b, _) => a == 1 && b == 3 }, "exact dup 1-3 missed")
+    assert(pairs.collectFirst { case (1, 3, j) => j }.get === 1.0)
+    assert(pairs.exists { case (a, b, _) => a == 1 && b == 2 }, "near dup 1-2 missed")
+    assert(!pairs.exists { case (a, b, _) => Set(a, b).contains(4L) }, "false positive with doc 4")
+  }
+
+  test("q_dedup_simhash: identical docs collide, near-dups within Hamming 3") {
+    val pairs = operators.Dedup.dedupSimhash(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs.exists { case (a, b, h) => a == 1 && b == 3 && h == 0 }, "exact dup 1-3 missed")
+    assert(!pairs.exists { case (a, b, _) => Set(a, b).contains(4L) }, "false positive with doc 4")
+  }
+
+  test("q_sim_ann_lsh: the planted near-duplicate vector is the top ANN hit") {
+    val top = operators.Similarity.simAnnLsh(spark, fixtureDir).collect()
+    assert(top.nonEmpty, "probe bucket empty")
+    assert(top.head.getLong(0) === 100L, "near-dup of probe not ranked first")
+    assert(top.head.getDouble(1) > 0.999)
+  }
+
+  test("q_dedup_embedding: probe-sampled scan finds the planted cosine near-dup") {
+    val pairs = operators.Similarity.dedupEmbedding(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((0L, 100L)))
+  }
+
+  test("q_agg_approx_distinct is within 5% of exact at sf0.001") {
+    val approx = operators.Aggregates.aggApproxDistinct(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = util.events(spark, TestSpark.sfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k).toDouble
+      assert(math.abs(ap - ex) / ex <= 0.05, s"$k: approx $ap vs exact $ex")
+    }
+  }
+
+  test("TopKAggregator is exact under capacity and finds heavy hitters over capacity") {
+    import spark.implicits._
+    // 100×"a", 50×"b", 10×"c", 1×"d" — capacity 2 forces space-saving evictions
+    val data = (Seq.fill(100)("a") ++ Seq.fill(50)("b") ++ Seq.fill(10)("c") ++ Seq("d"))
+    val exact = data.toDF("v").agg(TopK.topk(col("v"), 2, capacity = 1024)).collect()
+      .head.getSeq[String](0)
+    assert(exact === Seq("a", "b"))
+    val tight = data.toDF("v").agg(TopK.topk(col("v"), 1, capacity = 2)).collect()
+      .head.getSeq[String](0)
+    assert(tight.head === "a", s"heavy hitter lost under eviction: $tight")
+  }
+
+  test("minhash est_jaccard is 1.0 for identical docs and low for disjoint docs") {
+    import spark.implicits._
+    val sigs = operators.Dedup.minhashSignatures(spark, fixtureDir)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(sigs(1L) === sigs(3L), "identical docs must have identical signatures")
+    val overlap45 = sigs(4L).zip(sigs(5L)).count { case (a, b) => a == b } / 16.0
+    assert(overlap45 < 0.5, s"disjoint docs look similar: $overlap45")
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY.md §4.2): the optimizations the engine
+  * relies on at 100 TB must actually appear in the plan — pushdown, column
+  * pruning, broadcast join selection, top-K pushdown, partial aggregation,
+  * whole-stage codegen. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_scan_pruned pushes the predicate and prunes columns at the parquet scan") {
+    val p = plan("q_scan_pruned")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,49"),
+      s"predicate not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"columns not pruned:\n$p")
+  }
+
+  test("q_join_broadcast plans a BroadcastHashJoin") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_join_inner on unhinted big sides plans a shuffle join, not nested loop") {
+    val p = plan("q_join_inner")
+    assert(p.contains("Join") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_topk_global pushes ORDER BY+LIMIT into TakeOrderedAndProject") {
+    assert(plan("q_topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_agg_hash uses two-phase hash aggregation (map-side partial)") {
+    val p = plan("q_agg_hash")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial+final agg:\n$p")
+  }
+
+  test("q_agg_hash runs inside whole-stage codegen") {
+    // AQE finalizes the plan only on execution; inspect the post-run plan
+    val df = SparkEntry.queries("q_agg_hash")(spark, dir)
+    df.collect()
+    // codegen stages render as "*(n) Operator" in the executed plan
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(p).isDefined,
+      s"aggregation not inside a codegen stage:\n$p")
+  }
+
+  test("q_parse_syslog plan contains no UDF (pure expressions keep codegen)") {
+    val p = plan("q_parse_syslog")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("q_dedup_minhash candidate generation is an equi-join (no cartesian)") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH bucket join degenerated:\n$p")
+  }
+
+  test("q_sim_cosine broadcasts the probe side") {
+    assert(plan("q_sim_cosine").contains("BroadcastNestedLoopJoin")
+      || plan("q_sim_cosine").contains("BroadcastExchange"))
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.streaming.Pipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+case class RawLine(raw: String, device: String, ts: Timestamp)
+case class Ev(event_id: Long, timestamp: Timestamp, user_id: Long)
+case class LogRow(device: String, severity: Byte)
+
+/** SURVEY.md §2 B.9 stream_* rows: the e2e reference pipeline, watermark
+  * late-data drop, stateful dedup, and running state — all on
+  * MemoryStream (no wall clock, no network; FIXTURES.md §3). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("stream_pipeline_e2e: stream run produces exactly the batch rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lines = model.syslogFixture.map { case (_, raw, dev, t) => RawLine(raw, dev, ts(t)) }
+    val ms = MemoryStream[RawLine]
+    val out = Files.createTempDirectory("graft_sink").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+
+    ms.addData(lines) // before start: AvailableNow snapshots offsets at start
+    val q = Pipeline.start(ms.toDF(), out, ckpt, Trigger.AvailableNow())
+    q.awaitTermination(60000)
+
+    val streamed = spark.read.parquet(out)
+      .orderBy("timestamp", "device", "message")
+      .collect().toSeq
+    val batch = Pipeline.parseToLog(lines.toDF())
+      .orderBy("timestamp", "device", "message")
+      .collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.size === model.syslogFixture.size)
+  }
+
+  test("stream_watermark_late: rows behind the watermark are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[RawLine]
+    val counts = Pipeline.severityCounts(
+      Pipeline.parseToLog(ms.toDF()), watermark = "10 minutes")
+    val q = counts.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("wm_counts").start()
+
+    // batch 1: two rows at 10:00 → watermark still unset
+    ms.addData(RawLine("fw,info a", "d1", ts("2024-01-01 10:00:00")))
+    ms.addData(RawLine("fw,info b", "d1", ts("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    // batch 2: event at 12:00 advances watermark to 11:50
+    ms.addData(RawLine("fw,info c", "d1", ts("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    // batch 3: late row at 10:20 — behind watermark, must be dropped
+    ms.addData(RawLine("fw,info late", "d1", ts("2024-01-01 10:20:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val hour10 = spark.sql(
+      "SELECT max(n) FROM wm_counts WHERE ws = TIMESTAMP '2024-01-01 10:00:00'")
+      .collect().head.getLong(0)
+    assert(hour10 === 2L, "late row leaked into the 10:00 window")
+  }
+
+  test("stream_dedup: duplicate ids within the watermark collapse to one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Pipeline.dedupWithinWatermark(ms.toDF(), "event_id", "10 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+
+    ms.addData(Ev(1, ts("2024-01-01 10:00:00"), 7))
+    q.processAllAvailable()
+    ms.addData(Ev(1, ts("2024-01-01 10:01:00"), 7)) // dup id, later ts
+    ms.addData(Ev(2, ts("2024-01-01 10:02:00"), 8))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.sql("SELECT event_id FROM dedup_out ORDER BY event_id")
+      .as[Long].collect().toSeq
+    assert(ids === Seq(1L, 2L))
+  }
+
+  test("stream_stateful_count: per-device counters accumulate across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[LogRow]
+    val q = Pipeline.statefulDeviceCounts(ms.toDF())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("dev_counts").start()
+
+    ms.addData(LogRow("d1", 6), LogRow("d1", 3), LogRow("d2", 7))
+    q.processAllAvailable()
+    ms.addData(LogRow("d1", 1), LogRow("d2", 6))
+    q.processAllAvailable()
+    q.stop()
+
+    val last = spark.sql(
+      """SELECT device, max(total) AS total, max(errors) AS errors
+        |FROM dev_counts GROUP BY device ORDER BY device""".stripMargin)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(last === Seq(("d1", 3L, 2L), ("d2", 2L, 0L)))
+  }
+
+  test("trigger batching: AvailableNow with maxFilesPerTrigger bounds batches (rate-limit analog)") {
+    import spark.implicits._
+    // file-source twin of the bounded-channel admission control: write the
+    // fixture as 4 files, read back maxFilesPerTrigger=1 → ≥4 micro-batches
+    val srcDir = Files.createTempDirectory("graft_src").toString
+    val lines = model.rawLines(spark)
+    lines.repartition(4).write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema(lines.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val out = Files.createTempDirectory("graft_sink2").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt2").toString
+    var batches = 0
+    val q = Pipeline.parseToLog(stream).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        b.write.mode("append").parquet(out)
+      }
+      .start()
+    q.awaitTermination(60000)
+    assert(batches >= 4, s"expected ≥4 rate-limited micro-batches, got $batches")
+    assert(spark.read.parquet(out).count() === model.syslogFixture.size.toLong)
+  }
+}
