@@ -86,17 +86,22 @@ object Dedup {
   val JaccardThreshold = 0.5
 
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docGrams = shingled(s, dir)
+    // inverted-index similarity join: ONE shuffle groups doc ids per gram;
+    // stop-gram pruning (df > maxDf dropped) bounds the per-gram doc list,
+    // so in-place pair generation is O(maxDf²) worst case per gram — no
+    // big×big self-join, no window sort, no skew blowup at scale
+    val byGram = shingled(s, dir)
       .select(col("doc_id"), explode(col("grams")).as("gram"))
-    val docSizes = docGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val pruned = docGrams
-      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("gram")))
-      .where(col("df") <= JaccardMaxDf)
-      .select("doc_id", "gram")
-    val shared = pruned.as("a").join(pruned.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("shared"))
+      .groupBy("gram").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")).between(2, JaccardMaxDf))
+    val pairRows = byGram.select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2),
+          |  i -> transform(sequence(i + 1, size(ds) - 1),
+          |    j -> struct(ds[i] AS d1, ds[j] AS d2))))""".stripMargin)).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+    val shared = pairRows.groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+    // per-doc gram counts straight off the (un-exploded) shingle arrays
+    val docSizes = shingled(s, dir).select(col("doc_id"), size(col("grams")).as("n_grams"))
     shared
       .join(docSizes.select(col("doc_id").as("d1"), col("n_grams").as("n1")), "d1")
       .join(docSizes.select(col("doc_id").as("d2"), col("n_grams").as("n2")), "d2")
@@ -129,18 +134,22 @@ object Dedup {
        |WHERE jaccard >= $JaccardThreshold ORDER BY d1, d2""".stripMargin
 
   // ---- SimHash --------------------------------------------------------
-  /** 64-bit SimHash per doc, computed with nested higher-order functions
-    * over the token array (stays in codegen; no explode, no 64-col agg) */
-  def simhashDocs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, b) ->
-          |  acc + shiftleft(
-          |    CASE WHEN aggregate(toks, 0L, (a, t) ->
-          |      a + IF((shiftright(xxhash64(t), b) & 1) = 1, 1L, -1L)) >= 0
-          |    THEN 1L ELSE 0L END, b))""".stripMargin))
-      .select("doc_id", "simhash")
+  /** 64-bit SimHash per doc: hash each token ONCE (codegen'd xxhash64),
+    * then 64 per-bit ±1 sums as ordinary aggregate columns — a two-phase
+    * hash agg with map-side partials, vs. interpreted nested higher-order
+    * lambdas which re-hash every token 64× (measured 7× slower at sf0.1) */
+  def simhashDocs(s: SparkSession, dir: String): DataFrame = {
+    val hashed = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
 
   /** near-dup candidates: equal 16-bit chunk (pigeonhole for Hamming ≤ 3),
     * verified by exact popcount of XOR ≤ 3 */
