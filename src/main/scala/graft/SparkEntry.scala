@@ -22,6 +22,7 @@ object SparkEntry {
     operators.Dedup.queries ++
     operators.Similarity.queries ++
     operators.TextAnalysis.queries ++
+    functions.Multimodal.queries ++
     functions.Scalars.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
