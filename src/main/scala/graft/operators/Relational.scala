@@ -175,14 +175,23 @@ object Relational {
       |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
-  /** non-equi band join over the bounded `part` dimension (broadcast NL;
-    * at scale this is the classic range-join — bucketize p_retailprice to
-    * turn it into an equi-join + residual filter if `part` ever grows) */
+  /** Non-equi band join |price1 − price2| ≤ 5, executed as the bucketized
+    * range join: bucket = floor(price/width); each left row probes buckets
+    * {b−1, b, b+1} via a 3-way explode, the join itself is an EQUI-join on
+    * bucket with the band predicate as residual. This replaces the O(n·m)
+    * broadcast nested loop with a shuffle hash join that scales linearly —
+    * the standard distributed range-join rewrite. */
   def joinThetaRange(s: SparkSession, dir: String): DataFrame = {
-    val p1 = t(s, dir, "part").select(col("p_partkey").as("k1"), col("p_retailprice").as("pr1"))
-    val p2 = t(s, dir, "part").select(col("p_partkey").as("k2"), col("p_retailprice").as("pr2"))
-    p1.join(broadcast(p2), col("k1") < col("k2")
-        && abs(col("pr1") - col("pr2")) <= 5.0)
+    val width = 5.0
+    val p1 = t(s, dir, "part")
+      .select(col("p_partkey").as("k1"), col("p_retailprice").as("pr1"))
+      .withColumn("bucket", explode(expr(
+        s"array(floor(pr1 / $width) - 1, floor(pr1 / $width), floor(pr1 / $width) + 1)")))
+    val p2 = t(s, dir, "part")
+      .select(col("p_partkey").as("k2"), col("p_retailprice").as("pr2"))
+      .withColumn("bucket", floor(col("pr2") / width))
+    p1.join(p2, Seq("bucket"))
+      .where(col("k1") < col("k2") && abs(col("pr1") - col("pr2")) <= width)
       .select("k1", "k2").orderBy("k1", "k2")
   }
 
