@@ -258,7 +258,26 @@ object Scalars {
       |json_extract(props, '$.k')::INT AS k_typed
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** MapType surface: JSON props → typed map, key/value extraction */
+  def mapFuncs(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+        col("event_id"),
+        from_json(col("props"), MapType(StringType, IntegerType)).as("m"))
+      .select(
+        col("event_id"),
+        array_sort(map_keys(col("m"))).as("keys"),
+        size(map_keys(col("m"))).as("n_keys"),
+        col("m").getItem("k").as("k_val"))
+      .orderBy("event_id")
+
+  val mapFuncsSql =
+    """SELECT event_id, list_sort(json_keys(props)) AS keys,
+      |len(json_keys(props)) AS n_keys,
+      |json_extract_string(props, '$.k')::INT AS k_val
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_map_funcs" -> mapFuncs _,
     "q_str_basic" -> strBasic _,
     "q_str_split_index" -> strSplitIndex _,
     "q_str_match" -> strMatch _,
@@ -276,6 +295,7 @@ object Scalars {
     "q_json_extract" -> jsonExtract _)
 
   val oracle: Map[String, String] = Map(
+    "q_map_funcs" -> mapFuncsSql,
     "q_str_basic" -> strBasicSql,
     "q_str_split_index" -> strSplitIndexSql,
     "q_str_match" -> strMatchSql,

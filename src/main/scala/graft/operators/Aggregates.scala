@@ -204,7 +204,27 @@ object Aggregates {
       |FROM (SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2) x
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** pivot (ClickHouse conditional-agg matrix): order counts per priority ×
+    * status; the status universe is pinned explicitly so the plan is a
+    * single pass (no distinct-collect on the driver) and column names are
+    * deterministic cross-engine */
+  def aggPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+
+  val aggPivotSql =
+    """SELECT o_orderpriority,
+      |count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      |count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      |count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_agg_pivot" -> aggPivot _,
     "q_agg_hash" -> aggHash _,
     "q_agg_distinct" -> aggDistinct _,
     "q_agg_approx_distinct" -> aggApproxDistinct _,
@@ -218,6 +238,7 @@ object Aggregates {
     "q_udaf_topk" -> udafTopk _)
 
   val oracle: Map[String, String] = Map(
+    "q_agg_pivot" -> aggPivotSql,
     "q_agg_hash" -> aggHashSql,
     "q_agg_distinct" -> aggDistinctSql,
     "q_agg_rollup" -> aggRollupSql,

@@ -64,4 +64,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_sim_cosine").contains("BroadcastNestedLoopJoin")
       || plan("q_sim_cosine").contains("BroadcastExchange"))
   }
+
+  test("bucketed tables co-locate the join: no shuffle exchange on either side") {
+    // the 100 TB pattern for repeated big-big joins: pre-bucket both sides
+    // on the join key; the sort-merge join then reads buckets directly
+    import org.apache.spark.sql.functions.col
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
+    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("customer_b")
+    val joined = spark.table("orders_b")
+      .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").count()
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(o_custkey")
+      && !p.contains("Exchange hashpartitioning(c_custkey"),
+      s"bucketed join still shuffles:\n$p")
+  }
 }
