@@ -276,7 +276,21 @@ object Scalars {
       |json_extract_string(props, '$.k')::INT AS k_val
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** edit distance (ClickHouse editDistance / fuzzy text matching) */
+  def strDistance(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+        col("p_partkey"),
+        levenshtein(col("p_brand"), lit("Brand#11")).as("d_brand"),
+        levenshtein(substring(col("p_name"), 1, 10), substring(col("p_type"), 1, 10)).as("d_nt"))
+      .orderBy("p_partkey")
+
+  val strDistanceSql =
+    """SELECT p_partkey, levenshtein(p_brand, 'Brand#11') AS d_brand,
+      |levenshtein(substr(p_name, 1, 10), substr(p_type, 1, 10)) AS d_nt
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_str_distance" -> strDistance _,
     "q_map_funcs" -> mapFuncs _,
     "q_str_basic" -> strBasic _,
     "q_str_split_index" -> strSplitIndex _,
@@ -295,6 +309,7 @@ object Scalars {
     "q_json_extract" -> jsonExtract _)
 
   val oracle: Map[String, String] = Map(
+    "q_str_distance" -> strDistanceSql,
     "q_map_funcs" -> mapFuncsSql,
     "q_str_basic" -> strBasicSql,
     "q_str_split_index" -> strSplitIndexSql,

@@ -181,7 +181,31 @@ object Windows {
       |    FROM events) a
       |) b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** first_value / last_value / nth_value over the full-partition frame */
+  def winFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(w).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val winFirstLastSql =
+    """SELECT o_custkey, o_orderkey,
+      |first_value(o_orderkey) OVER w AS first_ok,
+      |last_value(o_orderkey) OVER w AS last_ok,
+      |nth_value(o_orderkey, 2) OVER w AS second_ok
+      |FROM orders WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY o_orderdate ASC, o_orderkey ASC
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_win_first_last" -> winFirstLast _,
     "q_win_rank" -> winRank _,
     "q_win_lag_lead" -> winLagLead _,
     "q_win_running" -> winRunning _,
@@ -193,6 +217,7 @@ object Windows {
     "q_window_session" -> windowSession _)
 
   val oracle: Map[String, String] = Map(
+    "q_win_first_last" -> winFirstLastSql,
     "q_win_rank" -> winRankSql,
     "q_win_lag_lead" -> winLagLeadSql,
     "q_win_running" -> winRunningSql,

@@ -111,6 +111,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(last === Seq(("d1", 3L, 2L), ("d2", 2L, 0L)))
   }
 
+  test("streaming session_window groups by 30-min inactivity gap (q_window_session twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val sessions = ms.toDF()
+      .withWatermark("timestamp", "10 minutes")
+      .groupBy(session_window(col("timestamp"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("ss"), col("user_id"), col("n"))
+    val q = sessions.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_out").start()
+
+    // user 7: two events 10 min apart (one session), then one 2h later
+    ms.addData(Ev(1, ts("2024-01-01 10:00:00"), 7))
+    ms.addData(Ev(2, ts("2024-01-01 10:10:00"), 7))
+    ms.addData(Ev(3, ts("2024-01-01 12:00:00"), 7))
+    q.processAllAvailable()
+    // advance the watermark far past both sessions so append finalizes them
+    ms.addData(Ev(4, ts("2024-01-01 15:00:00"), 8))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT ss, user_id, n FROM sess_out WHERE user_id = 7 ORDER BY ss")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      (ts("2024-01-01 10:00:00"), 7L, 2L),
+      (ts("2024-01-01 12:00:00"), 7L, 1L)))
+  }
+
   test("trigger batching: AvailableNow with maxFilesPerTrigger bounds batches (rate-limit analog)") {
     import spark.implicits._
     // file-source twin of the bounded-channel admission control: write the
