@@ -201,36 +201,39 @@ object Relational {
       |ON p1.p_partkey < p2.p_partkey AND abs(p1.p_retailprice - p2.p_retailprice) <= 5.0
       |ORDER BY k1, k2""".stripMargin
 
-  /** as-of join: each purchase ⟵ the same user's latest prior signup/view.
-    * Composite: range join on (user, prior.ts ≤ purchase.ts) + per-purchase
-    * row_number()=1 — one shuffle on user_id, no cartesian. */
+  /** As-of join: each purchase ⟵ the same user's latest prior signup/view.
+    * Executed as a SINGLE window scan: one shuffle on user_id, then
+    * last(match-candidate, ignoreNulls) over rows-to-current carries the
+    * most recent prior event to every row — O(n) per user, vs the
+    * range-join + row_number form whose fan-out is O(purchases × priors)
+    * per user and goes quadratic as per-user history grows. */
   def joinAsof(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir)
-    val purch = ev.where(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_ts_us"))
-    val prior = ev.where(col("event_type").isin("signup", "view"))
-      .select(col("event_id").as("m_id"), col("user_id"), col("ts_us").as("m_ts_us"),
-        col("event_type").as("m_type"))
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("p_id").orderBy(col("m_ts_us").desc, col("m_id").desc)
-    purch.join(prior, Seq("user_id"))
-      .where(col("m_ts_us") <= col("p_ts_us"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select("p_id", "user_id", "p_ts_us", "m_id", "m_type")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isPrior = col("event_type").isin("signup", "view")
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
+      .withColumn("m_id", last(when(isPrior, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("m_type", last(when(isPrior, col("event_type")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase" && col("m_id").isNotNull)
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts_us").as("p_ts_us"), col("m_id"), col("m_type"))
       .orderBy("p_id")
   }
 
   val joinAsofSql =
     """SELECT p_id, user_id, p_ts_us, m_id, m_type FROM (
-      |  SELECT p.event_id AS p_id, p.user_id, epoch_us(p.ts::TIMESTAMP) AS p_ts_us,
-      |         m.event_id AS m_id, m.event_type AS m_type,
-      |         row_number() OVER (PARTITION BY p.event_id
-      |           ORDER BY m.ts DESC, m.event_id DESC) AS rn
-      |  FROM events p JOIN events m
-      |    ON p.user_id = m.user_id AND m.ts <= p.ts
-      |  WHERE p.event_type = 'purchase' AND m.event_type IN ('signup','view')
-      |) x WHERE rn = 1 ORDER BY p_id""".stripMargin
+      |  SELECT event_id AS p_id, user_id, epoch_us(ts::TIMESTAMP) AS p_ts_us, event_type,
+      |    last_value(CASE WHEN event_type IN ('signup','view') THEN event_id END IGNORE NULLS)
+      |      OVER w AS m_id,
+      |    last_value(CASE WHEN event_type IN ('signup','view') THEN event_type END IGNORE NULLS)
+      |      OVER w AS m_type
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |) x WHERE event_type = 'purchase' AND m_id IS NOT NULL ORDER BY p_id""".stripMargin
 
   def joinCross(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "region").select(col("r_name"))

@@ -1,0 +1,37 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Sinks
+import graft.streaming.Pipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** at-rest layout: day partitioning must produce prunable directories and
+  * time-range scans must actually prune them */
+class SinksSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("writeLogsPartitioned lays out day directories and scans prune them") {
+    val out = Files.createTempDirectory("graft_part_sink").toString
+    val logs = Pipeline.parseToLog(model.rawLines(spark))
+    Sinks.writeLogsPartitioned(logs, out)
+
+    val days = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("day="))
+    assert(days.toSeq === Seq("day=2024-01-01"), s"unexpected layout: ${days.toSeq}")
+
+    val pruned = spark.read.parquet(out)
+      .where(col("day") === "2024-01-01" && col("severity") <= 3)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), s"no partition pruning:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(severity), LessThanOrEqual(severity,3)"),
+      s"no rowgroup predicate pushdown:\n$plan")
+    assert(pruned.count() === logs.where(col("severity") <= 3).count())
+
+    // appending a second day creates a sibling partition, untouched reads prune it
+    val day2 = logs.withColumn("timestamp", col("timestamp") + expr("INTERVAL 1 DAY"))
+    Sinks.writeLogsPartitioned(day2, out)
+    val dirs2 = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("day=")).sorted
+    assert(dirs2.toSeq === Seq("day=2024-01-01", "day=2024-01-02"))
+  }
+}
