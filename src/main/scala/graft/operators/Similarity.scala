@@ -24,12 +24,13 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** cosine(e1, e2) as pure column expressions (float[] → double math) */
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
-  private def norm(a: String): Column = sqrt(dot(a, a))
-  private def cosine(a: String, b: String): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** cosine(e1, e2): native codegen'd Catalyst expression (see
+    * functions.CosineSimilarity) — same math as the zip_with+aggregate
+    * higher-order form, minus the per-element interpreted lambda calls */
+  private def cosine(s: SparkSession, a: String, b: String): Column = {
+    graft.functions.VectorExpressions.register(s)
+    graft.functions.VectorExpressions.cosineSim(col(a), col(b))
+  }
 
   /** DuckDB twin of cosine via correlated element sums (positional,
     * double-precision, matches Spark bit-for-bit after round(…,4)) */
@@ -51,7 +52,7 @@ object Similarity {
       .select(col("embedding").as("pe"))
     e.where(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe))
-      .select(col("vec_id"), r4(cosine("embedding", "pe")).as("cos"))
+      .select(col("vec_id"), r4(cosine(s, "embedding", "pe")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -69,7 +70,7 @@ object Similarity {
       .select(col("vec_id").as("d1"), col("embedding").as("e1"))
     e.select(col("vec_id").as("d2"), col("embedding").as("e2"))
       .join(broadcast(probes), col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), r4(cosine("e1", "e2")).as("cos"))
+      .select(col("d1"), col("d2"), r4(cosine(s, "e1", "e2")).as("cos"))
       .where(col("cos") >= 0.8)
       .orderBy("d1", "d2")
   }
@@ -104,7 +105,7 @@ object Similarity {
       .select(col("bucket"), col("embedding").as("pe"))
     e.where(col("vec_id") =!= 0)
       .join(broadcast(probe), Seq("bucket"))
-      .select(col("vec_id"), r4(cosine("embedding", "pe")).as("cos"))
+      .select(col("vec_id"), r4(cosine(s, "embedding", "pe")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
   }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.VectorExpressions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** native CosineSimilarity expression: bit-parity with the higher-order
+  * formulation and proof it stays inside whole-stage codegen */
+class VectorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("cosine_sim matches the zip_with+aggregate formulation bit-for-bit") {
+    VectorExpressions.register(spark)
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val probe = e.where(col("vec_id") === 0).select(col("embedding").as("pe"))
+    val both = e.crossJoin(broadcast(probe)).select(
+      col("vec_id"),
+      VectorExpressions.cosineSim(col("embedding"), col("pe")).as("native"),
+      (expr("aggregate(zip_with(embedding, pe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)")
+        / (sqrt(expr("aggregate(zip_with(embedding, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)"))
+          * sqrt(expr("aggregate(zip_with(pe, pe, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)"))))
+        .as("hof"))
+    val rows = both.collect()
+    assert(rows.length === e.count())
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1))
+        === java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"vec ${r.getLong(0)}: native ${r.getDouble(1)} != hof ${r.getDouble(2)}")
+    }
+  }
+
+  test("cosine_sim runs inside whole-stage codegen (no fallback)") {
+    VectorExpressions.register(spark)
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val probe = e.where(col("vec_id") === 0).select(col("embedding").as("pe"))
+    val df = e.crossJoin(broadcast(probe))
+      .select(VectorExpressions.cosineSim(col("embedding"), col("pe")).as("c"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined,
+      s"projection not codegen'd:\n$p")
+  }
+
+  test("cosine_sim is null-safe and self-similarity is 1.0") {
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Some(Array(1f, 2f, 3f)), Some(Array(1f, 2f, 3f))),
+      (None, Some(Array(1f, 2f, 3f)))).toDF("a", "b")
+      .select(VectorExpressions.cosineSim(col("a"), col("b")).as("c"))
+    val rows = df.collect()
+    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
+    assert(rows(1).isNullAt(0))
+  }
+}
