@@ -204,7 +204,44 @@ object Windows {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** gap-filled hourly series (ClickHouse ORDER BY … WITH FILL analog):
+    * dense hour spine from sequence() cross the type universe, left-joined
+    * counts, missing buckets as 0 — the canonical dashboard query over
+    * sparse log data. Spine generation is a per-group sequence explode, not
+    * a driver loop. */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val counts = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+      .crossJoin(ev.select(col("event_type")).distinct())
+    spine.join(counts, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("hour", "event_type")
+  }
+
+  val gapFillSql =
+    """WITH counts AS (
+      |  SELECT date_trunc('hour', ts::TIMESTAMP) AS hour, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT date_trunc('hour', min(ts::TIMESTAMP)) AS lo,
+      |                  date_trunc('hour', max(ts::TIMESTAMP)) AS hi FROM events),
+      |spine AS (
+      |  SELECT b.lo + g.i * INTERVAL 1 HOUR AS hour, t.event_type
+      |  FROM bounds b
+      |  JOIN generate_series(0, 1000000) g(i) ON b.lo + g.i * INTERVAL 1 HOUR <= b.hi,
+      |       (SELECT DISTINCT event_type FROM events) t)
+      |SELECT s.hour, s.event_type, coalesce(c.n, 0) AS n
+      |FROM spine s LEFT JOIN counts c ON s.hour = c.hour AND s.event_type = c.event_type
+      |ORDER BY s.hour, s.event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_gap_fill" -> gapFill _,
     "q_win_first_last" -> winFirstLast _,
     "q_win_rank" -> winRank _,
     "q_win_lag_lead" -> winLagLead _,
@@ -217,6 +254,7 @@ object Windows {
     "q_window_session" -> windowSession _)
 
   val oracle: Map[String, String] = Map(
+    "q_gap_fill" -> gapFillSql,
     "q_win_first_last" -> winFirstLastSql,
     "q_win_rank" -> winRankSql,
     "q_win_lag_lead" -> winLagLeadSql,
