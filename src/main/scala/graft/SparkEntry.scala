@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Relational.queries ++
     operators.Aggregates.queries ++
     operators.Windows.queries ++
+    operators.EventAnalytics.queries ++
     operators.Dedup.queries ++
     operators.Similarity.queries ++
     operators.TextAnalysis.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
     operators.Relational.oracle ++
     operators.Aggregates.oracle ++
     operators.Windows.oracle ++
+    operators.EventAnalytics.oracle ++
     operators.Dedup.oracle ++
     operators.Similarity.oracle ++
     operators.TextAnalysis.oracle ++

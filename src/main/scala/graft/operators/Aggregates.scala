@@ -223,7 +223,73 @@ object Aggregates {
       |count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** stddev / covariance / correlation (ClickHouse stddevSamp/corr) — the
+    * moments come from EXACT decimal sums, the closed-form combination runs
+    * in identically-ordered double arithmetic in both engines, so results
+    * are bit-deterministic (built-in corr/stddev use different streaming
+    * formulas per engine and would drift in low bits) */
+  def aggStats(s: SparkSession, dir: String): DataFrame = {
+    val x = d2(col("l_extendedprice"))
+    val y = d2(col("l_quantity"))
+    val base = t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast(DoubleType).as("n"),
+        sum(x).cast(DoubleType).as("sx"), sum(y).cast(DoubleType).as("sy"),
+        sum(x * x).cast(DoubleType).as("sxx"), sum(y * y).cast(DoubleType).as("syy"),
+        sum(x * y).cast(DoubleType).as("sxy"))
+    base.select(col("l_returnflag"),
+        r4f(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) / (col("n") * (col("n") - 1)))).as("stddev_x"),
+        r4f((col("n") * col("sxy") - col("sx") * col("sy")) / (col("n") * (col("n") - 1))).as("covar_xy"),
+        r4f((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+            * sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_xy"))
+      .orderBy("l_returnflag")
+  }
+
+  val aggStatsSql =
+    """WITH m AS (SELECT l_returnflag, count(*)::DOUBLE AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag,
+      |CAST(floor(sqrt((n * sxx - sx * sx) / (n * (n - 1))) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS stddev_x,
+      |CAST(floor((n * sxy - sx * sy) / (n * (n - 1)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS covar_xy,
+      |CAST(floor((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS corr_xy
+      |FROM m ORDER BY 1""".stripMargin
+
+  /** fixed-width numeric histogram (ClickHouse histogram analog) */
+  def aggHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(floor(col("l_quantity") / 5).cast(IntegerType).as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("l_quantity")).as("lo"), max(col("l_quantity")).as("hi"))
+      .orderBy("bucket")
+
+  val aggHistogramSql =
+    """SELECT CAST(floor(l_quantity / 5) AS INT) AS bucket, count(*) AS n,
+      |min(l_quantity) AS lo, max(l_quantity) AS hi
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** deterministic hash sampling (ClickHouse SAMPLE BY analog): the md5-hex
+    * trick gives an engine-portable uniform hash — 10% of orders by key */
+  def sampleHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .where(conv(substring(md5(col("o_orderkey").cast(StringType)), 1, 8), 16, 10)
+        .cast(LongType) % 100 < 10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  val sampleHashSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 100 < 10
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_agg_stats" -> aggStats _,
+    "q_agg_histogram" -> aggHistogram _,
+    "q_sample_hash" -> sampleHash _,
     "q_agg_pivot" -> aggPivot _,
     "q_agg_hash" -> aggHash _,
     "q_agg_distinct" -> aggDistinct _,
@@ -238,6 +304,9 @@ object Aggregates {
     "q_udaf_topk" -> udafTopk _)
 
   val oracle: Map[String, String] = Map(
+    "q_agg_stats" -> aggStatsSql,
+    "q_agg_histogram" -> aggHistogramSql,
+    "q_sample_hash" -> sampleHashSql,
     "q_agg_pivot" -> aggPivotSql,
     "q_agg_hash" -> aggHashSql,
     "q_agg_distinct" -> aggDistinctSql,

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.util._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics — the ClickHouse `windowFunnel` / `retention`
+  * family the reference's NOC/SIEM users run over `mikrotik_logs`-shaped
+  * data (README.md:42-50), expressed over `events`.
+  *
+  * Scale design: both operators are chains of per-user equi-joins and hash
+  * aggregations — no windows over unbounded history, no cross products;
+  * each stage shuffles once on user_id.
+  */
+object EventAnalytics {
+
+  /** 3-stage funnel signup → view → purchase: earliest completion time of
+    * each stage with strict event-time ordering between stages */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("event_type"), col("ts_us"))
+    val s1 = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts_us")).as("s1_us"))
+    val s2 = ev.where(col("event_type") === "view").join(s1, "user_id")
+      .where(col("ts_us") > col("s1_us"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("s2_us"))
+    val s3 = ev.where(col("event_type") === "purchase").join(s2, "user_id")
+      .where(col("ts_us") > col("s2_us"))
+      .groupBy("user_id").agg(min(col("ts_us")).as("s3_us"))
+    ev.select("user_id").distinct()
+      .join(s1, Seq("user_id"), "left")
+      .join(s2.select(col("user_id"), col("s2_us")), Seq("user_id"), "left")
+      .join(s3.select(col("user_id"), col("s3_us")), Seq("user_id"), "left")
+      .select(col("user_id"), col("s1_us"), col("s2_us"), col("s3_us"),
+        (when(col("s3_us").isNotNull, 3)
+          .when(col("s2_us").isNotNull, 2)
+          .when(col("s1_us").isNotNull, 1)
+          .otherwise(0)).as("depth"))
+      .orderBy("user_id")
+  }
+
+  val funnelSql =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us FROM events),
+      |s1 AS (SELECT user_id, min(ts_us) AS s1_us FROM ev WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT ev.user_id, min(ts_us) AS s2_us FROM ev JOIN s1 USING (user_id)
+      |       WHERE event_type = 'view' AND ts_us > s1_us GROUP BY 1),
+      |s3 AS (SELECT ev.user_id, min(ts_us) AS s3_us FROM ev JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts_us > s2_us GROUP BY 1)
+      |SELECT u.user_id, s1.s1_us, s2.s2_us, s3.s3_us,
+      |  CASE WHEN s3.s3_us IS NOT NULL THEN 3 WHEN s2.s2_us IS NOT NULL THEN 2
+      |       WHEN s1.s1_us IS NOT NULL THEN 1 ELSE 0 END AS depth
+      |FROM (SELECT DISTINCT user_id FROM ev) u
+      |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      |ORDER BY u.user_id""".stripMargin
+
+  /** cohort retention grid: users by (first-active day, day offset) */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val userDays = events(s, dir)
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .distinct()
+    val cohorts = userDays.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    userDays.join(cohorts, "user_id")
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
+  val retentionSql =
+    """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts::TIMESTAMP)::DATE AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY 1)
+      |SELECT cohort, date_diff('day', cohort, day) AS day_offset,
+      |       count(DISTINCT ud.user_id) AS n_users
+      |FROM ud JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_funnel" -> funnel _,
+    "q_retention" -> retention _)
+
+  val oracle: Map[String, String] = Map(
+    "q_funnel" -> funnelSql,
+    "q_retention" -> retentionSql)
+}
