@@ -94,11 +94,13 @@ object Dedup {
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .groupBy("gram").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")).between(2, JaccardMaxDf))
-    val pairRows = byGram.select(explode(expr(
-        """flatten(transform(sequence(0, size(ds) - 2),
-          |  i -> transform(sequence(i + 1, size(ds) - 1),
-          |    j -> struct(ds[i] AS d1, ds[j] AS d2))))""".stripMargin)).as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+    // two chained posexplodes (codegen'd Generate ops) beat a nested
+    // higher-order lambda building struct arrays interpretively
+    val pairRows = byGram
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "d1")))
+      .select(col("d1"), col("i"), posexplode(col("ds")).as(Seq("j", "d2")))
+      .where(col("j") > col("i"))
+      .select("d1", "d2")
     val shared = pairRows.groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
     // per-doc gram counts straight off the (un-exploded) shingle arrays
     val docSizes = shingled(s, dir).select(col("doc_id"), size(col("grams")).as("n_grams"))

@@ -140,6 +140,32 @@ class StreamingSpec extends AnyFunSuite {
       (ts("2024-01-01 12:00:00"), 7L, 1L)))
   }
 
+  test("stream-stream interval join: purchases match views within 1 hour, state bounded by watermarks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val v = views.toDF().selectExpr("event_id AS v_id", "timestamp AS v_ts", "user_id AS v_user")
+      .withWatermark("v_ts", "10 minutes")
+    val p = purchases.toDF().selectExpr("event_id AS p_id", "timestamp AS p_ts", "user_id AS p_user")
+      .withWatermark("p_ts", "10 minutes")
+    val joined = p.join(v,
+      expr("p_user = v_user AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 1 HOUR"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj_out").start()
+
+    views.addData(Ev(1, ts("2024-01-01 10:00:00"), 7))     // within 1h of purchase
+    views.addData(Ev(2, ts("2024-01-01 08:00:00"), 7))     // too old
+    views.addData(Ev(3, ts("2024-01-01 10:20:00"), 8))     // other user
+    purchases.addData(Ev(10, ts("2024-01-01 10:30:00"), 7))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT p_id, v_id FROM ssj_out ORDER BY p_id, v_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((10L, 1L)))
+  }
+
   test("trigger batching: AvailableNow with maxFilesPerTrigger bounds batches (rate-limit analog)") {
     import spark.implicits._
     // file-source twin of the bounded-channel admission control: write the
