@@ -63,18 +63,31 @@ object Dedup {
       .select("doc_id", "sig")
   }
 
-  /** near-dup pairs: band-bucket join, then signature-overlap estimate */
+  /** Near-dup pairs: band buckets → in-bucket pair generation →
+    * signature-overlap estimate. Bucket members collect into one list per
+    * (band, hash) and pairs generate from it in place, so the signature
+    * pipeline (shingle → explode → 16-min agg) runs ONCE — a bucket
+    * self-join would recompute that whole subtree per side. Docs sharing a
+    * bucket are near-dups by construction, so lists stay small; the
+    * equi-grouping shuffles once on (band, hash). */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSignatures(s, dir)
     val rows = MinhashPerms / MinhashBands
     val banded = sigs.select(col("doc_id"), col("sig"),
         posexplode(expr(s"transform(sequence(0, ${MinhashBands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows)))"))
           .as(Seq("band", "bh")))
-    val l = banded.select(col("band"), col("bh"), col("doc_id").as("d1"), col("sig").as("sig1"))
-    val r = banded.select(col("band"), col("bh"), col("doc_id").as("d2"), col("sig").as("sig2"))
-    l.join(r, Seq("band", "bh")).where(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"),
-        (expr("size(filter(zip_with(sig1, sig2, (a, b) -> a = b), x -> x))").cast(DoubleType)
+    val buckets = banded
+      .groupBy("band", "bh")
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
+      .where(size(col("ds")) >= 2)
+    buckets
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+      .select(col("a"), col("i"), posexplode(col("ds")).as(Seq("j", "b")))
+      .where(col("j") > col("i"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
+        (expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))").cast(DoubleType)
           / MinhashPerms).as("est_jaccard"))
       .distinct()
       .where(col("est_jaccard") >= 0.5)

@@ -319,7 +319,29 @@ object Relational {
     """SELECT c_nationkey AS nk FROM customer EXCEPT
       |SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin
 
+  /** correlated scalar subquery — Catalyst decorrelates it into an
+    * aggregate + join (RewriteCorrelatedScalarSubquery); the inner average
+    * is computed as exact-decimal-sum / count so the strict comparison is
+    * deterministic cross-engine */
+  def scalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_ss")
+    s.sql(
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer_ss c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  FROM customer_ss c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val scalarSubquerySql =
+    """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+      |WHERE c_acctbal > (
+      |  SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_scalar_subquery" -> scalarSubquery _,
     "q_scan_parquet" -> scanParquet _,
     "q_scan_pruned" -> scanPruned _,
     "q_filter_pred" -> filterPred _,
@@ -344,6 +366,7 @@ object Relational {
     "q_except" -> exceptQ _)
 
   val oracle: Map[String, String] = Map(
+    "q_scalar_subquery" -> scalarSubquerySql,
     "q_scan_parquet" -> scanParquetSql,
     "q_scan_pruned" -> scanPrunedSql,
     "q_filter_pred" -> filterPredSql,
