@@ -289,7 +289,57 @@ object Scalars {
       |levenshtein(substr(p_name, 1, 10), substr(p_type, 1, 10)) AS d_nt
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** IPv4 dotted-quad ↔ uint32 (ClickHouse IPv4StringToNum/NumToString) —
+    * pure arithmetic, no inet builtins needed, oracle-portable; runs on the
+    * syslog fixture's device ip:port values */
+  def ipFuncs(s: SparkSession, dir: String): DataFrame = {
+    val ip = substring_index(col("device"), ":", 1)
+    val oct = (i: Int) => element_at(split(ip, "\\."), i).cast(LongType)
+    val ipNum = oct(1) * 16777216L + oct(2) * 65536L + oct(3) * 256L + oct(4)
+    graft.model.rawLines(s).select(
+        col("id"), ip.as("ip"), ipNum.as("ip_num"),
+        concat_ws(".",
+          (ipNum / 16777216L).cast(LongType).cast(StringType),
+          ((ipNum / 65536L).cast(LongType) % 256L).cast(StringType),
+          ((ipNum / 256L).cast(LongType) % 256L).cast(StringType),
+          (ipNum % 256L).cast(StringType)).as("roundtrip"),
+        (ipNum.bitwiseAND(lit(4294901760L)) === lit(167772160L)).as("in_10_0"))
+      .orderBy("id")
+  }
+
+  val ipFuncsSql = {
+    val rel = graft.model.rawLinesValuesSql
+    s"""WITH b AS (SELECT id, split_part(device, ':', 1) AS ip FROM $rel),
+       |n AS (SELECT id, ip,
+       |  string_split(ip, '.')[1]::BIGINT * 16777216 + string_split(ip, '.')[2]::BIGINT * 65536
+       |  + string_split(ip, '.')[3]::BIGINT * 256 + string_split(ip, '.')[4]::BIGINT AS ip_num
+       |  FROM b)
+       |SELECT id, ip, ip_num,
+       |  concat_ws('.', (ip_num // 16777216)::VARCHAR, ((ip_num // 65536) % 256)::VARCHAR,
+       |    ((ip_num // 256) % 256)::VARCHAR, (ip_num % 256)::VARCHAR) AS roundtrip,
+       |  (ip_num & 4294901760) = 167772160 AS in_10_0
+       |FROM n ORDER BY id""".stripMargin
+  }
+
+  /** base64 / hex encode-decode round trips */
+  def encodeFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .where(col("p_partkey") <= 50)
+      .select(col("p_partkey"),
+        base64(col("p_name").cast(BinaryType)).as("b64"),
+        unbase64(base64(col("p_name").cast(BinaryType))).cast(StringType).as("b64_rt"),
+        hex(col("p_brand").cast(BinaryType)).as("hexed"))
+      .orderBy("p_partkey")
+
+  val encodeFuncsSql =
+    """SELECT p_partkey, to_base64(p_name::BLOB) AS b64,
+      |from_base64(to_base64(p_name::BLOB))::VARCHAR AS b64_rt,
+      |upper(hex(p_brand::BLOB)) AS hexed
+      |FROM part WHERE p_partkey <= 50 ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_ip_funcs" -> ipFuncs _,
+    "q_encode_funcs" -> encodeFuncs _,
     "q_str_distance" -> strDistance _,
     "q_map_funcs" -> mapFuncs _,
     "q_str_basic" -> strBasic _,
@@ -309,6 +359,8 @@ object Scalars {
     "q_json_extract" -> jsonExtract _)
 
   val oracle: Map[String, String] = Map(
+    "q_ip_funcs" -> ipFuncsSql,
+    "q_encode_funcs" -> encodeFuncsSql,
     "q_str_distance" -> strDistanceSql,
     "q_map_funcs" -> mapFuncsSql,
     "q_str_basic" -> strBasicSql,

@@ -286,7 +286,18 @@ object Aggregates {
       |WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 100 < 10
       |ORDER BY o_orderkey""".stripMargin
 
+  /** t-digest-style approximate percentile (ClickHouse quantileTDigest
+    * analog) — sketch values differ per engine, so no oracle; unit test
+    * bounds it against the exact percentile */
+  def aggQuantileApprox(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000)).as("p90_approx"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
+    "q_agg_quantile_approx" -> aggQuantileApprox _,
     "q_agg_stats" -> aggStats _,
     "q_agg_histogram" -> aggHistogram _,
     "q_sample_hash" -> sampleHash _,

@@ -78,6 +78,21 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_quantile_approx stays within 2% of the exact percentile") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val approx = operators.Aggregates.aggQuantileApprox(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    val exact = util.t(spark, TestSpark.sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    exact.foreach { case (k, (p50, p90)) =>
+      assert(math.abs(approx(k)._1 - p50) / p50 <= 0.02, s"$k p50")
+      assert(math.abs(approx(k)._2 - p90) / p90 <= 0.02, s"$k p90")
+    }
+  }
+
   test("TopKAggregator is exact under capacity and finds heavy hitters over capacity") {
     import spark.implicits._
     // 100×"a", 50×"b", 10×"c", 1×"d" — capacity 2 forces space-saving evictions
