@@ -25,11 +25,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Pipeline {
 
+  /** reference's receive-buffer cap: datagrams beyond 40 960 bytes are
+    * silently truncated (main.go:38, ReadFromUDP into a fixed buffer) */
+  val MaxDatagramChars = 40960
+
   /** parse projection shared by batch and streaming: (raw, device, ts) →
     * canonical log schema (SURVEY.md §1.1) */
   def parseToLog(lines: DataFrame): DataFrame =
     lines
-      .withColumn("p", model.parseSyslog(col("raw")))
+      .withColumn("p", model.parseSyslog(substring(col("raw"), 1, MaxDatagramChars)))
       .select(
         col("ts").as("timestamp"),
         col("device"),
