@@ -15,28 +15,30 @@ import org.apache.spark.sql.functions._
 object EventAnalytics {
 
   /** 3-stage funnel signup → view → purchase: earliest completion time of
-    * each stage with strict event-time ordering between stages */
-  def funnel(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir).select(col("user_id"), col("event_type"), col("ts_us"))
-    val s1 = ev.where(col("event_type") === "signup")
-      .groupBy("user_id").agg(min(col("ts_us")).as("s1_us"))
-    val s2 = ev.where(col("event_type") === "view").join(s1, "user_id")
-      .where(col("ts_us") > col("s1_us"))
-      .groupBy("user_id").agg(min(col("ts_us")).as("s2_us"))
-    val s3 = ev.where(col("event_type") === "purchase").join(s2, "user_id")
-      .where(col("ts_us") > col("s2_us"))
-      .groupBy("user_id").agg(min(col("ts_us")).as("s3_us"))
-    ev.select("user_id").distinct()
-      .join(s1, Seq("user_id"), "left")
-      .join(s2.select(col("user_id"), col("s2_us")), Seq("user_id"), "left")
-      .join(s3.select(col("user_id"), col("s3_us")), Seq("user_id"), "left")
+    * each stage with strict event-time ordering between stages.
+    *
+    * SINGLE PASS: one scan, one shuffle on user_id, per-user stage
+    * extraction over the collected (ts, type) list with higher-order
+    * functions. The join-chain formulation (stage N filtered ⋈ stage N−1)
+    * re-scans the events table once per stage — 4 scans of the fact table
+    * at 100 TB; per-user event lists are bounded, so collect_list state is
+    * safe. */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(col("user_id"), col("event_type"), col("ts_us"))
+      .groupBy("user_id")
+      .agg(collect_list(struct(col("ts_us"), col("event_type"))).as("evs"))
+      .withColumn("s1_us", expr(
+        "array_min(transform(filter(evs, e -> e.event_type = 'signup'), e -> e.ts_us))"))
+      .withColumn("s2_us", expr(
+        "array_min(transform(filter(evs, e -> e.event_type = 'view' AND s1_us IS NOT NULL AND e.ts_us > s1_us), e -> e.ts_us))"))
+      .withColumn("s3_us", expr(
+        "array_min(transform(filter(evs, e -> e.event_type = 'purchase' AND s2_us IS NOT NULL AND e.ts_us > s2_us), e -> e.ts_us))"))
       .select(col("user_id"), col("s1_us"), col("s2_us"), col("s3_us"),
         (when(col("s3_us").isNotNull, 3)
           .when(col("s2_us").isNotNull, 2)
           .when(col("s1_us").isNotNull, 1)
           .otherwise(0)).as("depth"))
       .orderBy("user_id")
-  }
 
   val funnelSql =
     """WITH ev AS (SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us FROM events),

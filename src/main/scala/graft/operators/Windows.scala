@@ -240,7 +240,26 @@ object Windows {
       |FROM spine s LEFT JOIN counts c ON s.hour = c.hour AND s.event_type = c.event_type
       |ORDER BY s.hour, s.event_type""".stripMargin
 
+  /** distribution ranks: percent_rank / cume_dist (exact rational values —
+    * k/n double division, identical both engines) */
+  def winDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        r4f(percent_rank().over(w)).as("pr"),
+        r4f(cume_dist().over(w)).as("cd"))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
+  val winDistSql =
+    """SELECT o_orderstatus, o_orderkey,
+      |CAST(floor(percent_rank() OVER w * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS pr,
+      |CAST(floor(cume_dist() OVER w * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS cd
+      |FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+      |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_win_dist" -> winDist _,
     "q_gap_fill" -> gapFill _,
     "q_win_first_last" -> winFirstLast _,
     "q_win_rank" -> winRank _,
@@ -254,6 +273,7 @@ object Windows {
     "q_window_session" -> windowSession _)
 
   val oracle: Map[String, String] = Map(
+    "q_win_dist" -> winDistSql,
     "q_gap_fill" -> gapFillSql,
     "q_win_first_last" -> winFirstLastSql,
     "q_win_rank" -> winRankSql,
