@@ -77,12 +77,154 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** MinHash signature as ONE native expression: array<string> grams →
+  * array<int> of `perms` seeded-murmur3 minima. Replaces the
+  * explode → 16-column min-aggregate → shuffle pipeline with a map-side
+  * per-row projection — at scale, signatures cost zero shuffles and the
+  * only exchange left in MinHash-LSH is the band-bucket grouping.
+  * Hash family: Murmur3_x86_32 over the gram's UTF-8 bytes, seed = perm
+  * index (the same deterministic-seeded family as hash(gram, i)). */
+case class MinHashSig(child: Expression, perms: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig expects array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(perms)(Int.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      var p = 0
+      while (p < perms) {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, p)
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val p = ctx.freshName("p")
+      val n = ctx.freshName("n"); val mins = ctx.freshName("mins")
+      val s = ctx.freshName("s"); val h = ctx.freshName("h")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $mins = new int[$perms];
+         |java.util.Arrays.fill($mins, Integer.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |  for (int $p = 0; $p < $perms; $p++) {
+         |    int $h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), $p);
+         |    if ($h < $mins[$p]) $mins[$p] = $h;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash as one native expression: array<string> tokens → LONG.
+  * Each token hashes once (Murmur3 over UTF-8 bytes, 2 seeds for 64 bits);
+  * per-bit ±1 sums accumulate in a local array — a map-side projection,
+  * no explode, no 64-column aggregate, no shuffle. */
+case class SimHashSig(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash_sig expects array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      val lo = org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 0)
+      val hi = org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 1)
+      val h = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) >= 0) out |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val counts = ctx.freshName("counts"); val s = ctx.freshName("s")
+      val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi")
+      val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      s"""
+         |int[] $counts = new int[64];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
+         |  int $lo = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+         |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 0);
+         |  int $hi = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+         |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 1);
+         |  long $h = (((long) $hi) << 32) | (((long) $lo) & 0xffffffffL);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) { if ($counts[$b] >= 0) $out |= (1L << $b); }
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** register once per session; idempotent */
-  def register(s: SparkSession): Unit =
+  def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_sig", exprs => SimHashSig(exprs(0)), "built-in")
+  }
+
+  /** simhash_sig(tokens) as a Column (requires register first) */
+  def simhashSig(toks: Column): Column = call_function("simhash_sig", toks)
 
   /** cosine_sim(a, b) as a Column (requires register(session) first) */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** minhash_sig(grams, perms) as a Column (requires register first) */
+  def minhashSig(grams: Column, perms: Int): Column =
+    call_function("minhash_sig", grams, org.apache.spark.sql.functions.lit(perms))
 }

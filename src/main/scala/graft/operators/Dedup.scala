@@ -51,16 +51,15 @@ object Dedup {
   val MinhashPerms = 16
   val MinhashBands = 4 // 4 rows per band
 
-  /** 16-permutation MinHash signatures (seeded murmur3 family — pure
-    * column expressions, deterministic across runs) */
+  /** 16-permutation MinHash signatures via the native MinHashSig
+    * expression (seeded murmur3 family, deterministic): a map-side
+    * per-row projection — zero shuffles, unlike the explode → wide
+    * min-aggregate form this replaces */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    val sigCols = (0 until MinhashPerms).map(i => min(hash(col("gram"), lit(i))).as(s"s$i"))
+    graft.functions.VectorExpressions.register(s)
     shingled(s, dir)
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .groupBy("doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
-      .withColumn("sig", array((0 until MinhashPerms).map(i => col(s"s$i")): _*))
-      .select("doc_id", "sig")
+      .select(col("doc_id"),
+        graft.functions.VectorExpressions.minhashSig(col("grams"), MinhashPerms).as("sig"))
   }
 
   /** Near-dup pairs: band buckets → in-bucket pair generation →
@@ -149,21 +148,15 @@ object Dedup {
        |WHERE jaccard >= $JaccardThreshold ORDER BY d1, d2""".stripMargin
 
   // ---- SimHash --------------------------------------------------------
-  /** 64-bit SimHash per doc: hash each token ONCE (codegen'd xxhash64),
-    * then 64 per-bit ±1 sums as ordinary aggregate columns — a two-phase
-    * hash agg with map-side partials, vs. interpreted nested higher-order
-    * lambdas which re-hash every token 64× (measured 7× slower at sf0.1) */
+  /** 64-bit SimHash per doc via the native SimHashSig expression: each
+    * token hashed once, per-bit ±1 sums in a local array — a map-side
+    * projection with ZERO shuffles (the explode + 64-column aggregate form
+    * this replaces shuffled every token row) */
   def simhashDocs(s: SparkSession, dir: String): DataFrame = {
-    val hashed = t(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    graft.functions.VectorExpressions.register(s)
+    t(s, dir, "documents")
       .select(col("doc_id"),
-        (0 until 64).map(b => when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+        graft.functions.VectorExpressions.simhashSig(split(col("text"), " ")).as("simhash"))
   }
 
   /** near-dup candidates: equal 16-bit chunk (pigeonhole for Hamming ≤ 3),
