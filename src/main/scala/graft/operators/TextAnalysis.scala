@@ -140,22 +140,23 @@ object TextAnalysis {
     * sliding-window (w=5) minima, per-doc fingerprint summary. The
     * window-min dedup is the winnowing selection step (Schleimer et al.,
     * MOSS) — at scale the fingerprint set is the doc's dedup sketch. */
-  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos").rowsBetween(-4, 0)
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    // winnowing is per-document local math: gram hashes once, sliding
+    // 5-window minima via slice over the hash array — a map-side
+    // projection (the explode + per-doc window form sorted and shuffled
+    // every gram row for what one row can compute)
     t(s, dir, "documents")
       .select(col("doc_id"), toks.as("tk"))
       .where(size(col("tk")) >= 3)
+      .withColumn("hs", expr(
+        """transform(sequence(0, size(tk) - 3),
+          |  i -> CAST(conv(substring(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 15), 16, 10) AS BIGINT))""".stripMargin))
+      .withColumn("wmins", expr(
+        "transform(sequence(1, size(hs)), i -> array_min(slice(hs, greatest(i - 4, 1), i - greatest(i - 4, 1) + 1)))"))
       .select(col("doc_id"),
-        posexplode(expr("transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
-          .as(Seq("pos", "gram")))
-      .withColumn("h", conv(substring(md5(col("gram")), 1, 15), 16, 10).cast(LongType))
-      .withColumn("wmin", min(col("h")).over(w))
-      .groupBy("doc_id")
-      .agg(countDistinct(col("wmin")).as("n_fp"),
-        min(col("wmin")).as("fp_min"), max(col("wmin")).as("fp_max"))
+        size(array_distinct(col("wmins"))).cast(LongType).as("n_fp"),
+        array_min(col("wmins")).as("fp_min"), array_max(col("wmins")).as("fp_max"))
       .orderBy("doc_id")
-  }
 
   val docFingerprintSql =
     """WITH g AS (

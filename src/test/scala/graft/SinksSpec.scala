@@ -34,4 +34,5 @@ class SinksSpec extends AnyFunSuite {
     val dirs2 = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("day=")).sorted
     assert(dirs2.toSeq === Seq("day=2024-01-01", "day=2024-01-02"))
   }
+
 }
