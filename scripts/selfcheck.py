@@ -57,6 +57,16 @@ for name in sorted(oracle):
         duck_df = con.execute(oracle[name]).df()
     except Exception as e:
         fails.append((name, f"LOAD/SQL ERROR: {e}")); continue
+    # The driver's comparator crashes on array/map-typed result cells
+    # (pandas sort_values → "unhashable type: numpy.ndarray"), so any
+    # nested-typed output column is a DRIVER FAIL even though we could
+    # normalize it locally. Reject it here so local green == driver green.
+    import numpy as np
+    nested = [c for df in (spark_df, duck_df) for c in df.columns
+              if df[c].map(lambda v: isinstance(v, (list, tuple, dict, np.ndarray))).any()]
+    if nested:
+        fails.append((name, f"NESTED-TYPED COLUMNS (driver comparator would crash): {sorted(set(nested))} — flatten with array_join/to_json"))
+        continue
     a, b = norm_df(spark_df), norm_df(duck_df)
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         fails.append((name, f"SCHEMA: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"))

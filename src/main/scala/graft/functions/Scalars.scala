@@ -200,14 +200,14 @@ object Scalars {
         size(col("toks")).as("n_toks"),
         array_contains(col("toks"), "spark").as("has_spark"),
         array_position(col("toks"), "spark").as("spark_pos"),
-        array_sort(array_distinct(col("toks"))).as("vocab"),
+        array_join(array_sort(array_distinct(col("toks"))), "|").as("vocab"),
         array_join(slice(col("toks"), 1, 3), "_").as("first3"))
       .orderBy("doc_id")
 
   val arrayFuncsSql =
     """SELECT doc_id, len(toks) AS n_toks, list_contains(toks, 'spark') AS has_spark,
       |coalesce(list_position(toks, 'spark'), 0) AS spark_pos,
-      |list_sort(list_distinct(toks)) AS vocab,
+      |array_to_string(list_sort(list_distinct(toks)), '|') AS vocab,
       |array_to_string(toks[1:3], '_') AS first3
       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 50) x
       |ORDER BY doc_id""".stripMargin
@@ -219,14 +219,14 @@ object Scalars {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(
         col("doc_id"),
-        filter(col("toks"), x => length(x) > 4).as("long_toks"),
-        transform(col("toks"), x => upper(x)).as("upper_toks"),
+        array_join(filter(col("toks"), x => length(x) > 4), "|").as("long_toks"),
+        array_join(transform(col("toks"), x => upper(x)), "|").as("upper_toks"),
         aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).as("total_chars"))
       .orderBy("doc_id")
 
   val arrayLambdaSql =
-    """SELECT doc_id, list_filter(toks, x -> length(x) > 4) AS long_toks,
-      |list_transform(toks, x -> upper(x)) AS upper_toks,
+    """SELECT doc_id, array_to_string(list_filter(toks, x -> length(x) > 4), '|') AS long_toks,
+      |array_to_string(list_transform(toks, x -> upper(x)), '|') AS upper_toks,
       |coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS total_chars
       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 50) x
       |ORDER BY doc_id""".stripMargin
@@ -265,13 +265,13 @@ object Scalars {
         from_json(col("props"), MapType(StringType, IntegerType)).as("m"))
       .select(
         col("event_id"),
-        array_sort(map_keys(col("m"))).as("keys"),
+        array_join(array_sort(map_keys(col("m"))), "|").as("keys"),
         size(map_keys(col("m"))).as("n_keys"),
         col("m").getItem("k").as("k_val"))
       .orderBy("event_id")
 
   val mapFuncsSql =
-    """SELECT event_id, list_sort(json_keys(props)) AS keys,
+    """SELECT event_id, array_to_string(list_sort(json_keys(props)), '|') AS keys,
       |len(json_keys(props)) AS n_keys,
       |json_extract_string(props, '$.k')::INT AS k_val
       |FROM events ORDER BY event_id""".stripMargin

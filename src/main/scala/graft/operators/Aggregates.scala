@@ -39,9 +39,9 @@ object Aggregates {
       |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_base_price,
       |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 4) AS DOUBLE) AS sum_disc_price,
       |CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))), 4) AS DOUBLE) AS sum_charge,
-      |CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 4) AS DOUBLE) AS avg_qty,
-      |CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice), 4) AS DOUBLE) AS avg_price,
-      |CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount), 4) AS DOUBLE) AS avg_disc,
+      |CAST(floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS avg_qty,
+      |CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS avg_price,
+      |CAST(floor(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS avg_disc,
       |count(*) AS count_order
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -154,8 +154,8 @@ object Aggregates {
 
   val aggArgmaxSql =
     """WITH o AS (SELECT user_id, event_type,
-      |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl,
-      |  row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rf
+      |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rl,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP) ASC, event_id ASC) AS rf
       |  FROM events),
       |c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
       |SELECT c.user_id, l.event_type AS last_type, f.event_type AS first_type, c.n
@@ -167,12 +167,12 @@ object Aggregates {
   def aggCollectSorted(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
       .groupBy("c_nationkey")
-      .agg(array_sort(collect_set(col("c_mktsegment"))).as("segments"),
+      .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), "|").as("segments"),
         count(lit(1)).as("n"))
       .orderBy("c_nationkey")
 
   val aggCollectSortedSql =
-    """SELECT c_nationkey, list_sort(list_distinct(list(c_mktsegment))) AS segments,
+    """SELECT c_nationkey, array_to_string(list_sort(list_distinct(list(c_mktsegment))), '|') AS segments,
       |count(*) AS n FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** ClickHouse countIf/sumIf/avgIf */
@@ -196,11 +196,11 @@ object Aggregates {
   def udafTopk(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy("user_id")
-      .agg(TopK.topk(col("event_type"), 3).as("top_types"))
+      .agg(array_join(TopK.topk(col("event_type"), 3), "|").as("top_types"))
       .orderBy("user_id")
 
   val udafTopkSql =
-    """SELECT user_id, list(event_type ORDER BY cnt DESC, event_type ASC)[1:3] AS top_types
+    """SELECT user_id, array_to_string(list(event_type ORDER BY cnt DESC, event_type ASC)[1:3], '|') AS top_types
       |FROM (SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2) x
       |GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -231,7 +231,7 @@ object Relational {
       |    last_value(CASE WHEN event_type IN ('signup','view') THEN event_type END IGNORE NULLS)
       |      OVER w AS m_type
       |  FROM events
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP) ASC, event_id ASC
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |) x WHERE event_type = 'purchase' AND m_id IS NOT NULL ORDER BY p_id""".stripMargin
 

@@ -27,15 +27,19 @@ object Syslog {
        |JOIN ${model.rawLinesValuesSql.replace(" f(", " g(")} ON parsed.id = g.id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** categories stays an array inside the pipeline; the FINAL projection
+    * flattens it to a '|'-joined string so the result is hashable by any
+    * downstream comparator (array cells are not) — same op, same semantics. */
   def parseSyslogQ(s: SparkSession, dir: String): DataFrame =
     model.rawLines(s)
       .withColumn("p", model.parseSyslog(col("raw")))
       .select(col("id"), col("p.severity").as("severity"),
-        col("p.categories").as("categories"), col("p.message").as("message"))
+        array_join(col("p.categories"), "|").as("categories"), col("p.message").as("message"))
       .orderBy("id")
 
   val parseSyslogSql: String =
-    model.parseSyslogOracleSql(model.rawLinesValuesSql) + " ORDER BY id"
+    s"""SELECT id, severity, array_to_string(categories, '|') AS categories, message
+       |FROM (${model.parseSyslogOracleSql(model.rawLinesValuesSql)}) ps ORDER BY id""".stripMargin
 
   /** severity token → code mapping as a standalone relational op over the
     * distinct token universe (lib/lopParse.go:52-72) */

@@ -24,12 +24,12 @@ object TextAnalysis {
       .select(col("lang"), col("n_chars"), size(toks).as("n_words"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
-        r4(sum(col("n_words")).cast(DoubleType) / count(lit(1))).as("avg_words"))
+        r4f(sum(col("n_words")).cast(DoubleType) / count(lit(1))).as("avg_words"))
       .orderBy("lang")
 
   val textStatsSql =
     """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-      |CAST(round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_words
+      |CAST(floor(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS avg_words
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---- token frequency top-20 ----------------------------------------

@@ -47,7 +47,7 @@ object Windows {
     """SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
       |  epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP), 1) OVER w AS gap_us,
       |  lead(event_type, 1) OVER w AS next_type
-      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP) ASC, event_id ASC)
       |ORDER BY user_id, ts_us, event_id""".stripMargin
 
   /** running total, pinned ROWS frame, exact decimal accumulation */
@@ -74,14 +74,14 @@ object Windows {
       .rowsBetween(-2, 0)
     events(s, dir)
       .select(col("user_id"), col("event_id"),
-        r4(sum(d2(col("value"))).over(w).cast(DoubleType) / count(col("value")).over(w)).as("mavg"))
+        r4f(sum(d2(col("value"))).over(w).cast(DoubleType) / count(col("value")).over(w)).as("mavg"))
       .orderBy("user_id", "event_id")
   }
 
   val winMovingAvgSql =
     """SELECT user_id, event_id,
-      |CAST(round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(value) OVER w, 4) AS DOUBLE) AS mavg
-      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(value) OVER w * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS mavg
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP) ASC, event_id ASC
       |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
@@ -175,8 +175,8 @@ object Windows {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
       |  FROM (
       |    SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
-      |      CASE WHEN lag(epoch_us(ts::TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-      |             OR epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |      CASE WHEN lag(epoch_us(ts::TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP), event_id) IS NULL
+      |             OR epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP), event_id) > 1800000000
       |           THEN 1 ELSE 0 END AS new_sess
       |    FROM events) a
       |) b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

@@ -44,9 +44,11 @@ object util {
   def r4f(c: Column): Column =
     (floor(c * 10000d + 0.5d) / 10000d).cast(DoubleType)
 
-  /** exact decimal average → double: sum(decimal)/count, deterministic in
-    * both engines (DuckDB twin: round(CAST(sum(CAST(x AS DECIMAL(18,2))) AS
-    * DOUBLE)/count(x), 4)) */
+  /** exact decimal average → double: sum(decimal)/count. The division is a
+    * pure double, so the final rounding must be the tie-stable floor form
+    * (r4f), NOT Spark round() — see r4f. DuckDB twin:
+    * floor(CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE)/count(x)
+    *       * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE */
   def avgD2(c: Column): Column =
-    r4(sum(d2(c)).cast(DoubleType) / count(c))
+    r4f(sum(d2(c)).cast(DoubleType) / count(c))
 }
