@@ -206,6 +206,78 @@ case class SimHashSig(child: Expression)
     copy(child = newChild)
 }
 
+/** Sign-LSH (random hyperplane) bucket id as ONE native expression:
+  * array<float> embedding → INT of `planes` sign bits. Bit j is set when
+  * dot(embedding, plane_j) >= 0, where plane_j's component for dimension d
+  * is ±1 from the low bit of xxhash64(j, d) (seed 42) — the exact hash
+  * family of the SQL `xxhash64(j, d)` the interpreted HOF formulation
+  * used, so bucket assignments are bit-identical. The HOF version paid
+  * planes×dims boxed lambda invocations per row (512 for 8×64); this is a
+  * tight codegen'd double loop over packed ArrayData. The per-plane hash
+  * seed (xxhash64 of j alone) is row-invariant and precomputed once. */
+case class SignLshBucket(child: Expression, planes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"sign_lsh_bucket expects array<float>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sign_lsh_bucket"
+
+  /** per-plane seeds: xxhash64's running hash after the plane index j
+    * (SQL xxhash64(j, d) == hashInt(d, hashInt(j, 42))) */
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(planes)(j =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(j, 42L))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var bucket = 0
+    var j = 0
+    while (j < planes) {
+      val seed = seeds(j)
+      var dot = 0d
+      var d = 0
+      while (d < n) {
+        val xi = arr.getFloat(d).toDouble
+        dot += (if ((org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(d, seed) & 1L) == 1L) xi else -xi)
+        d += 1
+      }
+      if (dot >= 0d) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val seedsRef = ctx.addReferenceObj("lshSeeds", seeds, "long[]")
+      val n = ctx.freshName("n"); val j = ctx.freshName("j")
+      val d = ctx.freshName("d"); val dot = ctx.freshName("dot")
+      val xi = ctx.freshName("xi"); val bucket = ctx.freshName("bucket")
+      val seed = ctx.freshName("seed")
+      s"""
+         |int $n = $a.numElements();
+         |int $bucket = 0;
+         |for (int $j = 0; $j < $planes; $j++) {
+         |  long $seed = $seedsRef[$j];
+         |  double $dot = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    double $xi = (double) $a.getFloat($d);
+         |    $dot += ((org.apache.spark.sql.catalyst.expressions.XXH64.hashInt($d, $seed) & 1L) == 1L) ? $xi : -$xi;
+         |  }
+         |  if ($dot >= 0.0) $bucket |= (1 << $j);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** register once per session; idempotent */
   def register(s: SparkSession): Unit = {
@@ -216,6 +288,9 @@ object VectorExpressions {
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_sig", exprs => SimHashSig(exprs(0)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sign_lsh_bucket", exprs => SignLshBucket(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
   }
 
   /** simhash_sig(tokens) as a Column (requires register first) */
@@ -227,4 +302,8 @@ object VectorExpressions {
   /** minhash_sig(grams, perms) as a Column (requires register first) */
   def minhashSig(grams: Column, perms: Int): Column =
     call_function("minhash_sig", grams, org.apache.spark.sql.functions.lit(perms))
+
+  /** sign_lsh_bucket(embedding, planes) as a Column (requires register first) */
+  def signLshBucket(emb: Column, planes: Int): Column =
+    call_function("sign_lsh_bucket", emb, org.apache.spark.sql.functions.lit(planes))
 }

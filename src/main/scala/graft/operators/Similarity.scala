@@ -34,8 +34,8 @@ object Similarity {
 
   /** DuckDB twin of cosine via correlated element sums (positional,
     * double-precision, matches Spark bit-for-bit after round(…,4)) */
-  private def cosineOracle(probeFilter: String, pairFilter: String): String =
-    s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE $probeFilter),
+  private def cosineOracle(probeSel: String, pairFilter: String): String =
+    s"""WITH p AS ($probeSel),
        |terms AS (
        |  SELECT p.pid, e.vec_id,
        |    sum(e.embedding[i]::DOUBLE * p.pe[i]::DOUBLE) AS dot,
@@ -58,15 +58,27 @@ object Similarity {
   }
 
   val simCosineSql =
-    cosineOracle("vec_id = 0", "e.vec_id <> 0") +
+    cosineOracle("SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id = 0",
+      "e.vec_id <> 0") +
     """
       |SELECT vec_id, CAST(round(dot / (sqrt(n2) * sqrt(np2)), 4) AS DOUBLE) AS cos
       |FROM terms ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
 
   // ---- embedding cosine near-dup (probe-sampled exact scan) -----------
+  /** fixed-size probe set: the broadcast side must NOT grow with the
+    * table, so probes are the ProbeCap vectors with the smallest
+    * (md5(vec_id), vec_id) — a deterministic hash-sample selected by
+    * top-k (TakeOrderedAndProject: no full sort, no shuffle of the
+    * embedding column), bounded at any N. At production scale this form
+    * is the exact-check stage fed by LSH candidates; the probe sample
+    * here exercises that exact check end-to-end. */
+  val ProbeCap = 100
+
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val probes = e.where(col("vec_id") % 100 === 0)
+    val probes = e
+      .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+      .limit(ProbeCap)
       .select(col("vec_id").as("d1"), col("embedding").as("e1"))
     e.select(col("vec_id").as("d2"), col("embedding").as("e2"))
       .join(broadcast(probes), col("d1") < col("d2"))
@@ -76,7 +88,10 @@ object Similarity {
   }
 
   val dedupEmbeddingSql =
-    cosineOracle("vec_id % 100 = 0", "p.pid < e.vec_id") +
+    cosineOracle(
+      s"""SELECT vec_id AS pid, embedding AS pe FROM embeddings
+         |     ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $ProbeCap""".stripMargin,
+      "p.pid < e.vec_id") +
     """
       |SELECT pid AS d1, vec_id AS d2, cos FROM (
       |  SELECT pid, vec_id, CAST(round(dot / (sqrt(n2) * sqrt(np2)), 4) AS DOUBLE) AS cos
@@ -87,20 +102,22 @@ object Similarity {
   val LshPlanes = 8
 
   /** 8-bit random-hyperplane bucket id; plane components are deterministic
-    * ±1 from xxhash64(plane, dim) — no stored model, recomputable anywhere */
-  def lshBucket(embCol: String): Column = expr(
-    s"""aggregate(sequence(0, ${LshPlanes - 1}), 0, (acc, j) ->
-       |  acc + shiftleft(CASE WHEN
-       |    aggregate(sequence(0, 63), 0D, (a, d) ->
-       |      a + CAST(element_at($embCol, d + 1) AS DOUBLE) *
-       |          IF((xxhash64(j, d) & 1) = 1, 1.0D, -1.0D)) >= 0D
-       |  THEN 1 ELSE 0 END, j))""".stripMargin)
+    * ±1 from xxhash64(plane, dim) — no stored model, recomputable anywhere.
+    * Native codegen'd expression (functions.SignLshBucket): the earlier
+    * nested-HOF formulation paid planes×dims (512) boxed lambda
+    * invocations per row — the same interpreted-hot-loop anti-pattern the
+    * MinHash/SimHash signatures eliminated. Bucket ids are bit-identical
+    * to the HOF form (same xxhash64(j, d) plane family). */
+  def lshBucket(s: SparkSession, embCol: String): Column = {
+    graft.functions.VectorExpressions.register(s)
+    graft.functions.VectorExpressions.signLshBucket(col(embCol), LshPlanes)
+  }
 
   /** ANN top-10 for probe vec_id=0: exact cosine restricted to the probe's
     * LSH bucket (the N/256 candidate set) — deterministic, verified against
     * brute force in tests; no DuckDB oracle (approximate result set) */
   def simAnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings").withColumn("bucket", lshBucket("embedding"))
+    val e = t(s, dir, "embeddings").withColumn("bucket", lshBucket(s, "embedding"))
     val probe = e.where(col("vec_id") === 0)
       .select(col("bucket"), col("embedding").as("pe"))
     e.where(col("vec_id") =!= 0)

@@ -41,6 +41,41 @@ class VectorSpec extends AnyFunSuite {
       s"projection not codegen'd:\n$p")
   }
 
+  test("sign_lsh_bucket matches the nested-HOF xxhash64 formulation exactly") {
+    VectorExpressions.register(spark)
+    val planes = operators.Similarity.LshPlanes
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val both = e.select(
+      col("vec_id"),
+      VectorExpressions.signLshBucket(col("embedding"), planes).as("native"),
+      expr(
+        s"""aggregate(sequence(0, ${planes - 1}), 0, (acc, j) ->
+           |  acc + shiftleft(CASE WHEN
+           |    aggregate(sequence(0, 63), 0D, (a, d) ->
+           |      a + CAST(element_at(embedding, d + 1) AS DOUBLE) *
+           |          IF((xxhash64(j, d) & 1) = 1, 1.0D, -1.0D)) >= 0D
+           |  THEN 1 ELSE 0 END, j))""".stripMargin).as("hof"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) === r.getInt(2),
+        s"vec ${r.getLong(0)}: native bucket ${r.getInt(1)} != hof ${r.getInt(2)}")
+    }
+    val n = both.select(countDistinct(col("native"))).collect().head.getLong(0)
+    assert(n > 1, "degenerate bucketing: every vector landed in one bucket")
+  }
+
+  test("sign_lsh_bucket runs inside whole-stage codegen (no fallback)") {
+    VectorExpressions.register(spark)
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val df = e.select(VectorExpressions.signLshBucket(col("embedding"),
+      operators.Similarity.LshPlanes).as("b"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined,
+      s"projection not codegen'd:\n$p")
+  }
+
   test("cosine_sim is null-safe and self-similarity is 1.0") {
     VectorExpressions.register(spark)
     import spark.implicits._
