@@ -26,14 +26,16 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** documents → (doc_id, toks) with word-3-gram shingles */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  /** documents → (doc_id, toks, grams) with word-3-gram shingles via the
+    * native WordNgrams expression (the interpreted HOF form profiled at
+    * ~5 s of every downstream dedup query's time at sf0.1) */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.register(s)
     t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("grams",
-        when(size(col("toks")) >= 3,
-          expr("array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
-          .otherwise(array(concat_ws(" ", col("toks")))))
+        graft.functions.TextExpressions.wordNgrams(col("toks"), 3))
+  }
 
   // ---- exact ----------------------------------------------------------
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -91,6 +93,81 @@ object Dedup {
       .distinct()
       .where(col("est_jaccard") >= 0.5)
       .orderBy("d1", "d2")
+  }
+
+  /** Band/bucket mechanics of the LSH path under a CROSS-ENGINE hash
+    * family (md5), so the full shingle → minhash → band → bucket →
+    * candidate-count pipeline gets a hard DuckDB oracle — the production
+    * path (dedupMinhash) keeps the native murmur3 MinHashSig, which DuckDB
+    * cannot compute. Per band: collision buckets (≥ 2 docs) and the
+    * candidate-pair total the in-bucket pair generator would emit.
+    * Shape: ONE md5 per gram, then the textbook universal-hash family
+    * sig_j = min((a_j·h + b_j) mod p) as 16 codegen'd min-aggregates in
+    * one map-side-combined groupBy. (16 md5s per gram — HOF or wide-agg —
+    * ran 8-9 s at sf0.1; one md5 + linear perms runs well under 1 s.) */
+  val MinhashOracleP = 2147483647L // 2^31 - 1: products stay inside int64
+
+  /** deterministic (a_j, b_j) perm constants, identical literals inlined
+    * into the Spark plan and the DuckDB SQL */
+  private def bandPerm(j: Int): (Long, Long) = {
+    val a = (2654435761L * (j + 1)) % MinhashOracleP
+    val b = (1779033703L * (j + 1)) % MinhashOracleP
+    (if (a == 0) 1L else a, b)
+  }
+
+  def dedupMinhashBands(s: SparkSession, dir: String): DataFrame = {
+    val rows = MinhashPerms / MinhashBands
+    val g = shingled(s, dir)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .withColumn("h", expr(
+        s"cast(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT) % $MinhashOracleP"))
+    val aggs = (0 until MinhashPerms).map { j =>
+      val (a, b) = bandPerm(j)
+      min((col("h") * a + b) % MinhashOracleP).as(s"s$j")
+    }
+    val sigs = g.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until MinhashBands).map(b =>
+      md5(concat_ws(",", (0 until rows).map(r => col(s"s${b * rows + r}").cast(StringType)): _*)))
+    val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    banded.groupBy("band", "bh").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr("(n * (n - 1)) div 2")).cast(LongType).as("n_pairs"))
+      .orderBy("band")
+  }
+
+  val dedupMinhashBandsSql: String = {
+    val rows = MinhashPerms / MinhashBands
+    val sigCols = (0 until MinhashPerms).map { j =>
+      val (a, b) = bandPerm(j)
+      s"min((h * $a + $b) % $MinhashOracleP) AS s$j"
+    }.mkString(",\n    ")
+    val bandRows = (0 until MinhashBands).map { b =>
+      val cat = (0 until rows).map(r => s"s${b * rows + r}::VARCHAR")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |grams AS (
+       |  SELECT doc_id, gram FROM (
+       |    SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+       |    FROM toks JOIN generate_series(1, 100000) g(i) ON i <= len(tk) - 2
+       |    WHERE len(tk) >= 3
+       |    UNION
+       |    SELECT doc_id, array_to_string(tk, ' ') AS gram FROM toks WHERE len(tk) < 3)),
+       |hashes AS (
+       |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT % $MinhashOracleP AS h
+       |  FROM grams),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM hashes GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |buckets AS (SELECT band, bh, count(*) AS n FROM bands GROUP BY 1, 2)
+       |SELECT band, count(*) AS n_buckets, (sum(n * (n - 1)) // 2)::BIGINT AS n_pairs
+       |FROM buckets WHERE n >= 2 GROUP BY band ORDER BY band""".stripMargin
   }
 
   // ---- exact n-gram Jaccard similarity join ---------------------------
@@ -159,18 +236,39 @@ object Dedup {
         graft.functions.VectorExpressions.simhashSig(split(col("text"), " ")).as("simhash"))
   }
 
+  /** hot-bucket guard: a (chunk, cv) bucket bigger than this is dropped
+    * rather than pair-expanded. Oversized buckets come from degenerate
+    * content (empty/near-empty docs, boilerplate) whose identical
+    * signatures would otherwise pile into one key and go quadratic —
+    * the same role JaccardMaxDf plays for stop-grams. Exact-duplicate
+    * content belongs to the (cheaper) exact-dedup pass, so dropping the
+    * pathological buckets loses no near-dup signal worth O(n²). */
+  val SimhashMaxBucket = 64
+
   /** near-dup candidates: equal 16-bit chunk (pigeonhole for Hamming ≤ 3),
-    * verified by exact popcount of XOR ≤ 3 */
+    * verified by exact popcount of XOR ≤ 3. Bucket members collect into
+    * one list per (chunk, cv) and pairs generate in place — the signature
+    * projection runs once (a self-join recomputed it per side), the single
+    * shuffle is the (chunk, cv) grouping, and the SimhashMaxBucket guard
+    * caps in-bucket pair fan-out so one degenerate key can't go O(n²). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val docs = simhashDocs(s, dir)
     val chunked = docs.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535)"))
         .as(Seq("chunk", "cv")))
-    val l = chunked.select(col("chunk"), col("cv"), col("doc_id").as("d1"), col("simhash").as("h1"))
-    val r = chunked.select(col("chunk"), col("cv"), col("doc_id").as("d2"), col("simhash").as("h2"))
-    l.join(r, Seq("chunk", "cv")).where(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), bit_count(expr("h1 ^ h2")).as("hamming"))
+    val buckets = chunked
+      .groupBy("chunk", "cv")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
+      .where(size(col("ds")).between(2, SimhashMaxBucket))
+    buckets
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+      .select(col("a"), col("i"), posexplode(col("ds")).as(Seq("j", "b")))
+      .where(col("j") > col("i"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
+        bit_count(expr("a.simhash ^ b.simhash")).as("hamming"))
       .distinct()
       .where(col("hamming") <= 3)
       .orderBy("d1", "d2")
@@ -179,10 +277,12 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact _,
     "q_dedup_minhash" -> dedupMinhash _,
+    "q_dedup_minhash_bands" -> dedupMinhashBands _,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "q_dedup_simhash" -> dedupSimhash _)
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_minhash_bands" -> dedupMinhashBandsSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.VectorExpressions
+import graft.functions.{TextExpressions, VectorExpressions}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -70,6 +70,40 @@ class VectorSpec extends AnyFunSuite {
     val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
     val df = e.select(VectorExpressions.signLshBucket(col("embedding"),
       operators.Similarity.LshPlanes).as("b"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined,
+      s"projection not codegen'd:\n$p")
+  }
+
+  test("word_ngrams matches the HOF array_distinct/transform formulation exactly") {
+    TextExpressions.register(spark)
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val both = docs.select(
+      col("doc_id"),
+      TextExpressions.wordNgrams(col("toks"), 3).as("native"),
+      when(size(col("toks")) >= 3,
+        expr("array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+        .otherwise(array(concat_ws(" ", col("toks")))).as("hof"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2), s"doc ${r.get(0)}")
+    }
+    // short-doc fallback: fewer tokens than n → one gram of all tokens
+    import spark.implicits._
+    val short = Seq((1L, Seq("a", "b")), (2L, Seq.empty[String]))
+      .toDF("id", "toks")
+      .select(TextExpressions.wordNgrams(col("toks"), 3).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(short(0) === Seq("a b") && short(1) === Seq(""))
+  }
+
+  test("word_ngrams runs inside whole-stage codegen (no fallback)") {
+    TextExpressions.register(spark)
+    val df = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(TextExpressions.wordNgrams(split(col("text"), " "), 3).as("g"))
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined,
