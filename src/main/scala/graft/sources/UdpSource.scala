@@ -9,7 +9,7 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -44,6 +44,13 @@ object UdpSourceProvider {
 
   val MaxDatagram = 40960
   val BufferLimit = 10000
+
+  /** reference's count-based flush bound (`logCacheLimit = 1000`,
+    * main.go:19 / lib/cacheManage.go:19-22): a batch flushes at 1000 rows
+    * OR the time trigger, whichever first. Here the count half is the
+    * default micro-batch admission limit (`maxRowsPerBatch` option, ≤ 0
+    * disables); the time half is the query's ProcessingTime trigger. */
+  val FlushRows = 1000L
 
   /** one receiver per port, shared across micro-batch planning calls */
   private val receivers = new ConcurrentHashMap[Int, UdpReceiver]()
@@ -119,10 +126,12 @@ class UdpSourceProvider extends TableProvider {
     UdpSourceProvider.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new UdpTable(properties.getOrDefault("port", "5514").toInt)
+    new UdpTable(properties.getOrDefault("port", "5514").toInt,
+      properties.getOrDefault("maxRowsPerBatch",
+        UdpSourceProvider.FlushRows.toString).toLong)
 }
 
-class UdpTable(port: Int) extends Table with SupportsRead {
+class UdpTable(port: Int, maxRowsPerBatch: Long) extends Table with SupportsRead {
   override def name(): String = s"udp:$port"
   override def schema(): StructType = UdpSourceProvider.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -132,18 +141,36 @@ class UdpTable(port: Int) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = UdpSourceProvider.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new UdpMicroBatchStream(port)
+          new UdpMicroBatchStream(port, maxRowsPerBatch)
       }
     }
 }
 
-class UdpMicroBatchStream(port: Int) extends MicroBatchStream {
+class UdpMicroBatchStream(port: Int, maxRowsPerBatch: Long)
+    extends MicroBatchStream with SupportsAdmissionControl {
   private def rx = UdpSourceProvider.receiver(port)
 
   // start from 0, not rx.latest: datagrams buffered between receiver
   // bind and stream start must land in the first batch, not be skipped
   override def initialOffset(): Offset = { rx; UdpOffset(0) }
   override def latestOffset(): Offset = UdpOffset(rx.latest)
+
+  // count half of the reference's 1000-row/2s flush rule, expressed as
+  // micro-batch admission control: a burst never lands in one giant batch
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxRowsPerBatch > 0) ReadLimit.maxRows(maxRowsPerBatch)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[UdpOffset].n
+    val cap = limit match {
+      case r: ReadMaxRows => from + r.maxRows()
+      case _ => Long.MaxValue
+    }
+    UdpOffset(math.min(rx.latest, cap))
+  }
+
+  override def reportLatestOffset(): Offset = UdpOffset(rx.latest)
   override def deserializeOffset(json: String): Offset = UdpOffset(json.toLong)
   override def commit(end: Offset): Unit = rx.trim(end.asInstanceOf[UdpOffset].n)
   override def stop(): Unit = UdpSourceProvider.stop(port)

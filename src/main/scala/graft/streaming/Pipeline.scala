@@ -18,10 +18,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     (time half of the trigger; the 1000-row count half has no Spark
   *     twin — rate limiting via maxFilesPerTrigger/maxOffsetsPerTrigger
   *     bounds batch size instead, a documented deviation);
-  *   - bounded channel ≡ source-side rate limits + pull-based backpressure;
-  *   - flushLogs ≡ foreachBatch parquet/JDBC append; unlike the reference's
-  *     at-most-once drop-on-error, checkpointing gives exactly-once into
-  *     files — the strictly-stronger default.
+  *   - bounded channel ≡ source-side rate limits + pull-based backpressure
+  *     (count half: UdpSourceProvider.FlushRows admission limit);
+  *   - flushLogs ≡ foreachBatch parquet/JDBC append. Delivery: the parquet
+  *     path is exactly-once — each batch lands in its own `batch_id=N`
+  *     partition with dynamic partition OVERWRITE, so a batch replayed
+  *     after a partial write replaces its own output instead of appending
+  *     duplicates. The JDBC path (`startJdbc`) is at-least-once (blind
+  *     bulk INSERT replay) — still strictly stronger than the reference's
+  *     at-most-once drop-batch-on-error (lib/cacheManage.go:57-60).
   */
 object Pipeline {
 
@@ -42,18 +47,50 @@ object Pipeline {
         col("p.message").as("message"))
 
   /** the whole reference as one streaming query: lines → parse → 2 s
-    * trigger → batched parquet sink (stream_pipeline_e2e) */
+    * trigger → batched parquet sink (stream_pipeline_e2e).
+    * Idempotent: batch N writes partition `batch_id=N` with dynamic
+    * partition overwrite, so checkpoint replay after a partial write
+    * rewrites that partition — exactly-once into files. */
   def start(lines: DataFrame, outDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
     parseToLog(lines).writeStream
       .trigger(trigger)
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // row→columnar pivot + bulk append ≡ PrepareBatch/Send
-        // (lib/cacheManage.go:40-60); swap .parquet for .jdbc to target
-        // ClickHouse with option("batchsize", 1000)
-        batch.write.mode("append").parquet(outDir)
+        // (lib/cacheManage.go:40-60)
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .start()
+
+  /** reference's actual sink: bulk INSERT into a JDBC table in 1000-row
+    * statements (`lib/cacheManage.go:40-60` INSERT INTO mikrotik_logs;
+    * `batchsize` ≡ logCacheLimit). `categories` flattens to the raw
+    * comma-joined topic string (lopParse.go:31 splits on ","; JDBC rows
+    * have no array type). At-least-once: a batch replayed after a partial
+    * flush re-inserts — the reference instead DROPS a failed batch
+    * (at-most-once); swap the URL for ClickHouse/postgres in production. */
+  def startJdbc(lines: DataFrame, url: String, table: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
+      connectionProperties: java.util.Properties = new java.util.Properties)
+      : StreamingQuery =
+    parseToLog(lines)
+      .withColumn("categories", array_join(col("categories"), ","))
+      .writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val props = new java.util.Properties()
+        props.putAll(connectionProperties)
+        props.put("batchsize", "1000")
+        batch.write.mode("append").jdbc(url, table, props)
       }
       .start()
 

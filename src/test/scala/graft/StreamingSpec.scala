@@ -34,6 +34,7 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination(60000)
 
     val streamed = spark.read.parquet(out)
+      .drop("batch_id") // idempotency partition column, not pipeline data
       .orderBy("timestamp", "device", "message")
       .collect().toSeq
     val batch = Pipeline.parseToLog(lines.toDF())
@@ -192,5 +193,30 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination(60000)
     assert(batches >= 4, s"expected ≥4 rate-limited micro-batches, got $batches")
     assert(spark.read.parquet(out).count() === model.syslogFixture.size.toLong)
+  }
+
+  test("stream_sink_batched: JDBC sink round-trips into an embedded Derby table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val db = Files.createTempDirectory("graft_derby").toString + "/logsdb"
+    val url = s"jdbc:derby:$db;create=true"
+    val ckpt = Files.createTempDirectory("graft_jdbc_ckpt").toString
+
+    val lines = model.syslogFixture.map { case (_, raw, dev, t) => RawLine(raw, dev, ts(t)) }
+    val ms = MemoryStream[RawLine]
+    ms.addData(lines)
+    val q = Pipeline.startJdbc(ms.toDF(), url, "mikrotik_logs", ckpt, Trigger.AvailableNow())
+    q.awaitTermination(60000)
+
+    val back = spark.read.jdbc(url, "mikrotik_logs", new java.util.Properties)
+    assert(back.count() === model.syslogFixture.size.toLong)
+    // the JDBC row is the parse projection with categories comma-flattened
+    val expected = Pipeline.parseToLog(lines.toDF())
+      .withColumn("categories", array_join(col("categories"), ","))
+      .orderBy("timestamp", "device", "message").collect().toSeq
+    val got = back.select("timestamp", "device", "severity", "categories", "message")
+      .orderBy("timestamp", "device", "message").collect().toSeq
+    assert(got.map(_.toSeq.map(String.valueOf)) === expected.map(_.toSeq.map(String.valueOf)))
   }
 }

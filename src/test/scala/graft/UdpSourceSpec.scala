@@ -60,4 +60,56 @@ class UdpSourceSpec extends AnyFunSuite {
       q.stop()
     }
   }
+
+  test("maxRowsPerBatch caps micro-batch size under burst (count half of the flush rule)") {
+    val probe = new DatagramSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    val rx = sources.UdpSourceProvider.receiver(port)
+
+    // burst well past the 1000-row flush bound BEFORE the stream starts,
+    // so all rows are pending at the first batch — the worst case the
+    // reference's count-based flush exists for (lib/cacheManage.go:19-22)
+    val sender = new DatagramSocket()
+    val target = InetAddress.getByName("127.0.0.1")
+    val total = 2500
+    try {
+      (1 to total).foreach { i =>
+        val b = s"system,info burst row $i".getBytes("UTF-8")
+        sender.send(new DatagramPacket(b, b.length, target, port))
+        if (i % 100 == 0) Thread.sleep(1) // let the receiver drain; UDP drops else
+      }
+      val rxDeadline = System.currentTimeMillis() + 10000
+      while (rx.latest < total && System.currentTimeMillis() < rxDeadline) Thread.sleep(50)
+      val received = rx.latest
+      assert(received > 1000, s"burst too small to exercise the cap: $received")
+
+      val sizes = scala.collection.mutable.ArrayBuffer[Long]()
+      val ckpt = Files.createTempDirectory("graft_udp_burst_ckpt").toString
+      val q = spark.readStream
+        .format(classOf[sources.UdpSourceProvider].getName)
+        .option("port", port.toString)
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.count()
+          sizes.synchronized { sizes += n }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      try {
+        val deadline = System.currentTimeMillis() + 30000
+        while (sizes.synchronized(sizes.sum) < received &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+        val snap = sizes.synchronized(sizes.toSeq)
+        assert(snap.sum >= received, s"rows lost: ${snap.sum} of $received")
+        assert(snap.forall(_ <= sources.UdpSourceProvider.FlushRows),
+          s"a micro-batch exceeded the ${sources.UdpSourceProvider.FlushRows}-row flush bound: $snap")
+        assert(snap.count(_ == sources.UdpSourceProvider.FlushRows) >= 2,
+          s"expected at least two full flush-bound batches from a $received-row burst: $snap")
+      } finally q.stop()
+    } finally sender.close()
+  }
 }
