@@ -7,6 +7,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE partition sizing for the local small-SF bench: the default
+      // 64 MB advisory size coalesces every shuffle of KB-to-MB test data
+      // to ONE post-shuffle task, serializing reduce work on a 32-core
+      // box. ~1 MB targets restore reduce-side parallelism at sf ≤ 0.1;
+      // production SFs should keep the defaults (partitions fill out on
+      // their own at TB scale).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -111,6 +111,18 @@ final class UdpReceiver(port: Int) extends Thread(s"graft-udp-$port") {
     notifyAll()
   }
 
+  /** fast-forward the offset space to `to` after a checkpoint restore:
+    * a restarted JVM has a fresh (empty) receiver, so a committed offset
+    * from the previous lifetime would otherwise index datagrams that no
+    * longer exist and silently swallow the next `to` NEW datagrams (slice
+    * clamps). Re-basing aligns "offset `to`" with the current head; the
+    * pre-restart datagrams themselves are gone — UDP ingest across a
+    * crash is at-most-once, same as the reference's drop-on-error. */
+  def rebase(to: Long): Unit = synchronized {
+    val cur = trimmed + rows.length
+    if (cur < to) trimmed += to - cur
+  }
+
   def shutdown(): Unit = {
     running = false
     socket.close()
@@ -171,7 +183,15 @@ class UdpMicroBatchStream(port: Int, maxRowsPerBatch: Long)
   }
 
   override def reportLatestOffset(): Offset = UdpOffset(rx.latest)
-  override def deserializeOffset(json: String): Offset = UdpOffset(json.toLong)
+  // called when restoring offsets from a checkpoint: offsets minted by a
+  // previous JVM index a buffer that no longer exists, so re-base the
+  // fresh receiver to the restored position instead of letting it swallow
+  // that many NEW datagrams (see UdpReceiver.rebase)
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.toLong
+    rx.rebase(n)
+    UdpOffset(n)
+  }
   override def commit(end: Offset): Unit = rx.trim(end.asInstanceOf[UdpOffset].n)
   override def stop(): Unit = UdpSourceProvider.stop(port)
 

@@ -61,6 +61,38 @@ class UdpSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("restored offsets re-base a fresh receiver instead of swallowing new datagrams") {
+    val probe = new DatagramSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    val stream = new sources.UdpMicroBatchStream(port, 1000)
+    // simulate a checkpoint restore: offset 7 was committed by a previous
+    // JVM; the fresh receiver's buffer is empty
+    val restored = stream.deserializeOffset("7")
+    val rx = sources.UdpSourceProvider.receiver(port)
+    assert(rx.latest === 7L, "restore should fast-forward the offset space")
+    val sender = new DatagramSocket()
+    try {
+      val target = InetAddress.getByName("127.0.0.1")
+      (1 to 3).foreach { i =>
+        val b = s"row $i".getBytes("UTF-8")
+        sender.send(new DatagramPacket(b, b.length, target, port))
+      }
+      val dl = System.currentTimeMillis() + 10000
+      while (rx.latest < 10L && System.currentTimeMillis() < dl) Thread.sleep(50)
+      assert(rx.latest === 10L)
+      // without the re-base these three rows would be eaten by the stale
+      // offset range (slice clamps to the new buffer's head)
+      val parts = stream.planInputPartitions(restored, sources.UdpOffset(rx.latest))
+      val rows = parts.head.asInstanceOf[sources.UdpInputPartition].rows
+      assert(rows.length === 3, "new datagrams swallowed by a stale restored offset")
+      assert(rows.map(_._1).toSeq === Seq("row 1", "row 2", "row 3"))
+    } finally {
+      sender.close()
+      sources.UdpSourceProvider.stop(port)
+    }
+  }
+
   test("maxRowsPerBatch caps micro-batch size under burst (count half of the flush rule)") {
     val probe = new DatagramSocket(0)
     val port = probe.getLocalPort
