@@ -278,6 +278,75 @@ case class SignLshBucket(child: Expression, planes: Int)
     copy(child = newChild)
 }
 
+/** IVF coarse-quantizer assignment as ONE native expression:
+  * (embedding array<float>, centroids array<struct<cid bigint,
+  * ce array<float>>>) → BIGINT id of the nearest centroid by cosine.
+  * The centroid array is a broadcast-small constant column (collect_list
+  * of the centroid table crossed onto each row), so assignment is a
+  * map-side projection: zero shuffles, no K× row amplification — the
+  * shape a trained-k-means IVF would use at 100 TB, here with a
+  * deterministic md5-sampled codebook so DuckDB can replay it exactly.
+  * Cosine is rounded half-up to 4 dp before the argmax (floor(x·10⁴+0.5))
+  * and ties break to the smallest cid, making the assignment
+  * cross-engine deterministic. */
+case class IvfAssign(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(org.apache.spark.sql.types.StructType(fields), _))
+        if fields.length == 2 && fields(0).dataType == org.apache.spark.sql.types.LongType &&
+           fields(1).dataType.isInstanceOf[ArrayType] &&
+           fields(1).dataType.asInstanceOf[ArrayType].elementType == FloatType =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"ivf_assign expects (array<float>, array<struct<cid: bigint, ce: array<float>>>), " +
+        s"got (${l.simpleString}, ${r.simpleString})")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "ivf_assign"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IvfAssign.assign(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.IvfAssign.assign($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object IvfAssign {
+  /** rounded-cosine argmax over the codebook; one JVM loop per row */
+  def assign(v: ArrayData, cents: ArrayData): Long = {
+    val k = cents.numElements()
+    var bestCid = Long.MaxValue
+    var bestCos = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      val row = cents.getStruct(c, 2)
+      val cid = row.getLong(0)
+      val ce = row.getArray(1)
+      val n = math.min(v.numElements(), ce.numElements())
+      var dot = 0d; var nv = 0d; var nc = 0d
+      var i = 0
+      while (i < n) {
+        val xi = v.getFloat(i).toDouble
+        val yi = ce.getFloat(i).toDouble
+        dot += xi * yi; nv += xi * xi; nc += yi * yi
+        i += 1
+      }
+      val cos = math.floor(dot / (math.sqrt(nv) * math.sqrt(nc)) * 10000.0 + 0.5) / 10000.0
+      if (cos > bestCos || (cos == bestCos && cid < bestCid)) {
+        bestCos = cos; bestCid = cid
+      }
+      c += 1
+    }
+    bestCid
+  }
+}
+
 object VectorExpressions {
   /** register once per session; idempotent */
   def register(s: SparkSession): Unit = {
@@ -291,6 +360,8 @@ object VectorExpressions {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sign_lsh_bucket", exprs => SignLshBucket(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ivf_assign", exprs => IvfAssign(exprs(0), exprs(1)), "built-in")
   }
 
   /** simhash_sig(tokens) as a Column (requires register first) */
@@ -306,4 +377,8 @@ object VectorExpressions {
   /** sign_lsh_bucket(embedding, planes) as a Column (requires register first) */
   def signLshBucket(emb: Column, planes: Int): Column =
     call_function("sign_lsh_bucket", emb, org.apache.spark.sql.functions.lit(planes))
+
+  /** ivf_assign(embedding, centroids) as a Column (requires register first) */
+  def ivfAssign(emb: Column, centroids: Column): Column =
+    call_function("ivf_assign", emb, centroids)
 }

@@ -127,12 +127,95 @@ object Similarity {
       .limit(10)
   }
 
+  // ---- IVF ANN --------------------------------------------------------
+  val IvfK = 16
+  val IvfProbes = 4
+
+  /** deterministic codebook: the IvfK vectors with the smallest
+    * (md5(vec_id), vec_id) — a stand-in for a trained k-means codebook
+    * with the same shape (broadcast-small, fixed size at any N) that
+    * DuckDB can reproduce exactly */
+  private def ivfCodebook(e: DataFrame): DataFrame =
+    e.orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+      .limit(IvfK)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+
+  /** IVF ANN top-10 for probe vec_id=0 — the second scale path next to
+    * sign-LSH. Coarse quantization: every vector maps to its nearest
+    * codebook centroid via the native IvfAssign expression over a one-row
+    * broadcast codebook column — a map-side projection (zero shuffles, no
+    * K× row blowup). Search: the probe's IvfProbes nearest lists are
+    * scanned with the exact codegen'd cosine and re-ranked. Candidates ≈
+    * N·(IvfProbes/IvfK); a trained k-means codebook would slot into
+    * `ivfCodebook` unchanged. Fully deterministic (rounded-cosine argmax,
+    * cid tie-break) → hard DuckDB oracle, unlike the recall-spec'd LSH. */
+  def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = t(s, dir, "embeddings")
+    val book = ivfCodebook(e)
+    val bookArr = book.agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
+    val assigned = e.crossJoin(broadcast(bookArr))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorExpressions.ivfAssign(col("embedding"), col("cents")).as("cid"))
+    val probe = e.where(col("vec_id") === 0).select(col("embedding").as("pe"))
+    val probeLists = book.crossJoin(broadcast(probe))
+      .select(col("cid"), r4f(cosine(s, "ce", "pe")).as("ac"))
+      .orderBy(col("ac").desc, col("cid").asc)
+      .limit(IvfProbes)
+      .select("cid")
+    assigned.where(col("vec_id") =!= 0)
+      .join(broadcast(probeLists), Seq("cid"))
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), r4(cosine(s, "embedding", "pe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** the full IVF pipeline replayed in SQL: same codebook sample, same
+    * floor-rounded-cosine argmax assignment, same probe lists, same exact
+    * re-rank — row-identical to the Spark plan */
+  val simAnnIvfSql: String = {
+    val r4fSql = (x: String) =>
+      s"floor(($x) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE"
+    val cosSql =
+      """sum(e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)
+        |      / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |         * sqrt(sum(c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))""".stripMargin
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $IvfK),
+       |ac AS (
+       |  SELECT e.vec_id, c.cid, ${r4fSql(cosSql)} AS ac
+       |  FROM embeddings e, cents c, generate_series(1, 64) g(i)
+       |  GROUP BY e.vec_id, c.cid),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY ac DESC, cid ASC) AS rn
+       |    FROM ac) x
+       |  WHERE rn = 1),
+       |plists AS (SELECT cid FROM ac WHERE vec_id = 0 ORDER BY ac DESC, cid ASC LIMIT $IvfProbes),
+       |cand AS (SELECT a.vec_id FROM assigned a JOIN plists p USING (cid) WHERE a.vec_id <> 0),
+       |p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+       |terms AS (
+       |  SELECT e.vec_id,
+       |    sum(e.embedding[i]::DOUBLE * p.pe[i]::DOUBLE) AS dot,
+       |    sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE) AS n2,
+       |    sum(p.pe[i]::DOUBLE * p.pe[i]::DOUBLE) AS np2
+       |  FROM embeddings e JOIN cand USING (vec_id), p, generate_series(1, 64) g(i)
+       |  GROUP BY 1)
+       |SELECT vec_id, CAST(round(dot / (sqrt(n2) * sqrt(np2)), 4) AS DOUBLE) AS cos
+       |FROM terms ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sim_cosine" -> simCosine _,
     "q_dedup_embedding" -> dedupEmbedding _,
-    "q_sim_ann_lsh" -> simAnnLsh _)
+    "q_sim_ann_lsh" -> simAnnLsh _,
+    "q_sim_ann_ivf" -> simAnnIvf _)
 
   val oracle: Map[String, String] = Map(
     "q_sim_cosine" -> simCosineSql,
-    "q_dedup_embedding" -> dedupEmbeddingSql)
+    "q_dedup_embedding" -> dedupEmbeddingSql,
+    "q_sim_ann_ivf" -> simAnnIvfSql)
 }

@@ -83,6 +83,13 @@ class DedupSpec extends AnyFunSuite {
     assert(top.head.getDouble(1) > 0.999)
   }
 
+  test("q_sim_ann_ivf: the planted near-duplicate vector is the top hit in probed lists") {
+    val top = operators.Similarity.simAnnIvf(spark, fixtureDir).collect()
+    assert(top.nonEmpty, "probed IVF lists empty")
+    assert(top.head.getLong(0) === 100L, "near-dup of probe not ranked first")
+    assert(top.head.getDouble(1) > 0.999)
+  }
+
   test("q_dedup_embedding: probe-sampled scan finds the planted cosine near-dup") {
     val pairs = operators.Similarity.dedupEmbedding(spark, fixtureDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

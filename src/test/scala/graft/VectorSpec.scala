@@ -76,6 +76,42 @@ class VectorSpec extends AnyFunSuite {
       s"projection not codegen'd:\n$p")
   }
 
+  test("ivf_assign matches the crossJoin+window argmax formulation exactly") {
+    VectorExpressions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val book = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(16).select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val bookArr = book.agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
+    val native = e.crossJoin(broadcast(bookArr))
+      .select(col("vec_id"),
+        VectorExpressions.ivfAssign(col("embedding"), col("cents")).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaWindow = e.crossJoin(broadcast(book))
+      .select(col("vec_id"), col("cid"),
+        util.r4f(VectorExpressions.cosineSim(col("embedding"), col("ce"))).as("ac"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ac").desc, col("cid").asc)))
+      .where(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.nonEmpty && native === viaWindow)
+    assert(native.values.toSet.size > 1, "degenerate codebook: one list got everything")
+  }
+
+  test("ivf_assign runs inside whole-stage codegen (no fallback)") {
+    VectorExpressions.register(spark)
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val book = e.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(16).select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
+    val df = e.crossJoin(broadcast(book))
+      .select(VectorExpressions.ivfAssign(col("embedding"), col("cents")).as("cid"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined,
+      s"projection not codegen'd:\n$p")
+  }
+
   test("word_ngrams matches the HOF array_distinct/transform formulation exactly") {
     TextExpressions.register(spark)
     val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
