@@ -35,3 +35,55 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 }
+
+/** Environment-driven deployment config — the reference's `.env` contract
+  * (`/root/reference/main.go:96-99` loads `.env` and exits non-zero when
+  * it is absent; the UDP port and ClickHouse target come from env). Same
+  * fail-fast stance: every missing or malformed variable is reported in
+  * one exception at startup, not discovered mid-stream. */
+final case class GraftConfig(
+    port: Int,
+    sinkUrl: String,
+    sinkTable: String,
+    flushRows: Long,
+    trigger: String,
+    checkpointDir: String)
+
+object GraftConfig {
+  val Required: Seq[String] = Seq("GRAFT_UDP_PORT", "GRAFT_SINK_URL", "GRAFT_SINK_TABLE")
+
+  /** parse + validate; throws IllegalArgumentException naming EVERY
+    * problem (reference behavior: fail fast before binding anything) */
+  def fromEnv(env: Map[String, String] = sys.env): GraftConfig = {
+    val problems = scala.collection.mutable.ArrayBuffer[String]()
+    Required.filterNot(env.contains).foreach(k => problems += s"$k is not set")
+    val port = env.get("GRAFT_UDP_PORT").flatMap(_.toIntOption)
+    if (env.contains("GRAFT_UDP_PORT") && port.forall(p => p < 1 || p > 65535))
+      problems += s"GRAFT_UDP_PORT must be a port number, got '${env("GRAFT_UDP_PORT")}'"
+    val flushRows = env.get("GRAFT_FLUSH_ROWS")
+      .map(v => v.toLongOption.getOrElse { problems += s"GRAFT_FLUSH_ROWS must be a number, got '$v'"; 0L })
+      .getOrElse(sources.UdpSourceProvider.FlushRows)
+    if (problems.nonEmpty)
+      throw new IllegalArgumentException(s"invalid environment: ${problems.mkString("; ")}")
+    GraftConfig(
+      port = port.get,
+      sinkUrl = env("GRAFT_SINK_URL"),
+      sinkTable = env("GRAFT_SINK_TABLE"),
+      flushRows = flushRows,
+      trigger = env.getOrElse("GRAFT_TRIGGER", "2 seconds"),
+      checkpointDir = env.getOrElse("GRAFT_CHECKPOINT",
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString))
+  }
+
+  /** the whole reference program from config: UDP source (count-capped
+    * batches) → parse → JDBC bulk sink — `main()` ≡ this one call */
+  def run(spark: SparkSession, cfg: GraftConfig): org.apache.spark.sql.streaming.StreamingQuery = {
+    val lines = spark.readStream
+      .format(classOf[sources.UdpSourceProvider].getName)
+      .option("port", cfg.port.toString)
+      .option("maxRowsPerBatch", cfg.flushRows.toString)
+      .load()
+    streaming.Pipeline.startJdbc(lines, cfg.sinkUrl, cfg.sinkTable, cfg.checkpointDir,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(cfg.trigger))
+  }
+}

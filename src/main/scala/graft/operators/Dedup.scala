@@ -224,6 +224,52 @@ object Dedup {
        |              JOIN sizes n2 ON shared.d2 = n2.doc_id) j
        |WHERE jaccard >= $JaccardThreshold ORDER BY d1, d2""".stripMargin
 
+  // ---- train/eval decontamination -------------------------------------
+  /** benchmark-contamination check, the standard pretraining hygiene op:
+    * for every EVAL doc (deterministic 1% slice, doc_id % 97 = 0), the
+    * fraction of its word-3-grams that appear anywhere in the TRAIN split
+    * (all other docs). Shape at scale: the distinct train-gram inverted
+    * index is built once (one shuffle), eval grams left-semi join it (one
+    * more shuffle on gram) — never doc×doc. An 8-gram Bloom filter
+    * replaces the exact index when the gram universe outgrows memory;
+    * the exact form here is the oracle-checkable core. */
+  val DecontamEvalMod = 97
+
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val evalDocs = sh.where(col("doc_id") % DecontamEvalMod === 0)
+    val evalG = evalDocs.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val trainG = sh.where(col("doc_id") % DecontamEvalMod =!= 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val hits = evalG.join(trainG, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    evalDocs.select(col("doc_id"), size(col("grams")).cast(LongType).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        r4f(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / col("n_grams")).as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |grams AS (
+       |  SELECT doc_id, gram FROM (
+       |    SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+       |    FROM toks JOIN generate_series(1, 100000) g(i) ON i <= len(tk) - 2
+       |    WHERE len(tk) >= 3
+       |    UNION
+       |    SELECT doc_id, array_to_string(tk, ' ') AS gram FROM toks WHERE len(tk) < 3)),
+       |train AS (SELECT DISTINCT gram FROM grams WHERE doc_id % $DecontamEvalMod <> 0),
+       |sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams
+       |          WHERE doc_id % $DecontamEvalMod = 0 GROUP BY 1),
+       |hits AS (SELECT e.doc_id, count(*) AS n_hit
+       |         FROM grams e JOIN train t USING (gram)
+       |         WHERE e.doc_id % $DecontamEvalMod = 0 GROUP BY 1)
+       |SELECT s.doc_id, s.n_grams, coalesce(h.n_hit, 0) AS n_hit,
+       |  floor(coalesce(h.n_hit, 0)::DOUBLE / s.n_grams * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS contamination
+       |FROM sizes s LEFT JOIN hits h USING (doc_id) ORDER BY s.doc_id""".stripMargin
+
   // ---- SimHash --------------------------------------------------------
   /** 64-bit SimHash per doc via the native SimHashSig expression: each
     * token hashed once, per-bit ±1 sums in a local array — a map-side
@@ -279,10 +325,12 @@ object Dedup {
     "q_dedup_minhash" -> dedupMinhash _,
     "q_dedup_minhash_bands" -> dedupMinhashBands _,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
-    "q_dedup_simhash" -> dedupSimhash _)
+    "q_dedup_simhash" -> dedupSimhash _,
+    "q_decontaminate" -> decontaminate _)
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash_bands" -> dedupMinhashBandsSql,
-    "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql)
+    "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "q_decontaminate" -> decontaminateSql)
 }

@@ -208,14 +208,60 @@ object Similarity {
        |FROM terms ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
   }
 
+  /** per-cluster curation stats over the IVF assignment: list size and
+    * cohesion (mean cosine of members to their centroid) — the numbers a
+    * pretraining-data pipeline reads to find junk clusters and skewed
+    * lists. Assignment is the same map-side IvfAssign projection; the
+    * per-member centroid cosine comes from a broadcast join against the
+    * 16-row codebook (IvfAssign's internal argmax value, recomputed by
+    * the same formula) — one shuffle total, the final groupBy(cid). */
+  def embedClusterStats(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = t(s, dir, "embeddings")
+    val book = ivfCodebook(e)
+    val bookArr = book.agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
+    e.crossJoin(broadcast(bookArr))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorExpressions.ivfAssign(col("embedding"), col("cents")).as("cid"))
+      .join(broadcast(book), Seq("cid"))
+      .select(col("cid"), r4f(cosine(s, "embedding", "ce")).as("ac"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"), r4f(sum(col("ac")) / count(lit(1))).as("cohesion"))
+      .orderBy("cid")
+  }
+
+  val embedClusterStatsSql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $IvfK),
+       |ac AS (
+       |  SELECT e.vec_id, c.cid,
+       |    floor(sum(e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)
+       |      / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+       |         * sqrt(sum(c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))
+       |      * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS ac
+       |  FROM embeddings e, cents c, generate_series(1, 64) g(i)
+       |  GROUP BY e.vec_id, c.cid),
+       |assigned AS (
+       |  SELECT vec_id, cid, ac FROM (
+       |    SELECT vec_id, cid, ac,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY ac DESC, cid ASC) AS rn
+       |    FROM ac) x
+       |  WHERE rn = 1)
+       |SELECT cid, count(*) AS n_members,
+       |  floor(sum(ac) / count(*) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS cohesion
+       |FROM assigned GROUP BY cid ORDER BY cid""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_sim_cosine" -> simCosine _,
     "q_dedup_embedding" -> dedupEmbedding _,
     "q_sim_ann_lsh" -> simAnnLsh _,
-    "q_sim_ann_ivf" -> simAnnIvf _)
+    "q_sim_ann_ivf" -> simAnnIvf _,
+    "q_embed_cluster_stats" -> embedClusterStats _)
 
   val oracle: Map[String, String] = Map(
     "q_sim_cosine" -> simCosineSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
-    "q_sim_ann_ivf" -> simAnnIvfSql)
+    "q_sim_ann_ivf" -> simAnnIvfSql,
+    "q_embed_cluster_stats" -> embedClusterStatsSql)
 }

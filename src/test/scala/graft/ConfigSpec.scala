@@ -1,0 +1,73 @@
+package graft
+
+import java.net.{DatagramPacket, DatagramSocket, InetAddress}
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** env-driven deployment config: the reference's fail-fast `.env` contract
+  * (main.go:96-99) and the whole-program `run()` wiring. */
+class ConfigSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("fromEnv fails fast naming EVERY missing required variable") {
+    val e = intercept[IllegalArgumentException](GraftConfig.fromEnv(Map.empty))
+    GraftConfig.Required.foreach(k =>
+      assert(e.getMessage.contains(k), s"$k not reported: ${e.getMessage}"))
+  }
+
+  test("fromEnv reports malformed values, not just missing ones") {
+    val e = intercept[IllegalArgumentException](GraftConfig.fromEnv(Map(
+      "GRAFT_UDP_PORT" -> "not-a-port",
+      "GRAFT_SINK_URL" -> "jdbc:x",
+      "GRAFT_SINK_TABLE" -> "t",
+      "GRAFT_FLUSH_ROWS" -> "many")))
+    assert(e.getMessage.contains("GRAFT_UDP_PORT"))
+    assert(e.getMessage.contains("GRAFT_FLUSH_ROWS"))
+  }
+
+  test("fromEnv parses a valid environment with defaults") {
+    val cfg = GraftConfig.fromEnv(Map(
+      "GRAFT_UDP_PORT" -> "5514",
+      "GRAFT_SINK_URL" -> "jdbc:derby:memory:x",
+      "GRAFT_SINK_TABLE" -> "logs"))
+    assert(cfg.port === 5514)
+    assert(cfg.flushRows === sources.UdpSourceProvider.FlushRows)
+    assert(cfg.trigger === "2 seconds")
+  }
+
+  test("run(): datagrams land in the configured JDBC table (the reference main() e2e)") {
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val probe = new DatagramSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    sources.UdpSourceProvider.receiver(port) // bind before sending
+    val db = Files.createTempDirectory("graft_cfg_derby").toString + "/cfgdb"
+    val cfg = GraftConfig.fromEnv(Map(
+      "GRAFT_UDP_PORT" -> port.toString,
+      "GRAFT_SINK_URL" -> s"jdbc:derby:$db;create=true",
+      "GRAFT_SINK_TABLE" -> "mikrotik_logs",
+      "GRAFT_TRIGGER" -> "200 milliseconds"))
+    val q = GraftConfig.run(spark, cfg)
+    val sender = new DatagramSocket()
+    try {
+      val target = InetAddress.getByName("127.0.0.1")
+      val payloads = Seq("firewall,info forward ok", "system,error,critical boom")
+      payloads.foreach { p =>
+        val b = p.getBytes("UTF-8")
+        sender.send(new DatagramPacket(b, b.length, target, port))
+      }
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n < payloads.size && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        n = try spark.read.jdbc(cfg.sinkUrl, cfg.sinkTable, new java.util.Properties).count()
+        catch { case _: Throwable => 0L }
+      }
+      assert(n === payloads.size.toLong, "datagrams did not reach the JDBC sink")
+    } finally {
+      sender.close()
+      q.stop()
+    }
+  }
+}
