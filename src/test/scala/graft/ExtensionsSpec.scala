@@ -30,6 +30,18 @@ class ExtensionsSpec extends AnyFunSuite {
           |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""".stripMargin)
         .collect().head.getDouble(0)
       assert(math.abs(r - 1.0) < 1e-12)
+      val grams = s.sql("SELECT word_ngrams(array('a', 'b', 'c', 'a', 'b', 'c'), 3) AS g")
+        .collect().head.getSeq[String](0)
+      assert(grams === Seq("a b c", "b c a", "c a b"))
+      val cid = s.sql(
+        """SELECT ivf_assign(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+          |  array(named_struct('cid', 7L, 'ce', array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))),
+          |        named_struct('cid', 9L, 'ce', array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT))))) AS cid""".stripMargin)
+        .collect().head.getLong(0)
+      assert(cid === 7L)
+      val b = s.sql("SELECT sign_lsh_bucket(array(CAST(1.0 AS FLOAT)), 8) AS b")
+        .collect().head.getInt(0)
+      assert(b >= 0 && b < 256)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

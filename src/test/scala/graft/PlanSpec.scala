@@ -65,6 +65,28 @@ class PlanSpec extends AnyFunSuite {
       || plan("q_sim_cosine").contains("BroadcastExchange"))
   }
 
+  test("q_decontaminate builds a semi-join gram index (no cartesian, no NL join)") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("LeftSemi"), s"no semi join against the train-gram index:\n$p")
+    assert(!p.contains("CartesianProduct"), s"gram join degenerated:\n$p")
+  }
+
+  test("q_sim_ann_ivf assignment stays map-side: no shuffle before the probe-list join") {
+    // the only exchanges allowed are the broadcast ones (codebook, probe
+    // lists, probe vector) + the final TakeOrderedAndProject — assignment
+    // itself must not repartition the embeddings scan
+    val p = plan("q_sim_ann_ivf")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not pushed down:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"IVF assignment introduced a data shuffle:\n$p")
+  }
+
+  test("q_embed_cluster_stats has exactly one data shuffle (the cid groupBy)") {
+    val p = plan("q_embed_cluster_stats")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected only the groupBy(cid) exchange:\n$p")
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange on either side") {
     // the 100 TB pattern for repeated big-big joins: pre-bucket both sides
     // on the join key; the sort-merge join then reads buckets directly
