@@ -288,7 +288,9 @@ case class SignLshBucket(child: Expression, planes: Int)
   * deterministic md5-sampled codebook so DuckDB can replay it exactly.
   * Cosine is rounded half-up to 4 dp before the argmax (floor(x·10⁴+0.5))
   * and ties break to the smallest cid, making the assignment
-  * cross-engine deterministic. */
+  * cross-engine deterministic. Contract: inputs and centroids must have
+  * nonzero norm (normalize embeddings upstream) — NaN cosine ordering
+  * differs between engines and is deliberately unspecified here. */
 case class IvfAssign(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -338,6 +340,9 @@ object IvfAssign {
         i += 1
       }
       val cos = math.floor(dot / (math.sqrt(nv) * math.sqrt(nc)) * 10000.0 + 0.5) / 10000.0
+      // zero-norm inputs are out of contract (cos = NaN; Spark floor,
+      // DuckDB floor, and IEEE compare all disagree on NaN, so no single
+      // argmax semantic can match every twin) — normalize upstream
       if (cos > bestCos || (cos == bestCos && cid < bestCid)) {
         bestCos = cos; bestCid = cid
       }

@@ -115,6 +115,55 @@ object Pipeline {
     * KeyValueGroupedDataset path for semantics windowed aggs can't express */
   case class DeviceCount(device: String, total: Long, errors: Long)
 
+  /** streaming sessionization with CUSTOM state (stream_stateful_count's
+    * bigger sibling): the 30-min-inactivity-gap session semantics of
+    * q_window_session, kept incrementally per user via
+    * flatMapGroupsWithState + event-time timeout. A session closes (and
+    * is emitted, append-mode) when a later event arrives past the gap OR
+    * the watermark passes lastTs+gap — so state is bounded by the
+    * watermark and sessions survive across micro-batches, which the
+    * built-in session_window agg can also do but only for aggregations;
+    * this path carries arbitrary per-session payloads. */
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events.selectExpr("user_id", "timestamp")
+      .withWatermark("timestamp", "1 hour")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          def emit(s: SessionState): Unit = out += SessionOut(user,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n)
+          if (state.hasTimedOut) {
+            state.getOption.foreach(emit)
+            state.remove()
+          } else {
+            var cur = state.getOption.orNull
+            rows.map(_._2.getTime).toSeq.sorted.foreach { ts =>
+              cur match {
+                case null => cur = SessionState(ts, ts, 1)
+                case s if ts - s.last > gapMs => emit(s); cur = SessionState(ts, ts, 1)
+                case s => cur = SessionState(s.start, math.max(s.last, ts), s.n + 1)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.last + gapMs)
+            }
+          }
+          out.iterator
+      }
+  }
+
   def statefulDeviceCounts(logs: DataFrame): Dataset[DeviceCount] = {
     val spark = logs.sparkSession
     import spark.implicits._

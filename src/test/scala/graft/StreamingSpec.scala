@@ -195,6 +195,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === model.syslogFixture.size.toLong)
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions by gap and by watermark timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Pipeline.sessionize(ms.toDF()).writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_out").start()
+    try {
+      // one session: 10:00 + 10:10, still open at batch end
+      ms.addData(Ev(1, ts("2024-01-01 10:00:00"), 1), Ev(2, ts("2024-01-01 10:10:00"), 1))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").isEmpty, "open session emitted early")
+      // 12:00 is 110 min past the last event → closes session 1 in-stream
+      ms.addData(Ev(3, ts("2024-01-01 12:00:00"), 1))
+      q.processAllAvailable()
+      val closed = spark.table("sess_out").as[Pipeline.SessionOut].collect()
+      assert(closed.exists(s => s.user_id == 1
+        && s.session_start == ts("2024-01-01 10:00:00")
+        && s.session_end == ts("2024-01-01 10:10:00") && s.n_events == 2),
+        s"gap-closed session missing: ${closed.toSeq}")
+      // push the watermark a day ahead via another user; the 12:00 session
+      // times out (event-time timeout), emitting without any new user-1 row
+      ms.addData(Ev(4, ts("2024-01-02 10:00:00"), 2))
+      q.processAllAvailable()
+      ms.addData(Ev(5, ts("2024-01-02 12:00:00"), 2))
+      q.processAllAvailable()
+      ms.addData(Ev(6, ts("2024-01-02 13:00:00"), 2))
+      q.processAllAvailable()
+      val all = spark.table("sess_out").as[Pipeline.SessionOut].collect()
+      assert(all.exists(s => s.user_id == 1
+        && s.session_start == ts("2024-01-01 12:00:00") && s.n_events == 1),
+        s"timeout-closed session missing: ${all.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream_sink_batched: JDBC sink round-trips into an embedded Derby table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -146,6 +146,54 @@ class VectorSpec extends AnyFunSuite {
       s"projection not codegen'd:\n$p")
   }
 
+  test("word_ngrams property: parity with the HOF form on generated token arrays") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    TextExpressions.register(spark)
+    import spark.implicits._
+    val tokGen = Gen.oneOf("a", "bb", "", "ünïcode", "x y", "the", "0", "longertoken")
+    val arrGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, tokGen))
+    val cases = (0 until 300).flatMap(i => arrGen.apply(Gen.Parameters.default, Seed(7L + i)))
+    val df = cases.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }.toDF("id", "toks")
+    val rows = df.select(col("id"),
+      TextExpressions.wordNgrams(col("toks"), 3).as("native"),
+      when(size(col("toks")) >= 3,
+        expr("array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+        .otherwise(array(concat_ws(" ", col("toks")))).as("hof"))
+      .collect()
+    assert(rows.length === cases.length)
+    rows.foreach(r => assert(r.getSeq[String](1) === r.getSeq[String](2), s"case ${r.getLong(0)}"))
+  }
+
+  test("ivf_assign property: parity with the window argmax on generated vectors") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // zero-norm vectors are out of the expression's contract (NaN cosine:
+    // Spark floor, DuckDB floor, and IEEE compare disagree on NaN order)
+    val vecGen = Gen.listOfN(8, Gen.choose(-1000, 1000).map(_ / 250.0f))
+      .suchThat(v => v.exists(_ != 0f))
+    val vecs = (0 until 200).flatMap(i => vecGen.apply(Gen.Parameters.default, Seed(11L + i)))
+    val e = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }.toDF("vec_id", "embedding")
+    val book = e.limit(8).select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val bookArr = book.agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
+    val native = e.crossJoin(broadcast(bookArr))
+      .select(col("vec_id"),
+        VectorExpressions.ivfAssign(col("embedding"), col("cents")).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaWindow = e.crossJoin(broadcast(book))
+      .select(col("vec_id"), col("cid"),
+        util.r4f(VectorExpressions.cosineSim(col("embedding"), col("ce"))).as("ac"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ac").desc, col("cid").asc)))
+      .where(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.size === vecs.length)
+    assert(native === viaWindow)
+  }
+
   test("cosine_sim is null-safe and self-similarity is 1.0") {
     VectorExpressions.register(spark)
     import spark.implicits._
