@@ -320,17 +320,74 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Chunk/bucket mechanics of the SimHash path under a CROSS-ENGINE hash
+    * family — the md5 analog of dedupMinhashBands. A 60-bit signature
+    * (15 hex digits of md5 per token; per-bit ±1 occurrence sums, bit set
+    * when the sum is ≥ 0) splits into four 15-bit chunks; per chunk the
+    * oracle checks collision-bucket and candidate-pair counts. The
+    * production path keeps the native murmur3 SimHashSig; this twin
+    * hard-oracles the pigeonhole bucketing that the planted-dup spec can
+    * only sample. Shape: one md5 per token, 60 codegen'd sum-aggregates
+    * in one map-side-combined groupBy — no explode amplification beyond
+    * the token rows themselves. */
+  def dedupSimhashChunks(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(tk), 1, 15), 16, 10) AS BIGINT)"))
+    val bitSums = (0 until 60).map(b =>
+      sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s$b"))
+    val sigs = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("sig", (0 until 60).map(b =>
+        when(col(s"s$b") >= 0, lit(1L)).otherwise(lit(0L)) * (1L << b))
+        .reduce(_ + _))
+    val chunked = sigs.select(col("doc_id"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> shiftright(sig, c * 15) & 32767)"))
+        .as(Seq("chunk", "cv")))
+    chunked.groupBy("chunk", "cv").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr("(n * (n - 1)) div 2")).cast(LongType).as("n_pairs"))
+      .orderBy("chunk")
+  }
+
+  val dedupSimhashChunksSql: String = {
+    val bitCols = (0 until 60)
+      .map(b => s"sum((h >> $b) % 2 * 2 - 1) AS s$b").mkString(",\n    ")
+    val sigExpr = (0 until 60)
+      .map(b => s"(CASE WHEN s$b >= 0 THEN 1::BIGINT ELSE 0::BIGINT END << $b)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents) x),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitCols
+       |  FROM tok GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $sigExpr AS sig FROM bits),
+       |chunked AS (
+       |  SELECT doc_id, c AS chunk, (sig >> (c * 15)) & 32767 AS cv
+       |  FROM sigs CROSS JOIN generate_series(0, 3) g(c)),
+       |buckets AS (SELECT chunk, cv, count(*) AS n FROM chunked GROUP BY 1, 2)
+       |SELECT chunk, count(*) AS n_buckets, (sum(n * (n - 1)) // 2)::BIGINT AS n_pairs
+       |FROM buckets WHERE n >= 2 GROUP BY chunk ORDER BY chunk""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact _,
     "q_dedup_minhash" -> dedupMinhash _,
     "q_dedup_minhash_bands" -> dedupMinhashBands _,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "q_dedup_simhash" -> dedupSimhash _,
+    "q_dedup_simhash_chunks" -> dedupSimhashChunks _,
     "q_decontaminate" -> decontaminate _)
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash_bands" -> dedupMinhashBandsSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "q_dedup_simhash_chunks" -> dedupSimhashChunksSql,
     "q_decontaminate" -> decontaminateSql)
 }
