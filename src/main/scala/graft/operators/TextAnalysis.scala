@@ -135,6 +135,47 @@ object TextAnalysis {
       |length(text) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- TF-IDF top terms ----------------------------------------------
+  /** per-doc top-3 salient terms by a log-free TF-IDF (tf · N / df — the
+    * rational idf keeps every intermediate an exact integer, so the only
+    * double op is one correctly-rounded IEEE division that both engines
+    * compute bit-identically; ln() implementations differ in last ulps
+    * and are deliberately avoided). Shape at scale: tf is one (doc, tok)
+    * groupBy; df is a window count over the same relation partitioned by
+    * tok (second shuffle); the doc-count scalar broadcasts. Tie-stable:
+    * rank on (rounded score desc, tok asc). */
+  def tfidfTop(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+    val tf = d.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    withDf.crossJoin(broadcast(n))
+      .withColumn("score", r4f(col("tf") * col("n_docs") / col("df")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok").asc)))
+      .where(col("rn") <= 3)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("score").desc, col("tok"))
+  }
+
+  val tfidfTopSql =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents) x
+      |  WHERE tok <> '' GROUP BY 1, 2),
+      |wd AS (SELECT doc_id, tok, tf, count(*) OVER (PARTITION BY tok) AS df FROM tf),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |sc AS (SELECT doc_id, tok, tf, df,
+      |  floor(tf * n_docs / df * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS score
+      |  FROM wd, n),
+      |r AS (SELECT doc_id, tok, tf, df, score,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rn FROM sc)
+      |SELECT doc_id, tok, tf, df, score FROM r WHERE rn <= 3
+      |ORDER BY doc_id, score DESC, tok""".stripMargin
+
   // ---- winnowing fingerprints ----------------------------------------
   /** positional word-3-gram hashes (md5-derived 60-bit ints — portable),
     * sliding-window (w=5) minima, per-doc fingerprint summary. The
@@ -175,9 +216,11 @@ object TextAnalysis {
     "q_lang_id" -> langId _,
     "q_quality_score" -> qualityScore _,
     "q_token_count" -> tokenCount _,
-    "q_doc_fingerprint" -> docFingerprint _)
+    "q_doc_fingerprint" -> docFingerprint _,
+    "q_tfidf_top" -> tfidfTop _)
 
   val oracle: Map[String, String] = Map(
+    "q_tfidf_top" -> tfidfTopSql,
     "q_text_stats" -> textStatsSql,
     "q_token_freq" -> tokenFreqSql,
     "q_lang_id" -> langIdSql,
