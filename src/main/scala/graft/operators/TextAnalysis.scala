@@ -135,6 +135,67 @@ object TextAnalysis {
       |length(text) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- stratified corpus sampling ------------------------------------
+  /** language-rebalancing downsample, the curation step that caps a
+    * dominant language: per-stratum keep-rates applied via the portable
+    * md5 coin (same deterministic hash family as q_sample_hash — rerun
+    * anywhere, same sample). Map-side filter, zero shuffles. */
+  val StratRates: Seq[(String, Int)] =
+    Seq("en" -> 10, "es" -> 50, "de" -> 50, "fr" -> 50, "zh" -> 50)
+  val StratDefault = 25
+
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val rate = StratRates.foldRight(lit(StratDefault): Column) {
+      case ((l, r), acc) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    t(s, dir, "documents")
+      .where(conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+        .cast(LongType) % 100 < rate)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val sampleStratifiedSql: String = {
+    val cases = StratRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+       |  < CASE lang $cases ELSE $StratDefault END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- sequence packing ----------------------------------------------
+  /** pretraining sequence packing: per language, documents concatenate in
+    * doc_id order and the token stream cuts every PackBudget tokens; a
+    * doc's bin is its start-offset's chunk. Pure integer math (whitespace
+    * token counts, window cumsum per lang, one groupBy) — the scalable
+    * form of "pack the corpus into context windows" without a sequential
+    * driver loop. Output: per (lang, bin) doc and token totals. */
+  val PackBudget = 512
+
+  def packContexts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), size(toks).cast(LongType).as("n_tok"))
+      .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin", expr(s"start_off div $PackBudget"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy("lang", "bin")
+  }
+
+  val packContextsSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tok
+       |  FROM documents),
+       |o AS (SELECT lang, n_tok,
+       |  sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
+       |  FROM d)
+       |SELECT lang, start_off // $PackBudget AS bin,
+       |  count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+       |FROM o GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
+
   // ---- TF-IDF top terms ----------------------------------------------
   /** per-doc top-3 salient terms by a log-free TF-IDF (tf · N / df — the
     * rational idf keeps every intermediate an exact integer, so the only
@@ -217,10 +278,14 @@ object TextAnalysis {
     "q_quality_score" -> qualityScore _,
     "q_token_count" -> tokenCount _,
     "q_doc_fingerprint" -> docFingerprint _,
-    "q_tfidf_top" -> tfidfTop _)
+    "q_tfidf_top" -> tfidfTop _,
+    "q_sample_stratified" -> sampleStratified _,
+    "q_pack_contexts" -> packContexts _)
 
   val oracle: Map[String, String] = Map(
     "q_tfidf_top" -> tfidfTopSql,
+    "q_sample_stratified" -> sampleStratifiedSql,
+    "q_pack_contexts" -> packContextsSql,
     "q_text_stats" -> textStatsSql,
     "q_token_freq" -> tokenFreqSql,
     "q_lang_id" -> langIdSql,
