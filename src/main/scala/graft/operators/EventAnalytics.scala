@@ -74,11 +74,36 @@ object EventAnalytics {
       |FROM ud JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** per-type modal user (ClickHouse `topK(1)`/`anyHeavy` analog, exact):
+    * the heaviest user per event type, tie → smallest user_id. Two-phase:
+    * (type, user) count groupBy (map-side combined) then a per-type
+    * row_number over the counts — standard exact-mode shape; at sketch
+    * scale the TopKAggregator (q_udaf_topk) is the bounded-state variant. */
+  def aggMode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events(s, dir)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("n").desc, col("user_id").asc)))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("user_id").as("modal_user"), col("n"))
+      .orderBy("event_type")
+  }
+
+  val aggModeSql =
+    """SELECT event_type, user_id AS modal_user, n FROM (
+      |  SELECT event_type, user_id, count(*) AS n,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id ASC) AS rn
+      |  FROM events GROUP BY event_type, user_id) x
+      |WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_funnel" -> funnel _,
-    "q_retention" -> retention _)
+    "q_retention" -> retention _,
+    "q_agg_mode" -> aggMode _)
 
   val oracle: Map[String, String] = Map(
     "q_funnel" -> funnelSql,
-    "q_retention" -> retentionSql)
+    "q_retention" -> retentionSql,
+    "q_agg_mode" -> aggModeSql)
 }
