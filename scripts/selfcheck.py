@@ -67,6 +67,19 @@ for name in sorted(oracle):
     if nested:
         fails.append((name, f"NESTED-TYPED COLUMNS (driver comparator would crash): {sorted(set(nested))} — flatten with array_join/to_json"))
         continue
+    # The driver's hash is dtype-sensitive: a DuckDB HUGEINT column (any
+    # sum()/list_sum output) lands in pandas as float64 while the Spark
+    # parquet is int64 — values compare equal under Python == but the
+    # driver hash-mismatches. Reject any column whose pandas kind
+    # (int/float/bool/object/datetime) differs so local green == driver green.
+    common = set(spark_df.columns) & set(duck_df.columns)
+    dtype_bad = sorted(
+        c for c in common
+        if spark_df[c].dtype.kind != duck_df[c].dtype.kind)
+    if dtype_bad:
+        detail = {c: (str(spark_df[c].dtype), str(duck_df[c].dtype)) for c in dtype_bad}
+        fails.append((name, f"DTYPE KIND mismatch (driver hash is dtype-sensitive): {detail} — cast the oracle column (e.g. ::BIGINT for HUGEINT sums)"))
+        continue
     a, b = norm_df(spark_df), norm_df(duck_df)
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         fails.append((name, f"SCHEMA: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"))

@@ -28,7 +28,7 @@ object TextAnalysis {
       .orderBy("lang")
 
   val textStatsSql =
-    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+    """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
       |CAST(floor(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS avg_words
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -192,7 +192,7 @@ object TextAnalysis {
        |  sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
        |  FROM d)
-       |SELECT lang, start_off // $PackBudget AS bin,
+       |SELECT lang, (start_off // $PackBudget)::BIGINT AS bin,
        |  count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
        |FROM o GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
 

@@ -168,7 +168,7 @@ object Windows {
   }
 
   val windowSessionSql =
-    """SELECT user_id, sess_id, min(ts_us) AS sess_start_us, max(ts_us) AS sess_end_us,
+    """SELECT user_id, sess_id::BIGINT AS sess_id, min(ts_us) AS sess_start_us, max(ts_us) AS sess_end_us,
       |       count(*) AS n_events
       |FROM (
       |  SELECT user_id, ts_us, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
