@@ -130,29 +130,115 @@ object Similarity {
   // ---- IVF ANN --------------------------------------------------------
   val IvfK = 16
   val IvfProbes = 4
+  val IvfIters = 1
 
-  /** deterministic codebook: the IvfK vectors with the smallest
-    * (md5(vec_id), vec_id) — a stand-in for a trained k-means codebook
-    * with the same shape (broadcast-small, fixed size at any N) that
-    * DuckDB can reproduce exactly */
+  /** deterministic iteration-0 codebook: the IvfK vectors with the
+    * smallest (md5(vec_id), vec_id) — the k-means seeding step, a
+    * hash-sample with the trained codebook's shape (broadcast-small,
+    * fixed size at any N) that DuckDB can reproduce exactly */
   private def ivfCodebook(e: DataFrame): DataFrame =
     e.orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
       .limit(IvfK)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
 
+  /** one Lloyd update: assign every vector to its nearest centroid (the
+    * same map-side IvfAssign projection the search path uses), then move
+    * each centroid to the per-dimension mean of its members. Member
+    * coordinates are quantized to 4-dp integers first, so the sums are
+    * exact integer arithmetic — identical in any partition/summation
+    * order and replayable in the DuckDB oracle — at the cost of moving
+    * each coordinate by ≤ 5e-5 (irrelevant to a coarse quantizer). The
+    * mean narrows back to FLOAT (IEEE round-to-nearest in both engines).
+    * Empty clusters keep their previous centroid. Scale shape: the only
+    * exchange is the (cid, dim) groupBy, whose map-side partial combine
+    * bounds the shuffle at partitions × K × dims rows regardless of N —
+    * the classic distributed-k-means iteration cost. */
+  private def lloydStep(s: SparkSession, e: DataFrame, book: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val bookArr = book.agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
+    val assigned = e.crossJoin(broadcast(bookArr))
+      .select(
+        graft.functions.VectorExpressions.ivfAssign(col("embedding"), col("cents")).as("cid"),
+        col("embedding"))
+    val quantized = assigned
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("cid"), col("pos"),
+        floor(col("v").cast(DoubleType) * 10000d + 0.5d).cast(LongType).as("q"))
+    val means = quantized.groupBy("cid", "pos")
+      .agg((sum(col("q")).cast(DoubleType) / count(lit(1)).cast(DoubleType) / 10000d)
+        .cast(FloatType).as("m"))
+    val updated = means.groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("ce1"))
+    book.join(broadcast(updated), Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("ce1"), col("ce")).as("ce"))
+  }
+
+  /** md5 seed + IvfIters Lloyd updates — a real (small) k-means fit
+    * expressed as DataFrame passes, no driver-side loops over data. The
+    * K-row result is persisted: both consumers (assignment broadcast and
+    * probe-list ranking) would otherwise re-run the training passes. */
+  private def trainedCodebook(s: SparkSession, e: DataFrame): DataFrame =
+    (1 to IvfIters).foldLeft(ivfCodebook(e))((b, _) => lloydStep(s, e, b))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+
+  /** CTE chain deriving the trained codebook in DuckDB: `cents0` is the
+    * md5 sample; each iteration replays assignment (floor-rounded cosine
+    * argmax, cid tie-break) and the quantized-integer centroid means —
+    * row-identical to lloydStep. The final CTE is named `cents`. */
+  private def lloydCentsSql: String = {
+    val sb = new StringBuilder(
+      s"""cents0 AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $IvfK)""".stripMargin)
+    for (it <- 1 to IvfIters) {
+      val prev = s"cents${it - 1}"
+      val cur = if (it == IvfIters) "cents" else s"cents$it"
+      sb.append(
+        s""",
+           |tac$it AS (
+           |  SELECT e.vec_id, c.cid,
+           |    floor(sum(e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)
+           |      / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+           |         * sqrt(sum(c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))
+           |      * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS ac
+           |  FROM embeddings e, $prev c, generate_series(1, 64) g(i)
+           |  GROUP BY e.vec_id, c.cid),
+           |tassigned$it AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY ac DESC, cid ASC) AS rn
+           |    FROM tac$it) x
+           |  WHERE rn = 1),
+           |tqsum$it AS (
+           |  SELECT a.cid, i AS pos,
+           |    sum(floor(e.embedding[i]::DOUBLE * 10000::DOUBLE + 0.5::DOUBLE)::BIGINT)::BIGINT AS s,
+           |    count(*)::BIGINT AS cnt
+           |  FROM embeddings e JOIN tassigned$it a USING (vec_id), generate_series(1, 64) g(i)
+           |  GROUP BY 1, 2),
+           |$cur AS (
+           |  SELECT c0.cid, coalesce(u.ce1, c0.ce) AS ce
+           |  FROM $prev c0 LEFT JOIN (
+           |    SELECT cid, list((s::DOUBLE / cnt::DOUBLE / 10000::DOUBLE)::REAL ORDER BY pos) AS ce1
+           |    FROM tqsum$it GROUP BY cid) u USING (cid))""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** IVF ANN top-10 for probe vec_id=0 — the second scale path next to
-    * sign-LSH. Coarse quantization: every vector maps to its nearest
+    * sign-LSH. Codebook: md5 seed + IvfIters Lloyd updates (see
+    * lloydStep). Coarse quantization: every vector maps to its nearest
     * codebook centroid via the native IvfAssign expression over a one-row
-    * broadcast codebook column — a map-side projection (zero shuffles, no
-    * K× row blowup). Search: the probe's IvfProbes nearest lists are
-    * scanned with the exact codegen'd cosine and re-ranked. Candidates ≈
-    * N·(IvfProbes/IvfK); a trained k-means codebook would slot into
-    * `ivfCodebook` unchanged. Fully deterministic (rounded-cosine argmax,
-    * cid tie-break) → hard DuckDB oracle, unlike the recall-spec'd LSH. */
+    * broadcast codebook column — a map-side projection (zero shuffles on
+    * the search path, no K× row blowup). Search: the probe's IvfProbes
+    * nearest lists are scanned with the exact codegen'd cosine and
+    * re-ranked. Candidates ≈ N·(IvfProbes/IvfK). Fully deterministic
+    * (quantized-integer centroid means, rounded-cosine argmax, cid
+    * tie-break) → hard DuckDB oracle, unlike the recall-spec'd LSH. */
   def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val e = t(s, dir, "embeddings")
-    val book = ivfCodebook(e)
+    val book = trainedCodebook(s, e)
     val bookArr = book.agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
     val assigned = e.crossJoin(broadcast(bookArr))
       .select(col("vec_id"), col("embedding"),
@@ -171,9 +257,9 @@ object Similarity {
       .limit(10)
   }
 
-  /** the full IVF pipeline replayed in SQL: same codebook sample, same
-    * floor-rounded-cosine argmax assignment, same probe lists, same exact
-    * re-rank — row-identical to the Spark plan */
+  /** the full IVF pipeline replayed in SQL: same codebook seed + Lloyd
+    * updates, same floor-rounded-cosine argmax assignment, same probe
+    * lists, same exact re-rank — row-identical to the Spark plan */
   val simAnnIvfSql: String = {
     val r4fSql = (x: String) =>
       s"floor(($x) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE"
@@ -181,9 +267,7 @@ object Similarity {
       """sum(e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)
         |      / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
         |         * sqrt(sum(c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))""".stripMargin
-    s"""WITH cents AS (
-       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-       |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $IvfK),
+    s"""WITH $lloydCentsSql,
        |ac AS (
        |  SELECT e.vec_id, c.cid, ${r4fSql(cosSql)} AS ac
        |  FROM embeddings e, cents c, generate_series(1, 64) g(i)
@@ -208,17 +292,18 @@ object Similarity {
        |FROM terms ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
   }
 
-  /** per-cluster curation stats over the IVF assignment: list size and
-    * cohesion (mean cosine of members to their centroid) — the numbers a
-    * pretraining-data pipeline reads to find junk clusters and skewed
-    * lists. Assignment is the same map-side IvfAssign projection; the
-    * per-member centroid cosine comes from a broadcast join against the
-    * 16-row codebook (IvfAssign's internal argmax value, recomputed by
-    * the same formula) — one shuffle total, the final groupBy(cid). */
+  /** per-cluster curation stats over the trained IVF assignment: list
+    * size and cohesion (mean cosine of members to their centroid) — the
+    * numbers a pretraining-data pipeline reads to find junk clusters and
+    * skewed lists. Assignment is the same map-side IvfAssign projection
+    * against the Lloyd-trained codebook; the per-member centroid cosine
+    * comes from a broadcast join against the 16-row codebook — beyond
+    * the two bounded training aggregations, the only shuffle is the
+    * final groupBy(cid). */
   def embedClusterStats(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val e = t(s, dir, "embeddings")
-    val book = ivfCodebook(e)
+    val book = trainedCodebook(s, e)
     val bookArr = book.agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
     e.crossJoin(broadcast(bookArr))
       .select(col("vec_id"), col("embedding"),
@@ -226,14 +311,15 @@ object Similarity {
       .join(broadcast(book), Seq("cid"))
       .select(col("cid"), r4f(cosine(s, "embedding", "ce")).as("ac"))
       .groupBy("cid")
-      .agg(count(lit(1)).as("n_members"), r4f(sum(col("ac")) / count(lit(1))).as("cohesion"))
+      // ac is r4f-rounded, so the d4 decimal sum is exact — a plain double
+      // sum would depend on partition order at a real cluster's scale
+      .agg(count(lit(1)).as("n_members"),
+        r4f(sum(d4(col("ac"))).cast(DoubleType) / count(lit(1))).as("cohesion"))
       .orderBy("cid")
   }
 
   val embedClusterStatsSql: String =
-    s"""WITH cents AS (
-       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-       |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $IvfK),
+    s"""WITH $lloydCentsSql,
        |ac AS (
        |  SELECT e.vec_id, c.cid,
        |    floor(sum(e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)
@@ -249,7 +335,7 @@ object Similarity {
        |    FROM ac) x
        |  WHERE rn = 1)
        |SELECT cid, count(*) AS n_members,
-       |  floor(sum(ac) / count(*) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS cohesion
+       |  floor(CAST(sum(ac::DECIMAL(18,4)) AS DOUBLE) / count(*) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS cohesion
        |FROM assigned GROUP BY cid ORDER BY cid""".stripMargin
 
   val queries: Map[String, Q] = Map(

@@ -44,6 +44,13 @@ object util {
   def r4f(c: Column): Column =
     (floor(c * 10000d + 0.5d) / 10000d).cast(DoubleType)
 
+  /** exact decimal view of an r4f-rounded double. Safe only for such
+    * inputs: the double is within an ulp of k·10⁻⁴, so Spark's
+    * shortest-string cast and DuckDB's binary-scaled cast both land on
+    * exactly k·10⁻⁴ — summing these decimals is exact and
+    * partition-order-independent, unlike summing the doubles. */
+  def d4(c: Column): Column = c.cast(DecimalType(18, 4))
+
   /** exact decimal average → double: sum(decimal)/count. The division is a
     * pure double, so the final rounding must be the tie-stable floor form
     * (r4f), NOT Spark round() — see r4f. DuckDB twin:

@@ -71,20 +71,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"gram join degenerated:\n$p")
   }
 
-  test("q_sim_ann_ivf assignment stays map-side: no shuffle before the probe-list join") {
-    // the only exchanges allowed are the broadcast ones (codebook, probe
-    // lists, probe vector) + the final TakeOrderedAndProject — assignment
-    // itself must not repartition the embeddings scan
+  test("q_sim_ann_ivf: search path stays map-side, only the bounded cid training aggs shuffle") {
+    // the embeddings relation must never be repartitioned: the only
+    // hashpartitioning exchanges allowed are the Lloyd centroid-update
+    // aggregations, all keyed on cid (map-side combined, bounded at
+    // partitions × K × dims rows) — assignment + probe-list search stay
+    // broadcast-only with the top-k pushed down
     val p = plan("q_sim_ann_ivf")
     assert(p.contains("TakeOrderedAndProject"), s"top-k not pushed down:\n$p")
-    assert(!p.contains("Exchange hashpartitioning"),
-      s"IVF assignment introduced a data shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"search path degenerated to a shuffle join:\n$p")
+    val keys = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("cid")),
+      s"embeddings-side shuffle leaked into the IVF plan, exchange keys = $keys:\n$p")
   }
 
-  test("q_embed_cluster_stats has exactly one data shuffle (the cid groupBy)") {
+  test("q_embed_cluster_stats shuffles only on cid (training aggs + final groupBy)") {
     val p = plan("q_embed_cluster_stats")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
-      s"expected only the groupBy(cid) exchange:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stats path degenerated to a shuffle join:\n$p")
+    val keys = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(keys == Set("cid"),
+      s"expected every hash exchange keyed on cid, got $keys:\n$p")
   }
 
   test("bucketed tables co-locate the join: no shuffle exchange on either side") {
