@@ -37,22 +37,110 @@ object Multimodal {
   case class MediaMeta(mime: String, width: Int, height: Int,
       sample_rate: Int, n_frames: Int)
   case class MediaRow(media_id: Long, kind: String, content: Array[Byte], meta: MediaMeta)
-  case class MediaFeature(media_id: Long, kind: String, n_bytes: Long,
-      width: Int, height: Int, embedding: Array[Float])
+  case class MediaFeature(media_id: Long, kind: String, mime: String, n_bytes: Long,
+      width: Int, height: Int, sample_rate: Int, embedding: Array[Float])
 
-  /** deterministic synthetic media table derived from `documents` — the
-    * binary column is the doc text's bytes, metadata derived from doc_id */
+  // ---- container headers (real byte layouts, written and re-parsed) ----
+
+  /** PNG signature + IHDR chunk (33 bytes): dims big-endian at 16/20.
+    * CRC is zeroed — the probe reads structure, it doesn't validate. */
+  private def pngHeader(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(33)
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+    b.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    b.putInt(0)
+    b.array
+  }
+
+  /** JPEG SOI + SOF0 segment (21 bytes): big-endian HEIGHT at 7, width
+    * at 9 (SOF stores height first), 3 components */
+  private def jpegHeader(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(21)
+    b.put(0xff.toByte).put(0xd8.toByte)
+    b.put(0xff.toByte).put(0xc0.toByte)
+    b.putShort(17).put(8.toByte)
+    b.putShort(h.toShort).putShort(w.toShort)
+    b.put(3.toByte)
+    for (c <- 1 to 3) b.put(c.toByte).put(0x11.toByte).put(0.toByte)
+    b.array
+  }
+
+  /** RIFF/WAVE header + fmt chunk (36 bytes): little-endian sample rate
+    * at 24 (PCM mono 16-bit) */
+  private def wavHeader(rate: Int, dataLen: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(36).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(28 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(1)
+    b.putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    b.array
+  }
+
+  /** MP4 ftyp box (12 bytes): big-endian box size + 'ftyp' + brand */
+  private def mp4Header(): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(12)
+    b.putInt(12).put("ftyp".getBytes("US-ASCII")).put("isom".getBytes("US-ASCII"))
+    b.array
+  }
+
+  /** byte-level container probe — real parsing, no codec: PNG IHDR dims
+    * (big-endian at 16/20), JPEG marker scan to SOF0–SOF3 (height then
+    * width), WAV fmt chunk (little-endian rate at 24), MP4 ftyp box.
+    * This is the format-sniffing a 100 TB media-curation pass runs per
+    * row before deciding to decode at all — header-only, so the scan
+    * cost is independent of payload size. */
+  def probeMedia(content: Array[Byte]): MediaMeta = {
+    def u8(i: Int) = content(i) & 0xff
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int, n: Int) = new String(content, i, n, "US-ASCII")
+    if (content.length >= 24 && u8(0) == 0x89 && tag(1, 3) == "PNG")
+      MediaMeta("image/png", be32(16), be32(20), 0, 1)
+    else if (content.length >= 2 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      var res = MediaMeta("image/jpeg", 0, 0, 0, 1)
+      var done = false
+      while (!done && i + 10 <= content.length && u8(i) == 0xff) {
+        val marker = u8(i + 1)
+        if (marker >= 0xc0 && marker <= 0xc3) {
+          res = MediaMeta("image/jpeg", be16(i + 7), be16(i + 5), 0, 1)
+          done = true
+        } else i += 2 + be16(i + 2)
+      }
+      res
+    } else if (content.length >= 36 && tag(0, 4) == "RIFF" && tag(8, 4) == "WAVE"
+        && tag(12, 4) == "fmt ")
+      MediaMeta("audio/wav", 0, 0, le32(24), 0)
+    else if (content.length >= 12 && tag(4, 4) == "ftyp")
+      MediaMeta("video/mp4", 0, 0, 0, 0)
+    else MediaMeta("application/octet-stream", 0, 0, 0, 0)
+  }
+
+  /** deterministic synthetic media table derived from `documents`: the
+    * binary column is a REAL container header (PNG/JPEG/WAV/MP4 byte
+    * layout, parameterized by doc_id) followed by the doc text as an
+    * opaque payload — so header probing downstream exercises actual
+    * byte-format parsing, not carried metadata */
   def synthesizeMedia(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
         val kind = Seq("image", "audio", "video")((id % 3).toInt)
-        val meta = kind match {
-          case "image" => MediaMeta("image/png", 64 + (id % 64).toInt * 16, 64 + (id % 48).toInt * 16, 0, 1)
-          case "audio" => MediaMeta("audio/wav", 0, 0, 16000, 0)
-          case _       => MediaMeta("video/mp4", 320, 240, 0, 24 + (id % 100).toInt)
+        val (header, meta) = kind match {
+          case "image" =>
+            val w = 64 + (id % 64).toInt * 16
+            val h = 64 + (id % 48).toInt * 16
+            if (id % 2 == 0) (pngHeader(w, h), MediaMeta("image/png", w, h, 0, 1))
+            else (jpegHeader(w, h), MediaMeta("image/jpeg", w, h, 0, 1))
+          case "audio" =>
+            val rate = 8000 + (id % 5).toInt * 2000
+            (wavHeader(rate, payload.length), MediaMeta("audio/wav", 0, 0, rate, 0))
+          case _ =>
+            (mp4Header(), MediaMeta("video/mp4", 320, 240, 0, 24 + (id % 100).toInt))
         }
-        MediaRow(id, kind, text.getBytes("UTF-8"), meta)
+        MediaRow(id, kind, header ++ payload, meta)
       }
   }
 
