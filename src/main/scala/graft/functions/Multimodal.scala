@@ -176,8 +176,11 @@ object Multimodal {
         batch.iterator.map { m =>
           val sampled = if (m.kind == "video") frameSampleStub(m.content, 4) else m.content
           val emb = decodeImageStub(sampled, m.meta)
-          MediaFeature(m.media_id, m.kind, m.content.length.toLong,
-            m.meta.width, m.meta.height, emb)
+          // probe the real container header rather than trusting carried meta:
+          // at curation scale the binary column is the only source of truth
+          val p = probeMedia(m.content)
+          MediaFeature(m.media_id, m.kind, p.mime, m.content.length.toLong,
+            p.width, p.height, p.sample_rate, emb)
         }
       }
     }

@@ -71,6 +71,14 @@ object Dedup {
     * self-join would recompute that whole subtree per side. Docs sharing a
     * bucket are near-dups by construction, so lists stay small; the
     * equi-grouping shuffles once on (band, hash). */
+  /** hot-bucket guard, mirroring [[SimhashMaxBucket]]: a (band, bh)
+    * bucket bigger than this is dropped rather than pair-expanded.
+    * Boilerplate-heavy corpora pile identical signatures into one bucket;
+    * without a cap that key's in-place pair generation goes O(n²). Exact
+    * duplicates belong to the cheaper exact-dedup pass, so dropping the
+    * degenerate buckets loses no near-dup signal worth the blowup. */
+  val MinhashMaxBucket = 64
+
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSignatures(s, dir)
     val rows = MinhashPerms / MinhashBands
@@ -80,7 +88,7 @@ object Dedup {
     val buckets = banded
       .groupBy("band", "bh")
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
-      .where(size(col("ds")) >= 2)
+      .where(size(col("ds")).between(2, MinhashMaxBucket))
     buckets
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
       .select(col("a"), col("i"), posexplode(col("ds")).as(Seq("j", "b")))

@@ -177,10 +177,20 @@ object Similarity {
   /** md5 seed + IvfIters Lloyd updates — a real (small) k-means fit
     * expressed as DataFrame passes, no driver-side loops over data. The
     * K-row result is persisted: both consumers (assignment broadcast and
-    * probe-list ranking) would otherwise re-run the training passes. */
-  private def trainedCodebook(s: SparkSession, e: DataFrame): DataFrame =
-    (1 to IvfIters).foldLeft(ivfCodebook(e))((b, _) => lloydStep(s, e, b))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    * probe-list ranking) would otherwise re-run the training passes.
+    * Memoized per (session, dir): simAnnIvf and embedClusterStats share
+    * one trained, cached codebook instead of each persisting a fresh copy
+    * per invocation (the cached K-row frames otherwise accumulate across
+    * a 100-query Verify run and are never freed). */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def trainedCodebook(s: SparkSession, dir: String): DataFrame =
+    codebookCache.computeIfAbsent((s, dir), { _ =>
+      val e = t(s, dir, "embeddings")
+      (1 to IvfIters).foldLeft(ivfCodebook(e))((b, _) => lloydStep(s, e, b))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    })
 
   /** CTE chain deriving the trained codebook in DuckDB: `cents0` is the
     * md5 sample; each iteration replays assignment (floor-rounded cosine
@@ -238,7 +248,7 @@ object Similarity {
   def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val e = t(s, dir, "embeddings")
-    val book = trainedCodebook(s, e)
+    val book = trainedCodebook(s, dir)
     val bookArr = book.agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
     val assigned = e.crossJoin(broadcast(bookArr))
       .select(col("vec_id"), col("embedding"),
@@ -303,7 +313,7 @@ object Similarity {
   def embedClusterStats(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val e = t(s, dir, "embeddings")
-    val book = trainedCodebook(s, e)
+    val book = trainedCodebook(s, dir)
     val bookArr = book.agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
     e.crossJoin(broadcast(bookArr))
       .select(col("vec_id"), col("embedding"),

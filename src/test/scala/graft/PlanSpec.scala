@@ -13,6 +13,16 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  /** every column named in any hash exchange of the plan — the FULL key
+    * list of each hashpartitioning, not just the first key, so a shuffle
+    * that leads with an allowed key but drags a wide column along (e.g.
+    * cid-first-but-embedding-carrying) still fails the subset check */
+  private def exchangeKeys(p: String): Set[String] =
+    "Exchange hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p)
+      .flatMap(_.group(1).split(",\\s*").dropRight(1))   // last element is the partition count
+      .map(_.trim.replaceAll("#\\d+\\w*$", ""))
+      .toSet
+
   test("q_scan_pruned pushes the predicate and prunes columns at the parquet scan") {
     val p = plan("q_scan_pruned")
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,49"),
@@ -80,19 +90,17 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_sim_ann_ivf")
     assert(p.contains("TakeOrderedAndProject"), s"top-k not pushed down:\n$p")
     assert(!p.contains("SortMergeJoin"), s"search path degenerated to a shuffle join:\n$p")
-    val keys = "Exchange hashpartitioning\\(([a-z_]+)".r
-      .findAllMatchIn(p).map(_.group(1)).toSet
-    assert(keys.subsetOf(Set("cid")),
+    val keys = exchangeKeys(p)
+    assert(keys.subsetOf(Set("cid", "pos")),
       s"embeddings-side shuffle leaked into the IVF plan, exchange keys = $keys:\n$p")
   }
 
   test("q_embed_cluster_stats shuffles only on cid (training aggs + final groupBy)") {
     val p = plan("q_embed_cluster_stats")
     assert(!p.contains("SortMergeJoin"), s"stats path degenerated to a shuffle join:\n$p")
-    val keys = "Exchange hashpartitioning\\(([a-z_]+)".r
-      .findAllMatchIn(p).map(_.group(1)).toSet
-    assert(keys == Set("cid"),
-      s"expected every hash exchange keyed on cid, got $keys:\n$p")
+    val keys = exchangeKeys(p)
+    assert(keys.nonEmpty && keys.subsetOf(Set("cid", "pos")),
+      s"expected every hash exchange keyed on cid/pos only, got $keys:\n$p")
   }
 
   test("bucketed tables co-locate the join: no shuffle exchange on either side") {
