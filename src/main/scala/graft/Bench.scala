@@ -33,10 +33,22 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision and sorted keys keep the line short and diffable
+    // (full-precision doubles made it ~4 KB — long enough to fall off a
+    // log tail mid-line and parse as garbage); locale-free formatting via
+    // Double.toString of the rounded value
+    def r3(v: Double): Double = math.round(v * 1000).toDouble / 1000
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stop FIRST so the JSON is the last stdout line of the run, with no
+    // shutdown logging after it; also persist it for post-hoc analysis
+    try spark.stop() catch { case _: Throwable => }
+    try java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+      (line + "\n").getBytes("UTF-8")) catch { case _: Throwable => }
+    println(line)
   }
 }

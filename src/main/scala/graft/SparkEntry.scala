@@ -37,5 +37,6 @@ object SparkEntry {
     operators.Dedup.oracle ++
     operators.Similarity.oracle ++
     operators.TextAnalysis.oracle ++
+    functions.Multimodal.oracle ++
     functions.Scalars.oracle
 }

@@ -195,18 +195,48 @@ object Multimodal {
       m.copy(meta = m.meta.copy(width = w, height = h)) else m)
   }
 
-  /** declared query: per-kind feature stats off the extracted embeddings —
-    * media bytes stay partition-local; only 16-float features aggregate */
+  /** declared query: per-(kind, mime) stats over the PROBED container
+    * metadata — every output value flows through probeMedia's byte-level
+    * header parsing, so a probe or synthesis regression breaks the hash.
+    * All aggregates are exact integers (counts + sums), so the DuckDB
+    * oracle replays them with no float-rounding hazard. Media bytes stay
+    * partition-local; only the small feature rows reach the exchange. */
   def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     extractFeatures(synthesizeMedia(s, dir))
-      .map(f => (f.kind, f.n_bytes, math.sqrt(f.embedding.map(x => x.toDouble * x).sum)))
-      .toDF("kind", "n_bytes", "norm")
-      .groupBy("kind")
-      .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"),
-        r4f(sum(col("norm")) / count(lit(1))).as("avg_norm"))
-      .orderBy("kind")
+      .groupBy("kind", "mime")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("width")).as("sum_w"),
+        sum(col("height")).as("sum_h"),
+        sum(col("sample_rate")).as("sum_rate"))
+      .orderBy("kind", "mime")
   }
 
+  /** the synthesis + probe replayed arithmetically: kind/mime/dims/rate
+    * are pure functions of doc_id (synthesizeMedia's parameterization) and
+    * n_bytes = header_len + byte-length(text), with header_len fixed per
+    * container (PNG 33, JPEG 21, WAV 36, MP4 12). The oracle agrees with
+    * the Spark result only if the probe reads back exactly what the
+    * header writers encoded — a one-byte layout drift breaks the hash. */
+  val mediaFeaturesSql: String =
+    """SELECT
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CASE doc_id % 3
+      |    WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END
+      |    WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+      |  count(*) AS n,
+      |  sum(CASE doc_id % 3
+      |        WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 21 END
+      |        WHEN 1 THEN 36 ELSE 12 END
+      |      + strlen(text))::BIGINT AS total_bytes,
+      |  sum(CASE WHEN doc_id % 3 = 0 THEN 64 + (doc_id % 64) * 16 ELSE 0 END)::BIGINT AS sum_w,
+      |  sum(CASE WHEN doc_id % 3 = 0 THEN 64 + (doc_id % 48) * 16 ELSE 0 END)::BIGINT AS sum_h,
+      |  sum(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 2000 ELSE 0 END)::BIGINT AS sum_rate
+      |FROM documents
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map("q_media_features" -> mediaFeatures _)
+
+  val oracle: Map[String, String] = Map("q_media_features" -> mediaFeaturesSql)
 }

@@ -40,10 +40,44 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("probeMedia re-reads exactly what the container writers encoded") {
+    val rows = Multimodal.synthesizeMedia(spark, TestSpark.sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { m =>
+      val p = Multimodal.probeMedia(m.content)
+      assert(p.mime === m.meta.mime, s"media ${m.media_id}")
+      m.kind match {
+        case "image" =>
+          assert(p.width === m.meta.width, s"media ${m.media_id}")
+          assert(p.height === m.meta.height, s"media ${m.media_id}")
+        case "audio" =>
+          assert(p.sample_rate === m.meta.sample_rate, s"media ${m.media_id}")
+        case _ =>
+          // an mp4 ftyp box carries no dims/rate — the probe must say so
+          // rather than echo the carried metadata
+          assert(p.width === 0 && p.height === 0 && p.sample_rate === 0)
+      }
+    }
+  }
+
+  test("decode stub: known payloads give exact histogram embeddings") {
+    import spark.implicits._
+    val content = Array.tabulate(16)(_.toByte) // one byte per histogram bin
+    val meta = Multimodal.MediaMeta("application/octet-stream", 0, 0, 0, 0)
+    val img = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRow(1L, "image", content, meta)).toDS()).collect().head
+    assert(img.embedding.toSeq === Seq.fill(16)(1f / 16))
+    assert(img.mime === "application/octet-stream" && img.n_bytes === 16L)
+    // the video path frame-samples every 4th byte before the histogram
+    val vid = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRow(2L, "video", content, meta)).toDS()).collect().head
+    assert(vid.embedding.toSeq === (0 until 16).map(i => if (i % 4 == 0) 0.25f else 0f))
+  }
+
   test("q_media_features aggregates features without shuffling media bytes") {
     val df = functions.Multimodal.mediaFeatures(spark, TestSpark.sfDir)
     val rows = df.collect()
-    assert(rows.length === 3)
+    assert(rows.length === 4) // image/png, image/jpeg, audio/wav, video/mp4
     // the only exchange in the plan must carry the small feature columns,
     // which happens after mapPartitions (media bytes stay narrow)
     val p = df.queryExecution.executedPlan.toString
