@@ -75,6 +75,56 @@ object GraftConfig {
         java.nio.file.Files.createTempDirectory("graft_ckpt").toString))
   }
 
+  /** dotenv parsing (reference `main.go:96-99`, godotenv.Load): KEY=VALUE
+    * lines; `#` comments and blank lines skipped; an `export ` prefix and
+    * one matched pair of single/double quotes stripped; anything else
+    * fails fast with its line number — a malformed deployment file should
+    * stop startup, not silently drop a variable. */
+  def parseDotEnv(lines: Seq[String]): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    val problems = scala.collection.mutable.ArrayBuffer[String]()
+    lines.zipWithIndex.foreach { case (raw, i) =>
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith("#")) {
+        val body = if (line.startsWith("export ")) line.stripPrefix("export ").trim else line
+        val eq = body.indexOf('=')
+        if (eq <= 0) problems += s"line ${i + 1}: expected KEY=VALUE, got '$line'"
+        else {
+          val k = body.substring(0, eq).trim
+          var v = body.substring(eq + 1).trim
+          if (v.length >= 2 && ((v.head == '"' && v.last == '"')
+              || (v.head == '\'' && v.last == '\'')))
+            v = v.substring(1, v.length - 1)
+          if (k.matches("[A-Za-z_][A-Za-z0-9_]*")) out(k) = v
+          else problems += s"line ${i + 1}: invalid variable name '$k'"
+        }
+      }
+    }
+    if (problems.nonEmpty)
+      throw new IllegalArgumentException(s"malformed .env: ${problems.mkString("; ")}")
+    out.toMap
+  }
+
+  /** read `path` if present; an absent file is an empty map (the library
+    * stance — tests and spark-submit deployments configure via real env) */
+  def loadDotEnv(path: String = ".env"): Map[String, String] = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p))
+      parseDotEnv(scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(p)).asScala.toSeq)
+    else Map.empty
+  }
+
+  /** reference-main parity: `.env` MUST exist (`main.go` exits non-zero
+    * without one), file values merge UNDER the process environment — a
+    * variable exported for the process always wins, godotenv's
+    * non-override default. */
+  def fromDotEnv(path: String = ".env", env: Map[String, String] = sys.env): GraftConfig = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      throw new IllegalArgumentException(s"Error loading .env file: '$path' not found")
+    fromEnv(loadDotEnv(path) ++ env)
+  }
+
   /** the whole reference program from config: UDP source (count-capped
     * batches) → parse → JDBC bulk sink — `main()` ≡ this one call */
   def run(spark: SparkSession, cfg: GraftConfig): org.apache.spark.sql.streaming.StreamingQuery = {

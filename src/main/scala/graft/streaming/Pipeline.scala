@@ -124,14 +124,29 @@ object Pipeline {
     * watermark and sessions survive across micro-batches, which the
     * built-in session_window agg can also do but only for aggregations;
     * this path carries arbitrary per-session payloads. */
+  /** state and session bounds are in MICROSECONDS since the epoch:
+    * Timestamp.getTime is ms-truncated, but event timestamps carry µs
+    * (TIMESTAMP(NANOS) parquet → µs), and the batch twin q_window_session
+    * computes its 30-min gaps at µs precision — ms rounding here would
+    * sessionize sub-ms boundary gaps differently than the batch operator
+    * (the stream/batch parity spec pins this). */
   case class SessionState(start: Long, last: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long)
 
+  /** µs component of a Timestamp rides in the nanos field */
+  def tsToUs(t: java.sql.Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos % 1000000) / 1000
+  def usToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000000 * 1000)
+    t.setNanos(((us % 1000000) * 1000).toInt)
+    t
+  }
+
   def sessionize(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
+    val gapUs = gapMinutes * 60L * 1000000L
     events.selectExpr("user_id", "timestamp")
       .withWatermark("timestamp", "1 hour")
       .as[(Long, java.sql.Timestamp)]
@@ -142,22 +157,24 @@ object Pipeline {
          state: GroupState[SessionState]) =>
           val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
           def emit(s: SessionState): Unit = out += SessionOut(user,
-            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n)
+            usToTs(s.start), usToTs(s.last), s.n)
           if (state.hasTimedOut) {
             state.getOption.foreach(emit)
             state.remove()
           } else {
             var cur = state.getOption.orNull
-            rows.map(_._2.getTime).toSeq.sorted.foreach { ts =>
+            rows.map(r => tsToUs(r._2)).toSeq.sorted.foreach { ts =>
               cur match {
                 case null => cur = SessionState(ts, ts, 1)
-                case s if ts - s.last > gapMs => emit(s); cur = SessionState(ts, ts, 1)
+                case s if ts - s.last > gapUs => emit(s); cur = SessionState(ts, ts, 1)
                 case s => cur = SessionState(s.start, math.max(s.last, ts), s.n + 1)
               }
             }
             if (cur != null) {
               state.update(cur)
-              state.setTimeoutTimestamp(cur.last + gapMs)
+              // the timeout API is ms-granular; round UP so the timeout
+              // never fires before the exact µs gap boundary
+              state.setTimeoutTimestamp((cur.last + gapUs + 999) / 1000)
             }
           }
           out.iterator

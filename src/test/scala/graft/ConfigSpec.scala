@@ -36,6 +36,42 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.trigger === "2 seconds")
   }
 
+  test(".env loading: file parsed, real env wins, missing file is fatal, malformed lines fail fast") {
+    val dir = Files.createTempDirectory("graft_dotenv")
+    val envFile = dir.resolve(".env")
+    Files.write(envFile, java.util.Arrays.asList(
+      "# deployment config",
+      "",
+      "GRAFT_UDP_PORT=5514",
+      "export GRAFT_SINK_URL=\"jdbc:derby:memory:dotenv\"",
+      "GRAFT_SINK_TABLE='logs'",
+      "GRAFT_TRIGGER=5 seconds"))
+
+    // file values flow through; quotes and export prefixes are stripped
+    val cfg = GraftConfig.fromDotEnv(envFile.toString, env = Map.empty)
+    assert(cfg.port === 5514)
+    assert(cfg.sinkUrl === "jdbc:derby:memory:dotenv")
+    assert(cfg.sinkTable === "logs")
+    assert(cfg.trigger === "5 seconds")
+
+    // a variable set in the real environment overrides the file
+    val cfg2 = GraftConfig.fromDotEnv(envFile.toString,
+      env = Map("GRAFT_UDP_PORT" -> "6000"))
+    assert(cfg2.port === 6000 && cfg2.sinkTable === "logs")
+
+    // reference parity: startup without a .env is fatal
+    val missing = intercept[IllegalArgumentException](
+      GraftConfig.fromDotEnv(dir.resolve("absent.env").toString, env = Map.empty))
+    assert(missing.getMessage.contains("absent.env"))
+
+    // malformed lines are named, not skipped
+    val badFile = dir.resolve("bad.env")
+    Files.write(badFile, java.util.Arrays.asList("GRAFT_UDP_PORT=5514", "not a pair"))
+    val bad = intercept[IllegalArgumentException](
+      GraftConfig.fromDotEnv(badFile.toString, env = Map.empty))
+    assert(bad.getMessage.contains("line 2"))
+  }
+
   test("run(): datagrams land in the configured JDBC table (the reference main() e2e)") {
     System.setProperty("derby.stream.error.file", "/tmp/derby.log")
     val probe = new DatagramSocket(0)

@@ -76,6 +76,28 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)), "planted dup pair 1-2 lost to the bucket guard")
   }
 
+  test("q_dedup_minhash: a degenerate hot bucket is dropped, real dups survive") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_hot_mh").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again until done"
+    // 100 identical boilerplate docs share every (band, bh) bucket; the
+    // MinhashMaxBucket guard must drop those buckets (100*99/2 pairs per
+    // band otherwise) while the planted dup pair in small buckets survives
+    val degenerate = (100L to 199L).map(i => (i, "x x x x x", "en", "srcd", 9L))
+    val docs = Seq(
+      (1L, base, "en", "src0", base.length.toLong),
+      (2L, base, "en", "src0", base.length.toLong), // exact dup of 1: small bucket
+      (3L, "completely different words about spark query engines and shuffles here now", "en", "src2", 70L)) ++ degenerate
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(operators.Dedup.MinhashMaxBucket < 100)
+    val pairs = operators.Dedup.dedupMinhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(!pairs.exists { case (a, b) => a >= 100L && b >= 100L },
+      s"degenerate bucket leaked ${pairs.count { case (a, b) => a >= 100L && b >= 100L }} pairs")
+    assert(pairs.contains((1L, 2L)), "planted dup pair 1-2 lost to the bucket guard")
+  }
+
   test("q_sim_ann_lsh: the planted near-duplicate vector is the top ANN hit") {
     val top = operators.Similarity.simAnnLsh(spark, fixtureDir).collect()
     assert(top.nonEmpty, "probe bucket empty")

@@ -230,6 +230,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-batch parity: sessionize over real events equals q_window_session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch truth: the gaps-and-islands operator at µs precision
+    val batch = SparkEntry.queries("q_window_session")(spark, TestSpark.sfDir)
+      .select(col("user_id"), col("sess_start_us"), col("sess_end_us"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    // same rows through the streaming path (timestamps keep their µs)
+    val evs = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+      .selectExpr("event_id", "timestamp_micros(ts div 1000) AS timestamp", "user_id")
+      .as[Ev].collect().toSeq
+    val ms = MemoryStream[Ev]
+    val q = Pipeline.sessionize(ms.toDF()).writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_parity").start()
+    try {
+      ms.addData(evs)
+      q.processAllAvailable()
+      // sentinel events far past everything advance the watermark so the
+      // event-time timeout flushes each user's still-open last session
+      val maxMs = evs.map(_.timestamp.getTime).max
+      ms.addData(Ev(-1L, new Timestamp(maxMs + 7L * 24 * 3600 * 1000), -1L))
+      q.processAllAvailable()
+      ms.addData(Ev(-2L, new Timestamp(maxMs + 14L * 24 * 3600 * 1000), -1L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("sess_parity").as[Pipeline.SessionOut].collect()
+      .filter(_.user_id >= 0) // drop the watermark sentinels
+      .map(s => (s.user_id, Pipeline.tsToUs(s.session_start),
+        Pipeline.tsToUs(s.session_end), s.n_events)).toSet
+    assert(streamed === batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
   test("stream_sink_batched: JDBC sink round-trips into an embedded Derby table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
