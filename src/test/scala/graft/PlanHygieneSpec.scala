@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Global plan hygiene over EVERY declared query — the anti-patterns that
+  * kill a 100 TB run must be absent everywhere, not only in the operators
+  * PlanSpec pins individually. Queries are planned, never executed, so the
+  * sweep stays cheap and catches a plan-shape regression in ANY operator
+  * the moment it appears.
+  *
+  * Unbounded-join discipline: a CartesianProduct or a nested-loop join is
+  * O(|L|·|R|) work — acceptable only where one side is bounded by
+  * construction (a broadcast probe row, a K-row codebook, a one-row count,
+  * a small distinct dimension) or where the operator is *declared*
+  * cartesian. Those appear in explicit allowlists; everything else fails.
+  */
+class PlanHygieneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, dir).queryExecution.executedPlan.toString
+    }
+
+  test("no ScalaUDF or Python eval anywhere: expressions stay inside codegen") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("ScalaUDF") || p.toLowerCase.contains("batchevalpython") => n
+    }
+    assert(offenders.isEmpty, s"UDF leaked into: ${offenders.toSeq.sorted}")
+  }
+
+  test("CartesianProduct only in the declared cartesian operator") {
+    val allowed = Set("q_join_cross")
+    val offenders = plans.collect {
+      case (n, p) if p.contains("CartesianProduct") && !allowed(n) => n
+    }
+    assert(offenders.isEmpty,
+      s"unexpected cartesian join in: ${offenders.toSeq.sorted}")
+  }
+
+  test("nested-loop joins only where one side is bounded by construction") {
+    val allowed = Set(
+      "q_join_cross",       // declared cartesian over small dims
+      "q_join_theta_range", // declared non-equi range join, bounded dims
+      "q_join_asof",        // as-of range match, bounded build side
+      "q_sim_cosine",       // broadcast one-row probe vector
+      "q_dedup_embedding",  // broadcast ≤100-row probe sample
+      "q_sim_ann_lsh",      // broadcast probe bucket
+      "q_sim_ann_ivf",      // broadcast K-row codebook + one-row probe
+      "q_embed_cluster_stats", // broadcast K-row codebook
+      "q_tfidf_top",        // broadcast one-row corpus count N
+      "q_gap_fill",         // dense (bucket × type) domain, small distinct dim
+      "q_scalar_subquery")  // uncorrelated scalar compared per row
+    val offenders = plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(n) => n
+    }
+    assert(offenders.isEmpty,
+      s"unexpected nested-loop join in: ${offenders.toSeq.sorted}")
+  }
+
+  test("every parquet-backed query plans a columnar scan (no RDD fallback)") {
+    val offenders = plans.collect {
+      case (n, p) if !p.contains("Scan parquet") && !p.contains("LocalTableScan")
+        && !p.contains("Scan ExistingRDD") && !p.contains("RowDataSourceScan") => n
+    }
+    assert(offenders.isEmpty, s"no recognizable scan in: ${offenders.toSeq.sorted}")
+  }
+}
