@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: headroom for 100 queries × 32 local threads in one JVM (the box
+  // has 128 GiB); A/B'd against 8g at sf0.1 — run-to-run variance from
+  // GC/JIT jitter dominates either way, so this is margin, not a tuning
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
