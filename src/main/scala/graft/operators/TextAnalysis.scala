@@ -196,6 +196,46 @@ object TextAnalysis {
        |  count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
        |FROM o GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
 
+  /** the 100-TB form of q_pack_contexts: the per-lang running cumsum above
+    * puts an entire language in ONE window partition — a single task
+    * sorting half the corpus when one language dominates. Sharding each
+    * language by a deterministic md5 coin bounds every window partition at
+    * corpus/(langs·shards) and the packer parallelism scales with
+    * PackShards; the (documented) tradeoff is that bins never span shards,
+    * so up to PackShards-1 partially-filled tail bins per language. Same
+    * cross-engine hash family as q_sample_stratified, so the oracle
+    * replays the shard assignment exactly. */
+  val PackShards = 8
+
+  def packContextsSharded(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), size(toks).cast(LongType).as("n_tok"))
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+          .cast(LongType) % PackShards)
+      .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin", expr(s"start_off div $PackBudget"))
+      .groupBy("lang", "shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy("lang", "shard", "bin")
+  }
+
+  val packContextsShardedSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % $PackShards AS shard,
+       |    len(string_split(text, ' '))::BIGINT AS n_tok
+       |  FROM documents),
+       |o AS (SELECT lang, shard, n_tok,
+       |  sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
+       |  FROM d)
+       |SELECT lang, shard, (start_off // $PackBudget)::BIGINT AS bin,
+       |  count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+       |FROM o GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin
+
   // ---- TF-IDF top terms ----------------------------------------------
   /** per-doc top-3 salient terms by a log-free TF-IDF (tf · N / df — the
     * rational idf keeps every intermediate an exact integer, so the only
@@ -280,12 +320,14 @@ object TextAnalysis {
     "q_doc_fingerprint" -> docFingerprint _,
     "q_tfidf_top" -> tfidfTop _,
     "q_sample_stratified" -> sampleStratified _,
-    "q_pack_contexts" -> packContexts _)
+    "q_pack_contexts" -> packContexts _,
+    "q_pack_contexts_sharded" -> packContextsSharded _)
 
   val oracle: Map[String, String] = Map(
     "q_tfidf_top" -> tfidfTopSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_pack_contexts" -> packContextsSql,
+    "q_pack_contexts_sharded" -> packContextsShardedSql,
     "q_text_stats" -> textStatsSql,
     "q_token_freq" -> tokenFreqSql,
     "q_lang_id" -> langIdSql,
