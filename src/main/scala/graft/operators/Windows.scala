@@ -118,6 +118,51 @@ object Windows {
       |ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** EXACT global ntile without the single-task global window: the plain
+    * `ntile(4) OVER (ORDER BY …)` above forces the whole relation through
+    * one `Exchange SinglePartition` — the canonical 100-TB bottleneck.
+    * Scale shape here: (1) deterministic value boundaries from
+    * approx_percentile (boundary QUALITY only affects balance — ANY
+    * monotone bucketing yields exact ranks, so sketch merge order can't
+    * change the output); (2) per-bucket local row_number, B-way parallel;
+    * (3) bucket offsets via a window over the B-row count frame (bounded)
+    * broadcast back; (4) global rank = offset + local rank, ntile from
+    * rank with SQL's bigger-buckets-first remainder rule. Output is
+    * row-identical to q_win_ntile — the oracle is the same SQL — and the
+    * same pattern distributes any global rank/row_number/cume_dist. */
+  val NtileBuckets = 32
+
+  def winNtileDist(s: SparkSession, dir: String): DataFrame = {
+    val k = 4
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    val fracs = (1 until NtileBuckets).map(i => i.toDouble / NtileBuckets).mkString(",")
+    val bounds = o.agg(
+      expr(s"approx_percentile(o_totalprice, array($fracs))").as("bs"))
+    // sort order is price DESC: bucket index = # boundaries above the
+    // price — monotone non-increasing in price, ties share a bucket
+    val bucketed = o.crossJoin(broadcast(bounds))
+      .withColumn("bkt", expr("size(filter(bs, b -> b > o_totalprice))"))
+      .drop("bs")
+    val offs = bucketed.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", sum(col("cnt")).over(Window.orderBy("bkt")) - col("cnt"))
+      .withColumn("n_total", sum(col("cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .drop("cnt")
+    bucketed.join(broadcast(offs), Seq("bkt"))
+      .withColumn("lr", row_number().over(
+        Window.partitionBy("bkt").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+      .withColumn("rnk", col("off") + col("lr"))
+      .withColumn("base", expr(s"n_total div $k"))
+      .withColumn("rem", expr(s"n_total % $k"))
+      .withColumn("quartile",
+        when(col("rnk") <= col("rem") * (col("base") + 1),
+          expr("(rnk - 1) div (base + 1) + 1"))
+        .otherwise(expr("rem + (rnk - rem * (base + 1) - 1) div base + 1"))
+        .cast(IntegerType))
+      .select(col("o_orderkey"), col("o_totalprice"), col("quartile"))
+      .orderBy("o_orderkey")
+  }
+
   // ---- B.9 batch twins of streaming windows ---------------------------
 
   /** tumbling 1h event-time window (batch twin of the streaming agg) */
@@ -268,6 +313,7 @@ object Windows {
     "q_win_moving_avg" -> winMovingAvg _,
     "q_win_range_frame" -> winRangeFrame _,
     "q_win_ntile" -> winNtile _,
+    "q_win_ntile_dist" -> winNtileDist _,
     "q_window_tumbling" -> windowTumbling _,
     "q_window_sliding" -> windowSliding _,
     "q_window_session" -> windowSession _)
@@ -282,6 +328,7 @@ object Windows {
     "q_win_moving_avg" -> winMovingAvgSql,
     "q_win_range_frame" -> winRangeFrameSql,
     "q_win_ntile" -> winNtileSql,
+    "q_win_ntile_dist" -> winNtileSql, // row-identical by construction
     "q_window_tumbling" -> windowTumblingSql,
     "q_window_sliding" -> windowSlidingSql,
     "q_window_session" -> windowSessionSql)

@@ -103,6 +103,18 @@ class PlanSpec extends AnyFunSuite {
       s"expected every hash exchange keyed on cid/pos only, got $keys:\n$p")
   }
 
+  test("q_win_ntile_dist: row-identical to the global-window ntile, without its bottleneck") {
+    val global = SparkEntry.queries("q_win_ntile")(spark, dir).collect().toSeq
+    val dist = SparkEntry.queries("q_win_ntile_dist")(spark, dir).collect().toSeq
+    assert(dist === global, "distributed ntile diverged from the global-window ntile")
+    val p = plan("q_win_ntile_dist")
+    // the ORDERS-side rank must run B-way parallel on the bucket key; the
+    // only single-partition work is the bounded B-row offsets frame
+    assert(p.contains("hashpartitioning(bkt"), s"per-bucket rank not parallel:\n$p")
+    val single = "Exchange SinglePartition".r.findAllIn(plan("q_win_ntile")).size
+    assert(single >= 1, "baseline q_win_ntile lost its expected global exchange (update this spec)")
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange on either side") {
     // the 100 TB pattern for repeated big-big joins: pre-bucket both sides
     // on the join key; the sort-merge join then reads buckets directly
