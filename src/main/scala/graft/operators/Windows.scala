@@ -303,8 +303,46 @@ object Windows {
       |FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
       |ORDER BY o_orderstatus, o_orderkey""".stripMargin
 
+  /** percent_rank/cume_dist over a LOW-CARDINALITY partition key (three
+    * order statuses) — at 100 TB each status is a third of the relation
+    * in ONE window task. Same two-level rank shape as q_win_ntile_dist,
+    * nested inside the group key: value-bucket within status, per-bucket
+    * local row_number, broadcast per-(status, bkt) offsets and per-status
+    * totals. The window's sort key (price, okey) is unique per status, so
+    * rank = global row number and cume_dist = rank/n exactly —
+    * row-identical to q_win_dist (same oracle SQL). */
+  def winDistBucketed(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+    val fracs = (1 until NtileBuckets).map(i => i.toDouble / NtileBuckets).mkString(",")
+    val bounds = o.agg(
+      expr(s"approx_percentile(o_totalprice, array($fracs))").as("bs"))
+    // ASC sort: bucket index = # boundaries strictly below the price —
+    // monotone non-decreasing, ties share a bucket
+    val bucketed = o.crossJoin(broadcast(bounds))
+      .withColumn("bkt", expr("size(filter(bs, b -> b < o_totalprice))"))
+      .drop("bs")
+    val offs = bucketed.groupBy("o_orderstatus", "bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", sum(col("cnt")).over(
+        Window.partitionBy("o_orderstatus").orderBy("bkt")) - col("cnt"))
+      .withColumn("n_part", sum(col("cnt")).over(Window.partitionBy("o_orderstatus")))
+      .drop("cnt")
+    bucketed.join(broadcast(offs), Seq("o_orderstatus", "bkt"))
+      .withColumn("lr", row_number().over(
+        Window.partitionBy("o_orderstatus", "bkt")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)))
+      .withColumn("rnk", col("off") + col("lr"))
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        r4f(when(col("n_part") > 1,
+          (col("rnk") - 1).cast(DoubleType) / (col("n_part") - 1).cast(DoubleType))
+          .otherwise(lit(0d))).as("pr"),
+        r4f(col("rnk").cast(DoubleType) / col("n_part").cast(DoubleType)).as("cd"))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_win_dist" -> winDist _,
+    "q_win_dist_bucketed" -> winDistBucketed _,
     "q_gap_fill" -> gapFill _,
     "q_win_first_last" -> winFirstLast _,
     "q_win_rank" -> winRank _,
@@ -320,6 +358,7 @@ object Windows {
 
   val oracle: Map[String, String] = Map(
     "q_win_dist" -> winDistSql,
+    "q_win_dist_bucketed" -> winDistSql, // row-identical by construction
     "q_gap_fill" -> gapFillSql,
     "q_win_first_last" -> winFirstLastSql,
     "q_win_rank" -> winRankSql,

@@ -115,6 +115,15 @@ class PlanSpec extends AnyFunSuite {
     assert(single >= 1, "baseline q_win_ntile lost its expected global exchange (update this spec)")
   }
 
+  test("q_win_dist_bucketed: row-identical to the per-status window, rank runs per (status, bkt)") {
+    val global = SparkEntry.queries("q_win_dist")(spark, dir).collect().toSeq
+    val dist = SparkEntry.queries("q_win_dist_bucketed")(spark, dir).collect().toSeq
+    assert(dist === global, "bucketed percent_rank/cume_dist diverged from the window form")
+    val keys = exchangeKeys(plan("q_win_dist_bucketed"))
+    assert(Set("o_orderstatus", "bkt").subsetOf(keys),
+      s"two-level rank not keyed on (status, bkt); exchange keys = $keys")
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange on either side") {
     // the 100 TB pattern for repeated big-big joins: pre-bucket both sides
     // on the join key; the sort-merge join then reads buckets directly
