@@ -106,6 +106,46 @@ object Windows {
       |  RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** the distributed twin of q_win_range_frame — same one-task-per-status
+    * problem as q_win_dist, but a RANGE frame needs cross-bucket context:
+    * a row near a bucket's lower edge must see rows up to 1000.0 below it
+    * that live in earlier buckets. Classic halo replication (the spatial-
+    * join technique): every row keeps one member copy in its own value
+    * bucket and ghost copies in each later bucket whose range can still
+    * see it inside the 1000-band lookback; the per-(status, bucket) range
+    * window then computes exactly the original frame, and only member
+    * rows are emitted. Ghost fan-out is bounded by how many percentile
+    * boundaries fall inside a 1000-wide price band — with B buckets the
+    * expected copies per row are 1 + B·1000/price_range, independent of
+    * row count. Row-identical to q_win_range_frame (same oracle SQL). */
+  def winRangeFrameBucketed(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+    val fracs = (1 until NtileBuckets).map(i => i.toDouble / NtileBuckets).mkString(",")
+    val bounds = o.agg(
+      expr(s"approx_percentile(o_totalprice, array($fracs))").as("bs"))
+    val tagged = o.crossJoin(broadcast(bounds))
+      .withColumn("bkt", expr("size(filter(bs, b -> b < o_totalprice))"))
+      .withColumn("gmax", expr("size(filter(bs, b -> b <= o_totalprice + 1000.0d))"))
+      .withColumn("copies", expr(
+        """concat(array(named_struct('b', bkt, 'm', true)),
+          |  transform(if(gmax > bkt, sequence(bkt + 1, gmax), array()),
+          |    g -> named_struct('b', g, 'm', false)))""".stripMargin))
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        explode(col("copies")).as("c"))
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        col("c.b").as("bkt2"), col("c.m").as("is_member"))
+    val w = Window.partitionBy("o_orderstatus", "bkt2")
+      .orderBy(col("o_totalprice").asc).rangeBetween(-1000L, 0L)
+    tagged
+      .withColumn("n_in_band", count(lit(1)).over(w))
+      .withColumn("band_total", r4(sum(d2(col("o_totalprice"))).over(w)))
+      .where(col("is_member"))
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        col("n_in_band"), col("band_total"))
+      .orderBy("o_orderkey")
+  }
+
   def winNtile(s: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     t(s, dir, "orders")
@@ -350,6 +390,7 @@ object Windows {
     "q_win_running" -> winRunning _,
     "q_win_moving_avg" -> winMovingAvg _,
     "q_win_range_frame" -> winRangeFrame _,
+    "q_win_range_frame_bucketed" -> winRangeFrameBucketed _,
     "q_win_ntile" -> winNtile _,
     "q_win_ntile_dist" -> winNtileDist _,
     "q_window_tumbling" -> windowTumbling _,
@@ -366,6 +407,7 @@ object Windows {
     "q_win_running" -> winRunningSql,
     "q_win_moving_avg" -> winMovingAvgSql,
     "q_win_range_frame" -> winRangeFrameSql,
+    "q_win_range_frame_bucketed" -> winRangeFrameSql, // row-identical by construction
     "q_win_ntile" -> winNtileSql,
     "q_win_ntile_dist" -> winNtileSql, // row-identical by construction
     "q_window_tumbling" -> windowTumblingSql,

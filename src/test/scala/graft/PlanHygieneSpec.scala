@@ -51,7 +51,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_embed_cluster_stats", // broadcast K-row codebook
       "q_tfidf_top",        // broadcast one-row corpus count N
       "q_gap_fill",         // dense (bucket × type) domain, small distinct dim
-      "q_scalar_subquery")  // uncorrelated scalar compared per row
+      "q_scalar_subquery",  // uncorrelated scalar compared per row
+      "q_win_ntile_dist",          // broadcast one-row percentile bounds
+      "q_win_dist_bucketed",       // broadcast one-row percentile bounds
+      "q_win_range_frame_bucketed") // broadcast one-row percentile bounds
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(n) => n
     }

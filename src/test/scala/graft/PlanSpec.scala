@@ -124,6 +124,15 @@ class PlanSpec extends AnyFunSuite {
       s"two-level rank not keyed on (status, bkt); exchange keys = $keys")
   }
 
+  test("q_win_range_frame_bucketed: halo replication reproduces the per-status range frame") {
+    val global = SparkEntry.queries("q_win_range_frame")(spark, dir).collect().toSeq
+    val dist = SparkEntry.queries("q_win_range_frame_bucketed")(spark, dir).collect().toSeq
+    assert(dist === global, "halo-replicated range frame diverged from the window form")
+    val keys = exchangeKeys(plan("q_win_range_frame_bucketed"))
+    assert(Set("o_orderstatus", "bkt2").subsetOf(keys),
+      s"range window not keyed on (status, bkt2); exchange keys = $keys")
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange on either side") {
     // the 100 TB pattern for repeated big-big joins: pre-bucket both sides
     // on the join key; the sort-merge join then reads buckets directly
