@@ -121,12 +121,17 @@ object Windows {
   def winRangeFrameBucketed(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
       .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
-    val fracs = (1 until NtileBuckets).map(i => i.toDouble / NtileBuckets).mkString(",")
-    val bounds = o.agg(
-      expr(s"approx_percentile(o_totalprice, array($fracs))").as("bs"))
+    // same codegen'd equal-width bucketing as the other twins; the ghost
+    // range bkt+1..gmax is exact because width_bucket is monotone: a
+    // member p sees context q iff q ≥ p−1000 ⟺ q+1000 ≥ p, which implies
+    // bucket(q+1000) ≥ bucket(p)
+    val bounds = o.agg(min(col("o_totalprice")).as("pmin"), max(col("o_totalprice")).as("pmax"))
     val tagged = o.crossJoin(broadcast(bounds))
-      .withColumn("bkt", expr("size(filter(bs, b -> b < o_totalprice))"))
-      .withColumn("gmax", expr("size(filter(bs, b -> b <= o_totalprice + 1000.0d))"))
+      .withColumn("bkt",
+        expr(s"width_bucket(o_totalprice, pmin, pmax + 1.0d, $NtileBuckets)"))
+      .withColumn("gmax", least(
+        expr(s"width_bucket(o_totalprice + 1000.0d, pmin, pmax + 1.0d, $NtileBuckets)"),
+        lit(NtileBuckets)))
       .withColumn("copies", expr(
         """concat(array(named_struct('b', bkt, 'm', true)),
           |  transform(if(gmax > bkt, sequence(bkt + 1, gmax), array()),
@@ -161,10 +166,10 @@ object Windows {
   /** EXACT global ntile without the single-task global window: the plain
     * `ntile(4) OVER (ORDER BY …)` above forces the whole relation through
     * one `Exchange SinglePartition` — the canonical 100-TB bottleneck.
-    * Scale shape here: (1) deterministic value boundaries from
-    * approx_percentile (boundary QUALITY only affects balance — ANY
-    * monotone bucketing yields exact ranks, so sketch merge order can't
-    * change the output); (2) per-bucket local row_number, B-way parallel;
+    * Scale shape here: (1) deterministic equal-width value buckets from
+    * exact min/max (bucket QUALITY only affects balance — ANY monotone
+    * bucketing yields exact ranks); (2) per-bucket local row_number,
+    * B-way parallel;
     * (3) bucket offsets via a window over the B-row count frame (bounded)
     * broadcast back; (4) global rank = offset + local rank, ntile from
     * rank with SQL's bigger-buckets-first remainder rule. Output is
@@ -175,14 +180,17 @@ object Windows {
   def winNtileDist(s: SparkSession, dir: String): DataFrame = {
     val k = 4
     val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
-    val fracs = (1 until NtileBuckets).map(i => i.toDouble / NtileBuckets).mkString(",")
-    val bounds = o.agg(
-      expr(s"approx_percentile(o_totalprice, array($fracs))").as("bs"))
-    // sort order is price DESC: bucket index = # boundaries above the
-    // price — monotone non-increasing in price, ties share a bucket
+    // equal-width value buckets from exact min/max: any monotone bucketing
+    // yields exact ranks (width only affects balance), and width_bucket is
+    // a codegen'd O(1) expression — a per-row lambda over a boundary array
+    // ran interpreted and cost ~15× at sf0.1. hi = pmax + 1 keeps the top
+    // value inside bucket B and keeps lo < hi on degenerate input.
+    // Sort order is price DESC, so flip the ascending bucket index.
+    val bounds = o.agg(min(col("o_totalprice")).as("pmin"), max(col("o_totalprice")).as("pmax"))
     val bucketed = o.crossJoin(broadcast(bounds))
-      .withColumn("bkt", expr("size(filter(bs, b -> b > o_totalprice))"))
-      .drop("bs")
+      .withColumn("bkt", lit(NtileBuckets) -
+        expr(s"width_bucket(o_totalprice, pmin, pmax + 1.0d, $NtileBuckets)"))
+      .drop("pmin", "pmax")
     val offs = bucketed.groupBy("bkt").agg(count(lit(1)).as("cnt"))
       .withColumn("off", sum(col("cnt")).over(Window.orderBy("bkt")) - col("cnt"))
       .withColumn("n_total", sum(col("cnt")).over(
@@ -354,14 +362,13 @@ object Windows {
   def winDistBucketed(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
       .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
-    val fracs = (1 until NtileBuckets).map(i => i.toDouble / NtileBuckets).mkString(",")
-    val bounds = o.agg(
-      expr(s"approx_percentile(o_totalprice, array($fracs))").as("bs"))
-    // ASC sort: bucket index = # boundaries strictly below the price —
-    // monotone non-decreasing, ties share a bucket
+    // codegen'd equal-width bucketing (see winNtileDist): monotone
+    // non-decreasing in price, ties share a bucket
+    val bounds = o.agg(min(col("o_totalprice")).as("pmin"), max(col("o_totalprice")).as("pmax"))
     val bucketed = o.crossJoin(broadcast(bounds))
-      .withColumn("bkt", expr("size(filter(bs, b -> b < o_totalprice))"))
-      .drop("bs")
+      .withColumn("bkt",
+        expr(s"width_bucket(o_totalprice, pmin, pmax + 1.0d, $NtileBuckets)"))
+      .drop("pmin", "pmax")
     val offs = bucketed.groupBy("o_orderstatus", "bkt").agg(count(lit(1)).as("cnt"))
       .withColumn("off", sum(col("cnt")).over(
         Window.partitionBy("o_orderstatus").orderBy("bkt")) - col("cnt"))
