@@ -242,16 +242,20 @@ object TextAnalysis {
     * double op is one correctly-rounded IEEE division that both engines
     * compute bit-identically; ln() implementations differ in last ulps
     * and are deliberately avoided). Shape at scale: tf is one (doc, tok)
-    * groupBy; df is a window count over the same relation partitioned by
-    * tok (second shuffle); the doc-count scalar broadcasts. Tie-stable:
-    * rank on (rounded score desc, tok asc). */
+    * groupBy; df is a separate groupBy(tok).count() equi-joined back on
+    * tok — NOT a window partitioned by tok: a stop-word's tok-partition
+    * would hold ~n_docs rows in ONE window task at 100 TB, whereas the
+    * aggregate is map-side combined and AQE can split the skewed join
+    * key. The doc-count scalar broadcasts. Tie-stable: rank on
+    * (rounded score desc, tok asc). */
   def tfidfTop(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = t(s, dir, "documents")
     val tf = d.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .where(col("tok") =!= "")
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val withDf = tf.join(df, "tok")
     val n = d.agg(count(lit(1)).as("n_docs"))
     withDf.crossJoin(broadcast(n))
       .withColumn("score", r4f(col("tf") * col("n_docs") / col("df")))
