@@ -62,6 +62,61 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"unexpected nested-loop join in: ${offenders.toSeq.sorted}")
   }
 
+  /** The one-task-window rule. A WindowExec whose partition spec is empty,
+    * or references ONLY fixed-cardinality dimension columns, runs as a
+    * handful of tasks no matter how big the data — the canonical 100 TB
+    * scale-killer. Exception: a window whose input subtree already passed
+    * through an aggregation operates on a bounded (group-count-sized)
+    * relation, where a low-cardinality key is fine (e.g. the per-(status,
+    * bkt) offset windows inside the bucketed twins, or per-group mode over
+    * two-phase counts). The four intentionally-naive pedagogical forms are
+    * allowlisted BY NAME — and the allowlist is checked both ways, so a
+    * fixed twin can't silently keep its exemption. */
+  private val declaredNaiveTwins =
+    Set("q_win_ntile", "q_win_dist", "q_win_range_frame", "q_pack_contexts")
+
+  /** columns whose distinct count is a constant of the schema, not of the
+    * data size: partitioning raw fact rows by only these pins whole-table
+    * work onto ≤ |domain| tasks */
+  private val fixedCardinalityCols = Set(
+    "o_orderstatus", "o_orderpriority", "l_returnflag", "l_linestatus",
+    "lang", "event_type", "severity", "r_name", "n_name", "status")
+
+  private def naiveWindows(name: String): Seq[String] = {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    // sparkPlan (pre-AQE) is a plain tree — executedPlan wraps everything
+    // in AdaptiveSparkPlanExec, a leaf that collect() can't see through
+    val plan = SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
+    plan.collect {
+      case w: WindowExec =>
+        val refs = w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).distinct
+        val boundedInput = w.child.collect {
+          case a: HashAggregateExec => a
+          case a: ObjectHashAggregateExec => a
+          case a: SortAggregateExec => a
+        }.nonEmpty
+        if (!boundedInput && (refs.isEmpty || refs.forall(fixedCardinalityCols)))
+          Some(s"$name: Window over raw rows partitioned by [${refs.mkString(",")}]")
+        else None
+    }.flatten
+  }
+
+  test("no unpartitioned/fixed-cardinality window over raw rows outside the declared naive twins") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(declaredNaiveTwins)
+      .flatMap(naiveWindows)
+    assert(offenders.isEmpty,
+      s"one-task-at-scale window in: $offenders — partition on a scaling key " +
+        "or register a distributed twin and allowlist the naive form")
+  }
+
+  test("declared naive twins still trip the window rule (allowlist stays honest)") {
+    val stale = declaredNaiveTwins.toSeq.sorted.filter(naiveWindows(_).isEmpty)
+    assert(stale.isEmpty,
+      s"allowlisted but no longer naive — remove from declaredNaiveTwins: $stale")
+  }
+
   test("every parquet-backed query plans a columnar scan (no RDD fallback)") {
     val offenders = plans.collect {
       case (n, p) if !p.contains("Scan parquet") && !p.contains("LocalTableScan")
