@@ -31,11 +31,13 @@ object Bench {
     // the min a real steady-state signal
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.Map[String, Double]()
+    val worst = scala.collection.mutable.Map[String, Double]()
     for (_ <- 1 to 2; (name, fn) <- ordered) {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       val dt = (System.nanoTime() - t0) / 1e9
       if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
+      if (dt > worst.getOrElse(name, Double.MinValue)) worst(name) = dt
     }
     val results = best.toMap
     // ms precision and sorted keys keep the line short and diffable
@@ -43,17 +45,35 @@ object Bench {
     // log tail mid-line and parse as garbage); locale-free formatting via
     // Double.toString of the rounded value
     def r3(v: Double): Double = math.round(v * 1000).toDouble / 1000
-    val qs = results.toSeq.sortBy(_._1)
+    def jmap(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // per-query run-to-run spread (max/min): separates machine noise from
+    // a real plan change when comparing rounds — a query whose min moved
+    // but whose spread straddles both numbers is noise, not regression
+    val spread = results.map { case (k, lo) =>
+      k -> (if (lo > 0) worst(k) / lo else 1.0)
+    }
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // stop FIRST so the JSON is the last stdout line of the run, with no
-    // shutdown logging after it; also persist it for post-hoc analysis
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}"""
+    val localJson =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results)},"variance":${jmap(spread)},"sf":"$sfDir"}"""
+    // a compact summary with no per-query map: short enough that a bounded
+    // log-tail parser always sees the whole line — printed LAST
+    val shortLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    // stop FIRST so the JSON lines are the last stdout of the run, with no
+    // shutdown logging after them; persist the full data for post-hoc use
     try spark.stop() catch { case _: Throwable => }
-    try java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
-      (line + "\n").getBytes("UTF-8")) catch { case _: Throwable => }
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File("BENCH_LOCAL.json").getAbsolutePath)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (localJson + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] WARN: could not write $outPath: $e — file may be stale")
+    }
     println(line)
+    println(shortLine)
   }
 }
