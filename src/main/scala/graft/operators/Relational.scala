@@ -340,6 +340,35 @@ object Relational {
       |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** salted hot-key join (the explicit skew fallback from Skew.saltedJoin,
+    * declared as a query). The derived key is Zipf-ish by construction:
+    * every third lineitem lands on key 7, so one reducer would own ~36% of
+    * the fact table in a plain shuffled equi-join. Salting scatters the
+    * big side across 8 sub-keys and replicates the 25-row dim 8×, so the
+    * hot key's rows land on 8 reducers instead of one. The dim side is
+    * hinted shuffle_hash — broadcasting 25 rows would of course also work,
+    * but then the salt would never reach a shuffle; the declared query
+    * pins the pattern for the modest-but-not-broadcastable dim case.
+    * Salting is plan-side only: the oracle is the plain join. */
+  def joinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").withColumn("sk",
+      when(col("l_partkey") % 3 === 0, lit(7)).otherwise(col("l_partkey") % 25)
+        .cast(LongType))
+    val dim = t(s, dir, "nation")
+      .select(col("n_nationkey").cast(LongType).as("sk"), col("n_name"))
+    Skew.saltedJoin(li, dim.hint("shuffle_hash"), "sk", salts = 8)
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_rows"), r4(sum(d2(col("l_quantity")))).as("sum_qty"))
+      .orderBy("n_name")
+  }
+
+  val joinSkewSaltedSql =
+    """SELECT n_name, count(*) AS n_rows,
+      |CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN nation
+      |ON (CASE WHEN l_partkey % 3 = 0 THEN 7 ELSE l_partkey % 25 END) = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_scalar_subquery" -> scalarSubquery _,
     "q_scan_parquet" -> scanParquet _,
@@ -357,6 +386,7 @@ object Relational {
     "q_join_theta_range" -> joinThetaRange _,
     "q_join_asof" -> joinAsof _,
     "q_join_cross" -> joinCross _,
+    "q_join_skew_salted" -> joinSkewSalted _,
     "q_topk_global" -> topkGlobal _,
     "q_sort_multi" -> sortMulti _,
     "q_topk_per_group" -> topkPerGroup _,
@@ -382,6 +412,7 @@ object Relational {
     "q_join_theta_range" -> joinThetaRangeSql,
     "q_join_asof" -> joinAsofSql,
     "q_join_cross" -> joinCrossSql,
+    "q_join_skew_salted" -> joinSkewSaltedSql,
     "q_topk_global" -> topkGlobalSql,
     "q_sort_multi" -> sortMultiSql,
     "q_topk_per_group" -> topkPerGroupSql,

@@ -28,6 +28,17 @@ class SkewSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("q_join_skew_salted: salt reaches a real shuffled join, no single-reducer hot key") {
+    val plan = operators.Relational.joinSkewSalted(spark, TestSpark.sfDir)
+      .queryExecution.sparkPlan.toString
+    // the join must be a shuffled equi-join whose keys include the salt:
+    // the hot key's rows then hash to `salts` reducers instead of one —
+    // a broadcast here would silently bypass the pattern being declared
+    assert(plan.contains("ShuffledHashJoin"), s"expected ShuffledHashJoin:\n$plan")
+    assert(plan.contains("__salt"), s"salt column missing from join keys:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), "dim side was broadcast — salt never reaches a shuffle")
+  }
+
   test("saltedCount returns exactly the plain groupBy counts") {
     val plain = skewed.groupBy("o_custkey").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
