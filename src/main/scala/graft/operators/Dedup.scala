@@ -238,16 +238,22 @@ object Dedup {
     * fraction of its word-3-grams that appear anywhere in the TRAIN split
     * (all other docs). Shape at scale: the distinct train-gram inverted
     * index is built once (one shuffle), eval grams left-semi join it (one
-    * more shuffle on gram) — never doc×doc. An 8-gram Bloom filter
-    * replaces the exact index when the gram universe outgrows memory;
-    * the exact form here is the oracle-checkable core. */
+    * more shuffle on gram) — never doc×doc. An 8-hash Bloom filter
+    * ([[decontaminateBloom]]) replaces the exact index when the gram
+    * universe outgrows memory; the exact form here is the
+    * oracle-checkable core. */
   val DecontamEvalMod = 97
 
-  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+  def decontaminate(s: SparkSession, dir: String): DataFrame =
+    decontaminateMod(s, dir, DecontamEvalMod)
+
+  /** eval split = doc_id % mod == 0 — parameterized so the spec can use a
+    * denser eval split than the declared 1% key */
+  def decontaminateMod(s: SparkSession, dir: String, mod: Int): DataFrame = {
     val sh = shingled(s, dir)
-    val evalDocs = sh.where(col("doc_id") % DecontamEvalMod === 0)
+    val evalDocs = sh.where(col("doc_id") % mod === 0)
     val evalG = evalDocs.select(col("doc_id"), explode(col("grams")).as("gram"))
-    val trainG = sh.where(col("doc_id") % DecontamEvalMod =!= 0)
+    val trainG = sh.where(col("doc_id") % mod =!= 0)
       .select(explode(col("grams")).as("gram")).distinct()
     val hits = evalG.join(trainG, Seq("gram"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
@@ -277,6 +283,68 @@ object Dedup {
        |SELECT s.doc_id, s.n_grams, coalesce(h.n_hit, 0) AS n_hit,
        |  floor(coalesce(h.n_hit, 0)::DOUBLE / s.n_grams * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS contamination
        |FROM sizes s LEFT JOIN hits h USING (doc_id) ORDER BY s.doc_id""".stripMargin
+
+  // ---- Bloom-filter decontamination ------------------------------------
+  /** Bloom twin of [[decontaminate]] for when the distinct train-gram
+    * index outgrows memory — at 100 TB that index is the biggest state in
+    * the pipeline, while the filter below is a FIXED-size bit array
+    * whatever the corpus size. Same output schema; n_hit can only be
+    * INFLATED (no false negatives), never deflated, and the spec bounds
+    * the inflation.
+    *
+    * Distributed build, no driver-side sketch: each train gram maps to
+    * [[BloomHashes]] bit positions (Kirsch–Mitzenmacher double hashing
+    * from two xxhash64 values, reduced mod m BEFORE the i·h2 multiply so
+    * ANSI-mode int64 arithmetic cannot overflow), positions fold into
+    * 64-bit words via one map-side-combined bit_or groupBy — the shuffle
+    * is bounded by partitions × m/64 rows regardless of corpus size. The
+    * probe side explodes each eval gram to its k (word, bit) lookups and
+    * equi-joins the broadcast word table (m/64 ≤ 128 Ki rows = ~1 MiB). */
+  val BloomBits: Long = 1L << 23 // m: 8 Mi bits
+  val BloomHashes = 8            // k
+  private val BloomSeed = 0x9e3779b9L // second-hash salt (golden ratio)
+
+  /** (…, gram) → (…, i, pos): the k bit positions of `gram` */
+  private def explodeBloomPositions(df: DataFrame, keep: Seq[String]): DataFrame =
+    df.withColumn("h1", pmod(xxhash64(col("gram")), lit(BloomBits)))
+      // 1 .. m-1: a zero stride would degenerate all k probes to h1
+      .withColumn("h2", pmod(xxhash64(lit(BloomSeed), col("gram")), lit(BloomBits - 1)) + lit(1L))
+      .select(keep.map(col) :+ posexplode(expr(
+        s"transform(sequence(0, ${BloomHashes - 1}), i -> pmod(h1 + i * h2, ${BloomBits}L))"))
+        .as(Seq("i", "pos")): _*)
+
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame =
+    decontaminateBloomMod(s, dir, DecontamEvalMod)
+
+  def decontaminateBloomMod(s: SparkSession, dir: String, mod: Int): DataFrame = {
+    val sh = shingled(s, dir)
+    // build: train grams → bit positions → 64-bit words (one groupBy,
+    // map-side combined; ≤ m/64 result rows by construction)
+    val words = explodeBloomPositions(
+        sh.where(col("doc_id") % mod =!= 0).select(explode(col("grams")).as("gram")),
+        keep = Seq.empty)
+      .groupBy(expr("pos div 64").as("widx"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pmod(pos, 64) AS INT)))").as("word"))
+    // probe: a gram is (maybe) in train iff ALL k probed bits are set
+    val evalDocs = sh.where(col("doc_id") % mod === 0)
+    val probed = explodeBloomPositions(
+        evalDocs.select(col("doc_id"), explode(col("grams")).as("gram")),
+        keep = Seq("doc_id", "gram"))
+      .withColumn("widx", expr("pos div 64"))
+      .join(broadcast(words), Seq("widx"), "left")
+      .withColumn("hit",
+        coalesce(expr("(word & shiftleft(1L, cast(pmod(pos, 64) AS INT))) != 0"), lit(false)))
+      .groupBy("doc_id", "gram")
+      .agg(min(col("hit").cast(IntegerType)).as("all_set"))
+    val hits = probed.where(col("all_set") === 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    evalDocs.select(col("doc_id"), size(col("grams")).cast(LongType).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        r4f(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / col("n_grams")).as("contamination"))
+      .orderBy("doc_id")
+  }
 
   // ---- SimHash --------------------------------------------------------
   /** 64-bit SimHash per doc via the native SimHashSig expression: each
@@ -390,7 +458,8 @@ object Dedup {
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_dedup_simhash_chunks" -> dedupSimhashChunks _,
-    "q_decontaminate" -> decontaminate _)
+    "q_decontaminate" -> decontaminate _,
+    "q_decontaminate_bloom" -> decontaminateBloom _)
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,

@@ -157,6 +157,31 @@ class DedupSpec extends AnyFunSuite {
     assert(tight.head === "a", s"heavy hitter lost under eviction: $tight")
   }
 
+  test("q_decontaminate_bloom: superset of exact hits, bounded false-positive inflation") {
+    // mod=3 makes ~a third of the real sf0.001 docs the eval split — a far
+    // denser probe population than the declared 1% key, so the
+    // false-positive bound is actually exercised
+    def byDoc(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = byDoc(operators.Dedup.decontaminateMod(spark, TestSpark.sfDir, 3))
+    val bloom = byDoc(operators.Dedup.decontaminateBloomMod(spark, TestSpark.sfDir, 3))
+    assert(bloom.keySet === exact.keySet, "eval split differs")
+    exact.foreach { case (id, (nGrams, _)) =>
+      assert(bloom(id)._1 === nGrams, s"doc $id: n_grams differs")
+    }
+    // a Bloom filter has NO false negatives: every exact hit must survive
+    exact.foreach { case (id, (_, nHit)) =>
+      assert(bloom(id)._2 >= nHit, s"doc $id: bloom lost hits ($nHit -> ${bloom(id)._2})")
+    }
+    // false positives only inflate: bound the rate over true negatives.
+    // m = 8 Mi bits vs ~10^4 train grams at sf0.001 → expected fpp ≪ 1e-9;
+    // 1% is a generous ceiling that still catches a broken hash family
+    val fps = exact.map { case (id, (_, nHit)) => bloom(id)._2 - nHit }.sum.toDouble
+    val negatives = exact.values.map { case (ng, nh) => ng - nh }.sum.toDouble
+    assert(negatives == 0 || fps / negatives <= 0.01,
+      s"false-positive inflation ${fps / negatives} over $negatives true negatives")
+  }
+
   test("minhash est_jaccard is 1.0 for identical docs and low for disjoint docs") {
     import spark.implicits._
     val sigs = operators.Dedup.minhashSignatures(spark, fixtureDir)
