@@ -79,7 +79,10 @@ object Pipeline {
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
       connectionProperties: java.util.Properties = new java.util.Properties)
-      : StreamingQuery =
+      : StreamingQuery = {
+    // a ClickHouse URL gets the reference-parity dialect (Array(String)
+    // categories, Int8 severity); any other URL is untouched
+    graft.sources.ClickHouseDialect.register()
     parseToLog(lines)
       .withColumn("categories", array_join(col("categories"), ","))
       .writeStream
@@ -93,6 +96,7 @@ object Pipeline {
         batch.write.mode("append").jdbc(url, table, props)
       }
       .start()
+  }
 
   /** event-time windowed severity counts with late-data drop
     * (stream_watermark_late): rows later than the watermark are excluded,

@@ -1,0 +1,65 @@
+package graft
+
+import graft.sources.ClickHouseDialect
+import org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+import org.apache.spark.sql.jdbc.JdbcDialects
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** No ClickHouse server exists in this environment, so the dialect is
+  * verified on the SQL it GENERATES: the DDL column types Spark would
+  * CREATE TABLE with, and the bulk INSERT statement the streaming sink
+  * would prepare — the two places the generic JDBC path breaks on the
+  * reference's Array(String) categories column. */
+class ClickHouseDialectSpec extends AnyFunSuite {
+
+  /** the reference log schema, SURVEY.md §1.1 */
+  private val logSchema = StructType(Seq(
+    StructField("timestamp", TimestampType, nullable = false),
+    StructField("device", StringType, nullable = false),
+    StructField("severity", ByteType, nullable = false),
+    StructField("categories", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("message", StringType, nullable = false)))
+
+  test("registered dialect is selected for ClickHouse URLs and only those") {
+    ClickHouseDialect.register()
+    ClickHouseDialect.register() // idempotent — no duplicate shadowing
+    assert(JdbcDialects.get("jdbc:clickhouse://ch:8123/logs") eq ClickHouseDialect)
+    assert(JdbcDialects.get("jdbc:ch://ch:8123/logs") eq ClickHouseDialect)
+    assert(!(JdbcDialects.get("jdbc:postgresql://pg/db") eq ClickHouseDialect))
+    assert(!(JdbcDialects.get("jdbc:derby:memory:db") eq ClickHouseDialect))
+  }
+
+  test("DDL schema string maps the reference log schema to ClickHouse types") {
+    val ddl = JdbcUtils.schemaString(ClickHouseDialect, logSchema, caseSensitive = false, None)
+    assert(ddl.contains("`timestamp` DateTime64(6)"), ddl)
+    assert(ddl.contains("`device` String"), ddl)
+    assert(ddl.contains("`severity` Int8"), ddl)
+    assert(ddl.contains("`categories` Array(String)"), ddl)
+    // NOT NULL riders come from the generic writer; CH accepts them
+    assert(ddl.contains("NOT NULL"), ddl)
+  }
+
+  test("nested arrays and numerics map recursively") {
+    def name(dt: DataType): String = ClickHouseDialect.getJDBCType(dt).get.databaseTypeDefinition
+    assert(name(ArrayType(ArrayType(StringType))) === "Array(Array(String))")
+    assert(name(ArrayType(LongType)) === "Array(Int64)")
+    assert(name(DecimalType(18, 2)) === "Decimal(18, 2)")
+    assert(name(FloatType) === "Float32")
+    assert(ClickHouseDialect.getJDBCType(CalendarIntervalType).isEmpty, "no CH interval type")
+  }
+
+  test("bulk INSERT statement matches the reference's column order and arity") {
+    // reference: INSERT INTO mikrotik_logs, 5 columns in LogData order
+    // (lib/cacheManage.go:40-54)
+    val insert = JdbcUtils.getInsertStatement(
+      "mikrotik_logs", logSchema, None, isCaseSensitive = false, ClickHouseDialect)
+    assert(insert.startsWith("INSERT INTO mikrotik_logs"), insert)
+    assert(insert.count(_ == '?') === 5, insert)
+    assert(insert.contains("`categories`"), insert)
+  }
+
+  test("write properties carry the reference's 1000-row batch contract") {
+    assert(ClickHouseDialect.writeProperties.getProperty("batchsize") === "1000")
+  }
+}
