@@ -77,9 +77,11 @@ object GraftConfig {
 
   /** dotenv parsing (reference `main.go:96-99`, godotenv.Load): KEY=VALUE
     * lines; `#` comments and blank lines skipped; an `export ` prefix and
-    * one matched pair of single/double quotes stripped; anything else
-    * fails fast with its line number — a malformed deployment file should
-    * stop startup, not silently drop a variable. */
+    * one matched pair of single/double quotes stripped; a ` #`-prefixed
+    * trailing comment on an UNQUOTED value is stripped (godotenv parity —
+    * `#` inside quotes is literal); anything else fails fast with its
+    * line number — a malformed deployment file should stop startup, not
+    * silently drop a variable. */
   def parseDotEnv(lines: Seq[String]): Map[String, String] = {
     val out = scala.collection.mutable.LinkedHashMap[String, String]()
     val problems = scala.collection.mutable.ArrayBuffer[String]()
@@ -95,6 +97,11 @@ object GraftConfig {
           if (v.length >= 2 && ((v.head == '"' && v.last == '"')
               || (v.head == '\'' && v.last == '\'')))
             v = v.substring(1, v.length - 1)
+          else if (v.startsWith("#")) v = "" // `KEY= # comment` → empty
+          else {
+            val c = v.indexOf(" #")
+            if (c >= 0) v = v.substring(0, c).trim
+          }
           if (k.matches("[A-Za-z_][A-Za-z0-9_]*")) out(k) = v
           else problems += s"line ${i + 1}: invalid variable name '$k'"
         }

@@ -72,11 +72,14 @@ object Dedup {
     * bucket are near-dups by construction, so lists stay small; the
     * equi-grouping shuffles once on (band, hash). */
   /** hot-bucket guard, mirroring [[SimhashMaxBucket]]: a (band, bh)
-    * bucket bigger than this is dropped rather than pair-expanded.
-    * Boilerplate-heavy corpora pile identical signatures into one bucket;
-    * without a cap that key's in-place pair generation goes O(n²). Exact
-    * duplicates belong to the cheaper exact-dedup pass, so dropping the
-    * degenerate buckets loses no near-dup signal worth the blowup. */
+    * bucket bigger than this switches from all-pairs to REPRESENTATIVE
+    * pairing — every member pairs with the bucket's min-doc_id member
+    * only. Boilerplate-heavy corpora pile near-identical signatures into
+    * one bucket; all-pairs there goes O(n²), but dropping the bucket
+    * outright (the previous guard) silently lost the near-dup signal of
+    * boilerplate VARIANTS that the exact-dedup pass can't catch. O(n)
+    * rep pairs keep the bucket's members transitively connected — the
+    * union-find view of dedup needs no more — at bounded cost. */
   val MinhashMaxBucket = 64
 
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
@@ -88,11 +91,18 @@ object Dedup {
     val buckets = banded
       .groupBy("band", "bh")
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
-      .where(size(col("ds")).between(2, MinhashMaxBucket))
+      .where(size(col("ds")) >= 2)
+    // hot buckets: the pair-generation left side shrinks to the single
+    // min-doc_id representative (sort_array — collect_list order is
+    // nondeterministic), so the second explode emits n rows, not n²
     buckets
-      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
-      .select(col("a"), col("i"), posexplode(col("ds")).as(Seq("j", "b")))
-      .where(col("j") > col("i"))
+      .withColumn("nb", size(col("ds")))
+      .withColumn("lhs", when(col("nb") <= MinhashMaxBucket, col("ds"))
+        .otherwise(slice(sort_array(col("ds")), 1, 1)))
+      .select(col("ds"), col("nb"), posexplode(col("lhs")).as(Seq("i", "a")))
+      .select(col("a"), col("i"), col("nb"), posexplode(col("ds")).as(Seq("j", "b")))
+      .where((col("nb") <= MinhashMaxBucket && col("j") > col("i"))
+        || (col("nb") > MinhashMaxBucket && col("a.doc_id") < col("b.doc_id")))
       .select(
         least(col("a.doc_id"), col("b.doc_id")).as("d1"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),
@@ -358,13 +368,13 @@ object Dedup {
         graft.functions.VectorExpressions.simhashSig(split(col("text"), " ")).as("simhash"))
   }
 
-  /** hot-bucket guard: a (chunk, cv) bucket bigger than this is dropped
-    * rather than pair-expanded. Oversized buckets come from degenerate
-    * content (empty/near-empty docs, boilerplate) whose identical
-    * signatures would otherwise pile into one key and go quadratic —
-    * the same role JaccardMaxDf plays for stop-grams. Exact-duplicate
-    * content belongs to the (cheaper) exact-dedup pass, so dropping the
-    * pathological buckets loses no near-dup signal worth O(n²). */
+  /** hot-bucket guard: a (chunk, cv) bucket bigger than this switches
+    * from all-pairs to representative pairing (every member vs the
+    * min-doc_id member) — same rationale as [[MinhashMaxBucket]]:
+    * degenerate content (boilerplate, near-empty docs) piles signatures
+    * into one key; O(n) rep pairs keep the members transitively
+    * connected without the O(n²) blowup, and unlike dropping the bucket
+    * they preserve the near-dup signal of boilerplate variants. */
   val SimhashMaxBucket = 64
 
   /** near-dup candidates: equal 16-bit chunk (pigeonhole for Hamming ≤ 3),
@@ -382,11 +392,15 @@ object Dedup {
     val buckets = chunked
       .groupBy("chunk", "cv")
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ds"))
-      .where(size(col("ds")).between(2, SimhashMaxBucket))
+      .where(size(col("ds")) >= 2)
     buckets
-      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
-      .select(col("a"), col("i"), posexplode(col("ds")).as(Seq("j", "b")))
-      .where(col("j") > col("i"))
+      .withColumn("nb", size(col("ds")))
+      .withColumn("lhs", when(col("nb") <= SimhashMaxBucket, col("ds"))
+        .otherwise(slice(sort_array(col("ds")), 1, 1)))
+      .select(col("ds"), col("nb"), posexplode(col("lhs")).as(Seq("i", "a")))
+      .select(col("a"), col("i"), col("nb"), posexplode(col("ds")).as(Seq("j", "b")))
+      .where((col("nb") <= SimhashMaxBucket && col("j") > col("i"))
+        || (col("nb") > SimhashMaxBucket && col("a.doc_id") < col("b.doc_id")))
       .select(
         least(col("a.doc_id"), col("b.doc_id")).as("d1"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("d2"),

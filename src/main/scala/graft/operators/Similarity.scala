@@ -178,19 +178,56 @@ object Similarity {
     * expressed as DataFrame passes, no driver-side loops over data. The
     * K-row result is persisted: both consumers (assignment broadcast and
     * probe-list ranking) would otherwise re-run the training passes.
-    * Memoized per (session, dir): simAnnIvf and embedClusterStats share
-    * one trained, cached codebook instead of each persisting a fresh copy
-    * per invocation (the cached K-row frames otherwise accumulate across
-    * a 100-query Verify run and are never freed). */
+    * Memoized per (session, dir, input fingerprint): simAnnIvf and
+    * embedClusterStats share one trained, cached codebook instead of each
+    * persisting a fresh copy per invocation. The fingerprint (file names
+    * + sizes + mtimes of the embeddings input) invalidates the entry when
+    * the data under `dir` is rewritten mid-session — the replaced frame
+    * is unpersisted, so stale MEMORY_ONLY blocks don't pin the executor
+    * heap for the JVM lifetime. */
   private val codebookCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]()
+
+  /** driver-side listing of one directory — O(#files), no data read */
+  private def inputFingerprint(dir: String): String = {
+    val root = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    if (!java.nio.file.Files.exists(root)) "absent"
+    else {
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        val entries = scala.jdk.CollectionConverters.IteratorHasAsScala(walk.iterator()).asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => s"$p:${java.nio.file.Files.size(p)}:${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+          .toSeq.sorted
+        java.util.UUID.nameUUIDFromBytes(entries.mkString("\n").getBytes("UTF-8")).toString
+      } finally walk.close()
+    }
+  }
 
   private def trainedCodebook(s: SparkSession, dir: String): DataFrame =
-    codebookCache.computeIfAbsent((s, dir), { _ =>
-      val e = t(s, dir, "embeddings")
-      (1 to IvfIters).foldLeft(ivfCodebook(e))((b, _) => lloydStep(s, e, b))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    })
+    codebookCache.synchronized {
+      val key = (s, dir)
+      val fp = inputFingerprint(dir)
+      val cached = codebookCache.get(key)
+      if (cached != null && cached._1 == fp) cached._2
+      else {
+        if (cached != null)
+          try cached._2.unpersist(blocking = false) catch { case _: Throwable => }
+        val e = t(s, dir, "embeddings")
+        val book = (1 to IvfIters).foldLeft(ivfCodebook(e))((b, _) => lloydStep(s, e, b))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        codebookCache.put(key, (fp, book))
+        book
+      }
+    }
+
+  /** unpersist and drop every cached codebook (test/teardown hook) */
+  def clearCodebookCache(): Unit = codebookCache.synchronized {
+    codebookCache.forEach { (_, v) =>
+      try v._2.unpersist(blocking = false) catch { case _: Throwable => }
+    }
+    codebookCache.clear()
+  }
 
   /** CTE chain deriving the trained codebook in DuckDB: `cents0` is the
     * md5 sample; each iteration replays assignment (floor-rounded cosine

@@ -133,8 +133,15 @@ object Pipeline {
     * (TIMESTAMP(NANOS) parquet → µs), and the batch twin q_window_session
     * computes its 30-min gaps at µs precision — ms rounding here would
     * sessionize sub-ms boundary gaps differently than the batch operator
-    * (the stream/batch parity spec pins this). */
-  case class SessionState(start: Long, last: Long, n: Long)
+    * (the stream/batch parity spec pins this).
+    *
+    * The fields are named `startUs`/`lastUs` ON PURPOSE: an earlier
+    * encoding stored epoch-ms under `start`/`last`, and a query restored
+    * from such a checkpoint would silently deserialize ms values as µs
+    * (1970-era sessions). The rename changes the state row schema, so
+    * Spark's state-store schema check rejects a stale checkpoint loudly
+    * instead — discard old checkpoints on upgrade. */
+  case class SessionState(startUs: Long, lastUs: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long)
 
@@ -161,7 +168,7 @@ object Pipeline {
          state: GroupState[SessionState]) =>
           val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
           def emit(s: SessionState): Unit = out += SessionOut(user,
-            usToTs(s.start), usToTs(s.last), s.n)
+            usToTs(s.startUs), usToTs(s.lastUs), s.n)
           if (state.hasTimedOut) {
             state.getOption.foreach(emit)
             state.remove()
@@ -170,15 +177,15 @@ object Pipeline {
             rows.map(r => tsToUs(r._2)).toSeq.sorted.foreach { ts =>
               cur match {
                 case null => cur = SessionState(ts, ts, 1)
-                case s if ts - s.last > gapUs => emit(s); cur = SessionState(ts, ts, 1)
-                case s => cur = SessionState(s.start, math.max(s.last, ts), s.n + 1)
+                case s if ts - s.lastUs > gapUs => emit(s); cur = SessionState(ts, ts, 1)
+                case s => cur = SessionState(s.startUs, math.max(s.lastUs, ts), s.n + 1)
               }
             }
             if (cur != null) {
               state.update(cur)
               // the timeout API is ms-granular; round UP so the timeout
               // never fires before the exact µs gap boundary
-              state.setTimeoutTimestamp((cur.last + gapUs + 999) / 1000)
+              state.setTimeoutTimestamp((cur.lastUs + gapUs + 999) / 1000)
             }
           }
           out.iterator

@@ -72,6 +72,18 @@ class ConfigSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("line 2"))
   }
 
+  test(".env inline comments: stripped from unquoted values, literal inside quotes") {
+    val parsed = GraftConfig.parseDotEnv(Seq(
+      "A=value # prod note",
+      "B=\"quoted # not a comment\"",
+      "C=bare#notcomment", // no space before # → part of the value (godotenv)
+      "D= # only a comment"))
+    assert(parsed("A") === "value")
+    assert(parsed("B") === "quoted # not a comment")
+    assert(parsed("C") === "bare#notcomment")
+    assert(parsed("D") === "")
+  }
+
   test("run(): datagrams land in the configured JDBC table (the reference main() e2e)") {
     System.setProperty("derby.stream.error.file", "/tmp/derby.log")
     val probe = new DatagramSocket(0)

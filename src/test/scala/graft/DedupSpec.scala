@@ -53,14 +53,15 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b, _) => Set(a, b).contains(4L) }, "false positive with doc 4")
   }
 
-  test("q_dedup_simhash: a degenerate hot bucket is dropped, real near-dups survive") {
+  test("q_dedup_simhash: a degenerate hot bucket collapses to O(n) representative pairs") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_hot").toString
     val base = "the quick brown fox jumps over the lazy dog again and again until done"
     // 100 identical degenerate docs: every (chunk, cv) bucket they form has
-    // 100 members (> SimhashMaxBucket) and must be dropped, not expanded
-    // into 100*99/2 pairs per chunk; the planted near-dup pair lives in
-    // small buckets and must still come out.
+    // 100 members (> SimhashMaxBucket). The guard must emit only pairs
+    // through the min-doc_id representative (99 pairs, keeping the
+    // component connected), never the 100*99/2 all-pairs blowup; the
+    // planted near-dup pair lives in small buckets and must still come out.
     val degenerate = (100L to 199L).map(i => (i, "x x", "en", "srcd", 3L))
     val docs = Seq(
       (1L, base, "en", "src0", base.length.toLong),
@@ -71,18 +72,21 @@ class DedupSpec extends AnyFunSuite {
     assert(operators.Dedup.SimhashMaxBucket < 100)
     val pairs = operators.Dedup.dedupSimhash(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(!pairs.exists { case (a, b) => a >= 100L && b >= 100L },
-      s"degenerate bucket leaked ${pairs.count { case (a, b) => a >= 100L && b >= 100L }} pairs")
+    val degen = pairs.filter { case (a, b) => a >= 100L && b >= 100L }
+    assert(degen.forall(_._1 == 100L),
+      s"hot-bucket pairs must all route through the representative: $degen")
+    assert(degen.size === 99, s"expected 99 rep pairs, got ${degen.size}")
     assert(pairs.contains((1L, 2L)), "planted dup pair 1-2 lost to the bucket guard")
   }
 
-  test("q_dedup_minhash: a degenerate hot bucket is dropped, real dups survive") {
+  test("q_dedup_minhash: a degenerate hot bucket collapses to O(n) representative pairs") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_hot_mh").toString
     val base = "the quick brown fox jumps over the lazy dog again and again until done"
     // 100 identical boilerplate docs share every (band, bh) bucket; the
-    // MinhashMaxBucket guard must drop those buckets (100*99/2 pairs per
-    // band otherwise) while the planted dup pair in small buckets survives
+    // MinhashMaxBucket guard must shrink those buckets to representative
+    // pairs (99 through doc 100, not 100*99/2 per band) while the planted
+    // dup pair in small buckets survives
     val degenerate = (100L to 199L).map(i => (i, "x x x x x", "en", "srcd", 9L))
     val docs = Seq(
       (1L, base, "en", "src0", base.length.toLong),
@@ -93,8 +97,10 @@ class DedupSpec extends AnyFunSuite {
     assert(operators.Dedup.MinhashMaxBucket < 100)
     val pairs = operators.Dedup.dedupMinhash(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(!pairs.exists { case (a, b) => a >= 100L && b >= 100L },
-      s"degenerate bucket leaked ${pairs.count { case (a, b) => a >= 100L && b >= 100L }} pairs")
+    val degen = pairs.filter { case (a, b) => a >= 100L && b >= 100L }
+    assert(degen.forall(_._1 == 100L),
+      s"hot-bucket pairs must all route through the representative: $degen")
+    assert(degen.size === 99, s"expected 99 rep pairs, got ${degen.size}")
     assert(pairs.contains((1L, 2L)), "planted dup pair 1-2 lost to the bucket guard")
   }
 
