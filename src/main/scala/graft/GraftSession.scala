@@ -47,7 +47,10 @@ final case class GraftConfig(
     sinkTable: String,
     flushRows: Long,
     trigger: String,
-    checkpointDir: String)
+    checkpointDir: String,
+    /** "default" (HDFS-backed heap store) or "rocksdb" — see
+      * [[streaming.Pipeline.useRocksDbStateStore]] */
+    stateStore: String = "default")
 
 object GraftConfig {
   val Required: Seq[String] = Seq("GRAFT_UDP_PORT", "GRAFT_SINK_URL", "GRAFT_SINK_TABLE")
@@ -63,6 +66,9 @@ object GraftConfig {
     val flushRows = env.get("GRAFT_FLUSH_ROWS")
       .map(v => v.toLongOption.getOrElse { problems += s"GRAFT_FLUSH_ROWS must be a number, got '$v'"; 0L })
       .getOrElse(sources.UdpSourceProvider.FlushRows)
+    val stateStore = env.getOrElse("GRAFT_STATE_STORE", "default").toLowerCase
+    if (!Set("default", "rocksdb").contains(stateStore))
+      problems += s"GRAFT_STATE_STORE must be 'default' or 'rocksdb', got '${env("GRAFT_STATE_STORE")}'"
     if (problems.nonEmpty)
       throw new IllegalArgumentException(s"invalid environment: ${problems.mkString("; ")}")
     GraftConfig(
@@ -72,7 +78,8 @@ object GraftConfig {
       flushRows = flushRows,
       trigger = env.getOrElse("GRAFT_TRIGGER", "2 seconds"),
       checkpointDir = env.getOrElse("GRAFT_CHECKPOINT",
-        java.nio.file.Files.createTempDirectory("graft_ckpt").toString))
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString),
+      stateStore = stateStore)
   }
 
   /** dotenv parsing (reference `main.go:96-99`, godotenv.Load): KEY=VALUE
@@ -135,6 +142,7 @@ object GraftConfig {
   /** the whole reference program from config: UDP source (count-capped
     * batches) → parse → JDBC bulk sink — `main()` ≡ this one call */
   def run(spark: SparkSession, cfg: GraftConfig): org.apache.spark.sql.streaming.StreamingQuery = {
+    if (cfg.stateStore == "rocksdb") streaming.Pipeline.useRocksDbStateStore(spark)
     val lines = spark.readStream
       .format(classOf[sources.UdpSourceProvider].getName)
       .option("port", cfg.port.toString)

@@ -192,6 +192,34 @@ object Pipeline {
       }
   }
 
+  /** built-in `session_window` twin of [[sessionize]] (SURVEY.md §2 B.9):
+    * when the per-session payload is just aggregates, the native windowed
+    * aggregation expresses the same 30-min-gap semantics without custom
+    * state code — and merges sessions map-side before the shuffle, which
+    * the flatMapGroupsWithState form cannot. `session_end` is the LAST
+    * EVENT time (max(timestamp)), not `session_window.end` (= last + gap),
+    * so the output is row-comparable with [[sessionize]] and the batch
+    * `q_window_session`; the three-way parity spec pins all three. */
+  def sessionizeBuiltin(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("timestamp", "1 hour")
+      .groupBy(col("user_id"), session_window(col("timestamp"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"), max(col("timestamp")).as("session_end"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_end"), col("n_events"))
+
+  /** RocksDB state store, opt-in (`GRAFT_STATE_STORE=rocksdb`): the
+    * default HDFS-backed provider keeps every key's state on the JVM
+    * heap — at 100 TB of keyed sessions that heap IS the streaming
+    * scale-killer. RocksDB spills state to local disk with bounded
+    * memory. Per-query: the provider is captured when a query starts, so
+    * set it before `start()`; existing checkpoints keep their provider. */
+  val RocksDbProviderClass =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def useRocksDbStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProviderClass)
+
   def statefulDeviceCounts(logs: DataFrame): Dataset[DeviceCount] = {
     val spark = logs.sparkSession
     import spark.implicits._

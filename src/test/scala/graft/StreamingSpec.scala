@@ -266,6 +266,77 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("three-way session parity: built-in session_window ≡ flatMapGroupsWithState ≡ batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch truth over the real events table, µs precision
+    val batch = SparkEntry.queries("q_window_session")(spark, TestSpark.sfDir)
+      .select(col("user_id"), col("sess_start_us"), col("sess_end_us"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val evs = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+      .selectExpr("event_id", "timestamp_micros(ts div 1000) AS timestamp", "user_id")
+      .as[Ev].collect().toSeq
+    val maxMs = evs.map(_.timestamp.getTime).max
+
+    def runStream(make: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        name: String): Set[(Long, Long, Long, Long)] = {
+      val ms = MemoryStream[Ev]
+      val q = make(ms.toDF()).writeStream
+        .outputMode(OutputMode.Append()).format("memory").queryName(name).start()
+      try {
+        ms.addData(evs)
+        q.processAllAvailable()
+        // sentinels push the watermark far past every session so append
+        // mode finalizes the still-open ones
+        ms.addData(Ev(-1L, new Timestamp(maxMs + 7L * 24 * 3600 * 1000), -1L))
+        q.processAllAvailable()
+        ms.addData(Ev(-2L, new Timestamp(maxMs + 14L * 24 * 3600 * 1000), -1L))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name)
+        .selectExpr("user_id", "unix_micros(session_start)", "unix_micros(session_end)", "n_events")
+        .as[(Long, Long, Long, Long)].collect().filter(_._1 >= 0).toSet
+    }
+
+    val builtin = runStream(Pipeline.sessionizeBuiltin(_), "sess3_builtin")
+    val custom = runStream(
+      df => Pipeline.sessionize(df).toDF(
+        "user_id", "session_start", "session_end", "n_events"), "sess3_custom")
+    assert(builtin === batch,
+      s"builtin-only: ${(builtin -- batch).take(3)}; batch-only: ${(batch -- builtin).take(3)}")
+    assert(custom === batch,
+      s"custom-only: ${(custom -- batch).take(3)}; batch-only: ${(batch -- custom).take(3)}")
+  }
+
+  test("sessionize runs on the RocksDB state store provider (100 TB keyed-state path)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    Pipeline.useRocksDbStateStore(spark)
+    try {
+      val ms = MemoryStream[Ev]
+      val q = Pipeline.sessionize(ms.toDF()).writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory").queryName("sess_rocks").start()
+      try {
+        ms.addData(Ev(1, ts("2024-01-01 10:00:00"), 1), Ev(2, ts("2024-01-01 10:10:00"), 1))
+        q.processAllAvailable()
+        ms.addData(Ev(3, ts("2024-01-01 12:00:00"), 1)) // 110-min gap closes session 1
+        q.processAllAvailable()
+        val closed = spark.table("sess_rocks").as[Pipeline.SessionOut].collect()
+        assert(closed.exists(s => s.user_id == 1 && s.n_events == 2),
+          s"gap-closed session missing on RocksDB: ${closed.toSeq}")
+        // the state operator must actually be running on RocksDB
+        assert(q.lastProgress.json.contains("rocksdb"),
+          "no rocksdb metrics in query progress — provider did not take effect")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream_sink_batched: JDBC sink round-trips into an embedded Derby table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
