@@ -220,8 +220,10 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  val dedupNgramJaccardSql =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  /** shared CTE chain ending in `pairs(d1, d2, jaccard)` — the oracle
+    * core reused by dedupNgramJaccardSql and dedupClustersSql */
+  private val jaccardPairsCte =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |grams AS (
        |  SELECT doc_id, gram FROM (
        |    SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
@@ -235,12 +237,69 @@ object Dedup {
        |  WHERE df <= $JaccardMaxDf),
        |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
        |  FROM pruned a JOIN pruned b ON a.gram = b.gram AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT d1, d2, jaccard FROM (
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT d1, d2, jaccard FROM (
        |  SELECT d1, d2, CAST(round(shared::DOUBLE / (n1.n_grams + n2.n_grams - shared), 4) AS DOUBLE) AS jaccard
        |  FROM shared JOIN sizes n1 ON shared.d1 = n1.doc_id
        |              JOIN sizes n2 ON shared.d2 = n2.doc_id) j
-       |WHERE jaccard >= $JaccardThreshold ORDER BY d1, d2""".stripMargin
+       |  WHERE jaccard >= $JaccardThreshold)""".stripMargin
+
+  val dedupNgramJaccardSql =
+    s"""WITH $jaccardPairsCte
+       |SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2""".stripMargin
+
+  // ---- dedup clustering (pairs → connected components) ----------------
+  /** Min-label propagation rounds. After k rounds every doc's label is
+    * the min doc_id within graph distance k+1, so components of diameter
+    * ≤ [[ClusterIters]]+1 are exact. Near-dup graphs are star-shaped
+    * (variants cluster around an original), so 16 is deep margin; an
+    * adversarial long-chain corpus would need the pointer-doubling
+    * (label-of-label) variant, which doubles reach per round — documented
+    * trade-off, not needed for dedup graphs. */
+  val ClusterIters = 16
+
+  /** The step the pair generators feed at scale: near-dup PAIRS →
+    * duplicate CLUSTERS (connected components), one keeper per cluster.
+    * Built on the exact-oracled [[dedupNgramJaccard]] pairs so the whole
+    * pipeline — shingle → inverted index → pairs → components — is
+    * replayed in DuckDB (recursive CTE) and hash-checked.
+    *
+    * Scale shape: iterated min-label propagation — per round ONE
+    * equi-join of the symmetric edge list against current labels and ONE
+    * map-side-combined min-groupBy, both partitioned by doc id (scaling
+    * key). Lineage is truncated (lazy localCheckpoint) on the pair list
+    * AND on every round's labels: `labels` feeds the next round twice
+    * (own label + neighbour lookup), so without truncation the Catalyst
+    * tree doubles per round — 2^16 subtree copies by round 16 and the
+    * analyzer never terminates. With it, every round plans over a
+    * constant-size LogicalRDD leaf, the classic iterative-algorithm
+    * shape (GraphX does the same). No driver-side graph state. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val p = dedupNgramJaccard(s, dir).select("d1", "d2").localCheckpoint(false)
+    val edges = p.union(p.select(col("d2").as("d1"), col("d1").as("d2")))
+    var labels = edges.groupBy(col("d1")).agg(min(col("d2")).as("mn"))
+      .select(col("d1").as("doc_id"), least(col("d1"), col("mn")).as("cluster_id"))
+    for (_ <- 1 to ClusterIters) {
+      val viaNbr = edges
+        .join(labels.select(col("doc_id").as("d2"), col("cluster_id").as("nbl")), "d2")
+        .groupBy(col("d1").as("doc_id")).agg(min(col("nbl")).as("nbl"))
+      labels = labels.join(viaNbr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbl"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(false)
+    }
+    labels.orderBy("doc_id")
+  }
+
+  val dedupClustersSql =
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(v, l) AS (
+       |  SELECT DISTINCT d1, d1 FROM edges
+       |  UNION
+       |  SELECT e.d1, r.l FROM edges e JOIN reach r ON r.v = e.d2)
+       |SELECT v AS doc_id, min(l)::BIGINT AS cluster_id
+       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---- train/eval decontamination -------------------------------------
   /** benchmark-contamination check, the standard pretraining hygiene op:
@@ -470,6 +529,7 @@ object Dedup {
     "q_dedup_minhash" -> dedupMinhash _,
     "q_dedup_minhash_bands" -> dedupMinhashBands _,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "q_dedup_clusters" -> dedupClusters _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_dedup_simhash_chunks" -> dedupSimhashChunks _,
     "q_decontaminate" -> decontaminate _,
@@ -479,6 +539,7 @@ object Dedup {
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash_bands" -> dedupMinhashBandsSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_simhash_chunks" -> dedupSimhashChunksSql,
     "q_decontaminate" -> decontaminateSql)
 }

@@ -281,6 +281,47 @@ object TextAnalysis {
       |SELECT doc_id, tok, tf, df, score FROM r WHERE rn <= 3
       |ORDER BY doc_id, score DESC, tok""".stripMargin
 
+  // ---- repetition / duplication quality stats -------------------------
+  /** Gopher-style repetition filter inputs (Rae et al. 2021 §A1.1): the
+    * fraction of duplicate word-2-grams per doc and the share of the most
+    * frequent 2-gram — boilerplate and degenerate generation ("batch
+    * batch batch") score high and get filtered before training. Shape at
+    * scale: bigrams are a map-side transform over the token array (no
+    * per-gram row until the explode feeding the count), then TWO
+    * map-side-combined groupBys partitioned by (doc_id, gram) and doc_id
+    * — both keys scale with the data, no fixed-cardinality hotspot. */
+  def repetitionRatio(s: SparkSession, dir: String): DataFrame = {
+    val g = t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i+1]))")).as("g2"))
+    g.groupBy("doc_id", "g2").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).cast(LongType).as("n_bigrams"),
+        count(lit(1)).cast(LongType).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        r4f(lit(1d) - col("n_distinct").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+          .as("dup_ratio"),
+        r4f(col("top_cnt").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+          .as("top_share"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionRatioSql =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |g AS (
+      |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g2
+      |  FROM tk JOIN generate_series(1, 100000) s(i) ON i <= len(tk) - 1),
+      |c AS (SELECT doc_id, g2, count(*) AS cnt FROM g GROUP BY 1, 2)
+      |SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams, count(*)::BIGINT AS n_distinct,
+      |  CAST(floor((1::DOUBLE - count(*)::DOUBLE / sum(cnt)::DOUBLE) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS dup_ratio,
+      |  CAST(floor(max(cnt)::DOUBLE / sum(cnt)::DOUBLE * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS top_share
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- winnowing fingerprints ----------------------------------------
   /** positional word-3-gram hashes (md5-derived 60-bit ints — portable),
     * sliding-window (w=5) minima, per-doc fingerprint summary. The
@@ -325,7 +366,8 @@ object TextAnalysis {
     "q_tfidf_top" -> tfidfTop _,
     "q_sample_stratified" -> sampleStratified _,
     "q_pack_contexts" -> packContexts _,
-    "q_pack_contexts_sharded" -> packContextsSharded _)
+    "q_pack_contexts_sharded" -> packContextsSharded _,
+    "q_repetition_ratio" -> repetitionRatio _)
 
   val oracle: Map[String, String] = Map(
     "q_tfidf_top" -> tfidfTopSql,
@@ -337,5 +379,6 @@ object TextAnalysis {
     "q_lang_id" -> langIdSql,
     "q_quality_score" -> qualityScoreSql,
     "q_token_count" -> tokenCountSql,
-    "q_doc_fingerprint" -> docFingerprintSql)
+    "q_doc_fingerprint" -> docFingerprintSql,
+    "q_repetition_ratio" -> repetitionRatioSql)
 }

@@ -104,6 +104,40 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)), "planted dup pair 1-2 lost to the bucket guard")
   }
 
+  test("q_dedup_clusters: transitive chain collapses to one component (multi-round propagation)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_clust").toString
+    // 20 distinct words → 18 distinct 3-grams/doc. Each hop replaces two
+    // far-apart words, killing exactly 6 grams: consecutive docs share 12
+    // grams (j = 12/24 = 0.5, at threshold), the chain ends share only 6
+    // (j = 6/30 = 0.2, below) — so 1-3 connect ONLY through 2, forcing a
+    // propagation round beyond the direct-pair initialisation.
+    val w = (1 to 20).map(i => f"w$i%02d").toArray
+    def doc(repl: Map[Int, String]): String =
+      w.zipWithIndex.map { case (x, i) => repl.getOrElse(i + 1, x) }.mkString(" ")
+    val d1 = doc(Map.empty)
+    val d2 = doc(Map(5 -> "x05", 11 -> "x11"))
+    val d3 = doc(Map(5 -> "x05", 11 -> "x11", 8 -> "x08", 14 -> "x14"))
+    val pairTxt = "p01 p02 p03 p04 p05 p06 p07 p08"
+    val soloTxt = "s01 s02 s03 s04 s05 s06 s07 s08"
+    val docs = Seq(
+      (1L, d1), (2L, d2), (3L, d3),       // chain component, min id 1
+      (10L, pairTxt), (11L, pairTxt),     // exact-pair component, min id 10
+      (20L, soloTxt))                     // no near-dup: absent from output
+      .map { case (id, tx) => (id, tx, "en", "src", tx.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val pairs = operators.Dedup.dedupNgramJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (2L, 3L), (10L, 11L)),
+      s"pair graph must be exactly the chain + the exact pair, got $pairs")
+
+    val got = operators.Dedup.dedupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("q_sim_ann_lsh: the planted near-duplicate vector is the top ANN hit") {
     val top = operators.Similarity.simAnnLsh(spark, fixtureDir).collect()
     assert(top.nonEmpty, "probe bucket empty")
