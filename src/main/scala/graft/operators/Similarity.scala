@@ -385,16 +385,62 @@ object Similarity {
        |  floor(CAST(sum(ac::DECIMAL(18,4)) AS DOUBLE) / count(*) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS cohesion
        |FROM assigned GROUP BY cid ORDER BY cid""".stripMargin
 
+  // ---- exact k-NN join over a bounded probe set ------------------------
+  val KnnProbes = 16
+  val KnnK = 4
+
+  /** k-NN JOIN (every probe gets its k nearest), the multi-probe
+    * generalisation of [[simCosine]]: probes are a deterministic
+    * md5-hash sample bounded at [[KnnProbes]] (broadcast side fixed at
+    * any N, same device as [[dedupEmbedding]]'s ProbeCap), candidates
+    * are one map-side pass over the big table, and per-probe exact
+    * top-k runs through the bounded [[graft.functions.KnnTopKAggregator]]
+    * — partial aggregation keeps ≤k hits per probe per map task, so the
+    * shuffle carries O(probes·k) rows, not the candidate set. No window
+    * over a per-probe partition, no collect_list. At production scale
+    * the same shape serves probes = a whole query batch. */
+  def simKnn(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val probes = e
+      .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+      .limit(KnnProbes)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    e.join(broadcast(probes), col("pid") =!= col("vec_id"))
+      .select(col("pid"), col("vec_id"), r4(cosine(s, "embedding", "pe")).as("cos"))
+      .groupBy("pid")
+      .agg(graft.functions.KnnTopK.knnTopk(col("cos"), col("vec_id"), KnnK).as("hits"))
+      .select(col("pid"), posexplode(col("hits")).as(Seq("pos", "h")))
+      .select(col("pid"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("h.vec_id").as("vec_id"), col("h.cos").as("cos"))
+      .orderBy("pid", "rank")
+  }
+
+  val simKnnSql: String =
+    cosineOracle(
+      s"""SELECT vec_id AS pid, embedding AS pe FROM embeddings
+         |     ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $KnnProbes""".stripMargin,
+      "p.pid <> e.vec_id") +
+    s"""
+       |SELECT pid, rn AS rank, vec_id, cos FROM (
+       |  SELECT pid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY pid ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM (SELECT pid, vec_id,
+       |          CAST(round(dot / (sqrt(n2) * sqrt(np2)), 4) AS DOUBLE) AS cos
+       |        FROM terms) x) r
+       |WHERE rn <= $KnnK ORDER BY pid, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_sim_cosine" -> simCosine _,
     "q_dedup_embedding" -> dedupEmbedding _,
     "q_sim_ann_lsh" -> simAnnLsh _,
     "q_sim_ann_ivf" -> simAnnIvf _,
+    "q_sim_knn" -> simKnn _,
     "q_embed_cluster_stats" -> embedClusterStats _)
 
   val oracle: Map[String, String] = Map(
     "q_sim_cosine" -> simCosineSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_sim_ann_ivf" -> simAnnIvfSql,
+    "q_sim_knn" -> simKnnSql,
     "q_embed_cluster_stats" -> embedClusterStatsSql)
 }

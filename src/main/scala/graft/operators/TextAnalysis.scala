@@ -322,6 +322,39 @@ object TextAnalysis {
       |  CAST(floor(max(cnt)::DOUBLE / sum(cnt)::DOUBLE * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS top_share
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- PII scrubbing ---------------------------------------------------
+  /** Corpus-hygiene redaction pass (emails, IPv4s, US-style phone
+    * numbers → typed placeholders) + per-doc redaction counts — the
+    * standard pre-release scrub over web text. Patterns are restricted
+    * to syntax Java regex and RE2 interpret identically (char classes,
+    * bounded repeats, `\b`, `\d`), so the DuckDB oracle replays them
+    * verbatim. Purely per-row expressions: zero shuffles, trivially
+    * parallel at 100 TB. Counts are taken on the ORIGINAL text;
+    * replacements apply email → IP → phone in both engines (order
+    * matters only if patterns overlap — these cannot). */
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  val PhoneRe = """\b\d{3}-\d{3}-\d{4}\b"""
+
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast(LongType).as("n_emails"),
+        regexp_count(col("text"), lit(Ipv4Re)).cast(LongType).as("n_ips"),
+        regexp_count(col("text"), lit(PhoneRe)).cast(LongType).as("n_phones"),
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>").as("scrubbed"))
+      .orderBy("doc_id")
+
+  val piiScrubSql =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$EmailRe'))::BIGINT AS n_emails,
+       |  len(regexp_extract_all(text, '$Ipv4Re'))::BIGINT AS n_ips,
+       |  len(regexp_extract_all(text, '$PhoneRe'))::BIGINT AS n_phones,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'), '$PhoneRe', '<PHONE>', 'g') AS scrubbed
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- winnowing fingerprints ----------------------------------------
   /** positional word-3-gram hashes (md5-derived 60-bit ints — portable),
     * sliding-window (w=5) minima, per-doc fingerprint summary. The
@@ -367,7 +400,8 @@ object TextAnalysis {
     "q_sample_stratified" -> sampleStratified _,
     "q_pack_contexts" -> packContexts _,
     "q_pack_contexts_sharded" -> packContextsSharded _,
-    "q_repetition_ratio" -> repetitionRatio _)
+    "q_repetition_ratio" -> repetitionRatio _,
+    "q_pii_scrub" -> piiScrub _)
 
   val oracle: Map[String, String] = Map(
     "q_tfidf_top" -> tfidfTopSql,
@@ -380,5 +414,6 @@ object TextAnalysis {
     "q_quality_score" -> qualityScoreSql,
     "q_token_count" -> tokenCountSql,
     "q_doc_fingerprint" -> docFingerprintSql,
-    "q_repetition_ratio" -> repetitionRatioSql)
+    "q_repetition_ratio" -> repetitionRatioSql,
+    "q_pii_scrub" -> piiScrubSql)
 }

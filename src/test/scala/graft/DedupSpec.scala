@@ -158,6 +158,23 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 100L)))
   }
 
+  test("q_sim_knn: mutual planted near-dups rank first for each other, k and ordering hold") {
+    val rows = operators.Similarity.simKnn(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // 7 vectors < KnnProbes, so every vector is a probe with k=4 hits
+    assert(rows.length === 7 * operators.Similarity.KnnK)
+    val rank1 = rows.collect { case (pid, 1L, vid, cos) => pid -> ((vid, cos)) }.toMap
+    assert(rank1(0L)._1 === 100L, "near-dup 100 must be 0's nearest")
+    assert(rank1(100L)._1 === 0L, "near-dup is mutual")
+    assert(rank1(0L)._2 > 0.999)
+    rows.groupBy(_._1).foreach { case (pid, hs) =>
+      val cs = hs.sortBy(_._2).map(_._4)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"probe $pid not cos-desc")
+      // the antipodal vector (cos = -1 to v0) can never outrank genuine hits
+      assert(!hs.exists { case (_, r, vid, _) => r == 1L && vid == 4L && pid == 0L })
+    }
+  }
+
   test("q_agg_approx_distinct is within 5% of exact at sf0.001") {
     val approx = operators.Aggregates.aggApproxDistinct(spark, TestSpark.sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap

@@ -46,6 +46,7 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_join_asof",        // as-of range match, bounded build side
       "q_sim_cosine",       // broadcast one-row probe vector
       "q_dedup_embedding",  // broadcast ≤100-row probe sample
+      "q_sim_knn",          // broadcast ≤16-row probe sample (KnnProbes)
       "q_sim_ann_lsh",      // broadcast probe bucket
       "q_sim_ann_ivf",      // broadcast K-row codebook + one-row probe
       "q_embed_cluster_stats", // broadcast K-row codebook

@@ -33,4 +33,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       2L -> ((2L, 2L, 0.0, 0.5)),
       3L -> ((3L, 1L, 0.6667, 1.0))))
   }
+
+  test("q_pii_scrub: planted email/IP/phone are redacted and counted; clean text untouched") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_pii").toString
+    val docs = Seq(
+      (1L, "contact alice.b+spam@example.co.uk or bob@host.org today"),
+      (2L, "server 10.0.255.7 responded, backup at 192.168.1.1 now"),
+      (3L, "call 555-867-5309 re: invoice"),
+      (4L, "no pii here, just words and 42 numbers"),
+      // boundary: version string 1.2.3 must NOT match the IPv4 pattern
+      (5L, "upgraded to spark 1.2.3 yesterday"))
+      .map { case (id, tx) => (id, tx, "en", "src", tx.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = operators.TextAnalysis.piiScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got(1L) === ((2L, 0L, 0L, "contact <EMAIL> or <EMAIL> today")))
+    assert(got(2L) === ((0L, 2L, 0L, "server <IP> responded, backup at <IP> now")))
+    assert(got(3L) === ((0L, 0L, 1L, "call <PHONE> re: invoice")))
+    assert(got(4L) === ((0L, 0L, 0L, "no pii here, just words and 42 numbers")))
+    assert(got(5L) === ((0L, 0L, 0L, "upgraded to spark 1.2.3 yesterday")))
+  }
 }
