@@ -296,7 +296,27 @@ object Aggregates {
         percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000)).as("p90_approx"))
       .orderBy("l_returnflag")
 
+  /** mergeable-sketch distinct counting (Apache DataSketches HLL via
+    * `hll_sketch_agg`/`hll_union_agg`): per-(event_type, day) sketches
+    * built in ONE pass over raw rows, then re-aggregated to per-type
+    * distinct-user estimates WITHOUT touching raw rows again. This is
+    * the 100 TB rollup pattern `approx_count_distinct` cannot express:
+    * daily sketch tables are persisted once and ANY later slice (week,
+    * month, campaign) is a cheap sketch union — re-aggregatable where
+    * raw HLL±distinct counts are not. lgConfigK=12 ⇒ ~1.6% typical
+    * error, 4 KiB max sketch. Oracle-free by design (sketch internals
+    * are library-specific); spec bounds error vs exact. */
+  def aggHllUnion(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+      .orderBy("event_type")
+
   val queries: Map[String, Q] = Map(
+    "q_agg_hll_union" -> aggHllUnion _,
     "q_agg_quantile_approx" -> aggQuantileApprox _,
     "q_agg_stats" -> aggStats _,
     "q_agg_histogram" -> aggHistogram _,

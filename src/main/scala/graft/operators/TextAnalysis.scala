@@ -322,6 +322,40 @@ object TextAnalysis {
       |  CAST(floor(max(cnt)::DOUBLE / sum(cnt)::DOUBLE * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS top_share
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- per-group sampling cap -----------------------------------------
+  /** Per-source document cap (the "no domain dominates the corpus" op):
+    * each source keeps its [[SampleCap]] docs with the highest 52-bit
+    * md5(doc_id) prefix — a deterministic uniform sample without
+    * replacement, portable across engines. Scale shape: the cap rides
+    * the bounded [[graft.functions.KnnTopKAggregator]], so every map
+    * task holds ≤cap rows per source and the shuffle carries
+    * O(sources·cap) — no per-source window over raw rows, no
+    * collect_list. 52 hex-prefix bits keep the score exact in a DOUBLE
+    * (< 2^53), so Spark's double order equals DuckDB's BIGINT order. */
+  val SampleCap = 20
+
+  def samplePerSource(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 13), 16, 10)
+      .cast(LongType).cast(DoubleType)
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), h.as("h"))
+      .groupBy("source")
+      .agg(graft.functions.KnnTopK.knnTopk(col("h"), col("doc_id"), SampleCap).as("hits"))
+      .select(col("source"), posexplode(col("hits")).as(Seq("pos", "x")))
+      .select(col("source"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("x.vec_id").as("doc_id"))
+      .orderBy("source", "rank")
+  }
+
+  val samplePerSourceSql =
+    s"""SELECT source, rn AS rank, doc_id FROM (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT DESC,
+       |               doc_id ASC) AS rn
+       |  FROM documents) x
+       |WHERE rn <= $SampleCap ORDER BY source, rank""".stripMargin
+
   // ---- PII scrubbing ---------------------------------------------------
   /** Corpus-hygiene redaction pass (emails, IPv4s, US-style phone
     * numbers → typed placeholders) + per-doc redaction counts — the
@@ -401,7 +435,8 @@ object TextAnalysis {
     "q_pack_contexts" -> packContexts _,
     "q_pack_contexts_sharded" -> packContextsSharded _,
     "q_repetition_ratio" -> repetitionRatio _,
-    "q_pii_scrub" -> piiScrub _)
+    "q_pii_scrub" -> piiScrub _,
+    "q_sample_per_source" -> samplePerSource _)
 
   val oracle: Map[String, String] = Map(
     "q_tfidf_top" -> tfidfTopSql,
@@ -415,5 +450,6 @@ object TextAnalysis {
     "q_token_count" -> tokenCountSql,
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_repetition_ratio" -> repetitionRatioSql,
-    "q_pii_scrub" -> piiScrubSql)
+    "q_pii_scrub" -> piiScrubSql,
+    "q_sample_per_source" -> samplePerSourceSql)
 }

@@ -187,6 +187,26 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_hll_union: daily-sketch union estimate within 5% of exact distinct users") {
+    val est = operators.Aggregates.aggHllUnion(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    val exact = util.events(spark, TestSpark.sfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(est(k).toDouble - ex) / ex <= 0.05, s"$k: union est ${est(k)} vs exact $ex")
+    }
+    // the union must agree with a single-pass sketch over the same rows:
+    // re-aggregation may not cost accuracy (the property that makes
+    // persisted daily sketches usable for any later slice)
+    val onePass = util.events(spark, TestSpark.sfDir)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.hll_sketch_estimate(
+        org.apache.spark.sql.functions.hll_sketch_agg(col("user_id"), lit(12))).as("e"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(est === onePass, "daily-sketch union diverged from single-pass sketch")
+  }
+
   test("q_agg_quantile_approx stays within 2% of the exact percentile") {
     import org.apache.spark.sql.functions.{col, expr}
     val approx = operators.Aggregates.aggQuantileApprox(spark, TestSpark.sfDir)

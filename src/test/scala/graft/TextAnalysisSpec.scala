@@ -57,4 +57,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(4L) === ((0L, 0L, 0L, "no pii here, just words and 42 numbers")))
     assert(got(5L) === ((0L, 0L, 0L, "upgraded to spark 1.2.3 yesterday")))
   }
+
+  test("q_sample_per_source: over-cap source capped, under-cap source kept whole") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cap").toString
+    val cap = operators.TextAnalysis.SampleCap
+    // source "big": 3×cap docs; source "small": 5 docs
+    val docs = ((1 to cap * 3).map(i => (i.toLong, s"doc $i words", "en", "big")) ++
+      (101 to 105).map(i => (i.toLong, s"doc $i words", "en", "small")))
+      .map { case (id, tx, l, src) => (id, tx, l, src, tx.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val rows = operators.TextAnalysis.samplePerSource(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc("big").length === cap, "over-cap source must keep exactly cap docs")
+    assert(bySrc("small").length === 5, "under-cap source must keep all docs")
+    assert(bySrc("small").map(_._3).toSet === (101L to 105L).toSet)
+    // ranks are contiguous from 1 and the sample is duplicate-free
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length).toSeq, s"$src ranks")
+      assert(rs.map(_._3).distinct.length === rs.length, s"$src dup docs")
+    }
+  }
 }
