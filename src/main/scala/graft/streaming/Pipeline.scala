@@ -220,6 +220,50 @@ object Pipeline {
   def useRocksDbStateStore(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProviderClass)
 
+  /** Streaming heavy hitters (ClickHouse `topK` live, stream_topk):
+    * sharded space-saving state over the device stream. Each of
+    * [[TopKShards]] groups keeps ONE bounded space-saving counter set
+    * (the same [[graft.functions.TopKAggregator]] buffer the batch
+    * `q_udaf_topk` runs), updated per micro-batch; every batch it
+    * re-emits its current counters (update mode). The global top-k is a
+    * read-side merge of the ≤shards·capacity latest rows — space-saving
+    * summaries merge with additive error bounds (Metwally et al. §4),
+    * and with capacity ≥ distinct(shard) the result is exact, which is
+    * what the stream≡batch parity spec pins.
+    *
+    * Scale shape: state is O(shards·capacity) regardless of stream
+    * volume; sharding by a stable device hash spreads both rows and
+    * state across tasks (one hot device still lands on one shard, but a
+    * shard holds 1/shards of the DISTINCT devices — the counter update
+    * itself is O(1) per row, so row skew costs CPU, not memory). At a
+    * larger deployment raise shards, not capacity. */
+  val TopKShards = 8
+
+  case class ShardTop(shard: Int, device: String, cnt: Long)
+
+  def streamTopDevices(logs: DataFrame, capacity: Int = 256,
+      emitPerShard: Int = 16): Dataset[ShardTop] = {
+    val spark = logs.sparkSession
+    import spark.implicits._
+    val shards = TopKShards
+    logs.selectExpr("device").as[String]
+      // math.floorMod of the JVM String hash: deterministic across
+      // executors (String.hashCode is specified), non-negative
+      .groupByKey(d => math.floorMod(d.hashCode, shards))
+      .flatMapGroupsWithState[graft.functions.TopKBuffer, ShardTop](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[String],
+         state: GroupState[graft.functions.TopKBuffer]) =>
+          val agg = new graft.functions.TopKAggregator(emitPerShard, capacity)
+          var buf = state.getOption.getOrElse(agg.zero)
+          rows.foreach { d => buf = agg.reduce(buf, d) }
+          state.update(buf)
+          buf.counts.toSeq.sortBy { case (d, c) => (-c, d) }
+            .take(emitPerShard)
+            .map { case (d, c) => ShardTop(shard, d, c) }.iterator
+      }
+  }
+
   def statefulDeviceCounts(logs: DataFrame): Dataset[DeviceCount] = {
     val spark = logs.sparkSession
     import spark.implicits._

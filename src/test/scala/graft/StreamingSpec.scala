@@ -112,6 +112,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(last === Seq(("d1", 3L, 2L), ("d2", 2L, 0L)))
   }
 
+  test("stream_topk: sharded space-saving state matches batch counts exactly under capacity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[LogRow]
+    val q = Pipeline.streamTopDevices(ms.toDF())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("topk_out").start()
+
+    def rows(devs: (String, Int)*): Seq[LogRow] =
+      devs.toSeq.flatMap { case (d, n) => Seq.fill(n)(LogRow(d, 6)) }
+    ms.addData(rows("h1" -> 6, "h2" -> 4, "h3" -> 3, "h4" -> 1))
+    q.processAllAvailable()
+    // h1/h2 counters must ACCUMULATE across batches; h5 is new in batch 2
+    ms.addData(rows("h1" -> 4, "h2" -> 2, "h5" -> 5))
+    q.processAllAvailable()
+    q.stop()
+
+    // read-side merge: counters only grow, so the latest row per
+    // (shard, device) is the max — with capacity >= distinct the merged
+    // view is the exact batch count
+    val merged = spark.table("topk_out").as[Pipeline.ShardTop].collect()
+      .groupBy(r => (r.shard, r.device))
+      .map { case ((_, d), rs) => d -> rs.map(_.cnt).max }
+    assert(merged === Map("h1" -> 10L, "h2" -> 6L, "h3" -> 3L, "h4" -> 1L, "h5" -> 5L))
+    val top3 = merged.toSeq.sortBy { case (d, c) => (-c, d) }.take(3).map(_._1)
+    assert(top3 === Seq("h1", "h2", "h5"))
+  }
+
   test("streaming session_window groups by 30-min inactivity gap (q_window_session twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
