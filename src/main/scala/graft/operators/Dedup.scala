@@ -301,6 +301,37 @@ object Dedup {
        |SELECT v AS doc_id, min(l)::BIGINT AS cluster_id
        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The last mile of the dedup pipeline: apply the clusters to the
+    * corpus — every doc that is a NON-keeper member of a duplicate
+    * cluster (keeper = the cluster's min doc_id, i.e. its label) is
+    * dropped; everything else (keepers + never-duplicated docs) stays.
+    * One broadcast-size anti-join at this SF; at 100 TB the drop list
+    * shuffles on doc_id — the same scaling key as everything upstream.
+    * Output keeps (doc_id, lang, source) so the oracle pins that the
+    * surviving corpus, not just the drop count, is identical. */
+  def dedupApply(s: SparkSession, dir: String): DataFrame = {
+    val drops = dedupClusters(s, dir)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    t(s, dir, "documents")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val dedupApplySql =
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(v, l) AS (
+       |  SELECT DISTINCT d1, d1 FROM edges
+       |  UNION
+       |  SELECT e.d1, r.l FROM edges e JOIN reach r ON r.v = e.d2),
+       |clusters AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY 1),
+       |drops AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- train/eval decontamination -------------------------------------
   /** benchmark-contamination check, the standard pretraining hygiene op:
     * for every EVAL doc (deterministic 1% slice, doc_id % 97 = 0), the
@@ -530,6 +561,7 @@ object Dedup {
     "q_dedup_minhash_bands" -> dedupMinhashBands _,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "q_dedup_clusters" -> dedupClusters _,
+    "q_dedup_apply" -> dedupApply _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_dedup_simhash_chunks" -> dedupSimhashChunks _,
     "q_decontaminate" -> decontaminate _,
@@ -540,6 +572,7 @@ object Dedup {
     "q_dedup_minhash_bands" -> dedupMinhashBandsSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_dedup_apply" -> dedupApplySql,
     "q_dedup_simhash_chunks" -> dedupSimhashChunksSql,
     "q_decontaminate" -> decontaminateSql)
 }

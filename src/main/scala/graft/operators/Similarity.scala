@@ -385,6 +385,54 @@ object Similarity {
        |  floor(CAST(sum(ac::DECIMAL(18,4)) AS DOUBLE) / count(*) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS cohesion
        |FROM assigned GROUP BY cid ORDER BY cid""".stripMargin
 
+  // ---- persisted IVF index (the layout IS the index) -------------------
+  /** Writes the trained IVF index as an at-rest parquet layout:
+    * `codebook/` (K rows) plus `lists/` PARTITIONED BY cid. The layout
+    * is the index: an ANN query scans only its probed list directories
+    * (static partition pruning, asserted in IvfIndexSpec), i.e. a
+    * probes/K fraction of the corpus — no index service, build once
+    * after ingest, query from any Spark job. `repartition(cid)` gives
+    * one writer task per list: no small-file explosion at any corpus
+    * size. */
+  def writeIvfIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
+    graft.functions.VectorExpressions.register(s)
+    val e = t(s, dir, "embeddings")
+    val book = trainedCodebook(s, dir)
+    book.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
+    val bookArr = book.agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
+    e.crossJoin(broadcast(bookArr))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorExpressions.ivfAssign(col("embedding"), col("cents")).as("cid"))
+      .repartition(col("cid"))
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$indexPath/lists")
+  }
+
+  /** ANN top-k against a PERSISTED index. The probe's nearest
+    * [[IvfProbes]] lists are ranked on the K-row codebook and collected
+    * — that collect is O(K) index METADATA (probe planning), not data,
+    * and it is what makes the list scan a LITERAL `isin` partition
+    * filter: static pruning that works at any scale (dynamic partition
+    * pruning would need a join and doesn't fire on KB-scale local
+    * inputs). The pruned lists are then exact-cosine re-ranked. */
+  def annQueryIndex(s: SparkSession, indexPath: String, pe: Seq[Float],
+      excludeVecId: Long = -1L, k: Int = 10): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    import s.implicits._
+    val probe = Seq(Tuple1(pe)).toDF("pe")
+    val cids = s.read.parquet(s"$indexPath/codebook")
+      .crossJoin(broadcast(probe))
+      .select(col("cid"), r4f(cosine(s, "ce", "pe")).as("ac"))
+      .orderBy(col("ac").desc, col("cid").asc)
+      .limit(IvfProbes)
+      .collect().map(_.getLong(0))
+    s.read.parquet(s"$indexPath/lists")
+      .where(col("cid").isin(cids: _*) && col("vec_id") =!= excludeVecId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), r4(cosine(s, "embedding", "pe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   // ---- exact k-NN join over a bounded probe set ------------------------
   val KnnProbes = 16
   val KnnK = 4
