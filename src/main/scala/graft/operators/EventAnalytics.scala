@@ -97,13 +97,47 @@ object EventAnalytics {
       |  FROM events GROUP BY event_type, user_id) x
       |WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  /** top event-sequence paths (ClickHouse `sequenceCount`-family analog
+    * for exploratory path analysis): each user's event stream in
+    * (ts, event_id) total order yields its 3-event windows via lead();
+    * paths are counted globally and the top 20 returned. Scale shape:
+    * ONE window partitioned by user_id (scaling key — a user's history
+    * is bounded), then a map-side-combined groupBy on path (bounded by
+    * |event_type|³ distinct keys) + TakeOrderedAndProject. */
+  def eventTrigrams(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    events(s, dir).select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .where(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  val eventTrigramsSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_type FROM events),
+      |t AS (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS e2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS e3
+      |  FROM e)
+      |SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*)::BIGINT AS n
+      |FROM t WHERE e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_funnel" -> funnel _,
     "q_retention" -> retention _,
+    "q_event_trigrams" -> eventTrigrams _,
     "q_agg_mode" -> aggMode _)
 
   val oracle: Map[String, String] = Map(
     "q_funnel" -> funnelSql,
     "q_retention" -> retentionSql,
+    "q_event_trigrams" -> eventTrigramsSql,
     "q_agg_mode" -> aggModeSql)
 }

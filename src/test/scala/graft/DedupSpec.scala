@@ -222,6 +222,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("KnnTopKAggregator property: any reduce/merge split equals global sort-take") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.functions.{KnnHit, KnnTopKAggregator}
+    val k = 4
+    val agg = new KnnTopKAggregator(k)
+    // coarse score grid forces score ties; small id range forces repeats
+    val hitGen = for {
+      c <- Gen.choose(-100, 100).map(_ / 50.0)
+      id <- Gen.choose(0L, 30L)
+    } yield KnnHit(c, id)
+    val listGen = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, hitGen))
+    (0 until 200).foreach { i =>
+      val hits = listGen.apply(Gen.Parameters.default, Seed(3L + i)).getOrElse(Nil)
+      val nSplits = 1 + (i % 5) // exercises 1..5-way partial aggregation
+      val chunkSize = math.max(1, (hits.size + nSplits - 1) / nSplits)
+      val partials = hits.grouped(chunkSize).map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+      val merged = if (partials.isEmpty) agg.zero else partials.reduce(agg.merge)
+      val expected = hits.sortBy(h => (-h.cos, h.vec_id)).take(k)
+      assert(agg.finish(merged) === expected, s"case $i (splits=$nSplits)")
+    }
+  }
+
   test("TopKAggregator is exact under capacity and finds heavy hitters over capacity") {
     import spark.implicits._
     // 100×"a", 50×"b", 10×"c", 1×"d" — capacity 2 forces space-saving evictions
