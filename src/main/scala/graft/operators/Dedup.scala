@@ -274,22 +274,45 @@ object Dedup {
     * analyzer never terminates. With it, every round plans over a
     * constant-size LogicalRDD leaf, the classic iterative-algorithm
     * shape (GraphX does the same). No driver-side graph state. */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val p = dedupNgramJaccard(s, dir).select("d1", "d2").localCheckpoint(false)
-    val edges = p.union(p.select(col("d2").as("d1"), col("d1").as("d2")))
-    var labels = edges.groupBy(col("d1")).agg(min(col("d2")).as("mn"))
-      .select(col("d1").as("doc_id"), least(col("d1"), col("mn")).as("cluster_id"))
-    for (_ <- 1 to ClusterIters) {
-      val viaNbr = edges
-        .join(labels.select(col("doc_id").as("d2"), col("cluster_id").as("nbl")), "d2")
-        .groupBy(col("d1").as("doc_id")).agg(min(col("nbl")).as("nbl"))
-      labels = labels.join(viaNbr, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbl"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint(false)
+  /** Labels memoized per (session, dir, input fingerprint) — the same
+    * pattern as Similarity's trained codebook: `q_dedup_clusters` and
+    * `q_dedup_apply` share one propagation run instead of each
+    * re-deriving the pair graph, and a rewritten documents input
+    * invalidates the entry. The cached frame's rounds are already
+    * checkpoint-materialized, so reuse is a cheap scan. */
+  private val labelsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]()
+
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    labelsCache.synchronized {
+      val key = (s, dir)
+      val fp = graft.util.inputFingerprint(dir, "documents.parquet")
+      val cached = labelsCache.get(key)
+      if (cached != null && cached._1 == fp) cached._2
+      else {
+        val p = dedupNgramJaccard(s, dir).select("d1", "d2").localCheckpoint(false)
+        val edges = p.union(p.select(col("d2").as("d1"), col("d1").as("d2")))
+        var labels = edges.groupBy(col("d1")).agg(min(col("d2")).as("mn"))
+          .select(col("d1").as("doc_id"), least(col("d1"), col("mn")).as("cluster_id"))
+        for (_ <- 1 to ClusterIters) {
+          val viaNbr = edges
+            .join(labels.select(col("doc_id").as("d2"), col("cluster_id").as("nbl")), "d2")
+            .groupBy(col("d1").as("doc_id")).agg(min(col("nbl")).as("nbl"))
+          labels = labels.join(viaNbr, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("cluster_id"), coalesce(col("nbl"), col("cluster_id"))).as("cluster_id"))
+            .localCheckpoint(false)
+        }
+        labelsCache.put(key, (fp, labels))
+        labels
+      }
     }
-    labels.orderBy("doc_id")
-  }
+
+  /** drop every cached label frame (test/teardown hook) */
+  def clearLabelsCache(): Unit = labelsCache.synchronized(labelsCache.clear())
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir).orderBy("doc_id")
 
   val dedupClustersSql =
     s"""WITH RECURSIVE $jaccardPairsCte,
@@ -310,7 +333,7 @@ object Dedup {
     * Output keeps (doc_id, lang, source) so the oracle pins that the
     * surviving corpus, not just the drop count, is identical. */
   def dedupApply(s: SparkSession, dir: String): DataFrame = {
-    val drops = dedupClusters(s, dir)
+    val drops = clusterLabels(s, dir)
       .where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     t(s, dir, "documents")

@@ -188,21 +188,9 @@ object Similarity {
   private val codebookCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]()
 
-  /** driver-side listing of one directory — O(#files), no data read */
-  private def inputFingerprint(dir: String): String = {
-    val root = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    if (!java.nio.file.Files.exists(root)) "absent"
-    else {
-      val walk = java.nio.file.Files.walk(root)
-      try {
-        val entries = scala.jdk.CollectionConverters.IteratorHasAsScala(walk.iterator()).asScala
-          .filter(java.nio.file.Files.isRegularFile(_))
-          .map(p => s"$p:${java.nio.file.Files.size(p)}:${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
-          .toSeq.sorted
-        java.util.UUID.nameUUIDFromBytes(entries.mkString("\n").getBytes("UTF-8")).toString
-      } finally walk.close()
-    }
-  }
+  /** driver-side listing of the embeddings input — see util.inputFingerprint */
+  private def inputFingerprint(dir: String): String =
+    graft.util.inputFingerprint(dir, "embeddings.parquet")
 
   private def trainedCodebook(s: SparkSession, dir: String): DataFrame =
     codebookCache.synchronized {

@@ -58,4 +58,24 @@ object util {
     *       * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE */
   def avgD2(c: Column): Column =
     r4f(sum(d2(c)).cast(DoubleType) / count(c))
+
+  /** driver-side fingerprint of one input table's files (names + sizes +
+    * mtimes) — O(#files), no data read. Cache keys derived from it
+    * invalidate when the parquet under `dir` is rewritten mid-session
+    * (the staleness hazard memoized derived frames would otherwise
+    * have). */
+  def inputFingerprint(dir: String, table: String): String = {
+    val root = java.nio.file.Paths.get(dir, table)
+    if (!java.nio.file.Files.exists(root)) "absent"
+    else {
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        val entries = scala.jdk.CollectionConverters.IteratorHasAsScala(walk.iterator()).asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => s"$p:${java.nio.file.Files.size(p)}:${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+          .toSeq.sorted
+        java.util.UUID.nameUUIDFromBytes(entries.mkString("\n").getBytes("UTF-8")).toString
+      } finally walk.close()
+    }
+  }
 }
