@@ -52,8 +52,54 @@ class TopKAggregator(k: Int, capacity: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
 }
 
+/** ClickHouse `topKWeighted(k)(item, weight)` analog: space-saving with
+  * WEIGHTED increments — each row adds its weight instead of 1, and an
+  * unseen item evicts the (min weight, max item) victim and inherits
+  * victim weight + its own (the standard weighted extension of the same
+  * Metwally et al. scheme; exact when capacity ≥ distinct(group), which
+  * is what makes the rank-SQL oracle valid). Merge/finish/tie-break are
+  * identical to [[TopKAggregator]] — the buffer means "accumulated
+  * weight" instead of "count". */
+class WeightedTopKAggregator(k: Int, capacity: Int)
+    extends Aggregator[(String, Long), TopKBuffer, Seq[String]] {
+
+  override def zero: TopKBuffer = TopKBuffer(Map.empty)
+
+  override def reduce(b: TopKBuffer, in: (String, Long)): TopKBuffer = {
+    val (item, w) = in
+    b.counts.get(item) match {
+      case Some(c) => TopKBuffer(b.counts.updated(item, c + w))
+      case None if b.counts.size < capacity =>
+        TopKBuffer(b.counts.updated(item, w))
+      case None =>
+        val (victim, vc) = b.counts.minBy { case (i, c) => (c, i) }
+        TopKBuffer(b.counts - victim + (item -> (vc + w)))
+    }
+  }
+
+  override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer = {
+    val summed = b.counts.foldLeft(a.counts) { case (m, (i, c)) =>
+      m.updated(i, m.getOrElse(i, 0L) + c)
+    }
+    TopKBuffer(
+      if (summed.size <= capacity) summed
+      else summed.toSeq.sortBy { case (i, c) => (-c, i) }.take(capacity).toMap)
+  }
+
+  override def finish(b: TopKBuffer): Seq[String] =
+    b.counts.toSeq.sortBy { case (i, c) => (-c, i) }.take(k).map(_._1)
+
+  override def bufferEncoder: Encoder[TopKBuffer] = Encoders.product[TopKBuffer]
+  override def outputEncoder: Encoder[Seq[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+}
+
 object TopK {
   /** topk(col) as a Column aggregate usable in groupBy().agg() */
   def topk(c: Column, k: Int, capacity: Int = 1024): Column =
     udaf(new TopKAggregator(k, capacity)).apply(c)
+
+  /** topkWeighted(item, weight) as a Column aggregate */
+  def topkWeighted(item: Column, weight: Column, k: Int, capacity: Int = 1024): Column =
+    udaf(new WeightedTopKAggregator(k, capacity)).apply(item, weight)
 }

@@ -204,6 +204,23 @@ object Aggregates {
       |FROM (SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2) x
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** ClickHouse `topKWeighted` analog: per-language top sources by TOTAL
+    * characters (weight = n_chars), through the weighted space-saving
+    * aggregate — bounded state per group, exact under capacity, which the
+    * rank-SQL oracle pins */
+  def udafTopkWeighted(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(array_join(
+        graft.functions.TopK.topkWeighted(col("source"), col("n_chars"), 2), "|")
+        .as("top_sources"))
+      .orderBy("lang")
+
+  val udafTopkWeightedSql =
+    """SELECT lang, array_to_string(list(source ORDER BY w DESC, source ASC)[1:2], '|') AS top_sources
+      |FROM (SELECT lang, source, sum(n_chars)::BIGINT AS w FROM documents GROUP BY 1, 2) x
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** pivot (ClickHouse conditional-agg matrix): order counts per priority ×
     * status; the status universe is pinned explicitly so the plan is a
     * single pass (no distinct-collect on the driver) and column names are
@@ -332,7 +349,8 @@ object Aggregates {
     "q_agg_argmax" -> aggArgmax _,
     "q_agg_collect_sorted" -> aggCollectSorted _,
     "q_agg_conditional" -> aggConditional _,
-    "q_udaf_topk" -> udafTopk _)
+    "q_udaf_topk" -> udafTopk _,
+    "q_udaf_topk_weighted" -> udafTopkWeighted _)
 
   val oracle: Map[String, String] = Map(
     "q_agg_stats" -> aggStatsSql,
@@ -348,5 +366,6 @@ object Aggregates {
     "q_agg_argmax" -> aggArgmaxSql,
     "q_agg_collect_sorted" -> aggCollectSortedSql,
     "q_agg_conditional" -> aggConditionalSql,
-    "q_udaf_topk" -> udafTopkSql)
+    "q_udaf_topk" -> udafTopkSql,
+    "q_udaf_topk_weighted" -> udafTopkWeightedSql)
 }

@@ -245,6 +245,21 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("WeightedTopKAggregator: weight-ranked exact under capacity, heavy item survives eviction") {
+    import spark.implicits._
+    // "c" has the most ROWS but the least WEIGHT — weighted rank must win
+    val data = Seq(("a", 50L), ("a", 50L), ("b", 60L)) ++ Seq.fill(10)(("c", 1L))
+    val exact = data.toDF("item", "w")
+      .agg(TopK.topkWeighted(col("item"), col("w"), 2, capacity = 1024)).collect()
+      .head.getSeq[String](0)
+    assert(exact === Seq("a", "b"), s"weighted rank wrong: $exact")
+    // capacity 2 forces evictions; the dominant-weight item must survive
+    val evicted = data.toDF("item", "w")
+      .agg(TopK.topkWeighted(col("item"), col("w"), 1, capacity = 2)).collect()
+      .head.getSeq[String](0)
+    assert(evicted === Seq("a"), s"heavy item lost to eviction: $evicted")
+  }
+
   test("TopKAggregator is exact under capacity and finds heavy hitters over capacity") {
     import spark.implicits._
     // 100×"a", 50×"b", 10×"c", 1×"d" — capacity 2 forces space-saving evictions
