@@ -129,15 +129,68 @@ object EventAnalytics {
       |FROM t WHERE e3 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
 
+  /** hourly spike detection (the alerting query a NOC runs on the
+    * reference's table): per-type hourly counts z-scored against that
+    * type's own distribution. Determinism: the moments (cnt, Σn, Σn²)
+    * are exact BIGINTs, and mean/σ/z derive from them through an
+    * expression tree mirrored verbatim in the oracle — identical doubles
+    * on both engines; σ is clamped at 0 (float cancellation could give
+    * sqrt a tiny negative) and σ=0 groups emit z=0 rather than NaN
+    * (cross-engine NaN handling is unspecifiable). Scale shape: one
+    * groupBy on (event_type, hour) — a scaling key — then a broadcast
+    * join of the |event_type|-row stats frame back onto it. */
+  def eventAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DoubleType
+    val hourly = events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+    val mean = col("s1").cast(D) / col("cnt").cast(D)
+    val sd = sqrt(greatest(lit(0d),
+      (col("s2").cast(D) - col("s1").cast(D) * col("s1").cast(D) / col("cnt").cast(D))
+        / col("cnt").cast(D)))
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("hour"), col("n"),
+        r4f(when(sd === 0d, 0d).otherwise((col("n").cast(D) - mean) / sd)).as("z"))
+      .withColumn("is_spike", abs(col("z")) >= 2.0d)
+      .orderBy("event_type", "hour")
+  }
+
+  val eventAnomalySql =
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS hour, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, count(*) AS cnt, sum(n)::BIGINT AS s1, sum(n*n)::BIGINT AS s2
+      |  FROM h GROUP BY 1),
+      |j AS (
+      |  SELECT h.event_type, hour, n,
+      |    s1::DOUBLE / cnt::DOUBLE AS mean,
+      |    sqrt(greatest(0::DOUBLE,
+      |      (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / cnt::DOUBLE) / cnt::DOUBLE)) AS sd
+      |  FROM h JOIN st USING (event_type)),
+      |z AS (
+      |  SELECT event_type, hour, n,
+      |    CAST(floor((CASE WHEN sd = 0::DOUBLE THEN 0::DOUBLE
+      |                     ELSE (n::DOUBLE - mean) / sd END)
+      |      * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS z
+      |  FROM j)
+      |SELECT event_type, hour, n, z, abs(z) >= 2::DOUBLE AS is_spike
+      |FROM z ORDER BY event_type, hour""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_funnel" -> funnel _,
     "q_retention" -> retention _,
     "q_event_trigrams" -> eventTrigrams _,
+    "q_event_anomaly" -> eventAnomaly _,
     "q_agg_mode" -> aggMode _)
 
   val oracle: Map[String, String] = Map(
     "q_funnel" -> funnelSql,
     "q_retention" -> retentionSql,
     "q_event_trigrams" -> eventTrigramsSql,
+    "q_event_anomaly" -> eventAnomalySql,
     "q_agg_mode" -> aggModeSql)
 }
