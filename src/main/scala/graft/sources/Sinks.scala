@@ -24,6 +24,34 @@ object Sinks {
       .sortWithinPartitions(col("timestamp"))
       .write.partitionBy("day").mode("append").parquet(path)
 
+  /** Small-file compaction for one day partition of the
+    * [[writeLogsPartitioned]] layout — the maintenance pass a streaming
+    * sink needs: micro-batches append a file per trigger, and a 2 s
+    * trigger writes ~43 k files/day/partition-column-value, which kills
+    * scan planning long before data size matters. Rewrites the day's
+    * rows into ceil(rows/targetRows) timestamp-sorted files via ONE
+    * shuffle, replacing only that day's directory (dynamic partition
+    * overwrite — concurrent readers of other days are untouched).
+    * Idempotent: re-running on a compacted day is a no-op rewrite. */
+  def compactDay(spark: org.apache.spark.sql.SparkSession, path: String,
+      day: String, targetRows: Long = 1000000L): Unit = {
+    val part = spark.read.parquet(path).where(col("day") === day)
+    val n = part.count()
+    if (n > 0) {
+      val files = math.max(1, math.ceil(n.toDouble / targetRows).toInt)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try part
+        .repartition(files)
+        .sortWithinPartitions(col("timestamp"))
+        .write.partitionBy("day").mode("overwrite").parquet(path)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   /** JDBC twin of the reference's batched ClickHouse insert
     * (lib/cacheManage.go:35-65): 1000-row batches, bounded connection
     * fan-out (the reference pools 5 connections, main.go:49-50). Wire it

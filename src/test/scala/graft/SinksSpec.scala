@@ -35,4 +35,29 @@ class SinksSpec extends AnyFunSuite {
     assert(dirs2.toSeq === Seq("day=2024-01-01", "day=2024-01-02"))
   }
 
+  test("compactDay collapses a fragmented day to one file, preserves rows, leaves siblings alone") {
+    val out = Files.createTempDirectory("graft_compact").toString
+    val logs = Pipeline.parseToLog(model.rawLines(spark))
+    // simulate a streaming day: many appends → many small files
+    (1 to 10).foreach(_ => Sinks.writeLogsPartitioned(logs, out))
+    val day2 = logs.withColumn("timestamp", col("timestamp") + expr("INTERVAL 1 DAY"))
+    Sinks.writeLogsPartitioned(day2, out)
+
+    def filesIn(day: String) = new java.io.File(s"$out/day=$day").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    val before = filesIn("2024-01-01").length
+    assert(before >= 10, s"fixture should be fragmented, got $before files")
+    val sibBefore = filesIn("2024-01-02").toSeq.sorted
+    val rowsBefore = spark.read.parquet(out).where(col("day") === "2024-01-01")
+      .orderBy("timestamp", "device", "message").collect().toSeq
+
+    Sinks.compactDay(spark, out, "2024-01-01")
+
+    assert(filesIn("2024-01-01").length === 1, "day not compacted to one file")
+    assert(filesIn("2024-01-02").toSeq.sorted === sibBefore, "sibling day was touched")
+    val rowsAfter = spark.read.parquet(out).where(col("day") === "2024-01-01")
+      .orderBy("timestamp", "device", "message").collect().toSeq
+    assert(rowsAfter === rowsBefore, "compaction changed the data")
+  }
+
 }
