@@ -264,6 +264,59 @@ object Pipeline {
       }
   }
 
+  /** Streaming twin of the batch `q_event_anomaly`: per-type hourly
+    * counts kept as custom state (hour→count map, capped at the
+    * `maxHours` MOST RECENT hours so state is bounded — default one
+    * trailing week), z-scores re-emitted for every retained hour each
+    * batch (update mode). The arithmetic mirrors the batch operator
+    * EXACTLY — exact Long moments, the same double closed form in the
+    * same operation order, σ clamp, σ=0 ⇒ z=0, r4f rounding — so with
+    * an uncapped horizon a single-batch run is row-identical to the
+    * batch query (the parity spec pins this); with the production cap
+    * the baseline is the trailing window instead of all history. At
+    * scale: state is O(types·maxHours), grouping key is event_type; a
+    * high-volume type costs CPU on one task but the counter map stays
+    * tiny. */
+  val AnomalyMaxHours = 168
+
+  case class AnomalyOut(event_type: String, hour: java.sql.Timestamp,
+      n: Long, z: Double, is_spike: Boolean)
+
+  def streamAnomaly(events: DataFrame,
+      maxHours: Int = AnomalyMaxHours): Dataset[AnomalyOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"), date_trunc("hour", col("timestamp")).as("hour"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Long], AnomalyOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[(String, java.sql.Timestamp)],
+         state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          rows.foreach { case (_, h) =>
+            val us = tsToUs(h)
+            m = m.updated(us, m.getOrElse(us, 0L) + 1L)
+          }
+          if (m.size > maxHours)
+            m = m.toSeq.sortBy(-_._1).take(maxHours).toMap
+          state.update(m)
+          // exact Long moments; double math in the batch operator's order
+          val cntD = m.size.toDouble
+          val s1 = m.values.foldLeft(0L)(_ + _)
+          val s2 = m.values.foldLeft(0L)((a, v) => a + v * v)
+          val sd = math.sqrt(math.max(0d,
+            (s2.toDouble - s1.toDouble * s1.toDouble / cntD) / cntD))
+          val mean = s1.toDouble / cntD
+          m.toSeq.sortBy(_._1).map { case (us, n) =>
+            val zRaw = if (sd == 0d) 0d else (n.toDouble - mean) / sd
+            val z = math.floor(zRaw * 10000d + 0.5d) / 10000d
+            AnomalyOut(etype, usToTs(us), n, z, math.abs(z) >= 2.0d)
+          }.iterator
+      }
+  }
+
   def statefulDeviceCounts(logs: DataFrame): Dataset[DeviceCount] = {
     val spark = logs.sparkSession
     import spark.implicits._

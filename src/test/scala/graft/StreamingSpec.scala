@@ -258,6 +258,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-batch parity: streamAnomaly over real events equals q_event_anomaly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = SparkEntry.queries("q_event_anomaly")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+
+    case class EvT(event_type: String, timestamp: Timestamp)
+    val evs = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+      .selectExpr("event_type", "timestamp_micros(ts div 1000) AS timestamp")
+      .as[(String, Timestamp)].collect().toSeq
+    val ms = MemoryStream[(String, Timestamp)]
+    // uncapped horizon: the batch query baselines over ALL history, so
+    // parity needs every hour retained (production default is a week)
+    val q = Pipeline.streamAnomaly(
+        ms.toDF().toDF("event_type", "timestamp"), maxHours = Int.MaxValue)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("anomaly_parity").start()
+    try {
+      ms.addData(evs)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("anomaly_parity").as[Pipeline.AnomalyOut].collect()
+      .map(a => (a.event_type, a.hour.getTime, a.n, a.z, a.is_spike)).toSet
+    assert(streamed === batch,
+      s"stream-only: ${(streamed -- batch).take(3)}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
   test("stream-batch parity: sessionize over real events equals q_window_session") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
