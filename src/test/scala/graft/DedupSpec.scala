@@ -245,6 +245,32 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("WeightedTopKAggregator property: exact under capacity for any reduce/merge split") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.functions.{TopKBuffer, WeightedTopKAggregator}
+    val k = 3
+    // ≤8 distinct items, capacity 8 ⇒ space-saving is exact; ties on
+    // summed weight are broken by item ASC in both agg and expectation
+    val agg = new WeightedTopKAggregator(k, capacity = 8)
+    val pairGen = for {
+      item <- Gen.oneOf((0 until 8).map(i => s"i$i"))
+      w <- Gen.choose(1L, 20L)
+    } yield (item, w)
+    val listGen = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, pairGen))
+    (0 until 200).foreach { i =>
+      val pairs = listGen.apply(Gen.Parameters.default, Seed(17L + i)).getOrElse(Nil)
+      val nSplits = 1 + (i % 4)
+      val chunkSize = math.max(1, (pairs.size + nSplits - 1) / nSplits)
+      val partials = pairs.grouped(chunkSize)
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+      val merged = if (partials.isEmpty) TopKBuffer(Map.empty) else partials.reduce(agg.merge)
+      val expected = pairs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        .sortBy { case (item, w) => (-w, item) }.take(k).map(_._1)
+      assert(agg.finish(merged) === expected, s"case $i (splits=$nSplits)")
+    }
+  }
+
   test("WeightedTopKAggregator: weight-ranked exact under capacity, heavy item survives eviction") {
     import spark.implicits._
     // "c" has the most ROWS but the least WEIGHT — weighted rank must win
