@@ -52,6 +52,22 @@ object Sinks {
     }
   }
 
+  /** Training-data export: the corpus as deterministic JSONL shards —
+    * the handoff format a trainer's data loader reads. Shard =
+    * md5(doc_id) % shards, so (a) assignment is stable across runs and
+    * engines (re-exports land every doc in the same shard — resumable
+    * downstream caching), (b) shards are uniform regardless of doc_id
+    * distribution, and (c) one writer task per shard (repartition on the
+    * shard column), no small-file explosion. Spark's json sink IS
+    * JSON-Lines: one object per line. */
+  def writeCorpusShards(docs: DataFrame, path: String, shards: Int = 16): Unit =
+    docs.withColumn("shard",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10).cast("long"),
+          lit(shards)))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.partitionBy("shard").mode("overwrite").json(path)
+
   /** JDBC twin of the reference's batched ClickHouse insert
     * (lib/cacheManage.go:35-65): 1000-row batches, bounded connection
     * fan-out (the reference pools 5 connections, main.go:49-50). Wire it

@@ -35,6 +35,35 @@ class SinksSpec extends AnyFunSuite {
     assert(dirs2.toSeq === Seq("day=2024-01-01", "day=2024-01-02"))
   }
 
+  test("writeCorpusShards: deterministic JSONL shards, round-trip identical, stable assignment") {
+    val out1 = Files.createTempDirectory("graft_shards1").toString
+    val out2 = Files.createTempDirectory("graft_shards2").toString
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+
+    Sinks.writeCorpusShards(docs, out1, shards = 4)
+    val shardDirs = new java.io.File(out1).listFiles()
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(shardDirs.toSeq === Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+
+    // JSONL round trip preserves the corpus (modulo column order)
+    val back = spark.read.json(out1)
+    assert(back.count() === docs.count())
+    val a = docs.select("doc_id", "text", "lang", "source")
+      .orderBy("doc_id").collect().toSeq
+    val b = back.select("doc_id", "text", "lang", "source")
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b, "round trip changed the corpus")
+
+    // re-export lands every doc in the same shard (stable md5 assignment)
+    Sinks.writeCorpusShards(docs, out2, shards = 4)
+    // shard= is a directory partition column: inferred INT on read-back
+    val m1 = spark.read.json(out1).selectExpr("doc_id", "CAST(shard AS BIGINT)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m2 = spark.read.json(out2).selectExpr("doc_id", "CAST(shard AS BIGINT)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1 === m2, "shard assignment not deterministic")
+  }
+
   test("compactDay collapses a fragmented day to one file, preserves rows, leaves siblings alone") {
     val out = Files.createTempDirectory("graft_compact").toString
     val logs = Pipeline.parseToLog(model.rawLines(spark))
