@@ -387,7 +387,35 @@ object Windows {
       .orderBy("o_orderstatus", "o_orderkey")
   }
 
+  /** trailing-one-hour RANGE frame per user (the ClickHouse
+    * "events in the last hour" rolling alert input): value-based frame
+    * on epoch-µs, so simultaneous events are frame PEERS in both
+    * engines — deterministic even with ts ties, unlike a ROWS frame.
+    * Partitioned by user_id (scaling key); sum runs on DECIMAL so the
+    * rolling money total is exact and order-independent. */
+  def winTimeRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", r4(sum(d2(col("value"))).over(w)))
+      .select(col("user_id"), col("event_id"), col("n_1h"), col("sum_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val winTimeRangeSql =
+    """SELECT user_id, event_id, n_1h, sum_1h FROM (
+      |  SELECT user_id, event_id,
+      |    count(*) OVER w AS n_1h,
+      |    CAST(round(sum(value::DECIMAL(18,2)) OVER w, 4) AS DOUBLE) AS sum_1h
+      |  FROM (SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us, value FROM events) e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)) x
+      |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_win_time_range" -> winTimeRange _,
     "q_win_dist" -> winDist _,
     "q_win_dist_bucketed" -> winDistBucketed _,
     "q_gap_fill" -> gapFill _,
@@ -405,6 +433,7 @@ object Windows {
     "q_window_session" -> windowSession _)
 
   val oracle: Map[String, String] = Map(
+    "q_win_time_range" -> winTimeRangeSql,
     "q_win_dist" -> winDistSql,
     "q_win_dist_bucketed" -> winDistSql, // row-identical by construction
     "q_gap_fill" -> gapFillSql,
