@@ -119,6 +119,28 @@ object TextAnalysis {
       |FROM (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents) x
       |ORDER BY doc_id""".stripMargin
 
+  /** threshold-from-distribution filtering: drop the bottom quality
+    * quartile — the standard "keep the best X%" curation cut where the
+    * cutoff comes from the corpus itself, not a constant. Two-phase at
+    * scale: ONE aggregation computes the p25 threshold (1-row frame,
+    * broadcast), one map-side filter applies it — no global sort, no
+    * single-partition window. The threshold and the scores are both
+    * 4-dp-rounded doubles, so the boundary comparison is reproducible
+    * cross-engine (same contract as q_agg_quantile). */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val q = qualityScore(s, dir).select(col("doc_id"), col("quality"))
+    val thr = q.agg(r4(expr("percentile(quality, 0.25)")).as("thr"))
+    q.crossJoin(broadcast(thr))
+      .where(col("quality") >= col("thr"))
+      .select(col("doc_id"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  val qualityFilterSql =
+    s"""WITH q AS (SELECT doc_id, quality FROM ($qualityScoreSql) qq),
+       |t AS (SELECT CAST(round(quantile_cont(quality, 0.25), 4) AS DOUBLE) AS thr FROM q)
+       |SELECT doc_id, quality FROM q, t WHERE quality >= thr ORDER BY doc_id""".stripMargin
+
   // ---- token counting -------------------------------------------------
   /** whitespace tokens + BPE-ish regex tokens (word/number/punct runs) */
   def tokenCount(s: SparkSession, dir: String): DataFrame =
@@ -436,7 +458,8 @@ object TextAnalysis {
     "q_pack_contexts_sharded" -> packContextsSharded _,
     "q_repetition_ratio" -> repetitionRatio _,
     "q_pii_scrub" -> piiScrub _,
-    "q_sample_per_source" -> samplePerSource _)
+    "q_sample_per_source" -> samplePerSource _,
+    "q_quality_filter" -> qualityFilter _)
 
   val oracle: Map[String, String] = Map(
     "q_tfidf_top" -> tfidfTopSql,
@@ -451,5 +474,6 @@ object TextAnalysis {
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_repetition_ratio" -> repetitionRatioSql,
     "q_pii_scrub" -> piiScrubSql,
-    "q_sample_per_source" -> samplePerSourceSql)
+    "q_sample_per_source" -> samplePerSourceSql,
+    "q_quality_filter" -> qualityFilterSql)
 }
