@@ -421,6 +421,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch-probe form of [[annQueryIndex]] — the serving shape for a
+    * whole query batch: rank each probe's [[IvfProbes]] lists on the
+    * broadcast K-row codebook via the bounded KnnTopK aggregate, then
+    * ONE equi-join of (pid, cid) pairs against the persisted lists and
+    * an exact re-rank, again through KnnTopK. No driver-side collect at
+    * any batch size; candidates ≈ |batch|·N·(probes/K). `probes` must
+    * have columns (pid: bigint, pe: array<float>). */
+  def annQueryIndexBatch(s: SparkSession, indexPath: String,
+      probes: DataFrame, k: Int = 10): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val book = s.read.parquet(s"$indexPath/codebook")
+    val probeLists = probes.crossJoin(broadcast(book))
+      .select(col("pid"), col("cid"), r4f(cosine(s, "ce", "pe")).as("ac"))
+      .groupBy("pid")
+      .agg(graft.functions.KnnTopK.knnTopk(col("ac"), col("cid"), IvfProbes).as("hits"))
+      .select(col("pid"), explode(col("hits")).as("h"))
+      .select(col("pid"), col("h.vec_id").as("cid"))
+    s.read.parquet(s"$indexPath/lists")
+      .join(broadcast(probeLists), "cid")
+      .join(broadcast(probes), "pid")
+      .where(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"), r4(cosine(s, "embedding", "pe")).as("cos"))
+      .groupBy("pid")
+      .agg(graft.functions.KnnTopK.knnTopk(col("cos"), col("vec_id"), k).as("hits"))
+      .select(col("pid"), posexplode(col("hits")).as(Seq("pos", "h")))
+      .select(col("pid"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("h.vec_id").as("vec_id"), col("h.cos").as("cos"))
+      .orderBy("pid", "rank")
+  }
+
   // ---- exact k-NN join over a bounded probe set ------------------------
   val KnnProbes = 16
   val KnnK = 4

@@ -38,4 +38,27 @@ class IvfIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got === expected, "index query diverged from the on-the-fly operator")
   }
+
+  test("batch-probe index query matches per-probe single queries") {
+    val dir = TestSpark.sfDir
+    val idx = Files.createTempDirectory("graft_ivf_batch").toString
+    Similarity.writeIvfIndex(spark, dir, idx)
+
+    val probes = util.t(spark, dir, "embeddings")
+      .orderBy("vec_id").limit(3)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val batch = Similarity.annQueryIndexBatch(spark, idx, probes, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+
+    probes.collect().foreach { pr =>
+      val pid = pr.getLong(0)
+      val pe = pr.getSeq[Float](1)
+      val single = Similarity.annQueryIndex(spark, idx, pe, excludeVecId = pid, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = batch(pid).sortBy(_._2).map(x => (x._3, x._4)).toSeq
+      assert(got === single, s"probe $pid: batch diverged from single-probe query")
+    }
+  }
 }
