@@ -119,6 +119,21 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"allowlisted but no longer naive — remove from declaredNaiveTwins: $stale")
   }
 
+  test("q_tfidf_top: df comes from an aggregate, never a tok-partitioned window") {
+    // the round-5 skew fix: count(*) OVER (PARTITION BY tok) put ~n_docs
+    // rows of every stop-word on ONE window task; df must stay a
+    // groupBy(tok) + equi-join. A doc_id-partitioned window (top-3 per
+    // doc) is fine — doc_id scales and partitions are tiny.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = SparkEntry.queries("q_tfidf_top")(spark, dir).queryExecution.sparkPlan
+    val tokWindows = plan.collect {
+      case w: WindowExec
+        if w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).contains("tok") => w
+    }
+    assert(tokWindows.isEmpty,
+      "df skew regression: WindowExec partitioned on tok is back in q_tfidf_top")
+  }
+
   test("every parquet-backed query plans a columnar scan (no RDD fallback)") {
     val offenders = plans.collect {
       case (n, p) if !p.contains("Scan parquet") && !p.contains("LocalTableScan")
