@@ -378,6 +378,50 @@ object TextAnalysis {
        |  FROM documents) x
        |WHERE rn <= $SampleCap ORDER BY source, rank""".stripMargin
 
+  // ---- duplicated-span quality signal ---------------------------------
+  /** Common-span ratio (the RefinedWeb/CCNet "duplicated text fraction"
+    * signal): per doc, the fraction of its distinct word-5-gram spans
+    * that appear in ≥ [[CommonSpanDf]] documents — boilerplate-heavy and
+    * template-generated docs score high. Scale shape: native distinct
+    * shingling (map-side WordNgrams), a map-side-combined df groupBy on
+    * gram, and a 1:1 enrichment join (each span row matches exactly one
+    * df row — no fan-out however common a span is), then a doc_id
+    * groupBy. All keys scale with the data. */
+  val CommonSpanDf = 5
+
+  def commonSpanRatio(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.register(s)
+    val spans = t(s, dir, "documents")
+      .where(size(toks) >= 5)
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.wordNgrams(toks, 5)).as("g"))
+    val dfs = spans.groupBy("g").agg(count(lit(1)).as("df"))
+    spans.join(dfs, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= CommonSpanDf, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_spans"), col("n_common"),
+        r4f(col("n_common").cast(DoubleType) / col("n_spans").cast(DoubleType))
+          .as("common_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val commonSpanRatioSql =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 5),
+       |grams AS (
+       |  SELECT DISTINCT doc_id,
+       |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS g
+       |  FROM tk JOIN generate_series(1, 100000) s(i) ON i <= len(tk) - 4),
+       |dfs AS (SELECT g, count(*) AS df FROM grams GROUP BY 1)
+       |SELECT doc_id, count(*)::BIGINT AS n_spans,
+       |  sum(CASE WHEN df >= $CommonSpanDf THEN 1 ELSE 0 END)::BIGINT AS n_common,
+       |  CAST(floor(sum(CASE WHEN df >= $CommonSpanDf THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*)::DOUBLE * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS common_ratio
+       |FROM grams JOIN dfs USING (g)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- PII scrubbing ---------------------------------------------------
   /** Corpus-hygiene redaction pass (emails, IPv4s, US-style phone
     * numbers → typed placeholders) + per-doc redaction counts — the
@@ -459,7 +503,8 @@ object TextAnalysis {
     "q_repetition_ratio" -> repetitionRatio _,
     "q_pii_scrub" -> piiScrub _,
     "q_sample_per_source" -> samplePerSource _,
-    "q_quality_filter" -> qualityFilter _)
+    "q_quality_filter" -> qualityFilter _,
+    "q_common_span_ratio" -> commonSpanRatio _)
 
   val oracle: Map[String, String] = Map(
     "q_tfidf_top" -> tfidfTopSql,
@@ -475,5 +520,6 @@ object TextAnalysis {
     "q_repetition_ratio" -> repetitionRatioSql,
     "q_pii_scrub" -> piiScrubSql,
     "q_sample_per_source" -> samplePerSourceSql,
-    "q_quality_filter" -> qualityFilterSql)
+    "q_quality_filter" -> qualityFilterSql,
+    "q_common_span_ratio" -> commonSpanRatioSql)
 }
