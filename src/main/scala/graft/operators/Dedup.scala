@@ -290,23 +290,35 @@ object Dedup {
       val cached = labelsCache.get(key)
       if (cached != null && cached._1 == fp) cached._2
       else {
-        val p = dedupNgramJaccard(s, dir).select("d1", "d2").localCheckpoint(false)
-        val edges = p.union(p.select(col("d2").as("d1"), col("d1").as("d2")))
-        var labels = edges.groupBy(col("d1")).agg(min(col("d2")).as("mn"))
-          .select(col("d1").as("doc_id"), least(col("d1"), col("mn")).as("cluster_id"))
-        for (_ <- 1 to ClusterIters) {
-          val viaNbr = edges
-            .join(labels.select(col("doc_id").as("d2"), col("cluster_id").as("nbl")), "d2")
-            .groupBy(col("d1").as("doc_id")).agg(min(col("nbl")).as("nbl"))
-          labels = labels.join(viaNbr, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("cluster_id"), coalesce(col("nbl"), col("cluster_id"))).as("cluster_id"))
-            .localCheckpoint(false)
-        }
+        val labels = propagateMinLabel(
+          dedupNgramJaccard(s, dir).select("d1", "d2"))
         labelsCache.put(key, (fp, labels))
         labels
       }
     }
+
+  /** Min-label propagation over an undirected pair list (d1, d2) →
+    * (doc_id, cluster_id). Exact for components of diameter ≤
+    * [[ClusterIters]]+1 (property-tested against union-find on random
+    * graphs, including a path at exactly the diameter boundary). Kept
+    * separate from the Jaccard front so the graph algorithm is testable
+    * on arbitrary edge sets. */
+  private[graft] def propagateMinLabel(pairs: DataFrame): DataFrame = {
+    val p = pairs.localCheckpoint(false)
+    val edges = p.union(p.select(col("d2").as("d1"), col("d1").as("d2")))
+    var labels = edges.groupBy(col("d1")).agg(min(col("d2")).as("mn"))
+      .select(col("d1").as("doc_id"), least(col("d1"), col("mn")).as("cluster_id"))
+    for (_ <- 1 to ClusterIters) {
+      val viaNbr = edges
+        .join(labels.select(col("doc_id").as("d2"), col("cluster_id").as("nbl")), "d2")
+        .groupBy(col("d1").as("doc_id")).agg(min(col("nbl")).as("nbl"))
+      labels = labels.join(viaNbr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbl"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
 
   /** drop every cached label frame (test/teardown hook) */
   def clearLabelsCache(): Unit = labelsCache.synchronized(labelsCache.clear())

@@ -158,6 +158,45 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 100L)))
   }
 
+  test("propagateMinLabel property: equals union-find components, incl. the diameter boundary") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.map(v => v -> find(v)).toMap
+    }
+
+    def check(edges: Seq[(Long, Long)], label: String): Unit = {
+      val got = operators.Dedup.propagateMinLabel(edges.toDF("d1", "d2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === unionFind(edges), s"$label: propagation diverged from union-find")
+    }
+
+    // worst case the operator guarantees: a path whose diameter is
+    // exactly ClusterIters + 1 — the min label must reach the far end
+    val n = operators.Dedup.ClusterIters + 2
+    check((0 until n - 1).map(i => (i.toLong, (i + 1).toLong)), s"path of $n nodes")
+
+    val edgeGen = for {
+      a <- Gen.choose(0L, 25L); b <- Gen.choose(0L, 25L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    val graphGen = Gen.choose(1, 20).flatMap(m => Gen.listOfN(m, edgeGen))
+    (0 until 5).foreach { i =>
+      graphGen.apply(Gen.Parameters.default, Seed(23L + i)).foreach(es =>
+        check(es.distinct, s"random graph $i"))
+    }
+  }
+
   test("q_sim_knn: mutual planted near-dups rank first for each other, k and ordering hold") {
     val rows = operators.Similarity.simKnn(spark, fixtureDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
