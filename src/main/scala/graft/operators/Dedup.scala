@@ -326,6 +326,15 @@ object Dedup {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     clusterLabels(s, dir).orderBy("doc_id")
 
+  /** Components over the MINHASH pair generator — the production-scale
+    * pairing (LSH candidates → verified pairs → clusters) through the
+    * same propagation core as [[dedupClusters]], whose recursive-CTE
+    * oracle pins the graph mechanics. Oracle-free like its pair source
+    * (MinHash candidates are probabilistic); the planted-dup spec pins
+    * the components. */
+  def dedupMinhashClusters(s: SparkSession, dir: String): DataFrame =
+    propagateMinLabel(dedupMinhash(s, dir).select("d1", "d2")).orderBy("doc_id")
+
   val dedupClustersSql =
     s"""WITH RECURSIVE $jaccardPairsCte,
        |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
@@ -597,6 +606,7 @@ object Dedup {
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "q_dedup_clusters" -> dedupClusters _,
     "q_dedup_apply" -> dedupApply _,
+    "q_dedup_minhash_clusters" -> dedupMinhashClusters _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_dedup_simhash_chunks" -> dedupSimhashChunks _,
     "q_decontaminate" -> decontaminate _,

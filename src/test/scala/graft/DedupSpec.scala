@@ -104,6 +104,14 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)), "planted dup pair 1-2 lost to the bucket guard")
   }
 
+  test("q_dedup_minhash_clusters: planted dup trio collapses to one component, no false merges") {
+    val got = operators.Dedup.dedupMinhashClusters(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // docs 1/2/3 are the planted near/exact dups → one cluster labeled 1;
+    // unrelated docs 4/5 share no candidate bucket → absent
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("q_dedup_clusters: transitive chain collapses to one component (multi-round propagation)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_clust").toString
