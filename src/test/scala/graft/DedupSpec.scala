@@ -104,6 +104,13 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)), "planted dup pair 1-2 lost to the bucket guard")
   }
 
+  test("q_dedup_apply: keepers and never-duplicated docs survive, non-keepers drop") {
+    val kept = operators.Dedup.dedupApply(spark, fixtureDir)
+      .collect().map(_.getLong(0)).toSet
+    // 1/2/3 form one duplicate cluster (keeper = 1); 4/5 have no near-dup
+    assert(kept === Set(1L, 4L, 5L))
+  }
+
   test("q_dedup_minhash_clusters: planted dup trio collapses to one component, no false merges") {
     val got = operators.Dedup.dedupMinhashClusters(spark, fixtureDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
