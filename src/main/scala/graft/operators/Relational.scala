@@ -319,6 +319,38 @@ object Relational {
     """SELECT c_nationkey AS nk FROM customer EXCEPT
       |SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin
 
+  /** bag-semantics set difference (EXCEPT ALL): each nation key keeps
+    * max(customers − suppliers, 0) copies — the multiplicity-aware form
+    * the distinct EXCEPT collapses. Spark plans both as aggregates +
+    * joins, not sorts, so multiplicity math stays shuffle-partial. The
+    * result is emitted as (nk, n_copies) rather than repeated rows so
+    * the ordering is total without a synthetic tiebreak. */
+  def exceptAllQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      .exceptAll(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+      .groupBy("nk").agg(count(lit(1)).as("n_copies"))
+      .orderBy("nk")
+
+  val exceptAllSql =
+    """SELECT nk, count(*) AS n_copies FROM (
+      |  SELECT c_nationkey AS nk FROM customer EXCEPT ALL
+      |  SELECT s_nationkey FROM supplier) x
+      |GROUP BY nk ORDER BY nk""".stripMargin
+
+  /** bag-semantics intersection (INTERSECT ALL): min(multiplicity) per
+    * key, same counted-output convention as [[exceptAllQ]] */
+  def intersectAllQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      .intersectAll(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+      .groupBy("nk").agg(count(lit(1)).as("n_copies"))
+      .orderBy("nk")
+
+  val intersectAllSql =
+    """SELECT nk, count(*) AS n_copies FROM (
+      |  SELECT c_nationkey AS nk FROM customer INTERSECT ALL
+      |  SELECT s_nationkey FROM supplier) x
+      |GROUP BY nk ORDER BY nk""".stripMargin
+
   /** correlated scalar subquery — Catalyst decorrelates it into an
     * aggregate + join (RewriteCorrelatedScalarSubquery); the inner average
     * is computed as exact-decimal-sum / count so the strict comparison is
@@ -393,7 +425,9 @@ object Relational {
     "q_union_all" -> unionAll _,
     "q_union_distinct" -> unionDistinct _,
     "q_intersect" -> intersectQ _,
-    "q_except" -> exceptQ _)
+    "q_except" -> exceptQ _,
+    "q_except_all" -> exceptAllQ _,
+    "q_intersect_all" -> intersectAllQ _)
 
   val oracle: Map[String, String] = Map(
     "q_scalar_subquery" -> scalarSubquerySql,
@@ -419,5 +453,7 @@ object Relational {
     "q_union_all" -> unionAllSql,
     "q_union_distinct" -> unionDistinctSql,
     "q_intersect" -> intersectSql,
-    "q_except" -> exceptSql)
+    "q_except" -> exceptSql,
+    "q_except_all" -> exceptAllSql,
+    "q_intersect_all" -> intersectAllSql)
 }
