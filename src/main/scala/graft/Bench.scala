@@ -33,8 +33,20 @@ object Bench {
     val best = scala.collection.mutable.Map[String, Double]()
     val worst = scala.collection.mutable.Map[String, Double]()
     for (_ <- 1 to 2; (name, fn) <- ordered) {
+      // memoized derived frames (dedup cluster labels, IVF codebook) are
+      // dropped before EVERY measured run: with a warm cache the first
+      // cluster-family query benched paid the whole propagation (a 42×
+      // variance entry, ~26 s hidden from every per-query min in r6) and
+      // the rest read cache — totals depended on alphabetical order
+      graft.operators.Dedup.clearLabelsCache()
+      graft.operators.Similarity.clearCodebookCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      // noop-sink write, NOT .count(): count(1) lets Catalyst prune every
+      // column the count doesn't need, so projection-only queries (e.g.
+      // q_pii_scrub's three regex passes) measured as metadata-ish scans;
+      // the noop sink evaluates every output column and discards rows
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => }
       val dt = (System.nanoTime() - t0) / 1e9
       if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
       if (dt > worst.getOrElse(name, Double.MinValue)) worst(name) = dt
@@ -74,6 +86,14 @@ object Bench {
       System.err.println(s"[bench] WARN: could not write $outPath: $e — file may be stale")
     }
     println(line)
+    // sentinel-prefixed copy: sbt wraps stdout lines in "[info] " and the
+    // driver's tail parser has missed the bare JSON line three rounds
+    // running — a greppable `GRAFT_BENCH ` prefix survives any wrapping.
+    // BENCH_LOCAL.json (written above) stays the authoritative artifact.
+    println("GRAFT_BENCH " + shortLine)
+    // bare compact JSON stays the LAST line for parsers that strip the
+    // sbt prefix and json-parse the final line
     println(shortLine)
+    System.out.flush()
   }
 }

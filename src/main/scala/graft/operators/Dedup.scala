@@ -249,13 +249,15 @@ object Dedup {
        |SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2""".stripMargin
 
   // ---- dedup clustering (pairs → connected components) ----------------
-  /** Min-label propagation rounds. After k rounds every doc's label is
-    * the min doc_id within graph distance k+1, so components of diameter
-    * ≤ [[ClusterIters]]+1 are exact. Near-dup graphs are star-shaped
-    * (variants cluster around an original), so 16 is deep margin; an
-    * adversarial long-chain corpus would need the pointer-doubling
-    * (label-of-label) variant, which doubles reach per round — documented
-    * trade-off, not needed for dedup graphs. */
+  /** Safety cap on propagation rounds. Rounds use pointer-doubling
+    * (label-of-label alongside the neighbour min), so reach grows as
+    * 2^(k+1)−1: the cap covers component diameters past 100 000 — far
+    * beyond any near-dup graph — and the loop EXITS EARLY the first
+    * round no label changes (one scalar count per round). Hitting the
+    * cap without converging therefore indicates a malformed edge list
+    * and raises IllegalStateException rather than silently emitting
+    * non-minimal labels (the round-6 hazard: a fixed 16 plain rounds
+    * mislabeled components of diameter > 17 with no error). */
   val ClusterIters = 16
 
   /** The step the pair generators feed at scale: near-dup PAIRS →
@@ -281,7 +283,8 @@ object Dedup {
     * invalidates the entry. The cached frame's rounds are already
     * checkpoint-materialized, so reuse is a cheap scan. */
   private val labelsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (String, DataFrame, Option[org.apache.spark.rdd.RDD[_]])]()
 
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
     labelsCache.synchronized {
@@ -290,38 +293,99 @@ object Dedup {
       val cached = labelsCache.get(key)
       if (cached != null && cached._1 == fp) cached._2
       else {
-        val labels = propagateMinLabel(
+        // a replaced entry's checkpoint blocks are unpersisted here, and
+        // in clearLabelsCache, mirroring Similarity.clearCodebookCache —
+        // otherwise the stale MEMORY_AND_DISK blocks linger until
+        // ContextCleaner GC
+        if (cached != null)
+          cached._3.foreach(r => try r.unpersist(false) catch { case _: Throwable => })
+        val (labels, ckpt) = propagateMinLabelTracked(
           dedupNgramJaccard(s, dir).select("d1", "d2"))
-        labelsCache.put(key, (fp, labels))
+        labelsCache.put(key, (fp, labels, ckpt))
         labels
       }
     }
 
+  /** the persisted block set behind a localCheckpoint'd frame, so rounds
+    * a later round has materialized past can be unpersisted explicitly */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
   /** Min-label propagation over an undirected pair list (d1, d2) →
-    * (doc_id, cluster_id). Exact for components of diameter ≤
-    * [[ClusterIters]]+1 (property-tested against union-find on random
-    * graphs, including a path at exactly the diameter boundary). Kept
+    * (doc_id, cluster_id). EXACT for every component: each round takes
+    * the min over (own label, neighbour labels, label-of-label), so the
+    * pointer-doubling term doubles reach per round and any component of
+    * diameter < 2^([[ClusterIters]]+1) converges; the loop stops the
+    * first round zero labels change (one scalar count per round — the
+    * action an iterative graph algorithm is allowed) and raises if the
+    * cap is somehow hit unconverged instead of returning wrong labels.
+    * Property-tested against union-find on random graphs plus long-path
+    * graphs far past the old fixed-iteration diameter bound. Kept
     * separate from the Jaccard front so the graph algorithm is testable
     * on arbitrary edge sets. */
-  private[graft] def propagateMinLabel(pairs: DataFrame): DataFrame = {
+  private[graft] def propagateMinLabel(pairs: DataFrame): DataFrame =
+    propagateMinLabelTracked(pairs)._1
+
+  /** as [[propagateMinLabel]], also returning the final round's
+    * checkpoint block set so callers that memoize the frame can
+    * unpersist it on invalidation. Superseded rounds are unpersisted
+    * inside the loop as soon as the next round materializes — peak
+    * storage is two rounds of labels, not [[ClusterIters]]. */
+  private[graft] def propagateMinLabelTracked(
+      pairs: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
     val p = pairs.localCheckpoint(false)
     val edges = p.union(p.select(col("d2").as("d1"), col("d1").as("d2")))
     var labels = edges.groupBy(col("d1")).agg(min(col("d2")).as("mn"))
       .select(col("d1").as("doc_id"), least(col("d1"), col("mn")).as("cluster_id"))
-    for (_ <- 1 to ClusterIters) {
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
+    var converged = false
+    var round = 0
+    while (!converged && round < ClusterIters) {
+      round += 1
       val viaNbr = edges
         .join(labels.select(col("doc_id").as("d2"), col("cluster_id").as("nbl")), "d2")
         .groupBy(col("d1").as("doc_id")).agg(min(col("nbl")).as("nbl"))
-      labels = labels.join(viaNbr, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbl"), col("cluster_id"))).as("cluster_id"))
+      // pointer doubling: my label's OWN current label — labels only
+      // ever hold ids of nodes in the same component, so the lookup is
+      // a self equi-join on the label value
+      val lookup = labels.select(col("doc_id").as("lk"), col("cluster_id").as("ll"))
+      val next = labels.join(viaNbr, Seq("doc_id"), "left")
+        .join(lookup, col("cluster_id") === col("lk"), "left")
+        .select(col("doc_id"), col("cluster_id").as("prev"),
+          least(col("cluster_id"),
+            coalesce(col("nbl"), col("cluster_id")),
+            coalesce(col("ll"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint(false)
+      // the count materializes this round's checkpoint (constant-size
+      // LogicalRDD leaf — `labels` feeds three plan branches per round,
+      // so without truncation the Catalyst tree grows geometrically)
+      val changed = next.where(col("cluster_id") =!= col("prev")).count()
+      prevCkpt.foreach(r => try r.unpersist(false) catch { case _: Throwable => })
+      prevCkpt = checkpointRdd(next)
+      labels = next.select(col("doc_id"), col("cluster_id"))
+      converged = changed == 0L
     }
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge within $ClusterIters pointer-doubling rounds " +
+          s"(diameter ≥ 2^${ClusterIters + 1}) — malformed edge list?")
+    // the final labels are materialized; the symmetric edge list is dead
+    checkpointRdd(p).foreach(r => try r.unpersist(false) catch { case _: Throwable => })
+    (labels, prevCkpt)
   }
 
-  /** drop every cached label frame (test/teardown hook) */
-  def clearLabelsCache(): Unit = labelsCache.synchronized(labelsCache.clear())
+  /** unpersist and drop every cached label frame (test/teardown hook;
+    * Bench calls it before each measured run so propagation cost lands
+    * in the query that incurs it, not in whichever cluster-family query
+    * happens to run first) */
+  def clearLabelsCache(): Unit = labelsCache.synchronized {
+    labelsCache.forEach { (_, v) =>
+      v._3.foreach(r => try r.unpersist(false) catch { case _: Throwable => })
+    }
+    labelsCache.clear()
+  }
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     clusterLabels(s, dir).orderBy("doc_id")

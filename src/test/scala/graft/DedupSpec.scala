@@ -197,8 +197,13 @@ class DedupSpec extends AnyFunSuite {
       assert(got === unionFind(edges), s"$label: propagation diverged from union-find")
     }
 
-    // worst case the operator guarantees: a path whose diameter is
-    // exactly ClusterIters + 1 — the min label must reach the far end
+    // the old fixed-iteration hazard: a path far past ClusterIters + 1
+    // hops. Pointer-doubling reach grows 2^(k+1)−1 per round, so a
+    // 300-node chain (diameter 299) must converge EXACTLY in ~8 rounds —
+    // the pre-round-7 plain propagation silently returned non-minimal
+    // labels here
+    check((0L until 299L).map(i => (i, i + 1)), "path of 300 nodes")
+    // and the boundary the plain form guaranteed, still exact
     val n = operators.Dedup.ClusterIters + 2
     check((0 until n - 1).map(i => (i.toLong, (i + 1).toLong)), s"path of $n nodes")
 
