@@ -101,10 +101,20 @@ object GraftConfig {
         else {
           val k = body.substring(0, eq).trim
           var v = body.substring(eq + 1).trim
-          if (v.length >= 2 && ((v.head == '"' && v.last == '"')
-              || (v.head == '\'' && v.last == '\'')))
-            v = v.substring(1, v.length - 1)
-          else if (v.startsWith("#")) v = "" // `KEY= # comment` → empty
+          if (v.length >= 2 && (v.head == '"' || v.head == '\'')) {
+            // quoted value: content runs to the MATCHING close quote, and
+            // whatever follows may only be blank or a comment — so
+            // `KEY="v" # note` yields v (godotenv parity; the pre-round-7
+            // form tested head-and-last quote first and left the literal
+            // quotes in), while `#` inside the quotes stays literal
+            val q = v.head
+            val close = v.indexOf(q, 1)
+            val rest = if (close > 0) v.substring(close + 1).trim else v
+            if (close > 0 && (rest.isEmpty || rest.startsWith("#")))
+              v = v.substring(1, close)
+            else if (v.last == q) // e.g. `"a"b"` — legacy outer-pair strip
+              v = v.substring(1, v.length - 1)
+          } else if (v.startsWith("#")) v = "" // `KEY= # comment` → empty
           else {
             val c = v.indexOf(" #")
             if (c >= 0) v = v.substring(0, c).trim

@@ -23,6 +23,7 @@ object SparkEntry {
     operators.Dedup.queries ++
     operators.Similarity.queries ++
     operators.TextAnalysis.queries ++
+    operators.Curate.queries ++
     functions.Multimodal.queries ++
     functions.Scalars.queries
 
@@ -37,6 +38,7 @@ object SparkEntry {
     operators.Dedup.oracle ++
     operators.Similarity.oracle ++
     operators.TextAnalysis.oracle ++
+    operators.Curate.oracle ++
     functions.Multimodal.oracle ++
     functions.Scalars.oracle
 }

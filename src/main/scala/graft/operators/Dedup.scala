@@ -417,17 +417,26 @@ object Dedup {
     * shuffles on doc_id — the same scaling key as everything upstream.
     * Output keeps (doc_id, lang, source) so the oracle pins that the
     * surviving corpus, not just the drop count, is identical. */
-  def dedupApply(s: SparkSession, dir: String): DataFrame = {
+  /** surviving corpus rows (ALL document columns) after cluster-keeper
+    * dedup — the frame the composed curation pipeline
+    * ([[Curate.curateE2e]]) chains from; [[dedupApply]] is its declared
+    * projection. Unordered: intermediate frames don't pay sorts. */
+  def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
     val drops = clusterLabels(s, dir)
       .where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
-    t(s, dir, "documents")
-      .join(drops, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), col("source"))
-      .orderBy("doc_id")
+    t(s, dir, "documents").join(drops, Seq("doc_id"), "left_anti")
   }
 
-  val dedupApplySql =
+  def dedupApply(s: SparkSession, dir: String): DataFrame =
+    dedupSurvivors(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
+  /** WITH-RECURSIVE chain ending in `surv` = the surviving documents
+    * (all columns) — shared by dedupApplySql and the composed-pipeline
+    * oracle ([[Curate.curateE2eSql]]) */
+  private[operators] val survivorsCte =
     s"""WITH RECURSIVE $jaccardPairsCte,
        |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
        |reach(v, l) AS (
@@ -435,10 +444,13 @@ object Dedup {
        |  UNION
        |  SELECT e.d1, r.l FROM edges e JOIN reach r ON r.v = e.d2),
        |clusters AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY 1),
-       |drops AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
-       |SELECT doc_id, lang, source FROM documents
-       |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
-       |ORDER BY doc_id""".stripMargin
+       |drops AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id),
+       |surv AS (SELECT * FROM documents
+       |         WHERE doc_id NOT IN (SELECT doc_id FROM drops))""".stripMargin
+
+  val dedupApplySql =
+    s"""$survivorsCte
+       |SELECT doc_id, lang, source FROM surv ORDER BY doc_id""".stripMargin
 
   // ---- train/eval decontamination -------------------------------------
   /** benchmark-contamination check, the standard pretraining hygiene op:

@@ -425,9 +425,15 @@ object Similarity {
     * whole query batch: rank each probe's [[IvfProbes]] lists on the
     * broadcast K-row codebook via the bounded KnnTopK aggregate, then
     * ONE equi-join of (pid, cid) pairs against the persisted lists and
-    * an exact re-rank, again through KnnTopK. No driver-side collect at
-    * any batch size; candidates ≈ |batch|·N·(probes/K). `probes` must
-    * have columns (pid: bigint, pe: array<float>). */
+    * an exact re-rank, again through KnnTopK. Unlike [[annQueryIndex]]
+    * there is no O(probes) driver collect for probe PLANNING — but the
+    * probe-side joins are plain equi-joins, so for a broadcast-size
+    * batch Catalyst ships them to the lists scan (and can prune list
+    * partitions), while a batch past the broadcast threshold degrades
+    * to a shuffled hash join on (cid)/(pid) rather than failing —
+    * don't force `broadcast()` here, size-tier selection is exactly
+    * what the planner + AQE own. Candidates ≈ |batch|·N·(probes/K).
+    * `probes` must have columns (pid: bigint, pe: array<float>). */
   def annQueryIndexBatch(s: SparkSession, indexPath: String,
       probes: DataFrame, k: Int = 10): DataFrame = {
     graft.functions.VectorExpressions.register(s)
@@ -439,8 +445,8 @@ object Similarity {
       .select(col("pid"), explode(col("hits")).as("h"))
       .select(col("pid"), col("h.vec_id").as("cid"))
     s.read.parquet(s"$indexPath/lists")
-      .join(broadcast(probeLists), "cid")
-      .join(broadcast(probes), "pid")
+      .join(probeLists, "cid")
+      .join(probes, "pid")
       .where(col("vec_id") =!= col("pid"))
       .select(col("pid"), col("vec_id"), r4(cosine(s, "embedding", "pe")).as("cos"))
       .groupBy("pid")

@@ -93,19 +93,24 @@ object TextAnalysis {
   }
 
   // ---- quality scoring ------------------------------------------------
-  /** length / diversity / word-shape heuristic in [0,1]; all-double
-    * arithmetic in identical order both engines, then round(…,4) */
+  /** the quality heuristic over (text, tk) as one column expression —
+    * factored out so the composed curation pipeline ([[Curate]]) scores
+    * SCRUBBED text with the identical formula; all-double arithmetic in
+    * identical order both engines, then round(…,4) */
+  private[operators] def qualityCol(text: Column, tk: Column): Column =
+    r4f(
+      least(lit(1.0), size(tk).cast(DoubleType) / 50.0) * 0.4
+      + (size(array_distinct(tk)).cast(DoubleType) / size(tk)) * 0.3
+      + least(lit(1.0), ((length(text) - (size(tk) - 1)).cast(DoubleType) / size(tk)) / 8.0) * 0.3)
+
+  /** length / diversity / word-shape heuristic in [0,1] */
   def qualityScore(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), col("text"), toks.as("tk"), length(col("text")).as("nc"))
+      .select(col("doc_id"), col("text"), toks.as("tk"))
       .select(col("doc_id"),
         size(col("tk")).as("n_words"),
         r4f(size(array_distinct(col("tk"))).cast(DoubleType) / size(col("tk"))).as("distinct_ratio"),
-        r4f(
-          least(lit(1.0), size(col("tk")).cast(DoubleType) / 50.0) * 0.4
-          + (size(array_distinct(col("tk"))).cast(DoubleType) / size(col("tk"))) * 0.3
-          + least(lit(1.0), ((col("nc") - (size(col("tk")) - 1)).cast(DoubleType) / size(col("tk"))) / 8.0) * 0.3)
-          .as("quality"))
+        qualityCol(col("text"), col("tk")).as("quality"))
       .orderBy("doc_id")
 
   val qualityScoreSql =
@@ -386,7 +391,16 @@ object TextAnalysis {
     * shingling (map-side WordNgrams), a map-side-combined df groupBy on
     * gram, and a 1:1 enrichment join (each span row matches exactly one
     * df row — no fan-out however common a span is), then a doc_id
-    * groupBy. All keys scale with the data. */
+    * groupBy. All keys scale with the data.
+    *
+    * The span key that shuffles (df groupBy + enrichment join, i.e.
+    * TWICE) is a fixed-width 60-bit md5 prefix of the gram, not the raw
+    * ~30-byte 5-gram string — the same cross-engine hash family as
+    * dedupMinhashBands, mirrored in the oracle — cutting shuffle bytes
+    * ~5×. A 60-bit collision would merge two spans' df counts; at n
+    * distinct spans the expected collision count is n²/2^61 (≪ 1 up to
+    * billions of spans), and both engines hash identically so the
+    * comparison is unaffected either way. */
   val CommonSpanDf = 5
 
   def commonSpanRatio(s: SparkSession, dir: String): DataFrame = {
@@ -395,8 +409,10 @@ object TextAnalysis {
       .where(size(toks) >= 5)
       .select(col("doc_id"),
         explode(graft.functions.TextExpressions.wordNgrams(toks, 5)).as("g"))
-    val dfs = spans.groupBy("g").agg(count(lit(1)).as("df"))
-    spans.join(dfs, "g")
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)").as("gh"))
+    val dfs = spans.groupBy("gh").agg(count(lit(1)).as("df"))
+    spans.join(dfs, "gh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("df") >= CommonSpanDf, 1L).otherwise(0L)).as("n_common"))
@@ -411,15 +427,16 @@ object TextAnalysis {
        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
        |  WHERE len(string_split(text, ' ')) >= 5),
        |grams AS (
-       |  SELECT DISTINCT doc_id,
-       |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS g
-       |  FROM tk JOIN generate_series(1, 100000) s(i) ON i <= len(tk) - 4),
-       |dfs AS (SELECT g, count(*) AS df FROM grams GROUP BY 1)
+       |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh FROM (
+       |    SELECT DISTINCT doc_id,
+       |      tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS g
+       |    FROM tk JOIN generate_series(1, 100000) s(i) ON i <= len(tk) - 4) x),
+       |dfs AS (SELECT gh, count(*) AS df FROM grams GROUP BY 1)
        |SELECT doc_id, count(*)::BIGINT AS n_spans,
        |  sum(CASE WHEN df >= $CommonSpanDf THEN 1 ELSE 0 END)::BIGINT AS n_common,
        |  CAST(floor(sum(CASE WHEN df >= $CommonSpanDf THEN 1 ELSE 0 END)::DOUBLE
        |    / count(*)::DOUBLE * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS common_ratio
-       |FROM grams JOIN dfs USING (g)
+       |FROM grams JOIN dfs USING (gh)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---- PII scrubbing ---------------------------------------------------
@@ -436,14 +453,20 @@ object TextAnalysis {
   val Ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
   val PhoneRe = """\b\d{3}-\d{3}-\d{4}\b"""
 
+  /** the email → IP → phone redaction chain as one column expression —
+    * factored out so the composed curation pipeline ([[Curate]]) scrubs
+    * with the identical patterns in the identical order */
+  private[operators] def scrubCol(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
+
   def piiScrub(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
         regexp_count(col("text"), lit(EmailRe)).cast(LongType).as("n_emails"),
         regexp_count(col("text"), lit(Ipv4Re)).cast(LongType).as("n_ips"),
         regexp_count(col("text"), lit(PhoneRe)).cast(LongType).as("n_phones"),
-        regexp_replace(regexp_replace(regexp_replace(col("text"),
-          EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>").as("scrubbed"))
+        scrubCol(col("text")).as("scrubbed"))
       .orderBy("doc_id")
 
   val piiScrubSql =

@@ -29,13 +29,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *     UDP buffer — the same at-most-once contract as the reference.
   *
   * Usage: spark.readStream.format("graft.sources.UdpSourceProvider")
-  *   .option("port", "5514").load() → columns (raw, device, ts).
+  *   .option("port", "5514").load() → columns (raw, device, ts), or
+  *   .option("ports", "5514,5515,5516") for N parallel listeners.
   *
-  * Scale note: a single UDP listener is inherently one-node (so is the
-  * reference); at fleet scale the ingest edge is a partitioned log (Kafka),
-  * and this source exists for protocol parity + local e2e tests. Rows are
-  * shipped to executors inside the planned InputPartition, like Spark's own
-  * socket source.
+  * Scale note: ONE listener is the reference's shape (a single socket,
+  * main.go:67-71) and a single-threaded receive loop is the ingest
+  * ceiling; the `ports` form shards ingest across N independent
+  * receiver threads — each with its own socket, 10 k bounded buffer,
+  * and offset lane — and plans one InputPartition PER RECEIVER, so
+  * downstream parse/aggregate work fans out N-wide. The per-batch
+  * admission cap stays GLOBAL (max-min fair across receivers), keeping
+  * the reference's 1000-row flush contract whatever N is. At fleet
+  * scale the ingest edge is a partitioned log (Kafka); this source
+  * exists for protocol parity + local e2e tests. Rows are shipped to
+  * executors inside the planned InputPartition, like Spark's own socket
+  * source.
   */
 object UdpSourceProvider {
   val Schema: StructType = StructType(Seq(
@@ -129,22 +137,35 @@ final class UdpReceiver(port: Int) extends Thread(s"graft-udp-$port") {
   }
 }
 
-case class UdpOffset(n: Long) extends Offset {
-  override def json(): String = n.toString
+/** per-receiver row counts, aligned with the stream's port list; a
+  * single-port offset serializes to the same plain integer as before
+  * (checkpoint compatibility with the one-port era) */
+case class UdpOffset(ns: Seq[Long]) extends Offset {
+  override def json(): String = ns.mkString(",")
+}
+object UdpOffset {
+  def apply(n: Long): UdpOffset = UdpOffset(Seq(n))
 }
 
 class UdpSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     UdpSourceProvider.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new UdpTable(properties.getOrDefault("port", "5514").toInt,
+      properties: util.Map[String, String]): Table = {
+    // `ports` (csv) = N sharded listeners; `port` = the reference's
+    // single-socket shape. `ports` wins when both are set.
+    val ports = Option(properties.get("ports")) match {
+      case Some(csv) => csv.split(",").map(_.trim.toInt).toSeq
+      case None => Seq(properties.getOrDefault("port", "5514").toInt)
+    }
+    new UdpTable(ports,
       properties.getOrDefault("maxRowsPerBatch",
         UdpSourceProvider.FlushRows.toString).toLong)
+  }
 }
 
-class UdpTable(port: Int, maxRowsPerBatch: Long) extends Table with SupportsRead {
-  override def name(): String = s"udp:$port"
+class UdpTable(ports: Seq[Int], maxRowsPerBatch: Long) extends Table with SupportsRead {
+  override def name(): String = s"udp:${ports.mkString(",")}"
   override def schema(): StructType = UdpSourceProvider.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -153,51 +174,86 @@ class UdpTable(port: Int, maxRowsPerBatch: Long) extends Table with SupportsRead
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = UdpSourceProvider.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new UdpMicroBatchStream(port, maxRowsPerBatch)
+          new UdpMicroBatchStream(ports, maxRowsPerBatch)
       }
     }
 }
 
-class UdpMicroBatchStream(port: Int, maxRowsPerBatch: Long)
+class UdpMicroBatchStream(ports: Seq[Int], maxRowsPerBatch: Long)
     extends MicroBatchStream with SupportsAdmissionControl {
-  private def rx = UdpSourceProvider.receiver(port)
+  def this(port: Int, maxRowsPerBatch: Long) = this(Seq(port), maxRowsPerBatch)
+
+  private def rxs = ports.map(UdpSourceProvider.receiver)
+
+  /** offsets written by an older (or re-configured) port list may carry
+    * fewer/more lanes — missing lanes start at 0, surplus lanes' rows are
+    * gone with their receivers (at-most-once, like the rebase path) */
+  private def aligned(o: Offset): Seq[Long] =
+    o.asInstanceOf[UdpOffset].ns.padTo(ports.length, 0L).take(ports.length)
 
   // start from 0, not rx.latest: datagrams buffered between receiver
   // bind and stream start must land in the first batch, not be skipped
-  override def initialOffset(): Offset = { rx; UdpOffset(0) }
-  override def latestOffset(): Offset = UdpOffset(rx.latest)
+  override def initialOffset(): Offset = { rxs; UdpOffset(ports.map(_ => 0L)) }
+  override def latestOffset(): Offset = UdpOffset(rxs.map(_.latest))
 
   // count half of the reference's 1000-row/2s flush rule, expressed as
-  // micro-batch admission control: a burst never lands in one giant batch
+  // micro-batch admission control: a burst never lands in one giant
+  // batch — the cap is GLOBAL across receivers, preserving the contract
+  // whatever the listener count
   override def getDefaultReadLimit: ReadLimit =
     if (maxRowsPerBatch > 0) ReadLimit.maxRows(maxRowsPerBatch)
     else ReadLimit.allAvailable()
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[UdpOffset].n
-    val cap = limit match {
-      case r: ReadMaxRows => from + r.maxRows()
+    val from = aligned(start)
+    val avail = rxs.zip(from).map { case (rx, f) => math.max(rx.latest - f, 0L) }
+    val budget = limit match {
+      case r: ReadMaxRows => r.maxRows()
       case _ => Long.MaxValue
     }
-    UdpOffset(math.min(rx.latest, cap))
+    UdpOffset(from.zip(fairShares(avail, budget)).map { case (f, take) => f + take })
   }
 
-  override def reportLatestOffset(): Offset = UdpOffset(rx.latest)
+  /** max-min fair split of a global row budget across receivers: ports
+    * are served smallest-backlog first, each taking at most an equal
+    * share of what remains, so one bursting listener cannot starve the
+    * others out of a batch */
+  private def fairShares(avail: Seq[Long], budget: Long): Seq[Long] = {
+    if (budget == Long.MaxValue) return avail
+    val take = Array.fill(avail.length)(0L)
+    var remaining = budget
+    var left = avail.length
+    avail.zipWithIndex.sortBy(_._1).foreach { case (a, i) =>
+      val share = math.min(a, remaining / left)
+      take(i) = share
+      remaining -= share
+      left -= 1
+    }
+    take.toSeq
+  }
+
+  override def reportLatestOffset(): Offset = UdpOffset(rxs.map(_.latest))
   // called when restoring offsets from a checkpoint: offsets minted by a
-  // previous JVM index a buffer that no longer exists, so re-base the
-  // fresh receiver to the restored position instead of letting it swallow
-  // that many NEW datagrams (see UdpReceiver.rebase)
+  // previous JVM index buffers that no longer exist, so re-base each
+  // fresh receiver to its restored position instead of letting it
+  // swallow that many NEW datagrams (see UdpReceiver.rebase)
   override def deserializeOffset(json: String): Offset = {
-    val n = json.toLong
-    rx.rebase(n)
-    UdpOffset(n)
+    val ns = json.split(",").map(_.trim.toLong).toSeq
+      .padTo(ports.length, 0L).take(ports.length)
+    rxs.zip(ns).foreach { case (rx, n) => rx.rebase(n) }
+    UdpOffset(ns)
   }
-  override def commit(end: Offset): Unit = rx.trim(end.asInstanceOf[UdpOffset].n)
-  override def stop(): Unit = UdpSourceProvider.stop(port)
+  override def commit(end: Offset): Unit =
+    rxs.zip(aligned(end)).foreach { case (rx, n) => rx.trim(n) }
+  override def stop(): Unit = ports.foreach(UdpSourceProvider.stop)
 
+  /** one InputPartition PER RECEIVER with rows: downstream parse work
+    * fans out as wide as the listener count */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val rows = rx.slice(start.asInstanceOf[UdpOffset].n, end.asInstanceOf[UdpOffset].n)
-    if (rows.isEmpty) Array.empty else Array(UdpInputPartition(rows))
+    rxs.zip(aligned(start).zip(aligned(end))).flatMap { case (rx, (f, u)) =>
+      val rows = rx.slice(f, u)
+      if (rows.isEmpty) None else Some(UdpInputPartition(rows))
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -77,11 +77,15 @@ class ConfigSpec extends AnyFunSuite {
       "A=value # prod note",
       "B=\"quoted # not a comment\"",
       "C=bare#notcomment", // no space before # → part of the value (godotenv)
-      "D= # only a comment"))
+      "D= # only a comment",
+      "E=\"quoted value\" # trailing note", // quote strip + comment strip together
+      "F='single # literal' # note"))
     assert(parsed("A") === "value")
     assert(parsed("B") === "quoted # not a comment")
     assert(parsed("C") === "bare#notcomment")
     assert(parsed("D") === "")
+    assert(parsed("E") === "quoted value")
+    assert(parsed("F") === "single # literal")
   }
 
   test("run(): datagrams land in the configured JDBC table (the reference main() e2e)") {

@@ -52,6 +52,7 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_embed_cluster_stats", // broadcast K-row codebook
       "q_tfidf_top",        // broadcast one-row corpus count N
       "q_quality_filter",   // broadcast one-row p25 threshold
+      "q_curate_e2e",       // same one-row p25 threshold inside the composed pipeline
       "q_gap_fill",         // dense (bucket × type) domain, small distinct dim
       "q_scalar_subquery",  // uncorrelated scalar compared per row
       "q_win_ntile_dist",          // broadcast one-row percentile bounds

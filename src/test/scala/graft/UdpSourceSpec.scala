@@ -93,6 +93,61 @@ class UdpSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-port ingest: rows from every receiver, one partition per port, global batch cap") {
+    def freePort(): Int = {
+      val p = new DatagramSocket(0); val n = p.getLocalPort; p.close(); n
+    }
+    val portA = freePort()
+    val portB = freePort()
+    // `ports` option resolves to an N-listener table
+    val tbl = new sources.UdpSourceProvider().getTable(
+      sources.UdpSourceProvider.Schema, Array.empty,
+      java.util.Map.of("ports", s"$portA,$portB"))
+    assert(tbl.name() === s"udp:$portA,$portB")
+
+    val stream = new sources.UdpMicroBatchStream(Seq(portA, portB), 10)
+    val start = stream.initialOffset() // binds both receivers
+    val rxA = sources.UdpSourceProvider.receiver(portA)
+    val rxB = sources.UdpSourceProvider.receiver(portB)
+    val sender = new DatagramSocket()
+    try {
+      val target = InetAddress.getByName("127.0.0.1")
+      def send(port: Int, tag: String, n: Int): Unit = (1 to n).foreach { i =>
+        val b = s"$tag $i".getBytes("UTF-8")
+        sender.send(new DatagramPacket(b, b.length, target, port))
+      }
+      send(portA, "a", 8)
+      send(portB, "b", 7)
+      val dl = System.currentTimeMillis() + 10000
+      while ((rxA.latest < 8L || rxB.latest < 7L) && System.currentTimeMillis() < dl)
+        Thread.sleep(50)
+      assert(rxA.latest === 8L && rxB.latest === 7L, "datagrams lost on loopback")
+
+      // batch 1: GLOBAL cap of 10 rows split max-min fair → 5 from each
+      val end1 = stream.latestOffset(start,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(10))
+      val ns1 = end1.asInstanceOf[sources.UdpOffset].ns
+      assert(ns1.sum === 10L, s"global cap violated: $ns1")
+      assert(ns1 === Seq(5L, 5L), s"expected a fair split, got $ns1")
+      val parts1 = stream.planInputPartitions(start, end1)
+      assert(parts1.length === 2, "expected one InputPartition per receiver")
+      val rows1 = parts1.flatMap(_.asInstanceOf[sources.UdpInputPartition].rows.map(_._1))
+      assert(rows1.count(_.startsWith("a")) === 5)
+      assert(rows1.count(_.startsWith("b")) === 5)
+
+      // batch 2: the 5-row remainder (3 a + 2 b) drains, nothing lost
+      val end2 = stream.latestOffset(end1,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(10))
+      val rows2 = stream.planInputPartitions(end1, end2)
+        .flatMap(_.asInstanceOf[sources.UdpInputPartition].rows.map(_._1))
+      assert((rows1 ++ rows2).sorted.toSeq ===
+        ((1 to 8).map(i => s"a $i") ++ (1 to 7).map(i => s"b $i")).sorted)
+    } finally {
+      sender.close()
+      stream.stop()
+    }
+  }
+
   test("maxRowsPerBatch caps micro-batch size under burst (count half of the flush rule)") {
     val probe = new DatagramSocket(0)
     val port = probe.getLocalPort
