@@ -39,7 +39,9 @@ object Bench {
       // variance entry, ~26 s hidden from every per-query min in r6) and
       // the rest read cache — totals depended on alphabetical order
       graft.operators.Dedup.clearLabelsCache()
+      graft.operators.Dedup.clearGramIndexCache()
       graft.operators.Similarity.clearCodebookCache()
+      graft.operators.Bucketing.clearTableCache()
       val t0 = System.nanoTime()
       // noop-sink write, NOT .count(): count(1) lets Catalyst prune every
       // column the count doesn't need, so projection-only queries (e.g.

@@ -17,6 +17,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Syslog.queries ++
     operators.Relational.queries ++
+    operators.Bucketing.queries ++
     operators.Aggregates.queries ++
     operators.Windows.queries ++
     operators.EventAnalytics.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Syslog.oracle ++
     operators.Relational.oracle ++
+    operators.Bucketing.oracle ++
     operators.Aggregates.oracle ++
     operators.Windows.oracle ++
     operators.EventAnalytics.oracle ++

@@ -675,6 +675,136 @@ object Dedup {
        |FROM buckets WHERE n >= 2 GROUP BY chunk ORDER BY chunk""".stripMargin
   }
 
+  // ---- incremental dedup against a persisted gram index ----------------
+  /** The production ingest pattern at 100 TB: dedup a NEW BATCH against an
+    * EXISTING corpus without re-clustering the world. The corpus's pruned
+    * inverted gram index is built ONCE and persisted at rest
+    * ([[writeGramIndex]]); each arriving batch shingles map-side and
+    * equi-joins the index on the gram key — work scales with the BATCH
+    * (plus one bounded index probe), not the corpus. The at-rest-layout
+    * twin of `Similarity.writeIvfIndex` for the dedup family.
+    *
+    * Contract mirrors [[dedupNgramJaccard]]: intersection counted on
+    * index grams with corpus-df ≤ [[JaccardMaxDf]] (stop-gram pruning —
+    * bounds per-gram fan-out at any corpus size), denominator on full
+    * per-doc distinct gram counts, threshold [[JaccardThreshold]]. The
+    * gram key at rest and in shuffle is the 60-bit md5-prefix BIGINT
+    * (the cross-engine family of dedupMinhashBands / commonSpanRatio) —
+    * fixed 8 bytes instead of ~20-byte strings.
+    *
+    * Declared split: batch = doc_id % [[IncrementalMod]] ==
+    * [[IncrementalRem]], corpus = the rest — deterministic, so the DuckDB
+    * oracle replays index build + probe exactly. */
+  val IncrementalMod = 10
+  val IncrementalRem = 7
+
+  /** distinct per-doc grams under the portable 60-bit md5-prefix key */
+  private def ghGrams(s: SparkSession, dir: String): DataFrame =
+    shingled(s, dir)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)").as("gh"))
+
+  /** Persist the corpus-side index: `grams/` = pruned inverted index
+    * (gh, doc_id) clustered by gh so a probe's shuffle lands aligned, and
+    * `sizes/` = per-doc distinct gram counts (the Jaccard denominators).
+    * Pruning is by CORPUS df: grams in more than [[JaccardMaxDf]] corpus
+    * docs carry no dedup signal and would fan out hottest — they are
+    * dropped at build time, so probe-time cost is bounded by
+    * construction. */
+  def writeGramIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
+    val corpus = ghGrams(s, dir)
+      .where(col("doc_id") % IncrementalMod =!= IncrementalRem)
+    val cdf = corpus.groupBy("gh").agg(count(lit(1)).as("df"))
+    corpus.join(cdf.where(col("df") <= JaccardMaxDf), "gh")
+      .select("gh", "doc_id")
+      .repartition(col("gh"))
+      .write.mode("overwrite").parquet(s"$indexPath/grams")
+    shingled(s, dir)
+      .where(col("doc_id") % IncrementalMod =!= IncrementalRem)
+      .select(col("doc_id"), size(col("grams")).cast(LongType).as("n_grams"))
+      .write.mode("overwrite").parquet(s"$indexPath/sizes")
+  }
+
+  /** index path memoized per (session, dir, input fingerprint) — same
+    * staleness guard as the label cache; the index is files on disk, so
+    * invalidation just writes a fresh directory */
+  private val gramIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+
+  private def gramIndexPath(s: SparkSession, dir: String): String =
+    gramIndexCache.synchronized {
+      val key = (s, dir)
+      val fp = graft.util.inputFingerprint(dir, "documents.parquet")
+      val cached = gramIndexCache.get(key)
+      if (cached != null && cached._1 == fp) cached._2
+      else {
+        val path = java.nio.file.Files.createTempDirectory("graft_gram_idx").toString
+        writeGramIndex(s, dir, path)
+        gramIndexCache.put(key, (fp, path))
+        path
+      }
+    }
+
+  def clearGramIndexCache(): Unit =
+    gramIndexCache.synchronized(gramIndexCache.clear())
+
+  /** Probe an arbitrary persisted index with the declared batch split of
+    * `dir` — (new_id, dup_of, jaccard) for every batch doc near-duplicating
+    * a corpus doc. One equi-join on gh + one pair groupBy + two 1:1 size
+    * joins; everything keys on gh or doc id (scaling keys). */
+  def dedupIncrementalAgainst(s: SparkSession, dir: String,
+      indexPath: String): DataFrame = {
+    val batchSh = shingled(s, dir)
+      .where(col("doc_id") % IncrementalMod === IncrementalRem)
+    val batchG = batchSh
+      .select(col("doc_id").as("new_id"), explode(col("grams")).as("gram"))
+      .select(col("new_id"),
+        expr("cast(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)").as("gh"))
+    val idx = s.read.parquet(s"$indexPath/grams")
+      .select(col("gh"), col("doc_id").as("dup_of"))
+    val sizes = s.read.parquet(s"$indexPath/sizes")
+    val shared = batchG.join(idx, "gh")
+      .groupBy("new_id", "dup_of").agg(count(lit(1)).as("shared"))
+    shared
+      .join(batchSh.select(col("doc_id").as("new_id"),
+        size(col("grams")).cast(LongType).as("n_new")), "new_id")
+      .join(sizes.select(col("doc_id").as("dup_of"), col("n_grams").as("n_old")), "dup_of")
+      .select(col("new_id"), col("dup_of"),
+        r4(col("shared").cast(DoubleType) / (col("n_new") + col("n_old") - col("shared")))
+          .as("jaccard"))
+      .where(col("jaccard") >= JaccardThreshold)
+      .orderBy("new_id", "dup_of")
+  }
+
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame =
+    dedupIncrementalAgainst(s, dir, gramIndexPath(s, dir))
+
+  val dedupIncrementalSql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |grams AS (
+       |  SELECT doc_id, gram FROM (
+       |    SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+       |    FROM toks JOIN generate_series(1, 100000) g(i) ON i <= len(tk) - 2
+       |    WHERE len(tk) >= 3
+       |    UNION
+       |    SELECT doc_id, array_to_string(tk, ' ') AS gram FROM toks WHERE len(tk) < 3)),
+       |gh AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM grams),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY 1),
+       |corpus AS (SELECT * FROM gh WHERE doc_id % $IncrementalMod <> $IncrementalRem),
+       |cdf AS (SELECT gh, count(*) AS df FROM corpus GROUP BY 1),
+       |idx AS (SELECT c.doc_id, c.gh FROM corpus c JOIN cdf USING (gh)
+       |        WHERE df <= $JaccardMaxDf),
+       |batch AS (SELECT * FROM gh WHERE doc_id % $IncrementalMod = $IncrementalRem),
+       |shared AS (SELECT b.doc_id AS new_id, i.doc_id AS dup_of, count(*) AS shared
+       |           FROM batch b JOIN idx i USING (gh) GROUP BY 1, 2)
+       |SELECT new_id, dup_of, jaccard FROM (
+       |  SELECT new_id, dup_of,
+       |    CAST(round(shared::DOUBLE / (ns.n + no.n - shared), 4) AS DOUBLE) AS jaccard
+       |  FROM shared JOIN sizes ns ON shared.new_id = ns.doc_id
+       |              JOIN sizes no ON shared.dup_of = no.doc_id) j
+       |WHERE jaccard >= $JaccardThreshold ORDER BY new_id, dup_of""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact _,
     "q_dedup_minhash" -> dedupMinhash _,
@@ -686,7 +816,8 @@ object Dedup {
     "q_dedup_simhash" -> dedupSimhash _,
     "q_dedup_simhash_chunks" -> dedupSimhashChunks _,
     "q_decontaminate" -> decontaminate _,
-    "q_decontaminate_bloom" -> decontaminateBloom _)
+    "q_decontaminate_bloom" -> decontaminateBloom _,
+    "q_dedup_incremental" -> dedupIncremental _)
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
@@ -695,5 +826,6 @@ object Dedup {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_apply" -> dedupApplySql,
     "q_dedup_simhash_chunks" -> dedupSimhashChunksSql,
-    "q_decontaminate" -> decontaminateSql)
+    "q_decontaminate" -> decontaminateSql,
+    "q_dedup_incremental" -> dedupIncrementalSql)
 }

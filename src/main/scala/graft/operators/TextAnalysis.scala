@@ -439,6 +439,83 @@ object TextAnalysis {
        |FROM grams JOIN dfs USING (gh)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- common-span scrubbing (duplicated-text REMOVAL) -----------------
+  /** The removal twin of [[commonSpanRatio]] (RefinedWeb/CCNet duplicated
+    * text is REMOVED, not only measured): every token covered by any
+    * word-5-gram span occurring in ≥ [[CommonSpanDf]] docs is dropped,
+    * the rest re-concatenate in order. The declared query emits
+    * (doc_id, n_toks, n_kept, md5(scrubbed)) so the full rewritten corpus
+    * is pinned by hash without shuffling document bodies into the result;
+    * [[scrubCommonSpans]] returns the actual scrubbed text for pipeline
+    * use.
+    *
+    * Scale shape: positional spans are a map-side projection; the common
+    * set is one map-side-combined groupBy on the 60-bit span key; coverage
+    * is a bounded equi-join on that key (1 df row per span — no fan-out on
+    * hot spans beyond their own occurrences) + a per-doc distinct; the
+    * rebuild is one groupBy on doc_id. Every shuffle keys on the span hash
+    * or doc_id — both scale with the corpus. */
+  def scrubCommonSpans(s: SparkSession, dir: String): DataFrame = {
+    val tokd = t(s, dir, "documents").select(col("doc_id"), toks.as("tk"))
+    // ALL span occurrences with their 0-based start positions — the
+    // coverage computation needs positions, so this is posexplode over an
+    // index transform, not the distinct WordNgrams shingler
+    val spans = tokd.where(size(col("tk")) >= 5)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(tk) - 5), i -> " +
+          "cast(conv(substring(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])), 1, 15), 16, 10) AS BIGINT))"))
+        .as(Seq("pos", "gh")))
+    val common = spans.select(col("doc_id"), col("gh")).distinct()
+      .groupBy("gh").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= CommonSpanDf)
+      .select("gh")
+    val covered = spans.join(common, "gh")
+      .select(col("doc_id"), explode(expr("sequence(pos, pos + 4)")).as("p"))
+      .distinct()
+    val tokens = tokd.select(col("doc_id"), posexplode(col("tk")).as(Seq("p", "tok")))
+    val kept = tokens.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"), " ")
+          .as("scrubbed"))
+    tokd.select(col("doc_id"), size(col("tk")).cast(LongType).as("n_toks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+  }
+
+  def scrubSpans(s: SparkSession, dir: String): DataFrame =
+    scrubCommonSpans(s, dir)
+      .select(col("doc_id"), col("n_toks"), col("n_kept"),
+        md5(col("scrubbed")).as("scrub_md5"))
+      .orderBy("doc_id")
+
+  val scrubSpansSql =
+    s"""WITH tokd AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |tok AS (SELECT doc_id, i - 1 AS p, tk[i] AS tok
+       |        FROM tokd JOIN generate_series(1, 100000) g(i) ON i <= len(tk)),
+       |spans AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]), 1, 15))::BIGINT AS gh
+       |  FROM tokd JOIN generate_series(1, 100000) g(i) ON i <= len(tk) - 4),
+       |common AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM spans) x
+       |           GROUP BY gh HAVING count(*) >= $CommonSpanDf),
+       |covered AS (
+       |  SELECT DISTINCT s.doc_id, s.pos + o AS p
+       |  FROM spans s JOIN common USING (gh)
+       |  JOIN generate_series(0, 4) r(o) ON true),
+       |surv AS (SELECT t.doc_id, t.p, t.tok FROM tok t
+       |         LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+       |         WHERE c.doc_id IS NULL),
+       |kept AS (SELECT doc_id, count(*) AS n_kept,
+       |                string_agg(tok, ' ' ORDER BY p) AS scrubbed
+       |         FROM surv GROUP BY 1)
+       |SELECT d.doc_id, len(d.tk)::BIGINT AS n_toks,
+       |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+       |  md5(coalesce(k.scrubbed, '')) AS scrub_md5
+       |FROM tokd d LEFT JOIN kept k USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   // ---- PII scrubbing ---------------------------------------------------
   /** Corpus-hygiene redaction pass (emails, IPv4s, US-style phone
     * numbers → typed placeholders) + per-doc redaction counts — the
@@ -527,7 +604,8 @@ object TextAnalysis {
     "q_pii_scrub" -> piiScrub _,
     "q_sample_per_source" -> samplePerSource _,
     "q_quality_filter" -> qualityFilter _,
-    "q_common_span_ratio" -> commonSpanRatio _)
+    "q_common_span_ratio" -> commonSpanRatio _,
+    "q_scrub_spans" -> scrubSpans _)
 
   val oracle: Map[String, String] = Map(
     "q_tfidf_top" -> tfidfTopSql,
@@ -544,5 +622,6 @@ object TextAnalysis {
     "q_pii_scrub" -> piiScrubSql,
     "q_sample_per_source" -> samplePerSourceSql,
     "q_quality_filter" -> qualityFilterSql,
-    "q_common_span_ratio" -> commonSpanRatioSql)
+    "q_common_span_ratio" -> commonSpanRatioSql,
+    "q_scrub_spans" -> scrubSpansSql)
 }

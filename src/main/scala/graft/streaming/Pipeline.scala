@@ -317,6 +317,29 @@ object Pipeline {
       }
   }
 
+  /** Stream-stream INTERVAL join — live conversion attribution: each
+    * purchase matches the same user's views within the trailing
+    * `horizon`. Both sides carry watermarks, so the join's buffered state
+    * is BOUNDED: a view older than purchase-watermark − horizon can never
+    * match again and is evicted; at any stream volume the state is
+    * O(events within horizon + watermark delay), not O(stream). The time
+    * bound must be two-sided for that eviction to apply — an unbounded
+    * `v_ts <= p_ts` alone would force Spark to keep every view forever.
+    * Input frames need (event_id, timestamp, user_id). */
+  def streamConversions(views: DataFrame, purchases: DataFrame,
+      horizon: String = "1 HOUR", watermark: String = "10 minutes"): DataFrame = {
+    val v = views
+      .selectExpr("event_id AS v_id", "timestamp AS v_ts", "user_id AS v_user")
+      .withWatermark("v_ts", watermark)
+    val p = purchases
+      .selectExpr("event_id AS p_id", "timestamp AS p_ts", "user_id AS p_user")
+      .withWatermark("p_ts", watermark)
+    p.join(v,
+      expr(s"p_user = v_user AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL $horizon"))
+      .select(col("p_id"), col("p_ts"), col("p_user").as("user_id"),
+        col("v_id"), col("v_ts"))
+  }
+
   def statefulDeviceCounts(logs: DataFrame): Dataset[DeviceCount] = {
     val spark = logs.sparkSession
     import spark.implicits._

@@ -382,6 +382,47 @@ class DedupSpec extends AnyFunSuite {
       s"false-positive inflation ${fps / negatives} over $negatives true negatives")
   }
 
+  test("q_dedup_incremental: persisted gram index round-trips — pairs match the direct computation") {
+    import org.apache.spark.sql.functions._
+    // sf0.01: the declared split has real cross-split near-dup pairs (6 at
+    // this SF), so the parity check has signal — sf0.001's 5-doc batch may
+    // have none
+    val dir = "/root/testdata/sf0.01"
+    val viaIndex = operators.Dedup.dedupIncremental(spark, dir).collect().toSeq
+    assert(viaIndex.nonEmpty, "expected cross-split near-dup pairs at sf0.01")
+    // direct recompute without persistence: same formula straight off the
+    // parquet — the persisted index must be a pure materialization
+    val docs = util.t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    graft.functions.TextExpressions.register(spark)
+    val grams = docs.select(col("doc_id"),
+        explode(graft.functions.TextExpressions.wordNgrams(col("toks"), 3)).as("gram"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)").as("gh"))
+    val corpus = grams.where(col("doc_id") % 10 =!= 7)
+    val cdf = corpus.groupBy("gh").agg(count(lit(1)).as("df"))
+    val idx = corpus.join(cdf.where(col("df") <= operators.Dedup.JaccardMaxDf), "gh")
+      .select(col("gh"), col("doc_id").as("dup_of"))
+    val batch = grams.where(col("doc_id") % 10 === 7)
+      .select(col("doc_id").as("new_id"), col("gh"))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val direct = batch.join(idx, "gh")
+      .groupBy("new_id", "dup_of").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("new_id"), col("n").as("n_new")), "new_id")
+      .join(sizes.select(col("doc_id").as("dup_of"), col("n").as("n_old")), "dup_of")
+      .select(col("new_id"), col("dup_of"),
+        util.r4(col("shared").cast("double") / (col("n_new") + col("n_old") - col("shared")))
+          .as("jaccard"))
+      .where(col("jaccard") >= operators.Dedup.JaccardThreshold)
+      .orderBy("new_id", "dup_of")
+      .collect().toSeq
+    assert(viaIndex === direct)
+    // contract: every pair crosses the split in the declared direction
+    viaIndex.foreach { r =>
+      assert(r.getLong(0) % 10 == 7L && r.getLong(1) % 10 != 7L)
+    }
+  }
+
   test("minhash est_jaccard is 1.0 for identical docs and low for disjoint docs") {
     import spark.implicits._
     val sigs = operators.Dedup.minhashSignatures(spark, fixtureDir)

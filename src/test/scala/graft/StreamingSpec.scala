@@ -174,12 +174,7 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[Ev]
     val purchases = MemoryStream[Ev]
-    val v = views.toDF().selectExpr("event_id AS v_id", "timestamp AS v_ts", "user_id AS v_user")
-      .withWatermark("v_ts", "10 minutes")
-    val p = purchases.toDF().selectExpr("event_id AS p_id", "timestamp AS p_ts", "user_id AS p_user")
-      .withWatermark("p_ts", "10 minutes")
-    val joined = p.join(v,
-      expr("p_user = v_user AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 1 HOUR"))
+    val joined = Pipeline.streamConversions(views.toDF(), purchases.toDF())
     val q = joined.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("ssj_out").start()
 
