@@ -196,17 +196,25 @@ object Dedup {
     // inverted-index similarity join: ONE shuffle groups doc ids per gram;
     // stop-gram pruning (df > maxDf dropped) bounds the per-gram doc list,
     // so in-place pair generation is O(maxDf²) worst case per gram — no
-    // big×big self-join, no window sort, no skew blowup at scale
+    // big×big self-join, no window sort, no skew blowup at scale.
+    // The gram key that shuffles is the 60-bit md5-prefix BIGINT (the
+    // cross-engine family of dedupMinhashBands / commonSpanRatio,
+    // mirrored in the oracle CTE) — fixed 8 bytes instead of ~20-byte
+    // 3-gram strings, cutting the inverted-index shuffle ~2-3×. A
+    // within-doc 60-bit collision could emit a degenerate self-pair;
+    // the d1 < d2 guard (also in the oracle's join condition) drops it.
     val byGram = shingled(s, dir)
       .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .groupBy("gram").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)").as("gh"))
+      .groupBy("gh").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")).between(2, JaccardMaxDf))
     // two chained posexplodes (codegen'd Generate ops) beat a nested
     // higher-order lambda building struct arrays interpretively
     val pairRows = byGram
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "d1")))
       .select(col("d1"), col("i"), posexplode(col("ds")).as(Seq("j", "d2")))
-      .where(col("j") > col("i"))
+      .where(col("j") > col("i") && col("d1") < col("d2"))
       .select("d1", "d2")
     val shared = pairRows.groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
     // per-doc gram counts straight off the (un-exploded) shingle arrays
@@ -232,11 +240,12 @@ object Dedup {
        |    UNION
        |    SELECT doc_id, array_to_string(tk, ' ') AS gram FROM toks WHERE len(tk) < 3)),
        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
-       |pruned AS (SELECT doc_id, gram FROM (
-       |  SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM grams) x
+       |pruned AS (SELECT doc_id, gh FROM (
+       |  SELECT doc_id, gh, count(*) OVER (PARTITION BY gh) AS df FROM (
+       |    SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM grams) g) x
        |  WHERE df <= $JaccardMaxDf),
        |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
-       |  FROM pruned a JOIN pruned b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  FROM pruned a JOIN pruned b ON a.gh = b.gh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |pairs AS (SELECT d1, d2, jaccard FROM (
        |  SELECT d1, d2, CAST(round(shared::DOUBLE / (n1.n_grams + n2.n_grams - shared), 4) AS DOUBLE) AS jaccard

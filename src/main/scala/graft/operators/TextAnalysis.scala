@@ -469,9 +469,12 @@ object TextAnalysis {
       .groupBy("gh").agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= CommonSpanDf)
       .select("gh")
+    // no distinct on covered positions: overlapping spans duplicate (doc,
+    // p) rows, but a left_anti join excludes on EXISTENCE — duplicates
+    // change nothing semantically, and dropping the distinct saves a
+    // full shuffle+aggregate over ~5× the span count
     val covered = spans.join(common, "gh")
       .select(col("doc_id"), explode(expr("sequence(pos, pos + 4)")).as("p"))
-      .distinct()
     val tokens = tokd.select(col("doc_id"), posexplode(col("tk")).as(Seq("p", "tok")))
     val kept = tokens.join(covered, Seq("doc_id", "p"), "left_anti")
       .groupBy("doc_id")
