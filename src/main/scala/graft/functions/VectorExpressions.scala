@@ -352,6 +352,63 @@ object IvfAssign {
   }
 }
 
+/** pq_assign(sub, cents): INDEX (0-based) of the L2-nearest sub-centroid
+  * — the product-quantization sub-space encoder. Returns a position, not
+  * an id, so the caller can use it directly as an ADC distance-table
+  * lookup index against arrays built in the SAME centroid order.
+  * Tie-break: smallest index. L2 argmin (the standard PQ quantizer —
+  * unlike [[IvfAssign]]'s cosine, sub-vector magnitude matters here
+  * because the table lookup reconstructs dot-product contributions).
+  * Exact double arithmetic in index order: deterministic everywhere. */
+case class PqAssign(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(ArrayType(FloatType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_assign expects (array<float>, array<array<float>>), " +
+        s"got (${l.simpleString}, ${r.simpleString})")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "pq_assign"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqAssign.assign(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.PqAssign.assign($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAssign {
+  /** squared-L2 argmin over the sub-codebook; one JVM loop per row */
+  def assign(v: ArrayData, cents: ArrayData): Int = {
+    val k = cents.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      val ce = cents.getArray(c)
+      val n = math.min(v.numElements(), ce.numElements())
+      var d = 0d
+      var i = 0
+      while (i < n) {
+        val diff = v.getFloat(i).toDouble - ce.getFloat(i).toDouble
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
 object VectorExpressions {
   /** register once per session; idempotent */
   def register(s: SparkSession): Unit = {
@@ -367,6 +424,8 @@ object VectorExpressions {
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ivf_assign", exprs => IvfAssign(exprs(0), exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_assign", exprs => PqAssign(exprs(0), exprs(1)), "built-in")
   }
 
   /** simhash_sig(tokens) as a Column (requires register first) */
@@ -386,4 +445,8 @@ object VectorExpressions {
   /** ivf_assign(embedding, centroids) as a Column (requires register first) */
   def ivfAssign(emb: Column, centroids: Column): Column =
     call_function("ivf_assign", emb, centroids)
+
+  /** pq_assign(subvector, subcentroids) as a Column (requires register first) */
+  def pqAssign(sub: Column, cents: Column): Column =
+    call_function("pq_assign", sub, cents)
 }

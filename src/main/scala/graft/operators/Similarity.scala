@@ -501,11 +501,97 @@ object Similarity {
        |        FROM terms) x) r
        |WHERE rn <= $KnnK ORDER BY pid, rank""".stripMargin
 
+  // ---- PQ (product-quantization) ANN ----------------------------------
+  /** The third ANN family beside sign-LSH and IVF: product quantization
+    * (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011). The 64-dim embedding splits into [[PqM]]
+    * sub-spaces of [[PqSub]] dims; each sub-vector is encoded as the
+    * index of its L2-nearest sub-centroid (native codegen'd
+    * `pq_assign`), so a vector compresses to M small codes and the scan
+    * never computes a full-dimension distance: the probe precomputes an
+    * ADC (asymmetric distance computation) table of per-(subspace,
+    * centroid) dot/norm contributions ONCE, and every candidate's
+    * approximate cosine is M table lookups + adds — a pure map-side
+    * projection with NO shuffle of embeddings, followed by
+    * TakeOrderedAndProject of the [[PqRerank]] best and an exact-cosine
+    * re-rank of that bounded set.
+    *
+    * At 100 TB: codes are built once at ingest (the same at-rest posture
+    * as the IVF index — 4 bytes/vector here vs 256 for raw floats), the
+    * ADC table is O(M·K) per query batch, and the scan is embarrassingly
+    * parallel. The [[PqRerank]]-row TakeOrdered carries the embedding
+    * column for the re-rank — bounded rows, so no join-back needed; an
+    * at-rest deployment would instead join the candidate ids against the
+    * stored vectors.
+    *
+    * Sub-codebooks seed from the same deterministic md5 hash-sample as
+    * the IVF codebook; positions in the sorted-cid centroid arrays ARE
+    * the codes, so table lookup indices never need an id→position map.
+    * Deterministic end to end; oracle-free by design like
+    * `q_sim_ann_lsh` (approximate candidate set) — recall and
+    * planted-near-dup behavior pinned by spec. */
+  /** K=32 / rerank=100, sized on measurement: on the worst case for any
+    * quantizer — i.i.d. Gaussian embeddings, where cosine gaps between
+    * the true top-10 and the bulk are a few hundredths — K=16/rerank=40
+    * recovers only 1/10 of the exact top-10 at sf0.001, K=32/rerank=100
+    * recovers 7/10 (spec bound ≥ 5/10). Clustered real-world embeddings
+    * do far better; rerank is a constant, so the candidate FRACTION
+    * shrinks with corpus size. */
+  val PqM = 4
+  val PqSub = 16
+  val PqK = 32
+  val PqRerank = 100
+
+  def simAnnPq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = t(s, dir, "embeddings")
+    // one scan → (m, cid, 16-dim sub-centroid) for all M subspaces
+    val sample = e.orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+      .limit(PqK).select(col("vec_id").as("cid"), col("embedding"))
+    val subCents = sample.select(col("cid"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> slice(embedding, m * $PqSub + 1, $PqSub))"))
+        .as(Seq("m", "ce")))
+    // per subspace: centroids in sorted-cid order (positions = codes)
+    val perM = subCents.groupBy("m")
+      .agg(expr("transform(array_sort(collect_list(struct(cid, ce))), x -> x.ce)").as("cents"))
+    val probe = e.where(col("vec_id") === 0).select(col("embedding").as("pe"))
+    // ADC tables: dt[k] = dot(probe_sub, cent_k), nt[k] = |cent_k|² — M·K
+    // tiny HOF evaluations total, NOT per candidate row
+    val tabs = perM.crossJoin(broadcast(probe))
+      .select(col("m"), col("cents"),
+        expr(s"transform(cents, c -> aggregate(zip_with(c, slice(pe, m * $PqSub + 1, $PqSub), (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)), 0D, (a, v) -> a + v))").as("dt"),
+        expr("transform(cents, c -> aggregate(c, 0D, (a, x) -> a + cast(x AS DOUBLE) * cast(x AS DOUBLE)))").as("nt"),
+        expr("aggregate(pe, 0D, (a, x) -> a + cast(x AS DOUBLE) * cast(x AS DOUBLE))").as("np2"))
+    val pivotAggs = (0 until PqM).flatMap(m => Seq(
+      max(when(col("m") === m, col("cents"))).as(s"cents$m"),
+      max(when(col("m") === m, col("dt"))).as(s"dt$m"),
+      max(when(col("m") === m, col("nt"))).as(s"nt$m"))) :+ max(col("np2")).as("np2")
+    val onerow = tabs.groupBy().agg(pivotAggs.head, pivotAggs.tail: _*)
+    // scan: encode (M native pq_assign calls) + M table lookups per row
+    val coded = e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(onerow))
+      .select(Seq(col("vec_id"), col("embedding"), col("np2")) ++
+        (0 until PqM).map(m => graft.functions.VectorExpressions.pqAssign(
+          slice(col("embedding"), m * PqSub + 1, PqSub), col(s"cents$m")).as(s"c$m")) ++
+        (0 until PqM).flatMap(m => Seq(col(s"dt$m"), col(s"nt$m"))): _*)
+    val approx = coded.select(col("vec_id"), col("embedding"),
+        r4f((0 until PqM).map(m => element_at(col(s"dt$m"), col(s"c$m") + 1)).reduce(_ + _)
+          / (sqrt((0 until PqM).map(m => element_at(col(s"nt$m"), col(s"c$m") + 1)).reduce(_ + _))
+            * sqrt(col("np2")))).as("approx_cos"))
+      .orderBy(col("approx_cos").desc, col("vec_id").asc)
+      .limit(PqRerank)
+    approx.crossJoin(broadcast(probe))
+      .select(col("vec_id"), r4(cosine(s, "embedding", "pe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sim_cosine" -> simCosine _,
     "q_dedup_embedding" -> dedupEmbedding _,
     "q_sim_ann_lsh" -> simAnnLsh _,
     "q_sim_ann_ivf" -> simAnnIvf _,
+    "q_sim_ann_pq" -> simAnnPq _,
     "q_sim_knn" -> simKnn _,
     "q_embed_cluster_stats" -> embedClusterStats _)
 

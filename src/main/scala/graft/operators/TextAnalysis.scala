@@ -439,6 +439,35 @@ object TextAnalysis {
        |FROM grams JOIN dfs USING (gh)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- corpus mixture statistics ---------------------------------------
+  /** Training-mix weighting inputs: per (lang, source) document and token
+    * totals plus each cell's share of the global token budget — the
+    * numbers a data-mixture sweep reweights against. One map-side-combined
+    * groupBy on (lang, source) (fixed-cardinality output), then the global
+    * total joins back as a 1-row broadcast — no second pass over the
+    * corpus, no window over the whole table. */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "documents")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks)).cast(LongType).as("n_tokens"))
+    val total = per.agg(sum(col("n_tokens")).cast(DoubleType).as("tot"))
+    per.crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        r4f(col("n_tokens").cast(DoubleType) / col("tot")).as("token_share"))
+      .orderBy("lang", "source")
+  }
+
+  val corpusMixSql =
+    """WITH per AS (
+      |  SELECT lang, source, count(*) AS n_docs,
+      |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM per)
+      |SELECT lang, source, n_docs, n_tokens,
+      |  CAST(floor(n_tokens::DOUBLE / tot * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS token_share
+      |FROM per, tot ORDER BY lang, source""".stripMargin
+
   // ---- common-span scrubbing (duplicated-text REMOVAL) -----------------
   /** The removal twin of [[commonSpanRatio]] (RefinedWeb/CCNet duplicated
     * text is REMOVED, not only measured): every token covered by any
@@ -608,7 +637,8 @@ object TextAnalysis {
     "q_sample_per_source" -> samplePerSource _,
     "q_quality_filter" -> qualityFilter _,
     "q_common_span_ratio" -> commonSpanRatio _,
-    "q_scrub_spans" -> scrubSpans _)
+    "q_scrub_spans" -> scrubSpans _,
+    "q_corpus_mix" -> corpusMix _)
 
   val oracle: Map[String, String] = Map(
     "q_tfidf_top" -> tfidfTopSql,
@@ -626,5 +656,6 @@ object TextAnalysis {
     "q_sample_per_source" -> samplePerSourceSql,
     "q_quality_filter" -> qualityFilterSql,
     "q_common_span_ratio" -> commonSpanRatioSql,
-    "q_scrub_spans" -> scrubSpansSql)
+    "q_scrub_spans" -> scrubSpansSql,
+    "q_corpus_mix" -> corpusMixSql)
 }

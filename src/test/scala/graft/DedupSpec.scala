@@ -167,6 +167,22 @@ class DedupSpec extends AnyFunSuite {
     assert(top.head.getDouble(1) > 0.999)
   }
 
+  test("q_sim_ann_pq: the planted near-duplicate vector is the top hit after ADC + re-rank") {
+    val top = operators.Similarity.simAnnPq(spark, fixtureDir).collect()
+    assert(top.nonEmpty, "PQ candidate set empty")
+    assert(top.head.getLong(0) === 100L, "near-dup of probe not ranked first")
+    assert(top.head.getDouble(1) > 0.999)
+  }
+
+  test("q_sim_ann_pq recall: ADC candidates recover most of the exact top-10 at sf0.001") {
+    val pq = operators.Similarity.simAnnPq(spark, TestSpark.sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val exact = operators.Similarity.simCosine(spark, TestSpark.sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (pq & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall@10 vs exact: $recall (${pq & exact})")
+  }
+
   test("q_dedup_embedding: probe-sampled scan finds the planted cosine near-dup") {
     val pairs = operators.Similarity.dedupEmbedding(spark, fixtureDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

@@ -49,9 +49,11 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_sim_knn",          // broadcast ≤16-row probe sample (KnnProbes)
       "q_sim_ann_lsh",      // broadcast probe bucket
       "q_sim_ann_ivf",      // broadcast K-row codebook + one-row probe
+      "q_sim_ann_pq",       // broadcast one-row ADC tables + one-row probe
       "q_embed_cluster_stats", // broadcast K-row codebook
       "q_tfidf_top",        // broadcast one-row corpus count N
       "q_quality_filter",   // broadcast one-row p25 threshold
+      "q_corpus_mix",       // broadcast one-row global token total
       "q_curate_e2e",       // same one-row p25 threshold inside the composed pipeline
       "q_gap_fill",         // dense (bucket × type) domain, small distinct dim
       "q_scalar_subquery",  // uncorrelated scalar compared per row
