@@ -401,7 +401,12 @@ object TextAnalysis {
     * distinct spans the expected collision count is n²/2^61 (≪ 1 up to
     * billions of spans), and both engines hash identically so the
     * comparison is unaffected either way. */
-  val CommonSpanDf = 5
+  /** ≥ this many docs makes a span "common". Sized to the data domain:
+    * at sf0.01 the 5-gram doc-frequency distribution tops out at 3
+    * (74 spans) — a threshold of 5 never fires, measuring nothing. 3
+    * keeps the top of the distribution; the constant inlines into both
+    * engines so retuning per corpus is one edit. */
+  val CommonSpanDf = 3
 
   def commonSpanRatio(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TextExpressions.register(s)
@@ -471,7 +476,7 @@ object TextAnalysis {
   // ---- common-span scrubbing (duplicated-text REMOVAL) -----------------
   /** The removal twin of [[commonSpanRatio]] (RefinedWeb/CCNet duplicated
     * text is REMOVED, not only measured): every token covered by any
-    * word-5-gram span occurring in ≥ [[CommonSpanDf]] docs is dropped,
+    * word-5-gram span occurring in ≥ [[ScrubSpanDf]] docs is dropped,
     * the rest re-concatenate in order. The declared query emits
     * (doc_id, n_toks, n_kept, md5(scrubbed)) so the full rewritten corpus
     * is pinned by hash without shuffling document bodies into the result;
@@ -484,6 +489,13 @@ object TextAnalysis {
     * hot spans beyond their own occurrences) + a per-doc distinct; the
     * rebuild is one groupBy on doc_id. Every shuffle keys on the span hash
     * or doc_id — both scale with the corpus. */
+  /** scrub threshold is DELIBERATELY lower than [[CommonSpanDf]]: the
+    * ratio op MEASURES boilerplate (higher bar avoids penalizing benign
+    * coincidence); the scrub REMOVES duplicated text, where any span
+    * shared across documents is exactly what near-dup leakage looks
+    * like (RefinedWeb removes all inter-doc duplicated spans). */
+  val ScrubSpanDf = 2
+
   def scrubCommonSpans(s: SparkSession, dir: String): DataFrame = {
     val tokd = t(s, dir, "documents").select(col("doc_id"), toks.as("tk"))
     // ALL span occurrences with their 0-based start positions — the
@@ -496,7 +508,7 @@ object TextAnalysis {
         .as(Seq("pos", "gh")))
     val common = spans.select(col("doc_id"), col("gh")).distinct()
       .groupBy("gh").agg(count(lit(1)).as("n_docs"))
-      .where(col("n_docs") >= CommonSpanDf)
+      .where(col("n_docs") >= ScrubSpanDf)
       .select("gh")
     // no distinct on covered positions: overlapping spans duplicate (doc,
     // p) rows, but a left_anti join excludes on EXISTENCE — duplicates
@@ -532,7 +544,7 @@ object TextAnalysis {
        |    ('0x' || substr(md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]), 1, 15))::BIGINT AS gh
        |  FROM tokd JOIN generate_series(1, 100000) g(i) ON i <= len(tk) - 4),
        |common AS (SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM spans) x
-       |           GROUP BY gh HAVING count(*) >= $CommonSpanDf),
+       |           GROUP BY gh HAVING count(*) >= $ScrubSpanDf),
        |covered AS (
        |  SELECT DISTINCT s.doc_id, s.pos + o AS p
        |  FROM spans s JOIN common USING (gh)
