@@ -758,14 +758,19 @@ object Dedup {
   def clearGramIndexCache(): Unit =
     gramIndexCache.synchronized(gramIndexCache.clear())
 
-  /** Probe an arbitrary persisted index with the declared batch split of
-    * `dir` — (new_id, dup_of, jaccard) for every batch doc near-duplicating
-    * a corpus doc. One equi-join on gh + one pair groupBy + two 1:1 size
-    * joins; everything keys on gh or doc id (scaling keys). */
-  def dedupIncrementalAgainst(s: SparkSession, dir: String,
+  /** Probe a persisted gram index with ARBITRARY documents (doc_id,
+    * text) — the reusable core: the declared batch query feeds it the
+    * deterministic split, and `Pipeline.streamDedupIncremental` feeds it
+    * each streaming micro-batch (stream-static probe, the live-ingest
+    * dedup shape). One equi-join on gh + one pair groupBy + two 1:1
+    * size joins; everything keys on gh or doc id (scaling keys). */
+  def probeGramIndex(s: SparkSession, docs: DataFrame,
       indexPath: String): DataFrame = {
-    val batchSh = shingled(s, dir)
-      .where(col("doc_id") % IncrementalMod === IncrementalRem)
+    graft.functions.TextExpressions.register(s)
+    val batchSh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("grams",
+        graft.functions.TextExpressions.wordNgrams(col("toks"), 3))
     val batchG = batchSh
       .select(col("doc_id").as("new_id"), explode(col("grams")).as("gram"))
       .select(col("new_id"),
@@ -786,8 +791,21 @@ object Dedup {
       .orderBy("new_id", "dup_of")
   }
 
+  def dedupIncrementalAgainst(s: SparkSession, dir: String,
+      indexPath: String): DataFrame =
+    probeGramIndex(s,
+      t(s, dir, "documents")
+        .where(col("doc_id") % IncrementalMod === IncrementalRem)
+        .select("doc_id", "text"),
+      indexPath)
+
   def dedupIncremental(s: SparkSession, dir: String): DataFrame =
     dedupIncrementalAgainst(s, dir, gramIndexPath(s, dir))
+
+  /** public handle for streaming/serving callers that manage their own
+    * index location ([[gramIndexPath]] memoizes per input fingerprint) */
+  def ensureGramIndex(s: SparkSession, dir: String): String =
+    gramIndexPath(s, dir)
 
   val dedupIncrementalSql =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -317,6 +317,34 @@ object Pipeline {
       }
   }
 
+  /** Live-ingest dedup: each micro-batch of documents (doc_id, text)
+    * probes the PERSISTED corpus gram index (`Dedup.writeGramIndex`)
+    * and emits (new_id, dup_of, jaccard) near-dup verdicts — the
+    * streaming face of `q_dedup_incremental`. foreachBatch, not a
+    * streaming aggregation: a document's grams all arrive in its own
+    * micro-batch, so the probe is per-batch STATELESS and cross-batch
+    * aggregation state would be pure overhead. The batch function IS
+    * `Dedup.probeGramIndex` — the same code the declared batch query
+    * runs, so stream ≡ batch by construction (pinned in StreamingSpec).
+    * Exactly-once like [[start]]: each batch overwrites its own
+    * `batch_id=N` partition on replay. */
+  def streamDedupIncremental(docs: DataFrame, indexPath: String,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.probeGramIndex(batch.sparkSession, batch, indexPath)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .start()
+
   /** Stream-stream INTERVAL join — live conversion attribution: each
     * purchase matches the same user's views within the trailing
     * `horizon`. Both sides carry watermarks, so the join's buffered state

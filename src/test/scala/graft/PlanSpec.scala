@@ -44,6 +44,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_topk_global").contains("TakeOrderedAndProject"))
   }
 
+  test("q_sim_ann_pq candidate scan never shuffle-joins: ADC is broadcast lookups + TakeOrdered") {
+    val p = plan("q_sim_ann_pq")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k pushdown:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"embedding scan shuffle-joined — ADC must stay map-side:\n$p")
+  }
+
   test("q_agg_hash uses two-phase hash aggregation (map-side partial)") {
     val p = plan("q_agg_hash")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial+final agg:\n$p")

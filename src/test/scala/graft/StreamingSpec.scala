@@ -190,6 +190,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Seq((10L, 1L)))
   }
 
+  test("streamDedupIncremental: per-batch index probes reproduce the batch incremental dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val indexPath = graft.operators.Dedup.ensureGramIndex(spark, dir)
+    // the declared batch split, streamed in two micro-batches
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 10 === 7)
+      .select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val (firstHalf, secondHalf) = batchDocs.splitAt(batchDocs.size / 2)
+    val ms = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("graft_sdi_out").toString
+    val ckpt = Files.createTempDirectory("graft_sdi_ckpt").toString
+    val q = Pipeline.streamDedupIncremental(
+      ms.toDF().toDF("doc_id", "text"), indexPath, out, ckpt,
+      Trigger.AvailableNow())
+    ms.addData(firstHalf)
+    ms.addData(secondHalf)
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(out)
+      .select("new_id", "dup_of", "jaccard")
+      .orderBy("new_id", "dup_of")
+      .collect().toSeq
+    val batch = graft.operators.Dedup.dedupIncremental(spark, dir)
+      .collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "expected cross-split near-dup pairs at sf0.01")
+  }
+
   test("trigger batching: AvailableNow with maxFilesPerTrigger bounds batches (rate-limit analog)") {
     import spark.implicits._
     // file-source twin of the bounded-channel admission control: write the
