@@ -248,6 +248,42 @@ object Relational {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |) x WHERE event_type = 'purchase' AND m_id IS NOT NULL ORDER BY p_id""".stripMargin
 
+  /** Interval join — ALL of a user's views within the trailing hour of
+    * each purchase (conversion attribution; the batch twin of
+    * `Pipeline.streamConversions`, pinned equal in StreamingSpec). Same
+    * bucketized-range-join rewrite as [[joinThetaRange]]: both sides
+    * bucket on (user_id, hour); each purchase probes buckets {h−1, h} so
+    * every candidate pair co-locates once, the join is an EQUI-join on
+    * (user_id, bucket) with the interval as residual — shuffle-partitioned
+    * on a scaling key, no per-user window over unbounded history, no
+    * nested loop. A (view, purchase) pair can match in at most one probed
+    * bucket (the view's own), so no dedup pass is needed. */
+  def joinInterval(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = events(s, dir)
+    val v = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id"), col("ts_us").as("v_ts"))
+      .withColumn("bkt", floor(col("v_ts") / hourUs))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_ts"))
+      .withColumn("bkt", explode(expr(
+        s"array(floor(p_ts / $hourUs) - 1, floor(p_ts / $hourUs))")))
+    p.join(v, Seq("user_id", "bkt"))
+      .where(col("v_ts") <= col("p_ts") && col("v_ts") >= col("p_ts") - hourUs)
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("v_id"), col("v_ts"))
+      .orderBy("p_id", "v_id")
+  }
+
+  val joinIntervalSql =
+    """SELECT p.event_id AS p_id, p.user_id, epoch_us(p.ts::TIMESTAMP) AS p_ts,
+      |  v.event_id AS v_id, epoch_us(v.ts::TIMESTAMP) AS v_ts
+      |FROM events p JOIN events v
+      |  ON p.user_id = v.user_id
+      | AND p.event_type = 'purchase' AND v.event_type = 'view'
+      | AND epoch_us(v.ts::TIMESTAMP) <= epoch_us(p.ts::TIMESTAMP)
+      | AND epoch_us(v.ts::TIMESTAMP) >= epoch_us(p.ts::TIMESTAMP) - 3600000000
+      |ORDER BY p_id, v_id""".stripMargin
+
   def joinCross(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "region").select(col("r_name"))
       .crossJoin(t(s, dir, "supplier").select(col("s_name")))
@@ -431,6 +467,7 @@ object Relational {
     "q_join_theta_range" -> joinThetaRange _,
     "q_join_asof" -> joinAsof _,
     "q_join_cross" -> joinCross _,
+    "q_join_interval" -> joinInterval _,
     "q_join_skew_salted" -> joinSkewSalted _,
     "q_topk_global" -> topkGlobal _,
     "q_sort_multi" -> sortMulti _,
@@ -459,6 +496,7 @@ object Relational {
     "q_join_theta_range" -> joinThetaRangeSql,
     "q_join_asof" -> joinAsofSql,
     "q_join_cross" -> joinCrossSql,
+    "q_join_interval" -> joinIntervalSql,
     "q_join_skew_salted" -> joinSkewSaltedSql,
     "q_topk_global" -> topkGlobalSql,
     "q_sort_multi" -> sortMultiSql,

@@ -190,6 +190,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Seq((10L, 1L)))
   }
 
+  test("streamConversions ≡ q_join_interval: streamed attribution equals the batch range join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = TestSpark.sfDir
+    val ev = util.events(spark, dir)
+      .select(col("event_id"), col("ts").as("timestamp"), col("user_id"), col("event_type"))
+    def rows(t: String) = ev.where(col("event_type") === t)
+      .select("event_id", "timestamp", "user_id")
+      .as[(Long, Timestamp, Long)].collect().toSeq.map(r => Ev(r._1, r._2, r._3))
+    val views = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    // one micro-batch: parity of the JOIN itself (the watermark-eviction
+    // semantics are pinned by the dedicated interval-join test above)
+    views.addData(rows("view"))
+    purchases.addData(rows("purchase"))
+    val q = Pipeline.streamConversions(views.toDF(), purchases.toDF())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("conv_out").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.sql(
+      """SELECT p_id, user_id, unix_micros(p_ts) AS p_ts, v_id, unix_micros(v_ts) AS v_ts
+        |FROM conv_out ORDER BY p_id, v_id""".stripMargin)
+      .collect().toSeq
+    val batch = operators.Relational.joinInterval(spark, dir).collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "no view→purchase pairs at sf0.001")
+  }
+
   test("streamDedupIncremental: per-batch index probes reproduce the batch incremental dedup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
