@@ -516,17 +516,30 @@ object TextAnalysis {
     // full shuffle+aggregate over ~5× the span count
     val covered = spans.join(common, "gh")
       .select(col("doc_id"), explode(expr("sequence(pos, pos + 4)")).as("p"))
-    val tokens = tokd.select(col("doc_id"), posexplode(col("tk")).as(Seq("p", "tok")))
+    // Only TOUCHED docs (≥1 covered position — 71/500 at sf0.01, a small
+    // fraction of any real corpus) pay the explode→anti-join→reassemble
+    // path; untouched docs emit scrubbed = their own tokens rejoined as a
+    // per-row projection with no shuffle at all. Identical output either
+    // way — the split is purely a work-avoidance shape.
+    val touched = covered.select("doc_id").distinct()
+    val tokdT = tokd.join(touched, Seq("doc_id"), "left_semi")
+    val tokens = tokdT.select(col("doc_id"), posexplode(col("tk")).as(Seq("p", "tok")))
     val kept = tokens.join(covered, Seq("doc_id", "p"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"), " ")
           .as("scrubbed"))
-    tokd.select(col("doc_id"), size(col("tk")).cast(LongType).as("n_toks"))
-      .join(kept, Seq("doc_id"), "left")
+    val rebuiltTouched = tokdT
+      .select(col("doc_id"), size(col("tk")).cast(LongType).as("n_toks"))
+      .join(kept, Seq("doc_id"), "left") // fully-covered docs: no kept row
       .select(col("doc_id"), col("n_toks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+    val untouched = tokd.join(touched, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), size(col("tk")).cast(LongType).as("n_toks"),
+        size(col("tk")).cast(LongType).as("n_kept"),
+        array_join(col("tk"), " ").as("scrubbed"))
+    rebuiltTouched.unionAll(untouched)
   }
 
   def scrubSpans(s: SparkSession, dir: String): DataFrame =
