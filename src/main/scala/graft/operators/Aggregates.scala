@@ -55,6 +55,29 @@ object Aggregates {
     """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** EXACT re-aggregatable distinct counting via roaring-style bitmaps
+    * (ClickHouse `groupBitmap`) — the third point on the distinct-count
+    * spectrum beside `countDistinct` (exact, but its partial state is the
+    * raw value set) and HLL (mergeable but approximate). Values bucket by
+    * `bitmap_bucket_number`; each (group, bucket) folds into ONE fixed
+    * ≤4 KiB bitmap via map-side-combined `bitmap_construct_agg`, bucket
+    * counts then sum per group. Shuffle is O(groups × touched buckets)
+    * bitmaps, independent of row count; persisted per-bucket bitmaps
+    * union across any later slice (`bitmap_or_agg`) with NO error — the
+    * rollup pattern `q_agg_hll_union` demonstrates approximately, made
+    * exact. Being exact, the DuckDB oracle is plain count(DISTINCT). */
+  def aggBitmapDistinct(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"), expr("bitmap_bucket_number(user_id)").as("bkt"))
+      .agg(expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))").as("cnt"))
+      .groupBy("event_type")
+      .agg(sum(col("cnt")).as("n_users"))
+      .orderBy("event_type")
+
+  val aggBitmapDistinctSql =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** HLL++ sketch distinct (ClickHouse uniq()) — deterministic but not
     * cross-engine comparable → rows-only driver check + unit test vs exact */
   def aggApproxDistinct(s: SparkSession, dir: String): DataFrame =
@@ -341,6 +364,7 @@ object Aggregates {
     "q_agg_pivot" -> aggPivot _,
     "q_agg_hash" -> aggHash _,
     "q_agg_distinct" -> aggDistinct _,
+    "q_agg_bitmap_distinct" -> aggBitmapDistinct _,
     "q_agg_approx_distinct" -> aggApproxDistinct _,
     "q_agg_rollup" -> aggRollup _,
     "q_agg_cube" -> aggCube _,
@@ -359,6 +383,7 @@ object Aggregates {
     "q_agg_pivot" -> aggPivotSql,
     "q_agg_hash" -> aggHashSql,
     "q_agg_distinct" -> aggDistinctSql,
+    "q_agg_bitmap_distinct" -> aggBitmapDistinctSql,
     "q_agg_rollup" -> aggRollupSql,
     "q_agg_cube" -> aggCubeSql,
     "q_agg_grouping_sets" -> aggGroupingSetsSql,
