@@ -461,6 +461,31 @@ object Dedup {
     s"""$survivorsCte
        |SELECT doc_id, lang, source FROM surv ORDER BY doc_id""".stripMargin
 
+  /** Dedup observability — the first thing an operator looks at after a
+    * run: the cluster SIZE HISTOGRAM (how many duplicate clusters of 2,
+    * of 3, …). A heavy tail here means boilerplate/templating upstream;
+    * a sudden shift between ingests means the pair generator's caps are
+    * saturating. Rides the memoized labels (clusters/apply/sizes share
+    * one propagation per session) + two map-side-combined groupBys on
+    * scaling keys (cluster_id, then the tiny size domain). */
+  def dedupClusterSizes(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      .groupBy("n_members").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("n_members")
+
+  val dedupClusterSizesSql =
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(v, l) AS (
+       |  SELECT DISTINCT d1, d1 FROM edges
+       |  UNION
+       |  SELECT e.d1, r.l FROM edges e JOIN reach r ON r.v = e.d2),
+       |clusters AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY 1),
+       |csizes AS (SELECT cluster_id, count(*) AS n_members FROM clusters GROUP BY 1)
+       |SELECT n_members, count(*) AS n_clusters FROM csizes
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- train/eval decontamination -------------------------------------
   /** benchmark-contamination check, the standard pretraining hygiene op:
     * for every EVAL doc (deterministic 1% slice, doc_id % 97 = 0), the
@@ -844,7 +869,8 @@ object Dedup {
     "q_dedup_simhash_chunks" -> dedupSimhashChunks _,
     "q_decontaminate" -> decontaminate _,
     "q_decontaminate_bloom" -> decontaminateBloom _,
-    "q_dedup_incremental" -> dedupIncremental _)
+    "q_dedup_incremental" -> dedupIncremental _,
+    "q_dedup_cluster_sizes" -> dedupClusterSizes _)
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
@@ -854,5 +880,6 @@ object Dedup {
     "q_dedup_apply" -> dedupApplySql,
     "q_dedup_simhash_chunks" -> dedupSimhashChunksSql,
     "q_decontaminate" -> decontaminateSql,
-    "q_dedup_incremental" -> dedupIncrementalSql)
+    "q_dedup_incremental" -> dedupIncrementalSql,
+    "q_dedup_cluster_sizes" -> dedupClusterSizesSql)
 }

@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Source-level scale-discipline guard: the "no driver-side collect in
+  * any operator" claim is a contract, not a habit — this spec makes it
+  * machine-checked the way PlanHygieneSpec machine-checks plan shapes.
+  * A `.collect()` in an operator pulls O(data) to the driver and is the
+  * one anti-pattern a plan inspection can miss (it looks like any other
+  * action). The single allowed occurrence is documented O(K)
+  * index-METADATA probe planning, and the allowlist is asserted both
+  * ways so a removed collect retires its exemption. */
+class SourceHygieneSpec extends AnyFunSuite {
+
+  /** file → expected number of `.collect()` occurrences in main sources;
+    * anything not listed must have zero */
+  private val allowed = Map(
+    // Similarity.annQueryIndex: O(IvfProbes) codebook METADATA collect for
+    // static partition pruning; the batch form (annQueryIndexBatch) is
+    // collect-free — documented in the scaladoc there
+    "Similarity.scala" -> 1)
+
+  test("no .collect() in main operator/function/source/streaming code outside the allowlist") {
+    val roots = Seq("operators", "functions", "sources", "streaming", "")
+      .map(d => Paths.get("src/main/scala/graft", d))
+    val counts = roots.filter(Files.isDirectory(_))
+      .flatMap(r => Files.list(r).iterator().asScala)
+      .filter(_.toString.endsWith(".scala"))
+      .map(p => p.getFileName.toString ->
+        "\\.collect\\(\\)".r.findAllIn(Files.readString(p)).size)
+      .filter(_._2 > 0)
+      .toMap
+    val offenders = counts.filter { case (f, n) => allowed.getOrElse(f, 0) != n }
+    assert(offenders.isEmpty,
+      s"unexpected .collect() counts (file -> found): $offenders; allowlist: $allowed")
+    // two-way: a stale allowlist entry (collect removed) must also fail
+    val stale = allowed.filter { case (f, n) => counts.getOrElse(f, 0) != n }
+    assert(stale.isEmpty, s"stale allowlist entries: $stale")
+  }
+}
