@@ -373,6 +373,130 @@ object Similarity {
        |  floor(CAST(sum(ac::DECIMAL(18,4)) AS DOUBLE) / count(*) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS cohesion
        |FROM assigned GROUP BY cid ORDER BY cid""".stripMargin
 
+  // ---- semantic dedup (SemDeDup) --------------------------------------
+  /** cosine threshold above which a vector counts as a semantic duplicate
+    * of an earlier same-cluster vector. Sized to the corpus like
+    * `CommonSpanDf`: the synthetic embeddings are near-i.i.d. (max
+    * pairwise cosine ≈ 0.51 at sf0.01), so a production τ of 0.9+ would
+    * label nothing; 0.45 exercises both verdicts. The τ is a named
+    * constant precisely so a real deployment retunes ONE number. */
+  val SemDedupTau = 0.45
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup as
+    * cluster-then-compare — every vector is assigned to its trained-IVF
+    * cluster with the map-side `IvfAssign` projection, and duplicate
+    * candidates are compared ONLY within a cluster. Output: one verdict
+    * row per vector that has at least one prior (smaller vec_id)
+    * same-cluster member — its nearest such prior neighbor, their exact
+    * rounded cosine, and the keep/drop verdict at `SemDedupTau` (keeper =
+    * min vec_id, consistent with the whole dedup family).
+    *
+    * Scale shape: the all-pairs O(N²) comparison becomes O(N²/K) via the
+    * cluster equi-join — the paper's trick, and the same candidates-by-
+    * equi-join discipline as the MinHash/SimHash families (never
+    * all-pairs). The only shuffles are the cid equi-join and the final
+    * vec_id groupBy (map-side-combined: max of a 2-field struct). At
+    * 100 TB, K must grow with N (the paper uses ~11k clusters for LAION;
+    * K ≈ N / target-list-size) so per-cluster quadratic work stays
+    * bounded — K is a training-time constant, the plan shape is
+    * unchanged. A pathologically hot cluster is a data-quality signal
+    * (see `q_embed_cluster_stats`) and splits under AQE skew-join
+    * handling since Spark 3.2. */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = t(s, dir, "embeddings")
+    val book = trainedCodebook(s, dir)
+    val bookArr = book.agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
+    val assigned = e.crossJoin(broadcast(bookArr))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorExpressions.ivfAssign(col("embedding"), col("cents")).as("cid"))
+    val prior = assigned.select(col("cid"), col("vec_id").as("d1"), col("embedding").as("e1"))
+    val later = assigned.select(col("cid"), col("vec_id").as("d2"), col("embedding").as("e2"))
+    // within-cluster candidate pairs; (cos DESC, d1 ASC) argmax per later
+    // vector via max(struct): negated d1 makes the struct max pick the
+    // smallest prior id among rounded-cosine ties — deterministic
+    prior.join(later, Seq("cid")).where(col("d1") < col("d2"))
+      .select(col("d2").as("vec_id"), col("d1"),
+        r4(cosine(s, "e1", "e2")).as("cos"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), (-col("d1")).as("nd"))).as("best"))
+      .select(col("vec_id"), (-col("best.nd")).as("dup_of"), col("best.cos").as("cos"),
+        when(col("best.cos") >= SemDedupTau, 1).otherwise(0).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  /** the shared CTE chain: trained codebook → rounded-argmax assignment →
+    * within-cluster pairwise cosine → per-vector (cos DESC, d1 ASC) pick —
+    * `best` is consumed by both the verdict query and the apply query */
+  private val semanticBestCte: String =
+    s"""$lloydCentsSql,
+       |ac AS (
+       |  SELECT e.vec_id, c.cid,
+       |    floor(sum(e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)
+       |      / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+       |         * sqrt(sum(c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))
+       |      * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS ac
+       |  FROM embeddings e, cents c, generate_series(1, 64) g(i)
+       |  GROUP BY e.vec_id, c.cid),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY ac DESC, cid ASC) AS rn
+       |    FROM ac) x
+       |  WHERE rn = 1),
+       |pt AS (
+       |  SELECT a2.vec_id AS vec_id, a1.vec_id AS d1,
+       |    sum(e1.embedding[i]::DOUBLE * e2.embedding[i]::DOUBLE) AS dot,
+       |    sum(e1.embedding[i]::DOUBLE * e1.embedding[i]::DOUBLE) AS n1,
+       |    sum(e2.embedding[i]::DOUBLE * e2.embedding[i]::DOUBLE) AS n2
+       |  FROM assigned a1 JOIN assigned a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+       |    JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+       |    JOIN embeddings e2 ON e2.vec_id = a2.vec_id,
+       |    generate_series(1, 64) g(i)
+       |  GROUP BY 1, 2),
+       |pc AS (
+       |  SELECT vec_id, d1, CAST(round(dot / (sqrt(n1) * sqrt(n2)), 4) AS DOUBLE) AS cos
+       |  FROM pt),
+       |best AS (
+       |  SELECT vec_id, d1, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, d1 ASC) AS rn
+       |  FROM pc)""".stripMargin
+
+  /** exact replay: same trained codebook, same rounded-argmax assignment,
+    * same within-cluster pairwise cosine, same (cos DESC, d1 ASC) pick */
+  val dedupSemanticSql: String =
+    s"""WITH $semanticBestCte
+       |SELECT vec_id, d1 AS dup_of, cos,
+       |  CASE WHEN cos >= $SemDedupTau::DOUBLE THEN 1 ELSE 0 END AS is_dup
+       |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  /** the last mile of semantic dedup, mirroring `q_dedup_apply`: drop every
+    * document whose embedding is a semantic duplicate of an earlier
+    * same-cluster one, emit the surviving corpus. Documents without an
+    * embedding survive trivially (at sf0.1 only a subset of docs carries a
+    * vector — real corpora embed lazily too). Anti-join on doc_id, the same
+    * scaling key as the whole dedup family; the dropped side is the bounded
+    * verdict frame filtered to drops. */
+  def dedupSemanticApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val dropped = dedupSemantic(s, dir)
+      .where(col("is_dup") === 1)
+      .select(col("vec_id").as("doc_id"))
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSemanticApplySql: String =
+    s"""WITH $semanticBestCte,
+       |dropped AS (
+       |  SELECT vec_id FROM best
+       |  WHERE rn = 1 AND cos >= $SemDedupTau::DOUBLE)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT vec_id FROM dropped)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- persisted IVF index (the layout IS the index) -------------------
   /** Writes the trained IVF index as an at-rest parquet layout:
     * `codebook/` (K rows) plus `lists/` PARTITIONED BY cid. The layout
@@ -593,6 +717,8 @@ object Similarity {
     "q_sim_ann_ivf" -> simAnnIvf _,
     "q_sim_ann_pq" -> simAnnPq _,
     "q_sim_knn" -> simKnn _,
+    "q_dedup_semantic" -> dedupSemantic _,
+    "q_dedup_semantic_apply" -> dedupSemanticApply _,
     "q_embed_cluster_stats" -> embedClusterStats _)
 
   val oracle: Map[String, String] = Map(
@@ -600,5 +726,7 @@ object Similarity {
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_sim_ann_ivf" -> simAnnIvfSql,
     "q_sim_knn" -> simKnnSql,
+    "q_dedup_semantic" -> dedupSemanticSql,
+    "q_dedup_semantic_apply" -> dedupSemanticApplySql,
     "q_embed_cluster_stats" -> embedClusterStatsSql)
 }

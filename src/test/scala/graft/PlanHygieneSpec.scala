@@ -51,6 +51,8 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_sim_ann_ivf",      // broadcast K-row codebook + one-row probe
       "q_sim_ann_pq",       // broadcast one-row ADC tables + one-row probe
       "q_embed_cluster_stats", // broadcast K-row codebook
+      "q_dedup_semantic",   // broadcast K-row codebook (pair join itself is the cid equi-join)
+      "q_dedup_semantic_apply", // same codebook broadcast inside the embedded verdict frame
       "q_tfidf_top",        // broadcast one-row corpus count N
       "q_quality_filter",   // broadcast one-row p25 threshold
       "q_corpus_mix",       // broadcast one-row global token total

@@ -42,11 +42,15 @@ class UdpSourceSpec extends AnyFunSuite {
         val b = p.getBytes("UTF-8")
         sender.send(new DatagramPacket(b, b.length, target, port))
       }
-      // UDP is lossy in principle; loopback practically isn't — poll the sink
-      val deadline = System.currentTimeMillis() + 30000
+      // UDP is lossy in principle; loopback practically isn't — poll the sink.
+      // Generous deadline + gentle polling: under full-suite load the first
+      // micro-batch contends with sibling suites for the scheduler, and each
+      // poll is itself a Spark job (observed: 30 s expired with the batch
+      // mid-write, the stop() interrupt surfacing as TASK_WRITE_FAILED)
+      val deadline = System.currentTimeMillis() + 120000
       var n = 0L
       while (n < payloads.size && System.currentTimeMillis() < deadline) {
-        Thread.sleep(500)
+        Thread.sleep(1000)
         n = try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
       }
       assert(n === payloads.size.toLong, "datagrams did not reach the sink")
