@@ -581,6 +581,109 @@ object Similarity {
       .orderBy("pid", "rank")
   }
 
+  // ---- persisted IVF+PQ index (IVFADC: route by cid, score by codes) ---
+  /** The combined IVF+PQ layout — the canonical billion-scale ANN
+    * architecture (FAISS "IVFADC", Jégou et al. TPAMI 2011 §IV) expressed
+    * entirely through parquet + Catalyst pruning, no index service:
+    *   - `codebook/`  K-row IVF coarse quantizer (the same trained book
+    *     [[writeIvfIndex]] persists);
+    *   - `pq/`        M rows of product-quantizer sub-centroid arrays
+    *     (the [[simAnnPq]] code training, persisted);
+    *   - `lists/`     one directory per coarse cell (PARTITIONED BY cid):
+    *     (vec_id, c0..c3 byte-sized PQ codes, embedding).
+    * A query touches probes/K of the directories (static partition
+    * pruning) and, inside them, the approximate phase reads ONLY the
+    * tiny code columns (parquet COLUMN pruning — the ~16× scan-byte
+    * saving that is product quantization's point; the embedding column
+    * stays on disk). The exact re-rank then re-opens the same pruned
+    * directories for the embedding column, restricted to the top-R
+    * candidate rows by a broadcast semi-join. Both prunings are plan
+    * properties, asserted in IvfPqIndexSpec. */
+  def writeIvfPqIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
+    graft.functions.VectorExpressions.register(s)
+    val e = t(s, dir, "embeddings")
+    val book = trainedCodebook(s, dir)
+    book.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
+    // PQ sub-centroids: the simAnnPq training pass (deterministic md5
+    // sample → per-subspace centroid arrays in sorted-cid order)
+    val sample = e.orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+      .limit(PqK).select(col("vec_id").as("cid"), col("embedding"))
+    val perM = sample
+      .select(col("cid"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> slice(embedding, m * $PqSub + 1, $PqSub))"))
+        .as(Seq("m", "ce")))
+      .groupBy("m")
+      .agg(expr("transform(array_sort(collect_list(struct(cid, ce))), x -> x.ce)").as("cents"))
+    perM.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/pq")
+    // lists: coarse-assign every vector, encode its M codes, land it in
+    // its cell directory; one writer task per cell — no small files
+    val bookArr = book.agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
+    val pqAggs = (0 until PqM).map(m => max(when(col("m") === m, col("cents"))).as(s"pq$m"))
+    val pqArr = perM.groupBy().agg(pqAggs.head, pqAggs.tail: _*)
+    e.crossJoin(broadcast(bookArr))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorExpressions.ivfAssign(col("embedding"), col("cents")).as("cid"))
+      .crossJoin(broadcast(pqArr))
+      .select(Seq(col("vec_id"), col("embedding"), col("cid")) ++
+        (0 until PqM).map(m => graft.functions.VectorExpressions.pqAssign(
+          slice(col("embedding"), m * PqSub + 1, PqSub), col(s"pq$m")).as(s"c$m")): _*)
+      .repartition(col("cid"))
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$indexPath/lists")
+  }
+
+  /** ANN top-k against the persisted IVF+PQ index: probe planning on the
+    * K-row codebook (the same documented O(K) metadata collect as
+    * [[annQueryIndex]]), ADC tables from the M-row `pq/` frame (a
+    * broadcast one-row crossJoin, zero driver arithmetic), approximate
+    * scores from the code columns alone, exact re-rank of the top-R
+    * candidates only. */
+  def ivfPqQueryIndex(s: SparkSession, indexPath: String, pe: Seq[Float],
+      excludeVecId: Long = -1L, k: Int = 10): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    import s.implicits._
+    val probe = Seq(Tuple1(pe)).toDF("pe")
+    val cids = s.read.parquet(s"$indexPath/codebook")
+      .crossJoin(broadcast(probe))
+      .select(col("cid"), r4f(cosine(s, "ce", "pe")).as("ac"))
+      .orderBy(col("ac").desc, col("cid").asc)
+      .limit(IvfProbes)
+      .collect().map(_.getLong(0))
+    // ADC tables: dt[k]=dot(probe_sub, cent_k), nt[k]=|cent_k|² — M·K tiny
+    // HOF evaluations once per query, broadcast to the code scan
+    val tabs = s.read.parquet(s"$indexPath/pq")
+      .crossJoin(broadcast(probe))
+      .select(col("m"),
+        expr(s"transform(cents, c -> aggregate(zip_with(c, slice(pe, m * $PqSub + 1, $PqSub), (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)), 0D, (a, v) -> a + v))").as("dt"),
+        expr("transform(cents, c -> aggregate(c, 0D, (a, x) -> a + cast(x AS DOUBLE) * cast(x AS DOUBLE)))").as("nt"),
+        expr("aggregate(pe, 0D, (a, x) -> a + cast(x AS DOUBLE) * cast(x AS DOUBLE))").as("np2"))
+    val tabAggs = (0 until PqM).flatMap(m => Seq(
+      max(when(col("m") === m, col("dt"))).as(s"dt$m"),
+      max(when(col("m") === m, col("nt"))).as(s"nt$m"))) :+ max(col("np2")).as("np2")
+    val onerow = tabs.groupBy().agg(tabAggs.head, tabAggs.tail: _*)
+    // approximate phase: probed directories only (partition pruning),
+    // code columns only (column pruning — embedding NOT in ReadSchema)
+    val codes = s.read.parquet(s"$indexPath/lists")
+      .where(col("cid").isin(cids: _*) && col("vec_id") =!= excludeVecId)
+      .select(Seq(col("vec_id")) ++ (0 until PqM).map(m => col(s"c$m")): _*)
+    val cand = codes.crossJoin(broadcast(onerow))
+      .select(col("vec_id"),
+        r4f((0 until PqM).map(m => element_at(col(s"dt$m"), col(s"c$m") + 1)).reduce(_ + _)
+          / (sqrt((0 until PqM).map(m => element_at(col(s"nt$m"), col(s"c$m") + 1)).reduce(_ + _))
+            * sqrt(col("np2")))).as("approx_cos"))
+      .orderBy(col("approx_cos").desc, col("vec_id").asc)
+      .limit(PqRerank)
+      .select("vec_id")
+    // exact re-rank: same pruned directories, embedding column, candidate
+    // rows only (broadcast left-semi on the R-row frame)
+    s.read.parquet(s"$indexPath/lists")
+      .where(col("cid").isin(cids: _*))
+      .join(broadcast(cand), Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), r4(cosine(s, "embedding", "pe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   // ---- exact k-NN join over a bounded probe set ------------------------
   val KnnProbes = 16
   val KnnK = 4

@@ -132,9 +132,22 @@ object TextAnalysis {
     * single-partition window. The threshold and the scores are both
     * 4-dp-rounded doubles, so the boundary comparison is reproducible
     * cross-engine (same contract as q_agg_quantile). */
+  /** the quality heuristic over a bare text column (tk derived inline) —
+    * the public face of [[qualityCol]] for callers outside this package
+    * (e.g. the streaming quality gate, which scores arriving docs with
+    * the IDENTICAL expression the batch corpus was scored with) */
+  def qualityOf(text: Column): Column = qualityCol(text, split(text, " "))
+
+  /** 1-row (thr) frame: the corpus's p25 quality cut — the statistics
+    * half of the two-phase filter, reusable by batch (broadcast join in
+    * [[qualityFilter]]) and stream (stream-static join in
+    * `Pipeline.streamQualityGate`) enforcement alike */
+  def qualityThresholdFrame(s: SparkSession, dir: String): DataFrame =
+    qualityScore(s, dir).agg(r4(expr("percentile(quality, 0.25)")).as("thr"))
+
   def qualityFilter(s: SparkSession, dir: String): DataFrame = {
     val q = qualityScore(s, dir).select(col("doc_id"), col("quality"))
-    val thr = q.agg(r4(expr("percentile(quality, 0.25)")).as("thr"))
+    val thr = qualityThresholdFrame(s, dir)
     q.crossJoin(broadcast(thr))
       .where(col("quality") >= col("thr"))
       .select(col("doc_id"), col("quality"))
@@ -612,6 +625,54 @@ object TextAnalysis {
        |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'), '$PhoneRe', '<PHONE>', 'g') AS scrubbed
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- model-based quality scoring (hashing-trick linear classifier) --
+  /** Model-based quality filtering (the fastText-classifier step of
+    * DCLM / FineWeb-Edu-style pipelines) expressed in its at-scale Spark
+    * shape: a LINEAR text classifier is one map-side pass — per token a
+    * weight lookup, per doc a sum, a threshold on the mean. No shuffle
+    * touches the corpus; the model rides the closure/broadcast.
+    *
+    * The weights here are a deterministic hash-derived STAND-IN for
+    * trained parameters (this sandbox trains nothing): each token's
+    * integer milli-weight is ((60-bit md5 prefix) mod 2001) - 1000 ∈
+    * [-1000, 1000] — i.e. the hashing trick in the D→∞ limit, where the
+    * bucket IS the hash, so the oracle replays scoring without a weights
+    * artifact. A production model swaps ONE expression: weight =
+    * element_at(broadcast_weights, hash mod D). Plumbing, batch shape and
+    * the keep/drop contract are the real thing; only the numbers inside
+    * the weight vector are fake.
+    *
+    * Exactness: integer milli-weights summed by an in-order HOF aggregate
+    * (no float summation-order hazard); the mean is one double division,
+    * r4-rounded; the verdict compares the EXACT integer sum against the
+    * bias, so no rounded-boundary flakiness cross-engine. */
+  val QualityModelBiasMilli = 0L
+
+  def qualityModel(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+      .withColumn("wsum", expr(
+        """aggregate(transform(tk,
+          |  t -> (CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % 2001) - 1000L),
+          |  0L, (a, x) -> a + x)""".stripMargin))
+      .select(col("doc_id"), size(col("tk")).cast(LongType).as("n_tok"),
+        r4(col("wsum").cast(DoubleType)
+          / (size(col("tk")).cast(LongType) * 1000L).cast(DoubleType)).as("score"),
+        when(col("wsum") >= QualityModelBiasMilli, 1).otherwise(0).as("keep"))
+      .orderBy("doc_id")
+
+  val qualityModelSql =
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+       |w AS (
+       |  SELECT doc_id, len(tk)::BIGINT AS n_tok,
+       |    list_sum(list_transform(tk,
+       |      t -> (('0x' || substr(md5(t), 1, 15))::BIGINT % 2001) - 1000))::BIGINT AS wsum
+       |  FROM d)
+       |SELECT doc_id, n_tok,
+       |  CAST(round(wsum::DOUBLE / (1000 * n_tok)::DOUBLE, 4) AS DOUBLE) AS score,
+       |  CASE WHEN wsum >= $QualityModelBiasMilli THEN 1 ELSE 0 END AS keep
+       |FROM w ORDER BY doc_id""".stripMargin
+
   // ---- winnowing fingerprints ----------------------------------------
   /** positional word-3-gram hashes (md5-derived 60-bit ints — portable),
     * sliding-window (w=5) minima, per-doc fingerprint summary. The
@@ -663,6 +724,7 @@ object TextAnalysis {
     "q_quality_filter" -> qualityFilter _,
     "q_common_span_ratio" -> commonSpanRatio _,
     "q_scrub_spans" -> scrubSpans _,
+    "q_quality_model" -> qualityModel _,
     "q_corpus_mix" -> corpusMix _)
 
   val oracle: Map[String, String] = Map(
@@ -682,5 +744,6 @@ object TextAnalysis {
     "q_quality_filter" -> qualityFilterSql,
     "q_common_span_ratio" -> commonSpanRatioSql,
     "q_scrub_spans" -> scrubSpansSql,
+    "q_quality_model" -> qualityModelSql,
     "q_corpus_mix" -> corpusMixSql)
 }

@@ -345,6 +345,26 @@ object Pipeline {
       }
       .start()
 
+  /** Streaming quality gate — the serving half of `q_quality_filter`.
+    * Arriving documents are scored with the IDENTICAL `qualityOf`
+    * expression the batch corpus was scored with, then cut against the
+    * p25 threshold derived from the batch corpus via a STREAM-STATIC
+    * broadcast join (the 1-row threshold frame re-resolves per
+    * micro-batch, so rewriting the corpus mid-stream updates the cut
+    * without a restart — Spark re-plans static sides each batch).
+    * This is the two-phase contract at scale: the statistics pass runs
+    * batch-side where a full distribution is cheap; enforcement is a
+    * stateless map-side projection — no watermark, no state store, no
+    * driver-side threshold plumbing. Input needs (doc_id, text). */
+  def streamQualityGate(docs: DataFrame, corpusDir: String): DataFrame = {
+    val thr = graft.operators.TextAnalysis
+      .qualityThresholdFrame(docs.sparkSession, corpusDir)
+    docs
+      .select(col("doc_id"), graft.operators.TextAnalysis.qualityOf(col("text")).as("quality"))
+      .join(broadcast(thr), col("quality") >= col("thr"))
+      .select(col("doc_id"), col("quality"))
+  }
+
   /** Stream-stream INTERVAL join — live conversion attribution: each
     * purchase matches the same user's views within the trailing
     * `horizon`. Both sides carry watermarks, so the join's buffered state

@@ -251,6 +251,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "expected cross-split near-dup pairs at sf0.01")
   }
 
+  test("streamQualityGate ≡ q_quality_filter: batch-derived p25 cut applied to the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val (firstHalf, secondHalf) = docs.splitAt(docs.size / 2)
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(firstHalf)
+    ms.addData(secondHalf)
+    val gated = Pipeline.streamQualityGate(ms.toDF().toDF("doc_id", "text"), dir)
+    val q = gated.writeStream.format("memory").queryName("qgate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("qgate").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = graft.operators.TextAnalysis.qualityFilter(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(streamed === batch,
+      "stream verdicts diverged from the batch two-phase filter")
+    assert(streamed.nonEmpty && streamed.size < docs.size,
+      "gate should keep a strict, non-empty subset")
+  }
+
   test("trigger batching: AvailableNow with maxFilesPerTrigger bounds batches (rate-limit analog)") {
     import spark.implicits._
     // file-source twin of the bounded-channel admission control: write the
