@@ -581,6 +581,74 @@ object Similarity {
       .orderBy("pid", "rank")
   }
 
+  // ---- IVF+PQ ANN (IVFADC on the fly) ----------------------------------
+  /** Fourth ANN family member and the composition of the other two
+    * quantizers: IVF routes the probe to its [[IvfProbes]] nearest cells,
+    * PQ's ADC tables score ONLY those cells' members (4 table lookups per
+    * candidate — no full-corpus HOF pass like [[simAnnPq]]), and the
+    * top-[[PqRerank]] approximate hits are exact-cosine re-ranked. This is
+    * FAISS's IVFADC search loop as one declarative plan: every phase is a
+    * broadcast of bounded training state (K-row codebook, M·K ADC tables,
+    * 1-row probe) against a map-side scan — the only non-broadcast join is
+    * the probed-cell restriction, an equi-join on cid. Deterministic
+    * (same trained codebook + md5-sampled PQ cents as the persisted
+    * index) — pinned to EXACT parity with [[ivfPqQueryIndex]] over a
+    * written index in IvfPqIndexSpec; approximate vs brute force, so no
+    * DuckDB oracle (recall contract instead, like LSH/PQ). */
+  def simAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = t(s, dir, "embeddings")
+    val book = trainedCodebook(s, dir)
+    val bookArr = book.agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
+    val probe = e.where(col("vec_id") === 0).select(col("embedding").as("pe"))
+    val probeLists = book.crossJoin(broadcast(probe))
+      .select(col("cid"), r4f(cosine(s, "ce", "pe")).as("ac"))
+      .orderBy(col("ac").desc, col("cid").asc)
+      .limit(IvfProbes)
+      .select("cid")
+    // PQ training + ADC tables (the simAnnPq pass, unchanged arithmetic)
+    val sample = e.orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+      .limit(PqK).select(col("vec_id").as("cid"), col("embedding"))
+    val perM = sample
+      .select(col("cid"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), m -> slice(embedding, m * $PqSub + 1, $PqSub))"))
+        .as(Seq("m", "ce")))
+      .groupBy("m")
+      .agg(expr("transform(array_sort(collect_list(struct(cid, ce))), x -> x.ce)").as("cents"))
+    val tabs = perM.crossJoin(broadcast(probe))
+      .select(col("m"), col("cents"),
+        expr(s"transform(cents, c -> aggregate(zip_with(c, slice(pe, m * $PqSub + 1, $PqSub), (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)), 0D, (a, v) -> a + v))").as("dt"),
+        expr("transform(cents, c -> aggregate(c, 0D, (a, x) -> a + cast(x AS DOUBLE) * cast(x AS DOUBLE)))").as("nt"),
+        expr("aggregate(pe, 0D, (a, x) -> a + cast(x AS DOUBLE) * cast(x AS DOUBLE))").as("np2"))
+    val adcAggs = (0 until PqM).flatMap(m => Seq(
+      max(when(col("m") === m, col("cents"))).as(s"cents$m"),
+      max(when(col("m") === m, col("dt"))).as(s"dt$m"),
+      max(when(col("m") === m, col("nt"))).as(s"nt$m"))) :+ max(col("np2")).as("np2")
+    val onerow = tabs.groupBy().agg(adcAggs.head, adcAggs.tail: _*)
+    // route: candidates = members of the probed cells only
+    val cand = e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(bookArr))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorExpressions.ivfAssign(col("embedding"), col("cents")).as("cid"))
+      .join(broadcast(probeLists), Seq("cid"))
+    // ADC scores on candidates, top-R, exact re-rank
+    val approx = cand.crossJoin(broadcast(onerow))
+      .select(Seq(col("vec_id"), col("embedding")) ++
+        (0 until PqM).map(m => graft.functions.VectorExpressions.pqAssign(
+          slice(col("embedding"), m * PqSub + 1, PqSub), col(s"cents$m")).as(s"k$m")) ++
+        (0 until PqM).flatMap(m => Seq(col(s"dt$m"), col(s"nt$m"))) :+ col("np2"): _*)
+      .select(col("vec_id"), col("embedding"),
+        r4f((0 until PqM).map(m => element_at(col(s"dt$m"), col(s"k$m") + 1)).reduce(_ + _)
+          / (sqrt((0 until PqM).map(m => element_at(col(s"nt$m"), col(s"k$m") + 1)).reduce(_ + _))
+            * sqrt(col("np2")))).as("approx_cos"))
+      .orderBy(col("approx_cos").desc, col("vec_id").asc)
+      .limit(PqRerank)
+    approx.crossJoin(broadcast(probe))
+      .select(col("vec_id"), r4(cosine(s, "embedding", "pe")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   // ---- persisted IVF+PQ index (IVFADC: route by cid, score by codes) ---
   /** The combined IVF+PQ layout — the canonical billion-scale ANN
     * architecture (FAISS "IVFADC", Jégou et al. TPAMI 2011 §IV) expressed
@@ -819,6 +887,7 @@ object Similarity {
     "q_sim_ann_lsh" -> simAnnLsh _,
     "q_sim_ann_ivf" -> simAnnIvf _,
     "q_sim_ann_pq" -> simAnnPq _,
+    "q_sim_ann_ivfpq" -> simAnnIvfPq _,
     "q_sim_knn" -> simKnn _,
     "q_dedup_semantic" -> dedupSemantic _,
     "q_dedup_semantic_apply" -> dedupSemanticApply _,

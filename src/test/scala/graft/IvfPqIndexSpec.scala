@@ -75,4 +75,20 @@ class IvfPqIndexSpec extends AnyFunSuite {
     val recall = (got & exactInCells).size.toDouble / exactInCells.size
     assert(recall >= 0.5, s"IVF+PQ ADC recall@10 vs exact-in-cells: $recall")
   }
+
+  test("q_sim_ann_ivfpq ≡ ivfPqQueryIndex: on-the-fly IVFADC equals the persisted-index query") {
+    val dir = TestSpark.sfDir
+    val idx = Files.createTempDirectory("graft_ivfpq_parity").toString
+    Similarity.writeIvfPqIndex(spark, dir, idx)
+    val pe = util.t(spark, dir, "embeddings")
+      .where(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0)
+    val persisted = Similarity.ivfPqQueryIndex(spark, idx, pe, excludeVecId = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val onTheFly = Similarity.simAnnIvfPq(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(onTheFly === persisted,
+      "declared IVFADC query diverged from the persisted-index path")
+    assert(onTheFly.nonEmpty)
+  }
 }
