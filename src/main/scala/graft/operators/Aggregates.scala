@@ -164,6 +164,32 @@ object Aggregates {
       |CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE) AS p50_price
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** ClickHouse `quantiles(p1, p2, …)` (plural) — several percentiles from
+    * ONE aggregation state: `percentile(col, array(...))` shares a single
+    * per-group sorted buffer across all requested quantiles, where the
+    * singular form ([[aggQuantile]]) pays one buffer per percentile
+    * expression. Same exact-interpolation + r4 contract; the array result
+    * keeps the one-pass shape visible in the schema. */
+  def aggQuantileMulti(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.9D))").as("qs"))
+      // flat doubles, not the array: the driver comparator hashes scalar
+      // cells only — the one-pass shape lives in the single agg above
+      .select(Seq(col("o_orderstatus")) ++ Seq(25, 50, 75, 90).zipWithIndex.map {
+        case (p, i) => r4(element_at(col("qs"), i + 1)).as(s"p$p")
+      }: _*)
+      .orderBy("o_orderstatus")
+
+  val aggQuantileMultiSql =
+    """WITH q AS (
+      |  SELECT o_orderstatus, quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.9]) AS qs
+      |  FROM orders GROUP BY 1)
+      |SELECT o_orderstatus,
+      |  CAST(round(qs[1], 4) AS DOUBLE) AS p25, CAST(round(qs[2], 4) AS DOUBLE) AS p50,
+      |  CAST(round(qs[3], 4) AS DOUBLE) AS p75, CAST(round(qs[4], 4) AS DOUBLE) AS p90
+      |FROM q ORDER BY 1""".stripMargin
+
   /** ClickHouse argMax/argMin — value of A at extremum of B, tie-broken by
     * (ts_us, event_id) struct ordering so it is total */
   def aggArgmax(s: SparkSession, dir: String): DataFrame =
@@ -370,6 +396,7 @@ object Aggregates {
     "q_agg_cube" -> aggCube _,
     "q_agg_grouping_sets" -> aggGroupingSets _,
     "q_agg_quantile" -> aggQuantile _,
+    "q_agg_quantile_multi" -> aggQuantileMulti _,
     "q_agg_argmax" -> aggArgmax _,
     "q_agg_collect_sorted" -> aggCollectSorted _,
     "q_agg_conditional" -> aggConditional _,
@@ -388,6 +415,7 @@ object Aggregates {
     "q_agg_cube" -> aggCubeSql,
     "q_agg_grouping_sets" -> aggGroupingSetsSql,
     "q_agg_quantile" -> aggQuantileSql,
+    "q_agg_quantile_multi" -> aggQuantileMultiSql,
     "q_agg_argmax" -> aggArgmaxSql,
     "q_agg_collect_sorted" -> aggCollectSortedSql,
     "q_agg_conditional" -> aggConditionalSql,

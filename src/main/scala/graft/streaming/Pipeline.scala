@@ -98,6 +98,62 @@ object Pipeline {
       .start()
   }
 
+  /** One micro-batch of the idempotent JDBC sink: delete the batch's own
+    * prior rows (keyed by batch_id), then bulk-append them with the
+    * batch_id stamped — a replay after a partial flush REPLACES its own
+    * output instead of duplicating it, the JDBC analog of the parquet
+    * sink's dynamic per-batch_id partition overwrite. The DELETE is one
+    * driver-side statement on the batch KEY (no data crosses the driver);
+    * a missing table (first batch ever) is tolerated — the append creates
+    * it. Exactly-once per batch under Spark's single-writer checkpoint
+    * contract (no concurrent writers to the table). */
+  def writeJdbcBatchIdempotent(batch: DataFrame, batchId: Long,
+      url: String, table: String,
+      connectionProperties: java.util.Properties = new java.util.Properties): Unit = {
+    // Spark's JDBC writer quotes COLUMN identifiers via the dialect (Derby
+    // folds unquoted names to uppercase — an unquoted batch_id here would
+    // miss the column and the swallowed error would silently disable the
+    // delete, observed as duplicated replays); table names pass through
+    // unquoted on both paths, so they fold consistently
+    val qcol = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier("batch_id")
+    val conn = java.sql.DriverManager.getConnection(url, connectionProperties)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DELETE FROM $table WHERE $qcol = $batchId")
+      catch { case _: java.sql.SQLException => /* table not created yet */ }
+      finally st.close()
+    } finally conn.close()
+    val props = new java.util.Properties()
+    props.putAll(connectionProperties)
+    props.put("batchsize", "1000")
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("append").jdbc(url, table, props)
+  }
+
+  /** [[startJdbc]] upgraded from at-least-once to EXACTLY-ONCE delivery:
+    * same parse projection and flattening, but each micro-batch lands via
+    * [[writeJdbcBatchIdempotent]] — replays replace their own rows. The
+    * reference DROPS a failed batch (at-most-once,
+    * /root/reference/lib/cacheManage.go:57-60); this is the strongest of
+    * the three delivery contracts. */
+  def startJdbcIdempotent(lines: DataFrame, url: String, table: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
+      connectionProperties: java.util.Properties = new java.util.Properties)
+      : StreamingQuery = {
+    graft.sources.ClickHouseDialect.register()
+    parseToLog(lines)
+      .withColumn("categories", array_join(col("categories"), ","))
+      .writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeJdbcBatchIdempotent(batch, batchId, url, table, connectionProperties)
+      }
+      .start()
+  }
+
   /** event-time windowed severity counts with late-data drop
     * (stream_watermark_late): rows later than the watermark are excluded,
     * the principled version of the reference's fixed 2 s flush bound */

@@ -251,6 +251,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "expected cross-split near-dup pairs at sf0.01")
   }
 
+  test("idempotent JDBC batch write: a replayed batch replaces its own rows (exactly-once)") {
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    import spark.implicits._
+    val db = java.nio.file.Files.createTempDirectory("graft_jdbc_idem").toString + "/idemdb"
+    val url = s"jdbc:derby:$db;create=true"
+    val table = "idem_logs"
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // batch 0 lands, then REPLAYS (partial-flush recovery): row count must
+    // not grow — the delete-then-append replaced the batch's own output
+    Pipeline.writeJdbcBatchIdempotent(b0, 0L, url, table)
+    Pipeline.writeJdbcBatchIdempotent(b0, 0L, url, table)
+    val props = new java.util.Properties
+    assert(spark.read.jdbc(url, table, props).count() === 2L,
+      "replayed batch duplicated rows — sink is not idempotent")
+    // a NEW batch appends alongside, untouched by later replays of batch 0
+    Pipeline.writeJdbcBatchIdempotent(Seq((3L, "c")).toDF("id", "v"), 1L, url, table)
+    Pipeline.writeJdbcBatchIdempotent(b0, 0L, url, table)
+    val rows = spark.read.jdbc(url, table, props)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(rows === Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 1L)))
+  }
+
   test("streamQualityGate ≡ q_quality_filter: batch-derived p25 cut applied to the stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
