@@ -45,6 +45,7 @@ object Bench {
       graft.operators.Dedup.clearLabelsCache()
       graft.operators.Dedup.clearGramIndexCache()
       graft.operators.Similarity.clearCodebookCache()
+      graft.operators.Similarity.clearSemanticIndexCache()
       graft.operators.Bucketing.clearTableCache()
       val t0 = System.nanoTime()
       // noop-sink write, NOT .count(): count(1) lets Catalyst prune every

@@ -192,6 +192,12 @@ object Similarity {
   private def inputFingerprint(dir: String): String =
     graft.util.inputFingerprint(dir, "embeddings.parquet")
 
+  /** md5 seed + [[IvfIters]] Lloyd updates over an arbitrary embedding
+    * frame — the uncached training core shared by the full-corpus
+    * memoized book and the corpus-split semantic index */
+  private def trainCodebook(s: SparkSession, e: DataFrame): DataFrame =
+    (1 to IvfIters).foldLeft(ivfCodebook(e))((b, _) => lloydStep(s, e, b))
+
   private def trainedCodebook(s: SparkSession, dir: String): DataFrame =
     codebookCache.synchronized {
       val key = (s, dir)
@@ -202,7 +208,7 @@ object Similarity {
         if (cached != null)
           try cached._2.unpersist(blocking = false) catch { case _: Throwable => }
         val e = t(s, dir, "embeddings")
-        val book = (1 to IvfIters).foldLeft(ivfCodebook(e))((b, _) => lloydStep(s, e, b))
+        val book = trainCodebook(s, e)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
         codebookCache.put(key, (fp, book))
         book
@@ -221,10 +227,10 @@ object Similarity {
     * md5 sample; each iteration replays assignment (floor-rounded cosine
     * argmax, cid tie-break) and the quantized-integer centroid means —
     * row-identical to lloydStep. The final CTE is named `cents`. */
-  private def lloydCentsSql: String = {
+  private def lloydCentsSql(src: String = "embeddings"): String = {
     val sb = new StringBuilder(
       s"""cents0 AS (
-         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  SELECT vec_id AS cid, embedding AS ce FROM $src
          |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $IvfK)""".stripMargin)
     for (it <- 1 to IvfIters) {
       val prev = s"cents${it - 1}"
@@ -237,7 +243,7 @@ object Similarity {
            |      / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
            |         * sqrt(sum(c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))
            |      * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS ac
-           |  FROM embeddings e, $prev c, generate_series(1, 64) g(i)
+           |  FROM $src e, $prev c, generate_series(1, 64) g(i)
            |  GROUP BY e.vec_id, c.cid),
            |tassigned$it AS (
            |  SELECT vec_id, cid FROM (
@@ -249,7 +255,7 @@ object Similarity {
            |  SELECT a.cid, i AS pos,
            |    sum(floor(e.embedding[i]::DOUBLE * 10000::DOUBLE + 0.5::DOUBLE)::BIGINT)::BIGINT AS s,
            |    count(*)::BIGINT AS cnt
-           |  FROM embeddings e JOIN tassigned$it a USING (vec_id), generate_series(1, 64) g(i)
+           |  FROM $src e JOIN tassigned$it a USING (vec_id), generate_series(1, 64) g(i)
            |  GROUP BY 1, 2),
            |$cur AS (
            |  SELECT c0.cid, coalesce(u.ce1, c0.ce) AS ce
@@ -302,7 +308,7 @@ object Similarity {
       """sum(e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)
         |      / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
         |         * sqrt(sum(c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))""".stripMargin
-    s"""WITH $lloydCentsSql,
+    s"""WITH ${lloydCentsSql()},
        |ac AS (
        |  SELECT e.vec_id, c.cid, ${r4fSql(cosSql)} AS ac
        |  FROM embeddings e, cents c, generate_series(1, 64) g(i)
@@ -354,7 +360,7 @@ object Similarity {
   }
 
   val embedClusterStatsSql: String =
-    s"""WITH $lloydCentsSql,
+    s"""WITH ${lloydCentsSql()},
        |ac AS (
        |  SELECT e.vec_id, c.cid,
        |    floor(sum(e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)
@@ -429,7 +435,7 @@ object Similarity {
     * within-cluster pairwise cosine → per-vector (cos DESC, d1 ASC) pick —
     * `best` is consumed by both the verdict query and the apply query */
   private val semanticBestCte: String =
-    s"""$lloydCentsSql,
+    s"""${lloydCentsSql()},
        |ac AS (
        |  SELECT e.vec_id, c.cid,
        |    floor(sum(e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)
@@ -580,6 +586,155 @@ object Similarity {
         col("h.vec_id").as("vec_id"), col("h.cos").as("cos"))
       .orderBy("pid", "rank")
   }
+
+  // ---- incremental + streaming semantic dedup over a persisted index ---
+  /** the deterministic corpus/batch split the incremental contract uses —
+    * same convention as `Dedup.IncrementalMod/Rem` on the text side */
+  val SemIncMod = 10
+  val SemIncRem = 7
+
+  /** Persist the CORPUS split's semantic index: an IVF index (codebook +
+    * cid-partitioned lists) trained on, and containing, only the corpus
+    * vectors (vec_id % [[SemIncMod]] ≠ [[SemIncRem]]). Arriving batches
+    * probe it — work scales with the batch, the corpus is never
+    * re-compared against itself (the embedding-side twin of
+    * `Dedup.writeGramIndex`). */
+  def writeSemanticIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
+    graft.functions.VectorExpressions.register(s)
+    val corpus = t(s, dir, "embeddings")
+      .where(col("vec_id") % SemIncMod =!= SemIncRem)
+    val book = trainCodebook(s, corpus)
+    book.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
+    val bookArr = book.agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
+    corpus.crossJoin(broadcast(bookArr))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorExpressions.ivfAssign(col("embedding"), col("cents")).as("cid"))
+      .repartition(col("cid"))
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$indexPath/lists")
+  }
+
+  /** index path memoized per (session, dir, input fingerprint) — same
+    * staleness contract as the text gram index */
+  private val semIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+
+  def ensureSemanticIndex(s: SparkSession, dir: String): String =
+    semIndexCache.synchronized {
+      val key = (s, dir)
+      val fp = inputFingerprint(dir)
+      val cached = semIndexCache.get(key)
+      if (cached != null && cached._1 == fp) cached._2
+      else {
+        val path = java.nio.file.Files.createTempDirectory("graft_sem_idx").toString
+        writeSemanticIndex(s, dir, path)
+        semIndexCache.put(key, (fp, path))
+        path
+      }
+    }
+
+  def clearSemanticIndexCache(): Unit =
+    semIndexCache.synchronized(semIndexCache.clear())
+
+  /** Probe a persisted semantic index with ARBITRARY vectors (vec_id,
+    * embedding) — the reusable core: the declared incremental query feeds
+    * it the deterministic split, `Pipeline.streamSemanticDedup` feeds it
+    * each micro-batch. Each probe vector is coarse-assigned with the
+    * index's own codebook (map-side) and compared against ONLY its cell's
+    * corpus members via the cid equi-join — the SemDeDup candidate
+    * discipline against an at-rest corpus. Output mirrors
+    * [[dedupSemantic]]: nearest corpus neighbor + verdict at
+    * [[SemDedupTau]], for probe vectors whose cell is non-empty. */
+  def probeSemanticIndex(s: SparkSession, vecs: DataFrame,
+      indexPath: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val book = s.read.parquet(s"$indexPath/codebook")
+    val bookArr = book.agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
+    val assigned = vecs.crossJoin(broadcast(bookArr))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorExpressions.ivfAssign(col("embedding"), col("cents")).as("cid"))
+    // explicit schema: an EMPTY corpus writes no list files (partitionBy
+    // of zero rows), which would fail schema inference — and a serving
+    // path should pin the contract it expects regardless
+    val listsSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("cid", LongType)))
+    val lists = s.read.schema(listsSchema).parquet(s"$indexPath/lists")
+      .select(col("cid"), col("vec_id").as("d1"), col("embedding").as("e1"))
+    assigned.join(lists, Seq("cid"))
+      .select(col("vec_id"), col("d1"), r4(cosine(s, "e1", "embedding")).as("cos"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), (-col("d1")).as("nd"))).as("best"))
+      .select(col("vec_id"), (-col("best.nd")).as("dup_of"), col("best.cos").as("cos"),
+        when(col("best.cos") >= SemDedupTau, 1).otherwise(0).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  /** INCREMENTAL semantic dedup — the declared batch form: the new-batch
+    * vectors (vec_id % [[SemIncMod]] = [[SemIncRem]]) probe the persisted
+    * corpus index; memoized per input fingerprint like the text side. */
+  def dedupSemanticIncremental(s: SparkSession, dir: String): DataFrame = {
+    val batch = t(s, dir, "embeddings")
+      .where(col("vec_id") % SemIncMod === SemIncRem)
+      .select(col("vec_id"), col("embedding"))
+    probeSemanticIndex(s, batch, ensureSemanticIndex(s, dir))
+  }
+
+  /** exact replay: codebook trained on the CORPUS split, both splits
+    * rounded-argmax assigned, batch×corpus pairwise cosine within cells,
+    * (cos DESC, corpus id ASC) pick, τ verdict */
+  val dedupSemanticIncrementalSql: String =
+    s"""WITH corpus AS (SELECT * FROM embeddings WHERE vec_id % $SemIncMod <> $SemIncRem),
+       |newbatch AS (SELECT * FROM embeddings WHERE vec_id % $SemIncMod = $SemIncRem),
+       |${lloydCentsSql("corpus")},
+       |cac AS (
+       |  SELECT e.vec_id, c.cid,
+       |    floor(sum(e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)
+       |      / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+       |         * sqrt(sum(c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))
+       |      * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS ac
+       |  FROM corpus e, cents c, generate_series(1, 64) g(i)
+       |  GROUP BY e.vec_id, c.cid),
+       |cassigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY ac DESC, cid ASC) AS rn
+       |    FROM cac) x
+       |  WHERE rn = 1),
+       |bac AS (
+       |  SELECT e.vec_id, c.cid,
+       |    floor(sum(e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)
+       |      / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+       |         * sqrt(sum(c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))
+       |      * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS ac
+       |  FROM newbatch e, cents c, generate_series(1, 64) g(i)
+       |  GROUP BY e.vec_id, c.cid),
+       |bassigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY ac DESC, cid ASC) AS rn
+       |    FROM bac) x
+       |  WHERE rn = 1),
+       |ipt AS (
+       |  SELECT b.vec_id AS vec_id, c.vec_id AS d1,
+       |    sum(ec.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE) AS dot,
+       |    sum(ec.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE) AS n1,
+       |    sum(eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE) AS n2
+       |  FROM bassigned b JOIN cassigned c ON b.cid = c.cid
+       |    JOIN embeddings ec ON ec.vec_id = c.vec_id
+       |    JOIN embeddings eb ON eb.vec_id = b.vec_id,
+       |    generate_series(1, 64) g(i)
+       |  GROUP BY 1, 2),
+       |ipc AS (
+       |  SELECT vec_id, d1, CAST(round(dot / (sqrt(n1) * sqrt(n2)), 4) AS DOUBLE) AS cos
+       |  FROM ipt),
+       |ibest AS (
+       |  SELECT vec_id, d1, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, d1 ASC) AS rn
+       |  FROM ipc)
+       |SELECT vec_id, d1 AS dup_of, cos,
+       |  CASE WHEN cos >= $SemDedupTau::DOUBLE THEN 1 ELSE 0 END AS is_dup
+       |FROM ibest WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
   // ---- IVF+PQ ANN (IVFADC on the fly) ----------------------------------
   /** Fourth ANN family member and the composition of the other two
@@ -891,6 +1046,7 @@ object Similarity {
     "q_sim_knn" -> simKnn _,
     "q_dedup_semantic" -> dedupSemantic _,
     "q_dedup_semantic_apply" -> dedupSemanticApply _,
+    "q_dedup_semantic_incremental" -> dedupSemanticIncremental _,
     "q_embed_cluster_stats" -> embedClusterStats _)
 
   val oracle: Map[String, String] = Map(
@@ -900,5 +1056,6 @@ object Similarity {
     "q_sim_knn" -> simKnnSql,
     "q_dedup_semantic" -> dedupSemanticSql,
     "q_dedup_semantic_apply" -> dedupSemanticApplySql,
+    "q_dedup_semantic_incremental" -> dedupSemanticIncrementalSql,
     "q_embed_cluster_stats" -> embedClusterStatsSql)
 }

@@ -421,6 +421,31 @@ object Pipeline {
       .select(col("doc_id"), col("quality"))
   }
 
+  /** LIVE semantic dedup — the embedding-side twin of
+    * [[streamDedupIncremental]]: each micro-batch of (vec_id, embedding)
+    * rows probes the persisted corpus semantic index
+    * (`Similarity.writeSemanticIndex`) and emits nearest-corpus-neighbor
+    * verdicts through the SAME code path as the batch
+    * `q_dedup_semantic_incremental`. Stateless by design (a vector's cell
+    * assignment needs only the broadcast codebook; cross-batch state would
+    * be pure overhead); exactly-once per-batch_id partition overwrite. */
+  def streamSemanticDedup(vecs: DataFrame, indexPath: String,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    vecs.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.probeSemanticIndex(batch.sparkSession, batch, indexPath)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .start()
+
   /** Stream-stream INTERVAL join — live conversion attribution: each
     * purchase matches the same user's views within the trailing
     * `horizon`. Both sides carry watermarks, so the join's buffered state

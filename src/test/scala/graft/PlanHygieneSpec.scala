@@ -54,6 +54,7 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_embed_cluster_stats", // broadcast K-row codebook
       "q_dedup_semantic",   // broadcast K-row codebook (pair join itself is the cid equi-join)
       "q_dedup_semantic_apply", // same codebook broadcast inside the embedded verdict frame
+      "q_dedup_semantic_incremental", // broadcast K-row index codebook for probe assignment
       "q_tfidf_top",        // broadcast one-row corpus count N
       "q_quality_filter",   // broadcast one-row p25 threshold
       "q_corpus_mix",       // broadcast one-row global token total

@@ -251,6 +251,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "expected cross-split near-dup pairs at sf0.01")
   }
 
+  test("streamSemanticDedup: per-batch index probes reproduce the batch incremental semantic dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val indexPath = graft.operators.Similarity.ensureSemanticIndex(spark, dir)
+    val batchVecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") % graft.operators.Similarity.SemIncMod
+        === graft.operators.Similarity.SemIncRem)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (firstHalf, secondHalf) = batchVecs.splitAt(batchVecs.size / 2)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    ms.addData(firstHalf)
+    ms.addData(secondHalf)
+    val out = Files.createTempDirectory("graft_ssd_out").toString
+    val ckpt = Files.createTempDirectory("graft_ssd_ckpt").toString
+    val q = Pipeline.streamSemanticDedup(
+      ms.toDF().toDF("vec_id", "embedding"), indexPath, out, ckpt,
+      Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+      .select("vec_id", "dup_of", "cos", "is_dup")
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val batch = graft.operators.Similarity.dedupSemanticIncremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "expected verdicts for the batch split at sf0.01")
+  }
+
   test("idempotent JDBC batch write: a replayed batch replaces its own rows (exactly-once)") {
     System.setProperty("derby.stream.error.file", "/tmp/derby.log")
     import spark.implicits._
