@@ -773,6 +773,9 @@ object Dedup {
       val cached = gramIndexCache.get(key)
       if (cached != null && cached._1 == fp) cached._2
       else {
+        // drop the superseded directory — a stale index is a full corpus
+        // gram copy under /tmp, and the bench invalidates per measured run
+        if (cached != null) graft.util.deleteRecursively(cached._2)
         val path = java.nio.file.Files.createTempDirectory("graft_gram_idx").toString
         writeGramIndex(s, dir, path)
         gramIndexCache.put(key, (fp, path))
@@ -781,7 +784,10 @@ object Dedup {
     }
 
   def clearGramIndexCache(): Unit =
-    gramIndexCache.synchronized(gramIndexCache.clear())
+    gramIndexCache.synchronized {
+      gramIndexCache.forEach((_, v) => graft.util.deleteRecursively(v._2))
+      gramIndexCache.clear()
+    }
 
   /** Probe a persisted gram index with ARBITRARY documents (doc_id,
     * text) — the reusable core: the declared batch query feeds it the

@@ -603,14 +603,19 @@ object Similarity {
     graft.functions.VectorExpressions.register(s)
     val corpus = t(s, dir, "embeddings")
       .where(col("vec_id") % SemIncMod =!= SemIncRem)
+    // persist around the two consuming jobs: without it the full Lloyd
+    // training lineage re-executes for the lists write
     val book = trainCodebook(s, corpus)
-    book.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
-    val bookArr = book.agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
-    corpus.crossJoin(broadcast(bookArr))
-      .select(col("vec_id"), col("embedding"),
-        graft.functions.VectorExpressions.ivfAssign(col("embedding"), col("cents")).as("cid"))
-      .repartition(col("cid"))
-      .write.partitionBy("cid").mode("overwrite").parquet(s"$indexPath/lists")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      book.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
+      val bookArr = book.agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
+      corpus.crossJoin(broadcast(bookArr))
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.VectorExpressions.ivfAssign(col("embedding"), col("cents")).as("cid"))
+        .repartition(col("cid"))
+        .write.partitionBy("cid").mode("overwrite").parquet(s"$indexPath/lists")
+    } finally book.unpersist(blocking = false)
   }
 
   /** index path memoized per (session, dir, input fingerprint) — same
@@ -625,6 +630,7 @@ object Similarity {
       val cached = semIndexCache.get(key)
       if (cached != null && cached._1 == fp) cached._2
       else {
+        if (cached != null) graft.util.deleteRecursively(cached._2)
         val path = java.nio.file.Files.createTempDirectory("graft_sem_idx").toString
         writeSemanticIndex(s, dir, path)
         semIndexCache.put(key, (fp, path))
@@ -633,7 +639,10 @@ object Similarity {
     }
 
   def clearSemanticIndexCache(): Unit =
-    semIndexCache.synchronized(semIndexCache.clear())
+    semIndexCache.synchronized {
+      semIndexCache.forEach((_, v) => graft.util.deleteRecursively(v._2))
+      semIndexCache.clear()
+    }
 
   /** Probe a persisted semantic index with ARBITRARY vectors (vec_id,
     * embedding) — the reusable core: the declared incremental query feeds
@@ -839,10 +848,13 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(cid, ce))), x -> x.ce)").as("cents"))
     perM.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/pq")
     // lists: coarse-assign every vector, encode its M codes, land it in
-    // its cell directory; one writer task per cell — no small files
+    // its cell directory; one writer task per cell — no small files.
+    // pqArr derives from the just-written pq/ parquet (like the query
+    // path) rather than perM's lineage — re-evaluating perM would re-run
+    // its full-corpus md5 sample a second time
     val bookArr = book.agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
     val pqAggs = (0 until PqM).map(m => max(when(col("m") === m, col("cents"))).as(s"pq$m"))
-    val pqArr = perM.groupBy().agg(pqAggs.head, pqAggs.tail: _*)
+    val pqArr = s.read.parquet(s"$indexPath/pq").groupBy().agg(pqAggs.head, pqAggs.tail: _*)
     e.crossJoin(broadcast(bookArr))
       .select(col("vec_id"), col("embedding"),
         graft.functions.VectorExpressions.ivfAssign(col("embedding"), col("cents")).as("cid"))

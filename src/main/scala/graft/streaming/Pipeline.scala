@@ -79,7 +79,20 @@ object Pipeline {
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
       connectionProperties: java.util.Properties = new java.util.Properties)
-      : StreamingQuery = {
+      : StreamingQuery =
+    startJdbcWith(lines, checkpointDir, trigger) { (batch, _) =>
+      val props = new java.util.Properties()
+      props.putAll(connectionProperties)
+      props.put("batchsize", "1000")
+      batch.write.mode("append").jdbc(url, table, props)
+    }
+
+  /** shared JDBC stream builder: ONE parse projection + categories
+    * flattening + writeStream scaffold for both delivery contracts — a
+    * future change to the projection cannot silently fork the
+    * at-least-once and exactly-once paths */
+  private def startJdbcWith(lines: DataFrame, checkpointDir: String,
+      trigger: Trigger)(write: (DataFrame, Long) => Unit): StreamingQuery = {
     // a ClickHouse URL gets the reference-parity dialect (Array(String)
     // categories, Int8 severity); any other URL is untouched
     graft.sources.ClickHouseDialect.register()
@@ -89,12 +102,7 @@ object Pipeline {
       .trigger(trigger)
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val props = new java.util.Properties()
-        props.putAll(connectionProperties)
-        props.put("batchsize", "1000")
-        batch.write.mode("append").jdbc(url, table, props)
-      }
+      .foreachBatch(write)
       .start()
   }
 
@@ -112,15 +120,23 @@ object Pipeline {
       connectionProperties: java.util.Properties = new java.util.Properties): Unit = {
     // Spark's JDBC writer quotes COLUMN identifiers via the dialect (Derby
     // folds unquoted names to uppercase — an unquoted batch_id here would
-    // miss the column and the swallowed error would silently disable the
-    // delete, observed as duplicated replays); table names pass through
-    // unquoted on both paths, so they fold consistently
+    // miss the column and silently disable the delete, observed as
+    // duplicated replays); table names pass through unquoted on both
+    // paths, so they fold consistently
     val qcol = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier("batch_id")
     val conn = java.sql.DriverManager.getConnection(url, connectionProperties)
     try {
       val st = conn.createStatement()
+      // tolerate ONLY "table does not exist" (first batch ever — the
+      // append below creates it): Derby 42X05, SQL-standard 42S02. Any
+      // other failure (lock timeout, rollback, bad dialect SQL) must
+      // propagate — swallowing it would silently demote the sink to
+      // at-least-once while the API still claims exactly-once
       try st.executeUpdate(s"DELETE FROM $table WHERE $qcol = $batchId")
-      catch { case _: java.sql.SQLException => /* table not created yet */ }
+      catch {
+        case e: java.sql.SQLException
+          if e.getSQLState == "42X05" || e.getSQLState == "42S02" => ()
+      }
       finally st.close()
     } finally conn.close()
     val props = new java.util.Properties()
@@ -140,19 +156,10 @@ object Pipeline {
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
       connectionProperties: java.util.Properties = new java.util.Properties)
-      : StreamingQuery = {
-    graft.sources.ClickHouseDialect.register()
-    parseToLog(lines)
-      .withColumn("categories", array_join(col("categories"), ","))
-      .writeStream
-      .trigger(trigger)
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeJdbcBatchIdempotent(batch, batchId, url, table, connectionProperties)
-      }
-      .start()
-  }
+      : StreamingQuery =
+    startJdbcWith(lines, checkpointDir, trigger) { (batch, batchId) =>
+      writeJdbcBatchIdempotent(batch, batchId, url, table, connectionProperties)
+    }
 
   /** event-time windowed severity counts with late-data drop
     * (stream_watermark_late): rows later than the watermark are excluded,
@@ -405,16 +412,24 @@ object Pipeline {
     * Arriving documents are scored with the IDENTICAL `qualityOf`
     * expression the batch corpus was scored with, then cut against the
     * p25 threshold derived from the batch corpus via a STREAM-STATIC
-    * broadcast join (the 1-row threshold frame re-resolves per
-    * micro-batch, so rewriting the corpus mid-stream updates the cut
-    * without a restart — Spark re-plans static sides each batch).
-    * This is the two-phase contract at scale: the statistics pass runs
-    * batch-side where a full distribution is cheap; enforcement is a
-    * stateless map-side projection — no watermark, no state store, no
-    * driver-side threshold plumbing. Input needs (doc_id, text). */
-  def streamQualityGate(docs: DataFrame, corpusDir: String): DataFrame = {
-    val thr = graft.operators.TextAnalysis
+    * broadcast join. This is the two-phase contract at scale: the
+    * statistics pass runs batch-side where a full distribution is cheap;
+    * enforcement is a stateless map-side projection — no watermark, no
+    * state store, no driver-side threshold plumbing.
+    *
+    * By default the 1-row threshold frame is persisted: the static side
+    * is re-PLANNED every micro-batch, and without the cache that re-plan
+    * re-scores the whole corpus on a 2 s trigger for an unchanged scalar.
+    * Pass `liveThreshold = true` to skip the cache and recompute per
+    * batch — then rewriting the corpus mid-stream updates the cut without
+    * a restart, at full corpus-scan cost per trigger.
+    * Input needs (doc_id, text). */
+  def streamQualityGate(docs: DataFrame, corpusDir: String,
+      liveThreshold: Boolean = false): DataFrame = {
+    val thrRaw = graft.operators.TextAnalysis
       .qualityThresholdFrame(docs.sparkSession, corpusDir)
+    val thr = if (liveThreshold) thrRaw
+      else thrRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     docs
       .select(col("doc_id"), graft.operators.TextAnalysis.qualityOf(col("text")).as("quality"))
       .join(broadcast(thr), col("quality") >= col("thr"))

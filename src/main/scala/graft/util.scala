@@ -78,4 +78,18 @@ object util {
       } finally walk.close()
     }
   }
+
+  /** best-effort recursive delete of a superseded on-disk index/cache
+    * directory — replaced or cleared memo entries would otherwise orphan
+    * a full corpus copy under /tmp per invalidation (the bench clears the
+    * caches before EVERY measured run), unbounded over a session */
+  def deleteRecursively(path: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => try java.nio.file.Files.delete(p) catch { case _: Throwable => })
+    } catch { case _: Throwable => }
 }
