@@ -234,11 +234,15 @@ class StreamingSpec extends AnyFunSuite {
     val ms = MemoryStream[(Long, String)]
     val out = Files.createTempDirectory("graft_sdi_out").toString
     val ckpt = Files.createTempDirectory("graft_sdi_ckpt").toString
+    // add BEFORE start: AvailableNow snapshots available offsets at query
+    // start, so data added after start() races the snapshot — under load
+    // the stream can terminate having seen nothing (observed: empty sink
+    // → UNABLE_TO_INFER_SCHEMA on the read-back)
+    ms.addData(firstHalf)
+    ms.addData(secondHalf)
     val q = Pipeline.streamDedupIncremental(
       ms.toDF().toDF("doc_id", "text"), indexPath, out, ckpt,
       Trigger.AvailableNow())
-    ms.addData(firstHalf)
-    ms.addData(secondHalf)
     q.awaitTermination(120000)
 
     val streamed = spark.read.parquet(out)
