@@ -24,6 +24,7 @@ object SparkEntry {
     operators.Dedup.queries ++
     operators.Similarity.queries ++
     operators.TextAnalysis.queries ++
+    operators.CorpusOps.queries ++
     operators.Curate.queries ++
     functions.Multimodal.queries ++
     functions.Scalars.queries
@@ -40,6 +41,7 @@ object SparkEntry {
     operators.Dedup.oracle ++
     operators.Similarity.oracle ++
     operators.TextAnalysis.oracle ++
+    operators.CorpusOps.oracle ++
     operators.Curate.oracle ++
     functions.Multimodal.oracle ++
     functions.Scalars.oracle

@@ -1,0 +1,328 @@
+package graft.operators
+
+import graft.util._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-7 corpus-preparation operators (SURVEY.md §2 B.16) — the
+  * dataset-assembly steps between "curated corpus" and "training run"
+  * that the earlier rounds' curation family (dedup / scrub / quality /
+  * pack) stops short of:
+  *
+  *   - deterministic train/val/test splitting (`q_split_assign`)
+  *   - temperature-flattened source mixing (`q_sample_temperature`)
+  *   - vocabulary coverage diagnostics (`q_vocab_coverage`)
+  *   - the global training shuffle (`q_shuffle_shard`)
+  *   - unigram-LM rarity scoring (`q_quality_unigram`)
+  *   - sub-document keep-first block dedup (`q_dedup_paragraph`)
+  *
+  * Shared determinism contract: the only doubles are single
+  * correctly-rounded IEEE ops (divide, sqrt, power-of-two scale) that
+  * Spark and DuckDB compute bit-identically; everything else is exact
+  * integer / md5 arithmetic, so the driver's hash compare is stable.
+  */
+object CorpusOps {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** the portable md5 coin shared with q_sample_hash / q_sample_stratified:
+    * first 8 hex chars of md5(doc_id) as a BIGINT — replayable in any
+    * engine, uniform, independent of partitioning */
+  private def coin(c: Column): Column =
+    conv(substring(md5(c.cast(StringType)), 1, 8), 16, 10).cast(LongType)
+
+  // ---- deterministic train/val/test split ------------------------------
+  /** Hash-based split assignment — the reproducibility backbone of every
+    * dataset release: membership is a pure function of doc_id (rerun
+    * anywhere, any partitioning, same split), val/test rates are per-mille
+    * bucket ranges so fractions are exact, and no state (no sampled id
+    * list) needs to ship with the data. Pure map-side projection: zero
+    * shuffles at any corpus size. */
+  val SplitTestPerMille = 10
+  val SplitValPerMille = 30 // test ∪ val = buckets [0, 30)
+
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), (coin(col("doc_id")) % 1000).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < SplitTestPerMille, "test")
+          .when(col("bucket") < SplitValPerMille, "val")
+          .otherwise("train"))
+      .orderBy("doc_id")
+
+  val splitAssignSql: String =
+    s"""SELECT doc_id, lang,
+       |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS bucket,
+       |  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 < $SplitTestPerMille THEN 'test'
+       |       WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 < $SplitValPerMille THEN 'val'
+       |       ELSE 'train' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- temperature-flattened source mixing -----------------------------
+  /** Multinomial temperature sampling (the mT5/XLM-R α-mixing rule at
+    * α = 1/2): per-source keep-rate ∝ n^(α−1) = C·sqrt(N/n), so sampled
+    * mass ∝ n^α — dominant sources flatten, tail sources keep everything
+    * (rate caps at 1). α is FIXED at 1/2 because that makes the only
+    * non-rational op an IEEE `sqrt`, which (unlike `pow`) is correctly
+    * rounded and therefore bit-identical across engines; C = 1/4 is a
+    * power of two, so the scale multiply is exact. The per-doc coin is
+    * the shared md5 family — the same doc survives in any engine.
+    *
+    * Shape at scale: one map-side-combined groupBy for the source table
+    * (sources are a catalog, not data-sized), a 1-row broadcast total, a
+    * broadcast rate join, then a map-side filter — the corpus itself is
+    * read once and never shuffled. */
+  val TempScale = 0.25
+
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), size(toks).cast(LongType).as("n_tok"))
+    val per = d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = d.agg(count(lit(1)).cast(DoubleType).as("tot"))
+    val rates = per.crossJoin(broadcast(tot))
+      .withColumn("thr",
+        floor(least(lit(1.0d), lit(TempScale) * sqrt(col("tot") / col("n_docs")))
+          * 10000d).cast(LongType))
+    val kept = d.join(broadcast(rates.select("source", "thr")), "source")
+      .where(coin(col("doc_id")) % 10000 < col("thr"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tok_kept"))
+    rates.select("source", "n_docs", "n_tokens", "thr")
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("thr"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tok_kept"), lit(0L)).as("tok_kept"))
+      .orderBy("source")
+  }
+
+  val sampleTemperatureSql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+       |per AS (SELECT source, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+       |        FROM d GROUP BY 1),
+       |tot AS (SELECT count(*)::DOUBLE AS tot FROM d),
+       |rates AS (SELECT source, n_docs, n_tokens,
+       |    floor(least(1.0::DOUBLE, $TempScale::DOUBLE * sqrt(tot / n_docs))
+       |      * 10000::DOUBLE)::BIGINT AS thr
+       |  FROM per, tot),
+       |kept AS (SELECT d.source, count(*) AS n_kept, sum(d.n_tok)::BIGINT AS tok_kept
+       |  FROM d JOIN rates r ON d.source = r.source
+       |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < r.thr
+       |  GROUP BY 1)
+       |SELECT r.source, r.n_docs, r.n_tokens, r.thr,
+       |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+       |  coalesce(k.tok_kept, 0)::BIGINT AS tok_kept
+       |FROM rates r LEFT JOIN kept k ON r.source = k.source
+       |ORDER BY r.source""".stripMargin
+
+  // ---- vocabulary coverage ---------------------------------------------
+  /** Tokenizer-sizing diagnostic: what fraction of all token occurrences
+    * do the top-K types cover (Zipf head mass at K = 10 / 100 / 1000)?
+    * Window-free at scale: the frequency table is one map-side-combined
+    * groupBy, each K is a TakeOrdered (O(K) heap per partition + a K-row
+    * driver merge — no global sort, no single-task window), and the
+    * totals are a 1-row broadcast. Tie-stable top-K: (count desc, token
+    * asc) is a total order in both engines. */
+  val VocabKs: Seq[Int] = Seq(10, 100, 1000)
+
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val freq = t(s, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("tot_occ"), count(lit(1)).as("n_types"))
+    val heads = VocabKs.map { k =>
+      freq.orderBy(col("cnt").desc, col("tok").asc).limit(k)
+        .agg(lit(k.toLong).as("k"), sum(col("cnt")).as("covered"))
+    }.reduce(_ unionAll _)
+    heads.crossJoin(broadcast(tot))
+      .select(col("k"), col("covered"), col("tot_occ"), col("n_types"),
+        r4f(col("covered").cast(DoubleType) / col("tot_occ")).as("share"))
+      .orderBy("k")
+  }
+
+  val vocabCoverageSql: String = {
+    val heads = VocabKs.map { k =>
+      s"SELECT $k::BIGINT AS k, sum(cnt)::BIGINT AS covered FROM r WHERE rn <= $k"
+    }.mkString("\n|  UNION ALL ")
+    s"""WITH tokf AS (SELECT tok, count(*) AS cnt
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) x
+       |  WHERE tok <> '' GROUP BY 1),
+       |tot AS (SELECT sum(cnt)::BIGINT AS tot_occ, count(*)::BIGINT AS n_types FROM tokf),
+       |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rn FROM tokf),
+       |heads AS ($heads)
+       |SELECT k, covered, tot_occ, n_types,
+       |  floor(covered::DOUBLE / tot_occ * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS share
+       |FROM heads, tot ORDER BY k""".stripMargin
+  }
+
+  // ---- deterministic global training shuffle ---------------------------
+  /** The global shuffle every training run needs: doc order must be
+    * decorrelated from ingest order, yet REPRODUCIBLE (resume from step
+    * N, re-shard, or re-run an ablation on the identical stream). Each
+    * doc's shuffle key is md5(doc_id); its shard is the key's coin mod
+    * [[ShuffleShards]]; its position is the rank of its key within the
+    * shard. The declared output pins the entire permutation with one row
+    * per shard (count + Σ doc_id·pos — any reorder changes the sum)
+    * instead of shuffling the corpus into the result.
+    *
+    * Scale shape: one hash shuffle on shard + a per-shard sort. The
+    * per-shard window is bounded by corpus/[[ShuffleShards]] BY CONTRACT:
+    * shards are training-file-sized (~1 GiB), so their COUNT scales with
+    * the corpus while the per-shard sort stays constant — the same
+    * rationale as [[TextAnalysis.PackShards]]. At 100 TB the checksum
+    * would sum mod 2^61 to dodge ANSI overflow; at test SFs the exact sum
+    * is the stronger pin. */
+  val ShuffleShards = 64
+
+  def shuffleShard(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("doc_id").cast(StringType)).as("skey"))
+      .withColumn("shard",
+        (conv(substring(col("skey"), 1, 8), 16, 10).cast(LongType) % ShuffleShards))
+    val w = Window.partitionBy("shard").orderBy(col("skey"), col("doc_id"))
+    keyed
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id") * col("pos")).as("order_sum"))
+      .orderBy("shard")
+  }
+
+  val shuffleShardSql: String =
+    s"""WITH keyed AS (SELECT doc_id, md5(doc_id::VARCHAR) AS skey,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % $ShuffleShards AS shard
+       |  FROM documents),
+       |pos AS (SELECT shard, doc_id,
+       |    row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)::BIGINT AS pos
+       |  FROM keyed)
+       |SELECT shard, count(*) AS n_docs, sum(doc_id * pos)::BIGINT AS order_sum
+       |FROM pos GROUP BY 1 ORDER BY shard""".stripMargin
+
+  // ---- unigram-LM rarity scoring ---------------------------------------
+  /** The KenLM-perplexity filter (CCNet / LLaMA corpus prep) in its
+    * cross-engine-exact form: a doc's rarity is Σ_tokens ⌊N / cnt(tok)⌋ —
+    * the integer inverse-probability surprisal under the corpus's own
+    * unigram model (a real LM swaps the corpus frequency table for its
+    * own). High mean-rarity = hapax-heavy gibberish, low = boilerplate;
+    * both tails get cut in production. Integer-exact end to end: log-space
+    * scoring is deliberately avoided because ln() differs in last-ulps
+    * across engines (the q_tfidf_top rule).
+    *
+    * Shape at scale: the (doc, tok) tf groupBy and the tok frequency
+    * groupBy are both map-side combined; the tf⋈freq equi-join has ONE
+    * frequency row per token (no fan-out on stop words, AQE can split the
+    * hot keys); the corpus total is a 1-row broadcast. */
+  def qualityUnigram(s: SparkSession, dir: String): DataFrame = {
+    val tf = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy("tok").agg(sum(col("tf")).as("cnt"))
+    val n = freq.agg(sum(col("cnt")).as("n_occ"))
+    tf.join(freq, "tok").crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * expr("n_occ div cnt")).as("rarity"),
+        sum(col("tf")).as("n_toks"))
+      .select(col("doc_id"), col("n_toks"), col("rarity"),
+        expr("rarity div n_toks").as("mean_rarity"))
+      .orderBy("doc_id")
+  }
+
+  val qualityUnigramSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents) x
+      |  WHERE tok <> '' GROUP BY 1, 2),
+      |freq AS (SELECT tok, sum(tf)::BIGINT AS cnt FROM tf GROUP BY 1),
+      |n AS (SELECT sum(cnt)::BIGINT AS n_occ FROM freq),
+      |sc AS (SELECT t.doc_id, sum(t.tf * (n.n_occ // f.cnt))::BIGINT AS rarity,
+      |         sum(t.tf)::BIGINT AS n_toks
+      |       FROM tf t JOIN freq f USING (tok), n GROUP BY 1)
+      |SELECT doc_id, n_toks, rarity, (rarity // n_toks)::BIGINT AS mean_rarity
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  // ---- sub-document keep-first block dedup ------------------------------
+  /** Paragraph-granularity exact dedup (the C4 "three-sentence span" /
+    * RefinedWeb paragraph rule, restated for this corpus's flat token
+    * stream as fixed [[ParaBlock]]-token blocks): every block that
+    * appears anywhere earlier — in ANY document, including earlier in its
+    * own — is dropped; the FIRST occurrence (min (doc_id, block_idx))
+    * survives. This differs from `q_scrub_spans` on purpose: scrubbing
+    * removes ALL copies of a common span; paragraph dedup keeps exactly
+    * one. The declared output pins every rewritten doc by md5 without
+    * shuffling bodies.
+    *
+    * Shape at scale: blocks are a map-side posexplode (≤ n_toks/32 rows
+    * per doc); first-occurrence is ONE map-side-combined min-of-struct
+    * groupBy on the 128-bit block hash (no window, no self-join fan-out:
+    * the keep join has one `first` row per hash); the rebuild is one
+    * doc_id groupBy. Every shuffle keys on block hash or doc_id. */
+  val ParaBlock = 32
+
+  def dedupParagraph(s: SparkSession, dir: String): DataFrame = {
+    val tokd = t(s, dir, "documents").select(col("doc_id"), toks.as("tk"))
+    val blocks = tokd.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, (size(tk) - 1) div $ParaBlock), " +
+        s"b -> concat_ws(' ', slice(tk, b * $ParaBlock + 1, $ParaBlock)))"))
+      .as(Seq("bidx", "btext")))
+      .withColumn("bh", md5(col("btext")))
+    val first = blocks.groupBy("bh")
+      .agg(min(struct(col("doc_id"), col("bidx"))).as("first"))
+    val kept = blocks.join(first, "bh")
+      .where(col("doc_id") === col("first.doc_id") && col("bidx") === col("first.bidx"))
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      md5(array_join(
+        expr("transform(array_sort(collect_list(struct(bidx, btext))), x -> x.btext)"),
+        " ")).as("kept_md5"))
+    tokd
+      .select(col("doc_id"),
+        expr(s"(size(tk) - 1) div $ParaBlock + 1").cast(LongType).as("n_blocks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  val dedupParagraphSql: String =
+    s"""WITH tokd AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |blocks AS (
+       |  SELECT doc_id, b AS bidx,
+       |    array_to_string(tk[b * $ParaBlock + 1 : b * $ParaBlock + $ParaBlock], ' ') AS btext,
+       |    md5(array_to_string(tk[b * $ParaBlock + 1 : b * $ParaBlock + $ParaBlock], ' ')) AS bh
+       |  FROM tokd JOIN generate_series(0, 100000) g(b)
+       |    ON b <= (len(tk) - 1) // $ParaBlock),
+       |first AS (SELECT bh, min(struct_pack(d := doc_id, b := bidx)) AS f
+       |          FROM blocks GROUP BY 1),
+       |kept AS (SELECT bl.doc_id, bl.bidx, bl.btext
+       |         FROM blocks bl JOIN first USING (bh)
+       |         WHERE bl.doc_id = f.d AND bl.bidx = f.b),
+       |reb AS (SELECT doc_id, count(*) AS n_kept,
+       |               md5(string_agg(btext, ' ' ORDER BY bidx)) AS kept_md5
+       |        FROM kept GROUP BY 1)
+       |SELECT t.doc_id, ((len(t.tk) - 1) // $ParaBlock + 1)::BIGINT AS n_blocks,
+       |  coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+       |  coalesce(r.kept_md5, md5('')) AS kept_md5
+       |FROM tokd t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+  // ---- registration ----------------------------------------------------
+  val queries: Map[String, Q] = Map(
+    "q_split_assign" -> splitAssign _,
+    "q_sample_temperature" -> sampleTemperature _,
+    "q_vocab_coverage" -> vocabCoverage _,
+    "q_shuffle_shard" -> shuffleShard _,
+    "q_quality_unigram" -> qualityUnigram _,
+    "q_dedup_paragraph" -> dedupParagraph _)
+
+  val oracle: Map[String, String] = Map(
+    "q_split_assign" -> splitAssignSql,
+    "q_sample_temperature" -> sampleTemperatureSql,
+    "q_vocab_coverage" -> vocabCoverageSql,
+    "q_shuffle_shard" -> shuffleShardSql,
+    "q_quality_unigram" -> qualityUnigramSql,
+    "q_dedup_paragraph" -> dedupParagraphSql)
+}

@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+import java.security.MessageDigest
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic fixtures for the round-7 corpus-preparation operators
+  * (operators/CorpusOps.scala). The DuckDB oracle pins cross-engine
+  * parity on the real tables; these pin the ABSOLUTE behavior —
+  * hand-computed splits, rates, coverage fractions, rarity integers, and
+  * keep-first block survivorship. */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def writeDocs(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_corpusops").toString
+    rows.map { case (id, tx, lang, src) => (id, tx, lang, src, tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q_split_assign: buckets drive labels, splits are a disjoint cover, assignment is deterministic") {
+    val dir = TestSpark.sfDir
+    val a = operators.CorpusOps.splitAssign(spark, dir).collect()
+    val b = operators.CorpusOps.splitAssign(spark, dir).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq, "split must be replayable")
+    assert(a.length === 500, "every doc gets exactly one split row")
+    a.foreach { r =>
+      val (bucket, split) = (r.getLong(2), r.getString(3))
+      val expected =
+        if (bucket < operators.CorpusOps.SplitTestPerMille) "test"
+        else if (bucket < operators.CorpusOps.SplitValPerMille) "val"
+        else "train"
+      assert(split === expected, s"doc ${r.getLong(0)} bucket $bucket")
+      assert(bucket >= 0 && bucket < 1000)
+    }
+    // per-mille rates hold to within md5-coin noise on 500 docs
+    val byName = a.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    assert(byName.getOrElse("test", 0) <= 25, "~1% target")
+    assert(byName.getOrElse("val", 0) <= 40, "~2% target")
+    assert(byName("train") >= 440)
+  }
+
+  test("q_sample_temperature: exact thresholds from the α=1/2 rule; tail source keeps a larger share") {
+    // 90/10 source skew: thrA = ⌊min(1, 0.25·sqrt(100/90))·10000⌋,
+    // thrB = ⌊min(1, 0.25·sqrt(100/10))·10000⌋ — replay the same IEEE ops
+    val docs = (1L to 90L).map(i => (i, s"tok$i word", "en", "srcA")) ++
+      (91L to 100L).map(i => (i, s"tok$i word", "en", "srcB"))
+    val dir = writeDocs(docs)
+    val rows = operators.CorpusOps.sampleTemperature(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    val thrA = math.floor(math.min(1.0, 0.25 * math.sqrt(100.0 / 90L)) * 10000).toLong
+    val thrB = math.floor(math.min(1.0, 0.25 * math.sqrt(100.0 / 10L)) * 10000).toLong
+    assert(rows("srcA")._1 === 90L && rows("srcB")._1 === 10L)
+    assert(rows("srcA")._2 === thrA, "head-source threshold")
+    assert(rows("srcB")._2 === thrB, "tail-source threshold")
+    assert(thrB > thrA, "flattening: rarer source keeps a larger fraction")
+    assert(rows("srcA")._3 <= 90L && rows("srcB")._3 <= 10L)
+  }
+
+  test("q_vocab_coverage: Zipf-head shares hand-checked at k=10/100/1000") {
+    // 15 types, type wi appears (16-i) times → total 120; top-10 mass
+    // 15+14+…+6 = 105 → share 0.875; k=100/1000 cover everything
+    val toks = (1 to 15).flatMap(i => Seq.fill(16 - i)(f"w$i%02d"))
+    val dir = writeDocs(Seq((1L, toks.mkString(" "), "en", "src")))
+    val got = operators.CorpusOps.vocabCoverage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (10L, 105L, 120L, 15L, 0.875),
+      (100L, 120L, 120L, 15L, 1.0),
+      (1000L, 120L, 120L, 15L, 1.0)))
+  }
+
+  test("q_shuffle_shard: pins a full deterministic permutation of the corpus") {
+    val dir = TestSpark.sfDir
+    val a = operators.CorpusOps.shuffleShard(spark, dir).collect()
+    val b = operators.CorpusOps.shuffleShard(spark, dir).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq, "shuffle must be replayable")
+    assert(a.map(_.getLong(1)).sum === 500L, "every doc lands in exactly one shard")
+    assert(a.map(_.getLong(0)).distinct.length === a.length)
+    assert(a.forall(r => r.getLong(0) >= 0 && r.getLong(0) < operators.CorpusOps.ShuffleShards))
+    // the checksum pins ORDER, not just membership: it must differ from
+    // the ingest-order checksum (pos by doc_id) for at least one shard —
+    // md5 order matching ingest order on every multi-doc shard is ~impossible
+    val ingestOrder = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      t(spark, dir, "documents")
+        .select(col("doc_id"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % operators.CorpusOps.ShuffleShards).as("shard"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("shard").orderBy("doc_id")).cast("long"))
+        .groupBy("shard").agg(sum(expr("doc_id * pos")).as("order_sum"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val shuffled = a.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(shuffled.exists { case (s, cs) => ingestOrder(s) != cs },
+      "shuffled order must not equal ingest order")
+  }
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String, name: String) =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  test("q_quality_unigram: integer surprisal hand-checked; hapax-heavy doc scores rarer") {
+    // freq: the=5, rare=1, N=6 → doc1 = 4·⌊6/5⌋ = 4; doc2 = ⌊6/5⌋+⌊6/1⌋ = 7
+    val dir = writeDocs(Seq(
+      (1L, "the the the the", "en", "src"),
+      (2L, "the rare", "en", "src")))
+    val got = operators.CorpusOps.qualityUnigram(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((4L, 4L, 1L)),
+      2L -> ((2L, 7L, 3L))))
+    assert(got(2L)._3 > got(1L)._3, "rare-token doc has higher mean rarity")
+  }
+
+  test("q_dedup_paragraph: keep-first block survivorship across and within docs") {
+    val A = (0 until 32).map(i => s"a$i").mkString(" ")
+    val B = (0 until 32).map(i => s"b$i").mkString(" ")
+    val C = (0 until 32).map(i => s"c$i").mkString(" ")
+    val D = (0 until 32).map(i => s"d$i").mkString(" ")
+    val tail = (0 until 8).map(i => s"t$i").mkString(" ") // partial tail block
+    val dir = writeDocs(Seq(
+      (1L, s"$A $B", "en", "src"),    // first occurrence of A and B
+      (2L, s"$A $C", "en", "src"),    // A dup → dropped; C kept
+      (3L, B, "en", "src"),           // whole doc duplicates doc1's B → empty
+      (4L, s"$D $tail", "en", "src"), // unique, incl. 8-token tail block
+      (5L, s"$C $C", "en", "src")))   // C dups doc2's → both copies dropped
+    val got = operators.CorpusOps.dedupParagraph(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((2L, 2L, md5hex(s"$A $B"))), "first doc keeps everything")
+    assert(got(2L) === ((2L, 1L, md5hex(C))), "duplicate leading block removed")
+    assert(got(3L) === ((1L, 0L, md5hex(""))), "fully-duplicate doc empties out")
+    assert(got(4L) === ((2L, 2L, md5hex(s"$D $tail"))), "partial tail block round-trips")
+    assert(got(5L) === ((2L, 0L, md5hex(""))), "within-doc copies lose to the earlier doc")
+  }
+}

@@ -56,6 +56,9 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_dedup_semantic_apply", // same codebook broadcast inside the embedded verdict frame
       "q_dedup_semantic_incremental", // broadcast K-row index codebook for probe assignment
       "q_tfidf_top",        // broadcast one-row corpus count N
+      "q_sample_temperature", // broadcast one-row corpus doc count
+      "q_vocab_coverage",   // broadcast one-row occurrence/type totals
+      "q_quality_unigram",  // broadcast one-row corpus occurrence total
       "q_quality_filter",   // broadcast one-row p25 threshold
       "q_corpus_mix",       // broadcast one-row global token total
       "q_curate_e2e",       // same one-row p25 threshold inside the composed pipeline
