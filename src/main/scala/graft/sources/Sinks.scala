@@ -68,6 +68,37 @@ object Sinks {
       .sortWithinPartitions(col("doc_id"))
       .write.partitionBy("shard").mode("overwrite").json(path)
 
+  /** The at-rest half of `q_shuffle_shard` (operators/CorpusOps.scala):
+    * materialize the deterministic global training shuffle as parquet
+    * shards whose ROW ORDER is the training order. Each doc's shuffle key
+    * is md5(seed ":" doc_id) (seed 0 ⇒ plain md5(doc_id), so the layout
+    * matches the declared query's permutation exactly); its shard is the
+    * key's coin mod `shards`; its stored `pos` is its 1-based rank within
+    * the shard — the trainer resumes at step N by `WHERE pos > N`, and an
+    * EPOCH is a re-export with the next seed (a fresh, equally
+    * deterministic permutation — no state carried between epochs).
+    *
+    * One writer task per shard (repartition on the shard column), rows
+    * sorted by pos within the file. Shard count scales with the corpus by
+    * contract (training-file-sized shards), so the per-shard sort is
+    * constant work — the `PackShards` rationale. */
+  def writeTrainShards(docs: DataFrame, path: String, shards: Int = 64,
+      seed: Long = 0L): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val skey =
+      if (seed == 0L) md5(col("doc_id").cast("string"))
+      else md5(concat_ws(":", lit(seed), col("doc_id").cast("string")))
+    val w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    docs.withColumn("skey", skey)
+      .withColumn("shard",
+        conv(substring(col("skey"), 1, 8), 16, 10).cast("long") % shards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("skey")
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+  }
+
   /** JDBC twin of the reference's batched ClickHouse insert
     * (lib/cacheManage.go:35-65): 1000-row batches, bounded connection
     * fan-out (the reference pools 5 connections, main.go:49-50). Wire it

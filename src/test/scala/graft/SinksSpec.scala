@@ -89,4 +89,54 @@ class SinksSpec extends AnyFunSuite {
     assert(rowsAfter === rowsBefore, "compaction changed the data")
   }
 
+  test("writeTrainShards: file order IS the q_shuffle_shard permutation; epochs re-deal deterministically") {
+    val out = Files.createTempDirectory("graft_train").toString
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    Sinks.writeTrainShards(docs, out) // seed 0, 64 shards
+
+    // membership: every doc lands exactly once
+    val back = spark.read.parquet(out)
+    assert(back.select("doc_id").distinct().count() === docs.count())
+    assert(back.count() === docs.count())
+
+    // stored pos is a 1..n sequence per shard, and (count, Σ doc_id·pos)
+    // reproduces the declared query's permutation pin exactly
+    val perShard = back.groupBy("shard")
+      .agg(count(lit(1)).as("n"), sum(expr("doc_id * pos")).as("cs"),
+        min("pos").as("lo"), max("pos").as("hi"))
+      .collect().map(r => r.getAs[Int]("shard").toLong ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    perShard.foreach { case (s, (n, _, lo, hi)) =>
+      assert(lo === 1L && hi === n, s"shard $s pos not a 1..n sequence")
+    }
+    val declared = operators.CorpusOps.shuffleShard(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(perShard.view.mapValues(v => (v._1, v._2)).toMap === declared,
+      "at-rest layout must pin the same permutation as q_shuffle_shard")
+
+    // within each shard directory the FILE ROW ORDER is the training order
+    new java.io.File(out).listFiles().filter(_.getName.startsWith("shard=")).foreach { d =>
+      val pos = spark.read.parquet(d.toString).select("pos")
+        .collect().map(_.getLong(0)).toSeq
+      assert(pos === pos.sorted, s"${d.getName}: rows not stored in shuffle order")
+    }
+
+    // a new epoch (seed 1) keeps membership but deals a different permutation
+    val out2 = Files.createTempDirectory("graft_train2").toString
+    Sinks.writeTrainShards(docs, out2, seed = 1L)
+    val back2 = spark.read.parquet(out2)
+    assert(back2.select("doc_id").distinct().count() === docs.count())
+    val deal1 = back.selectExpr("doc_id", "CAST(shard AS LONG) AS s", "pos")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val deal2 = back2.selectExpr("doc_id", "CAST(shard AS LONG) AS s", "pos")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(deal1 !== deal2, "epoch reseed must produce a different permutation")
+    // and the epoch deal is itself deterministic
+    val out3 = Files.createTempDirectory("graft_train3").toString
+    Sinks.writeTrainShards(docs, out3, seed = 1L)
+    val deal3 = spark.read.parquet(out3).selectExpr("doc_id", "CAST(shard AS LONG) AS s", "pos")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(deal2 === deal3, "same seed must replay the same permutation")
+  }
+
 }
