@@ -43,13 +43,20 @@ object CorpusOps {
   val SplitTestPerMille = 10
   val SplitValPerMille = 30 // test ∪ val = buckets [0, 30)
 
+  /** split label of one doc_id — factored out so the streaming router
+    * ([[graft.streaming.Pipeline.streamSplitRoute]]) stamps the IDENTICAL
+    * assignment the batch query declares */
+  def splitOf(docId: Column): Column = {
+    val b = coin(docId) % 1000
+    when(b < SplitTestPerMille, "test")
+      .when(b < SplitValPerMille, "val")
+      .otherwise("train")
+  }
+
   def splitAssign(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), (coin(col("doc_id")) % 1000).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < SplitTestPerMille, "test")
-          .when(col("bucket") < SplitValPerMille, "val")
-          .otherwise("train"))
+      .select(col("doc_id"), col("lang"), (coin(col("doc_id")) % 1000).as("bucket"),
+        splitOf(col("doc_id")).as("split"))
       .orderBy("doc_id")
 
   val splitAssignSql: String =
@@ -309,6 +316,78 @@ object CorpusOps {
        |  coalesce(r.kept_md5, md5('')) AS kept_md5
        |FROM tokd t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
+  // ---- composed dataset-assembly pipeline ------------------------------
+  /** The assembly twin of `q_curate_e2e` — the WHOLE path from curated
+    * corpus to training stream as one declarative frame:
+    *
+    *   split_assign(train) → sample_temperature → shuffle_shard digest
+    *
+    * Order is part of the contract: the temperature rates are computed
+    * over the TRAIN population (val/test must not influence the mix, and
+    * sampling before splitting would skew the held-out sets), and the
+    * shuffle digests only what survives sampling. The sampling coin is
+    * the SECOND md5 lane (hex chars 9–16) — independent of the split
+    * coin (chars 1–8), so sampling cannot correlate with split
+    * membership; `q_sample_temperature` standalone keeps lane 1, where
+    * no second decision exists.
+    *
+    * Scale shape inherited from the pieces unchanged: map-side split
+    * filter, catalog-sized source groupBy + 1-row broadcast total +
+    * broadcast rate join, then the contract-bounded per-shard rank
+    * window. Catalyst fuses the two map-side filters into the scan. */
+  def assembleE2e(s: SparkSession, dir: String): DataFrame = {
+    val c2 = conv(substring(md5(col("doc_id").cast(StringType)), 9, 8), 16, 10)
+      .cast(LongType)
+    val train = t(s, dir, "documents")
+      .where(splitOf(col("doc_id")) === "train")
+      .select(col("doc_id"), col("source"), size(toks).cast(LongType).as("n_tok"))
+    val per = train.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = train.agg(count(lit(1)).cast(DoubleType).as("tot"))
+    val rates = per.crossJoin(broadcast(tot))
+      .withColumn("thr",
+        floor(least(lit(1.0d), lit(TempScale) * sqrt(col("tot") / col("n_docs")))
+          * 10000d).cast(LongType))
+    val kept = train.join(broadcast(rates.select("source", "thr")), "source")
+      .where(c2 % 10000 < col("thr"))
+    val keyed = kept
+      .select(col("doc_id"), col("n_tok"), md5(col("doc_id").cast(StringType)).as("skey"))
+      .withColumn("shard",
+        (conv(substring(col("skey"), 1, 8), 16, 10).cast(LongType) % ShuffleShards))
+    val w = Window.partitionBy("shard").orderBy(col("skey"), col("doc_id"))
+    keyed.withColumn("pos", row_number().over(w).cast(LongType))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("doc_id") * col("pos")).as("order_sum"))
+      .orderBy("shard")
+  }
+
+  val assembleE2eSql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    len(string_split(text, ' '))::BIGINT AS n_tok,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS c1,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 9, 8))::BIGINT AS c2
+       |  FROM documents),
+       |train AS (SELECT doc_id, source, n_tok, c2 FROM d
+       |          WHERE c1 % 1000 >= $SplitValPerMille),
+       |per AS (SELECT source, count(*) AS n_docs FROM train GROUP BY 1),
+       |tot AS (SELECT count(*)::DOUBLE AS tot FROM train),
+       |rates AS (SELECT source,
+       |    floor(least(1.0::DOUBLE, $TempScale::DOUBLE * sqrt(tot / n_docs))
+       |      * 10000::DOUBLE)::BIGINT AS thr
+       |  FROM per, tot),
+       |kept AS (SELECT t.doc_id, t.n_tok FROM train t
+       |         JOIN rates r ON t.source = r.source
+       |         WHERE t.c2 % 10000 < r.thr),
+       |keyed AS (SELECT doc_id, n_tok, md5(doc_id::VARCHAR) AS skey,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % $ShuffleShards AS shard
+       |  FROM kept),
+       |pos AS (SELECT shard, doc_id, n_tok,
+       |    row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)::BIGINT AS pos
+       |  FROM keyed)
+       |SELECT shard, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+       |  sum(doc_id * pos)::BIGINT AS order_sum
+       |FROM pos GROUP BY 1 ORDER BY shard""".stripMargin
+
   // ---- registration ----------------------------------------------------
   val queries: Map[String, Q] = Map(
     "q_split_assign" -> splitAssign _,
@@ -316,7 +395,8 @@ object CorpusOps {
     "q_vocab_coverage" -> vocabCoverage _,
     "q_shuffle_shard" -> shuffleShard _,
     "q_quality_unigram" -> qualityUnigram _,
-    "q_dedup_paragraph" -> dedupParagraph _)
+    "q_dedup_paragraph" -> dedupParagraph _,
+    "q_assemble_e2e" -> assembleE2e _)
 
   val oracle: Map[String, String] = Map(
     "q_split_assign" -> splitAssignSql,
@@ -324,5 +404,6 @@ object CorpusOps {
     "q_vocab_coverage" -> vocabCoverageSql,
     "q_shuffle_shard" -> shuffleShardSql,
     "q_quality_unigram" -> qualityUnigramSql,
-    "q_dedup_paragraph" -> dedupParagraphSql)
+    "q_dedup_paragraph" -> dedupParagraphSql,
+    "q_assemble_e2e" -> assembleE2eSql)
 }

@@ -408,6 +408,32 @@ object Pipeline {
       }
       .start()
 
+  /** Streaming split router — the serving half of `q_split_assign`:
+    * arriving documents are stamped with the IDENTICAL deterministic
+    * md5-bucket split label the batch query declares (shared `splitOf`
+    * expression — a doc gets the same split whether it arrives in a
+    * batch backfill or live) and land partitioned by (split, batch_id),
+    * so each split is one prunable directory subtree a trainer reads
+    * directly. Stateless (the label is a pure function of doc_id — no
+    * watermark, no state store); exactly-once via per-(split, batch_id)
+    * dynamic partition overwrite like the other parquet sinks. */
+  def streamSplitRoute(docs: DataFrame, outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .withColumn("split", graft.operators.CorpusOps.splitOf(col("doc_id")))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("split", "batch_id")
+          .parquet(outDir)
+      }
+      .start()
+
   /** Streaming quality gate — the serving half of `q_quality_filter`.
     * Arriving documents are scored with the IDENTICAL `qualityOf`
     * expression the batch corpus was scored with, then cut against the

@@ -57,6 +57,7 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_dedup_semantic_incremental", // broadcast K-row index codebook for probe assignment
       "q_tfidf_top",        // broadcast one-row corpus count N
       "q_sample_temperature", // broadcast one-row corpus doc count
+      "q_assemble_e2e",     // same one-row train-population count, composed
       "q_vocab_coverage",   // broadcast one-row occurrence/type totals
       "q_quality_unigram",  // broadcast one-row corpus occurrence total
       "q_quality_filter",   // broadcast one-row p25 threshold

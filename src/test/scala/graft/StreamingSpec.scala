@@ -255,6 +255,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "expected cross-split near-dup pairs at sf0.01")
   }
 
+  test("streamSplitRoute: live docs land under the batch query's split label, partitioned and replayable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = TestSpark.sfDir
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val (firstHalf, secondHalf) = docs.splitAt(docs.size / 2)
+    val ms = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("graft_route_out").toString
+    val ckpt = Files.createTempDirectory("graft_route_ckpt").toString
+    ms.addData(firstHalf) // BEFORE start — AvailableNow snapshot race
+    ms.addData(secondHalf)
+    val q = Pipeline.streamSplitRoute(
+      ms.toDF().toDF("doc_id", "text"), out, ckpt, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val routed = spark.read.parquet(out)
+    assert(routed.count() === docs.size.toLong, "every doc routed exactly once")
+    // stream labels ≡ the declared batch assignment, doc by doc
+    val streamed = routed.select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = operators.CorpusOps.splitAssign(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(streamed === batch, "stream split labels must match q_split_assign")
+    // splits are prunable directory subtrees
+    val splitDirs = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("split=")).sorted
+    assert(splitDirs.toSeq === Seq("split=test", "split=train", "split=val"))
+  }
+
   test("streamSemanticDedup: per-batch index probes reproduce the batch incremental semantic dedup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
