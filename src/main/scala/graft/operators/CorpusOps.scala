@@ -316,6 +316,80 @@ object CorpusOps {
        |  coalesce(r.kept_md5, md5('')) AS kept_md5
        |FROM tokd t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
+  // ---- token-length histogram ------------------------------------------
+  /** Sequence-length distribution in power-of-two buckets — the
+    * diagnostic that sizes context windows and packing budgets (how much
+    * of the corpus fits 512? how heavy is the >2k tail?). The bucket is
+    * ⌊log2 n⌋+1 computed EXACTLY as the bit length of the integer token
+    * count (`length(bin(n))` — both engines print exact binary strings),
+    * not via floating log2, whose last-ulp behavior at exact powers of
+    * two differs across libm implementations. One map-side-combined
+    * groupBy on a ≤64-value key. */
+  def tokenHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(size(toks).cast(LongType).as("n_tok"))
+      .withColumn("bucket", length(bin(col("n_tok"))).cast(LongType))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
+      .orderBy("bucket")
+
+  val tokenHistogramSql: String =
+    """WITH d AS (SELECT len(string_split(text, ' '))::BIGINT AS n_tok FROM documents)
+      |SELECT length(bin(n_tok))::BIGINT AS bucket, count(*) AS n_docs,
+      |  sum(n_tok)::BIGINT AS n_tokens,
+      |  min(n_tok)::BIGINT AS min_tok, max(n_tok)::BIGINT AS max_tok
+      |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---- corpus snapshot diff --------------------------------------------
+  /** Corpus versioning: what changed between two snapshot releases —
+    * added / removed / changed / same doc counts, detected by content
+    * hash, never by comparing bodies. Snapshots here are deterministic
+    * views of the one test table (v1 = doc_id%10 < 8; v2 = doc_id%10 ≥ 2,
+    * with the %10 == 3 docs edited by an appended marker) so every status
+    * branch is exercised and the oracle replays the same views; real use
+    * passes two real corpus directories through [[corpusDiffFrames]].
+    *
+    * Shape at scale: ONE full-outer equi-join on doc_id (the scaling
+    * key), md5 computed map-side per input row, counts map-side
+    * combined. No sort, no window, no body shuffle beyond the join of
+    * 16-byte hashes. */
+  def corpusDiffFrames(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), md5(col("text")).as("h1"))
+    val b = v2.select(col("doc_id"), md5(col("text")).as("h2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") === col("h2"), "same")
+          .otherwise("changed"))
+      .groupBy("status").agg(count(lit(1)).as("n_docs"))
+      .orderBy("status")
+  }
+
+  def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val v1 = d.where(col("doc_id") % 10 < 8).select(col("doc_id"), col("text"))
+    val v2 = d.where(col("doc_id") % 10 >= 2)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 3, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    corpusDiffFrames(v1, v2)
+  }
+
+  val corpusDiffSql: String =
+    """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 10 < 8),
+      |v2 AS (SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 10 = 3 THEN text || ' v2' ELSE text END) AS h2
+      |  FROM documents WHERE doc_id % 10 >= 2),
+      |j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, h1, h2
+      |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+      |SELECT CASE WHEN h1 IS NULL THEN 'added'
+      |            WHEN h2 IS NULL THEN 'removed'
+      |            WHEN h1 = h2 THEN 'same' ELSE 'changed' END AS status,
+      |  count(*) AS n_docs
+      |FROM j GROUP BY 1 ORDER BY status""".stripMargin
+
   // ---- composed dataset-assembly pipeline ------------------------------
   /** The assembly twin of `q_curate_e2e` — the WHOLE path from curated
     * corpus to training stream as one declarative frame:
@@ -396,6 +470,8 @@ object CorpusOps {
     "q_shuffle_shard" -> shuffleShard _,
     "q_quality_unigram" -> qualityUnigram _,
     "q_dedup_paragraph" -> dedupParagraph _,
+    "q_token_histogram" -> tokenHistogram _,
+    "q_corpus_diff" -> corpusDiff _,
     "q_assemble_e2e" -> assembleE2e _)
 
   val oracle: Map[String, String] = Map(
@@ -405,5 +481,7 @@ object CorpusOps {
     "q_shuffle_shard" -> shuffleShardSql,
     "q_quality_unigram" -> qualityUnigramSql,
     "q_dedup_paragraph" -> dedupParagraphSql,
+    "q_token_histogram" -> tokenHistogramSql,
+    "q_corpus_diff" -> corpusDiffSql,
     "q_assemble_e2e" -> assembleE2eSql)
 }

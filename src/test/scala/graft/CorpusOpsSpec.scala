@@ -123,6 +123,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(2L)._3 > got(1L)._3, "rare-token doc has higher mean rarity")
   }
 
+  test("q_token_histogram: bit-length buckets hand-checked") {
+    // token counts 1,2,3,4,8 → bit-length buckets 1,2,2,3,4
+    val dir = writeDocs(Seq(
+      (1L, "a", "en", "src"),
+      (2L, "a b", "en", "src"),
+      (3L, "a b c", "en", "src"),
+      (4L, "a b c d", "en", "src"),
+      (5L, "a b c d e f g h", "en", "src")))
+    val got = operators.CorpusOps.tokenHistogram(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(got.toSeq === Seq(
+      1L -> ((1L, 1L, 1L, 1L)),
+      2L -> ((2L, 5L, 2L, 3L)),
+      3L -> ((1L, 4L, 4L, 4L)),
+      4L -> ((1L, 8L, 8L, 8L))))
+  }
+
+  test("q_corpus_diff: every status branch exercised on the declared snapshot views") {
+    // ids 0..9: v1 = 0-7, v2 = 2-9 with id 3 edited
+    val dir = writeDocs((0L to 9L).map(i => (i, s"t$i body", "en", "src")))
+    val got = operators.CorpusOps.corpusDiff(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("added" -> 2L, "removed" -> 2L, "changed" -> 1L, "same" -> 5L))
+  }
+
   test("q_dedup_paragraph: keep-first block survivorship across and within docs") {
     val A = (0 until 32).map(i => s"a$i").mkString(" ")
     val B = (0 until 32).map(i => s"b$i").mkString(" ")
