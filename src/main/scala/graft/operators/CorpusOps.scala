@@ -97,8 +97,10 @@ object CorpusOps {
       .where(coin(col("doc_id")) % 10000 < col("thr"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tok_kept"))
+    // both sides are catalog-sized (one row per source) — broadcast the
+    // kept stats so the stitch never plans a sort-merge exchange pair
     rates.select("source", "n_docs", "n_tokens", "thr")
-      .join(kept, Seq("source"), "left")
+      .join(broadcast(kept), Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("n_tokens"), col("thr"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("tok_kept"), lit(0L)).as("tok_kept"))
