@@ -195,6 +195,61 @@ object Multimodal {
       m.copy(meta = m.meta.copy(width = w, height = h)) else m)
   }
 
+  case class FrameRef(media_id: Long, frame_idx: Long, byte_off: Long, n_bytes: Long)
+
+  /** video frame sampling as byte-range indexing — the shape a 100 TB
+    * video-curation pass needs: emit POINTERS (offset, length) into the
+    * binary column for every k-th frame, so the expensive decode runs
+    * only on sampled ranges and the full payload never leaves its
+    * partition (no shuffle of media bytes; the output rows are 32 bytes
+    * each whatever the video size).
+    *
+    * ??? STUB ??? — a real implementation walks the MP4 sample tables
+    * (moov/stbl: stsz sizes + stco chunk offsets) to index frames; the
+    * 12-byte ftyp synth header has no sample table, so the fake assumes
+    * uniform stride payload/n_frames with n_frames from carried metadata.
+    * Partition-local batched kernel like [[extractFeatures]]. */
+  def frameRefs(media: Dataset[MediaRow], every: Int = FrameEvery,
+      batchSize: Int = 64): Dataset[FrameRef] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          val header = 12L // ftyp box — the only container structure present
+          val payload = m.content.length - header
+          val nf = m.meta.n_frames
+          val stride = if (nf > 0) payload / nf else 0L
+          (0 until nf by every).iterator
+            .map(i => FrameRef(m.media_id, i.toLong, header + i * stride, stride))
+        }
+      }
+    }
+  }
+
+  val FrameEvery = 8
+
+  /** declared query: the sampled-frame byte-range index over the
+    * synthesized corpus — one row per kept frame, pinned arithmetically
+    * by the oracle (n_frames, stride, offsets are pure functions of
+    * doc_id and text length, so a kernel or synthesis drift breaks the
+    * hash) */
+  def mediaFrames(s: SparkSession, dir: String): DataFrame =
+    frameRefs(synthesizeMedia(s, dir)).toDF()
+      .orderBy("media_id", "frame_idx")
+
+  val mediaFramesSql: String =
+    s"""WITH v AS (SELECT doc_id AS media_id, 24 + (doc_id % 100) AS nf,
+       |    strlen(text)::BIGINT AS payload
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |f AS (SELECT media_id, i::BIGINT AS frame_idx,
+       |    (12 + i * (payload // nf))::BIGINT AS byte_off,
+       |    (payload // nf)::BIGINT AS n_bytes
+       |  FROM v JOIN generate_series(0, 200) g(i)
+       |    ON i < nf AND i % $FrameEvery = 0)
+       |SELECT media_id, frame_idx, byte_off, n_bytes FROM f
+       |ORDER BY media_id, frame_idx""".stripMargin
+
   /** declared query: per-(kind, mime) stats over the PROBED container
     * metadata — every output value flows through probeMedia's byte-level
     * header parsing, so a probe or synthesis regression breaks the hash.
@@ -236,7 +291,11 @@ object Multimodal {
       |FROM documents
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  val queries: Map[String, Q] = Map("q_media_features" -> mediaFeatures _)
+  val queries: Map[String, Q] = Map(
+    "q_media_features" -> mediaFeatures _,
+    "q_media_frames" -> mediaFrames _)
 
-  val oracle: Map[String, String] = Map("q_media_features" -> mediaFeaturesSql)
+  val oracle: Map[String, String] = Map(
+    "q_media_features" -> mediaFeaturesSql,
+    "q_media_frames" -> mediaFramesSql)
 }

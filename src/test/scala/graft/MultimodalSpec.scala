@@ -84,4 +84,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(p.contains("Exchange"))
     assert(!p.contains("content"), "binary payload leaked into the shuffle")
   }
+
+  test("frameRefs: every-kth byte-range pointers match the uniform-stride model, videos only") {
+    import spark.implicits._
+    val media = functions.Multimodal.synthesizeMedia(spark, TestSpark.sfDir)
+    val refs = functions.Multimodal.frameRefs(media).collect()
+      .groupBy(_.media_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    val videos = media.collect().filter(_.kind == "video")
+    assert(videos.nonEmpty && refs.keySet === videos.map(_.media_id).toSet,
+      "exactly the video rows produce frame refs")
+    videos.foreach { m =>
+      val nf = m.meta.n_frames
+      val stride = (m.content.length - 12L) / nf
+      val expect = (0 until nf by functions.Multimodal.FrameEvery)
+        .map(i => (i.toLong, 12L + i * stride, stride))
+      val got = refs(m.media_id).map(r => (r.frame_idx, r.byte_off, r.n_bytes)).toSeq
+      assert(got === expect, s"media ${m.media_id}")
+    }
+  }
 }
