@@ -29,8 +29,9 @@ object CorpusOps {
 
   /** the portable md5 coin shared with q_sample_hash / q_sample_stratified:
     * first 8 hex chars of md5(doc_id) as a BIGINT — replayable in any
-    * engine, uniform, independent of partitioning */
-  private def coin(c: Column): Column =
+    * engine, uniform, independent of partitioning. Public so the
+    * streaming gates stamp the IDENTICAL decisions. */
+  def coin(c: Column): Column =
     conv(substring(md5(c.cast(StringType)), 1, 8), 16, 10).cast(LongType)
 
   // ---- deterministic train/val/test split ------------------------------
@@ -83,16 +84,26 @@ object CorpusOps {
     * read once and never shuffled. */
   val TempScale = 0.25
 
-  def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+  /** the per-source keep-thresholds (source, n_docs, n_tokens, thr) as a
+    * catalog-sized frame — factored out so the streaming gate
+    * ([[graft.streaming.Pipeline.streamTemperatureGate]]) cuts arriving
+    * docs against the IDENTICAL batch-derived rates */
+  def temperatureRates(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), size(toks).cast(LongType).as("n_tok"))
     val per = d.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
     val tot = d.agg(count(lit(1)).cast(DoubleType).as("tot"))
-    val rates = per.crossJoin(broadcast(tot))
+    per.crossJoin(broadcast(tot))
       .withColumn("thr",
         floor(least(lit(1.0d), lit(TempScale) * sqrt(col("tot") / col("n_docs")))
           * 10000d).cast(LongType))
+  }
+
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), size(toks).cast(LongType).as("n_tok"))
+    val rates = temperatureRates(s, dir)
     val kept = d.join(broadcast(rates.select("source", "thr")), "source")
       .where(coin(col("doc_id")) % 10000 < col("thr"))
       .groupBy("source")
@@ -271,7 +282,11 @@ object CorpusOps {
     * doc_id groupBy. Every shuffle keys on block hash or doc_id. */
   val ParaBlock = 32
 
-  def dedupParagraph(s: SparkSession, dir: String): DataFrame = {
+  /** pipeline form: the REWRITTEN corpus — per doc the surviving blocks
+    * re-concatenated in order (docs that empty out keep a row with
+    * kept_text = ""); the declared query pins this frame by md5 without
+    * shuffling bodies into the result */
+  def dedupParagraphCorpus(s: SparkSession, dir: String): DataFrame = {
     val tokd = t(s, dir, "documents").select(col("doc_id"), toks.as("tk"))
     val blocks = tokd.select(col("doc_id"), posexplode(expr(
       s"transform(sequence(0, (size(tk) - 1) div $ParaBlock), " +
@@ -284,18 +299,23 @@ object CorpusOps {
       .where(col("doc_id") === col("first.doc_id") && col("bidx") === col("first.bidx"))
     val rebuilt = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),
-      md5(array_join(
+      array_join(
         expr("transform(array_sort(collect_list(struct(bidx, btext))), x -> x.btext)"),
-        " ")).as("kept_md5"))
+        " ").as("kept_text"))
     tokd
       .select(col("doc_id"),
         expr(s"(size(tk) - 1) div $ParaBlock + 1").cast(LongType).as("n_blocks"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_blocks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5"))
-      .orderBy("doc_id")
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
+
+  def dedupParagraph(s: SparkSession, dir: String): DataFrame =
+    dedupParagraphCorpus(s, dir)
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        md5(col("kept_text")).as("kept_md5"))
+      .orderBy("doc_id")
 
   val dedupParagraphSql: String =
     s"""WITH tokd AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

@@ -434,6 +434,31 @@ object Pipeline {
       }
       .start()
 
+  /** Streaming temperature-sampling gate — the serving half of
+    * `q_sample_temperature`: per-source keep-thresholds derive batch-side
+    * from the corpus (the α = ½ flattening rule, catalog-sized frame);
+    * arriving docs keep/drop via the IDENTICAL md5 coin against the
+    * broadcast thresholds — the same doc survives whether it arrives in
+    * a backfill or live. Stateless map-side decision, no watermark, no
+    * state store. Like [[streamQualityGate]], the static rates frame is
+    * persisted by default (it is re-planned every micro-batch; without
+    * the cache a 2 s trigger re-aggregates the corpus per batch for an
+    * unchanged catalog-sized table); pass `liveRates = true` to recompute
+    * per batch so a corpus rewrite retunes the mix without a restart.
+    * Input needs (doc_id, source). */
+  def streamTemperatureGate(docs: DataFrame, corpusDir: String,
+      liveRates: Boolean = false): DataFrame = {
+    val ratesRaw = graft.operators.CorpusOps
+      .temperatureRates(docs.sparkSession, corpusDir)
+      .select(col("source"), col("thr"))
+    val rates = if (liveRates) ratesRaw
+      else ratesRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    docs
+      .join(broadcast(rates), "source")
+      .where(graft.operators.CorpusOps.coin(col("doc_id")) % 10000 < col("thr"))
+      .select("doc_id", "source")
+  }
+
   /** Streaming quality gate — the serving half of `q_quality_filter`.
     * Arriving documents are scored with the IDENTICAL `qualityOf`
     * expression the batch corpus was scored with, then cut against the

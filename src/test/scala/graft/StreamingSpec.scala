@@ -361,6 +361,53 @@ class StreamingSpec extends AnyFunSuite {
       "gate should keep a strict, non-empty subset")
   }
 
+  test("streamTemperatureGate ≡ q_sample_temperature: batch-derived rates cut the stream doc-by-doc") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // skewed synthetic corpus: on the uniform sf fixtures every source sits
+    // at tot/n = 20 sources < the 1/TempScale² = 16 saturation point, so
+    // thr = 10000 (keep-all) and the cut path never runs. 360/40 skew gives
+    // thrA ≈ 2635, thrB ≈ 7905 — both sources genuinely sampled.
+    val dir = Files.createTempDirectory("graft_tgate").toString
+    ((1L to 360L).map(i => (i, s"tok$i word", "en", "srcA")) ++
+      (361L to 400L).map(i => (i, s"tok$i word", "en", "srcB")))
+      .map { case (id, tx, lang, src) => (id, tx, lang, src, tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").as[(Long, String)].collect().toSeq
+    val (firstHalf, secondHalf) = docs.splitAt(docs.size / 2)
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(firstHalf)
+    ms.addData(secondHalf)
+    val gated = Pipeline.streamTemperatureGate(ms.toDF().toDF("doc_id", "source"), dir)
+    val q = gated.writeStream.format("memory").queryName("tgate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("tgate")
+      .collect().map(_.getLong(0)).toSet
+    // the batch twin of the kept SET: replay rates + coin on the same table
+    val rates = graft.operators.CorpusOps.temperatureRates(spark, dir)
+      .select("source", "thr")
+    val batchKept = spark.read.parquet(s"$dir/documents.parquet")
+      .join(rates, "source")
+      .where(graft.operators.CorpusOps.coin(col("doc_id")) % 10000 < col("thr"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed === batchKept, "stream keep-set diverged from the batch rule")
+    assert(streamed.nonEmpty && streamed.size < docs.size,
+      "gate should keep a strict, non-empty subset")
+    // and the per-source survivor counts match the declared query's n_kept
+    val bySource = spark.table("tgate").groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val declared = graft.operators.CorpusOps.sampleTemperature(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).filter(_._2 > 0).toMap
+    assert(bySource === declared, "per-source survivor counts diverged")
+    // flattening direction: the head source is cut harder than the tail
+    assert(bySource("srcA") < 360L, "head source should be sampled down")
+    assert(bySource("srcA").toDouble / 360 < bySource.getOrElse("srcB", 0L).toDouble / 40,
+      "tail source should keep a larger fraction")
+  }
+
   test("trigger batching: AvailableNow with maxFilesPerTrigger bounds batches (rate-limit analog)") {
     import spark.implicits._
     // file-source twin of the bounded-channel admission control: write the
