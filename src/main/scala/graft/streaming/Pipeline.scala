@@ -487,6 +487,48 @@ object Pipeline {
       .select(col("doc_id"), col("quality"))
   }
 
+  /** The COMPOSED live-curation gate — the streaming serving twin of
+    * `q_curate_e2e`: each micro-batch of arriving documents
+    * (doc_id, text, lang, source) runs the full curation chain
+    *
+    *   near-dup drop vs the persisted corpus gram index
+    *   → PII scrub → quality cut at the curated corpus's p25
+    *   → temperature keep-coin at the corpus's per-source rates
+    *
+    * via [[graft.operators.Curate.curateBatch]] — the SAME function a
+    * batch backfill calls, so a doc's verdict is identical whether it
+    * arrives live or in bulk. The statistics frames (1-row quality
+    * threshold, catalog-sized temperature rates) derive once here and
+    * persist across micro-batches; per-trigger work is the arriving
+    * slice only (index probe equi-join + stateless projections + two
+    * broadcasts). foreachBatch like [[streamDedupIncremental]]: the
+    * probe aggregation is per-batch stateless, so streaming-aggregation
+    * state would be pure overhead. Exactly-once: each batch overwrites
+    * its own `batch_id=N` partition on replay. */
+  def streamCurateGate(docs: DataFrame, corpusDir: String, indexPath: String,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery = {
+    val s = docs.sparkSession
+    val qThr = graft.operators.Curate.curateThresholdFrame(s, corpusDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val rates = graft.operators.CorpusOps.temperatureRates(s, corpusDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    docs.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Curate
+          .curateBatch(batch.sparkSession, batch, indexPath, qThr, rates)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .start()
+  }
+
   /** LIVE semantic dedup — the embedding-side twin of
     * [[streamDedupIncremental]]: each micro-batch of (vec_id, embedding)
     * rows probes the persisted corpus semantic index

@@ -408,6 +408,50 @@ class StreamingSpec extends AnyFunSuite {
       "tail source should keep a larger fraction")
   }
 
+  test("streamCurateGate: the composed live-curation chain ≡ its batch backfill, exactly-once sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = TestSpark.sfDir
+    val indexPath = graft.operators.Dedup.ensureGramIndex(spark, dir)
+    // same arriving mix as CurateSpec: refused corpus copies + admissible
+    // fresh docs, split across two micro-batches
+    val copies = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 10 =!= 7).limit(5)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+        col("lang"), col("source"))
+      .as[(Long, String, String, String)].collect().toSeq
+    val fresh = (0 until 10).map { i =>
+      (200000L + i,
+        (0 until 60).map(j => f"zq${i}%02dw${j}%02dab").mkString(" "),
+        "en", s"src$i")
+    }
+    val ms = MemoryStream[(Long, String, String, String)]
+    ms.addData(copies ++ fresh.take(5))
+    ms.addData(fresh.drop(5))
+    val out = Files.createTempDirectory("graft_curate_out").toString
+    val ckpt = Files.createTempDirectory("graft_curate_ckpt").toString
+    val q = Pipeline.streamCurateGate(
+      ms.toDF().toDF("doc_id", "text", "lang", "source"),
+      dir, indexPath, out, ckpt, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "lang", "source", "text", "n_tok", "quality")
+      .collect().map(_.toSeq).toSet
+    // batch backfill of the identical arriving frame through the SAME core
+    val arriving = (copies ++ fresh).toDF("doc_id", "text", "lang", "source")
+    val batch = graft.operators.Curate.curateBatch(spark, arriving, dir, indexPath)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch, "live verdicts diverged from the batch backfill")
+    assert(streamed.map(_.head.asInstanceOf[Long]).forall(_ >= 200000L),
+      "a corpus near-dup copy passed the live gate")
+    assert(streamed.size === 10, "every high-quality fresh doc should be admitted")
+    // the sink is partitioned by batch_id (AvailableNow may coalesce the
+    // two adds into one batch; the per-batch_id replay contract itself is
+    // pinned by the streamDedupIncremental/streamSplitRoute specs)
+    assert(spark.read.parquet(out).select("batch_id").distinct().count() >= 1L)
+  }
+
   test("trigger batching: AvailableNow with maxFilesPerTrigger bounds batches (rate-limit analog)") {
     import spark.implicits._
     // file-source twin of the bounded-channel admission control: write the
