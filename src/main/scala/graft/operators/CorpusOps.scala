@@ -484,8 +484,56 @@ object CorpusOps {
        |  sum(doc_id * pos)::BIGINT AS order_sum
        |FROM pos GROUP BY 1 ORDER BY shard""".stripMargin
 
+  // ---- fixed-window chunking with overlap ------------------------------
+  /** chunk geometry: windows of [[ChunkTokens]] tokens advancing by
+    * [[ChunkStride]] (overlap = 16 tokens), the RAG/pretraining-context
+    * chunker. A doc of n tokens emits 1 + ⌈(n−C)/S⌉ chunks (one when
+    * n ≤ C); the final window is short rather than padded. */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** Sliding-window document chunking — the step between a curated
+    * corpus and an indexed / packed one: every doc becomes overlapping
+    * token windows keyed (doc_id, chunk_id), each carrying its exact
+    * token span so downstream embedding or packing never re-tokenizes.
+    *
+    * Scale shape: pure per-row projection + explode — ZERO shuffles at
+    * any corpus size (the ORDER BY is the declared-output convention,
+    * not part of the operator). Chunk count, spans, and text slices are
+    * all exact integer arithmetic on the token array, replayed
+    * verbatim by the oracle. */
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    val c = ChunkTokens; val st = ChunkStride
+    t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("tk"))
+      .withColumn("n", size(col("tk")))
+      .withColumn("n_chunks",
+        when(col("n") <= c, lit(1))
+          .otherwise(lit(1) + expr(s"(n - $c + ${st - 1}) div $st")).cast(IntegerType))
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
+        (col("chunk_id") * st).cast(LongType).as("tok_start"),
+        least(lit(c), col("n") - col("chunk_id") * st).cast(LongType).as("n_tokens"),
+        array_join(slice(col("tk"), col("chunk_id") * st + 1, lit(c)), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val chunkOverlapSql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |cnt AS (SELECT doc_id, tk, len(tk) AS n,
+       |  CASE WHEN len(tk) <= $ChunkTokens THEN 1
+       |       ELSE 1 + (len(tk) - $ChunkTokens + ${ChunkStride - 1}) // $ChunkStride
+       |  END AS n_chunks FROM toks)
+       |SELECT doc_id, i AS chunk_id, (i * $ChunkStride)::BIGINT AS tok_start,
+       |  least($ChunkTokens, n - i * $ChunkStride)::BIGINT AS n_tokens,
+       |  array_to_string(tk[i * $ChunkStride + 1 : i * $ChunkStride + $ChunkTokens], ' ') AS chunk_text
+       |FROM cnt JOIN generate_series(0, 1000000) g(i) ON i < n_chunks
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   // ---- registration ----------------------------------------------------
   val queries: Map[String, Q] = Map(
+    "q_chunk_overlap" -> chunkOverlap _,
     "q_split_assign" -> splitAssign _,
     "q_sample_temperature" -> sampleTemperature _,
     "q_vocab_coverage" -> vocabCoverage _,
@@ -497,6 +545,7 @@ object CorpusOps {
     "q_assemble_e2e" -> assembleE2e _)
 
   val oracle: Map[String, String] = Map(
+    "q_chunk_overlap" -> chunkOverlapSql,
     "q_split_assign" -> splitAssignSql,
     "q_sample_temperature" -> sampleTemperatureSql,
     "q_vocab_coverage" -> vocabCoverageSql,

@@ -486,6 +486,103 @@ object Dedup {
        |SELECT n_members, count(*) AS n_clusters FROM csizes
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Quality-aware keeper selection — the production variant of
+    * [[dedupApply]]: instead of keeping each duplicate cluster's min
+    * doc_id (an arbitrary-but-deterministic policy), keep its
+    * HIGHEST-QUALITY member (ties → min doc_id), the policy real
+    * curation pipelines use so dedup never discards the best copy of a
+    * boilerplate family. Same output contract as `q_dedup_apply`
+    * (surviving doc_id/lang/source), so the two keeper policies diff
+    * directly.
+    *
+    * Scale shape: cluster members are a small fraction of the corpus;
+    * scoring joins them to `documents` on doc_id (scaling key), keeper
+    * election is ONE map-side-combined `max_by` groupBy on cluster_id —
+    * no window, no sort — carrying a (quality, -doc_id) struct so the
+    * tie-break is total and engine-independent (quality is 4-dp rounded
+    * on both sides). Rides the memoized propagation labels like the
+    * rest of the cluster family. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val members = clusterLabels(s, dir)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("cluster_id"),
+        TextAnalysis.qualityCol(col("text"), split(col("text"), " ")).as("quality"))
+    val keepers = members.groupBy("cluster_id")
+      .agg(max_by(col("doc_id"),
+        struct(col("quality"), (-col("doc_id")).as("nid"))).as("keeper"))
+    val drops = members.join(keepers, "cluster_id")
+      .where(col("doc_id") =!= col("keeper"))
+      .select("doc_id")
+    docs.join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val dedupKeepBestSql =
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |edges AS (SELECT d1, d2 FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+       |reach(v, l) AS (
+       |  SELECT DISTINCT d1, d1 FROM edges
+       |  UNION
+       |  SELECT e.d1, r.l FROM edges e JOIN reach r ON r.v = e.d2),
+       |clusters AS (SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY 1),
+       |scored AS (SELECT c.doc_id, c.cluster_id,
+       |  CAST(floor((
+       |    least(1.0::DOUBLE, len(tk)::DOUBLE / 50.0::DOUBLE) * 0.4::DOUBLE
+       |    + (len(list_distinct(tk))::DOUBLE / len(tk)) * 0.3::DOUBLE
+       |    + least(1.0::DOUBLE, ((length(text) - (len(tk) - 1))::DOUBLE / len(tk)) / 8.0::DOUBLE) * 0.3::DOUBLE
+       |    ) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS quality
+       |  FROM clusters c JOIN (
+       |    SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents) d
+       |  ON c.doc_id = d.doc_id),
+       |ranked AS (SELECT doc_id, row_number() OVER (
+       |    PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn
+       |  FROM scored),
+       |bdrops AS (SELECT doc_id FROM ranked WHERE rn > 1)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM bdrops) ORDER BY doc_id""".stripMargin
+
+  /** Cross-source duplication matrix — the corpus-observability view of
+    * the near-dup graph: how many near-dup pairs land within vs across
+    * sources, and how strong they are. The standard question before
+    * mixing crawls ("is source B just a mirror of source A?") answered
+    * from the SAME pair list the dedup pipeline already computes, so the
+    * matrix is consistent with what dedup will actually drop.
+    *
+    * Scale shape: pairs are a small fraction of the corpus (bounded by
+    * the LSH/stop-gram caps upstream); the two source lookups are
+    * equi-joins on doc_id (the scaling key), and the matrix aggregate is
+    * map-side-combined down to |sources|² rows. The unordered pair key
+    * (least, greatest) halves the matrix deterministically. avg strength
+    * sums 4-dp-rounded jaccards as exact decimals (d4) — partition-order
+    * independent, like every money aggregate here. */
+  def dedupCrossSource(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    dedupNgramJaccard(s, dir)
+      .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+      .select(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"), col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        r4f(sum(d4(col("jaccard"))).cast(DoubleType) / count(lit(1))).as("avg_jaccard"),
+        r4(max(col("jaccard"))).as("max_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val dedupCrossSourceSql =
+    s"""WITH $jaccardPairsCte,
+       |lab AS (SELECT least(a.source, b.source) AS source_a,
+       |               greatest(a.source, b.source) AS source_b, jaccard
+       |        FROM pairs JOIN documents a ON pairs.d1 = a.doc_id
+       |                   JOIN documents b ON pairs.d2 = b.doc_id)
+       |SELECT source_a, source_b, count(*) AS n_pairs,
+       |  floor(CAST(sum(jaccard::DECIMAL(18,4)) AS DOUBLE) / count(*)
+       |        * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS avg_jaccard,
+       |  CAST(round(max(jaccard), 4) AS DOUBLE) AS max_jaccard
+       |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- train/eval decontamination -------------------------------------
   /** benchmark-contamination check, the standard pretraining hygiene op:
     * for every EVAL doc (deterministic 1% slice, doc_id % 97 = 0), the
@@ -876,7 +973,9 @@ object Dedup {
     "q_decontaminate" -> decontaminate _,
     "q_decontaminate_bloom" -> decontaminateBloom _,
     "q_dedup_incremental" -> dedupIncremental _,
-    "q_dedup_cluster_sizes" -> dedupClusterSizes _)
+    "q_dedup_cluster_sizes" -> dedupClusterSizes _,
+    "q_dedup_keep_best" -> dedupKeepBest _,
+    "q_dedup_cross_source" -> dedupCrossSource _)
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
@@ -887,5 +986,7 @@ object Dedup {
     "q_dedup_simhash_chunks" -> dedupSimhashChunksSql,
     "q_decontaminate" -> decontaminateSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
-    "q_dedup_cluster_sizes" -> dedupClusterSizesSql)
+    "q_dedup_cluster_sizes" -> dedupClusterSizesSql,
+    "q_dedup_keep_best" -> dedupKeepBestSql,
+    "q_dedup_cross_source" -> dedupCrossSourceSql)
 }

@@ -450,7 +450,37 @@ object Relational {
       |ON (CASE WHEN l_partkey % 3 = 0 THEN 7 ELSE l_partkey % 25 END) = n_nationkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** wide→long reshape (UNPIVOT / melt): the four lineitem measures
+    * become (measure, value) rows, profiled per measure. Spark's native
+    * `unpivot` plans an Expand projection — the 4× row fan-out is pure
+    * map-side work, so the only shuffle is the final 4-group aggregate
+    * (map-side-combined down to 4 rows per task at any input size). */
+  def unpivotMeasures(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n_rows"),
+        r4(sum(d2(col("value")))).as("sum_value"),
+        r4(min(col("value"))).as("min_value"),
+        r4(max(col("value"))).as("max_value"))
+      .orderBy("measure")
+
+  val unpivotMeasuresSql =
+    """SELECT measure, count(*) AS n_rows,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 4) AS DOUBLE) AS sum_value,
+      |  CAST(round(min(value), 4) AS DOUBLE) AS min_value,
+      |  CAST(round(max(value), 4) AS DOUBLE) AS max_value
+      |FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |               l_discount, l_tax FROM lineitem)
+      |      ON l_quantity, l_extendedprice, l_discount, l_tax
+      |      INTO NAME measure VALUE value)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_unpivot" -> unpivotMeasures _,
     "q_scalar_subquery" -> scalarSubquery _,
     "q_scan_parquet" -> scanParquet _,
     "q_scan_pruned" -> scanPruned _,
@@ -480,6 +510,7 @@ object Relational {
     "q_intersect_all" -> intersectAllQ _)
 
   val oracle: Map[String, String] = Map(
+    "q_unpivot" -> unpivotMeasuresSql,
     "q_scalar_subquery" -> scalarSubquerySql,
     "q_scan_parquet" -> scanParquetSql,
     "q_scan_pruned" -> scanPrunedSql,

@@ -379,6 +379,82 @@ object Similarity {
        |  floor(CAST(sum(ac::DECIMAL(18,4)) AS DOUBLE) / count(*) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS cohesion
        |FROM assigned GROUP BY cid ORDER BY cid""".stripMargin
 
+  /** outlier cut in z units: a vector whose best-centroid cosine sits
+    * ≥ this many σ below its cluster's mean is flagged. Sized to the
+    * corpus like [[SemDedupTau]]: real corpora use 2-3σ, but the
+    * synthetic embeddings are near-i.i.d. Gaussian (min observed z at
+    * sf0.01 is -1.49 — no true outliers exist), so 1.25 exercises both
+    * verdicts; a deployment retunes this ONE constant. */
+  val OutlierZ = 1.25
+
+  /** Embedding-space outlier detection — the corpus-hygiene twin of
+    * [[embedClusterStats]]: corrupt or off-distribution vectors (bad
+    * decode, wrong modality, garbage text) show up as points far from
+    * EVERY centroid, i.e. a best-centroid cosine well below their own
+    * cluster's norm. Flags every vector whose assignment cosine is
+    * ≥ [[OutlierZ]] σ below its cluster mean — the per-cluster z-score
+    * form, so dense and sparse clusters each get their own scale.
+    *
+    * Scale shape: same map-side `IvfAssign` + broadcast codebook as the
+    * whole IVF family; the per-cluster moments are ONE map-side-combined
+    * groupBy to K rows, broadcast back — no window, no second pass over
+    * vectors. Moments sum the r4f-rounded cosines as exact decimals (ac
+    * is 4-dp, ac² is 8-dp), so mean/σ are partition-order-independent
+    * and bit-identical cross-engine; z is then pure IEEE double
+    * arithmetic on identical inputs. */
+  def embedOutliers(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = t(s, dir, "embeddings")
+    val book = trainedCodebook(s, dir)
+    val bookArr = book.agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
+    val assigned = e.crossJoin(broadcast(bookArr))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorExpressions.ivfAssign(col("embedding"), col("cents")).as("cid"))
+      .join(broadcast(book), Seq("cid"))
+      .select(col("vec_id"), col("cid"), r4f(cosine(s, "embedding", "ce")).as("ac"))
+    val stats = assigned.groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        sum(d4(col("ac"))).cast(DoubleType).as("sac"),
+        sum(d4(col("ac")) * d4(col("ac"))).cast(DoubleType).as("sac2"))
+      .select(col("cid"), (col("sac") / col("n")).as("mu"),
+        sqrt((col("sac2") - col("sac") * col("sac") / col("n")) / col("n")).as("sigma"))
+    assigned.join(broadcast(stats.where(col("sigma") > 0)), Seq("cid"))
+      .select(col("vec_id"), col("cid"), col("ac"),
+        r4f((col("ac") - col("mu")) / col("sigma")).as("z"))
+      .where(col("z") <= -OutlierZ)
+      .orderBy("z", "vec_id")
+  }
+
+  val embedOutliersSql: String =
+    s"""WITH ${lloydCentsSql()},
+       |ac AS (
+       |  SELECT e.vec_id, c.cid,
+       |    floor(sum(e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)
+       |      / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+       |         * sqrt(sum(c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))
+       |      * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS ac
+       |  FROM embeddings e, cents c, generate_series(1, 64) g(i)
+       |  GROUP BY e.vec_id, c.cid),
+       |assigned AS (
+       |  SELECT vec_id, cid, ac FROM (
+       |    SELECT vec_id, cid, ac,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY ac DESC, cid ASC) AS rn
+       |    FROM ac) x
+       |  WHERE rn = 1),
+       |moments AS (
+       |  SELECT cid, count(*) AS n,
+       |    CAST(sum(ac::DECIMAL(18,4)) AS DOUBLE) AS sac,
+       |    CAST(sum(ac::DECIMAL(18,4) * ac::DECIMAL(18,4)) AS DOUBLE) AS sac2
+       |  FROM assigned GROUP BY 1),
+       |st AS (SELECT cid, sac / n AS mu,
+       |    sqrt((sac2 - sac * sac / n) / n) AS sigma FROM moments),
+       |zs AS (
+       |  SELECT a.vec_id, a.cid, a.ac,
+       |    floor((a.ac - mu) / sigma * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS z
+       |  FROM assigned a JOIN st USING (cid) WHERE sigma > 0)
+       |SELECT vec_id, cid, ac, z FROM zs WHERE z <= -$OutlierZ
+       |ORDER BY z, vec_id""".stripMargin
+
   // ---- semantic dedup (SemDeDup) --------------------------------------
   /** cosine threshold above which a vector counts as a semantic duplicate
     * of an earlier same-cluster vector. Sized to the corpus like
@@ -1059,7 +1135,8 @@ object Similarity {
     "q_dedup_semantic" -> dedupSemantic _,
     "q_dedup_semantic_apply" -> dedupSemanticApply _,
     "q_dedup_semantic_incremental" -> dedupSemanticIncremental _,
-    "q_embed_cluster_stats" -> embedClusterStats _)
+    "q_embed_cluster_stats" -> embedClusterStats _,
+    "q_embed_outliers" -> embedOutliers _)
 
   val oracle: Map[String, String] = Map(
     "q_sim_cosine" -> simCosineSql,
@@ -1069,5 +1146,6 @@ object Similarity {
     "q_dedup_semantic" -> dedupSemanticSql,
     "q_dedup_semantic_apply" -> dedupSemanticApplySql,
     "q_dedup_semantic_incremental" -> dedupSemanticIncrementalSql,
-    "q_embed_cluster_stats" -> embedClusterStatsSql)
+    "q_embed_cluster_stats" -> embedClusterStatsSql,
+    "q_embed_outliers" -> embedOutliersSql)
 }

@@ -524,31 +524,31 @@ object TextAnalysis {
       .where(col("n_docs") >= ScrubSpanDf)
       .select("gh")
     // no distinct on covered positions: overlapping spans duplicate (doc,
-    // p) rows, but a left_anti join excludes on EXISTENCE — duplicates
-    // change nothing semantically, and dropping the distinct saves a
-    // full shuffle+aggregate over ~5× the span count
+    // p) rows, but collect_set collapses them — dropping the distinct
+    // saves a full shuffle+aggregate over ~5× the span count
     val covered = spans.join(common, "gh")
       .select(col("doc_id"), explode(expr("sequence(pos, pos + 4)")).as("p"))
-    // Only TOUCHED docs (≥1 covered position — 71/500 at sf0.01, a small
-    // fraction of any real corpus) pay the explode→anti-join→reassemble
-    // path; untouched docs emit scrubbed = their own tokens rejoined as a
-    // per-row projection with no shuffle at all. Identical output either
-    // way — the split is purely a work-avoidance shape.
-    val touched = covered.select("doc_id").distinct()
-    val tokdT = tokd.join(touched, Seq("doc_id"), "left_semi")
-    val tokens = tokdT.select(col("doc_id"), posexplode(col("tk")).as(Seq("p", "tok")))
-    val kept = tokens.join(covered, Seq("doc_id", "p"), "left_anti")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"), " ")
-          .as("scrubbed"))
-    val rebuiltTouched = tokdT
-      .select(col("doc_id"), size(col("tk")).cast(LongType).as("n_toks"))
-      .join(kept, Seq("doc_id"), "left") // fully-covered docs: no kept row
+    // Per-doc covered-position SET, then the rebuild is a pure projection:
+    // filter each doc's (token, index) pairs against its coverage array —
+    // no token-stream explode, no (doc_id, p) anti-join shuffle, no
+    // collect_list re-sort. The only shuffles after candidate generation
+    // are the coverage groupBy and one equi-join, both on doc_id (the
+    // scaling key), and the shuffled payload is covered POSITIONS (≈5× the
+    // common-span occurrences), never the full token stream. Only TOUCHED
+    // docs (≥1 covered position — 71/500 at sf0.01) carry a coverage row;
+    // untouched docs rejoin their own tokens map-side. array_contains per
+    // (token × covered) is worst-case |tk|·|cov| ≈ 10⁶ comparisons for a
+    // fully-covered 1000-token doc — micro-seconds, no shuffle.
+    val covSets = covered.groupBy("doc_id")
+      .agg(array_sort(collect_set(col("p"))).as("cov"))
+    val rebuiltTouched = tokd.join(covSets, Seq("doc_id"))
+      .select(col("doc_id"), size(col("tk")).cast(LongType).as("n_toks"),
+        expr("filter(transform(tk, (x, i) -> struct(i AS p, x AS tok))," +
+          " s -> NOT array_contains(cov, s.p))").as("keptArr"))
       .select(col("doc_id"), col("n_toks"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
-    val untouched = tokd.join(touched, Seq("doc_id"), "left_anti")
+        size(col("keptArr")).cast(LongType).as("n_kept"),
+        expr("concat_ws(' ', transform(keptArr, s -> s.tok))").as("scrubbed"))
+    val untouched = tokd.join(covSets.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), size(col("tk")).cast(LongType).as("n_toks"),
         size(col("tk")).cast(LongType).as("n_kept"),
         array_join(col("tk"), " ").as("scrubbed"))

@@ -168,4 +168,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(4L) === ((2L, 2L, md5hex(s"$D $tail"))), "partial tail block round-trips")
     assert(got(5L) === ((2L, 0L, md5hex(""))), "within-doc copies lose to the earlier doc")
   }
+
+  test("q_chunk_overlap: chunk counts, spans, and overlap follow the C=64/S=48 geometry") {
+    val tok = (n: Int) => (0 until n).map(i => s"w$i").mkString(" ")
+    // n = 10, 64 → one chunk; 65 → two; 160 → three (last exactly full);
+    // 161 → four (17-token tail)
+    val dir = writeDocs(Seq(
+      (1L, tok(10), "en", "src"), (2L, tok(64), "en", "src"),
+      (3L, tok(65), "en", "src"), (4L, tok(160), "en", "src"),
+      (5L, tok(161), "en", "src")))
+    val rows = operators.CorpusOps.chunkOverlap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc(1L).length === 1 && byDoc(2L).length === 1)
+    assert(byDoc(3L).length === 2 && byDoc(4L).length === 3 && byDoc(5L).length === 4)
+    // spans: chunk i starts at i*48; lengths clamp at the doc end
+    assert(byDoc(3L).map(c => (c._3, c._4)).toSet === Set((0L, 64L), (48L, 17L)))
+    assert(byDoc(4L).map(c => (c._3, c._4)).toSet === Set((0L, 64L), (48L, 64L), (96L, 64L)))
+    assert(byDoc(5L).map(c => (c._3, c._4)).toSet ===
+      Set((0L, 64L), (48L, 64L), (96L, 64L), (144L, 17L)))
+    // consecutive chunks overlap by exactly C − S = 16 tokens, and the
+    // union of chunk tokens reconstructs the doc in order
+    val c4 = byDoc(4L).sortBy(_._2).map(_._5.split(" ").toSeq)
+    assert(c4(0).takeRight(16) === c4(1).take(16), "overlap window mismatch")
+    val rebuilt = c4.head ++ c4.tail.flatMap(_.drop(16))
+    assert(rebuilt === tok(160).split(" ").toSeq, "chunks must cover the doc exactly")
+  }
 }

@@ -447,4 +447,32 @@ class DedupSpec extends AnyFunSuite {
     val overlap45 = sigs(4L).zip(sigs(5L)).count { case (a, b) => a == b } / 16.0
     assert(overlap45 < 0.5, s"disjoint docs look similar: $overlap45")
   }
+
+  test("q_dedup_keep_best keeps the highest-quality cluster member, not the min id") {
+    // fixture cluster {1,2,3}: 1 and 3 share identical text; 2 swaps
+    // "done" for the longer "finished", raising its word-shape term and
+    // with it the 4-dp quality — so keep-best must elect 2 where the
+    // min-id policy elects 1. Singletons 4, 5 survive either policy.
+    val best = operators.Dedup.dedupKeepBest(spark, fixtureDir)
+      .collect().map(_.getLong(0)).toSet
+    val minId = operators.Dedup.dedupApply(spark, fixtureDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(best === Set(2L, 4L, 5L), s"keep-best kept $best")
+    assert(minId === Set(1L, 4L, 5L), s"min-id kept $minId")
+    // policy invariant on the real corpus: both policies drop the same
+    // NUMBER of docs (one keeper per cluster), only the identity differs
+    val dir = TestSpark.sfDir
+    val nBest = operators.Dedup.dedupKeepBest(spark, dir).count()
+    val nMin = operators.Dedup.dedupApply(spark, dir).count()
+    assert(nBest === nMin, s"keeper-per-cluster broken: $nBest vs $nMin")
+  }
+
+  test("q_dedup_cross_source: pair counts land in the right source cells") {
+    // fixture near-dup component {1,2,3}: 1,2 ∈ src0, 3 ∈ src1 →
+    // within-src0 pair (1,2) and cross pairs (1,3),(2,3); docs 4,5 pair
+    // with nothing so src2/src3 never appear
+    val m = operators.Dedup.dedupCrossSource(spark, fixtureDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m === Map(("src0", "src0") -> 1L, ("src0", "src1") -> 2L), s"matrix was $m")
+  }
 }

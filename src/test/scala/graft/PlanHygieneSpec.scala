@@ -52,6 +52,7 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_sim_ann_pq",       // broadcast one-row ADC tables + one-row probe
       "q_sim_ann_ivfpq",    // broadcast codebook + ADC tables + one-row probe
       "q_embed_cluster_stats", // broadcast K-row codebook
+      "q_embed_outliers",   // same broadcast K-row codebook + K-row moments
       "q_dedup_semantic",   // broadcast K-row codebook (pair join itself is the cid equi-join)
       "q_dedup_semantic_apply", // same codebook broadcast inside the embedded verdict frame
       "q_dedup_semantic_incremental", // broadcast K-row index codebook for probe assignment
