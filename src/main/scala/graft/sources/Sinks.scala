@@ -99,6 +99,76 @@ object Sinks {
       .write.partitionBy("shard").mode("overwrite").parquet(path)
   }
 
+  /** order-independent digest modulus: row digests and their sum live in
+    * [0, 2^61) so the exact-decimal sum fits any engine's arithmetic */
+  val ManifestDigestMod: Long = 1L << 61
+
+  /** The release-manifest JSON for an exported dataset directory,
+    * deterministically rendered (sorted keys, fixed field order) so
+    * producer and verifier can compare manifests byte-for-byte. Content
+    * digest = Σ (60-bit md5 prefix of each row's canonical sorted-column
+    * JSON) mod 2^61 — order- and partitioning-independent, recomputable
+    * by any engine, and sensitive to any changed/added/dropped row.
+    * Exact decimal summation, so no FP or overflow nondeterminism. */
+  private def manifestJson(spark: org.apache.spark.sql.SparkSession,
+      path: String, format: String): String = {
+    val df = spark.read.format(format).load(path)
+    val cols = df.columns.sorted
+    val rowDigest = pmod(
+      conv(substring(md5(to_json(struct(cols.map(col): _*))), 1, 15), 16, 10).cast("long"),
+      lit(ManifestDigestMod))
+    def digestAgg = pmod(sum(rowDigest.cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+      lit(ManifestDigestMod).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .cast("long")
+    val (rows, digest) = {
+      val r = df.agg(count(lit(1)).as("n"), digestAgg.as("d")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val shardsJson =
+      if (!df.columns.contains("shard")) ""
+      else {
+        val per = df.groupBy(col("shard").cast("string").as("s"))
+          .agg(count(lit(1)).as("n"), digestAgg.as("d"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+          .map { case (s, n, d) => s""""$s":{"rows":$n,"digest":$d}""" }
+          .mkString(",")
+        s""","shards":{$per}"""
+      }
+    val schema = cols.map(c => s""""$c":"${df.schema(c).dataType.simpleString}"""").mkString(",")
+    s"""{"format":"$format","rows":$rows,"digest":$digest,"schema":{$schema}$shardsJson}"""
+  }
+
+  /** Write `_MANIFEST.json` for an exported dataset directory — the
+    * integrity contract between a dataset release and its trainer: row
+    * count, schema, order-independent content digest, and per-shard
+    * breakdown when the layout carries a `shard` column. Written via
+    * tmp-file + atomic rename so a concurrent reader never observes a
+    * torn manifest. */
+  def writeManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      format: String = "parquet"): Unit = {
+    val json = manifestJson(spark, path, format)
+    val dir = java.nio.file.Paths.get(path)
+    val tmp = dir.resolve("_MANIFEST.json.tmp")
+    java.nio.file.Files.write(tmp, (json + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, dir.resolve("_MANIFEST.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Consumer-side integrity gate: recompute the manifest from the data
+    * and compare byte-for-byte with the stored `_MANIFEST.json`. Any
+    * changed, added, or dropped row (or schema drift) flips the digest
+    * or counts; false also when no manifest exists. */
+  def verifyManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      format: String = "parquet"): Boolean = {
+    val p = java.nio.file.Paths.get(path, "_MANIFEST.json")
+    java.nio.file.Files.exists(p) && {
+      val stored = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      stored == manifestJson(spark, path, format)
+    }
+  }
+
   /** JDBC twin of the reference's batched ClickHouse insert
     * (lib/cacheManage.go:35-65): 1000-row batches, bounded connection
     * fan-out (the reference pools 5 connections, main.go:49-50). Wire it

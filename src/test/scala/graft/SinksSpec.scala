@@ -139,4 +139,37 @@ class SinksSpec extends AnyFunSuite {
     assert(deal2 === deal3, "same seed must replay the same permutation")
   }
 
+  test("writeManifest/verifyManifest: release digest pins the export, tampering flips it") {
+    val out = Files.createTempDirectory("graft_manifest").toString
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    Sinks.writeTrainShards(docs, out, shards = 4)
+    Sinks.writeManifest(spark, out)
+
+    val mf = java.nio.file.Paths.get(out, "_MANIFEST.json")
+    assert(java.nio.file.Files.exists(mf), "manifest file missing")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_MANIFEST.json.tmp")),
+      "tmp file must not survive the atomic rename")
+    val json = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+    assert(json.contains(s""""rows":${docs.count()}"""), s"row count missing: $json")
+    assert(json.contains(""""shards":{"""), "per-shard breakdown missing")
+    // the underscore prefix keeps the manifest invisible to directory reads
+    assert(spark.read.parquet(out).count() === docs.count())
+
+    assert(Sinks.verifyManifest(spark, out), "fresh export must verify")
+
+    // tamper: drop one shard directory → count and digest both move
+    val shard0 = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).minBy(_.getName)
+    def nuke(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(nuke)); f.delete(); ()
+    }
+    nuke(shard0)
+    assert(!Sinks.verifyManifest(spark, out), "missing shard must fail verification")
+
+    // no manifest at all → false, not an exception
+    val empty = Files.createTempDirectory("graft_manifest2").toString
+    docs.limit(1).write.mode("overwrite").parquet(empty)
+    assert(!Sinks.verifyManifest(spark, empty))
+  }
+
 }
