@@ -601,6 +601,32 @@ object Similarity {
       .write.partitionBy("cid").mode("overwrite").parquet(s"$indexPath/lists")
   }
 
+  /** Incremental index maintenance — append a batch of new vectors to a
+    * persisted IVF index WITHOUT retraining: the stored codebook stays
+    * the single source of truth (so old and new vectors share one
+    * geometry and existing probe plans stay valid), the batch is
+    * assigned map-side against its broadcast copy, and each assigned
+    * row APPENDS into its cid list directory. Centroids drift from the
+    * true k-means of the grown corpus — the standard IVF trade
+    * (FAISS's add-after-train); rebuild with [[writeIvfIndex]] when
+    * recall decays.
+    *
+    * Scale shape: the batch (not the index) is the unit of work — one
+    * map-side assign + one partitioned append, never a read of existing
+    * lists; append mode cannot touch sibling cid directories. `newVecs`
+    * must have columns (vec_id: bigint, embedding: array<float>). */
+  def appendIvfIndex(s: SparkSession, indexPath: String, newVecs: DataFrame): Unit = {
+    graft.functions.VectorExpressions.register(s)
+    val book = s.read.parquet(s"$indexPath/codebook")
+    val bookArr = book.agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
+    newVecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(bookArr))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorExpressions.ivfAssign(col("embedding"), col("cents")).as("cid"))
+      .repartition(col("cid"))
+      .write.partitionBy("cid").mode("append").parquet(s"$indexPath/lists")
+  }
+
   /** ANN top-k against a PERSISTED index. The probe's nearest
     * [[IvfProbes]] lists are ranked on the K-row codebook and collected
     * — that collect is O(K) index METADATA (probe planning), not data,

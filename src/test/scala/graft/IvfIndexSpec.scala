@@ -61,4 +61,48 @@ class IvfIndexSpec extends AnyFunSuite {
       assert(got === single, s"probe $pid: batch diverged from single-probe query")
     }
   }
+
+  test("appendIvfIndex: new vectors join their lists without retrain or sibling rewrites") {
+    import spark.implicits._
+    val dir = TestSpark.sfDir
+    val idx = Files.createTempDirectory("graft_ivf_app").toString
+    Similarity.writeIvfIndex(spark, dir, idx)
+
+    val pe = util.t(spark, dir, "embeddings")
+      .where(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0)
+    val before = Similarity.annQueryIndex(spark, idx, pe, excludeVecId = 0L)
+      .collect().map(_.getLong(0)).toSeq
+
+    val bookBytes = {
+      val f = new java.io.File(s"$idx/codebook").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.readAllBytes(f.toPath)
+    }
+    val filesPerList = new java.io.File(s"$idx/lists").listFiles()
+      .filter(_.getName.startsWith("cid="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+
+    // append a near-clone of the probe: it must land in the probe's own
+    // best list and come back as the top hit (cos ≈ 1)
+    val clone = pe.toArray.clone(); clone(0) += 0.001f
+    Similarity.appendIvfIndex(spark, idx,
+      Seq((900001L, clone.toSeq)).toDF("vec_id", "embedding"))
+
+    val after = Similarity.annQueryIndex(spark, idx, pe, excludeVecId = 0L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(after.head === 900001L, s"appended near-clone not top hit: $after")
+    assert(after.tail === before.dropRight(1), "existing ranking disturbed beyond the insert")
+
+    // codebook untouched (no retrain), and only ONE list directory grew
+    val bookAfter = new java.io.File(s"$idx/codebook").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(java.util.Arrays.equals(bookBytes,
+      java.nio.file.Files.readAllBytes(bookAfter.toPath)), "codebook rewritten on append")
+    val filesAfter = new java.io.File(s"$idx/lists").listFiles()
+      .filter(_.getName.startsWith("cid="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val grown = filesAfter.filter { case (k, v) => filesPerList.getOrElse(k, 0) != v }
+    assert(grown.size === 1, s"append must touch exactly one list: $grown")
+  }
 }
