@@ -99,6 +99,56 @@ object Sinks {
       .write.partitionBy("shard").mode("overwrite").parquet(path)
   }
 
+  /** Z-order (Morton) layout write — multi-column data skipping for the
+    * at-rest corpus, the lakehouse OPTIMIZE ZORDER pattern: rows sort by
+    * the bit-interleave of their key columns' RANK SPACES, so every
+    * written file covers a narrow range of EVERY key, and parquet
+    * row-group min/max stats prune scans filtered on any one of them. A
+    * single-column sort gives perfect skipping on that column and none
+    * on the others; Z-order trades a little of the first for skipping
+    * on all.
+    *
+    * Rank-space normalization per key = sampling-based range bucketing
+    * ([[ZOrderBits]] bits): approxQuantile boundaries are O(2^bits)
+    * driver-side METADATA from one distributed Greenwald-Khanna pass
+    * (the probe-planning class of collect, like the IVF codebook — never
+    * a global window, never percent_rank's single task), and bucket
+    * assignment is a pure map-side fold over the broadcast-literal
+    * boundary array. Skewed keys cost nothing extra: quantile buckets
+    * equalize mass by construction. The interleave is a pure shift/or
+    * fold; `repartitionByRange` on the Z value then deals one file per
+    * curve range. Numeric/timestamp key columns (cast to double for
+    * bucketing — ties collapse to one bucket, which only coarsens
+    * skipping, never corrupts it). */
+  val ZOrderBits = 8
+
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      files: Int = 16): Unit = {
+    val nBounds = (1 << ZOrderBits) - 1
+    val probs = (1 to nBounds).map(_.toDouble / (nBounds + 1)).toArray
+    val dd = zCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      d.withColumn(s"__v$i", col(c).cast("double"))
+    }
+    val n = zCols.length
+    val bucketed = zCols.indices.foldLeft(dd) { case (d, i) =>
+      val bounds = d.stat.approxQuantile(s"__v$i", probs, 0.001)
+      val arr = bounds.mkString("array(", "D, ", "D)")
+      d.withColumn(s"__b$i",
+        expr(s"aggregate($arr, 0L, (acc, b) -> acc + IF(__v$i > b, 1L, 0L))"))
+    }
+    val interleave = zCols.indices.map { i =>
+      // spread key i's bucket bits to every n-th position, offset by i:
+      // Morton encoding generalized to n keys
+      expr(s"aggregate(sequence(0, ${ZOrderBits - 1}), 0L, (acc, b) -> acc + " +
+        s"shiftleft(shiftright(__b$i, b) & 1L, b * $n + $i))")
+    }.reduce(_ + _)
+    bucketed.withColumn("__z", interleave)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop(zCols.indices.flatMap(i => Seq(s"__v$i", s"__b$i")) :+ "__z": _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** order-independent digest modulus: row digests and their sum live in
     * [0, 2^61) so the exact-decimal sum fits any engine's arithmetic */
   val ManifestDigestMod: Long = 1L << 61

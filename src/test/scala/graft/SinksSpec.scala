@@ -172,4 +172,42 @@ class SinksSpec extends AnyFunSuite {
     assert(!Sinks.verifyManifest(spark, empty))
   }
 
+  test("writeZOrdered: every file covers a narrow range of BOTH keys; a single sort does not") {
+    val outZ = Files.createTempDirectory("graft_zorder").toString
+    val outLin = Files.createTempDirectory("graft_linear").toString
+    val ev = util.events(spark, TestSpark.sfDir)
+      .select("event_id", "user_id", "ts_us", "event_type", "value")
+    Sinks.writeZOrdered(ev, outZ, Seq("user_id", "ts_us"), files = 8)
+    ev.repartitionByRange(8, col("user_id")).sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(outLin)
+
+    assert(spark.read.parquet(outZ).count() === ev.count(), "z-order write lost rows")
+
+    val (uMin, uMax, tMin, tMax) = {
+      val r = ev.agg(min("user_id"), max("user_id"), min("ts_us"), max("ts_us")).head()
+      (r.getLong(0).toDouble, r.getLong(1).toDouble, r.getLong(2).toDouble, r.getLong(3).toDouble)
+    }
+    // per-FILE normalized (max-min) span of each key — the quantity
+    // row-group min/max skipping actually prunes on
+    def spans(path: String): Seq[(Double, Double)] =
+      new java.io.File(path).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .toSeq.map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min("user_id"), max("user_id"), min("ts_us"), max("ts_us")).head()
+          ((r.getLong(1) - r.getLong(0)) / (uMax - uMin),
+            (r.getLong(3) - r.getLong(2)) / (tMax - tMin))
+        }
+    def avg(xs: Seq[Double]): Double = xs.sum / xs.length
+    val z = spans(outZ); val lin = spans(outLin)
+    val (zU, zT) = (avg(z.map(_._1)), avg(z.map(_._2)))
+    val (linU, linT) = (avg(lin.map(_._1)), avg(lin.map(_._2)))
+    // the single sort is perfect on its key and useless on the other;
+    // z-order must be materially narrow on BOTH
+    assert(linU < 0.3, s"baseline user span should be tight, was $linU")
+    assert(linT > 0.9, s"baseline ts span should be ~full range, was $linT")
+    assert(zU < 0.7 && zT < 0.7, s"z-order spans not narrow on both keys: user=$zU ts=$zT")
+    assert(zT < linT / 2, s"z-order must at least halve the ts span: $zT vs $linT")
+  }
+
 }
