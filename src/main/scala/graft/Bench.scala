@@ -47,6 +47,7 @@ object Bench {
       graft.operators.Similarity.clearCodebookCache()
       graft.operators.Similarity.clearSemanticIndexCache()
       graft.operators.Bucketing.clearTableCache()
+      graft.operators.Relational.clearZOrderCache()
       val t0 = System.nanoTime()
       // noop-sink write, NOT .count(): count(1) lets Catalyst prune every
       // column the count doesn't need, so projection-only queries (e.g.

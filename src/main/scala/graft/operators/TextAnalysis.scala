@@ -276,6 +276,43 @@ object TextAnalysis {
        |  count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
        |FROM o GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin
 
+  /** Packing-efficiency observability — the diagnostic that tells you
+    * whether [[PackBudget]] and [[PackShards]] are sized right before a
+    * training run burns compute on padding: per language, bin count,
+    * token mass, mean fill ratio against budget, and the two failure
+    * tails (overflow bins — a straddling doc pushed past budget — and
+    * under-half-full bins, the padding waste). Pure rollup of the
+    * packing query's own bins: integer-exact sums, one double division
+    * per group. */
+  def packEfficiency(s: SparkSession, dir: String): DataFrame =
+    packContextsSharded(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("n_tokens")).as("n_tokens"),
+        r4f(sum(col("n_tokens")).cast(DoubleType) / (count(lit(1)) * PackBudget)).as("avg_fill"),
+        sum(when(col("n_tokens") > PackBudget, 1L).otherwise(0L)).as("n_overflow"),
+        sum(when(col("n_tokens") < PackBudget / 2, 1L).otherwise(0L)).as("n_underfull"))
+      .orderBy("lang")
+
+  val packEfficiencySql =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % $PackShards AS shard,
+       |    len(string_split(text, ' '))::BIGINT AS n_tok
+       |  FROM documents),
+       |o AS (SELECT lang, shard, n_tok,
+       |  sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
+       |  FROM d),
+       |bins AS (SELECT lang, shard, (start_off // $PackBudget)::BIGINT AS bin,
+       |  sum(n_tok)::BIGINT AS n_tokens FROM o GROUP BY 1, 2, 3)
+       |SELECT lang, count(*) AS n_bins, sum(n_tokens)::BIGINT AS n_tokens,
+       |  floor(sum(n_tokens)::DOUBLE / (count(*) * $PackBudget)
+       |        * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS avg_fill,
+       |  sum(CASE WHEN n_tokens > $PackBudget THEN 1 ELSE 0 END)::BIGINT AS n_overflow,
+       |  sum(CASE WHEN n_tokens < ${PackBudget / 2} THEN 1 ELSE 0 END)::BIGINT AS n_underfull
+       |FROM bins GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- TF-IDF top terms ----------------------------------------------
   /** per-doc top-3 salient terms by a log-free TF-IDF (tf · N / df — the
     * rational idf keeps every intermediate an exact integer, so the only
@@ -721,6 +758,7 @@ object TextAnalysis {
     "q_sample_stratified" -> sampleStratified _,
     "q_pack_contexts" -> packContexts _,
     "q_pack_contexts_sharded" -> packContextsSharded _,
+    "q_pack_efficiency" -> packEfficiency _,
     "q_repetition_ratio" -> repetitionRatio _,
     "q_pii_scrub" -> piiScrub _,
     "q_sample_per_source" -> samplePerSource _,
@@ -735,6 +773,7 @@ object TextAnalysis {
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_pack_contexts" -> packContextsSql,
     "q_pack_contexts_sharded" -> packContextsShardedSql,
+    "q_pack_efficiency" -> packEfficiencySql,
     "q_text_stats" -> textStatsSql,
     "q_token_freq" -> tokenFreqSql,
     "q_lang_id" -> langIdSql,

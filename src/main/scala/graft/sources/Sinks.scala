@@ -132,9 +132,14 @@ object Sinks {
     val n = zCols.length
     val bucketed = zCols.indices.foldLeft(dd) { case (d, i) =>
       val bounds = d.stat.approxQuantile(s"__v$i", probs, 0.001)
-      val arr = bounds.mkString("array(", "D, ", "D)")
-      d.withColumn(s"__b$i",
-        expr(s"aggregate($arr, 0L, (acc, b) -> acc + IF(__v$i > b, 1L, 0L))"))
+      // typed Column fold, not a formatted SQL string: an empty bounds
+      // array (empty input) degrades to the single bucket 0, and double
+      // literals never round-trip through text
+      val bucket =
+        if (bounds.isEmpty) lit(0L)
+        else aggregate(array(bounds.map(lit(_)): _*), lit(0L),
+          (acc, b) => acc + when(col(s"__v$i") > b, 1L).otherwise(0L))
+      d.withColumn(s"__b$i", bucket)
     }
     val interleave = zCols.indices.map { i =>
       // spread key i's bucket bits to every n-th position, offset by i:
