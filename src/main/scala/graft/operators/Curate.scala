@@ -57,12 +57,26 @@ object Curate {
   def curateThresholdFrame(s: SparkSession, dir: String): DataFrame =
     curateScored(s, dir).agg(r4(expr("percentile(quality, 0.25)")).as("q_thr"))
 
-  def curateE2e(s: SparkSession, dir: String): DataFrame = {
-    // stages 1-3: scored scrubbed survivors, p25 cut from the same population
-    val scored = curateScored(s, dir)
+  /** stages 1-3 shared by [[curateE2e]] and [[curateFunnel]]: the scored
+    * frame is `localCheckpoint`ed because THREE consumers read it (the
+    * p25 statistic, the enforcement cut, and the funnel's stage-2 row)
+    * and Spark re-executes shared subtrees per consumer — without the
+    * materialization the survivor anti-join + scrub regex chain (the
+    * pipeline's hottest projection) runs once per consumer. What
+    * materializes is only the narrow (doc_id, lang, n_tok, quality)
+    * projection — O(rows × ~40 B), the scrubbed text itself is never
+    * stored — so the trade survives 100 TB: re-running the scrub 4× is
+    * strictly worse than spilling 4 narrow columns. Returns (scored,
+    * kept). */
+  private def curateStages(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val scored = curateScored(s, dir).localCheckpoint()
     val thr = scored.agg(r4(expr("percentile(quality, 0.25)")).as("thr"))
     val kept = scored.crossJoin(broadcast(thr)).where(col("quality") >= col("thr"))
-    // stage 4: sharded sequence packing of what remains
+    (scored, kept)
+  }
+
+  /** stage 4: sharded sequence packing of the kept docs */
+  private def packBins(kept: DataFrame): DataFrame = {
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
     kept
       .withColumn("shard",
@@ -72,7 +86,11 @@ object Curate {
       .withColumn("bin", expr(s"start_off div ${TextAnalysis.PackBudget}"))
       .groupBy("lang", "shard", "bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-      .orderBy("lang", "shard", "bin")
+  }
+
+  def curateE2e(s: SparkSession, dir: String): DataFrame = {
+    val (_, kept) = curateStages(s, dir)
+    packBins(kept).orderBy("lang", "shard", "bin")
   }
 
   val curateE2eSql: String =
@@ -171,9 +189,10 @@ object Curate {
       .select(size(split(col("text"), " ")).cast(LongType).as("n_tok"))
     val survToks = Dedup.dedupSurvivors(s, dir)
       .select(size(split(col("text"), " ")).cast(LongType).as("n_tok"))
-    val scored = curateScored(s, dir)
-    val thr = scored.agg(r4(expr("percentile(quality, 0.25)")).as("thr"))
-    val kept = scored.crossJoin(broadcast(thr)).where(col("quality") >= col("thr"))
+    // one materialized scored frame feeds stages 2, 3 (threshold + cut)
+    // AND stage 4's packing — see curateStages: without the shared
+    // checkpoint the scrub chain re-ran once per funnel stage
+    val (scored, kept) = curateStages(s, dir)
     def cnt(d: DataFrame): DataFrame =
       d.agg(count(lit(1)).as("n_units"),
         coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
@@ -181,7 +200,7 @@ object Curate {
       .unionAll(stage(1, "dedup_survivors", cnt(survToks)))
       .unionAll(stage(2, "pii_scrubbed", cnt(scored)))
       .unionAll(stage(3, "quality_kept", cnt(kept)))
-      .unionAll(stage(4, "packed_bins", curateE2e(s, dir)
+      .unionAll(stage(4, "packed_bins", packBins(kept)
         .agg(count(lit(1)).as("n_units"),
           coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))))
       .orderBy("stage_id")
