@@ -133,7 +133,10 @@ object Dedup {
     (if (a == 0) 1L else a, b)
   }
 
-  def dedupMinhashBands(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, band, bh) under the cross-engine md5 universal-hash
+    * family — the banded-signature frame shared by [[dedupMinhashBands]]
+    * and [[dedupEval]] */
+  private def md5Banded(s: SparkSession, dir: String): DataFrame = {
     val rows = MinhashPerms / MinhashBands
     val g = shingled(s, dir)
       .select(col("doc_id"), explode(col("grams")).as("gram"))
@@ -146,8 +149,11 @@ object Dedup {
     val sigs = g.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until MinhashBands).map(b =>
       md5(concat_ws(",", (0 until rows).map(r => col(s"s${b * rows + r}").cast(StringType)): _*)))
-    val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
-    banded.groupBy("band", "bh").agg(count(lit(1)).as("n"))
+    sigs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+  }
+
+  def dedupMinhashBands(s: SparkSession, dir: String): DataFrame = {
+    md5Banded(s, dir).groupBy("band", "bh").agg(count(lit(1)).as("n"))
       .where(col("n") >= 2)
       .groupBy("band")
       .agg(count(lit(1)).as("n_buckets"),
@@ -155,7 +161,10 @@ object Dedup {
       .orderBy("band")
   }
 
-  val dedupMinhashBandsSql: String = {
+  /** CTE chain `hashes → sigs → bands` replaying the md5 universal-hash
+    * band signatures in DuckDB — assumes a `grams(doc_id, gram)` CTE is
+    * already in scope; shared by dedupMinhashBandsSql and dedupEvalSql */
+  private val md5BandsCtes: String = {
     val rows = MinhashPerms / MinhashBands
     val sigCols = (0 until MinhashPerms).map { j =>
       val (a, b) = bandPerm(j)
@@ -166,6 +175,18 @@ object Dedup {
         .mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($cat) AS bh FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
+    s"""hashes AS (
+       |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT % $MinhashOracleP AS h
+       |  FROM grams),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $sigCols
+       |  FROM hashes GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows)""".stripMargin
+  }
+
+  val dedupMinhashBandsSql: String =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |grams AS (
        |  SELECT doc_id, gram FROM (
@@ -174,19 +195,10 @@ object Dedup {
        |    WHERE len(tk) >= 3
        |    UNION
        |    SELECT doc_id, array_to_string(tk, ' ') AS gram FROM toks WHERE len(tk) < 3)),
-       |hashes AS (
-       |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT % $MinhashOracleP AS h
-       |  FROM grams),
-       |sigs AS (
-       |  SELECT doc_id,
-       |    $sigCols
-       |  FROM hashes GROUP BY doc_id),
-       |bands AS (
-       |  $bandRows),
+       |$md5BandsCtes,
        |buckets AS (SELECT band, bh, count(*) AS n FROM bands GROUP BY 1, 2)
        |SELECT band, count(*) AS n_buckets, (sum(n * (n - 1)) // 2)::BIGINT AS n_pairs
        |FROM buckets WHERE n >= 2 GROUP BY band ORDER BY band""".stripMargin
-  }
 
   // ---- exact n-gram Jaccard similarity join ---------------------------
   val JaccardMaxDf = 50   // stop-gram pruning bound
@@ -256,6 +268,80 @@ object Dedup {
   val dedupNgramJaccardSql =
     s"""WITH $jaccardPairsCte
        |SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2""".stripMargin
+
+  // ---- LSH candidate-quality evaluation -------------------------------
+  /** Recall/precision of the LSH band-collision candidate set against the
+    * exact n-gram Jaccard ground truth — the report a dedup rollout reads
+    * before trusting MinHash at corpus scale: recall says how much true
+    * near-dup mass band collision reaches, precision says how much
+    * verification work the candidates waste. Candidates come from the
+    * cross-engine md5-band path ([[md5Banded]], [[MinhashMaxBucket]]
+    * representative-capped, exactly as production pair generation caps),
+    * truth from [[dedupNgramJaccard]] — both sides are pinned by the same
+    * DuckDB replay, so this is a hard-oracle query, not a spec estimate.
+    *
+    * Scale: both pair frames are the OUTPUT of bounded candidate
+    * generation (bucketed equi-grouping, never all-pairs); they are
+    * `localCheckpoint`ed because each feeds two consumers (its own count
+    * and the intersection) and re-running the signature pipelines per
+    * consumer is the expensive path. The final report is three 1-row
+    * aggregates broadcast-crossed. */
+  def dedupEval(s: SparkSession, dir: String): DataFrame = {
+    val buckets = md5Banded(s, dir).groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) >= 2)
+    // hot-bucket representative pairing, mirroring dedupMinhash: list is
+    // sorted, so j > i already implies d1 < d2 in the all-pairs branch
+    val cand = buckets
+      .withColumn("nb", size(col("ds")))
+      .withColumn("lhs", when(col("nb") <= MinhashMaxBucket, col("ds"))
+        .otherwise(slice(col("ds"), 1, 1)))
+      .select(col("ds"), col("nb"), posexplode(col("lhs")).as(Seq("i", "d1")))
+      .select(col("d1"), col("i"), col("nb"), posexplode(col("ds")).as(Seq("j", "d2")))
+      .where((col("nb") <= MinhashMaxBucket && col("j") > col("i"))
+        || (col("nb") > MinhashMaxBucket && col("d1") < col("d2")))
+      .select("d1", "d2")
+      .distinct()
+      .localCheckpoint()
+    val truth = dedupNgramJaccard(s, dir).select("d1", "d2").localCheckpoint()
+    val hits = cand.join(truth, Seq("d1", "d2"))
+    cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select(col("n_candidates"), col("n_truth"), col("n_hits"),
+        when(col("n_truth") > 0,
+          r4(col("n_hits").cast(DoubleType) / col("n_truth"))).as("recall"),
+        when(col("n_candidates") > 0,
+          r4(col("n_hits").cast(DoubleType) / col("n_candidates"))).as("precision"))
+  }
+
+  val dedupEvalSql: String =
+    s"""WITH $jaccardPairsCte,
+       |$md5BandsCtes,
+       |bsz AS (SELECT band, bh, count(*) AS n, min(doc_id) AS mn
+       |  FROM bands GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a
+       |  JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |  JOIN bsz s ON a.band = s.band AND a.bh = s.bh
+       |  WHERE s.n <= $MinhashMaxBucket
+       |  UNION
+       |  SELECT s.mn AS d1, b.doc_id AS d2
+       |  FROM bands b JOIN bsz s ON b.band = s.band AND b.bh = s.bh
+       |  WHERE s.n > $MinhashMaxBucket AND b.doc_id <> s.mn),
+       |m AS (SELECT
+       |  (SELECT count(*) FROM cand) AS n_candidates,
+       |  (SELECT count(*) FROM pairs) AS n_truth,
+       |  (SELECT count(*) FROM cand c JOIN pairs p
+       |     ON c.d1 = p.d1 AND c.d2 = p.d2) AS n_hits)
+       |SELECT n_candidates::BIGINT AS n_candidates, n_truth::BIGINT AS n_truth,
+       |  n_hits::BIGINT AS n_hits,
+       |  CASE WHEN n_truth > 0
+       |    THEN CAST(round(n_hits::DOUBLE / n_truth, 4) AS DOUBLE) END AS recall,
+       |  CASE WHEN n_candidates > 0
+       |    THEN CAST(round(n_hits::DOUBLE / n_candidates, 4) AS DOUBLE) END AS precision
+       |FROM m""".stripMargin
 
   // ---- dedup clustering (pairs → connected components) ----------------
   /** Safety cap on propagation rounds. Rounds use pointer-doubling
@@ -964,6 +1050,7 @@ object Dedup {
     "q_dedup_exact" -> dedupExact _,
     "q_dedup_minhash" -> dedupMinhash _,
     "q_dedup_minhash_bands" -> dedupMinhashBands _,
+    "q_dedup_eval" -> dedupEval _,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "q_dedup_clusters" -> dedupClusters _,
     "q_dedup_apply" -> dedupApply _,
@@ -980,6 +1067,7 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash_bands" -> dedupMinhashBandsSql,
+    "q_dedup_eval" -> dedupEvalSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_apply" -> dedupApplySql,

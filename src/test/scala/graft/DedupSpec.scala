@@ -475,4 +475,18 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(m === Map(("src0", "src0") -> 1L, ("src0", "src1") -> 2L), s"matrix was $m")
   }
+
+  test("q_dedup_eval: metrics are internally consistent and recall is high on the corpus") {
+    val r = operators.Dedup.dedupEval(spark, TestSpark.sfDir).collect()
+    assert(r.length === 1)
+    val (nCand, nTruth, nHits) = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2))
+    assert(nHits <= math.min(nCand, nTruth), s"hits $nHits exceed a side ($nCand, $nTruth)")
+    assert(nTruth > 0, "test corpus should contain true near-dup pairs")
+    // 16-perm/4-band LSH at the 0.5 jaccard threshold: collision
+    // probability 1-(1-s^4)^4 ≥ 0.23 per pair at s=0.5 and ≥ 0.9 by
+    // s≈0.85 — the corpus's near-dups are near-identical, so candidate
+    // recall must be near-total; a drop means the band mechanics broke
+    val recall = r(0).getDouble(3)
+    assert(recall >= 0.9, s"LSH candidate recall $recall collapsed")
+  }
 }
