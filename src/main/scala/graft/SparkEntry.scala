@@ -26,6 +26,7 @@ object SparkEntry {
     operators.TextAnalysis.queries ++
     operators.CorpusOps.queries ++
     operators.Curate.queries ++
+    operators.Profiling.queries ++
     functions.Multimodal.queries ++
     functions.Scalars.queries
 
@@ -43,6 +44,7 @@ object SparkEntry {
     operators.TextAnalysis.oracle ++
     operators.CorpusOps.oracle ++
     operators.Curate.oracle ++
+    operators.Profiling.oracle ++
     functions.Multimodal.oracle ++
     functions.Scalars.oracle
 }
