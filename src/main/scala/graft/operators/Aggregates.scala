@@ -381,7 +381,44 @@ object Aggregates {
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
       .orderBy("event_type")
 
+  /** re-aggregatable heavy hitters — the FREQUENCY twin of
+    * [[aggHllUnion]]'s HLL rollup: per-day DataSketches frequent-items
+    * sketches of user activity built in ONE pass (native
+    * `TypedImperativeAggregate`, O(1) map-hit updates, serde only at
+    * shuffle boundaries), unioned into a global state, decoded to the
+    * top-10 users WITH error bounds. At 100 TB the persisted daily
+    * sketch table answers any later "top users in window W" as a merge
+    * of |W| kilobyte states — no raw-row rescan. Hard oracle is valid
+    * because distinct users (1.5 k at sf0.1) sit far below the
+    * 4096-entry map's ~0.75 purge point, where every count is exact and
+    * lb = est = ub (documented contract in functions/FreqSketch.scala);
+    * the saturated approximate regime is spec-pinned on a tiny map. */
+  def aggFreqSketch(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.FreqSketch.register(s)
+    events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(graft.functions.FreqSketch.freqAgg(
+        col("user_id").cast(StringType)).as("sk"))
+      .agg(graft.functions.FreqSketch.freqMerge(col("sk")).as("sk"))
+      .select(explode(graft.functions.FreqSketch.freqTopK(col("sk"), 10)).as("r"))
+      .select(col("r.item").cast(LongType).as("user_id"),
+        col("r.est").as("n_events"), col("r.lb").as("lb"), col("r.ub").as("ub"))
+      .orderBy(col("n_events").desc, col("user_id"))
+  }
+
+  /** the in-sketch top-k tie-break ranks by the STRING item, so the
+    * oracle's rank mirrors `user_id::VARCHAR`; in the exact regime
+    * lb = est = ub = the true count */
+  val aggFreqSketchSql: String =
+    """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+      |r AS (SELECT user_id, n,
+      |  row_number() OVER (ORDER BY n DESC, user_id::VARCHAR) AS rk FROM c)
+      |SELECT user_id::BIGINT AS user_id, n::BIGINT AS n_events,
+      |  n::BIGINT AS lb, n::BIGINT AS ub
+      |FROM r WHERE rk <= 10 ORDER BY n_events DESC, user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_agg_freq_sketch" -> aggFreqSketch _,
     "q_agg_hll_union" -> aggHllUnion _,
     "q_agg_quantile_approx" -> aggQuantileApprox _,
     "q_agg_stats" -> aggStats _,
@@ -404,6 +441,7 @@ object Aggregates {
     "q_udaf_topk_weighted" -> udafTopkWeighted _)
 
   val oracle: Map[String, String] = Map(
+    "q_agg_freq_sketch" -> aggFreqSketchSql,
     "q_agg_stats" -> aggStatsSql,
     "q_agg_histogram" -> aggHistogramSql,
     "q_sample_hash" -> sampleHashSql,
