@@ -210,4 +210,21 @@ class SinksSpec extends AnyFunSuite {
     assert(zT < linT / 2, s"z-order must at least halve the ts span: $zT vs $linT")
   }
 
+  test("q_scan_zorder pushes BOTH selection dimensions down to the parquet scan") {
+    // the layout is pointless if either predicate stays above the scan:
+    // row-group min/max skipping only fires on pushed filters. Read the
+    // scan node's metadata — the plan's toString elides long filter lists
+    val scans = operators.Relational.scanZOrder(spark, TestSpark.sfDir)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    assert(scans.length === 1, s"expected one parquet scan, got ${scans.length}")
+    val pushed = scans.head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(user_id,10)")
+      && pushed.contains("LessThanOrEqual(user_id,60)"),
+      s"user_id bounds not pushed: $pushed")
+    assert(pushed.contains("GreaterThanOrEqual(ts,") && pushed.contains("LessThan(ts,"),
+      s"ts bounds not pushed: $pushed")
+  }
+
 }
