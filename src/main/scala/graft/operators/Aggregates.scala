@@ -417,7 +417,57 @@ object Aggregates {
       |  n::BIGINT AS lb, n::BIGINT AS ub
       |FROM r WHERE rk <= 10 ORDER BY n_events DESC, user_id""".stripMargin
 
+  /** distinct-count SET ALGEBRA via theta sketches — the segment-overlap
+    * question HLL cannot answer: of the users who purchased on Jan 5,
+    * how many also clicked that day (∩), how many are purchase-only
+    * (\), and how big is either audience (∪)? ONE scan of the day's
+    * rows builds both segment sketches (conditional null routing into
+    * two `theta_sketch_agg` states); the set ops then run on kilobyte
+    * states — at 100 TB the per-(segment, day) sketch table answers any
+    * later overlap across any date range with zero raw-row rescans.
+    * Hard oracle: both segments sit far below the 4096-entry exact-mode
+    * bound, where theta set ops are exact (functions/ThetaSketch.scala
+    * contract); the sampled regime is spec-pinned. */
+  def aggThetaOps(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.ThetaSketch.register(s)
+    import graft.functions.ThetaSketch._
+    val day = events(s, dir).where(to_date(col("ts")) === lit("2024-01-05"))
+    day
+      .agg(
+        thetaAgg(when(col("event_type") === "purchase",
+          col("user_id").cast(StringType))).as("a"),
+        thetaAgg(when(col("event_type") === "click",
+          col("user_id").cast(StringType))).as("b"))
+      .select(explode(array(
+        struct(lit("a_purchasers").as("op"), thetaEstimate(col("a")).as("n_users")),
+        struct(lit("b_clickers").as("op"), thetaEstimate(col("b")).as("n_users")),
+        struct(lit("a_and_b").as("op"),
+          thetaEstimate(thetaIntersect(col("a"), col("b"))).as("n_users")),
+        struct(lit("a_or_b").as("op"),
+          thetaEstimate(thetaUnion(col("a"), col("b"))).as("n_users")),
+        struct(lit("a_not_b").as("op"),
+          thetaEstimate(thetaANotB(col("a"), col("b"))).as("n_users")))).as("r"))
+      .select(col("r.op").as("op"), col("r.n_users").as("n_users"))
+      .orderBy("op")
+  }
+
+  val aggThetaOpsSql: String =
+    """WITH a AS (SELECT DISTINCT user_id FROM events
+      |  WHERE event_type = 'purchase' AND ts::DATE = DATE '2024-01-05'),
+      |b AS (SELECT DISTINCT user_id FROM events
+      |  WHERE event_type = 'click' AND ts::DATE = DATE '2024-01-05'),
+      |m AS (
+      |  SELECT 'a_purchasers' AS op, (SELECT count(*) FROM a) AS n_users
+      |  UNION ALL SELECT 'a_and_b', (SELECT count(*) FROM a JOIN b USING (user_id))
+      |  UNION ALL SELECT 'a_not_b',
+      |    (SELECT count(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b))
+      |  UNION ALL SELECT 'a_or_b',
+      |    (SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b) u)
+      |  UNION ALL SELECT 'b_clickers', (SELECT count(*) FROM b))
+      |SELECT op, n_users::BIGINT AS n_users FROM m ORDER BY op""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_agg_theta_ops" -> aggThetaOps _,
     "q_agg_freq_sketch" -> aggFreqSketch _,
     "q_agg_hll_union" -> aggHllUnion _,
     "q_agg_quantile_approx" -> aggQuantileApprox _,
@@ -441,6 +491,7 @@ object Aggregates {
     "q_udaf_topk_weighted" -> udafTopkWeighted _)
 
   val oracle: Map[String, String] = Map(
+    "q_agg_theta_ops" -> aggThetaOpsSql,
     "q_agg_freq_sketch" -> aggFreqSketchSql,
     "q_agg_stats" -> aggStatsSql,
     "q_agg_histogram" -> aggHistogramSql,
