@@ -48,6 +48,7 @@ object Bench {
       graft.operators.Similarity.clearSemanticIndexCache()
       graft.operators.Bucketing.clearTableCache()
       graft.operators.Relational.clearZOrderCache()
+      graft.operators.SketchTable.clearTableCache()
       val t0 = System.nanoTime()
       // noop-sink write, NOT .count(): count(1) lets Catalyst prune every
       // column the count doesn't need, so projection-only queries (e.g.

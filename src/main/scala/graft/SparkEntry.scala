@@ -27,6 +27,7 @@ object SparkEntry {
     operators.CorpusOps.queries ++
     operators.Curate.queries ++
     operators.Profiling.queries ++
+    operators.SketchTable.queries ++
     functions.Multimodal.queries ++
     functions.Scalars.queries
 
@@ -45,6 +46,7 @@ object SparkEntry {
     operators.CorpusOps.oracle ++
     operators.Curate.oracle ++
     operators.Profiling.oracle ++
+    operators.SketchTable.oracle ++
     functions.Multimodal.oracle ++
     functions.Scalars.oracle
 }

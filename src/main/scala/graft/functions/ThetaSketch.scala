@@ -64,6 +64,48 @@ case class ThetaSketchAgg(
     copy(child = newChild)
 }
 
+/** union of SERIALIZED theta sketches — the rollup half over a persisted
+  * sketch table: input column is the binary state [[ThetaSketchAgg]]
+  * emitted */
+case class ThetaMergeAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().buildUnion()
+
+  override def update(b: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null)
+      b.union(Sketches.wrapSketch(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    b
+  }
+
+  override def merge(b: Union, o: Union): Union = {
+    b.union(o.getResult); b
+  }
+
+  override def eval(b: Union): Any = b.getResult.toByteArray
+  override def serialize(b: Union): Array[Byte] = b.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = SetOperation.builder().buildUnion()
+    u.union(Sketches.wrapSketch(Memory.wrap(bytes)))
+    u
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "theta_sketch_merge"
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): ThetaMergeAgg =
+    copy(child = newChild)
+}
+
 /** set-operation expressions over serialized theta sketches — eval-only
   * (CodegenFallback): they run once per RESULT row on kilobyte states,
   * never per input row */
@@ -125,6 +167,8 @@ object ThetaSketch {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "theta_sketch_agg", exprs => ThetaSketchAgg(exprs(0)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "theta_sketch_merge", exprs => ThetaMergeAgg(exprs(0)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "theta_union", exprs => ThetaUnionOf(exprs(0), exprs(1)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "theta_intersect", exprs => ThetaIntersect(exprs(0), exprs(1)), "built-in")
@@ -135,6 +179,7 @@ object ThetaSketch {
   }
 
   def thetaAgg(c: Column): Column = call_function("theta_sketch_agg", c)
+  def thetaMerge(c: Column): Column = call_function("theta_sketch_merge", c)
   def thetaUnion(a: Column, b: Column): Column = call_function("theta_union", a, b)
   def thetaIntersect(a: Column, b: Column): Column = call_function("theta_intersect", a, b)
   def thetaANotB(a: Column, b: Column): Column = call_function("theta_a_not_b", a, b)
