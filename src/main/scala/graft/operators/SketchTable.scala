@@ -23,11 +23,12 @@ import org.apache.spark.sql.types._
   * engine-exact. */
 object SketchTable {
 
-  /** build the per-(event_type, day) sketch table in one pass */
-  def writeSketchDailies(s: SparkSession, dir: String, path: String): Unit = {
-    graft.functions.FreqSketch.register(s)
-    graft.functions.ThetaSketch.register(s)
-    events(s, dir)
+  /** (event_type, day) sketch states of an events slice — shared by the
+    * batch table build and the streaming sink's per-micro-batch rows */
+  def dailyStates(ev: DataFrame): DataFrame = {
+    graft.functions.FreqSketch.register(ev.sparkSession)
+    graft.functions.ThetaSketch.register(ev.sparkSession)
+    ev
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(
         count(lit(1)).as("n_rows"),
@@ -36,8 +37,11 @@ object SketchTable {
           col("user_id").cast(StringType)).as("freq_users"),
         graft.functions.ThetaSketch.thetaAgg(
           col("user_id").cast(StringType)).as("theta_users"))
-      .write.mode("overwrite").parquet(path)
   }
+
+  /** build the per-(event_type, day) sketch table in one pass */
+  def writeSketchDailies(s: SparkSession, dir: String, path: String): Unit =
+    dailyStates(events(s, dir)).write.mode("overwrite").parquet(path)
 
   /** memoized sketch table per (session, dir), staleness-guarded on the
     * events fingerprint like the bucketed/z-order layouts; Bench clears
@@ -65,16 +69,16 @@ object SketchTable {
       }
     }
 
-  /** window rollup over PERSISTED states only: per event type, distinct
+  /** per-event-type rollup over ANY frame of sketch-state rows (daily
+    * table, or the streaming sink's per-(batch, day) rows — states are
+    * re-aggregatable, so the row granularity is irrelevant): distinct
     * users (theta merge), the top user and their event count (freq
-    * merge + decode), and total rows across the window — no raw-row
-    * access after the daily build */
-  def sketchRollup(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.FreqSketch.register(s)
-    graft.functions.ThetaSketch.register(s)
+    * merge + decode), and total rows — no raw-row access */
+  def rollupStates(states: DataFrame): DataFrame = {
+    graft.functions.FreqSketch.register(states.sparkSession)
+    graft.functions.ThetaSketch.register(states.sparkSession)
     import graft.functions.{FreqSketch, ThetaSketch}
-    s.read.parquet(sketchTable(s, dir))
-      .where(col("day").between(lit("2024-01-08"), lit("2024-01-21")))
+    states
       .groupBy("event_type")
       .agg(
         sum(col("n_rows")).as("n_rows"),
@@ -87,6 +91,11 @@ object SketchTable {
         col("top.est").as("top_user_events"))
       .orderBy("event_type")
   }
+
+  /** the declared two-week window over the persisted daily table */
+  def sketchRollup(s: SparkSession, dir: String): DataFrame =
+    rollupStates(s.read.parquet(sketchTable(s, dir))
+      .where(col("day").between(lit("2024-01-08"), lit("2024-01-21"))))
 
   /** exact-regime twin: the same window stats from raw rows; the in-
     * sketch top-1 tie-break ranks by the STRING item, mirrored here */

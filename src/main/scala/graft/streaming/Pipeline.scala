@@ -380,6 +380,36 @@ object Pipeline {
       }
   }
 
+  /** LIVE sketch-table maintenance — the streaming face of
+    * `SketchTable.writeSketchDailies`: each micro-batch of events
+    * reduces to its own (event_type, day) sketch-state rows (the SAME
+    * `dailyStates` aggregation the batch build runs) and lands under
+    * its `batch_id=N` partition. There is deliberately NO
+    * read-modify-write merge into the daily table: sketch states are
+    * re-aggregatable, so the reader (`SketchTable.rollupStates`) merges
+    * across batch partitions exactly as it merges across days, and the
+    * per-partition dynamic overwrite keeps replays exactly-once — a
+    * replayed batch rewrites its own rows instead of double-counting
+    * into a merged state (which would be idempotent for theta/HLL set
+    * semantics but would DOUBLE freq counts and row totals). Stateless
+    * foreachBatch: an event's (type, day) cell is complete within the
+    * arriving data, cross-batch state would be pure overhead. */
+  def streamSketchDailies(ev: DataFrame, outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    ev.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.SketchTable.dailyStates(batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .start()
+
   /** Live-ingest dedup: each micro-batch of documents (doc_id, text)
     * probes the PERSISTED corpus gram index (`Dedup.writeGramIndex`)
     * and emits (new_id, dup_of, jaccard) near-dup verdicts — the

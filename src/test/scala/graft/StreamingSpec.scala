@@ -255,6 +255,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "expected cross-split near-dup pairs at sf0.01")
   }
 
+  test("streamSketchDailies: per-batch state rows roll up to the batch sketch table's answers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val evRows = util.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect().toSeq
+    val (firstHalf, secondHalf) = evRows.splitAt(evRows.size / 2)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val out = Files.createTempDirectory("graft_skd_out").toString
+    val ckpt = Files.createTempDirectory("graft_skd_ckpt").toString
+    ms.addData(firstHalf)
+    ms.addData(secondHalf)
+    val q = Pipeline.streamSketchDailies(
+      ms.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+      out, ckpt, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    // a (type, day) cell split across the two micro-batches yields TWO
+    // state rows — the reader must merge across batches as it merges
+    // across days, and the result must equal the one-pass batch table
+    val streamed = graft.operators.SketchTable
+      .rollupStates(spark.read.parquet(out)).collect().toSeq
+    val batchTable = Files.createTempDirectory("graft_skd_batch").toString
+    graft.operators.SketchTable.writeSketchDailies(spark, dir, batchTable)
+    val batch = graft.operators.SketchTable
+      .rollupStates(spark.read.parquet(batchTable)).collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "expected per-type rollup rows")
+  }
+
   test("streamSplitRoute: live docs land under the batch query's split label, partitioned and replayable") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
