@@ -28,6 +28,7 @@ object SketchTable {
   def dailyStates(ev: DataFrame): DataFrame = {
     graft.functions.FreqSketch.register(ev.sparkSession)
     graft.functions.ThetaSketch.register(ev.sparkSession)
+    graft.functions.KllSketch.register(ev.sparkSession)
     ev
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(
@@ -36,7 +37,9 @@ object SketchTable {
         graft.functions.FreqSketch.freqAgg(
           col("user_id").cast(StringType)).as("freq_users"),
         graft.functions.ThetaSketch.thetaAgg(
-          col("user_id").cast(StringType)).as("theta_users"))
+          col("user_id").cast(StringType)).as("theta_users"),
+        graft.functions.KllSketch.kllAgg(
+          col("value").cast(DoubleType)).as("kll_value"))
   }
 
   /** build the per-(event_type, day) sketch table in one pass */
@@ -97,6 +100,29 @@ object SketchTable {
     rollupStates(s.read.parquet(sketchTable(s, dir))
       .where(col("day").between(lit("2024-01-08"), lit("2024-01-21"))))
 
+  /** the ranks `q_agg_kll_quantile` decodes */
+  val KllRanks: Seq[Double] = Seq(0.5, 0.9, 0.99)
+
+  /** window VALUE-distribution percentiles from persisted KLL states
+    * only — the quantile face of the sketch table. Oracle-free by
+    * design (KLL is approximate at every cardinality, unlike the
+    * freq/theta exact regimes); SketchTableSpec pins each estimate
+    * inside the exact values at rank ± 2·ε for the library's published
+    * ε ≈ 1.65% @ k = 200. */
+  def kllQuantileRollup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.KllSketch.register(s)
+    s.read.parquet(sketchTable(s, dir))
+      .where(col("day").between(lit("2024-01-08"), lit("2024-01-21")))
+      .groupBy("event_type")
+      .agg(graft.functions.KllSketch.kllQuantiles(
+        graft.functions.KllSketch.kllMerge(col("kll_value")), KllRanks).as("q"))
+      .select(col("event_type"),
+        col("q").getItem(0).as("p50"),
+        col("q").getItem(1).as("p90"),
+        col("q").getItem(2).as("p99"))
+      .orderBy("event_type")
+  }
+
   /** exact-regime twin: the same window stats from raw rows; the in-
     * sketch top-1 tie-break ranks by the STRING item, mirrored here */
   val sketchRollupSql: String =
@@ -115,7 +141,8 @@ object SketchTable {
       |ORDER BY t.event_type""".stripMargin
 
   val queries: Map[String, Q] = Map(
-    "q_sketch_rollup" -> sketchRollup _)
+    "q_sketch_rollup" -> sketchRollup _,
+    "q_agg_kll_quantile" -> kllQuantileRollup _)
 
   val oracle: Map[String, String] = Map(
     "q_sketch_rollup" -> sketchRollupSql)

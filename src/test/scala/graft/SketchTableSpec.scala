@@ -34,6 +34,27 @@ class SketchTableSpec extends AnyFunSuite {
     }
   }
 
+  test("q_agg_kll_quantile: each estimate sits inside the exact values at rank ± 2ε") {
+    val est = operators.SketchTable.kllQuantileRollup(spark, TestSpark.sfDir)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(est.nonEmpty)
+    val eps = 0.0165 * 2 // 2x the published one-sided rank error at k=200
+    val w = util.events(spark, TestSpark.sfDir)
+      .where(to_date(col("ts")).between(lit("2024-01-08"), lit("2024-01-21")))
+    operators.SketchTable.KllRanks.zipWithIndex.foreach { case (p, i) =>
+      val bounds = w.groupBy("event_type")
+        .agg(expr(s"percentile(value, ${math.max(0.0, p - eps)})").as("lo"),
+          expr(s"percentile(value, ${math.min(1.0, p + eps)})").as("hi"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      est.foreach { case (t, qs) =>
+        val (lo, hi) = bounds(t)
+        assert(qs(i) >= lo && qs(i) <= hi,
+          s"$t p$p estimate ${qs(i)} outside exact-rank window [$lo, $hi]")
+      }
+    }
+  }
+
   test("the sketch table is the only thing q_sketch_rollup reads") {
     // no events.parquet scan in the plan: the daily build happens at
     // layout-materialization time, the declared query touches states only

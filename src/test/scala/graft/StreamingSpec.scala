@@ -260,16 +260,16 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
     val evRows = util.events(spark, dir)
-      .select("event_id", "ts", "user_id", "event_type")
-      .as[(Long, java.sql.Timestamp, Long, String)].collect().toSeq
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[(Long, java.sql.Timestamp, Long, String, Double)].collect().toSeq
     val (firstHalf, secondHalf) = evRows.splitAt(evRows.size / 2)
-    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
     val out = Files.createTempDirectory("graft_skd_out").toString
     val ckpt = Files.createTempDirectory("graft_skd_ckpt").toString
     ms.addData(firstHalf)
     ms.addData(secondHalf)
     val q = Pipeline.streamSketchDailies(
-      ms.toDF().toDF("event_id", "ts", "user_id", "event_type"),
+      ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
       out, ckpt, Trigger.AvailableNow())
     q.awaitTermination(120000)
 
