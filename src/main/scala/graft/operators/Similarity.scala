@@ -276,7 +276,9 @@ object Similarity {
     * re-ranked. Candidates ≈ N·(IvfProbes/IvfK). Fully deterministic
     * (quantized-integer centroid means, rounded-cosine argmax, cid
     * tie-break) → hard DuckDB oracle, unlike the recall-spec'd LSH. */
-  def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
+  /** the IVF probe-pruned candidate set (vec_id, embedding) — the
+    * pre-re-rank frame shared by [[simAnnIvf]] and [[simEval]] */
+  private def ivfCandidates(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val e = t(s, dir, "embeddings")
     val book = trainedCodebook(s, dir)
@@ -292,6 +294,13 @@ object Similarity {
       .select("cid")
     assigned.where(col("vec_id") =!= 0)
       .join(broadcast(probeLists), Seq("cid"))
+      .select(col("vec_id"), col("embedding"))
+  }
+
+  def simAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val probe = e.where(col("vec_id") === 0).select(col("embedding").as("pe"))
+    ivfCandidates(s, dir)
       .crossJoin(broadcast(probe))
       .select(col("vec_id"), r4(cosine(s, "embedding", "pe")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -331,6 +340,98 @@ object Similarity {
        |  GROUP BY 1)
        |SELECT vec_id, CAST(round(dot / (sqrt(n2) * sqrt(np2)), 4) AS DOUBLE) AS cos
        |FROM terms ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+  }
+
+  // ---- ANN rollout evaluation -----------------------------------------
+  /** Recall@10 + scan efficiency of the probe-limited IVF search against
+    * the exact cosine top-10 — the similarity-family twin of
+    * `q_dedup_eval`, and the two numbers that justify an ANN rollout:
+    * recall says how much of the true neighborhood the probe budget
+    * reaches, scan_frac says what fraction of the corpus the search
+    * actually touched (the speedup's origin — at `IvfProbes`/`IvfK`
+    * cells, ≈ probes/K of the data). Both sides replay exactly in the
+    * DuckDB oracle (the IVF chain is the `q_sim_ann_ivf` oracle, the
+    * truth the `q_sim_cosine` one), so the metrics are hash-pinned. The
+    * two 10-row top-k frames are `localCheckpoint`ed because each feeds
+    * two consumers (its own count + the intersection) and their input
+    * pipelines — Lloyd training, full-corpus cosine — are the expensive
+    * path; the report is 1-row aggregates broadcast-crossed. */
+  def simEval(s: SparkSession, dir: String): DataFrame = {
+    val ex10 = simCosine(s, dir).select("vec_id").localCheckpoint()
+    val ivf10 = simAnnIvf(s, dir).select("vec_id").localCheckpoint()
+    val nCand = ivfCandidates(s, dir).agg(count(lit(1)).as("n_candidates"))
+    val nTotal = t(s, dir, "embeddings").where(col("vec_id") =!= 0)
+      .agg(count(lit(1)).as("n_total"))
+    val hits = ivf10.join(ex10, Seq("vec_id"))
+    ex10.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(ivf10.agg(count(lit(1)).as("n_ivf"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .crossJoin(broadcast(nCand))
+      .crossJoin(broadcast(nTotal))
+      .select(col("n_exact"), col("n_ivf"), col("n_hits"),
+        when(col("n_exact") > 0,
+          r4(col("n_hits").cast(DoubleType) / col("n_exact"))).as("recall"),
+        col("n_candidates"),
+        when(col("n_total") > 0,
+          r4(col("n_candidates").cast(DoubleType) / col("n_total"))).as("scan_frac"))
+  }
+
+  val simEvalSql: String = {
+    val r4fSql = (x: String) =>
+      s"floor(($x) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE"
+    val cosSql =
+      """sum(e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)
+        |      / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+        |         * sqrt(sum(c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))""".stripMargin
+    s"""WITH ${lloydCentsSql()},
+       |ac AS (
+       |  SELECT e.vec_id, c.cid, ${r4fSql(cosSql)} AS ac
+       |  FROM embeddings e, cents c, generate_series(1, 64) g(i)
+       |  GROUP BY e.vec_id, c.cid),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY ac DESC, cid ASC) AS rn
+       |    FROM ac) x
+       |  WHERE rn = 1),
+       |plists AS (SELECT cid FROM ac WHERE vec_id = 0 ORDER BY ac DESC, cid ASC LIMIT $IvfProbes),
+       |cand AS (SELECT a.vec_id FROM assigned a JOIN plists p USING (cid) WHERE a.vec_id <> 0),
+       |p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+       |ivft AS (
+       |  SELECT e.vec_id,
+       |    sum(e.embedding[i]::DOUBLE * p.pe[i]::DOUBLE) AS dot,
+       |    sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE) AS n2,
+       |    sum(p.pe[i]::DOUBLE * p.pe[i]::DOUBLE) AS np2
+       |  FROM embeddings e JOIN cand USING (vec_id), p, generate_series(1, 64) g(i)
+       |  GROUP BY 1),
+       |ivf10 AS (SELECT vec_id FROM ivft
+       |  ORDER BY CAST(round(dot / (sqrt(n2) * sqrt(np2)), 4) AS DOUBLE) DESC, vec_id ASC
+       |  LIMIT 10),
+       |ext AS (
+       |  SELECT e.vec_id,
+       |    sum(e.embedding[i]::DOUBLE * p.pe[i]::DOUBLE) AS dot,
+       |    sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE) AS n2,
+       |    sum(p.pe[i]::DOUBLE * p.pe[i]::DOUBLE) AS np2
+       |  FROM embeddings e, p, generate_series(1, 64) g(i)
+       |  WHERE e.vec_id <> 0
+       |  GROUP BY 1),
+       |ex10 AS (SELECT vec_id FROM ext
+       |  ORDER BY CAST(round(dot / (sqrt(n2) * sqrt(np2)), 4) AS DOUBLE) DESC, vec_id ASC
+       |  LIMIT 10),
+       |m AS (SELECT
+       |  (SELECT count(*) FROM ex10) AS n_exact,
+       |  (SELECT count(*) FROM ivf10) AS n_ivf,
+       |  (SELECT count(*) FROM ivf10 JOIN ex10 USING (vec_id)) AS n_hits,
+       |  (SELECT count(*) FROM cand) AS n_candidates,
+       |  (SELECT count(*) FROM embeddings WHERE vec_id <> 0) AS n_total)
+       |SELECT n_exact::BIGINT AS n_exact, n_ivf::BIGINT AS n_ivf,
+       |  n_hits::BIGINT AS n_hits,
+       |  CASE WHEN n_exact > 0
+       |    THEN CAST(round(n_hits::DOUBLE / n_exact, 4) AS DOUBLE) END AS recall,
+       |  n_candidates::BIGINT AS n_candidates,
+       |  CASE WHEN n_total > 0
+       |    THEN CAST(round(n_candidates::DOUBLE / n_total, 4) AS DOUBLE) END AS scan_frac
+       |FROM m""".stripMargin
   }
 
   /** per-cluster curation stats over the trained IVF assignment: list
@@ -1155,6 +1256,7 @@ object Similarity {
     "q_dedup_embedding" -> dedupEmbedding _,
     "q_sim_ann_lsh" -> simAnnLsh _,
     "q_sim_ann_ivf" -> simAnnIvf _,
+    "q_sim_eval" -> simEval _,
     "q_sim_ann_pq" -> simAnnPq _,
     "q_sim_ann_ivfpq" -> simAnnIvfPq _,
     "q_sim_knn" -> simKnn _,
@@ -1168,6 +1270,7 @@ object Similarity {
     "q_sim_cosine" -> simCosineSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_sim_ann_ivf" -> simAnnIvfSql,
+    "q_sim_eval" -> simEvalSql,
     "q_sim_knn" -> simKnnSql,
     "q_dedup_semantic" -> dedupSemanticSql,
     "q_dedup_semantic_apply" -> dedupSemanticApplySql,
