@@ -5,7 +5,7 @@ import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
 import org.apache.datasketches.memory.Memory
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -87,7 +87,12 @@ case class FreqMergeAgg(
     maxMapSize: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ItemsSketch[String]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[ItemsSketch[String]] with UnaryLike[Expression]
+  with ExpectsInputTypes {
+
+  // the input must be a serialized sketch state; anything else fails
+  // analysis instead of a runtime cast in update()
+  override def inputTypes = Seq(BinaryType)
 
   @transient private lazy val serde = new ArrayOfStringsSerDe
 
@@ -129,7 +134,9 @@ case class FreqMergeAgg(
   * (CodegenFallback): it runs once per GROUP on a kilobyte state, never
   * per input row, so codegen would buy nothing. */
 case class FreqSketchTopK(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes = Seq(BinaryType)
 
   @transient private lazy val serde = new ArrayOfStringsSerDe
 
@@ -163,13 +170,13 @@ object FreqSketch {
   def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "freq_sketch_agg", exprs => FreqItemsAgg(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+        FnArgs.litInt(exprs(1), "freq_sketch_agg", "maxMapSize")), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "freq_sketch_merge", exprs => FreqMergeAgg(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+        FnArgs.litInt(exprs(1), "freq_sketch_merge", "maxMapSize")), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "freq_sketch_topk", exprs => FreqSketchTopK(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+        FnArgs.litInt(exprs(1), "freq_sketch_topk", "k")), "built-in")
   }
 
   def freqAgg(c: Column, maxMapSize: Int = DefaultMapSize): Column =

@@ -4,11 +4,11 @@ import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 
@@ -30,7 +30,13 @@ case class KllSketchAgg(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression]
+  with ImplicitCastInputTypes {
+
+  // numeric inputs implicitly widen to double at analysis; a
+  // non-numeric column is an AnalysisException, not a runtime
+  // ClassCastException in an executor task
+  override def inputTypes = Seq(DoubleType)
 
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)
@@ -68,7 +74,12 @@ case class KllMergeAgg(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression]
+  with ExpectsInputTypes {
+
+  // the input must be a serialized KLL state; anything else fails
+  // analysis instead of a runtime cast in update()
+  override def inputTypes = Seq(BinaryType)
 
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)
@@ -103,8 +114,9 @@ case class KllMergeAgg(
 /** decode quantile estimates at the given ranks from a serialized KLL
   * state — eval-only, runs once per result row on a kilobyte state */
 case class KllQuantiles(child: Expression, ranks: Seq[Double])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
+  override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
   override def nullSafeEval(v: Any): Any = {
@@ -127,13 +139,13 @@ object KllSketch {
   def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kll_sketch_agg", exprs => KllSketchAgg(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+        FnArgs.litInt(exprs(1), "kll_sketch_agg", "k")), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kll_sketch_merge", exprs => KllMergeAgg(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+        FnArgs.litInt(exprs(1), "kll_sketch_merge", "k")), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kll_quantiles", exprs => KllQuantiles(exprs(0),
-        exprs(1).eval(null).asInstanceOf[ArrayData].toDoubleArray().toSeq),
+        FnArgs.litDoubleArray(exprs(1), "kll_quantiles", "ranks")),
       "built-in")
   }
 

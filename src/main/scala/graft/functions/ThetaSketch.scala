@@ -4,7 +4,7 @@ import org.apache.datasketches.memory.Memory
 import org.apache.datasketches.theta.{SetOperation, Sketch, Sketches, Union}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -71,7 +71,12 @@ case class ThetaMergeAgg(
     child: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Union] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Union] with UnaryLike[Expression]
+  with ExpectsInputTypes {
+
+  // the input must be a serialized theta state; anything else fails
+  // analysis instead of a runtime cast in update()
+  override def inputTypes = Seq(BinaryType)
 
   override def createAggregationBuffer(): Union =
     SetOperation.builder().buildUnion()
@@ -109,7 +114,9 @@ case class ThetaMergeAgg(
 /** set-operation expressions over serialized theta sketches — eval-only
   * (CodegenFallback): they run once per RESULT row on kilobyte states,
   * never per input row */
-sealed trait ThetaBinaryOp extends BinaryExpression with CodegenFallback {
+sealed trait ThetaBinaryOp extends BinaryExpression with CodegenFallback
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType, BinaryType)
   override def dataType: DataType = BinaryType
   protected def wrap(v: Any): Sketch =
     Sketches.wrapSketch(Memory.wrap(v.asInstanceOf[Array[Byte]]))
@@ -151,7 +158,8 @@ case class ThetaANotB(left: Expression, right: Expression) extends ThetaBinaryOp
 /** rounded distinct estimate — exact-mode sketches give integral
   * estimates, so the round is lossless in the oracle regime */
 case class ThetaEstimate(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
     math.round(Sketches.wrapSketch(

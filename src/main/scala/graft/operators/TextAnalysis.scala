@@ -551,11 +551,18 @@ object TextAnalysis {
     // ALL span occurrences with their 0-based start positions — the
     // coverage computation needs positions, so this is posexplode over an
     // index transform, not the distinct WordNgrams shingler
+    // localCheckpoint: this projection (per-token md5 — the dominant cost
+    // of the whole query) feeds TWO consumers, `common` and `covered`;
+    // without truncation Spark re-executes the full 5-gram pipeline once
+    // per consumer. Same reuse discipline as curateBatch/dedupEval. The
+    // materialized payload is (doc_id, pos, gh) — 20 B/span, never the
+    // token stream — so it stays executor-local and bounded at scale.
     val spans = tokd.where(size(col("tk")) >= 5)
       .select(col("doc_id"), posexplode(expr(
         "transform(sequence(0, size(tk) - 5), i -> " +
           "cast(conv(substring(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])), 1, 15), 16, 10) AS BIGINT))"))
         .as(Seq("pos", "gh")))
+      .localCheckpoint()
     val common = spans.select(col("doc_id"), col("gh")).distinct()
       .groupBy("gh").agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= ScrubSpanDf)

@@ -131,8 +131,15 @@ object Sinks {
     }
     val n = zCols.length
     graft.functions.VectorExpressions.register(df.sparkSession)
+    // ONE Greenwald-Khanna pass for ALL key columns: the multi-column
+    // approxQuantile overload scans the input once and returns each
+    // column's boundary array, vs one full scan per key in the
+    // column-at-a-time form — at a 100 TB layout build that is |zCols|
+    // input scans collapsed to one
+    val allBounds =
+      dd.stat.approxQuantile(zCols.indices.map(i => s"__v$i").toArray, probs, 0.001)
     val bucketed = zCols.indices.foldLeft(dd) { case (d, i) =>
-      val bounds = d.stat.approxQuantile(s"__v$i", probs, 0.001)
+      val bounds = allBounds(i)
       // native codegen'd binary search over the sorted boundary array —
       // the HOF fold this replaces ran 2^bits interpreted lambda calls
       // per row; an empty bounds array (empty input) degrades to the

@@ -49,4 +49,39 @@ class FreqSketchSpec extends AnyFunSuite {
     assert(merged === global,
       "merge-of-daily and single-pass sketches disagree below the purge point")
   }
+
+  test("mistyped SQL calls fail at analysis with the function and param named") {
+    graft.functions.FreqSketch.register(spark)
+    graft.functions.KllSketch.register(spark)
+    graft.functions.ThetaSketch.register(spark)
+    val ev = util.events(spark, TestSpark.sfDir)
+    ev.createOrReplaceTempView("fnargs_ev")
+    // string literal where an int parameter is expected → named error at
+    // function-resolution time, not a ClassCastException in an executor
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT freq_sketch_agg(cast(user_id AS string), '64') FROM fnargs_ev")
+    }
+    assert(e1.getMessage.contains("freq_sketch_agg"), e1.getMessage)
+    // non-foldable parameter → named error
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT kll_sketch_agg(value, cast(user_id AS int)) FROM fnargs_ev")
+    }
+    assert(e2.getMessage.contains("kll_sketch_agg"), e2.getMessage)
+    // wrong input type for the merge side (double where a serialized
+    // sketch state is required) → AnalysisException from ExpectsInputTypes
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT kll_sketch_merge(value, 200) FROM fnargs_ev").collect()
+    }
+    assert(e3.getMessage.toLowerCase.contains("binary"), e3.getMessage)
+    val e4 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT theta_sketch_merge(value) FROM fnargs_ev").collect()
+    }
+    assert(e4.getMessage.toLowerCase.contains("binary"), e4.getMessage)
+    // numeric inputs implicitly widen for the value-side KLL aggregate:
+    // an INT column is legal and aggregates as double
+    val ok = spark.sql(
+      "SELECT kll_quantiles(kll_sketch_agg(cast(user_id AS int), 200), array(0.5d)) FROM fnargs_ev")
+      .collect()
+    assert(ok.length === 1)
+  }
 }
