@@ -847,18 +847,26 @@ object Dedup {
     * only sample. Shape: one md5 per token, 60 codegen'd sum-aggregates
     * in one map-side-combined groupBy — no explode amplification beyond
     * the token rows themselves. */
-  def dedupSimhashChunks(s: SparkSession, dir: String): DataFrame = {
+  /** md5 60-bit SimHash signatures per doc — the cross-engine hash family
+    * shared by [[dedupSimhashChunks]] (bucket mechanics) and
+    * [[dedupSimhashEval]] (candidate quality): one md5 per token, 60
+    * codegen'd sum-aggregates in one map-side-combined groupBy. */
+  private def md5SimhashSigs(s: SparkSession, dir: String): DataFrame = {
     val tok = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
       .withColumn("h", expr(
         "cast(conv(substring(md5(tk), 1, 15), 16, 10) AS BIGINT)"))
     val bitSums = (0 until 60).map(b =>
       sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s$b"))
-    val sigs = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .withColumn("sig", (0 until 60).map(b =>
         when(col(s"s$b") >= 0, lit(1L)).otherwise(lit(0L)) * (1L << b))
         .reduce(_ + _))
-    val chunked = sigs.select(col("doc_id"),
+      .select("doc_id", "sig")
+  }
+
+  def dedupSimhashChunks(s: SparkSession, dir: String): DataFrame = {
+    val chunked = md5SimhashSigs(s, dir).select(col("doc_id"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> shiftright(sig, c * 15) & 32767)"))
         .as(Seq("chunk", "cv")))
@@ -870,13 +878,15 @@ object Dedup {
       .orderBy("chunk")
   }
 
-  val dedupSimhashChunksSql: String = {
+  /** shared DuckDB CTE chain: tok → 60 bit sums → 60-bit md5 sigs →
+    * 4×15-bit chunks — the oracle twin of [[md5SimhashSigs]] + chunking */
+  private val simhashChunkedCtes: String = {
     val bitCols = (0 until 60)
       .map(b => s"sum((h >> $b) % 2 * 2 - 1) AS s$b").mkString(",\n    ")
     val sigExpr = (0 until 60)
       .map(b => s"(CASE WHEN s$b >= 0 THEN 1::BIGINT ELSE 0::BIGINT END << $b)")
       .mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents) x),
        |bits AS (
@@ -885,12 +895,115 @@ object Dedup {
        |  FROM tok GROUP BY doc_id),
        |sigs AS (SELECT doc_id, $sigExpr AS sig FROM bits),
        |chunked AS (
-       |  SELECT doc_id, c AS chunk, (sig >> (c * 15)) & 32767 AS cv
-       |  FROM sigs CROSS JOIN generate_series(0, 3) g(c)),
+       |  SELECT doc_id, sig, c AS chunk, (sig >> (c * 15)) & 32767 AS cv
+       |  FROM sigs CROSS JOIN generate_series(0, 3) g(c))""".stripMargin
+  }
+
+  val dedupSimhashChunksSql: String =
+    s"""WITH $simhashChunkedCtes,
        |buckets AS (SELECT chunk, cv, count(*) AS n FROM chunked GROUP BY 1, 2)
        |SELECT chunk, count(*) AS n_buckets, (sum(n * (n - 1)) // 2)::BIGINT AS n_pairs
        |FROM buckets WHERE n >= 2 GROUP BY chunk ORDER BY chunk""".stripMargin
+
+  // ---- SimHash candidate-quality evaluation ---------------------------
+  /** The [[dedupEval]] instrument for the SimHash family: recall/precision
+    * of the PRODUCTION candidate set (chunk-collision buckets with the
+    * [[SimhashMaxBucket]] representative cap, pre-verification) against
+    * the EXACT Hamming ≤ 3 truth. Truth is computed by uncapped pigeonhole
+    * decomposition, which is exact by construction — a 60-bit signature in
+    * four 15-bit chunks can differ in ≤ 3 bits only if ≥ 1 chunk is
+    * identical, so bucket-joining on equal chunks reaches every true pair
+    * without an all-pairs scan. The two numbers this buys before a corpus
+    * rollout: recall quantifies what the hot-bucket representative cap
+    * LOSES (the only approximation in the production path — uncapped,
+    * recall is 1.0 by the pigeonhole theorem), precision quantifies the
+    * popcount-verification work the candidates waste.
+    *
+    * Scale: both sides are bucketed equi-joins on (chunk, cv) — never
+    * all-pairs; the truth side forgoes the cap (the instrument's price —
+    * quadratic only inside degenerate boilerplate buckets, and an eval
+    * runs on a bounded sample in production anyway). Both pair frames are
+    * `localCheckpoint`ed: each feeds two consumers (own count + the
+    * intersection) and their input is the full signature pipeline. */
+  def dedupSimhashEval(s: SparkSession, dir: String): DataFrame = {
+    val chunked = md5SimhashSigs(s, dir).select(col("doc_id"), col("sig"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> shiftright(sig, c * 15) & 32767)"))
+        .as(Seq("chunk", "cv")))
+    // buckets feed BOTH pair generators — checkpoint so the 60-aggregate
+    // signature pipeline runs once
+    val buckets = chunked.groupBy("chunk", "cv")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
+      .where(size(col("ds")) >= 2)
+      .localCheckpoint()
+    // exact truth: uncapped in-bucket pairs, popcount-verified (list is
+    // doc_id-sorted, so j > i implies d1 < d2)
+    val truth = buckets
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+      .select(col("a"), col("i"), posexplode(col("ds")).as(Seq("j", "b")))
+      .where(col("j") > col("i"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(expr("a.sig ^ b.sig")).as("hamming"))
+      .where(col("hamming") <= 3)
+      .select("d1", "d2")
+      .distinct()
+      .localCheckpoint()
+    // production candidates: the dedupSimhash pairing verbatim — rep
+    // pairing past the cap, NO popcount filter (that is what precision
+    // measures)
+    val cand = buckets
+      .withColumn("nb", size(col("ds")))
+      .withColumn("lhs", when(col("nb") <= SimhashMaxBucket, col("ds"))
+        .otherwise(slice(col("ds"), 1, 1)))
+      .select(col("ds"), col("nb"), posexplode(col("lhs")).as(Seq("i", "a")))
+      .select(col("a"), col("i"), col("nb"), posexplode(col("ds")).as(Seq("j", "b")))
+      .where((col("nb") <= SimhashMaxBucket && col("j") > col("i"))
+        || (col("nb") > SimhashMaxBucket && col("a.doc_id") < col("b.doc_id")))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+      .localCheckpoint()
+    val hits = cand.join(truth, Seq("d1", "d2"))
+    cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select(col("n_candidates"), col("n_truth"), col("n_hits"),
+        when(col("n_truth") > 0,
+          r4(col("n_hits").cast(DoubleType) / col("n_truth"))).as("recall"),
+        when(col("n_candidates") > 0,
+          r4(col("n_hits").cast(DoubleType) / col("n_candidates"))).as("precision"))
   }
+
+  val dedupSimhashEvalSql: String =
+    s"""WITH $simhashChunkedCtes,
+       |bsz AS (SELECT chunk, cv, count(*) AS n, min(doc_id) AS mn
+       |  FROM chunked GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM chunked a
+       |  JOIN chunked b ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM chunked a
+       |  JOIN chunked b ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
+       |  JOIN bsz s ON a.chunk = s.chunk AND a.cv = s.cv
+       |  WHERE s.n <= $SimhashMaxBucket
+       |  UNION
+       |  SELECT s.mn AS d1, b.doc_id AS d2
+       |  FROM chunked b JOIN bsz s ON b.chunk = s.chunk AND b.cv = s.cv
+       |  WHERE s.n > $SimhashMaxBucket AND b.doc_id <> s.mn),
+       |m AS (SELECT
+       |  (SELECT count(*) FROM cand) AS n_candidates,
+       |  (SELECT count(*) FROM truth) AS n_truth,
+       |  (SELECT count(*) FROM cand c JOIN truth t
+       |     ON c.d1 = t.d1 AND c.d2 = t.d2) AS n_hits)
+       |SELECT n_candidates::BIGINT AS n_candidates, n_truth::BIGINT AS n_truth,
+       |  n_hits::BIGINT AS n_hits,
+       |  CASE WHEN n_truth > 0
+       |    THEN CAST(round(n_hits::DOUBLE / n_truth, 4) AS DOUBLE) END AS recall,
+       |  CASE WHEN n_candidates > 0
+       |    THEN CAST(round(n_hits::DOUBLE / n_candidates, 4) AS DOUBLE) END AS precision
+       |FROM m""".stripMargin
 
   // ---- incremental dedup against a persisted gram index ----------------
   /** The production ingest pattern at 100 TB: dedup a NEW BATCH against an
@@ -1057,6 +1170,7 @@ object Dedup {
     "q_dedup_minhash_clusters" -> dedupMinhashClusters _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_dedup_simhash_chunks" -> dedupSimhashChunks _,
+    "q_dedup_simhash_eval" -> dedupSimhashEval _,
     "q_decontaminate" -> decontaminate _,
     "q_decontaminate_bloom" -> decontaminateBloom _,
     "q_dedup_incremental" -> dedupIncremental _,
@@ -1072,6 +1186,7 @@ object Dedup {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_apply" -> dedupApplySql,
     "q_dedup_simhash_chunks" -> dedupSimhashChunksSql,
+    "q_dedup_simhash_eval" -> dedupSimhashEvalSql,
     "q_decontaminate" -> decontaminateSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_cluster_sizes" -> dedupClusterSizesSql,
