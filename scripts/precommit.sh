@@ -15,6 +15,12 @@ rm -rf /tmp/precommit_vout
 sbt -batch "runMain graft.Verify /root/testdata/sf0.001 /tmp/precommit_vout"
 python3 scripts/selfcheck.py /root/testdata/sf0.001 /tmp/precommit_vout
 
+# Plan-shape hygiene over EVERY declared query (plans only, never executes —
+# cheap). Runs unconditionally so a query added to SparkEntry.queries can't
+# land with an unallowlisted nested-loop join / cartesian / naive window
+# (round 8 shipped exactly that regression).
+sbt -batch "testOnly graft.PlanHygieneSpec graft.SourceHygieneSpec"
+
 if [[ "${1:-}" == "--full" ]]; then
   rm -rf /tmp/precommit_vout01
   sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/precommit_vout01"

@@ -66,6 +66,7 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_curate_e2e",       // same one-row p25 threshold inside the composed pipeline
       "q_curate_funnel",    // same one-row p25 threshold, funnel accounting stages
       "q_dedup_eval",       // three 1-row metric aggregates broadcast-crossed
+      "q_dedup_simhash_eval", // three 1-row metric aggregates broadcast-crossed
       "q_skew_stats",       // broadcast one-row total/key-count frame
       "q_sim_eval",         // five 1-row metric aggregates broadcast-crossed
       "q_gap_fill",         // dense (bucket × type) domain, small distinct dim
