@@ -501,11 +501,11 @@ object VectorExpressions {
   def ivfAssign(emb: Column, centroids: Column): Column =
     call_function("ivf_assign", emb, centroids)
 
-  /** pq_assign(subvector, subcentroids) as a Column (requires register first) */
   /** quantile_bucket(value, bounds) as a Column (requires register first) */
   def quantileBucket(v: Column, bounds: Array[Double]): Column =
     call_function("quantile_bucket", v, org.apache.spark.sql.functions.lit(bounds))
 
+  /** pq_assign(subvector, subcentroids) as a Column (requires register first) */
   def pqAssign(sub: Column, cents: Column): Column =
     call_function("pq_assign", sub, cents)
 }

@@ -965,55 +965,12 @@ object Similarity {
   def simAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val e = t(s, dir, "embeddings")
-    val book = trainedCodebook(s, dir)
-    val bookArr = book.agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
     val probe = e.where(col("vec_id") === 0).select(col("embedding").as("pe"))
-    val probeLists = book.crossJoin(broadcast(probe))
-      .select(col("cid"), r4f(cosine(s, "ce", "pe")).as("ac"))
-      .orderBy(col("ac").desc, col("cid").asc)
-      .limit(IvfProbes)
-      .select("cid")
-    // PQ training + ADC tables (the simAnnPq pass, unchanged arithmetic)
-    val sample = e.orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
-      .limit(PqK).select(col("vec_id").as("cid"), col("embedding"))
-    val perM = sample
-      .select(col("cid"), posexplode(expr(
-        s"transform(sequence(0, ${PqM - 1}), m -> slice(embedding, m * $PqSub + 1, $PqSub))"))
-        .as(Seq("m", "ce")))
-      .groupBy("m")
-      .agg(expr("transform(array_sort(collect_list(struct(cid, ce))), x -> x.ce)").as("cents"))
-    val tabs = perM.crossJoin(broadcast(probe))
-      .select(col("m"), col("cents"),
-        expr(s"transform(cents, c -> aggregate(zip_with(c, slice(pe, m * $PqSub + 1, $PqSub), (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)), 0D, (a, v) -> a + v))").as("dt"),
-        expr("transform(cents, c -> aggregate(c, 0D, (a, x) -> a + cast(x AS DOUBLE) * cast(x AS DOUBLE)))").as("nt"),
-        expr("aggregate(pe, 0D, (a, x) -> a + cast(x AS DOUBLE) * cast(x AS DOUBLE))").as("np2"))
-    val adcAggs = (0 until PqM).flatMap(m => Seq(
-      max(when(col("m") === m, col("cents"))).as(s"cents$m"),
-      max(when(col("m") === m, col("dt"))).as(s"dt$m"),
-      max(when(col("m") === m, col("nt"))).as(s"nt$m"))) :+ max(col("np2")).as("np2")
-    val onerow = tabs.groupBy().agg(adcAggs.head, adcAggs.tail: _*)
-    // route: candidates = members of the probed cells only
-    val cand = e.where(col("vec_id") =!= 0)
-      .crossJoin(broadcast(bookArr))
-      .select(col("vec_id"), col("embedding"),
-        graft.functions.VectorExpressions.ivfAssign(col("embedding"), col("cents")).as("cid"))
-      .join(broadcast(probeLists), Seq("cid"))
-    // ADC scores on candidates, top-R, exact re-rank
-    val approx = cand.crossJoin(broadcast(onerow))
-      .select(Seq(col("vec_id"), col("embedding")) ++
-        (0 until PqM).map(m => graft.functions.VectorExpressions.pqAssign(
-          slice(col("embedding"), m * PqSub + 1, PqSub), col(s"cents$m")).as(s"k$m")) ++
-        (0 until PqM).flatMap(m => Seq(col(s"dt$m"), col(s"nt$m"))) :+ col("np2"): _*)
-      .select(col("vec_id"), col("embedding"),
-        r4f((0 until PqM).map(m => element_at(col(s"dt$m"), col(s"k$m") + 1)).reduce(_ + _)
-          / (sqrt((0 until PqM).map(m => element_at(col(s"nt$m"), col(s"k$m") + 1)).reduce(_ + _))
-            * sqrt(col("np2")))).as("approx_cos"))
-      .orderBy(col("approx_cos").desc, col("vec_id").asc)
-      .limit(PqRerank)
-    approx.crossJoin(broadcast(probe))
-      .select(col("vec_id"), r4(cosine(s, "embedding", "pe")).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(10)
+    // PQ training + ADC tables (the simAnnPq pass, unchanged arithmetic);
+    // route: candidates = members of the probed cells only (ivfCandidates),
+    // then ADC scores on candidates, top-R, exact re-rank
+    val onerow = pqAdcTables(pqSubCentroids(e), probe)
+    exactRerank(s, pqAdcRerankSet(s, ivfCandidates(s, dir), onerow), probe)
   }
 
   // ---- persisted IVF+PQ index (IVFADC: route by cid, score by codes) ---
@@ -1041,15 +998,7 @@ object Similarity {
     book.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/codebook")
     // PQ sub-centroids: the simAnnPq training pass (deterministic md5
     // sample → per-subspace centroid arrays in sorted-cid order)
-    val sample = e.orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
-      .limit(PqK).select(col("vec_id").as("cid"), col("embedding"))
-    val perM = sample
-      .select(col("cid"), posexplode(expr(
-        s"transform(sequence(0, ${PqM - 1}), m -> slice(embedding, m * $PqSub + 1, $PqSub))"))
-        .as(Seq("m", "ce")))
-      .groupBy("m")
-      .agg(expr("transform(array_sort(collect_list(struct(cid, ce))), x -> x.ce)").as("cents"))
-    perM.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/pq")
+    pqSubCentroids(e).coalesce(1).write.mode("overwrite").parquet(s"$indexPath/pq")
     // lists: coarse-assign every vector, encode its M codes, land it in
     // its cell directory; one writer task per cell — no small files.
     // pqArr derives from the just-written pq/ parquet (like the query
@@ -1207,21 +1156,25 @@ object Similarity {
   val PqK = 32
   val PqRerank = 100
 
-  def simAnnPq(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorExpressions.register(s)
-    val e = t(s, dir, "embeddings")
-    // one scan → (m, cid, 16-dim sub-centroid) for all M subspaces
-    val sample = e.orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+  /** deterministic PQ training: per-subspace sub-centroid arrays in
+    * sorted-cid order (positions = codes), seeded from the same md5
+    * hash-sample as the IVF codebook — one scan, M broadcast-small rows.
+    * Shared by [[simAnnPq]], [[simAnnIvfPq]], [[simEvalPq]] and the
+    * persisted [[writeIvfPqIndex]] layout. */
+  private def pqSubCentroids(e: DataFrame): DataFrame =
+    e.orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
       .limit(PqK).select(col("vec_id").as("cid"), col("embedding"))
-    val subCents = sample.select(col("cid"), posexplode(expr(
+      .select(col("cid"), posexplode(expr(
         s"transform(sequence(0, ${PqM - 1}), m -> slice(embedding, m * $PqSub + 1, $PqSub))"))
         .as(Seq("m", "ce")))
-    // per subspace: centroids in sorted-cid order (positions = codes)
-    val perM = subCents.groupBy("m")
+      .groupBy("m")
       .agg(expr("transform(array_sort(collect_list(struct(cid, ce))), x -> x.ce)").as("cents"))
-    val probe = e.where(col("vec_id") === 0).select(col("embedding").as("pe"))
-    // ADC tables: dt[k] = dot(probe_sub, cent_k), nt[k] = |cent_k|² — M·K
-    // tiny HOF evaluations total, NOT per candidate row
+
+  /** the probe's ADC tables pivoted to ONE broadcastable row
+    * (cents/dt/nt per subspace + |probe|²): dt[k] = dot(probe_sub,
+    * cent_k), nt[k] = |cent_k|² — M·K tiny HOF evaluations total, NOT
+    * per candidate row */
+  private def pqAdcTables(perM: DataFrame, probe: DataFrame): DataFrame = {
     val tabs = perM.crossJoin(broadcast(probe))
       .select(col("m"), col("cents"),
         expr(s"transform(cents, c -> aggregate(zip_with(c, slice(pe, m * $PqSub + 1, $PqSub), (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)), 0D, (a, v) -> a + v))").as("dt"),
@@ -1231,24 +1184,209 @@ object Similarity {
       max(when(col("m") === m, col("cents"))).as(s"cents$m"),
       max(when(col("m") === m, col("dt"))).as(s"dt$m"),
       max(when(col("m") === m, col("nt"))).as(s"nt$m"))) :+ max(col("np2")).as("np2")
-    val onerow = tabs.groupBy().agg(pivotAggs.head, pivotAggs.tail: _*)
-    // scan: encode (M native pq_assign calls) + M table lookups per row
-    val coded = e.where(col("vec_id") =!= 0)
-      .crossJoin(broadcast(onerow))
+    tabs.groupBy().agg(pivotAggs.head, pivotAggs.tail: _*)
+  }
+
+  /** encode (M native pq_assign calls) + ADC-score (M table lookups)
+    * every `cand` row (vec_id, embedding) against the one-row broadcast
+    * tables; keeps the top-[[PqRerank]] by (approx_cos DESC, vec_id) —
+    * the bounded set the exact re-rank touches */
+  private def pqAdcRerankSet(s: SparkSession, cand: DataFrame, onerow: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    cand.crossJoin(broadcast(onerow))
       .select(Seq(col("vec_id"), col("embedding"), col("np2")) ++
         (0 until PqM).map(m => graft.functions.VectorExpressions.pqAssign(
           slice(col("embedding"), m * PqSub + 1, PqSub), col(s"cents$m")).as(s"c$m")) ++
         (0 until PqM).flatMap(m => Seq(col(s"dt$m"), col(s"nt$m"))): _*)
-    val approx = coded.select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding"),
         r4f((0 until PqM).map(m => element_at(col(s"dt$m"), col(s"c$m") + 1)).reduce(_ + _)
           / (sqrt((0 until PqM).map(m => element_at(col(s"nt$m"), col(s"c$m") + 1)).reduce(_ + _))
             * sqrt(col("np2")))).as("approx_cos"))
       .orderBy(col("approx_cos").desc, col("vec_id").asc)
       .limit(PqRerank)
-    approx.crossJoin(broadcast(probe))
+  }
+
+  /** exact-cosine top-10 re-rank of a bounded (≤ [[PqRerank]]-row)
+    * candidate set against the broadcast probe */
+  private def exactRerank(s: SparkSession, candSet: DataFrame, probe: DataFrame): DataFrame =
+    candSet.crossJoin(broadcast(probe))
       .select(col("vec_id"), r4(cosine(s, "embedding", "pe")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
+
+  def simAnnPq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = t(s, dir, "embeddings")
+    val probe = e.where(col("vec_id") === 0).select(col("embedding").as("pe"))
+    val onerow = pqAdcTables(pqSubCentroids(e), probe)
+    exactRerank(s, pqAdcRerankSet(s, e.where(col("vec_id") =!= 0), onerow), probe)
+  }
+
+  // ---- PQ / IVF+PQ rollout evaluation ----------------------------------
+  /** The quantizer-family rollout instrument (the PQ twin of
+    * [[simEval]]): ONE frame, one row per search path (`ivfpq`, `pq`),
+    * each carrying the two go/no-go numbers — recall@10 vs the exact
+    * cosine top-10, and how much work bought it. `n_adc` counts the rows
+    * the ADC phase scored (full corpus for flat PQ — cheap M-lookup
+    * arithmetic over codes; only the probed cells' members for IVF+PQ),
+    * `n_rerank` the rows the exact full-precision re-rank touched
+    * (≤ [[PqRerank]] — the expensive phase both paths bound), with each
+    * as a fraction of corpus size. Reading the pair tells a user what
+    * IVF routing buys (adc_frac drops from 1.0 to ≈ probes/K at equal
+    * recall) and what PQ compression costs in recall at a fixed rerank
+    * budget.
+    *
+    * Every phase is deterministic (md5-sampled codebooks, quantized
+    * Lloyd means, r4f-rounded ADC argsorts), so the WHOLE chain —
+    * training, encoding, ADC ranking, re-rank, metrics — replays in
+    * DuckDB and the row is hash-pinned, unlike the recall-bound specs
+    * that cover the search paths alone. Scale shape: the two rerank-set
+    * frames and the truth top-10 are `localCheckpoint`ed (each feeds two
+    * consumers; their lineages hold the expensive passes), the IVF+PQ
+    * candidate frame likewise (count + ADC scan); the report itself is
+    * 1-row aggregates broadcast-crossed. */
+  def simEvalPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val probe = e.where(col("vec_id") === 0).select(col("embedding").as("pe"))
+    val onerow = pqAdcTables(pqSubCentroids(e), probe)
+    val nTotal = e.where(col("vec_id") =!= 0).agg(count(lit(1)).as("n_total"))
+    val ex10 = simCosine(s, dir).select("vec_id").localCheckpoint()
+    // flat-PQ path: ADC over the whole corpus, exact re-rank of top-R
+    val pqRr = pqAdcRerankSet(s, e.where(col("vec_id") =!= 0), onerow).localCheckpoint()
+    val pq10 = exactRerank(s, pqRr, probe).select("vec_id")
+    // IVF+PQ path: ADC over the probed cells only, same re-rank budget
+    val cand = ivfCandidates(s, dir).localCheckpoint()
+    val ivfRr = pqAdcRerankSet(s, cand, onerow).localCheckpoint()
+    val ivfpq10 = exactRerank(s, ivfRr, probe).select("vec_id")
+
+    def row(method: String, top10: DataFrame, nAdc: DataFrame, rr: DataFrame): DataFrame =
+      ex10.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(top10.join(ex10, Seq("vec_id")).agg(count(lit(1)).as("n_hits"))))
+        .crossJoin(broadcast(nAdc))
+        .crossJoin(broadcast(rr.agg(count(lit(1)).as("n_rerank"))))
+        .crossJoin(broadcast(nTotal))
+        .select(lit(method).as("method"), col("n_exact"), col("n_hits"),
+          when(col("n_exact") > 0,
+            r4(col("n_hits").cast(DoubleType) / col("n_exact"))).as("recall"),
+          col("n_adc"), col("n_rerank"), col("n_total"),
+          when(col("n_total") > 0,
+            r4(col("n_adc").cast(DoubleType) / col("n_total"))).as("adc_frac"),
+          when(col("n_total") > 0,
+            r4(col("n_rerank").cast(DoubleType) / col("n_total"))).as("rerank_frac"))
+
+    row("ivfpq", ivfpq10, cand.agg(count(lit(1)).as("n_adc")), ivfRr)
+      .union(row("pq", pq10, nTotal.select(col("n_total").as("n_adc")), pqRr))
+      .orderBy("method")
+  }
+
+  /** the full two-path chain replayed in SQL: Lloyd codebook + probe
+    * lists (the `q_sim_eval` CTEs), PQ sub-centroids in sorted-cid order
+    * (row_number = 1-based code), squared-L2 argmin encoding, ADC
+    * tables, floor-rounded ADC ranking, exact re-rank, metric rows —
+    * row-identical to the Spark plan */
+  val simEvalPqSql: String = {
+    val exactTopSql = (candCte: String, name: String) =>
+      s"""${name}t AS (
+         |  SELECT e.vec_id,
+         |    sum(e.embedding[i]::DOUBLE * p.pe[i]::DOUBLE) AS dot,
+         |    sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE) AS n2,
+         |    sum(p.pe[i]::DOUBLE * p.pe[i]::DOUBLE) AS np2
+         |  FROM embeddings e JOIN $candCte USING (vec_id), p, generate_series(1, 64) g(i)
+         |  GROUP BY 1),
+         |${name}10 AS (SELECT vec_id FROM ${name}t
+         |  ORDER BY CAST(round(dot / (sqrt(n2) * sqrt(np2)), 4) AS DOUBLE) DESC, vec_id ASC
+         |  LIMIT 10)""".stripMargin
+    s"""WITH ${lloydCentsSql()},
+       |ac AS (
+       |  SELECT e.vec_id, c.cid,
+       |    floor(sum(e.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)
+       |      / (sqrt(sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+       |         * sqrt(sum(c.ce[i]::DOUBLE * c.ce[i]::DOUBLE)))
+       |      * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS ac
+       |  FROM embeddings e, cents c, generate_series(1, 64) g(i)
+       |  GROUP BY e.vec_id, c.cid),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY ac DESC, cid ASC) AS rn
+       |    FROM ac) x
+       |  WHERE rn = 1),
+       |plists AS (SELECT cid FROM ac WHERE vec_id = 0 ORDER BY ac DESC, cid ASC LIMIT $IvfProbes),
+       |cand AS (SELECT a.vec_id FROM assigned a JOIN plists p USING (cid) WHERE a.vec_id <> 0),
+       |p AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+       |ext AS (
+       |  SELECT e.vec_id,
+       |    sum(e.embedding[i]::DOUBLE * p.pe[i]::DOUBLE) AS dot,
+       |    sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE) AS n2,
+       |    sum(p.pe[i]::DOUBLE * p.pe[i]::DOUBLE) AS np2
+       |  FROM embeddings e, p, generate_series(1, 64) g(i)
+       |  WHERE e.vec_id <> 0
+       |  GROUP BY 1),
+       |ex10 AS (SELECT vec_id FROM ext
+       |  ORDER BY CAST(round(dot / (sqrt(n2) * sqrt(np2)), 4) AS DOUBLE) DESC, vec_id ASC
+       |  LIMIT 10),
+       |psamp AS (SELECT vec_id AS cid, embedding FROM embeddings
+       |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $PqK),
+       |pcents AS (
+       |  SELECT g.m, row_number() OVER (PARTITION BY g.m ORDER BY s.cid ASC) AS pos,
+       |    s.embedding[g.m * $PqSub + 1 : g.m * $PqSub + $PqSub] AS ce
+       |  FROM psamp s, generate_series(0, ${PqM - 1}) g(m)),
+       |ptabs AS (
+       |  SELECT c.m, c.pos,
+       |    sum(c.ce[i]::DOUBLE * p.pe[c.m * $PqSub + i]::DOUBLE) AS dt,
+       |    sum(c.ce[i]::DOUBLE * c.ce[i]::DOUBLE) AS nt
+       |  FROM pcents c, p, generate_series(1, $PqSub) g(i)
+       |  GROUP BY 1, 2),
+       |pnp2 AS (SELECT sum(pe[i]::DOUBLE * pe[i]::DOUBLE) AS np2
+       |  FROM p, generate_series(1, 64) g(i)),
+       |pdist AS (
+       |  SELECT e.vec_id, c.m, c.pos,
+       |    sum((e.embedding[c.m * $PqSub + i]::DOUBLE - c.ce[i]::DOUBLE)
+       |      * (e.embedding[c.m * $PqSub + i]::DOUBLE - c.ce[i]::DOUBLE)) AS d
+       |  FROM embeddings e, pcents c, generate_series(1, $PqSub) g(i)
+       |  WHERE e.vec_id <> 0
+       |  GROUP BY 1, 2, 3),
+       |pcodes AS (
+       |  SELECT vec_id, m, pos FROM (
+       |    SELECT vec_id, m, pos,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, pos ASC) AS rn
+       |    FROM pdist) x
+       |  WHERE rn = 1),
+       |papprox AS (
+       |  SELECT k.vec_id,
+       |    floor(sum(t.dt) / (sqrt(sum(t.nt)) * sqrt((SELECT np2 FROM pnp2)))
+       |      * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS approx_cos
+       |  FROM pcodes k JOIN ptabs t USING (m, pos)
+       |  GROUP BY 1),
+       |prr AS (SELECT vec_id FROM papprox ORDER BY approx_cos DESC, vec_id ASC LIMIT $PqRerank),
+       |irr AS (SELECT a.vec_id FROM papprox a JOIN cand USING (vec_id)
+       |  ORDER BY a.approx_cos DESC, a.vec_id ASC LIMIT $PqRerank),
+       |${exactTopSql("prr", "pq")},
+       |${exactTopSql("irr", "ivfpq")},
+       |tot AS (SELECT count(*) AS n_total FROM embeddings WHERE vec_id <> 0),
+       |u AS (
+       |  SELECT 'ivfpq' AS method,
+       |    (SELECT count(*) FROM ex10) AS n_exact,
+       |    (SELECT count(*) FROM ivfpq10 JOIN ex10 USING (vec_id)) AS n_hits,
+       |    (SELECT count(*) FROM cand) AS n_adc,
+       |    (SELECT count(*) FROM irr) AS n_rerank,
+       |    (SELECT n_total FROM tot) AS n_total
+       |  UNION ALL
+       |  SELECT 'pq' AS method,
+       |    (SELECT count(*) FROM ex10) AS n_exact,
+       |    (SELECT count(*) FROM pq10 JOIN ex10 USING (vec_id)) AS n_hits,
+       |    (SELECT n_total FROM tot) AS n_adc,
+       |    (SELECT count(*) FROM prr) AS n_rerank,
+       |    (SELECT n_total FROM tot) AS n_total)
+       |SELECT method, n_exact::BIGINT AS n_exact, n_hits::BIGINT AS n_hits,
+       |  CASE WHEN n_exact > 0
+       |    THEN CAST(round(n_hits::DOUBLE / n_exact, 4) AS DOUBLE) END AS recall,
+       |  n_adc::BIGINT AS n_adc, n_rerank::BIGINT AS n_rerank, n_total::BIGINT AS n_total,
+       |  CASE WHEN n_total > 0
+       |    THEN CAST(round(n_adc::DOUBLE / n_total, 4) AS DOUBLE) END AS adc_frac,
+       |  CASE WHEN n_total > 0
+       |    THEN CAST(round(n_rerank::DOUBLE / n_total, 4) AS DOUBLE) END AS rerank_frac
+       |FROM u ORDER BY method""".stripMargin
   }
 
   val queries: Map[String, Q] = Map(
@@ -1257,6 +1395,7 @@ object Similarity {
     "q_sim_ann_lsh" -> simAnnLsh _,
     "q_sim_ann_ivf" -> simAnnIvf _,
     "q_sim_eval" -> simEval _,
+    "q_sim_eval_pq" -> simEvalPq _,
     "q_sim_ann_pq" -> simAnnPq _,
     "q_sim_ann_ivfpq" -> simAnnIvfPq _,
     "q_sim_knn" -> simKnn _,
@@ -1271,6 +1410,7 @@ object Similarity {
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_sim_ann_ivf" -> simAnnIvfSql,
     "q_sim_eval" -> simEvalSql,
+    "q_sim_eval_pq" -> simEvalPqSql,
     "q_sim_knn" -> simKnnSql,
     "q_dedup_semantic" -> dedupSemanticSql,
     "q_dedup_semantic_apply" -> dedupSemanticApplySql,

@@ -69,6 +69,7 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_dedup_simhash_eval", // three 1-row metric aggregates broadcast-crossed
       "q_skew_stats",       // broadcast one-row total/key-count frame
       "q_sim_eval",         // five 1-row metric aggregates broadcast-crossed
+      "q_sim_eval_pq",      // per-path 1-row metric aggregates broadcast-crossed
       "q_gap_fill",         // dense (bucket × type) domain, small distinct dim
       "q_scalar_subquery",  // uncorrelated scalar compared per row
       "q_win_ntile_dist",          // broadcast one-row percentile bounds
