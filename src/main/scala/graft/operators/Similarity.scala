@@ -1071,6 +1071,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** Incremental maintenance for the IVF+PQ layout — FAISS's
+    * add-after-train, the PQ twin of [[appendIvfIndex]]: BOTH stored
+    * quantizers (`codebook/` coarse centroids, `pq/` sub-centroids) stay
+    * the single source of truth, so old and new codes share one geometry
+    * and existing ADC tables stay valid; the batch is coarse-assigned
+    * and PQ-encoded map-side against their broadcast copies and APPENDS
+    * into its cid cell directories. No per-batch retraining — codebooks
+    * drift from the true k-means of the grown corpus (the standard IVF
+    * trade); rebuild with [[writeIvfPqIndex]] when recall decays.
+    *
+    * Scale shape: the batch (not the index) is the unit of work — one
+    * map-side assign+encode pass + one partitioned append, never a read
+    * of existing lists; append mode cannot touch sibling cell
+    * directories. `newVecs` must have columns (vec_id: bigint,
+    * embedding: array<float>). */
+  def appendIvfPqIndex(s: SparkSession, indexPath: String, newVecs: DataFrame): Unit = {
+    graft.functions.VectorExpressions.register(s)
+    val book = s.read.parquet(s"$indexPath/codebook")
+    val bookArr = book.agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
+    val pqAggs = (0 until PqM).map(m => max(when(col("m") === m, col("cents"))).as(s"pq$m"))
+    val pqArr = s.read.parquet(s"$indexPath/pq").groupBy().agg(pqAggs.head, pqAggs.tail: _*)
+    newVecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(bookArr))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorExpressions.ivfAssign(col("embedding"), col("cents")).as("cid"))
+      .crossJoin(broadcast(pqArr))
+      .select(Seq(col("vec_id"), col("embedding"), col("cid")) ++
+        (0 until PqM).map(m => graft.functions.VectorExpressions.pqAssign(
+          slice(col("embedding"), m * PqSub + 1, PqSub), col(s"pq$m")).as(s"c$m")): _*)
+      .repartition(col("cid"))
+      .write.partitionBy("cid").mode("append").parquet(s"$indexPath/lists")
+  }
+
   // ---- exact k-NN join over a bounded probe set ------------------------
   val KnnProbes = 16
   val KnnK = 4

@@ -76,6 +76,54 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF+PQ ADC recall@10 vs exact-in-cells: $recall")
   }
 
+  test("appendIvfPqIndex: encode-and-append against stored codebooks, no retrain, one cell grows") {
+    import spark.implicits._
+    val dir = TestSpark.sfDir
+    val idx = Files.createTempDirectory("graft_ivfpq_app").toString
+    Similarity.writeIvfPqIndex(spark, dir, idx)
+
+    val pe = util.t(spark, dir, "embeddings")
+      .where(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0)
+    val before = Similarity.ivfPqQueryIndex(spark, idx, pe, excludeVecId = 0L)
+      .collect().map(_.getLong(0)).toSeq
+
+    def fileBytes(sub: String) = {
+      val f = new java.io.File(s"$idx/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      f.toPath -> java.nio.file.Files.readAllBytes(f.toPath)
+    }
+    val (bookPath, bookBytes) = fileBytes("codebook")
+    val (pqPath, pqBytes) = fileBytes("pq")
+    val filesPerCell = new java.io.File(s"$idx/lists").listFiles()
+      .filter(_.getName.startsWith("cid="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+
+    // append a near-clone of the probe: it must land in the probe's own
+    // best cell, survive the ADC phase (its codes equal the probe's, so
+    // its table-lookup score tops the cell) and win the exact re-rank
+    val clone = pe.toArray.clone(); clone(0) += 0.001f
+    Similarity.appendIvfPqIndex(spark, idx,
+      Seq((900001L, clone.toSeq)).toDF("vec_id", "embedding"))
+
+    val after = Similarity.ivfPqQueryIndex(spark, idx, pe, excludeVecId = 0L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(after.head === 900001L, s"appended near-clone not top hit: $after")
+    assert(after.tail === before.dropRight(1), "existing ranking disturbed beyond the insert")
+
+    // BOTH training artifacts byte-identical (no per-batch retrain), and
+    // only the clone's cell directory grew
+    assert(java.util.Arrays.equals(bookBytes, java.nio.file.Files.readAllBytes(bookPath)),
+      "coarse codebook rewritten on append")
+    assert(java.util.Arrays.equals(pqBytes, java.nio.file.Files.readAllBytes(pqPath)),
+      "PQ sub-centroids rewritten on append")
+    val filesAfter = new java.io.File(s"$idx/lists").listFiles()
+      .filter(_.getName.startsWith("cid="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val grown = filesAfter.filter { case (k, v) => filesPerCell.getOrElse(k, 0) != v }
+    assert(grown.size === 1, s"append must touch exactly one cell: $grown")
+  }
+
   test("q_sim_ann_ivfpq ≡ ivfPqQueryIndex: on-the-fly IVFADC equals the persisted-index query") {
     val dir = TestSpark.sfDir
     val idx = Files.createTempDirectory("graft_ivfpq_parity").toString
