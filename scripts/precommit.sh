@@ -9,6 +9,8 @@
 set -euo pipefail
 cd /root/repo
 
+python3 scripts/surveycheck.py
+
 sbt -batch compile
 
 rm -rf /tmp/precommit_vout

@@ -920,12 +920,27 @@ object Dedup {
     * popcount-verification work the candidates waste.
     *
     * Scale: both sides are bucketed equi-joins on (chunk, cv) — never
-    * all-pairs; the truth side forgoes the cap (the instrument's price —
-    * quadratic only inside degenerate boilerplate buckets, and an eval
-    * runs on a bounded sample in production anyway). Both pair frames are
-    * `localCheckpoint`ed: each feeds two consumers (own count + the
-    * intersection) and their input is the full signature pipeline. */
-  def dedupSimhashEval(s: SparkSession, dir: String): DataFrame = {
+    * all-pairs; the DECLARED query's truth side forgoes the cap (the
+    * instrument's price — quadratic only inside degenerate boilerplate
+    * buckets, and an eval runs on a bounded sample in production anyway).
+    * Both pair frames are `localCheckpoint`ed: each feeds two consumers
+    * (own count + the intersection) and their input is the full
+    * signature pipeline. Pointing the instrument at a RAW corpus (no
+    * bounded sample) needs the truth side bounded too — pass
+    * [[SimhashEvalMaxBucket]] as `truthMaxBucket`: oversized truth
+    * buckets switch to the same representative pairing as the candidate
+    * side, trading exact-truth recall for O(n) work per hot bucket. */
+  def dedupSimhashEval(s: SparkSession, dir: String): DataFrame =
+    dedupSimhashEval(s, dir, truthMaxBucket = Int.MaxValue)
+
+  /** Truth-side representative cap for [[dedupSimhashEval]] raw-corpus
+    * runs. NOT used by the declared query (whose oracle replays exact
+    * uncapped truth); mirrors [[SimhashMaxBucket]] so a capped-truth run
+    * measures the candidate policy against a truth set generated under
+    * the same hot-bucket economics. */
+  val SimhashEvalMaxBucket = 64
+
+  def dedupSimhashEval(s: SparkSession, dir: String, truthMaxBucket: Int): DataFrame = {
     val chunked = md5SimhashSigs(s, dir).select(col("doc_id"), col("sig"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> shiftright(sig, c * 15) & 32767)"))
@@ -936,12 +951,18 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
       .where(size(col("ds")) >= 2)
       .localCheckpoint()
-    // exact truth: uncapped in-bucket pairs, popcount-verified (list is
-    // doc_id-sorted, so j > i implies d1 < d2)
+    // exact truth: in-bucket pairs, popcount-verified (list is
+    // doc_id-sorted, so j > i implies d1 < d2). Buckets past
+    // truthMaxBucket (declared query: MaxValue = never) fall back to
+    // representative pairing — same policy as the candidate side below.
     val truth = buckets
-      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
-      .select(col("a"), col("i"), posexplode(col("ds")).as(Seq("j", "b")))
-      .where(col("j") > col("i"))
+      .withColumn("tnb", size(col("ds")))
+      .withColumn("tlhs", when(col("tnb") <= truthMaxBucket, col("ds"))
+        .otherwise(slice(col("ds"), 1, 1)))
+      .select(col("ds"), col("tnb"), posexplode(col("tlhs")).as(Seq("i", "a")))
+      .select(col("a"), col("i"), col("tnb"), posexplode(col("ds")).as(Seq("j", "b")))
+      .where((col("tnb") <= truthMaxBucket && col("j") > col("i"))
+        || (col("tnb") > truthMaxBucket && col("a.doc_id") < col("b.doc_id")))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         bit_count(expr("a.sig ^ b.sig")).as("hamming"))
       .where(col("hamming") <= 3)

@@ -359,45 +359,73 @@ object TextAnalysis {
       |ORDER BY doc_id, score DESC, tok""".stripMargin
 
   // ---- repetition / duplication quality stats -------------------------
-  /** Gopher-style repetition filter inputs (Rae et al. 2021 §A1.1): the
-    * fraction of duplicate word-2-grams per doc and the share of the most
-    * frequent 2-gram — boilerplate and degenerate generation ("batch
-    * batch batch") score high and get filtered before training. Shape at
-    * scale: bigrams are a map-side transform over the token array (no
-    * per-gram row until the explode feeding the count), then TWO
-    * map-side-combined groupBys partitioned by (doc_id, gram) and doc_id
-    * — both keys scale with the data, no fixed-cardinality hotspot. */
+  /** Gopher repetition filter inputs, complete per Rae et al. 2021 §A1.1:
+    * per doc, the duplicate n-gram fraction for n = 2..4 (1 − distinct /
+    * total n-grams) and the top n-gram share for n = 1..4 (count of the
+    * most frequent n-gram / total) — boilerplate and degenerate
+    * generation ("batch batch batch") score high and get filtered before
+    * training. Shape at scale: ONE map-side transform emits all four
+    * gram streams tagged with n (no per-gram row until the single
+    * explode), then two map-side-combined groupBys on the scaling keys
+    * (doc_id, n, gram) and (doc_id, n); the final per-doc pivot sees at
+    * most 4 rows per doc. Docs shorter than n words get NULL for that
+    * n's columns (no n-grams exist) — both engines agree. */
   def repetitionRatio(s: SparkSession, dir: String): DataFrame = {
-    val g = t(s, dir, "documents")
+    val gramStreams = (1 to 4).map { n =>
+      val parts = (0 until n).map(k => s"tk[i + $k]").mkString(", ")
+      s"transform(sequence(0, size(tk) - 1), i -> struct($n AS n, CASE WHEN i + $n <= size(tk) THEN concat_ws(' ', $parts) END AS g))"
+    }.mkString(", ")
+    val perN = t(s, dir, "documents")
       .select(col("doc_id"), toks.as("tk"))
-      .where(size(col("tk")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i+1]))")).as("g2"))
-    g.groupBy("doc_id", "g2").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id")
-      .agg(sum(col("cnt")).cast(LongType).as("n_bigrams"),
-        count(lit(1)).cast(LongType).as("n_distinct"),
-        max(col("cnt")).as("top_cnt"))
-      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
-        r4f(lit(1d) - col("n_distinct").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
-          .as("dup_ratio"),
-        r4f(col("top_cnt").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
-          .as("top_share"))
+      .where(size(col("tk")) >= 1)
+      .select(col("doc_id"), explode(expr(s"flatten(array($gramStreams))")).as("ng"))
+      .where(col("ng.g").isNotNull)
+      .select(col("doc_id"), col("ng.n").as("n"), col("ng.g").as("g"))
+      .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "n")
+      .agg(sum(col("cnt")).cast(DoubleType).as("total"),
+        count(lit(1)).cast(DoubleType).as("dist"),
+        max(col("cnt")).cast(DoubleType).as("topc"))
+    def dupFrac(n: Int) =
+      max(when(col("n") === n, r4f(lit(1d) - col("dist") / col("total"))))
+        .as(s"dup_frac_$n")
+    def topShare(n: Int) =
+      max(when(col("n") === n, r4f(col("topc") / col("total"))))
+        .as(s"top_share_$n")
+    perN.groupBy("doc_id")
+      .agg(topShare(1), dupFrac(2), topShare(2), dupFrac(3), topShare(3),
+        dupFrac(4), topShare(4))
       .orderBy("doc_id")
   }
 
   val repetitionRatioSql =
     """WITH tk AS (
       |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 2),
+      |  WHERE len(string_split(text, ' ')) >= 1),
       |g AS (
-      |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g2
-      |  FROM tk JOIN generate_series(1, 100000) s(i) ON i <= len(tk) - 1),
-      |c AS (SELECT doc_id, g2, count(*) AS cnt FROM g GROUP BY 1, 2)
-      |SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams, count(*)::BIGINT AS n_distinct,
-      |  CAST(floor((1::DOUBLE - count(*)::DOUBLE / sum(cnt)::DOUBLE) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS dup_ratio,
-      |  CAST(floor(max(cnt)::DOUBLE / sum(cnt)::DOUBLE * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS top_share
-      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+      |  SELECT doc_id, 1 AS n, tk[i] AS g
+      |  FROM tk JOIN generate_series(1, 100000) s(i) ON i <= len(tk)
+      |  UNION ALL
+      |  SELECT doc_id, 2 AS n, tk[i] || ' ' || tk[i+1] AS g
+      |  FROM tk JOIN generate_series(1, 100000) s(i) ON i <= len(tk) - 1
+      |  UNION ALL
+      |  SELECT doc_id, 3 AS n, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS g
+      |  FROM tk JOIN generate_series(1, 100000) s(i) ON i <= len(tk) - 2
+      |  UNION ALL
+      |  SELECT doc_id, 4 AS n, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] AS g
+      |  FROM tk JOIN generate_series(1, 100000) s(i) ON i <= len(tk) - 3),
+      |c AS (SELECT doc_id, n, g, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+      |a AS (SELECT doc_id, n, sum(cnt)::DOUBLE AS total, count(*)::DOUBLE AS dist,
+      |  max(cnt)::DOUBLE AS topc FROM c GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  max(CASE WHEN n = 1 THEN floor(topc / total * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE END) AS top_share_1,
+      |  max(CASE WHEN n = 2 THEN floor((1::DOUBLE - dist / total) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE END) AS dup_frac_2,
+      |  max(CASE WHEN n = 2 THEN floor(topc / total * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE END) AS top_share_2,
+      |  max(CASE WHEN n = 3 THEN floor((1::DOUBLE - dist / total) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE END) AS dup_frac_3,
+      |  max(CASE WHEN n = 3 THEN floor(topc / total * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE END) AS top_share_3,
+      |  max(CASE WHEN n = 4 THEN floor((1::DOUBLE - dist / total) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE END) AS dup_frac_4,
+      |  max(CASE WHEN n = 4 THEN floor(topc / total * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE END) AS top_share_4
+      |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---- per-group sampling cap -----------------------------------------
   /** Per-source document cap (the "no domain dominates the corpus" op):

@@ -34,6 +34,45 @@ object Pipeline {
     * silently truncated (main.go:38, ReadFromUDP into a fixed buffer) */
   val MaxDatagramChars = 40960
 
+  /** Memoized corpus-derived gate statistics (temperature rates, quality
+    * threshold, curation threshold) keyed by (session, corpusDir, kind).
+    * The gates re-plan their static side every micro-batch, so the frames
+    * must be persisted — but a persist per gate CONSTRUCTION leaks: a
+    * long-lived session building gates repeatedly accumulates MEMORY_ONLY
+    * blocks with no release path. Same discipline as
+    * [[graft.operators.Similarity]]'s codebook cache: one entry per key,
+    * superseded entries (corpus rewritten → fingerprint changed)
+    * unpersist on replacement, [[clearGateStatsCache]] releases all. */
+  private val gateStatsCache =
+    new java.util.HashMap[(SparkSession, String, String), (String, DataFrame)]
+
+  private def cachedGateFrame(s: SparkSession, corpusDir: String, kind: String)(
+      build: => DataFrame): DataFrame = gateStatsCache.synchronized {
+    val key = (s, corpusDir, kind)
+    val fp = graft.util.inputFingerprint(corpusDir, "documents.parquet")
+    val cached = gateStatsCache.get(key)
+    if (cached != null && cached._1 == fp) cached._2
+    else {
+      if (cached != null)
+        try cached._2.unpersist(blocking = false) catch { case _: Throwable => }
+      val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      gateStatsCache.put(key, (fp, df))
+      df
+    }
+  }
+
+  /** unpersist and drop every cached gate-statistics frame (teardown /
+    * test hook — the release path for long-lived sessions) */
+  def clearGateStatsCache(): Unit = gateStatsCache.synchronized {
+    gateStatsCache.forEach { (_, v) =>
+      try v._2.unpersist(blocking = false) catch { case _: Throwable => }
+    }
+    gateStatsCache.clear()
+  }
+
+  private[graft] def gateStatsCacheSize: Int =
+    gateStatsCache.synchronized(gateStatsCache.size)
+
   /** parse projection shared by batch and streaming: (raw, device, ts) →
     * canonical log schema (SURVEY.md §1.1) */
   def parseToLog(lines: DataFrame): DataFrame =
@@ -115,6 +154,19 @@ object Pipeline {
     * a missing table (first batch ever) is tolerated — the append creates
     * it. Exactly-once per batch under Spark's single-writer checkpoint
     * contract (no concurrent writers to the table). */
+  /** SQLStates meaning "table does not exist" across the sink's target
+    * engines: Derby 42X05, SQL-standard/MySQL 42S02, Postgres 42P01
+    * (undefined_table — Postgres does NOT use the standard code, so the
+    * first micro-batch against a fresh Postgres database would die on
+    * the DELETE probe without it) */
+  private[graft] val MissingTableSqlStates = Set("42X05", "42S02", "42P01")
+
+  /** run `body`, swallowing exactly the missing-table SQLStates above */
+  private[graft] def tolerateMissingTable(body: => Unit): Unit =
+    try body catch {
+      case e: java.sql.SQLException if MissingTableSqlStates(e.getSQLState) => ()
+    }
+
   def writeJdbcBatchIdempotent(batch: DataFrame, batchId: Long,
       url: String, table: String,
       connectionProperties: java.util.Properties = new java.util.Properties): Unit = {
@@ -128,15 +180,13 @@ object Pipeline {
     try {
       val st = conn.createStatement()
       // tolerate ONLY "table does not exist" (first batch ever — the
-      // append below creates it): Derby 42X05, SQL-standard 42S02. Any
+      // append below creates it): Derby 42X05, SQL-standard 42S02,
+      // Postgres 42P01 (undefined_table). Any
       // other failure (lock timeout, rollback, bad dialect SQL) must
       // propagate — swallowing it would silently demote the sink to
       // at-least-once while the API still claims exactly-once
-      try st.executeUpdate(s"DELETE FROM $table WHERE $qcol = $batchId")
-      catch {
-        case e: java.sql.SQLException
-          if e.getSQLState == "42X05" || e.getSQLState == "42S02" => ()
-      }
+      try tolerateMissingTable(
+        st.executeUpdate(s"DELETE FROM $table WHERE $qcol = $batchId"))
       finally st.close()
     } finally conn.close()
     val props = new java.util.Properties()
@@ -471,20 +521,22 @@ object Pipeline {
     * broadcast thresholds — the same doc survives whether it arrives in
     * a backfill or live. Stateless map-side decision, no watermark, no
     * state store. Like [[streamQualityGate]], the static rates frame is
-    * persisted by default (it is re-planned every micro-batch; without
-    * the cache a 2 s trigger re-aggregates the corpus per batch for an
-    * unchanged catalog-sized table); pass `liveRates = true` to recompute
+    * persisted by default via [[cachedGateFrame]] (it is re-planned every
+    * micro-batch; without the cache a 2 s trigger re-aggregates the
+    * corpus per batch for an unchanged catalog-sized table — and repeated
+    * gate construction reuses ONE cached frame instead of stacking
+    * blocks); pass `liveRates = true` to recompute
     * per batch so a corpus rewrite retunes the mix without a restart.
     * Input needs (doc_id, source). */
   def streamTemperatureGate(docs: DataFrame, corpusDir: String,
       liveRates: Boolean = false): DataFrame = {
-    val ratesRaw = graft.operators.CorpusOps
-      .temperatureRates(docs.sparkSession, corpusDir)
-      .select(col("source"), col("thr"))
-    val rates = if (liveRates) ratesRaw
-      else ratesRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val s = docs.sparkSession
+    val rates =
+      if (liveRates) graft.operators.CorpusOps.temperatureRates(s, corpusDir)
+      else cachedGateFrame(s, corpusDir, "temp_rates")(
+        graft.operators.CorpusOps.temperatureRates(s, corpusDir))
     docs
-      .join(broadcast(rates), "source")
+      .join(broadcast(rates.select(col("source"), col("thr"))), "source")
       .where(graft.operators.CorpusOps.coin(col("doc_id")) % 10000 < col("thr"))
       .select("doc_id", "source")
   }
@@ -498,19 +550,22 @@ object Pipeline {
     * enforcement is a stateless map-side projection — no watermark, no
     * state store, no driver-side threshold plumbing.
     *
-    * By default the 1-row threshold frame is persisted: the static side
-    * is re-PLANNED every micro-batch, and without the cache that re-plan
-    * re-scores the whole corpus on a 2 s trigger for an unchanged scalar.
+    * By default the 1-row threshold frame is persisted via
+    * [[cachedGateFrame]]: the static side is re-PLANNED every
+    * micro-batch, and without the cache that re-plan re-scores the whole
+    * corpus on a 2 s trigger for an unchanged scalar (and repeated gate
+    * construction reuses ONE cached frame — no block accumulation).
     * Pass `liveThreshold = true` to skip the cache and recompute per
     * batch — then rewriting the corpus mid-stream updates the cut without
     * a restart, at full corpus-scan cost per trigger.
     * Input needs (doc_id, text). */
   def streamQualityGate(docs: DataFrame, corpusDir: String,
       liveThreshold: Boolean = false): DataFrame = {
-    val thrRaw = graft.operators.TextAnalysis
-      .qualityThresholdFrame(docs.sparkSession, corpusDir)
-    val thr = if (liveThreshold) thrRaw
-      else thrRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val s = docs.sparkSession
+    val thr =
+      if (liveThreshold) graft.operators.TextAnalysis.qualityThresholdFrame(s, corpusDir)
+      else cachedGateFrame(s, corpusDir, "quality_thr")(
+        graft.operators.TextAnalysis.qualityThresholdFrame(s, corpusDir))
     docs
       .select(col("doc_id"), graft.operators.TextAnalysis.qualityOf(col("text")).as("quality"))
       .join(broadcast(thr), col("quality") >= col("thr"))
@@ -528,8 +583,10 @@ object Pipeline {
     * via [[graft.operators.Curate.curateBatch]] — the SAME function a
     * batch backfill calls, so a doc's verdict is identical whether it
     * arrives live or in bulk. The statistics frames (1-row quality
-    * threshold, catalog-sized temperature rates) derive once here and
-    * persist across micro-batches; per-trigger work is the arriving
+    * threshold, catalog-sized temperature rates) come from
+    * [[cachedGateFrame]] — derived once, persisted across micro-batches
+    * AND across repeated gate constructions, released by
+    * [[clearGateStatsCache]]; per-trigger work is the arriving
     * slice only (index probe equi-join + stateless projections + two
     * broadcasts). foreachBatch like [[streamDedupIncremental]]: the
     * probe aggregation is per-batch stateless, so streaming-aggregation
@@ -539,10 +596,10 @@ object Pipeline {
       outDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery = {
     val s = docs.sparkSession
-    val qThr = graft.operators.Curate.curateThresholdFrame(s, corpusDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val rates = graft.operators.CorpusOps.temperatureRates(s, corpusDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val qThr = cachedGateFrame(s, corpusDir, "curate_thr")(
+      graft.operators.Curate.curateThresholdFrame(s, corpusDir))
+    val rates = cachedGateFrame(s, corpusDir, "temp_rates")(
+      graft.operators.CorpusOps.temperatureRates(s, corpusDir))
     docs.writeStream
       .trigger(trigger)
       .outputMode(OutputMode.Append)

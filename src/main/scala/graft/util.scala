@@ -23,11 +23,20 @@ object util {
 
   /** events with ts normalized: ts_us (µs since epoch, BIGINT) and ts
     * (TIMESTAMP, µs precision) — DuckDB twin: epoch_us(ts::TIMESTAMP) /
-    * ts::TIMESTAMP. */
-  def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    * ts::TIMESTAMP. Schema-adaptive because the generator has shipped
+    * both encodings: TIMESTAMP(NANOS) parquet arrives as BIGINT ns
+    * (spark.sql.legacy.parquet.nanosAsLong=true) and truncates to µs;
+    * TIMESTAMP[µs] (NTZ or not) converts via unix_micros under the
+    * UTC session, the same instant DuckDB's epoch_us sees. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast(TimestampType))
+    }
+    raw.withColumn("ts_us", tsUs)
       .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
 
   /** exact decimal view of a 2-dp money/rate double */
   def d2(c: Column): Column = c.cast(DecimalType(18, 2))

@@ -62,4 +62,42 @@ class ClickHouseDialectSpec extends AnyFunSuite {
   test("write properties carry the reference's 1000-row batch contract") {
     assert(ClickHouseDialect.writeProperties.getProperty("batchsize") === "1000")
   }
+
+  test("live ClickHouse round-trip: DDL + INSERT + readback (GRAFT_CLICKHOUSE_URL-gated)") {
+    // the generated-SQL tests above can't catch a dialect/server mismatch;
+    // this closes that gap wherever a real server exists. Set e.g.
+    // GRAFT_CLICKHOUSE_URL=jdbc:clickhouse://host:8123/default (plus any
+    // user/password in the URL) — skipped cleanly when unset (sandbox).
+    val url = sys.env.get("GRAFT_CLICKHOUSE_URL")
+    assume(url.nonEmpty, "GRAFT_CLICKHOUSE_URL not set — live round-trip skipped")
+    import spark.implicits._
+    ClickHouseDialect.register()
+    val table = s"graft_dialect_rt_${System.currentTimeMillis()}"
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123456"),
+        "router-1", 3.toByte, Seq("system", "error"), "link down"),
+      (java.sql.Timestamp.valueOf("2024-01-02 03:04:06.000001"),
+        "router-2", 6.toByte, Seq("info"), "link up"))
+      .toDF("timestamp", "device", "severity", "categories", "message")
+    val props = ClickHouseDialect.writeProperties
+    // ClickHouse CREATE TABLE needs an engine rider on the generated DDL
+    props.setProperty("createTableOptions", "ENGINE = MergeTree ORDER BY timestamp")
+    df.write.mode("append").jdbc(url.get, table, props)
+    try {
+      val back = spark.read.jdbc(url.get, table, new java.util.Properties())
+      assert(back.count() === 2L)
+      val r = back.orderBy("timestamp").collect()
+      assert(r(0).getAs[String]("device") === "router-1")
+      assert(r(0).getAs[Seq[String]]("categories") === Seq("system", "error"))
+      assert(r(0).getAs[Byte]("severity") === 3.toByte)
+      // DateTime64(6) keeps the full µs precision through the round-trip
+      assert(r(0).getAs[java.sql.Timestamp]("timestamp").getNanos === 123456000)
+    } finally {
+      val conn = java.sql.DriverManager.getConnection(url.get)
+      try conn.createStatement().execute(s"DROP TABLE IF EXISTS $table")
+      finally conn.close()
+    }
+  }
+
+  private lazy val spark = TestSpark.spark
 }

@@ -489,4 +489,27 @@ class DedupSpec extends AnyFunSuite {
     val recall = r(0).getDouble(3)
     assert(recall >= 0.9, s"LSH candidate recall $recall collapsed")
   }
+
+  test("q_dedup_simhash_eval: SimhashEvalMaxBucket bounds truth pairs on a degenerate bucket") {
+    import spark.implicits._
+    // 100 identical docs: one signature, every chunk bucket holds all 100
+    val dir = Files.createTempDirectory("graft_simhash_cap").toString
+    val tx = "identical boilerplate banner text repeated across the whole crawl"
+    (1L to 100L).map(id => (id, tx, "en", "src", tx.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // declared (uncapped) truth is all-pairs: C(100,2); the candidate
+    // side is already rep-capped (100 > SimhashMaxBucket) at 99 pairs
+    val uncapped = operators.Dedup.dedupSimhashEval(spark, dir).collect()(0)
+    assert(uncapped.getLong(1) === 4950L, s"uncapped truth ${uncapped.getLong(1)}")
+    assert(uncapped.getLong(0) === 99L, s"capped candidates ${uncapped.getLong(0)}")
+
+    // capped truth switches to representative pairing: min-doc vs rest,
+    // O(n) not O(n²) — and then recall reads 1.0 (both sides rep-paired)
+    val capped = operators.Dedup.dedupSimhashEval(
+      spark, dir, operators.Dedup.SimhashEvalMaxBucket).collect()(0)
+    assert(capped.getLong(1) === 99L, s"capped truth ${capped.getLong(1)}")
+    assert(capped.getDouble(3) === 1.0, s"capped recall ${capped.getDouble(3)}")
+  }
 }

@@ -368,6 +368,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 1L)))
   }
 
+  test("idempotent JDBC sink tolerates each engine's missing-table SQLState, nothing else") {
+    // the Derby path (42X05) is exercised live by the first write above;
+    // Postgres (42P01) and the SQL-standard code (42S02) can't run in the
+    // sandbox, so drive the production predicate with synthesized errors
+    for (state <- Seq("42X05", "42S02", "42P01"))
+      Pipeline.tolerateMissingTable {
+        throw new java.sql.SQLException(s"table missing ($state)", state)
+      } // must not throw: first-batch probe proceeds to the creating append
+    // anything else (lock timeout, serialization failure) must propagate —
+    // swallowing it would demote exactly-once to at-least-once silently
+    for (state <- Seq("40001", "40XL1", null)) {
+      val thrown = intercept[java.sql.SQLException] {
+        Pipeline.tolerateMissingTable {
+          throw new java.sql.SQLException(s"real failure ($state)", state)
+        }
+      }
+      assert(thrown.getSQLState === state)
+    }
+  }
+
   test("streamQualityGate ≡ q_quality_filter: batch-derived p25 cut applied to the stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -437,6 +457,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(bySource("srcA") < 360L, "head source should be sampled down")
     assert(bySource("srcA").toDouble / 360 < bySource.getOrElse("srcB", 0L).toDouble / 40,
       "tail source should keep a larger fraction")
+  }
+
+  test("gate stats frames: memoized across constructions, released by clearGateStatsCache") {
+    import org.apache.spark.storage.StorageLevel
+    val dir = "/root/testdata/sf0.001"
+    // the gates are stream-static joins, but the builders accept any frame
+    // — a batch probe input lets the gated output materialize with count()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Pipeline.clearGateStatsCache()
+    val base = Pipeline.gateStatsCacheSize
+    // cacheManager matches by canonicalized plan, so a FRESH build of the
+    // same stats frame reports the cached entry's storage level
+    def ratesProbe = graft.operators.CorpusOps.temperatureRates(spark, dir)
+    def thrProbe = graft.operators.TextAnalysis.qualityThresholdFrame(spark, dir)
+    assert(ratesProbe.storageLevel == StorageLevel.NONE)
+
+    (1 to 3).foreach { _ =>
+      Pipeline.streamTemperatureGate(docs.select("doc_id", "source"), dir).count()
+      Pipeline.streamQualityGate(docs.select("doc_id", "text"), dir).count()
+    }
+    assert(Pipeline.gateStatsCacheSize === base + 2,
+      "repeated construction must reuse one entry per (dir, kind), not stack")
+    assert(ratesProbe.storageLevel == StorageLevel.MEMORY_ONLY)
+    assert(thrProbe.storageLevel == StorageLevel.MEMORY_ONLY)
+    // liveRates path never touches the cache
+    Pipeline.streamTemperatureGate(docs.select("doc_id", "source"), dir,
+      liveRates = true).count()
+    assert(Pipeline.gateStatsCacheSize === base + 2)
+
+    Pipeline.clearGateStatsCache()
+    assert(Pipeline.gateStatsCacheSize === 0)
+    assert(ratesProbe.storageLevel == StorageLevel.NONE,
+      "clearGateStatsCache must unpersist, not just forget")
+    assert(thrProbe.storageLevel == StorageLevel.NONE)
   }
 
   test("streamCurateGate: the composed live-curation chain ≡ its batch backfill, exactly-once sink") {
@@ -555,8 +609,8 @@ class StreamingSpec extends AnyFunSuite {
         r.getDouble(3), r.getBoolean(4))).toSet
 
     case class EvT(event_type: String, timestamp: Timestamp)
-    val evs = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
-      .selectExpr("event_type", "timestamp_micros(ts div 1000) AS timestamp")
+    val evs = graft.util.events(spark, TestSpark.sfDir)
+      .selectExpr("event_type", "ts AS timestamp")
       .as[(String, Timestamp)].collect().toSeq
     val ms = MemoryStream[(String, Timestamp)]
     // uncapped horizon: the batch query baselines over ALL history, so
@@ -585,8 +639,8 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
 
     // same rows through the streaming path (timestamps keep their µs)
-    val evs = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
-      .selectExpr("event_id", "timestamp_micros(ts div 1000) AS timestamp", "user_id")
+    val evs = graft.util.events(spark, TestSpark.sfDir)
+      .selectExpr("event_id", "ts AS timestamp", "user_id")
       .as[Ev].collect().toSeq
     val ms = MemoryStream[Ev]
     val q = Pipeline.sessionize(ms.toDF()).writeStream
@@ -620,8 +674,8 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("user_id"), col("sess_start_us"), col("sess_end_us"), col("n_events"))
       .as[(Long, Long, Long, Long)].collect().toSet
 
-    val evs = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
-      .selectExpr("event_id", "timestamp_micros(ts div 1000) AS timestamp", "user_id")
+    val evs = graft.util.events(spark, TestSpark.sfDir)
+      .selectExpr("event_id", "ts AS timestamp", "user_id")
       .as[Ev].collect().toSeq
     val maxMs = evs.map(_.timestamp.getTime).max
 

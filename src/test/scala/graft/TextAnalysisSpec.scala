@@ -9,29 +9,38 @@ import org.scalatest.funsuite.AnyFunSuite
 class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  test("q_repetition_ratio: duplicate-bigram fraction and top-bigram share, hand-checked") {
+  test("q_repetition_ratio: Gopher 2-4-gram dup fractions and 1-4-gram top shares, hand-checked") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_rep").toString
     val docs = Seq(
-      // "a b a b a" → bigrams [a b, b a, a b, b a]: 4 total, 2 distinct
+      // "a b a b a": unigrams a×3 b×2; bigrams [a b, b a, a b, b a];
+      // trigrams [a b a, b a b, a b a]; 4-grams [a b a b, b a b a]
       (1L, "a b a b a"),
-      // all-distinct bigrams → dup_ratio 0
+      // all-distinct grams at every n it reaches; too short for 4-grams
       (2L, "u v w"),
-      // degenerate "batch batch batch batch" → one bigram repeated 3×
+      // degenerate repetition → top share 1.0 at every n
       (3L, "batch batch batch batch"),
-      // single word: no bigram, excluded from output
+      // single word: only n=1 defined, n=2..4 NULL
       (4L, "solo"))
       .map { case (id, tx) => (id, tx, "en", "src", tx.length.toLong) }
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    val got = operators.TextAnalysis.repetitionRatio(spark, dir).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
-      .toMap
+    val out = operators.TextAnalysis.repetitionRatio(spark, dir)
+    assert(out.columns.toSeq === Seq("doc_id", "top_share_1", "dup_frac_2",
+      "top_share_2", "dup_frac_3", "top_share_3", "dup_frac_4", "top_share_4"))
+    val got = out.collect().map { r =>
+      r.getLong(0) -> (1 to 7).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i)))
+    }.toMap
+    def row(vs: Option[Double]*) = vs.toIndexedSeq
     assert(got === Map(
-      1L -> ((4L, 2L, 0.5, 0.5)),
-      2L -> ((2L, 2L, 0.0, 0.5)),
-      3L -> ((3L, 1L, 0.6667, 1.0))))
+      1L -> row(Some(0.6), Some(0.5), Some(0.5), Some(0.3333), Some(0.6667),
+        Some(0.0), Some(0.5)),
+      2L -> row(Some(0.3333), Some(0.0), Some(0.5), Some(0.0), Some(1.0),
+        None, None),
+      3L -> row(Some(1.0), Some(0.6667), Some(1.0), Some(0.5), Some(1.0),
+        Some(0.0), Some(1.0)),
+      4L -> row(Some(1.0), None, None, None, None, None, None)))
   }
 
   test("q_pii_scrub: planted email/IP/phone are redacted and counted; clean text untouched") {
