@@ -76,10 +76,14 @@ object Bench {
     val spread = results.map { case (k, lo) =>
       k -> (if (lo > 0) worst(k) / lo else 1.0)
     }
+    // measurement-method stamp: scripts/benchdiff.py refuses to compare
+    // files whose methods differ (a noop-sink number against a count()
+    // number, or a 4-core run against a 32-core one, is not a diff)
+    val method = s"noop-sink/cold-caches/min-of-2-interleaved/local[$cpus]"
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}"""
     val localJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results)},"variance":${jmap(spread)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"$method","cpus":$cpus,"queries":${jmap(results)},"variance":${jmap(spread)},"sf":"$sfDir"}"""
     // a compact summary with no per-query map: short enough that a bounded
     // log-tail parser always sees the whole line — printed LAST
     val shortLine =
