@@ -1,19 +1,31 @@
 #!/usr/bin/env python3
 """Mechanical round-over-round bench comparison (dev tooling, not shipped).
 
-Usage: benchdiff.py OLD.json NEW.json [--threshold 1.25]
+Usage: benchdiff.py OLD.json NEW.json [--threshold 1.25] [--factor auto]
 
-Inputs are Bench's JSON (BENCH_LOCAL.json with `variance`, or the driver's
-BENCH_r{N}.json with `queries` only). Per query the run-to-run range is
-[min, min * spread] (spread = max/min across the interleaved attempts;
-1.0 when no variance field). A query is flagged ONLY when the two ranges
-do not overlap — a min that moved inside either range is machine noise,
-not a plan change — AND the slower side is above the 0.3 s floor where
-sub-100 ms jitter dominates. Exits 1 on any regression so precommit-style
-wiring can gate on it.
+Inputs are either Bench's own JSON (BENCH_LOCAL.json, with `variance`) or
+the driver's BENCH_r{N}.json wrapper (`{n, rc, cpus, sf, tail, parsed}`)
+— the wrapper's `tail` is a bounded log tail, so its per-query map may be
+TRUNCATED at the front; whatever `"q_*":sec` pairs survive are recovered
+by regex and the comparison is marked partial. Per query the run-to-run
+range is [min, min * spread] (spread = max/min across the interleaved
+attempts; 1.0 when no variance field). A query is flagged ONLY when the
+two ranges do not overlap — a min that moved inside either range is
+machine noise, not a plan change — AND the slower side is above the
+0.3 s floor where sub-100 ms jitter dominates.
+
+--factor N divides every new-side number by N before comparing, for
+adjudicating a uniform environment/data-generation shift (e.g. a testdata
+regeneration that slowed every untouched query ~1.5x): pass the median
+like-for-like ratio and only queries moving BEYOND the global factor
+remain flagged. --factor auto computes that median from the shared
+queries. Exits 1 on any regression so precommit-style wiring can gate on
+it; 2 on incomparable inputs.
 """
 import argparse
 import json
+import re
+import statistics
 import sys
 
 ap = argparse.ArgumentParser()
@@ -25,27 +37,77 @@ ap.add_argument("--threshold", type=float, default=1.25,
 ap.add_argument("--floor", type=float, default=0.3,
                 help="ignore queries where both mins are below this many "
                      "seconds (default 0.3)")
+ap.add_argument("--factor", default=None,
+                help="divide new-side times by this global factor before "
+                     "comparing ('auto' = median like-for-like ratio); use "
+                     "to strip a uniform environment shift")
 args = ap.parse_args()
 
-old = json.load(open(args.old))
-new = json.load(open(args.new))
+
+def load(path):
+    """Normalize either Bench's own JSON or the driver wrapper to
+    {queries, variance, value, method, sf, partial}."""
+    d = json.load(open(path))
+    if "queries" in d:
+        d.setdefault("partial", False)
+        return d
+    # driver wrapper: prefer `parsed` (the full JSON line when the tail
+    # caught it whole), else recover what the bounded tail kept
+    p = d.get("parsed")
+    if isinstance(p, dict) and "queries" in p:
+        p.setdefault("partial", False)
+        return p
+    tail = d.get("tail", "")
+    qs = {k: float(v)
+          for k, v in re.findall(r'"(q_[a-z0-9_]+)":([0-9.]+)', tail)}
+    if not qs:
+        print(f"INCOMPARABLE: {path} has no queries map and no "
+              f"recoverable q_* entries in its tail")
+        sys.exit(2)
+    # the totals line ({"metric":"total","value":N,...}) is short and
+    # printed last, so it survives any tail bound
+    val = None
+    m = re.findall(r'"metric":"total","value":([0-9.]+)', tail)
+    if m:
+        val = float(m[-1])
+    sf = d.get("sf")
+    m = re.search(r'"sf":"([^"]+)"', tail)
+    if m:
+        sf = m.group(1)
+    return {"queries": qs, "variance": {}, "value": val, "sf": sf,
+            "partial": True}
+
+
+old = load(args.old)
+new = load(args.new)
 
 mo, mn = old.get("method"), new.get("method")
 if mo and mn and mo != mn:
     print(f"INCOMPARABLE: methods differ\n  old: {mo}\n  new: {mn}")
     sys.exit(2)
-if old.get("sf") != new.get("sf"):
-    print(f"INCOMPARABLE: sf differs (old {old.get('sf')}, new {new.get('sf')})")
-    sys.exit(2)
+if old.get("sf") != new.get("sf") and old.get("sf") and new.get("sf"):
+    so, sn = str(old["sf"]), str(new["sf"])
+    # driver wrapper records sf as a float, Bench as the dir path
+    if not (so in sn or sn in so):
+        print(f"INCOMPARABLE: sf differs (old {so}, new {sn})")
+        sys.exit(2)
 
 qo, qn = old["queries"], new["queries"]
-vo, vn = old.get("variance", {}), new.get("variance", {})
+vo, vn = old.get("variance", {}) or {}, new.get("variance", {}) or {}
+shared = sorted(set(qo) & set(qn))
+
+factor = 1.0
+if args.factor == "auto":
+    ratios = [qn[k] / qo[k] for k in shared if qo[k] > 0]
+    factor = statistics.median(ratios) if ratios else 1.0
+elif args.factor is not None:
+    factor = float(args.factor)
 
 added = sorted(set(qn) - set(qo))
 removed = sorted(set(qo) - set(qn))
 regressions, improvements = [], []
-for k in sorted(set(qo) & set(qn)):
-    o, n = qo[k], qn[k]
+for k in shared:
+    o, n = qo[k], qn[k] / factor
     o_hi = o * max(vo.get(k, 1.0), 1.0)
     n_hi = n * max(vn.get(k, 1.0), 1.0)
     if max(o, n) < args.floor:
@@ -56,19 +118,26 @@ for k in sorted(set(qo) & set(qn)):
         improvements.append((k, o, n, n / o if o > 0 else 0.0))
 
 t_old, t_new = old.get("value"), new.get("value")
-common_old = sum(qo[k] for k in qo if k in qn)
-common_new = sum(qn[k] for k in qn if k in qo)
-print(f"total: {t_old} s ({len(qo)} queries) -> {t_new} s ({len(qn)} queries)")
+common_old = sum(qo[k] for k in shared)
+common_new = sum(qn[k] for k in shared)
+partial = old.get("partial") or new.get("partial")
+note = " [PARTIAL: truncated driver tail(s); unrecovered queries excluded]" \
+    if partial else ""
+print(f"total: {t_old} s ({len(qo)} queries) -> "
+      f"{t_new} s ({len(qn)} queries){note}")
 if common_old:
-    print(f"like-for-like ({len(set(qo) & set(qn))} shared): "
+    print(f"like-for-like ({len(shared)} shared): "
           f"{common_old:.1f} s -> {common_new:.1f} s "
           f"({common_new / common_old:.3f}x)")
+if factor != 1.0:
+    print(f"global factor stripped from new side: {factor:.3f}x")
 for label, rows in (("REGRESSION", regressions), ("improvement", improvements)):
     for k, o, n, r in rows:
-        print(f"  {label} {k}: {o:.3f} s -> {n:.3f} s ({r:.2f}x)")
+        print(f"  {label} {k}: {o:.3f} s -> {n:.3f} s ({r:.2f}x"
+              + (f" after /{factor:.2f}" if factor != 1.0 else "") + ")")
 if added:
     print(f"  added: {added}")
-if removed:
+if removed and not partial:
     print(f"  removed: {removed}")
 if not regressions and not improvements:
     print("  no per-query moves outside noise ranges")

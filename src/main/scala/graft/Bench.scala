@@ -82,8 +82,10 @@ object Bench {
     val method = s"noop-sink/cold-caches/min-of-2-interleaved/local[$cpus]"
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}"""
+    // cpus is quoted: SPARK_GRAFT_CPUS=* is a valid master setting
+    // (local[*]) and a bare * would make the line unparseable JSON
     val localJson =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"$method","cpus":$cpus,"queries":${jmap(results)},"variance":${jmap(spread)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"$method","cpus":"$cpus","queries":${jmap(results)},"variance":${jmap(spread)},"sf":"$sfDir"}"""
     // a compact summary with no per-query map: short enough that a bounded
     // log-tail parser always sees the whole line — printed LAST
     val shortLine =

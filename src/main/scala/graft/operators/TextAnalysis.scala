@@ -359,28 +359,37 @@ object TextAnalysis {
       |ORDER BY doc_id, score DESC, tok""".stripMargin
 
   // ---- repetition / duplication quality stats -------------------------
-  /** Gopher repetition filter inputs, complete per Rae et al. 2021 §A1.1:
-    * per doc, the duplicate n-gram fraction for n = 2..4 (1 − distinct /
-    * total n-grams) and the top n-gram share for n = 1..4 (count of the
-    * most frequent n-gram / total) — boilerplate and degenerate
-    * generation ("batch batch batch") score high and get filtered before
-    * training. Shape at scale: ONE map-side transform emits all four
-    * gram streams tagged with n (no per-gram row until the single
-    * explode), then two map-side-combined groupBys on the scaling keys
-    * (doc_id, n, gram) and (doc_id, n); the final per-doc pivot sees at
-    * most 4 rows per doc. Docs shorter than n words get NULL for that
-    * n's columns (no n-grams exist) — both engines agree. */
+  /** Gopher-style repetition filter inputs (Rae et al. 2021 §A1.1
+    * inputs, with documented deviations): per doc, the duplicate n-gram
+    * fraction for n = 2..4 (1 − distinct / total n-grams) and the top
+    * n-gram share for n = 1..4 (count of the most frequent n-gram /
+    * total) — boilerplate and degenerate generation ("batch batch
+    * batch") score high and get filtered before training. DEVIATIONS
+    * from the paper: Gopher weights both families by characters and uses
+    * n = 2..4 for top-gram / n = 5..10 for duplicate-gram; these columns
+    * are COUNT-weighted over n = 1..4 / 2..4, so the paper's published
+    * thresholds do not transfer — calibrate cutoffs on these columns.
+    * Shape at scale: grams are NEVER materialized as per-row arrays —
+    * one explode over a 4·len int index sequence (n = i mod 4 + 1,
+    * pos = i div 4 + 1), the gram string built AFTER the explode inside
+    * the same codegen stage via slice(tk, pos, n), so transient row
+    * memory is one int array instead of four struct arrays holding every
+    * gram string (~10× text size for a 40 KB doc). The first shuffle is
+    * the map-side-combined groupBy on the scaling key (doc_id, n, gram);
+    * the token array never leaves the scan stage. Then one more groupBy
+    * on (doc_id, n); the final per-doc pivot sees at most 4 rows per
+    * doc. Docs shorter than n words get NULL for that n's columns (no
+    * n-grams exist) — both engines agree. */
   def repetitionRatio(s: SparkSession, dir: String): DataFrame = {
-    val gramStreams = (1 to 4).map { n =>
-      val parts = (0 until n).map(k => s"tk[i + $k]").mkString(", ")
-      s"transform(sequence(0, size(tk) - 1), i -> struct($n AS n, CASE WHEN i + $n <= size(tk) THEN concat_ws(' ', $parts) END AS g))"
-    }.mkString(", ")
     val perN = t(s, dir, "documents")
       .select(col("doc_id"), toks.as("tk"))
       .where(size(col("tk")) >= 1)
-      .select(col("doc_id"), explode(expr(s"flatten(array($gramStreams))")).as("ng"))
-      .where(col("ng.g").isNotNull)
-      .select(col("doc_id"), col("ng.n").as("n"), col("ng.g").as("g"))
+      .select(col("doc_id"), col("tk"),
+        explode(expr("sequence(0, 4 * size(tk) - 1)")).as("i"))
+      // gram exists iff pos + n - 1 <= len  ⟺  i div 4 + i % 4 + 1 <= len
+      .where(expr("i div 4 + i % 4 + 1 <= size(tk)"))
+      .select(col("doc_id"), expr("i % 4 + 1").as("n"),
+        expr("concat_ws(' ', slice(tk, i div 4 + 1, i % 4 + 1))").as("g"))
       .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id", "n")
       .agg(sum(col("cnt")).cast(DoubleType).as("total"),

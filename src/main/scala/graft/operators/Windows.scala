@@ -114,32 +114,19 @@ object Windows {
     * bucket and ghost copies in each later bucket whose range can still
     * see it inside the 1000-band lookback; the per-(status, bucket) range
     * window then computes exactly the original frame, and only member
-    * rows are emitted. Ghost fan-out is bounded by how many percentile
-    * boundaries fall inside a 1000-wide price band — with B buckets the
-    * expected copies per row are 1 + B·1000/price_range, independent of
-    * row count. Row-identical to q_win_range_frame (same oracle SQL). */
+    * rows are emitted. Ghost fan-out is GEOMETRY-DERIVED, not assumed:
+    * the bucket count is sized from the data's own price range as
+    * nb = clamp(floor(range / (2·band)), 1, NtileBuckets), so bucket
+    * width is always ≥ 2·band and a 1000-wide lookback crosses at most
+    * ONE bucket boundary — a structural ≤ 2 copies/row bound (asserted
+    * by WindowsSpec) that a testdata regeneration with a narrow price
+    * range cannot break. With the fixed constant, a range that shrank
+    * below NtileBuckets·band would have replicated every row into every
+    * trailing bucket. Row-identical to q_win_range_frame (same oracle
+    * SQL). */
   def winRangeFrameBucketed(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
-    // same codegen'd equal-width bucketing as the other twins; the ghost
-    // range bkt+1..gmax is exact because width_bucket is monotone: a
-    // member p sees context q iff q ≥ p−1000 ⟺ q+1000 ≥ p, which implies
-    // bucket(q+1000) ≥ bucket(p)
-    val bounds = o.agg(min(col("o_totalprice")).as("pmin"), max(col("o_totalprice")).as("pmax"))
-    val tagged = o.crossJoin(broadcast(bounds))
-      .withColumn("bkt",
-        expr(s"width_bucket(o_totalprice, pmin, pmax + 1.0d, $NtileBuckets)"))
-      .withColumn("gmax", least(
-        expr(s"width_bucket(o_totalprice + 1000.0d, pmin, pmax + 1.0d, $NtileBuckets)"),
-        lit(NtileBuckets)))
-      .withColumn("copies", expr(
-        """concat(array(named_struct('b', bkt, 'm', true)),
-          |  transform(if(gmax > bkt, sequence(bkt + 1, gmax), array()),
-          |    g -> named_struct('b', g, 'm', false)))""".stripMargin))
-      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
-        explode(col("copies")).as("c"))
-      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
-        col("c.b").as("bkt2"), col("c.m").as("is_member"))
+    val tagged = rangeFrameGhosts(t(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice")))
     val w = Window.partitionBy("o_orderstatus", "bkt2")
       .orderBy(col("o_totalprice").asc).rangeBetween(-1000L, 0L)
     tagged
@@ -149,6 +136,36 @@ object Windows {
       .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
         col("n_in_band"), col("band_total"))
       .orderBy("o_orderkey")
+  }
+
+  /** halo replication for winRangeFrameBucketed, factored out so the spec
+    * can assert the ≤ 2 copies/row structural bound on the tagged frame
+    * itself. Bucketing is exact for ANY monotone bucketing (a member p
+    * sees context q iff q ≥ p−1000 ⟺ q+1000 ≥ p, which implies
+    * bucket(q+1000) ≥ bucket(p)); the bucket COUNT only trades fan-out
+    * against parallelism, so it is derived from the broadcast min/max:
+    * width ≥ 2·band ⟹ at most one boundary inside any band ⟹ ≤ 1 ghost
+    * per row. width_bucket takes the count as a column, so the whole
+    * derivation stays inside codegen — no driver-side collect. */
+  private[graft] def rangeFrameGhosts(o: DataFrame): DataFrame = {
+    val bounds = o
+      .agg(min(col("o_totalprice")).as("pmin"), max(col("o_totalprice")).as("pmax"))
+      .withColumn("nb", greatest(lit(1L), least(lit(NtileBuckets.toLong),
+        expr("cast(floor((pmax - pmin) / 2000.0d) as bigint)"))))
+    o.crossJoin(broadcast(bounds))
+      .withColumn("bkt",
+        expr("width_bucket(o_totalprice, pmin, pmax + 1.0d, nb)"))
+      .withColumn("gmax", least(
+        expr("width_bucket(o_totalprice + 1000.0d, pmin, pmax + 1.0d, nb)"),
+        col("nb")))
+      .withColumn("copies", expr(
+        """concat(array(named_struct('b', bkt, 'm', true)),
+          |  transform(if(gmax > bkt, sequence(bkt + 1, gmax), array()),
+          |    g -> named_struct('b', g, 'm', false)))""".stripMargin))
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        explode(col("copies")).as("c"))
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        col("c.b").as("bkt2"), col("c.m").as("is_member"))
   }
 
   def winNtile(s: SparkSession, dir: String): DataFrame = {

@@ -42,9 +42,40 @@ object Pipeline {
     * blocks with no release path. Same discipline as
     * [[graft.operators.Similarity]]'s codebook cache: one entry per key,
     * superseded entries (corpus rewritten → fingerprint changed)
-    * unpersist on replacement, [[clearGateStatsCache]] releases all. */
+    * unpersist on replacement, [[clearGateStatsCache]] releases all, and
+    * a session's entries are evicted automatically when its underlying
+    * SparkContext ends (onApplicationEnd listener) so stopped sessions
+    * don't pin frames/plans until a manual clear.
+    *
+    * Corpus-rewrite caveat: the fingerprint-triggered replacement
+    * unpersists the OLD frame, so a stream already running against a
+    * cached gate silently falls back to per-batch recompute — against
+    * files that have been rewritten under it. Restart streams built on
+    * cached gates after rewriting their corpus; the cache serves the
+    * restarted stream the fresh frame. */
   private val gateStatsCache =
     new java.util.HashMap[(SparkSession, String, String), (String, DataFrame)]
+
+  /** sessions whose SparkContext already carries the eviction listener
+    * (one listener per session, not per entry; weak so the set itself
+    * never pins a session) */
+  private val evictionHooked =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+
+  private def hookEviction(s: SparkSession): Unit =
+    if (evictionHooked.add(s)) {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          gateStatsCache.synchronized {
+            // the context is ending — just drop the references (no
+            // unpersist RPC is possible against a stopped context)
+            gateStatsCache.keySet.removeIf(_._1 eq s)
+            evictionHooked.remove(s)
+          }
+      })
+    }
 
   private def cachedGateFrame(s: SparkSession, corpusDir: String, kind: String)(
       build: => DataFrame): DataFrame = gateStatsCache.synchronized {
@@ -56,6 +87,7 @@ object Pipeline {
       if (cached != null)
         try cached._2.unpersist(blocking = false) catch { case _: Throwable => }
       val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      hookEviction(s)
       gateStatsCache.put(key, (fp, df))
       df
     }

@@ -82,8 +82,10 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     val props = ClickHouseDialect.writeProperties
     // ClickHouse CREATE TABLE needs an engine rider on the generated DDL
     props.setProperty("createTableOptions", "ENGINE = MergeTree ORDER BY timestamp")
-    df.write.mode("append").jdbc(url.get, table, props)
+    // the write sits INSIDE the try: if DDL succeeds but the INSERT is
+    // rejected, the created table must still be dropped by the finally
     try {
+      df.write.mode("append").jdbc(url.get, table, props)
       val back = spark.read.jdbc(url.get, table, new java.util.Properties())
       assert(back.count() === 2L)
       val r = back.orderBy("timestamp").collect()

@@ -140,6 +140,27 @@ class PlanSpec extends AnyFunSuite {
       s"range window not keyed on (status, bkt2); exchange keys = $keys")
   }
 
+  test("q_win_range_frame_bucketed: ghost fan-out is structurally <= 2 copies/row") {
+    // the bucket count is derived from the data's own price range
+    // (width >= 2*band => at most one boundary inside any 1000-band
+    // lookback), so NO data geometry can replicate a row more than once —
+    // the r10 testdata regeneration made the fixed-constant variant's
+    // fan-out data-dependent, which is exactly what this pins
+    import org.apache.spark.sql.functions.col
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+    val n = o.count()
+    val tagged = graft.operators.Windows.rangeFrameGhosts(o).count()
+    assert(tagged <= 2 * n, s"halo replication fan-out $tagged > 2x input $n")
+    // and on an adversarially narrow price range (all rows within one
+    // band width), the derived count collapses to one bucket: zero ghosts
+    val narrow = o.withColumn("o_totalprice",
+      col("o_totalprice") % 500.0 + 100.0)
+    val taggedNarrow = graft.operators.Windows.rangeFrameGhosts(narrow).count()
+    assert(taggedNarrow === n,
+      s"narrow-range input should produce zero ghosts, got $taggedNarrow vs $n rows")
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange on either side") {
     // the 100 TB pattern for repeated big-big joins: pre-bucket both sides
     // on the join key; the sort-merge join then reads buckets directly
