@@ -1071,6 +1071,77 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch-probe form of [[ivfPqQueryIndex]] — the IVFADC serving shape
+    * for a whole query batch, and the probe engine behind
+    * `Pipeline.streamAnnProbe`: per-probe cell routing via the bounded
+    * KnnTopK aggregate on the broadcast K-row codebook (no O(probes)
+    * driver collect), per-probe ADC tables computed as COLUMNS from the
+    * broadcast M-row `pq/` frame (M·K doubles per probe — ~4 KB rows,
+    * fine for a query batch, carried through one equi-join), then the
+    * approximate phase scores ONLY the routed cells' code columns, the
+    * top-[[PqRerank]] per probe re-rank exact. The probe-side joins are
+    * plain equi-joins on (cid)/(pid)/(vec_id) — Catalyst/AQE pick
+    * broadcast vs shuffled hash by size, so a batch past the broadcast
+    * threshold degrades instead of failing. Self-matches (vec_id = pid)
+    * are excluded, mirroring [[annQueryIndexBatch]]. Candidates ≈
+    * |batch|·N·(probes/K) into the ADC phase, |batch|·R into the exact
+    * one. `probes` must have columns (pid: bigint, pe: array<float>).
+    * Pinned to EXACT per-probe parity with [[ivfPqQueryIndex]] in
+    * IvfPqIndexSpec and to batch≡stream parity in StreamingSpec. */
+  def ivfPqQueryIndexBatch(s: SparkSession, indexPath: String,
+      probes: DataFrame, k: Int = 10): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val book = s.read.parquet(s"$indexPath/codebook")
+    val probeLists = probes.crossJoin(broadcast(book))
+      .select(col("pid"), col("cid"), r4f(cosine(s, "ce", "pe")).as("ac"))
+      .groupBy("pid")
+      .agg(graft.functions.KnnTopK.knnTopk(col("ac"), col("cid"), IvfProbes).as("hits"))
+      .select(col("pid"), explode(col("hits")).as("h"))
+      .select(col("pid"), col("h.vec_id").as("cid"))
+    // per-probe ADC tables: dt_m[k] = dot(probe_sub_m, cent_k),
+    // nt_m[k] = |cent_k|², np2 = |probe|² — the same arithmetic as the
+    // single-probe query, pivoted to columns instead of a one-row frame
+    val pqAggs = (0 until PqM).map(m => max(when(col("m") === m, col("cents"))).as(s"pq$m"))
+    val pqArr = s.read.parquet(s"$indexPath/pq").groupBy().agg(pqAggs.head, pqAggs.tail: _*)
+    val tabs = probes.crossJoin(broadcast(pqArr))
+      .select(Seq(col("pid"),
+        expr("aggregate(pe, 0D, (a, x) -> a + cast(x AS DOUBLE) * cast(x AS DOUBLE))").as("np2")) ++
+        (0 until PqM).flatMap(m => Seq(
+          expr(s"transform(pq$m, c -> aggregate(zip_with(c, slice(pe, $m * $PqSub + 1, $PqSub), (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)), 0D, (a, v) -> a + v))").as(s"dt$m"),
+          expr(s"transform(pq$m, c -> aggregate(c, 0D, (a, x) -> a + cast(x AS DOUBLE) * cast(x AS DOUBLE)))").as(s"nt$m"))): _*)
+    // approximate phase: routed cells' code columns only (embedding NOT
+    // read here — the same column-pruning contract as the single query)
+    val codes = s.read.parquet(s"$indexPath/lists")
+      .select(Seq(col("cid"), col("vec_id")) ++ (0 until PqM).map(m => col(s"c$m")): _*)
+    val cand = codes.join(probeLists, "cid")
+      .join(tabs, "pid")
+      .where(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        r4f((0 until PqM).map(m => element_at(col(s"dt$m"), col(s"c$m") + 1)).reduce(_ + _)
+          / (sqrt((0 until PqM).map(m => element_at(col(s"nt$m"), col(s"c$m") + 1)).reduce(_ + _))
+            * sqrt(col("np2")))).as("approx_cos"))
+      .groupBy("pid")
+      .agg(graft.functions.KnnTopK.knnTopk(col("approx_cos"), col("vec_id"), PqRerank).as("hits"))
+      .select(col("pid"), explode(col("hits")).as("h"))
+      .select(col("pid"), col("h.vec_id").as("vec_id"))
+    // exact re-rank: embedding column, restricted to the union of routed
+    // cells (the batch twin of the single query's cid.isin partition
+    // pruning — an equi-join on the partition column, DPP-eligible) and
+    // then to candidate rows only
+    s.read.parquet(s"$indexPath/lists")
+      .join(probeLists.select("cid").distinct(), "cid")
+      .select(col("vec_id"), col("embedding"))
+      .join(cand, "vec_id")
+      .join(probes, "pid")
+      .select(col("pid"), col("vec_id"), r4(cosine(s, "embedding", "pe")).as("cos"))
+      .groupBy("pid")
+      .agg(graft.functions.KnnTopK.knnTopk(col("cos"), col("vec_id"), k).as("hits"))
+      .select(col("pid"), posexplode(col("hits")).as(Seq("pos", "h")))
+      .select(col("pid"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("h.vec_id").as("vec_id"), col("h.cos").as("cos"))
+      .orderBy("pid", "rank")
+  }
+
   /** Incremental maintenance for the IVF+PQ layout — FAISS's
     * add-after-train, the PQ twin of [[appendIvfIndex]]: BOTH stored
     * quantizers (`codebook/` coarse centroids, `pq/` sub-centroids) stay

@@ -673,6 +673,35 @@ object Pipeline {
       }
       .start()
 
+  /** LIVE ANN serving — the index-probe twin of [[streamSemanticDedup]]
+    * for the IVF+PQ family: each micro-batch of (pid, pe) probe vectors
+    * routes through [[graft.operators.Similarity.ivfPqQueryIndexBatch]]
+    * — the SAME set-oriented IVFADC engine a batch query calls (routed
+    * cells via bounded KnnTopK on the broadcast codebook, per-probe ADC
+    * tables, exact re-rank of the top-R) — so a probe's top-k is
+    * identical whether it arrives live or in bulk (StreamingSpec pins
+    * stream ≡ batch ≡ single-probe). Stateless by design: a probe needs
+    * only the broadcast quantizers and its routed cells, so cross-batch
+    * streaming state would be pure overhead. Exactly-once: each batch
+    * overwrites its own `batch_id=N` partition on replay. */
+  def streamAnnProbe(probes: DataFrame, indexPath: String,
+      outDir: String, checkpointDir: String, k: Int = 10,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    probes.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity
+          .ivfPqQueryIndexBatch(batch.sparkSession, indexPath, batch, k)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .start()
+
   /** Stream-stream INTERVAL join — live conversion attribution: each
     * purchase matches the same user's views within the trailing
     * `horizon`. Both sides carry watermarks, so the join's buffered state

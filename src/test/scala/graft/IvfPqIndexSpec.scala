@@ -124,6 +124,29 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(grown.size === 1, s"append must touch exactly one cell: $grown")
   }
 
+  test("batch-probe IVF+PQ query matches per-probe single queries") {
+    val dir = TestSpark.sfDir
+    val idx = Files.createTempDirectory("graft_ivfpq_batch").toString
+    Similarity.writeIvfPqIndex(spark, dir, idx)
+
+    val probes = util.t(spark, dir, "embeddings")
+      .orderBy("vec_id").limit(3)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val batch = Similarity.ivfPqQueryIndexBatch(spark, idx, probes, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+
+    probes.collect().foreach { pr =>
+      val pid = pr.getLong(0)
+      val pe = pr.getSeq[Float](1)
+      val single = Similarity.ivfPqQueryIndex(spark, idx, pe, excludeVecId = pid, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = batch(pid).sortBy(_._2).map(x => (x._3, x._4)).toSeq
+      assert(got === single, s"probe $pid: batch IVFADC diverged from single-probe query")
+    }
+  }
+
   test("q_sim_ann_ivfpq ≡ ivfPqQueryIndex: on-the-fly IVFADC equals the persisted-index query") {
     val dir = TestSpark.sfDir
     val idx = Files.createTempDirectory("graft_ivfpq_parity").toString

@@ -15,6 +15,49 @@ class SourcesSpec extends AnyFunSuite {
   private lazy val logs = Pipeline.parseToLog(model.rawLines(spark))
     .withColumn("categories", col("categories").cast("string")) // csv has no arrays
 
+  test("util.events normalizes BOTH generator ts encodings to the same instants") {
+    // the testdata generator has shipped events.ts as INT64 nanoseconds
+    // (arriving LongType under nanosAsLong) AND as TIMESTAMP[µs]; the
+    // adapter branches on the arrived type, so each branch gets its own
+    // fixture here — a regeneration flipping the encoding again cannot
+    // silently rot the untested branch
+    import spark.implicits._
+    val instantsUs = Seq(1704164645123456L, 1704164646000001L)
+    val nanoDir = Files.createTempDirectory("graft_ev_nanos").toString
+    instantsUs.zipWithIndex
+      .map { case (us, i) => (i.toLong, us * 1000L, s"u$i") }
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$nanoDir/events.parquet")
+    val microDir = Files.createTempDirectory("graft_ev_micros").toString
+    def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp((us / 1000000L) * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    instantsUs.zipWithIndex
+      .map { case (us, i) => (i.toLong, tsOf(us), s"u$i") }
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$microDir/events.parquet")
+
+    def arrived(dir: String) = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    assert(arrived(nanoDir) === org.apache.spark.sql.types.LongType,
+      "nanos fixture must arrive as BIGINT to exercise the Long branch")
+    assert(arrived(microDir) === org.apache.spark.sql.types.TimestampType,
+      "micros fixture must arrive as TIMESTAMP to exercise the timestamp branch")
+
+    def norm(dir: String) = util.events(spark, dir)
+      .select("event_id", "ts_us", "ts").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime)).toSeq
+    val fromNanos = norm(nanoDir)
+    val fromMicros = norm(microDir)
+    assert(fromNanos === fromMicros,
+      "the two ts encodings must normalize to identical instants")
+    assert(fromNanos.map(_._2) === instantsUs, "ts_us must be exact µs since epoch")
+    // and ts itself is a real TIMESTAMP column in both branches
+    assert(util.events(spark, nanoDir).schema("ts").dataType
+      === org.apache.spark.sql.types.TimestampType)
+  }
+
   test("CSV round trip with explicit schema and FAILFAST") {
     val dir = Files.createTempDirectory("graft_csv").toString
     logs.write.mode("overwrite").option("header", "true").csv(dir)

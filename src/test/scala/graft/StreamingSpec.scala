@@ -346,6 +346,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "expected verdicts for the batch split at sf0.01")
   }
 
+  test("streamAnnProbe: micro-batched probes reproduce the batch IVF+PQ top-k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val indexPath = java.nio.file.Files.createTempDirectory("graft_sap_idx").toString
+    graft.operators.Similarity.writeIvfPqIndex(spark, dir, indexPath)
+    val probeRows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .orderBy("vec_id").limit(4)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (firstHalf, secondHalf) = probeRows.splitAt(2)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    ms.addData(firstHalf)
+    ms.addData(secondHalf)
+    val out = java.nio.file.Files.createTempDirectory("graft_sap_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sap_ckpt").toString
+    val q = Pipeline.streamAnnProbe(
+      ms.toDF().toDF("pid", "pe"), indexPath, out, ckpt, k = 5,
+      Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+      .select("pid", "rank", "vec_id", "cos")
+      .orderBy("pid", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val batchProbes = spark.createDataFrame(probeRows).toDF("pid", "pe")
+    val batch = graft.operators.Similarity
+      .ivfPqQueryIndexBatch(spark, indexPath, batchProbes, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(streamed === batch,
+      "streamed ANN top-k diverged from the batch IVF+PQ query on the same probes")
+    assert(streamed.nonEmpty, "expected top-k hits for the probe batch")
+  }
+
   test("idempotent JDBC batch write: a replayed batch replaces its own rows (exactly-once)") {
     System.setProperty("derby.stream.error.file", "/tmp/derby.log")
     import spark.implicits._
