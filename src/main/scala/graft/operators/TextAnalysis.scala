@@ -436,6 +436,159 @@ object TextAnalysis {
       |  max(CASE WHEN n = 4 THEN floor(topc / total * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE END) AS top_share_4
       |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** The PAPER-EXACT Gopher repetition metrics (Rae et al. 2021 §A1.1),
+    * character-weighted over the paper's own n ranges — the companion to
+    * [[repetitionRatio]]'s count-weighted variant, for users who want to
+    * apply Gopher's PUBLISHED thresholds directly:
+    *   - `top_char_frac_n` (n = 2..4): characters inside occurrences of
+    *     the single most frequent n-gram / document characters
+    *     (count × gram chars / doc chars — overlapping occurrences are
+    *     counted per occurrence, as in the common reproductions, so
+    *     degenerate docs can exceed 1.0; ties on count break to the
+    *     lexicographically smallest gram for determinism);
+    *   - `dup_char_frac_n` (n = 5..10): characters covered by ANY
+    *     occurrence of a duplicated n-gram / document characters —
+    *     overlap-deduplicated ("taking care not to count characters
+    *     twice"), an exact interval union per (doc, n).
+    * (The paper's remaining two families — duplicate line/paragraph
+    * fractions — are `q_dedup_paragraph`'s concern.) Docs with no n-gram
+    * of a given n get NULL for that n's column.
+    *
+    * Shape at scale: ONE window pass per doc (partitioned on doc_id —
+    * the scaling key; docs are bounded at the 40 960-char ingest cap)
+    * computes character offsets via a running sum plus the 9 lead
+    * tokens/ends, so gram strings come from lead columns — the token
+    * ARRAY never rides a shuffle and there is no per-row O(len²)
+    * offset recomputation. The 9 gram streams then unpivot through one
+    * explode of 9 tiny struct refs per position; counting is a
+    * map-side-combined groupBy on (doc_id, n, gram) for the top family
+    * and a count-over window for the dup family; the interval union is
+    * a running-max window over only the duplicated rows. */
+  def repetitionGopher(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wp = Window.partitionBy("doc_id").orderBy("pos")
+    val offs = t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("dl"),
+        posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("cs", coalesce(sum(length(col("tok")) + 1)
+        .over(wp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("ce", col("cs") + length(col("tok")))
+    val withLeads = (1 to 9).foldLeft(offs) { (df, j) =>
+      df.withColumn(s"l$j", lead(col("tok"), j).over(wp))
+        .withColumn(s"e${j + 1}", lead(col("ce"), j).over(wp))
+    }
+    val withGrams = (2 to 10).foldLeft(withLeads) { (df, n) =>
+      val parts = Seq(col("tok")) ++ (1 until n).map(j => col(s"l$j"))
+      // concat_ws SKIPS nulls, which would silently shorten grams at the
+      // doc tail — the isNotNull guard nulls the gram instead
+      df.withColumn(s"g$n",
+        when(col(s"l${n - 1}").isNotNull, concat_ws(" ", parts: _*)))
+    }
+    val stacked = withGrams
+      .select(col("doc_id"), col("dl"), col("pos"), col("cs"),
+        explode(array((2 to 10).map(n =>
+          struct(lit(n).as("n"), col(s"g$n").as("g"), col(s"e$n").as("ce"))): _*)).as("x"))
+      .where(col("x.g").isNotNull)
+      .select(col("doc_id"), col("dl"), col("pos"), col("cs"),
+        col("x.n").as("n"), col("x.g").as("g"), col("x.ce").as("ce"))
+    val top = stacked.where(col("n").between(2, 4))
+      .groupBy("doc_id", "n", "g")
+      .agg(count(lit(1)).as("cnt"), max(col("dl")).as("dl"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id", "n").orderBy(col("cnt").desc, col("g").asc)))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("n"),
+        r4f(col("cnt") * length(col("g")) / col("dl")).as("frac"),
+        lit("top").as("kind"))
+    val dup = stacked.where(col("n").between(5, 10))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("doc_id", "n", "g")))
+      .where(col("cnt") >= 2)
+      .withColumn("pm", max(col("ce")).over(
+        Window.partitionBy("doc_id", "n").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("add", greatest(lit(0L),
+        col("ce") - greatest(coalesce(col("pm"), lit(0L)), col("cs"))))
+      .groupBy("doc_id", "n")
+      .agg(r4f(sum(col("add")) / max(col("dl"))).as("frac"))
+      .withColumn("kind", lit("dup"))
+      .select("doc_id", "n", "frac", "kind")
+    def pick(kind: String, n: Int, name: String) =
+      max(when(col("kind") === kind && col("n") === n, col("frac"))).as(name)
+    val metrics = top.unionByName(dup).groupBy("doc_id").agg(
+      pick("top", 2, "top_char_frac_2"), pick("top", 3, "top_char_frac_3"),
+      pick("top", 4, "top_char_frac_4"),
+      pick("dup", 5, "dup_char_frac_5"), pick("dup", 6, "dup_char_frac_6"),
+      pick("dup", 7, "dup_char_frac_7"), pick("dup", 8, "dup_char_frac_8"),
+      pick("dup", 9, "dup_char_frac_9"), pick("dup", 10, "dup_char_frac_10"))
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(metrics, Seq("doc_id"), "left")
+      .orderBy("doc_id")
+  }
+
+  val repetitionGopherSql =
+    """WITH tk AS (
+      |  SELECT doc_id, length(text) AS dl, string_split(text, ' ') AS tk FROM documents),
+      |p AS (
+      |  SELECT doc_id, dl, i - 1 AS pos, tk[i] AS tok
+      |  FROM tk JOIN generate_series(1, 100000) s(i) ON i <= len(tk)),
+      |w AS (
+      |  SELECT doc_id, dl, pos, tok,
+      |    coalesce(sum(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs
+      |  FROM p),
+      |w2 AS (SELECT *, cs + length(tok) AS ce FROM w),
+      |g AS (
+      |  SELECT a.doc_id, a.dl, n.n, a.pos, a.cs, b.ce,
+      |    array_to_string(list_slice(t.tk, a.pos + 1, a.pos + n.n), ' ') AS g
+      |  FROM w2 a
+      |  JOIN tk t USING (doc_id)
+      |  CROSS JOIN generate_series(2, 10) n(n)
+      |  JOIN w2 b ON b.doc_id = a.doc_id AND b.pos = a.pos + n.n - 1),
+      |tc AS (
+      |  SELECT doc_id, n, g, count(*) AS cnt, max(dl) AS dl
+      |  FROM g WHERE n BETWEEN 2 AND 4 GROUP BY 1, 2, 3),
+      |tr AS (
+      |  SELECT doc_id, n, cnt, dl, length(g) AS gl,
+      |    row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, g ASC) AS rn
+      |  FROM tc),
+      |top AS (
+      |  SELECT doc_id, n,
+      |    floor((cnt * gl)::DOUBLE / dl * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS frac,
+      |    'top' AS kind
+      |  FROM tr WHERE rn = 1),
+      |dc AS (
+      |  SELECT doc_id, dl, n, pos, cs, ce,
+      |    count(*) OVER (PARTITION BY doc_id, n, g) AS cnt
+      |  FROM g WHERE n BETWEEN 5 AND 10),
+      |du AS (
+      |  SELECT doc_id, dl, n, pos, cs, ce,
+      |    max(ce) OVER (PARTITION BY doc_id, n ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      |  FROM dc WHERE cnt >= 2),
+      |ds AS (
+      |  SELECT doc_id, n,
+      |    floor(sum(greatest(0, ce - greatest(coalesce(pm, 0), cs)))::DOUBLE / max(dl)
+      |      * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS frac,
+      |    'dup' AS kind
+      |  FROM du GROUP BY 1, 2),
+      |u AS (SELECT * FROM top UNION ALL SELECT * FROM ds),
+      |m AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN kind = 'top' AND n = 2 THEN frac END) AS top_char_frac_2,
+      |    max(CASE WHEN kind = 'top' AND n = 3 THEN frac END) AS top_char_frac_3,
+      |    max(CASE WHEN kind = 'top' AND n = 4 THEN frac END) AS top_char_frac_4,
+      |    max(CASE WHEN kind = 'dup' AND n = 5 THEN frac END) AS dup_char_frac_5,
+      |    max(CASE WHEN kind = 'dup' AND n = 6 THEN frac END) AS dup_char_frac_6,
+      |    max(CASE WHEN kind = 'dup' AND n = 7 THEN frac END) AS dup_char_frac_7,
+      |    max(CASE WHEN kind = 'dup' AND n = 8 THEN frac END) AS dup_char_frac_8,
+      |    max(CASE WHEN kind = 'dup' AND n = 9 THEN frac END) AS dup_char_frac_9,
+      |    max(CASE WHEN kind = 'dup' AND n = 10 THEN frac END) AS dup_char_frac_10
+      |  FROM u GROUP BY doc_id)
+      |SELECT d.doc_id, m.top_char_frac_2, m.top_char_frac_3, m.top_char_frac_4,
+      |  m.dup_char_frac_5, m.dup_char_frac_6, m.dup_char_frac_7,
+      |  m.dup_char_frac_8, m.dup_char_frac_9, m.dup_char_frac_10
+      |FROM documents d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   // ---- per-group sampling cap -----------------------------------------
   /** Per-source document cap (the "no domain dominates the corpus" op):
     * each source keeps its [[SampleCap]] docs with the highest 52-bit
@@ -804,6 +957,7 @@ object TextAnalysis {
     "q_pack_contexts_sharded" -> packContextsSharded _,
     "q_pack_efficiency" -> packEfficiency _,
     "q_repetition_ratio" -> repetitionRatio _,
+    "q_repetition_gopher" -> repetitionGopher _,
     "q_pii_scrub" -> piiScrub _,
     "q_sample_per_source" -> samplePerSource _,
     "q_quality_filter" -> qualityFilter _,
@@ -825,6 +979,7 @@ object TextAnalysis {
     "q_token_count" -> tokenCountSql,
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_repetition_ratio" -> repetitionRatioSql,
+    "q_repetition_gopher" -> repetitionGopherSql,
     "q_pii_scrub" -> piiScrubSql,
     "q_sample_per_source" -> samplePerSourceSql,
     "q_quality_filter" -> qualityFilterSql,
