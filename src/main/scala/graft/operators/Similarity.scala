@@ -1219,6 +1219,69 @@ object Similarity {
        |        FROM terms) x) r
        |WHERE rn <= $KnnK ORDER BY pid, rank""".stripMargin
 
+  /** k-NN majority-vote label prediction over the bounded probe set —
+    * the label-quality screen a training-data pipeline runs before
+    * trusting a labeled corpus (the confident-learning/Cleanlab
+    * intuition: a vector whose neighborhood disagrees with its own label
+    * is a candidate annotation error, `correct = 0` rows are the review
+    * queue; same neighborhood evidence auto-labels unlabeled vectors).
+    * Reuses [[simKnn]]'s machinery end to end: deterministic md5
+    * hash-sampled [[KnnProbes]] probe set, exact rounded-cosine top-[[KnnK]]
+    * per probe through the bounded KnnTopK aggregate (shuffle is
+    * O(probes·k), never O(N)), then the k hit rows join their labels
+    * back (a k·probes-row broadcast side against the at-rest table) and
+    * vote — ties break votes desc, label asc for determinism. */
+  def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "embeddings")
+    val probes = e
+      .orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
+      .limit(KnnProbes)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val hits = e.join(broadcast(probes), col("pid") =!= col("vec_id"))
+      .select(col("pid"), col("vec_id"), r4(cosine(s, "embedding", "pe")).as("cos"))
+      .groupBy("pid")
+      .agg(graft.functions.KnnTopK.knnTopk(col("cos"), col("vec_id"), KnnK).as("hits"))
+      .select(col("pid"), explode(col("hits")).as("h"))
+      .select(col("pid"), col("h.vec_id").as("vec_id"))
+    val pred = hits
+      .join(e.select(col("vec_id"), col("label").as("nlabel")), "vec_id")
+      .groupBy("pid", "nlabel").agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("pid").orderBy(col("votes").desc, col("nlabel").asc)))
+      .where(col("rn") === 1)
+    pred
+      .join(e.select(col("vec_id").as("pid"), col("label").as("true_label")), "pid")
+      .select(col("pid"), col("true_label"), col("nlabel").as("pred_label"),
+        col("votes"),
+        (col("nlabel") === col("true_label")).cast(IntegerType).as("correct"))
+      .orderBy("pid")
+  }
+
+  val knnClassifySql: String =
+    cosineOracle(
+      s"""SELECT vec_id AS pid, embedding AS pe FROM embeddings
+         |     ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $KnnProbes""".stripMargin,
+      "p.pid <> e.vec_id") +
+    s""",
+       |knn AS (
+       |  SELECT pid, vec_id,
+       |    row_number() OVER (PARTITION BY pid ORDER BY
+       |      CAST(round(dot / (sqrt(n2) * sqrt(np2)), 4) AS DOUBLE) DESC, vec_id ASC) AS rn
+       |  FROM terms),
+       |lab AS (
+       |  SELECT k.pid, e.label AS nlabel
+       |  FROM knn k JOIN embeddings e USING (vec_id) WHERE k.rn <= $KnnK),
+       |v AS (SELECT pid, nlabel, count(*) AS votes FROM lab GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT pid, nlabel, votes,
+       |    row_number() OVER (PARTITION BY pid ORDER BY votes DESC, nlabel ASC) AS rn
+       |  FROM v)
+       |SELECT pr.pid, te.label AS true_label, pr.nlabel AS pred_label, pr.votes,
+       |  CASE WHEN pr.nlabel = te.label THEN 1 ELSE 0 END AS correct
+       |FROM pr JOIN embeddings te ON te.vec_id = pr.pid
+       |WHERE pr.rn = 1 ORDER BY pr.pid""".stripMargin
+
   // ---- PQ (product-quantization) ANN ----------------------------------
   /** The third ANN family beside sign-LSH and IVF: product quantization
     * (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
@@ -1503,6 +1566,7 @@ object Similarity {
     "q_sim_ann_pq" -> simAnnPq _,
     "q_sim_ann_ivfpq" -> simAnnIvfPq _,
     "q_sim_knn" -> simKnn _,
+    "q_knn_classify" -> knnClassify _,
     "q_dedup_semantic" -> dedupSemantic _,
     "q_dedup_semantic_apply" -> dedupSemanticApply _,
     "q_dedup_semantic_incremental" -> dedupSemanticIncremental _,
@@ -1516,6 +1580,7 @@ object Similarity {
     "q_sim_eval" -> simEvalSql,
     "q_sim_eval_pq" -> simEvalPqSql,
     "q_sim_knn" -> simKnnSql,
+    "q_knn_classify" -> knnClassifySql,
     "q_dedup_semantic" -> dedupSemanticSql,
     "q_dedup_semantic_apply" -> dedupSemanticApplySql,
     "q_dedup_semantic_incremental" -> dedupSemanticIncrementalSql,
