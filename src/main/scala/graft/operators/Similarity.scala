@@ -556,6 +556,55 @@ object Similarity {
        |SELECT vec_id, cid, ac, z FROM zs WHERE z <= -$OutlierZ
        |ORDER BY z, vec_id""".stripMargin
 
+  // ---- Johnson-Lindenstrauss random projection ------------------------
+  /** JL random projection 64 → [[JlDims]] dims with a DETERMINISTIC
+    * ±1/√k sign matrix (Achlioptas 2003's database-friendly variant:
+    * entries ±1 scaled by 1/√k preserve pairwise distances in
+    * expectation, no Gaussians needed) — the standard cost reducer run
+    * BEFORE LSH bucketing or k-means when the full dimension is too
+    * expensive: distances survive within (1±ε), downstream cosine work
+    * drops 4×. The matrix entry sign comes from md5(i"_"j), so both
+    * engines (and any two cluster runs) derive bit-identical matrices
+    * with no stored state and no RNG — the projection IS reproducible
+    * lineage, the property a training-data pipeline needs to re-derive
+    * features years later.
+    *
+    * Shape at scale: the 16-row matrix broadcasts; the scan is one
+    * map-side zip_with/aggregate per (vector, output-dim) — no shuffle
+    * until the final per-vector collect_list (k rows per vector,
+    * map-side combined). */
+  val JlDims = 16
+
+  def embedProject(s: SparkSession, dir: String): DataFrame = {
+    val matrix = s.range(JlDims).toDF("j")
+      .select(col("j").cast(IntegerType).as("j"),
+        expr("transform(sequence(0, 63), i -> CASE WHEN cast(conv(substr(md5(concat(cast(i AS STRING), '_', cast(j AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0 THEN 1.0D ELSE -1.0D END)").as("sgn"))
+    // long (vec_id, j, v) output — the driver's hash comparator needs
+    // flat columns; a consumer pivots to arrays with the collect_list +
+    // sort_array idiom when feeding LSH/k-means
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(matrix))
+      .select(col("vec_id"), col("j"),
+        r4f(expr("aggregate(zip_with(embedding, sgn, (x, g) -> cast(x AS DOUBLE) * g), 0D, (a, v) -> a + v)")
+          / math.sqrt(JlDims.toDouble)).as("v"))
+      .orderBy("vec_id", "j")
+  }
+
+  val embedProjectSql: String =
+    s"""WITH m AS (
+       |  SELECT j.j, i.i,
+       |    CASE WHEN ('0x' || substr(md5(i.i::VARCHAR || '_' || j.j::VARCHAR), 1, 8))::BIGINT % 2 = 0
+       |      THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS sgn
+       |  FROM generate_series(0, ${JlDims - 1}) j(j)
+       |  CROSS JOIN generate_series(0, 63) i(i))
+       |SELECT e.vec_id, m.j,
+       |  floor(sum(e.embedding[m.i + 1]::DOUBLE * m.sgn) / sqrt(${JlDims}::DOUBLE)
+       |    * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS v
+       |FROM embeddings e CROSS JOIN m
+       |GROUP BY e.vec_id, m.j
+       |ORDER BY e.vec_id, m.j""".stripMargin
+
   // ---- semantic dedup (SemDeDup) --------------------------------------
   /** cosine threshold above which a vector counts as a semantic duplicate
     * of an earlier same-cluster vector. Sized to the corpus like
@@ -1567,6 +1616,7 @@ object Similarity {
     "q_sim_ann_ivfpq" -> simAnnIvfPq _,
     "q_sim_knn" -> simKnn _,
     "q_knn_classify" -> knnClassify _,
+    "q_embed_project" -> embedProject _,
     "q_dedup_semantic" -> dedupSemantic _,
     "q_dedup_semantic_apply" -> dedupSemanticApply _,
     "q_dedup_semantic_incremental" -> dedupSemanticIncremental _,
@@ -1581,6 +1631,7 @@ object Similarity {
     "q_sim_eval_pq" -> simEvalPqSql,
     "q_sim_knn" -> simKnnSql,
     "q_knn_classify" -> knnClassifySql,
+    "q_embed_project" -> embedProjectSql,
     "q_dedup_semantic" -> dedupSemanticSql,
     "q_dedup_semantic_apply" -> dedupSemanticApplySql,
     "q_dedup_semantic_incremental" -> dedupSemanticIncrementalSql,

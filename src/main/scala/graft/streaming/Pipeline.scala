@@ -702,6 +702,30 @@ object Pipeline {
       }
       .start()
 
+  /** [[streamAnnProbe]]'s twin for the PLAIN IVF index family
+    * (`Similarity.writeIvfIndex` layouts, exact re-rank without the PQ
+    * approximate phase) via [[graft.operators.Similarity.annQueryIndexBatch]]
+    * — every persisted-index family ships the same batch ≡ stream
+    * contract. Stateless foreachBatch, exactly-once per-batch_id
+    * partition overwrite. */
+  def streamAnnProbeIvf(probes: DataFrame, indexPath: String,
+      outDir: String, checkpointDir: String, k: Int = 10,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    probes.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity
+          .annQueryIndexBatch(batch.sparkSession, indexPath, batch, k)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .start()
+
   /** Stream-stream INTERVAL join — live conversion attribution: each
     * purchase matches the same user's views within the trailing
     * `horizon`. Both sides carry watermarks, so the join's buffered state

@@ -379,6 +379,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "expected top-k hits for the probe batch")
   }
 
+  test("streamAnnProbeIvf: micro-batched probes reproduce the batch plain-IVF top-k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val indexPath = java.nio.file.Files.createTempDirectory("graft_sai_idx").toString
+    graft.operators.Similarity.writeIvfIndex(spark, dir, indexPath)
+    val probeRows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .orderBy("vec_id").limit(4)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (firstHalf, secondHalf) = probeRows.splitAt(2)
+    val ms = MemoryStream[(Long, Seq[Float])]
+    ms.addData(firstHalf)
+    ms.addData(secondHalf)
+    val out = java.nio.file.Files.createTempDirectory("graft_sai_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sai_ckpt").toString
+    val q = Pipeline.streamAnnProbeIvf(
+      ms.toDF().toDF("pid", "pe"), indexPath, out, ckpt, k = 5,
+      Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+      .select("pid", "rank", "vec_id", "cos")
+      .orderBy("pid", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val batch = graft.operators.Similarity
+      .annQueryIndexBatch(spark, indexPath, spark.createDataFrame(probeRows).toDF("pid", "pe"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(streamed === batch,
+      "streamed plain-IVF top-k diverged from the batch query on the same probes")
+    assert(streamed.nonEmpty, "expected top-k hits for the probe batch")
+  }
+
   test("idempotent JDBC batch write: a replayed batch replaces its own rows (exactly-once)") {
     System.setProperty("derby.stream.error.file", "/tmp/derby.log")
     import spark.implicits._
