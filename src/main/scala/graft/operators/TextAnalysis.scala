@@ -589,6 +589,71 @@ object TextAnalysis {
       |  m.dup_char_frac_8, m.dup_char_frac_9, m.dup_char_frac_10
       |FROM documents d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  /** Per-SOURCE quality deciles — the fair cross-source curation cut:
+    * a single global threshold keeps whole sources whose score
+    * distribution sits high and guts the rest, so curation recipes cut
+    * at a PERCENTILE WITHIN EACH SOURCE ("drop every source's bottom
+    * 20%"). decile = exact ntile(10) over (source, quality) — but the
+    * naive window form runs ONE task per source (source is
+    * low-cardinality: the canonical 100-TB scale-killer this library's
+    * window twins exist for), so this is the q_win_ntile_dist two-phase
+    * pattern applied per source: equal-width value buckets from each
+    * source's broadcast min/max (ANY monotone bucketing gives exact
+    * ranks — width only affects balance), per-(source, bucket) local
+    * row_number (B·|sources|-way parallel), bucket offsets via a window
+    * over the bounded (source × B) count frame, global rank = offset +
+    * local, ntile from rank with SQL's bigger-tiles-first remainder
+    * rule. Row-identical to the naive window (same oracle SQL). */
+  def qualityPercentile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 10
+    val nb = 32
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"), toks.as("tk"))
+      .select(col("doc_id"), col("source"),
+        qualityCol(col("text"), col("tk")).as("quality"))
+    val bounds = scored.groupBy("source")
+      .agg(min("quality").as("qmin"), max("quality").as("qmax"))
+    // quality is 4-dp-rounded into [0, 1]; hi = qmax + 1e-4 keeps the top
+    // value inside bucket nb and keeps lo < hi on a degenerate source
+    val bucketed = scored.join(broadcast(bounds), "source")
+      .withColumn("bkt", expr(s"width_bucket(quality, qmin, qmax + 1.0e-4d, $nb)"))
+      .drop("qmin", "qmax")
+    val offs = bucketed.groupBy("source", "bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        sum(col("cnt")).over(Window.partitionBy("source").orderBy("bkt")) - col("cnt"))
+      .withColumn("n_total", sum(col("cnt")).over(Window.partitionBy("source")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .drop("cnt")
+    bucketed.join(broadcast(offs), Seq("source", "bkt"))
+      .withColumn("lr", row_number().over(
+        Window.partitionBy("source", "bkt")
+          .orderBy(col("quality").asc, col("doc_id").asc)))
+      .withColumn("rnk", col("off") + col("lr"))
+      .withColumn("base", expr(s"n_total div $k"))
+      .withColumn("rem", expr(s"n_total % $k"))
+      .withColumn("decile",
+        when(col("rnk") <= col("rem") * (col("base") + 1),
+          expr("(rnk - 1) div (base + 1) + 1"))
+        .otherwise(expr("rem + (rnk - rem * (base + 1) - 1) div base + 1"))
+        .cast(IntegerType))
+      .select(col("doc_id"), col("source"), col("quality"), col("decile"))
+      .orderBy("doc_id")
+  }
+
+  val qualityPercentileSql =
+    """WITH q AS (
+      |  SELECT doc_id, source,
+      |    CAST(floor((
+      |      least(1.0::DOUBLE, len(tk)::DOUBLE / 50.0::DOUBLE) * 0.4::DOUBLE
+      |      + (len(list_distinct(tk))::DOUBLE / len(tk)) * 0.3::DOUBLE
+      |      + least(1.0::DOUBLE, ((length(text) - (len(tk) - 1))::DOUBLE / len(tk)) / 8.0::DOUBLE) * 0.3::DOUBLE
+      |      ) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS quality
+      |  FROM (SELECT doc_id, source, text, string_split(text, ' ') AS tk FROM documents) x)
+      |SELECT doc_id, source, quality,
+      |  ntile(10) OVER (PARTITION BY source ORDER BY quality ASC, doc_id ASC) AS decile
+      |FROM q ORDER BY doc_id""".stripMargin
+
   // ---- per-group sampling cap -----------------------------------------
   /** Per-source document cap (the "no domain dominates the corpus" op):
     * each source keeps its [[SampleCap]] docs with the highest 52-bit
@@ -961,6 +1026,7 @@ object TextAnalysis {
     "q_pii_scrub" -> piiScrub _,
     "q_sample_per_source" -> samplePerSource _,
     "q_quality_filter" -> qualityFilter _,
+    "q_quality_percentile" -> qualityPercentile _,
     "q_common_span_ratio" -> commonSpanRatio _,
     "q_scrub_spans" -> scrubSpans _,
     "q_quality_model" -> qualityModel _,
@@ -983,6 +1049,7 @@ object TextAnalysis {
     "q_pii_scrub" -> piiScrubSql,
     "q_sample_per_source" -> samplePerSourceSql,
     "q_quality_filter" -> qualityFilterSql,
+    "q_quality_percentile" -> qualityPercentileSql,
     "q_common_span_ratio" -> commonSpanRatioSql,
     "q_scrub_spans" -> scrubSpansSql,
     "q_quality_model" -> qualityModelSql,
