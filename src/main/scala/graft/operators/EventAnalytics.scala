@@ -180,10 +180,72 @@ object EventAnalytics {
       |SELECT event_type, hour, n, z, abs(z) >= 2::DOUBLE AS is_spike
       |FROM z ORDER BY event_type, hour""".stripMargin
 
+  /** Top SESSION-level navigation paths — the whole-journey complement
+    * to [[eventTrigrams]]'s fixed-length windows: each user's event
+    * stream splits into sessions at [[PathGapMinutes]]-minute
+    * inactivity gaps (the lag + cumulative-break-sum idiom — the batch
+    * twin of `session_window`), each session's first [[PathMaxEvents]]
+    * event types join into an ordered path string, and the global
+    * top-[[PathTopK]] paths rank by session count (ties → path asc).
+    * The product/SIEM question answered: "what do journeys actually
+    * look like end-to-end, and which flows dominate?"
+    *
+    * Scale shape: every window partitions on user_id — a data-sized
+    * key — and the per-session collect is capped at PathMaxEvents rows
+    * BEFORE aggregation (the rn filter), so state is bounded; the final
+    * count is a map-side-combined groupBy on the path string and a
+    * TakeOrdered top-k, never a global sort. */
+  val PathGapMinutes = 30
+  val PathMaxEvents = 5
+  val PathTopK = 20
+
+  def eventPaths(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wu = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(wu))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > PathGapMinutes * 60L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("brk")).over(wu))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "sess").orderBy(col("ts_us"), col("event_id"))))
+      .where(col("rn") <= PathMaxEvents)
+      .groupBy("user_id", "sess")
+      .agg(expr("concat_ws('>', transform(sort_array(collect_list(struct(rn, event_type))), x -> x.event_type))").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(PathTopK)
+  }
+
+  val eventPathsSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_type
+       |  FROM events),
+       |b AS (
+       |  SELECT *,
+       |    CASE WHEN lag(ts_us) OVER w IS NULL
+       |      OR ts_us - lag(ts_us) OVER w > ${PathGapMinutes} * 60 * 1000000 THEN 1 ELSE 0 END AS brk
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |se AS (
+       |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS sess
+       |  FROM b),
+       |rn AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, sess ORDER BY ts_us, event_id) AS rn
+       |  FROM se),
+       |paths AS (
+       |  SELECT user_id, sess, string_agg(event_type, '>' ORDER BY rn) AS path
+       |  FROM rn WHERE rn <= ${PathMaxEvents} GROUP BY 1, 2)
+       |SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1
+       |ORDER BY n_sessions DESC, path ASC LIMIT ${PathTopK}""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_funnel" -> funnel _,
     "q_retention" -> retention _,
     "q_event_trigrams" -> eventTrigrams _,
+    "q_event_paths" -> eventPaths _,
     "q_event_anomaly" -> eventAnomaly _,
     "q_agg_mode" -> aggMode _)
 
@@ -191,6 +253,7 @@ object EventAnalytics {
     "q_funnel" -> funnelSql,
     "q_retention" -> retentionSql,
     "q_event_trigrams" -> eventTrigramsSql,
+    "q_event_paths" -> eventPathsSql,
     "q_event_anomaly" -> eventAnomalySql,
     "q_agg_mode" -> aggModeSql)
 }

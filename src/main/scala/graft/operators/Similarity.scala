@@ -605,6 +605,75 @@ object Similarity {
        |GROUP BY e.vec_id, m.j
        |ORDER BY e.vec_id, m.j""".stripMargin
 
+  // ---- label-taxonomy health: centroid confusion matrix ---------------
+  /** Per-label embedding centroids + the pairwise centroid-cosine
+    * CONFUSION MATRIX — the label-taxonomy health check run before
+    * training a classifier on a labeled corpus: two labels whose
+    * centroids sit at high cosine are candidates for merging (or for
+    * annotation-guideline drift), and the matrix is the evidence a
+    * data-quality review reads alongside [[knnClassify]]'s per-vector
+    * disagreements. Output: one row per unordered label pair (a < b)
+    * with both labels' vector counts and the centroid cosine.
+    *
+    * Determinism across engines (the float-mean trap): a plain avg of
+    * float components is partition-order-dependent, so components are
+    * first rounded to 4 dp (exact per element, both engines identical)
+    * and summed as DECIMAL(18,4) — exact, order-independent — then the
+    * mean and the final cosine round through the shared r4f contract.
+    *
+    * Shape at scale: one posexplode to (label, dim, component) rows —
+    * the only shuffle, map-side combined on the bounded (labels × 64)
+    * key — then everything downstream (centroid pivot, L-row self-join)
+    * is constant-sized. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val comp = t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(d4(r4f(col("v").cast(DoubleType)))).cast(DoubleType).as("sv"))
+      .select(col("label"), col("dim"), col("n"), r4f(col("sv") / col("n")).as("mu"))
+    val cents = comp.groupBy("label")
+      .agg(max(col("n")).as("n"),
+        expr("transform(sort_array(collect_list(struct(dim, mu))), x -> x.mu)").as("ce"))
+    val a = cents.select(col("label").as("label_a"), col("n").as("n_a"), col("ce").as("ca"))
+    val b = cents.select(col("label").as("label_b"), col("n").as("n_b"), col("ce").as("cb"))
+    a.join(b, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        r4f(expr("aggregate(zip_with(ca, cb, (x, y) -> x * y), 0D, (s, t) -> s + t)")
+          / (sqrt(expr("aggregate(ca, 0D, (s, x) -> s + x * x)"))
+            * sqrt(expr("aggregate(cb, 0D, (s, x) -> s + x * x)")))).as("cos"))
+      .orderBy("label_a", "label_b")
+  }
+
+  val labelCentroidsSql: String =
+    """WITH comp AS (
+      |  SELECT e.label, g.i - 1 AS dim, count(*) AS n,
+      |    CAST(sum(CAST(floor(e.embedding[g.i]::DOUBLE * 10000::DOUBLE + 0.5::DOUBLE)
+      |      / 10000::DOUBLE AS DECIMAL(18,4))) AS DOUBLE) AS sv
+      |  FROM embeddings e, generate_series(1, 64) g(i)
+      |  GROUP BY 1, 2),
+      |mu AS (
+      |  SELECT label, dim, n,
+      |    floor(sv / n * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS mu
+      |  FROM comp),
+      |cents AS (
+      |  SELECT label, max(n) AS n, list(mu ORDER BY dim) AS ce
+      |  FROM mu GROUP BY label),
+      |pairs AS (
+      |  SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+      |    a.ce AS ca, b.ce AS cb
+      |  FROM cents a JOIN cents b ON a.label < b.label),
+      |terms AS (
+      |  SELECT label_a, label_b, n_a, n_b,
+      |    sum(ca[i] * cb[i]) AS dot,
+      |    sum(ca[i] * ca[i]) AS na2, sum(cb[i] * cb[i]) AS nb2
+      |  FROM pairs, generate_series(1, 64) g(i)
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT label_a, label_b, n_a, n_b,
+      |  floor(dot / (sqrt(na2) * sqrt(nb2)) * 10000::DOUBLE + 0.5::DOUBLE)
+      |    / 10000::DOUBLE AS cos
+      |FROM terms ORDER BY label_a, label_b""".stripMargin
+
   // ---- semantic dedup (SemDeDup) --------------------------------------
   /** cosine threshold above which a vector counts as a semantic duplicate
     * of an earlier same-cluster vector. Sized to the corpus like
@@ -1617,6 +1686,7 @@ object Similarity {
     "q_sim_knn" -> simKnn _,
     "q_knn_classify" -> knnClassify _,
     "q_embed_project" -> embedProject _,
+    "q_label_centroids" -> labelCentroids _,
     "q_dedup_semantic" -> dedupSemantic _,
     "q_dedup_semantic_apply" -> dedupSemanticApply _,
     "q_dedup_semantic_incremental" -> dedupSemanticIncremental _,
@@ -1632,6 +1702,7 @@ object Similarity {
     "q_sim_knn" -> simKnnSql,
     "q_knn_classify" -> knnClassifySql,
     "q_embed_project" -> embedProjectSql,
+    "q_label_centroids" -> labelCentroidsSql,
     "q_dedup_semantic" -> dedupSemanticSql,
     "q_dedup_semantic_apply" -> dedupSemanticApplySql,
     "q_dedup_semantic_incremental" -> dedupSemanticIncrementalSql,

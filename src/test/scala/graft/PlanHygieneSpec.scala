@@ -49,6 +49,7 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_sim_knn",          // broadcast ≤16-row probe sample (KnnProbes)
       "q_knn_classify",     // same broadcast ≤16-row probe sample (KnnProbes)
       "q_embed_project",    // broadcast 16-row JL sign-matrix frame
+      "q_label_centroids",  // L-row centroid self-join (L = label count, bounded)
       "q_sim_ann_lsh",      // broadcast probe bucket
       "q_sim_ann_ivf",      // broadcast K-row codebook + one-row probe
       "q_sim_ann_pq",       // broadcast one-row ADC tables + one-row probe
