@@ -500,14 +500,18 @@ object TextAnalysis {
       .select(col("doc_id"), col("n"),
         r4f(col("cnt") * length(col("g")) / col("dl")).as("frac"),
         lit("top").as("kind"))
+    // the interval-union window runs over ALL gram rows with duplicated
+    // rows masked in (pm tracks only dup ends, add is 0 on unique rows),
+    // so a (doc, n) group with grams but NO duplicates aggregates to an
+    // explicit 0.0 — NULL is reserved for "no n-gram of this n exists"
     val dup = stacked.where(col("n").between(5, 10))
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy("doc_id", "n", "g")))
-      .where(col("cnt") >= 2)
-      .withColumn("pm", max(col("ce")).over(
+      .withColumn("pm", max(when(col("cnt") >= 2, col("ce"))).over(
         Window.partitionBy("doc_id", "n").orderBy("pos")
           .rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("add", greatest(lit(0L),
+      .withColumn("add", when(col("cnt") >= 2, greatest(lit(0L),
         col("ce") - greatest(coalesce(col("pm"), lit(0L)), col("cs"))))
+        .otherwise(lit(0L)))
       .groupBy("doc_id", "n")
       .agg(r4f(sum(col("add")) / max(col("dl"))).as("frac"))
       .withColumn("kind", lit("dup"))
@@ -561,14 +565,15 @@ object TextAnalysis {
       |    count(*) OVER (PARTITION BY doc_id, n, g) AS cnt
       |  FROM g WHERE n BETWEEN 5 AND 10),
       |du AS (
-      |  SELECT doc_id, dl, n, pos, cs, ce,
-      |    max(ce) OVER (PARTITION BY doc_id, n ORDER BY pos
+      |  SELECT doc_id, dl, n, pos, cs, ce, cnt,
+      |    max(CASE WHEN cnt >= 2 THEN ce END) OVER (PARTITION BY doc_id, n ORDER BY pos
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
-      |  FROM dc WHERE cnt >= 2),
+      |  FROM dc),
       |ds AS (
       |  SELECT doc_id, n,
-      |    floor(sum(greatest(0, ce - greatest(coalesce(pm, 0), cs)))::DOUBLE / max(dl)
-      |      * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS frac,
+      |    floor(sum(CASE WHEN cnt >= 2
+      |        THEN greatest(0, ce - greatest(coalesce(pm, 0), cs)) ELSE 0 END)::DOUBLE
+      |      / max(dl) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS frac,
       |    'dup' AS kind
       |  FROM du GROUP BY 1, 2),
       |u AS (SELECT * FROM top UNION ALL SELECT * FROM ds),

@@ -43,6 +43,41 @@ class TextAnalysisSpec extends AnyFunSuite {
       4L -> row(Some(1.0), None, None, None, None, None, None)))
   }
 
+  test("q_repetition_gopher: char-weighted top shares and interval-union dup coverage, hand-checked") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_repg").toString
+    val docs = Seq(
+      // 10× "x", dl = 19. top n-gram (n=2..4) is all-x with 11−n
+      // occurrences of char length 2n−1: top2 = 9·3/19, top3 = 8·5/19,
+      // top4 = 7·7/19 (per-occurrence counting CAN exceed 1.0 — the
+      // documented reproduction convention). Every 5..9-gram repeats and
+      // the occurrence intervals tile the whole doc → dup coverage 1.0;
+      // the single 10-gram has no duplicate → explicit 0.0, not NULL.
+      (1L, "x x x x x x x x x x"),
+      // all-distinct: every top share is one occurrence's chars / dl
+      // (dl = 11); 5- and 6-grams exist but nothing repeats → dup 0.0;
+      // no 7..10-grams → NULL.
+      (2L, "a b c d e f"))
+      .map { case (id, tx) => (id, tx, "en", "src", tx.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = operators.TextAnalysis.repetitionGopher(spark, dir)
+    assert(out.columns.toSeq === Seq("doc_id", "top_char_frac_2",
+      "top_char_frac_3", "top_char_frac_4", "dup_char_frac_5",
+      "dup_char_frac_6", "dup_char_frac_7", "dup_char_frac_8",
+      "dup_char_frac_9", "dup_char_frac_10"))
+    val got = out.collect().map { r =>
+      r.getLong(0) -> (1 to 9).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i)))
+    }.toMap
+    def row(vs: Option[Double]*) = vs.toIndexedSeq
+    assert(got === Map(
+      1L -> row(Some(1.4211), Some(2.1053), Some(2.5789), Some(1.0),
+        Some(1.0), Some(1.0), Some(1.0), Some(1.0), Some(0.0)),
+      2L -> row(Some(0.2727), Some(0.4545), Some(0.6364), Some(0.0),
+        Some(0.0), None, None, None, None)))
+  }
+
   test("q_pii_scrub: planted email/IP/phone are redacted and counted; clean text untouched") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_pii").toString
