@@ -44,6 +44,7 @@ object Bench {
       // the rest read cache — totals depended on alphabetical order
       graft.operators.Dedup.clearLabelsCache()
       graft.operators.Dedup.clearGramIndexCache()
+      graft.operators.Dedup.clearSimhashIndexCache()
       graft.operators.Similarity.clearCodebookCache()
       graft.operators.Similarity.clearSemanticIndexCache()
       graft.operators.Bucketing.clearTableCache()

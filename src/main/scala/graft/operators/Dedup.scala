@@ -848,11 +848,12 @@ object Dedup {
     * in one map-side-combined groupBy — no explode amplification beyond
     * the token rows themselves. */
   /** md5 60-bit SimHash signatures per doc — the cross-engine hash family
-    * shared by [[dedupSimhashChunks]] (bucket mechanics) and
-    * [[dedupSimhashEval]] (candidate quality): one md5 per token, 60
-    * codegen'd sum-aggregates in one map-side-combined groupBy. */
-  private def md5SimhashSigs(s: SparkSession, dir: String): DataFrame = {
-    val tok = t(s, dir, "documents")
+    * shared by [[dedupSimhashChunks]] (bucket mechanics),
+    * [[dedupSimhashEval]] (candidate quality), and the persisted
+    * [[writeSimhashIndex]]/[[probeSimhashIndex]] pair: one md5 per token,
+    * 60 codegen'd sum-aggregates in one map-side-combined groupBy. */
+  private def md5SimhashSigsOf(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
       .withColumn("h", expr(
         "cast(conv(substring(md5(tk), 1, 15), 16, 10) AS BIGINT)"))
@@ -864,6 +865,9 @@ object Dedup {
         .reduce(_ + _))
       .select("doc_id", "sig")
   }
+
+  private def md5SimhashSigs(s: SparkSession, dir: String): DataFrame =
+    md5SimhashSigsOf(t(s, dir, "documents"))
 
   def dedupSimhashChunks(s: SparkSession, dir: String): DataFrame = {
     val chunked = md5SimhashSigs(s, dir).select(col("doc_id"),
@@ -1025,6 +1029,115 @@ object Dedup {
        |  CASE WHEN n_candidates > 0
        |    THEN CAST(round(n_hits::DOUBLE / n_candidates, 4) AS DOUBLE) END AS precision
        |FROM m""".stripMargin
+
+  // ---- incremental SimHash dedup against a persisted band index --------
+  /** The SimHash family's at-rest/incremental story — completing the
+    * pattern every other dedup family already has (Jaccard:
+    * [[writeGramIndex]]; semantic: `Similarity.writeSemanticIndex`):
+    * persist the CORPUS split's 4×15-bit chunk buckets ONCE, probe them
+    * with arriving batches; work scales with the batch, the corpus is
+    * never re-hashed. Signatures use the cross-engine md5 60-bit family
+    * (the same one [[dedupSimhashChunks]]/[[dedupSimhashEval]] pin), so
+    * the whole build + probe replays in DuckDB — a STRONGER contract
+    * than the oracle-free native-murmur3 batch operator.
+    *
+    * Hot-bucket guard at WRITE time: a (chunk, cv) bucket keeps only its
+    * [[SimhashMaxBucket]] smallest doc_ids — bounded probe fan-out by
+    * construction (an adversarial boilerplate corpus cannot make an
+    * arriving batch join O(corpus) rows); the cost is possible missed
+    * matches against truncated members of degenerate buckets, the same
+    * recall trade the batch operator's representative pairing makes. */
+  def writeSimhashIndex(s: SparkSession, dir: String, indexPath: String): Unit =
+    md5SimhashSigsOf(t(s, dir, "documents")
+        .where(col("doc_id") % IncrementalMod =!= IncrementalRem))
+      .select(col("doc_id"), col("sig"),
+        posexplode(expr(
+          "transform(sequence(0, 3), c -> shiftright(sig, c * 15) & 32767)"))
+          .as(Seq("chunk", "cv")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("chunk", "cv").orderBy("doc_id")))
+      .where(col("rn") <= SimhashMaxBucket)
+      .select("chunk", "cv", "doc_id", "sig")
+      .repartition(col("chunk"), col("cv"))
+      .write.mode("overwrite").parquet(s"$indexPath/bands")
+
+  /** Probe the persisted band index with ARBITRARY documents (doc_id,
+    * text): signature map-side, one (chunk, cv) equi-join, distinct
+    * candidate pairs, exact Hamming ≤ 3 verification on the full 60-bit
+    * signatures. Emits (new_id, dup_of, hamming) for every verified
+    * near-dup. Shared by the declared incremental query and
+    * `Pipeline.streamSimhashDedup` (stream ≡ batch). */
+  def probeSimhashIndex(s: SparkSession, docs: DataFrame,
+      indexPath: String): DataFrame = {
+    val batchChunks = md5SimhashSigsOf(docs)
+      .select(col("doc_id").as("new_id"), col("sig").as("new_sig"),
+        posexplode(expr(
+          "transform(sequence(0, 3), c -> shiftright(sig, c * 15) & 32767)"))
+          .as(Seq("chunk", "cv")))
+    val idx = s.read.parquet(s"$indexPath/bands")
+      .select(col("chunk"), col("cv"),
+        col("doc_id").as("dup_of"), col("sig").as("old_sig"))
+    batchChunks.join(idx, Seq("chunk", "cv"))
+      .select(col("new_id"), col("dup_of"),
+        bit_count(expr("new_sig ^ old_sig")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 3)
+      .orderBy("new_id", "dup_of")
+  }
+
+  /** index path memoized per (session, dir, input fingerprint) — the
+    * SimHash twin of [[gramIndexPath]] */
+  private val simhashIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+
+  def ensureSimhashIndex(s: SparkSession, dir: String): String =
+    simhashIndexCache.synchronized {
+      val key = (s, dir)
+      val fp = graft.util.inputFingerprint(dir, "documents.parquet")
+      val cached = simhashIndexCache.get(key)
+      if (cached != null && cached._1 == fp) cached._2
+      else {
+        if (cached != null) graft.util.deleteRecursively(cached._2)
+        val path = java.nio.file.Files.createTempDirectory("graft_simhash_idx").toString
+        writeSimhashIndex(s, dir, path)
+        simhashIndexCache.put(key, (fp, path))
+        path
+      }
+    }
+
+  def clearSimhashIndexCache(): Unit =
+    simhashIndexCache.synchronized {
+      simhashIndexCache.forEach((_, v) => graft.util.deleteRecursively(v._2))
+      simhashIndexCache.clear()
+    }
+
+  def dedupSimhashIncremental(s: SparkSession, dir: String): DataFrame =
+    probeSimhashIndex(s,
+      t(s, dir, "documents")
+        .where(col("doc_id") % IncrementalMod === IncrementalRem)
+        .select("doc_id", "text"),
+      ensureSimhashIndex(s, dir))
+
+  // lazy: IncrementalMod/Rem are defined later in the file — an eager val
+  // here would interpolate their pre-initialization 0s into the SQL
+  lazy val dedupSimhashIncrementalSql: String =
+    s"""WITH $simhashChunkedCtes,
+       |idx AS (
+       |  SELECT chunk, cv, doc_id, sig FROM (
+       |    SELECT chunk, cv, doc_id, sig,
+       |      row_number() OVER (PARTITION BY chunk, cv ORDER BY doc_id) AS rn
+       |    FROM chunked WHERE doc_id % $IncrementalMod <> $IncrementalRem) x
+       |  WHERE rn <= $SimhashMaxBucket),
+       |probe AS (
+       |  SELECT chunk, cv, doc_id AS new_id, sig AS new_sig
+       |  FROM chunked WHERE doc_id % $IncrementalMod = $IncrementalRem),
+       |pairs AS (
+       |  SELECT DISTINCT p.new_id, i.doc_id AS dup_of,
+       |    bit_count(xor(p.new_sig, i.sig))::INTEGER AS hamming
+       |  FROM probe p JOIN idx i ON p.chunk = i.chunk AND p.cv = i.cv)
+       |SELECT new_id, dup_of, hamming FROM pairs
+       |WHERE hamming <= 3 ORDER BY new_id, dup_of""".stripMargin
 
   // ---- incremental dedup against a persisted gram index ----------------
   /** The production ingest pattern at 100 TB: dedup a NEW BATCH against an
@@ -1195,6 +1308,7 @@ object Dedup {
     "q_decontaminate" -> decontaminate _,
     "q_decontaminate_bloom" -> decontaminateBloom _,
     "q_dedup_incremental" -> dedupIncremental _,
+    "q_dedup_simhash_incremental" -> dedupSimhashIncremental _,
     "q_dedup_cluster_sizes" -> dedupClusterSizes _,
     "q_dedup_keep_best" -> dedupKeepBest _,
     "q_dedup_cross_source" -> dedupCrossSource _)
@@ -1210,6 +1324,7 @@ object Dedup {
     "q_dedup_simhash_eval" -> dedupSimhashEvalSql,
     "q_decontaminate" -> decontaminateSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
+    "q_dedup_simhash_incremental" -> dedupSimhashIncrementalSql,
     "q_dedup_cluster_sizes" -> dedupClusterSizesSql,
     "q_dedup_keep_best" -> dedupKeepBestSql,
     "q_dedup_cross_source" -> dedupCrossSourceSql)

@@ -520,6 +520,30 @@ object Pipeline {
       }
       .start()
 
+  /** LIVE SimHash near-dup gate — [[streamDedupIncremental]]'s twin over
+    * the persisted SimHash band index (`Dedup.writeSimhashIndex`): each
+    * micro-batch of (doc_id, text) signatures map-side and probes the
+    * corpus's (chunk, cv) buckets through the SAME `probeSimhashIndex`
+    * path as the batch `q_dedup_simhash_incremental` — verdicts identical
+    * live or in bulk. Stateless foreachBatch; exactly-once per-batch_id
+    * partition overwrite. */
+  def streamSimhashDedup(docs: DataFrame, indexPath: String,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.probeSimhashIndex(batch.sparkSession, batch, indexPath)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .start()
+
   /** Streaming split router — the serving half of `q_split_assign`:
     * arriving documents are stamped with the IDENTICAL deterministic
     * md5-bucket split label the batch query declares (shared `splitOf`
