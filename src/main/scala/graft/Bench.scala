@@ -45,6 +45,7 @@ object Bench {
       graft.operators.Dedup.clearLabelsCache()
       graft.operators.Dedup.clearGramIndexCache()
       graft.operators.Dedup.clearSimhashIndexCache()
+      graft.operators.Dedup.clearMinhashIndexCache()
       graft.operators.Similarity.clearCodebookCache()
       graft.operators.Similarity.clearSemanticIndexCache()
       graft.operators.Bucketing.clearTableCache()

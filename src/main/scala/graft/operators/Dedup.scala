@@ -133,24 +133,34 @@ object Dedup {
     (if (a == 0) 1L else a, b)
   }
 
-  /** (doc_id, band, bh) under the cross-engine md5 universal-hash
-    * family — the banded-signature frame shared by [[dedupMinhashBands]]
-    * and [[dedupEval]] */
-  private def md5Banded(s: SparkSession, dir: String): DataFrame = {
-    val rows = MinhashPerms / MinhashBands
-    val g = shingled(s, dir)
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .withColumn("h", expr(
-        s"cast(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT) % $MinhashOracleP"))
+  /** (doc_id, s0..s15) md5 universal-hash MinHash signatures of a
+    * (doc_id, gram) frame — the reusable signature kernel behind
+    * [[md5Banded]] and the persisted [[writeMinhashIndex]] */
+  private def md5SigsOf(g: DataFrame): DataFrame = {
+    val h = g.withColumn("h", expr(
+      s"cast(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT) % $MinhashOracleP"))
     val aggs = (0 until MinhashPerms).map { j =>
       val (a, b) = bandPerm(j)
       min((col("h") * a + b) % MinhashOracleP).as(s"s$j")
     }
-    val sigs = g.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    h.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (doc_id, band, bh) from a signature frame — band hash = md5 of the
+    * band's comma-joined signature rows */
+  private def bandsOfSigs(sigs: DataFrame): DataFrame = {
+    val rows = MinhashPerms / MinhashBands
     val bandCols = (0 until MinhashBands).map(b =>
       md5(concat_ws(",", (0 until rows).map(r => col(s"s${b * rows + r}").cast(StringType)): _*)))
     sigs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
   }
+
+  /** (doc_id, band, bh) under the cross-engine md5 universal-hash
+    * family — the banded-signature frame shared by [[dedupMinhashBands]]
+    * and [[dedupEval]] */
+  private def md5Banded(s: SparkSession, dir: String): DataFrame =
+    bandsOfSigs(md5SigsOf(shingled(s, dir)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))))
 
   def dedupMinhashBands(s: SparkSession, dir: String): DataFrame = {
     md5Banded(s, dir).groupBy("band", "bh").agg(count(lit(1)).as("n"))
@@ -1293,6 +1303,136 @@ object Dedup {
        |              JOIN sizes no ON shared.dup_of = no.doc_id) j
        |WHERE jaccard >= $JaccardThreshold ORDER BY new_id, dup_of""".stripMargin
 
+  // ---- incremental MinHash dedup against a persisted band index --------
+  /** The MinHash family's at-rest/incremental story — with this, EVERY
+    * dedup family has one (exact is trivially incremental; Jaccard:
+    * [[writeGramIndex]]; SimHash: [[writeSimhashIndex]]; semantic:
+    * `Similarity.writeSemanticIndex`). The corpus split's LSH band
+    * buckets AND full 16-perm signatures persist once under the
+    * cross-engine md5 universal-hash family ([[md5SigsOf]] — the same
+    * arithmetic [[dedupMinhashBands]] hard-oracles), so arriving batches
+    * signature map-side, probe `bands/` with one (band, bh) equi-join,
+    * and verify candidates by signature overlap against `sigs/` — the
+    * [[dedupMinhash]] estimate contract (matching perms / 16 ≥ 0.5,
+    * exact k/16 doubles, no rounding needed) with work scaling in the
+    * batch. Write-time [[MinhashMaxBucket]] truncation (smallest
+    * doc_ids) bounds probe fan-out by construction, the index twin of
+    * the batch operator's representative pairing. */
+  def writeMinhashIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
+    val corpus = shingled(s, dir)
+      .where(col("doc_id") % IncrementalMod =!= IncrementalRem)
+    md5SigsOf(corpus.select(col("doc_id"), explode(col("grams")).as("gram")))
+      .write.mode("overwrite").parquet(s"$indexPath/sigs")
+    // bands derive from the just-written sigs (like the IVF+PQ layout's
+    // pq/ readback) so the signature aggregation runs once, not twice
+    bandsOfSigs(s.read.parquet(s"$indexPath/sigs"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bh").orderBy("doc_id")))
+      .where(col("rn") <= MinhashMaxBucket)
+      .select("band", "bh", "doc_id")
+      .repartition(col("band"), col("bh"))
+      .write.mode("overwrite").parquet(s"$indexPath/bands")
+  }
+
+  /** Probe the persisted MinHash index with ARBITRARY documents (doc_id,
+    * text): shingle + signature map-side, one (band, bh) equi-join for
+    * candidates, overlap verification via two 1:1 signature joins.
+    * Shared by the declared incremental query and
+    * `Pipeline.streamMinhashDedup` (stream ≡ batch). */
+  def probeMinhashIndex(s: SparkSession, docs: DataFrame,
+      indexPath: String): DataFrame = {
+    graft.functions.TextExpressions.register(s)
+    val bsigs = md5SigsOf(docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("grams", graft.functions.TextExpressions.wordNgrams(col("toks"), 3))
+      .select(col("doc_id"), explode(col("grams")).as("gram")))
+    val nb = bsigs.select(col("doc_id").as("new_id") +:
+      (0 until MinhashPerms).map(j => col(s"s$j").as(s"ns$j")): _*)
+    val nbands = bandsOfSigs(bsigs)
+      .select(col("doc_id").as("new_id"), col("band"), col("bh"))
+    val idx = s.read.parquet(s"$indexPath/bands")
+      .select(col("band"), col("bh"), col("doc_id").as("dup_of"))
+    val osigs = s.read.parquet(s"$indexPath/sigs")
+      .select(col("doc_id").as("dup_of") +:
+        (0 until MinhashPerms).map(j => col(s"s$j").as(s"os$j")): _*)
+    nbands.join(idx, Seq("band", "bh"))
+      .select("new_id", "dup_of").distinct()
+      .join(nb, "new_id")
+      .join(osigs, "dup_of")
+      .select(col("new_id"), col("dup_of"),
+        ((0 until MinhashPerms)
+          .map(j => when(col(s"ns$j") === col(s"os$j"), 1).otherwise(0))
+          .reduce(_ + _) / lit(16.0d)).as("est_jaccard"))
+      .where(col("est_jaccard") >= 0.5)
+      .orderBy("new_id", "dup_of")
+  }
+
+  private val minhashIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+
+  def ensureMinhashIndex(s: SparkSession, dir: String): String =
+    minhashIndexCache.synchronized {
+      val key = (s, dir)
+      val fp = graft.util.inputFingerprint(dir, "documents.parquet")
+      val cached = minhashIndexCache.get(key)
+      if (cached != null && cached._1 == fp) cached._2
+      else {
+        if (cached != null) graft.util.deleteRecursively(cached._2)
+        val path = java.nio.file.Files.createTempDirectory("graft_minhash_idx").toString
+        writeMinhashIndex(s, dir, path)
+        minhashIndexCache.put(key, (fp, path))
+        path
+      }
+    }
+
+  def clearMinhashIndexCache(): Unit =
+    minhashIndexCache.synchronized {
+      minhashIndexCache.forEach((_, v) => graft.util.deleteRecursively(v._2))
+      minhashIndexCache.clear()
+    }
+
+  def dedupMinhashIncremental(s: SparkSession, dir: String): DataFrame =
+    probeMinhashIndex(s,
+      t(s, dir, "documents")
+        .where(col("doc_id") % IncrementalMod === IncrementalRem)
+        .select("doc_id", "text"),
+      ensureMinhashIndex(s, dir))
+
+  val dedupMinhashIncrementalSql: String = {
+    val overlap = (0 until MinhashPerms)
+      .map(j => s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |grams AS (
+       |  SELECT doc_id, gram FROM (
+       |    SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+       |    FROM toks JOIN generate_series(1, 100000) g(i) ON i <= len(tk) - 2
+       |    WHERE len(tk) >= 3
+       |    UNION
+       |    SELECT doc_id, array_to_string(tk, ' ') AS gram FROM toks WHERE len(tk) < 3)),
+       |$md5BandsCtes,
+       |idx AS (
+       |  SELECT band, bh, doc_id FROM (
+       |    SELECT band, bh, doc_id,
+       |      row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
+       |    FROM bands WHERE doc_id % $IncrementalMod <> $IncrementalRem) x
+       |  WHERE rn <= $MinhashMaxBucket),
+       |probe AS (
+       |  SELECT band, bh, doc_id AS new_id FROM bands
+       |  WHERE doc_id % $IncrementalMod = $IncrementalRem),
+       |cand AS (
+       |  SELECT DISTINCT p.new_id, i.doc_id AS dup_of
+       |  FROM probe p JOIN idx i ON p.band = i.band AND p.bh = i.bh),
+       |est AS (
+       |  SELECT c.new_id, c.dup_of, ($overlap) / 16.0 AS est_jaccard
+       |  FROM cand c
+       |  JOIN sigs a ON a.doc_id = c.new_id
+       |  JOIN sigs b ON b.doc_id = c.dup_of)
+       |SELECT new_id, dup_of, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.5 ORDER BY new_id, dup_of""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact _,
     "q_dedup_minhash" -> dedupMinhash _,
@@ -1309,6 +1449,7 @@ object Dedup {
     "q_decontaminate_bloom" -> decontaminateBloom _,
     "q_dedup_incremental" -> dedupIncremental _,
     "q_dedup_simhash_incremental" -> dedupSimhashIncremental _,
+    "q_dedup_minhash_incremental" -> dedupMinhashIncremental _,
     "q_dedup_cluster_sizes" -> dedupClusterSizes _,
     "q_dedup_keep_best" -> dedupKeepBest _,
     "q_dedup_cross_source" -> dedupCrossSource _)
@@ -1325,6 +1466,7 @@ object Dedup {
     "q_decontaminate" -> decontaminateSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_simhash_incremental" -> dedupSimhashIncrementalSql,
+    "q_dedup_minhash_incremental" -> dedupMinhashIncrementalSql,
     "q_dedup_cluster_sizes" -> dedupClusterSizesSql,
     "q_dedup_keep_best" -> dedupKeepBestSql,
     "q_dedup_cross_source" -> dedupCrossSourceSql)

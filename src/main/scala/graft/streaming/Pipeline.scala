@@ -544,6 +544,29 @@ object Pipeline {
       }
       .start()
 
+  /** LIVE MinHash near-dup gate — the LSH twin of [[streamSimhashDedup]]
+    * over the persisted MinHash band index (`Dedup.writeMinhashIndex`):
+    * micro-batches shingle + signature map-side and probe the corpus's
+    * (band, bh) buckets through the SAME `probeMinhashIndex` path as the
+    * batch `q_dedup_minhash_incremental`. Stateless foreachBatch;
+    * exactly-once per-batch_id partition overwrite. */
+  def streamMinhashDedup(docs: DataFrame, indexPath: String,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.probeMinhashIndex(batch.sparkSession, batch, indexPath)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .start()
+
   /** Streaming split router — the serving half of `q_split_assign`:
     * arriving documents are stamped with the IDENTICAL deterministic
     * md5-bucket split label the batch query declares (shared `splitOf`

@@ -377,6 +377,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "expected near-dup verdicts for the batch split at sf0.01")
   }
 
+  test("streamMinhashDedup: per-batch band probes reproduce the batch incremental MinHash dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val indexPath = graft.operators.Dedup.ensureMinhashIndex(spark, dir)
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % graft.operators.Dedup.IncrementalMod
+        === graft.operators.Dedup.IncrementalRem)
+      .select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val (firstHalf, secondHalf) = batchDocs.splitAt(batchDocs.size / 2)
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(firstHalf)
+    ms.addData(secondHalf)
+    val out = Files.createTempDirectory("graft_smh_out").toString
+    val ckpt = Files.createTempDirectory("graft_smh_ckpt").toString
+    val q = Pipeline.streamMinhashDedup(
+      ms.toDF().toDF("doc_id", "text"), indexPath, out, ckpt,
+      Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+      .select("new_id", "dup_of", "est_jaccard")
+      .orderBy("new_id", "dup_of")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val batch = graft.operators.Dedup.dedupMinhashIncremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed === batch,
+      "streamed MinHash verdicts diverged from the batch incremental query")
+    assert(streamed.nonEmpty, "expected near-dup verdicts for the batch split at sf0.01")
+  }
+
   test("streamAnnProbe: micro-batched probes reproduce the batch IVF+PQ top-k") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
