@@ -34,9 +34,13 @@ ap.add_argument("new")
 ap.add_argument("--threshold", type=float, default=1.25,
                 help="extra ratio a non-overlapping move must exceed to be "
                      "flagged (default 1.25)")
-ap.add_argument("--floor", type=float, default=0.3,
-                help="ignore queries where both mins are below this many "
-                     "seconds (default 0.3)")
+ap.add_argument("--floor", type=float, default=0.5,
+                help="ignore queries where both sides are below this many "
+                     "seconds (default 0.5: min-of-2 variance badly "
+                     "underestimates true spread for sub-half-second "
+                     "queries — isolated re-runs of gate false-positives "
+                     "showed 1.3-3.4x swings — and a real regression there "
+                     "is <0.5%% of the suite total)")
 ap.add_argument("--factor", default=None,
                 help="divide new-side times by this global factor before "
                      "comparing ('auto' = median like-for-like ratio); use "
