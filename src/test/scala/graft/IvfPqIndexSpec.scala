@@ -132,7 +132,19 @@ class IvfPqIndexSpec extends AnyFunSuite {
     val probes = util.t(spark, dir, "embeddings")
       .orderBy("vec_id").limit(3)
       .select(col("vec_id").as("pid"), col("embedding").as("pe"))
-    val batch = Similarity.ivfPqQueryIndexBatch(spark, idx, probes, k = 5)
+    val q = Similarity.ivfPqQueryIndexBatch(spark, idx, probes, k = 5)
+
+    // the batch form keeps the single query's column-pruning contract:
+    // the ADC phase scans code columns only — exactly one lists scan
+    // (the exact re-rank) carries the embedding column
+    val listsScans = q.queryExecution.sparkPlan.toString.linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("/lists"))
+      .toSeq
+    assert(listsScans.size === 2, s"expected 2 lists scans:\n${listsScans.mkString("\n")}")
+    assert(listsScans.count(_.contains("embedding")) === 1,
+      s"ADC phase must scan codes only:\n${listsScans.mkString("\n")}")
+
+    val batch = q
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .groupBy(_._1)
