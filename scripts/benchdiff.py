@@ -45,6 +45,11 @@ ap.add_argument("--factor", default=None,
                 help="divide new-side times by this global factor before "
                      "comparing ('auto' = median like-for-like ratio); use "
                      "to strip a uniform environment shift")
+ap.add_argument("--max-factor", type=float, default=None,
+                help="with --factor auto: fail (exit 1) when the computed "
+                     "median ratio exceeds this bound, so a commit-caused "
+                     "UNIFORM slowdown can't hide behind the strip and must "
+                     "be adjudicated manually")
 args = ap.parse_args()
 
 
@@ -62,8 +67,20 @@ def load(path):
         p.setdefault("partial", False)
         return p
     tail = d.get("tail", "")
+    # Anchor recovery to the timings map: BENCH_LOCAL-style lines carry a
+    # `variance` map sharing the same q_* keys, so scan only the region
+    # after the LAST '"queries":{' and stop at '"variance"' — otherwise a
+    # captured variance pair would silently replace a timing (last match
+    # wins in the dict comprehension).
+    region = tail
+    qpos = tail.rfind('"queries":{')
+    if qpos >= 0:
+        region = tail[qpos + len('"queries":{'):]
+    vpos = region.find('"variance"')
+    if vpos >= 0:
+        region = region[:vpos]
     qs = {k: float(v)
-          for k, v in re.findall(r'"(q_[a-z0-9_]+)":([0-9.]+)', tail)}
+          for k, v in re.findall(r'"(q_[a-z0-9_]+)":([0-9.]+)', region)}
     if not qs:
         print(f"INCOMPARABLE: {path} has no queries map and no "
               f"recoverable q_* entries in its tail")
@@ -89,11 +106,25 @@ mo, mn = old.get("method"), new.get("method")
 if mo and mn and mo != mn:
     print(f"INCOMPARABLE: methods differ\n  old: {mo}\n  new: {mn}")
     sys.exit(2)
+def sf_value(s):
+    """Numeric scale factor from either the driver's float ('0.1') or
+    Bench's dir path ('/root/testdata/sf0.1'); None when unparseable."""
+    s = str(s)
+    m = re.search(r'sf([0-9.]+)/?$', s)
+    if m:
+        s = m.group(1)
+    try:
+        return float(s)
+    except ValueError:
+        return None
+
+
 if old.get("sf") != new.get("sf") and old.get("sf") and new.get("sf"):
-    so, sn = str(old["sf"]), str(new["sf"])
-    # driver wrapper records sf as a float, Bench as the dir path
-    if not (so in sn or sn in so):
-        print(f"INCOMPARABLE: sf differs (old {so}, new {sn})")
+    so, sn = sf_value(old["sf"]), sf_value(new["sf"])
+    # exact numeric compare: substring containment let sf '1' match
+    # '/root/testdata/sf0.1'
+    if so is None or sn is None or so != sn:
+        print(f"INCOMPARABLE: sf differs (old {old['sf']}, new {new['sf']})")
         sys.exit(2)
 
 qo, qn = old["queries"], new["queries"]
@@ -104,6 +135,13 @@ factor = 1.0
 if args.factor == "auto":
     ratios = [qn[k] / qo[k] for k in shared if qo[k] > 0]
     factor = statistics.median(ratios) if ratios else 1.0
+    if args.max_factor is not None and factor > args.max_factor:
+        print(f"UNIFORM SLOWDOWN: auto factor {factor:.3f}x exceeds "
+              f"--max-factor {args.max_factor}x — a commit-caused global "
+              f"regression is indistinguishable from machine drift at this "
+              f"magnitude; adjudicate manually (isolated re-run, PERF.md "
+              f"verdict) or pass an explicit --factor override")
+        sys.exit(1)
 elif args.factor is not None:
     factor = float(args.factor)
 

@@ -22,8 +22,12 @@ bench_gate() {
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_BENCH_OUT=/tmp/bench_fresh.json \
     sbt -batch "runMain graft.Bench" > /tmp/bench_gate.log 2>&1
+  # --max-factor bounds the auto strip: a uniform >1.25x move (which the
+  # median strip would otherwise hide entirely) fails the gate and must be
+  # adjudicated manually, keeping the "silent 1.5x can't land" promise for
+  # commit-caused global slowdowns, not just per-query outliers.
   python3 scripts/benchdiff.py /tmp/bench_committed.json /tmp/bench_fresh.json \
-    --factor auto --threshold 1.4
+    --factor auto --max-factor 1.25 --threshold 1.4
 }
 
 if [[ "${1:-}" == "--bench" ]]; then

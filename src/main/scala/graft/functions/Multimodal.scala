@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   * star): image/audio/video as opaque BINARY columns with typed metadata,
   * processed by per-partition batch operators.
   *
-  * The actual codecs are NOT in this environment, so the decode kernels are
-  * deterministic STUBS (clearly marked below); everything around them —
-  * schema, typed rows, partition-local batch loop, output contract — is the
-  * real Spark plumbing a codec would drop into.
+  * Image decode and resize are REAL (the JDK ships PNG/JPEG/GIF/BMP codecs
+  * in javax.imageio — no external dependency), with a deterministic
+  * byte-sketch fallback for non-decodable payloads so the kernels are
+  * total. Audio resampling and video frame DECODE have no in-JVM codec, so
+  * those interiors remain deterministic STUBS (clearly marked below);
+  * everything around them — schema, typed rows, partition-local batch
+  * loop, output contract — is the real Spark plumbing a codec drops into.
   *
   * Scale design: media bytes never shuffle — all kernels are mapPartitions
   * (narrow, no exchange); only the small extracted features flow into joins
@@ -20,6 +23,11 @@ import org.apache.spark.sql.types._
   * the way Arrow record batches do for vectorized UDFs.
   */
 object Multimodal {
+
+  // executor-local, set at class-load: ImageIO's default stream cache
+  // writes scratch FILES per decode; in-memory caching keeps the batched
+  // kernels IO-free
+  javax.imageio.ImageIO.setUseCache(false)
 
   // nullability follows the case-class Encoder derivation (AnyVal fields
   // non-null, AnyRef fields nullable)
@@ -144,10 +152,46 @@ object Multimodal {
       }
   }
 
-  /** ??? STUB ??? — a real implementation calls an image codec here.
-    * Deterministic fake: "pixels" are a byte-histogram sketch of the
-    * payload. Signature and batch shape are what a codec needs. */
-  private def decodeImageStub(content: Array[Byte], meta: MediaMeta): Array[Float] = {
+  /** REAL image decode via the JDK's built-in ImageIO codecs (PNG, JPEG,
+    * GIF, BMP readers ship with Java SE — pure JVM, zero added
+    * dependencies): decodable payloads produce a 16-bin LUMINANCE
+    * histogram over actual pixels (Rec. 601 integer weights, so the
+    * result is bit-deterministic across JVMs). Payloads ImageIO cannot
+    * decode — truncated files, exotic containers, or the synthesized
+    * header+payload rows — fall back to [[byteHistogramSketch]] so the
+    * kernel is TOTAL: a 100 TB curation pass must degrade per-row on
+    * corrupt bytes, never throw. */
+  private[functions] def decodeImage(content: Array[Byte], meta: MediaMeta): Array[Float] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: Throwable => null }
+    if (img == null) byteHistogramSketch(content)
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val hist = new Array[Float](16)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(lum >> 4) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(w * h, 1).toFloat
+      var i = 0
+      while (i < 16) { hist(i) /= n; i += 1 }
+      hist
+    }
+  }
+
+  /** Fallback feature for non-decodable payloads: a byte-histogram sketch
+    * — deterministic, content-sensitive, same 16-dim shape as the pixel
+    * path so downstream schemas never branch on decodability. */
+  private def byteHistogramSketch(content: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](16)
     var i = 0
     while (i < content.length) { hist((content(i) & 0xff) % 16) += 1f; i += 1 }
@@ -175,7 +219,7 @@ object Multimodal {
         // batch boundary = where a vectorized codec would run once per chunk
         batch.iterator.map { m =>
           val sampled = if (m.kind == "video") frameSampleStub(m.content, 4) else m.content
-          val emb = decodeImageStub(sampled, m.meta)
+          val emb = decodeImage(sampled, m.meta)
           // probe the real container header rather than trusting carried meta:
           // at curation scale the binary column is the only source of truth
           val p = probeMedia(m.content)
@@ -186,13 +230,41 @@ object Multimodal {
     }
   }
 
-  /** ??? STUB ??? — resize: recompute metadata, payload untouched (a codec
-    * would transcode); demonstrates metadata-typed transforms */
+  /** Image resize — REAL for decodable payloads: ImageIO decode →
+    * bilinear Graphics2D rescale → re-encode in the source container
+    * (PNG stays PNG, JPEG stays JPEG), all with JDK-only codecs. The
+    * media bytes are rewritten in place within their partition (narrow
+    * map, no shuffle — the transcode twin of [[extractFeatures]]'s
+    * layout). Non-decodable image rows (truncated/corrupt at curation
+    * scale, or the synthesized header-only fixtures) degrade to a
+    * metadata-only retag rather than throwing, keeping the kernel total;
+    * non-image rows pass through untouched. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.map(m => if (m.kind == "image")
-      m.copy(meta = m.meta.copy(width = w, height = h)) else m)
+    media.map { m =>
+      if (m.kind != "image") m
+      else {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+          catch { case _: Throwable => null }
+        if (img == null) m.copy(meta = m.meta.copy(width = w, height = h))
+        else {
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val fmt = if (m.meta.mime == "image/jpeg") "jpg" else "png"
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, fmt, baos)
+          m.copy(content = baos.toByteArray,
+            meta = m.meta.copy(width = w, height = h))
+        }
+      }
+    }
   }
 
   case class FrameRef(media_id: Long, frame_idx: Long, byte_off: Long, n_bytes: Long)

@@ -1072,6 +1072,36 @@ object Dedup {
       .repartition(col("chunk"), col("cv"))
       .write.mode("overwrite").parquet(s"$indexPath/bands")
 
+  /** Add-after-build maintenance for the SimHash band index — the band
+    * family's twin of `Similarity.appendIvfIndex`: signature the new
+    * docs map-side, chunk them, and APPEND into `bands/` without
+    * touching any existing file (parquet append adds files; the old
+    * ones stay byte-identical). The write-time [[SimhashMaxBucket]] cap
+    * is respected across builds: current bucket occupancy is read from
+    * the index (column-pruned to the two bucket keys, map-side-combined
+    * count) and new entries only fill the remaining slots, smallest
+    * doc_id first — so a hot bucket that was truncated at build time
+    * cannot regrow past the cap through appends. Caller contract
+    * (same as appendIvfIndex): `docs` doc_ids are new to the index. */
+  def appendSimhashIndex(s: SparkSession, indexPath: String,
+      docs: DataFrame): Unit = {
+    val occupancy = s.read.parquet(s"$indexPath/bands")
+      .groupBy("chunk", "cv").agg(count(lit(1)).as("n_have"))
+    md5SimhashSigsOf(docs)
+      .select(col("doc_id"), col("sig"),
+        posexplode(expr(
+          "transform(sequence(0, 3), c -> shiftright(sig, c * 15) & 32767)"))
+          .as(Seq("chunk", "cv")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("chunk", "cv").orderBy("doc_id")))
+      .join(occupancy, Seq("chunk", "cv"), "left")
+      .where(col("rn") + coalesce(col("n_have"), lit(0L)) <= SimhashMaxBucket)
+      .select("chunk", "cv", "doc_id", "sig")
+      .repartition(col("chunk"), col("cv"))
+      .write.mode("append").parquet(s"$indexPath/bands")
+  }
+
   /** Probe the persisted band index with ARBITRARY documents (doc_id,
     * text): signature map-side, one (chunk, cv) equi-join, distinct
     * candidate pairs, exact Hamming ≤ 3 verification on the full 60-bit
@@ -1093,7 +1123,6 @@ object Dedup {
         bit_count(expr("new_sig ^ old_sig")).as("hamming"))
       .distinct()
       .where(col("hamming") <= 3)
-      .orderBy("new_id", "dup_of")
   }
 
   /** index path memoized per (session, dir, input fingerprint) — the
@@ -1122,12 +1151,16 @@ object Dedup {
       simhashIndexCache.clear()
     }
 
+  // The declared batch query sorts for a stable oracle compare; the probe
+  // itself stays unsorted so the streaming foreachBatch sinks don't pay a
+  // per-micro-batch range-partitioning sort no consumer reads.
   def dedupSimhashIncremental(s: SparkSession, dir: String): DataFrame =
     probeSimhashIndex(s,
       t(s, dir, "documents")
         .where(col("doc_id") % IncrementalMod === IncrementalRem)
         .select("doc_id", "text"),
       ensureSimhashIndex(s, dir))
+      .orderBy("new_id", "dup_of")
 
   // lazy: IncrementalMod/Rem are defined later in the file — an eager val
   // here would interpolate their pre-initialization 0s into the SQL
@@ -1259,9 +1292,9 @@ object Dedup {
         r4(col("shared").cast(DoubleType) / (col("n_new") + col("n_old") - col("shared")))
           .as("jaccard"))
       .where(col("jaccard") >= JaccardThreshold)
-      .orderBy("new_id", "dup_of")
   }
 
+  // Sorted here, not in the probe — see dedupSimhashIncremental.
   def dedupIncrementalAgainst(s: SparkSession, dir: String,
       indexPath: String): DataFrame =
     probeGramIndex(s,
@@ -1269,6 +1302,7 @@ object Dedup {
         .where(col("doc_id") % IncrementalMod === IncrementalRem)
         .select("doc_id", "text"),
       indexPath)
+      .orderBy("new_id", "dup_of")
 
   def dedupIncremental(s: SparkSession, dir: String): DataFrame =
     dedupIncrementalAgainst(s, dir, gramIndexPath(s, dir))
@@ -1335,6 +1369,40 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$indexPath/bands")
   }
 
+  /** Add-after-build maintenance for the MinHash band index — see
+    * [[appendSimhashIndex]] for the shared design (append-only files,
+    * cap respected across builds, new-doc_id caller contract). Two
+    * appends mirror the two-directory layout: ALL new signatures land
+    * in `sigs/` (verification reads it by candidate dup_of, so a doc
+    * whose band entries were cap-truncated is simply never a
+    * candidate, exactly as at build time), while `bands/` takes only
+    * the entries that fit under [[MinhashMaxBucket]] given current
+    * bucket occupancy. */
+  def appendMinhashIndex(s: SparkSession, indexPath: String,
+      docs: DataFrame): Unit = {
+    graft.functions.TextExpressions.register(s)
+    def newSigs = md5SigsOf(docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("grams",
+        graft.functions.TextExpressions.wordNgrams(col("toks"), 3))
+      .select(col("doc_id"), explode(col("grams")).as("gram")))
+    newSigs.write.mode("append").parquet(s"$indexPath/sigs")
+    val occupancy = s.read.parquet(s"$indexPath/bands")
+      .groupBy("band", "bh").agg(count(lit(1)).as("n_have"))
+    // bands derive from a fresh signature aggregation rather than a
+    // sigs/ readback — the build-time readback trick would re-scan the
+    // WHOLE corpus's signatures here, not just the batch's
+    bandsOfSigs(newSigs)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bh").orderBy("doc_id")))
+      .join(occupancy, Seq("band", "bh"), "left")
+      .where(col("rn") + coalesce(col("n_have"), lit(0L)) <= MinhashMaxBucket)
+      .select("band", "bh", "doc_id")
+      .repartition(col("band"), col("bh"))
+      .write.mode("append").parquet(s"$indexPath/bands")
+  }
+
   /** Probe the persisted MinHash index with ARBITRARY documents (doc_id,
     * text): shingle + signature map-side, one (band, bh) equi-join for
     * candidates, overlap verification via two 1:1 signature joins.
@@ -1365,7 +1433,6 @@ object Dedup {
           .map(j => when(col(s"ns$j") === col(s"os$j"), 1).otherwise(0))
           .reduce(_ + _) / lit(16.0d)).as("est_jaccard"))
       .where(col("est_jaccard") >= 0.5)
-      .orderBy("new_id", "dup_of")
   }
 
   private val minhashIndexCache =
@@ -1392,12 +1459,14 @@ object Dedup {
       minhashIndexCache.clear()
     }
 
+  // Sorted here, not in the probe — see dedupSimhashIncremental.
   def dedupMinhashIncremental(s: SparkSession, dir: String): DataFrame =
     probeMinhashIndex(s,
       t(s, dir, "documents")
         .where(col("doc_id") % IncrementalMod === IncrementalRem)
         .select("doc_id", "text"),
       ensureMinhashIndex(s, dir))
+      .orderBy("new_id", "dup_of")
 
   val dedupMinhashIncrementalSql: String = {
     val overlap = (0 until MinhashPerms)

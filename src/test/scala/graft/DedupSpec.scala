@@ -439,6 +439,108 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  /** Shared criterion for the band-index append cases (the band twin of
+    * IvfIndexSpec's appendIvfIndex case): the appended near-clone is found
+    * by the next probe, every pre-append band file stays byte-identical,
+    * and the write-time bucket cap holds ACROSS builds — a hot bucket
+    * cannot regrow past the cap through appends. */
+  private def bandFiles(path: String): Map[String, Array[Byte]] =
+    new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath))
+      .toMap
+
+  test("appendMinhashIndex: probe finds the appended clone, old files untouched, cap holds") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val idx = Files.createTempDirectory("graft_mh_app").toString
+    operators.Dedup.writeMinhashIndex(spark, dir, idx)
+
+    val src = util.t(spark, dir, "documents")
+      .where(col("doc_id") % 10 =!= 7).orderBy("doc_id")
+      .select("doc_id", "text").limit(1).collect().head
+    val (srcId, srcText) = (src.getLong(0), src.getString(1))
+    val before = bandFiles(s"$idx/bands")
+    val sigsBefore = spark.read.parquet(s"$idx/sigs").count()
+
+    operators.Dedup.appendMinhashIndex(spark, idx,
+      Seq((900001L, srcText)).toDF("doc_id", "text"))
+
+    // the next probe (same text, fresh id) must verify BOTH the original
+    // corpus doc and the appended clone as duplicates (est_jaccard = 1.0)
+    val hits = operators.Dedup.probeMinhashIndex(spark,
+        Seq((900002L, srcText)).toDF("doc_id", "text"), idx)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits.contains(900001L), s"appended clone not found by probe: $hits")
+    assert(hits.contains(srcId), s"original corpus doc lost from probe: $hits")
+
+    // append-only: every pre-append band file byte-identical
+    val after = bandFiles(s"$idx/bands")
+    before.foreach { case (name, bytes) =>
+      assert(after.contains(name), s"pre-append file $name removed")
+      assert(java.util.Arrays.equals(bytes, after(name)), s"pre-append file $name rewritten")
+    }
+    assert(spark.read.parquet(s"$idx/sigs").count() === sigsBefore + 1)
+
+    // cap ACROSS builds: 70 identical clones share the clone's 4 (band, bh)
+    // buckets; occupancy-aware truncation must stop each at MinhashMaxBucket
+    operators.Dedup.appendMinhashIndex(spark, idx,
+      (910001L to 910070L).map(i => (i, srcText)).toDF("doc_id", "text"))
+    val cloneBuckets = spark.read.parquet(s"$idx/bands")
+      .where(col("doc_id") === 900001L).select("band", "bh")
+    val counts = spark.read.parquet(s"$idx/bands")
+      .join(cloneBuckets, Seq("band", "bh"), "left_semi")
+      .groupBy("band", "bh").count().collect()
+    assert(counts.nonEmpty)
+    counts.foreach { r =>
+      assert(r.getLong(2) === operators.Dedup.MinhashMaxBucket.toLong,
+        s"hot bucket (${r.get(0)},${r.get(1)}) at ${r.getLong(2)}, " +
+          s"expected exactly the ${operators.Dedup.MinhashMaxBucket} cap")
+    }
+  }
+
+  test("appendSimhashIndex: probe finds the appended clone, old files untouched, cap holds") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val idx = Files.createTempDirectory("graft_sh_app").toString
+    operators.Dedup.writeSimhashIndex(spark, dir, idx)
+
+    val src = util.t(spark, dir, "documents")
+      .where(col("doc_id") % 10 =!= 7).orderBy("doc_id")
+      .select("doc_id", "text").limit(1).collect().head
+    val (srcId, srcText) = (src.getLong(0), src.getString(1))
+    val before = bandFiles(s"$idx/bands")
+
+    operators.Dedup.appendSimhashIndex(spark, idx,
+      Seq((900001L, srcText)).toDF("doc_id", "text"))
+
+    val hits = operators.Dedup.probeSimhashIndex(spark,
+        Seq((900002L, srcText)).toDF("doc_id", "text"), idx)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits.contains(900001L), s"appended clone not found by probe: $hits")
+    assert(hits.contains(srcId), s"original corpus doc lost from probe: $hits")
+
+    val after = bandFiles(s"$idx/bands")
+    before.foreach { case (name, bytes) =>
+      assert(after.contains(name), s"pre-append file $name removed")
+      assert(java.util.Arrays.equals(bytes, after(name)), s"pre-append file $name rewritten")
+    }
+
+    operators.Dedup.appendSimhashIndex(spark, idx,
+      (910001L to 910070L).map(i => (i, srcText)).toDF("doc_id", "text"))
+    val cloneBuckets = spark.read.parquet(s"$idx/bands")
+      .where(col("doc_id") === 900001L).select("chunk", "cv")
+    val counts = spark.read.parquet(s"$idx/bands")
+      .join(cloneBuckets, Seq("chunk", "cv"), "left_semi")
+      .groupBy("chunk", "cv").count().collect()
+    assert(counts.nonEmpty)
+    counts.foreach { r =>
+      assert(r.getLong(2) === operators.Dedup.SimhashMaxBucket.toLong,
+        s"hot bucket (${r.get(0)},${r.get(1)}) at ${r.getLong(2)}, " +
+          s"expected exactly the ${operators.Dedup.SimhashMaxBucket} cap")
+    }
+  }
+
   test("minhash est_jaccard is 1.0 for identical docs and low for disjoint docs") {
     import spark.implicits._
     val sigs = operators.Dedup.minhashSignatures(spark, fixtureDir)

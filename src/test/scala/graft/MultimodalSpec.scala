@@ -102,4 +102,72 @@ class MultimodalSpec extends AnyFunSuite {
       assert(got === expect, s"media ${m.media_id}")
     }
   }
+
+  /** a REAL encoded image (JDK ImageIO), w×h pixels of one solid RGB
+    * color — the decode cases below run the actual PNG/JPEG codecs on it */
+  private def realImage(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, baos)
+    baos.toByteArray
+  }
+
+  test("real PNG/JPEG bytes: decode reads actual pixels, probe reads actual headers") {
+    import spark.implicits._
+    // solid gray level 200 → luminance 200 → histogram bin 12 gets all mass
+    val gray = (200 << 16) | (200 << 8) | 200
+    val png = realImage("png", 5, 3, gray)
+    val jpg = realImage("jpg", 7, 4, gray)
+    // byte-level header probe against files a real encoder wrote (not our
+    // own synth writers): PNG IHDR dims and JPEG SOF dims must read back
+    val pp = Multimodal.probeMedia(png)
+    assert(pp.mime === "image/png" && pp.width === 5 && pp.height === 3)
+    val pj = Multimodal.probeMedia(jpg)
+    assert(pj.mime === "image/jpeg" && pj.width === 7 && pj.height === 4)
+
+    val meta = Multimodal.MediaMeta("image/png", 0, 0, 0, 1)
+    val feats = Multimodal.extractFeatures(Seq(
+        Multimodal.MediaRow(1L, "image", png, meta),
+        Multimodal.MediaRow(2L, "image", jpg, meta.copy(mime = "image/jpeg"))).toDS())
+      .collect().sortBy(_.media_id)
+    // pixel-path histograms: all luminance mass in bin 12 (JPEG solid-color
+    // blocks decode exactly at quality defaults; any codec round-trip drift
+    // would land in a neighboring bin and fail)
+    feats.foreach { f =>
+      assert(f.embedding(12) === 1.0f,
+        s"media ${f.media_id}: expected all mass in luminance bin 12, " +
+          s"got ${f.embedding.toSeq}")
+      assert(f.width > 0 && f.height > 0)
+    }
+    // and on the SAME bytes with a corrupted signature the decode falls
+    // back to the byte sketch, which gives a different shape — proving the
+    // pixel path, not the fallback, produced the bin-12 histogram above
+    val broken = png.clone(); broken(0) = 0
+    val sketchLike = Multimodal.extractFeatures(Seq(
+        Multimodal.MediaRow(3L, "image", broken, meta)).toDS()).collect().head
+    assert(sketchLike.embedding.toSeq !== feats.head.embedding.toSeq)
+  }
+
+  test("resize on a real PNG transcodes: new dims decode back, content rewritten") {
+    import spark.implicits._
+    val gray = (64 << 16) | (64 << 8) | 64
+    val png = realImage("png", 8, 8, gray)
+    val meta = Multimodal.MediaMeta("image/png", 8, 8, 0, 1)
+    val out = Multimodal.resize(
+      Seq(Multimodal.MediaRow(1L, "image", png, meta)).toDS(), 4, 2).collect().head
+    assert(out.meta.width === 4 && out.meta.height === 2)
+    assert(out.content.toSeq !== png.toSeq, "payload not transcoded")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.content))
+    assert(back != null && back.getWidth === 4 && back.getHeight === 2)
+    // solid input stays solid through a bilinear rescale
+    assert((back.getRGB(0, 0) & 0xffffff) === gray)
+    // non-decodable image rows still take the metadata-only path, total
+    val synth = Multimodal.synthesizeMedia(spark, TestSpark.sfDir)
+    val resized = Multimodal.resize(synth, 32, 32).collect()
+    resized.filter(_.kind == "image").foreach { m =>
+      assert(m.meta.width === 32 && m.meta.height === 32)
+    }
+  }
 }
