@@ -1162,6 +1162,81 @@ object Dedup {
       ensureSimhashIndex(s, dir))
       .orderBy("new_id", "dup_of")
 
+  /** Recall eval for the INCREMENTAL SimHash probe — prices what the
+    * write-time [[SimhashMaxBucket]] truncation costs the probe verdicts:
+    * truth = the same probe against an UNCAPPED corpus index (every
+    * (chunk, cv) collision verified at Hamming ≤ 3), found = the capped
+    * form the persisted index serves (identical math to
+    * [[writeSimhashIndex]] + [[probeSimhashIndex]], which DedupSpec pins
+    * persisted ≡ direct). Found ⊆ truth by construction (a capped bucket
+    * only DROPS candidates), so one metrics row
+    * (n_truth, n_found, n_missed, recall) is exact, and fully
+    * DuckDB-replayable — the oracle breaks if either side drifts. */
+  def dedupSimhashIncrRecall(s: SparkSession, dir: String): DataFrame = {
+    val chunked = md5SimhashSigs(s, dir).select(col("doc_id"), col("sig"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> shiftright(sig, c * 15) & 32767)"))
+        .as(Seq("chunk", "cv")))
+    val corpus = chunked.where(col("doc_id") % IncrementalMod =!= IncrementalRem)
+    val probe = chunked.where(col("doc_id") % IncrementalMod === IncrementalRem)
+      .select(col("chunk"), col("cv"),
+        col("doc_id").as("new_id"), col("sig").as("new_sig"))
+    def verified(idx: DataFrame): DataFrame =
+      probe.join(idx.select(col("chunk"), col("cv"),
+          col("doc_id").as("dup_of"), col("sig").as("old_sig")),
+          Seq("chunk", "cv"))
+        .select(col("new_id"), col("dup_of"),
+          bit_count(expr("new_sig ^ old_sig")).as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 3)
+        .select("new_id", "dup_of")
+    val capped = corpus
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("chunk", "cv").orderBy("doc_id")))
+      .where(col("rn") <= SimhashMaxBucket)
+    verified(corpus).agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(verified(capped).agg(count(lit(1)).as("n_found"))))
+      .select(col("n_truth"), col("n_found"),
+        (col("n_truth") - col("n_found")).as("n_missed"),
+        when(col("n_truth") > 0,
+          r4(col("n_found").cast(DoubleType) / col("n_truth"))).as("recall"))
+  }
+
+  lazy val dedupSimhashIncrRecallSql: String =
+    s"""WITH $simhashChunkedCtes,
+       |corpus AS (SELECT chunk, cv, doc_id, sig FROM chunked
+       |  WHERE doc_id % $IncrementalMod <> $IncrementalRem),
+       |capped AS (
+       |  SELECT chunk, cv, doc_id, sig FROM (
+       |    SELECT chunk, cv, doc_id, sig,
+       |      row_number() OVER (PARTITION BY chunk, cv ORDER BY doc_id) AS rn
+       |    FROM corpus) x
+       |  WHERE rn <= $SimhashMaxBucket),
+       |probe AS (
+       |  SELECT chunk, cv, doc_id AS new_id, sig AS new_sig
+       |  FROM chunked WHERE doc_id % $IncrementalMod = $IncrementalRem),
+       |truth AS (
+       |  SELECT new_id, dup_of FROM (
+       |    SELECT DISTINCT p.new_id, i.doc_id AS dup_of,
+       |      bit_count(xor(p.new_sig, i.sig))::INTEGER AS hamming
+       |    FROM probe p JOIN corpus i ON p.chunk = i.chunk AND p.cv = i.cv) v
+       |  WHERE hamming <= 3),
+       |found AS (
+       |  SELECT new_id, dup_of FROM (
+       |    SELECT DISTINCT p.new_id, i.doc_id AS dup_of,
+       |      bit_count(xor(p.new_sig, i.sig))::INTEGER AS hamming
+       |    FROM probe p JOIN capped i ON p.chunk = i.chunk AND p.cv = i.cv) v
+       |  WHERE hamming <= 3),
+       |m AS (SELECT
+       |  (SELECT count(*) FROM truth) AS n_truth,
+       |  (SELECT count(*) FROM found) AS n_found)
+       |SELECT n_truth::BIGINT AS n_truth, n_found::BIGINT AS n_found,
+       |  (n_truth - n_found)::BIGINT AS n_missed,
+       |  CASE WHEN n_truth > 0
+       |    THEN CAST(round(n_found::DOUBLE / n_truth, 4) AS DOUBLE) END AS recall
+       |FROM m""".stripMargin
+
   // lazy: IncrementalMod/Rem are defined later in the file — an eager val
   // here would interpolate their pre-initialization 0s into the SQL
   lazy val dedupSimhashIncrementalSql: String =
@@ -1468,6 +1543,97 @@ object Dedup {
       ensureMinhashIndex(s, dir))
       .orderBy("new_id", "dup_of")
 
+  /** Recall eval for the INCREMENTAL MinHash probe — the
+    * [[dedupSimhashIncrRecall]] twin for the LSH band family: truth =
+    * batch-split probes verified (est_jaccard ≥ 0.5) against an UNCAPPED
+    * corpus band index, found = against the [[MinhashMaxBucket]]-capped
+    * form the persisted index serves. Same exact-subset structure, same
+    * single metrics row, fully oracle-replayed. */
+  def dedupMinhashIncrRecall(s: SparkSession, dir: String): DataFrame = {
+    val sigs = md5SigsOf(shingled(s, dir)
+      .select(col("doc_id"), explode(col("grams")).as("gram")))
+      .localCheckpoint()
+    val bands = bandsOfSigs(sigs)
+    val corpusBands = bands.where(col("doc_id") % IncrementalMod =!= IncrementalRem)
+    val probeBands = bands.where(col("doc_id") % IncrementalMod === IncrementalRem)
+      .select(col("doc_id").as("new_id"), col("band"), col("bh"))
+    val np = sigs.select(col("doc_id").as("new_id") +:
+      (0 until MinhashPerms).map(j => col(s"s$j").as(s"ns$j")): _*)
+    val os = sigs.select(col("doc_id").as("dup_of") +:
+      (0 until MinhashPerms).map(j => col(s"s$j").as(s"os$j")): _*)
+    def verified(idx: DataFrame): DataFrame =
+      probeBands.join(idx.select(col("band"), col("bh"),
+          col("doc_id").as("dup_of")), Seq("band", "bh"))
+        .select("new_id", "dup_of").distinct()
+        .join(np, "new_id")
+        .join(os, "dup_of")
+        .select(col("new_id"), col("dup_of"),
+          ((0 until MinhashPerms)
+            .map(j => when(col(s"ns$j") === col(s"os$j"), 1).otherwise(0))
+            .reduce(_ + _) / lit(16.0d)).as("est_jaccard"))
+        .where(col("est_jaccard") >= 0.5)
+        .select("new_id", "dup_of")
+    val capped = corpusBands
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bh").orderBy("doc_id")))
+      .where(col("rn") <= MinhashMaxBucket)
+    verified(corpusBands).agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(verified(capped).agg(count(lit(1)).as("n_found"))))
+      .select(col("n_truth"), col("n_found"),
+        (col("n_truth") - col("n_found")).as("n_missed"),
+        when(col("n_truth") > 0,
+          r4(col("n_found").cast(DoubleType) / col("n_truth"))).as("recall"))
+  }
+
+  val dedupMinhashIncrRecallSql: String = {
+    val overlap = (0 until MinhashPerms)
+      .map(j => s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |grams AS (
+       |  SELECT doc_id, gram FROM (
+       |    SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+       |    FROM toks JOIN generate_series(1, 100000) g(i) ON i <= len(tk) - 2
+       |    WHERE len(tk) >= 3
+       |    UNION
+       |    SELECT doc_id, array_to_string(tk, ' ') AS gram FROM toks WHERE len(tk) < 3)),
+       |$md5BandsCtes,
+       |corpus AS (SELECT band, bh, doc_id FROM bands
+       |  WHERE doc_id % $IncrementalMod <> $IncrementalRem),
+       |capped AS (
+       |  SELECT band, bh, doc_id FROM (
+       |    SELECT band, bh, doc_id,
+       |      row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
+       |    FROM corpus) x
+       |  WHERE rn <= $MinhashMaxBucket),
+       |probe AS (
+       |  SELECT band, bh, doc_id AS new_id FROM bands
+       |  WHERE doc_id % $IncrementalMod = $IncrementalRem),
+       |truth AS (
+       |  SELECT c.new_id, c.dup_of FROM (
+       |    SELECT DISTINCT p.new_id, i.doc_id AS dup_of
+       |    FROM probe p JOIN corpus i ON p.band = i.band AND p.bh = i.bh) c
+       |  JOIN sigs a ON a.doc_id = c.new_id
+       |  JOIN sigs b ON b.doc_id = c.dup_of
+       |  WHERE ($overlap) / 16.0 >= 0.5),
+       |found AS (
+       |  SELECT c.new_id, c.dup_of FROM (
+       |    SELECT DISTINCT p.new_id, i.doc_id AS dup_of
+       |    FROM probe p JOIN capped i ON p.band = i.band AND p.bh = i.bh) c
+       |  JOIN sigs a ON a.doc_id = c.new_id
+       |  JOIN sigs b ON b.doc_id = c.dup_of
+       |  WHERE ($overlap) / 16.0 >= 0.5),
+       |m AS (SELECT
+       |  (SELECT count(*) FROM truth) AS n_truth,
+       |  (SELECT count(*) FROM found) AS n_found)
+       |SELECT n_truth::BIGINT AS n_truth, n_found::BIGINT AS n_found,
+       |  (n_truth - n_found)::BIGINT AS n_missed,
+       |  CASE WHEN n_truth > 0
+       |    THEN CAST(round(n_found::DOUBLE / n_truth, 4) AS DOUBLE) END AS recall
+       |FROM m""".stripMargin
+  }
+
   val dedupMinhashIncrementalSql: String = {
     val overlap = (0 until MinhashPerms)
       .map(j => s"CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END")
@@ -1519,6 +1685,8 @@ object Dedup {
     "q_dedup_incremental" -> dedupIncremental _,
     "q_dedup_simhash_incremental" -> dedupSimhashIncremental _,
     "q_dedup_minhash_incremental" -> dedupMinhashIncremental _,
+    "q_dedup_simhash_incr_recall" -> dedupSimhashIncrRecall _,
+    "q_dedup_minhash_incr_recall" -> dedupMinhashIncrRecall _,
     "q_dedup_cluster_sizes" -> dedupClusterSizes _,
     "q_dedup_keep_best" -> dedupKeepBest _,
     "q_dedup_cross_source" -> dedupCrossSource _)
@@ -1536,6 +1704,8 @@ object Dedup {
     "q_dedup_incremental" -> dedupIncrementalSql,
     "q_dedup_simhash_incremental" -> dedupSimhashIncrementalSql,
     "q_dedup_minhash_incremental" -> dedupMinhashIncrementalSql,
+    "q_dedup_simhash_incr_recall" -> dedupSimhashIncrRecallSql,
+    "q_dedup_minhash_incr_recall" -> dedupMinhashIncrRecallSql,
     "q_dedup_cluster_sizes" -> dedupClusterSizesSql,
     "q_dedup_keep_best" -> dedupKeepBestSql,
     "q_dedup_cross_source" -> dedupCrossSourceSql)
