@@ -29,11 +29,13 @@ object Bench {
     // poisons both and survives the min — measured 4.5 s on a 1.3 s query
     // with back-to-back min-of-2; decorrelating the attempts in time makes
     // the min a real steady-state signal
-    // optional arg 1: substring filter on query keys — local-iteration
-    // convenience mirroring Verify's; the driver passes no args
-    val filter = args.headOption
+    // optional args: substring filters on query keys (any-match) —
+    // local-iteration convenience mirroring Verify's; the driver passes
+    // no args. Multiple args let one run cover a named subset (e.g. the
+    // heavy-tail scaling set for BENCH_SF1).
+    val filters = args.toSeq
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => filter.forall(n.contains) }
+      .filter { case (n, _) => filters.isEmpty || filters.exists(n.contains) }
     val best = scala.collection.mutable.Map[String, Double]()
     val worst = scala.collection.mutable.Map[String, Double]()
     for (_ <- 1 to 2; (name, fn) <- ordered) {

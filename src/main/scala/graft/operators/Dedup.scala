@@ -1297,7 +1297,10 @@ object Dedup {
   def writeGramIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
     val corpus = ghGrams(s, dir)
       .where(col("doc_id") % IncrementalMod =!= IncrementalRem)
+    // materialized once: consumed by both the pruning join and the dfs
+    // sidecar write below (re-deriving it would re-explode the corpus)
     val cdf = corpus.groupBy("gh").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
     corpus.join(cdf.where(col("df") <= JaccardMaxDf), "gh")
       .select("gh", "doc_id")
       .repartition(col("gh"))
@@ -1306,6 +1309,56 @@ object Dedup {
       .where(col("doc_id") % IncrementalMod =!= IncrementalRem)
       .select(col("doc_id"), size(col("grams")).cast(LongType).as("n_grams"))
       .write.mode("overwrite").parquet(s"$indexPath/sizes")
+    // df sidecar for append maintenance: FULL corpus df per gh, including
+    // the pruned stop-grams (the inverted index alone can't distinguish
+    // "pruned at cap" from "never seen", which appends must). Stored as
+    // DELTA rows — readers sum per gh — so appends stay append-only.
+    cdf.select(col("gh"), col("df"))
+      .write.mode("overwrite").parquet(s"$indexPath/dfs")
+  }
+
+  /** Add-after-build maintenance for the pruned inverted gram index —
+    * completing the add-after-build story for every dedup index family
+    * (IVF/IVF+PQ, MinHash bands, SimHash bands, and now Jaccard grams).
+    * The [[JaccardMaxDf]] stop-gram pruning is BY GLOBAL df, so append
+    * correctness needs the `dfs/` delta sidecar: a batch gram's entries
+    * are appended only when its UPDATED total df (existing + batch)
+    * stays ≤ the cap — so a gram that was pruned at build time cannot
+    * re-enter through batches, and a gram a batch pushes over the cap
+    * admits nothing further. One-sided drift vs a full rebuild, shared
+    * with the band families: entries already in the index when a gram
+    * crosses the cap are retained (≤ cap stale rows per gram, bounded);
+    * a rebuild reclaims them. All three directories only gain files —
+    * existing bytes never rewrite. Caller contract: `docs` doc_ids are
+    * new to the index. */
+  def appendGramIndex(s: SparkSession, indexPath: String,
+      docs: DataFrame): Unit = {
+    graft.functions.TextExpressions.register(s)
+    val batchSh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("grams",
+        graft.functions.TextExpressions.wordNgrams(col("toks"), 3))
+    batchSh
+      .select(col("doc_id"), size(col("grams")).cast(LongType).as("n_grams"))
+      .write.mode("append").parquet(s"$indexPath/sizes")
+    val batchGh = batchSh
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)").as("gh"))
+    val batchDf = batchGh.groupBy("gh").agg(count(lit(1)).as("new_df"))
+    val oldDf = s.read.parquet(s"$indexPath/dfs")
+      .groupBy("gh").agg(sum(col("df")).as("old_df"))
+    val admitted = batchDf.join(oldDf, Seq("gh"), "left")
+      .where(coalesce(col("old_df"), lit(0L)) + col("new_df") <= JaccardMaxDf)
+      .select("gh")
+    batchGh.join(admitted, Seq("gh"), "left_semi")
+      .select("gh", "doc_id")
+      .repartition(col("gh"))
+      .write.mode("append").parquet(s"$indexPath/grams")
+    // df deltas recorded for ALL batch grams (admitted or not) so the
+    // NEXT append sees true totals
+    batchDf.select(col("gh"), col("new_df").as("df"))
+      .write.mode("append").parquet(s"$indexPath/dfs")
   }
 
   /** index path memoized per (session, dir, input fingerprint) — same

@@ -1,0 +1,92 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool (not shipped surface): synthesize an sf1-equivalent testdata
+  * dir from sf0.1 by replicating the heavy tables `factor`× under
+  * measure-preserving per-copy transforms, so the heavy-tail bench can be
+  * run at 10× data and per-query scaling factors MEASURED instead of
+  * argued from plan shapes (BENCH_SF1.json / PERF.md).
+  *
+  * Replication semantics (copy k of K, ids offset by k·OFF with OFF a
+  * multiple of 10 so every `% 10` split keeps its per-copy fraction):
+  * - `documents.text`: every token is prefixed `c<k>~` for k > 0 — an
+  *   injective per-copy relabeling of the token space. All WITHIN-copy
+  *   statistics (token/gram counts, repetition ratios, dup pair fronts,
+  *   bucket structure) are preserved exactly; ACROSS copies nothing
+  *   collides. Corpus-level workloads therefore scale linearly in
+  *   expectation — the right null hypothesis for a scaling measurement.
+  * - `embeddings.embedding`: component i of copy k gets a deterministic
+  *   ±0.024 perturbation ((k·31 + i) mod 17 − 8) · 0.003 — breaks the
+  *   exact-duplicate degeneracy K identical copies would create (ties in
+  *   kNN, K-sized exact-dup clusters in SemDeDup) while preserving the
+  *   geometry the ANN/quality queries measure.
+  * - `events` / `orders` / `lineitem`: id columns offset; value/time
+  *   columns unchanged (10× density over the same time range and key
+  *   domains — how a bigger day actually looks).
+  * Remaining tables are copied as-is (the heavy tail never scans them).
+  */
+object ScaleTestdata {
+  def main(args: Array[String]): Unit = {
+    val (src, dst, factor) = args match {
+      case Array(s, d)    => (s, d, 10)
+      case Array(s, d, f) => (s, d, f.toInt)
+      case _ => sys.error("usage: ScaleTestdata <srcSfDir> <dstDir> [factor]")
+    }
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def off(df: DataFrame, idCol: String): Long = {
+      val mx = df.agg(max(col(idCol))).collect().head.getLong(0)
+      (mx / 10 + 1) * 10
+    }
+    /** union of `factor` copies; `remap(k)` rewrites each copy */
+    def replicate(name: String, idCols: Seq[String],
+        remap: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val o = off(base, idCols.head)
+      val copies = (0 until factor).map { k =>
+        val shifted = idCols.foldLeft(base) { (df, c) =>
+          df.withColumn(c, col(c) + lit(k * o))
+        }
+        remap(shifted, k)
+      }
+      copies.reduce(_ union _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scale] $name: ${base.count()} x $factor")
+    }
+
+    replicate("documents", Seq("doc_id"), { (df, k) =>
+      if (k == 0) df
+      else df.withColumn("text",
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(lit(s"c$k~"), t))))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    })
+    replicate("embeddings", Seq("vec_id"), { (df, k) =>
+      if (k == 0) df
+      else df.withColumn("embedding",
+        transform(col("embedding"), (v, i) =>
+          (v + ((lit(k * 31) + i) % 17 - 8).cast("float") * lit(0.003f))
+            .cast("float")))
+    })
+    replicate("events", Seq("event_id", "user_id"), (df, _) => df)
+    replicate("orders", Seq("o_orderkey", "o_custkey"), (df, _) => df)
+    replicate("lineitem", Seq("l_orderkey"), (df, _) => df)
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scale] $t: copied as-is")
+    }
+    spark.stop()
+  }
+}

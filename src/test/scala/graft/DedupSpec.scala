@@ -499,6 +499,61 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("appendGramIndex: probe finds the appended clone, old files untouched, df cap holds") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val idx = Files.createTempDirectory("graft_gr_app").toString
+    operators.Dedup.writeGramIndex(spark, dir, idx)
+
+    val src = util.t(spark, dir, "documents")
+      .where(col("doc_id") % 10 =!= 7).orderBy("doc_id")
+      .select("doc_id", "text").limit(1).collect().head
+    val (srcId, srcText) = (src.getLong(0), src.getString(1))
+    val before = bandFiles(s"$idx/grams")
+    val sizesBefore = spark.read.parquet(s"$idx/sizes").count()
+
+    operators.Dedup.appendGramIndex(spark, idx,
+      Seq((900001L, srcText)).toDF("doc_id", "text"))
+
+    // the next probe (same text, fresh id) must report BOTH the original
+    // corpus doc and the appended clone as verified near-dups (jaccard is
+    // computed over the PRUNED index on both sides, so exact 1.0 is only
+    // guaranteed when no gram sits at the df cap — presence is the
+    // contract, same as at build time)
+    val hits = operators.Dedup.probeGramIndex(spark,
+        Seq((900002L, srcText)).toDF("doc_id", "text"), idx)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(hits.contains(900001L), s"appended clone not found by probe: $hits")
+    assert(hits.contains(srcId), s"original corpus doc lost: $hits")
+
+    // append-only: every pre-append grams file byte-identical
+    val after = bandFiles(s"$idx/grams")
+    before.foreach { case (name, bytes) =>
+      assert(after.contains(name), s"pre-append file $name removed")
+      assert(java.util.Arrays.equals(bytes, after(name)), s"pre-append file $name rewritten")
+    }
+    assert(spark.read.parquet(s"$idx/sizes").count() === sizesBefore + 1)
+
+    // df cap ACROSS builds: 60 more identical clones push every gram of
+    // this text past JaccardMaxDf (old + 60 > 50), so NOTHING is admitted
+    // to grams/ — but the df deltas are still recorded, and the original
+    // entries are retained (documented one-sided drift)
+    val gramsBefore = spark.read.parquet(s"$idx/grams").count()
+    operators.Dedup.appendGramIndex(spark, idx,
+      (910001L to 910060L).map(i => (i, srcText)).toDF("doc_id", "text"))
+    assert(spark.read.parquet(s"$idx/grams").count() === gramsBefore,
+      "over-cap grams must not be admitted")
+    // and a FURTHER single append of the same text is now also blocked
+    // (the dfs sidecar saw the batch): probe still finds the original
+    operators.Dedup.appendGramIndex(spark, idx,
+      Seq((920001L, srcText)).toDF("doc_id", "text"))
+    assert(spark.read.parquet(s"$idx/grams").count() === gramsBefore)
+    val hits2 = operators.Dedup.probeGramIndex(spark,
+        Seq((900003L, srcText)).toDF("doc_id", "text"), idx)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits2.contains(srcId), "original entries must be retained past the cap")
+  }
+
   test("appendSimhashIndex: probe finds the appended clone, old files untouched, cap holds") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
