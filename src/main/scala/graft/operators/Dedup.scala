@@ -1057,7 +1057,32 @@ object Dedup {
     * arriving batch join O(corpus) rows); the cost is possible missed
     * matches against truncated members of degenerate buckets, the same
     * recall trade the batch operator's representative pairing makes. */
-  def writeSimhashIndex(s: SparkSession, dir: String, indexPath: String): Unit =
+  /** Index-family constants persisted WITH the index (`meta/`): appends
+    * must enforce the cap the index was BUILT with, not whatever constant
+    * the appending binary compiled against — the 10× scaling run showed
+    * the caps are density-dependent tunables (SimHash incremental recall
+    * 1.0 → 0.78 at 10× bucket density under the default 64), so a
+    * production deployment tunes them per corpus and the index itself is
+    * the source of truth. */
+  private def writeIndexMeta(s: SparkSession, indexPath: String,
+      key: String, value: Long): Unit = {
+    import s.implicits._
+    Seq((key, value)).toDF("key", "value")
+      .write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** O(1) metadata readback (driver-side by design, like the IVF
+    * codebook probe planning); `default` covers indexes written before
+    * the meta sidecar existed. */
+  private def readIndexMeta(s: SparkSession, indexPath: String,
+      key: String, default: Long): Long =
+    if (!new java.io.File(s"$indexPath/meta").exists) default
+    else s.read.parquet(s"$indexPath/meta")
+      .where(col("key") === key).select("value")
+      .collect().headOption.map(_.getLong(0)).getOrElse(default)
+
+  def writeSimhashIndex(s: SparkSession, dir: String, indexPath: String,
+      maxBucket: Int = SimhashMaxBucket): Unit = {
     md5SimhashSigsOf(t(s, dir, "documents")
         .where(col("doc_id") % IncrementalMod =!= IncrementalRem))
       .select(col("doc_id"), col("sig"),
@@ -1067,10 +1092,12 @@ object Dedup {
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("chunk", "cv").orderBy("doc_id")))
-      .where(col("rn") <= SimhashMaxBucket)
+      .where(col("rn") <= maxBucket)
       .select("chunk", "cv", "doc_id", "sig")
       .repartition(col("chunk"), col("cv"))
       .write.mode("overwrite").parquet(s"$indexPath/bands")
+    writeIndexMeta(s, indexPath, "max_bucket", maxBucket.toLong)
+  }
 
   /** Add-after-build maintenance for the SimHash band index — the band
     * family's twin of `Similarity.appendIvfIndex`: signature the new
@@ -1085,6 +1112,7 @@ object Dedup {
     * (same as appendIvfIndex): `docs` doc_ids are new to the index. */
   def appendSimhashIndex(s: SparkSession, indexPath: String,
       docs: DataFrame): Unit = {
+    val maxBucket = readIndexMeta(s, indexPath, "max_bucket", SimhashMaxBucket.toLong)
     val occupancy = s.read.parquet(s"$indexPath/bands")
       .groupBy("chunk", "cv").agg(count(lit(1)).as("n_have"))
     md5SimhashSigsOf(docs)
@@ -1096,7 +1124,7 @@ object Dedup {
         org.apache.spark.sql.expressions.Window
           .partitionBy("chunk", "cv").orderBy("doc_id")))
       .join(occupancy, Seq("chunk", "cv"), "left")
-      .where(col("rn") + coalesce(col("n_have"), lit(0L)) <= SimhashMaxBucket)
+      .where(col("rn") + coalesce(col("n_have"), lit(0L)) <= maxBucket)
       .select("chunk", "cv", "doc_id", "sig")
       .repartition(col("chunk"), col("cv"))
       .write.mode("append").parquet(s"$indexPath/bands")
@@ -1294,14 +1322,15 @@ object Dedup {
     * docs carry no dedup signal and would fan out hottest — they are
     * dropped at build time, so probe-time cost is bounded by
     * construction. */
-  def writeGramIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
+  def writeGramIndex(s: SparkSession, dir: String, indexPath: String,
+      maxDf: Int = JaccardMaxDf): Unit = {
     val corpus = ghGrams(s, dir)
       .where(col("doc_id") % IncrementalMod =!= IncrementalRem)
     // materialized once: consumed by both the pruning join and the dfs
     // sidecar write below (re-deriving it would re-explode the corpus)
     val cdf = corpus.groupBy("gh").agg(count(lit(1)).as("df"))
       .localCheckpoint()
-    corpus.join(cdf.where(col("df") <= JaccardMaxDf), "gh")
+    corpus.join(cdf.where(col("df") <= maxDf), "gh")
       .select("gh", "doc_id")
       .repartition(col("gh"))
       .write.mode("overwrite").parquet(s"$indexPath/grams")
@@ -1315,6 +1344,7 @@ object Dedup {
     // DELTA rows — readers sum per gh — so appends stay append-only.
     cdf.select(col("gh"), col("df"))
       .write.mode("overwrite").parquet(s"$indexPath/dfs")
+    writeIndexMeta(s, indexPath, "max_df", maxDf.toLong)
   }
 
   /** Add-after-build maintenance for the pruned inverted gram index —
@@ -1334,6 +1364,7 @@ object Dedup {
   def appendGramIndex(s: SparkSession, indexPath: String,
       docs: DataFrame): Unit = {
     graft.functions.TextExpressions.register(s)
+    val maxDf = readIndexMeta(s, indexPath, "max_df", JaccardMaxDf.toLong)
     val batchSh = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("grams",
@@ -1349,7 +1380,7 @@ object Dedup {
     val oldDf = s.read.parquet(s"$indexPath/dfs")
       .groupBy("gh").agg(sum(col("df")).as("old_df"))
     val admitted = batchDf.join(oldDf, Seq("gh"), "left")
-      .where(coalesce(col("old_df"), lit(0L)) + col("new_df") <= JaccardMaxDf)
+      .where(coalesce(col("old_df"), lit(0L)) + col("new_df") <= maxDf)
       .select("gh")
     batchGh.join(admitted, Seq("gh"), "left_semi")
       .select("gh", "doc_id")
@@ -1480,7 +1511,8 @@ object Dedup {
     * batch. Write-time [[MinhashMaxBucket]] truncation (smallest
     * doc_ids) bounds probe fan-out by construction, the index twin of
     * the batch operator's representative pairing. */
-  def writeMinhashIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
+  def writeMinhashIndex(s: SparkSession, dir: String, indexPath: String,
+      maxBucket: Int = MinhashMaxBucket): Unit = {
     val corpus = shingled(s, dir)
       .where(col("doc_id") % IncrementalMod =!= IncrementalRem)
     md5SigsOf(corpus.select(col("doc_id"), explode(col("grams")).as("gram")))
@@ -1491,10 +1523,11 @@ object Dedup {
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("band", "bh").orderBy("doc_id")))
-      .where(col("rn") <= MinhashMaxBucket)
+      .where(col("rn") <= maxBucket)
       .select("band", "bh", "doc_id")
       .repartition(col("band"), col("bh"))
       .write.mode("overwrite").parquet(s"$indexPath/bands")
+    writeIndexMeta(s, indexPath, "max_bucket", maxBucket.toLong)
   }
 
   /** Add-after-build maintenance for the MinHash band index — see
@@ -1509,6 +1542,7 @@ object Dedup {
   def appendMinhashIndex(s: SparkSession, indexPath: String,
       docs: DataFrame): Unit = {
     graft.functions.TextExpressions.register(s)
+    val maxBucket = readIndexMeta(s, indexPath, "max_bucket", MinhashMaxBucket.toLong)
     def newSigs = md5SigsOf(docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("grams",
@@ -1525,7 +1559,7 @@ object Dedup {
         org.apache.spark.sql.expressions.Window
           .partitionBy("band", "bh").orderBy("doc_id")))
       .join(occupancy, Seq("band", "bh"), "left")
-      .where(col("rn") + coalesce(col("n_have"), lit(0L)) <= MinhashMaxBucket)
+      .where(col("rn") + coalesce(col("n_have"), lit(0L)) <= maxBucket)
       .select("band", "bh", "doc_id")
       .repartition(col("band"), col("bh"))
       .write.mode("append").parquet(s"$indexPath/bands")

@@ -567,6 +567,48 @@ object Pipeline {
       }
       .start()
 
+  /** LIVE ingest ADMISSION loop — the full production shape the one-way
+    * gates above stop short of: each micro-batch of (doc_id, text) is
+    * probed against the persisted gram index for near-dup verdicts and
+    * THEN APPENDED into it (`Dedup.appendGramIndex`), so batch N+1
+    * dedups against batches 1..N as well as the base corpus. Probe
+    * precedes append, so a batch never matches itself. Verdicts stay
+    * exactly-once (per-batch_id partition overwrite); the append is
+    * guarded by a per-batch marker under `indexPath/appended/` (written
+    * through the Hadoop FileSystem API, so HDFS/S3A layouts work)
+    * because parquet-append is NOT idempotent under batch replay. A
+    * crash between append and marker commit re-appends at most that one
+    * batch — duplicate index entries inflate shared counts only for
+    * that batch's docs, the same one-sided drift class the append
+    * contract documents; a rebuild reclaims exactness. */
+  def streamIngestDedup(docs: DataFrame, indexPath: String,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        // materialized once: consumed by the probe AND the append below
+        val b = batch.localCheckpoint()
+        graft.operators.Dedup.probeGramIndex(s, b, indexPath)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+        val marker = new org.apache.hadoop.fs.Path(s"$indexPath/appended/$batchId")
+        val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          graft.operators.Dedup.appendGramIndex(s, indexPath, b)
+          fs.mkdirs(marker.getParent)
+          fs.createNewFile(marker)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming split router — the serving half of `q_split_assign`:
     * arriving documents are stamped with the IDENTICAL deterministic
     * md5-bucket split label the batch query declares (shared `splitOf`

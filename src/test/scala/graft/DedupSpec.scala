@@ -596,6 +596,42 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("band-index appends enforce the cap PERSISTED with the index, not the compile-time constant") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val srcText = util.t(spark, dir, "documents")
+      .where(col("doc_id") % 10 =!= 7).orderBy("doc_id")
+      .select("text").limit(1).collect().head.getString(0)
+    val hot = (930001L to 930010L).map(i => (i, srcText)).toDF("doc_id", "text")
+
+    // SimHash: built with a deliberately tiny cap — the meta sidecar, not
+    // SimhashMaxBucket (64), must bound every bucket after a hot append
+    val shIdx = Files.createTempDirectory("graft_sh_meta").toString
+    operators.Dedup.writeSimhashIndex(spark, dir, shIdx, maxBucket = 4)
+    operators.Dedup.appendSimhashIndex(spark, shIdx, hot)
+    val shMax = spark.read.parquet(s"$shIdx/bands")
+      .groupBy("chunk", "cv").count().agg(max("count")).collect().head.getLong(0)
+    assert(shMax <= 4L, s"simhash bucket grew past the persisted cap: $shMax")
+
+    // MinHash twin
+    val mhIdx = Files.createTempDirectory("graft_mh_meta").toString
+    operators.Dedup.writeMinhashIndex(spark, dir, mhIdx, maxBucket = 4)
+    operators.Dedup.appendMinhashIndex(spark, mhIdx, hot)
+    val mhMax = spark.read.parquet(s"$mhIdx/bands")
+      .groupBy("band", "bh").count().agg(max("count")).collect().head.getLong(0)
+    assert(mhMax <= 4L, s"minhash bucket grew past the persisted cap: $mhMax")
+
+    // gram index: a custom df cap persisted at build prunes appends too —
+    // after 3 identical clones no gram may exceed 2 entries
+    val grIdx = Files.createTempDirectory("graft_gr_meta").toString
+    operators.Dedup.writeGramIndex(spark, dir, grIdx, maxDf = 2)
+    operators.Dedup.appendGramIndex(spark, grIdx,
+      (940001L to 940003L).map(i => (i, srcText)).toDF("doc_id", "text"))
+    val grMax = spark.read.parquet(s"$grIdx/grams")
+      .groupBy("gh").count().agg(max("count")).collect().head.getLong(0)
+    assert(grMax <= 2L, s"gram entries grew past the persisted df cap: $grMax")
+  }
+
   test("minhash est_jaccard is 1.0 for identical docs and low for disjoint docs") {
     import spark.implicits._
     val sigs = operators.Dedup.minhashSignatures(spark, fixtureDir)

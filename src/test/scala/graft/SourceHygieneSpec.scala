@@ -26,7 +26,10 @@ class SourceHygieneSpec extends AnyFunSuite {
     // Sinks.manifestJson: O(#shards) per-shard (rows, digest) aggregate
     // rows collected to render the driver-side _MANIFEST.json — manifest
     // METADATA, never row data; shard count is a layout constant
-    "Sinks.scala" -> 1)
+    "Sinks.scala" -> 1,
+    // Dedup.readIndexMeta: O(1) index-family constant (the cap the index
+    // was BUILT with) read back for append maintenance — pure metadata
+    "Dedup.scala" -> 1)
 
   test("no .collect() in main operator/function/source/streaming code outside the allowlist") {
     val roots = Seq("operators", "functions", "sources", "streaming", "")

@@ -255,6 +255,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "expected cross-split near-dup pairs at sf0.01")
   }
 
+  test("streamIngestDedup: batch N+1 near-dups against batch N via the absorbed index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // FRESH index (not the memoized ensureGramIndex one — this test
+    // mutates the index by design)
+    val indexPath = Files.createTempDirectory("graft_ingest_idx").toString
+    graft.operators.Dedup.writeGramIndex(spark, dir, indexPath)
+
+    val srcText = util.t(spark, dir, "documents")
+      .where(col("doc_id") % 10 =!= 7).orderBy("doc_id")
+      .select("text").limit(1).collect().head.getString(0)
+    val novel = "zxq unique ingest document about stream admission " +
+      "loops and band maintenance appends never seen in the corpus"
+    val ms = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("graft_ingest_out").toString
+    val ckpt = Files.createTempDirectory("graft_ingest_ckpt").toString
+    // batch 1: a corpus near-dup + a NOVEL doc; batch 2: a clone of the
+    // novel doc — only findable if batch 1 was absorbed into the index
+    ms.addData(Seq((800001L, srcText), (800002L, novel)))
+    val q1 = Pipeline.streamIngestDedup(
+      ms.toDF().toDF("doc_id", "text"), indexPath, out, ckpt,
+      Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    ms.addData(Seq((800003L, novel)))
+    val q2 = Pipeline.streamIngestDedup(
+      ms.toDF().toDF("doc_id", "text"), indexPath, out, ckpt,
+      Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+
+    val verdicts = spark.read.parquet(out)
+      .select("batch_id", "new_id", "dup_of")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(verdicts.exists(_._1 == 800001L),
+      s"batch-1 corpus near-dup not flagged: $verdicts")
+    assert(verdicts.contains((800003L, 800002L)),
+      s"batch-2 clone of the batch-1 novel doc not flagged — index absorption failed: $verdicts")
+    // and the novel doc itself matched nothing when IT arrived (probe
+    // precedes append: a batch never matches itself)
+    assert(!verdicts.exists(_._1 == 800002L),
+      s"novel doc should have no dup_of in its own batch: $verdicts")
+    // replay guard: both processed batches left their append markers
+    assert(new java.io.File(s"$indexPath/appended").list().nonEmpty)
+  }
+
   test("streamSketchDailies: per-batch state rows roll up to the batch sketch table's answers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
