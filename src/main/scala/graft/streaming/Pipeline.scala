@@ -581,9 +581,12 @@ object Pipeline {
     * batch — duplicate index entries inflate shared counts only for
     * that batch's docs, the same one-sided drift class the append
     * contract documents; a rebuild reclaims exactness. */
-  def streamIngestDedup(docs: DataFrame, indexPath: String,
+  private def ingestLoop(
+      probe: (org.apache.spark.sql.SparkSession, DataFrame, String) => DataFrame,
+      append: (org.apache.spark.sql.SparkSession, String, DataFrame) => Unit)(
+      docs: DataFrame, indexPath: String,
       outDir: String, checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+      trigger: Trigger): StreamingQuery =
     docs.writeStream
       .trigger(trigger)
       .outputMode(OutputMode.Append)
@@ -592,7 +595,7 @@ object Pipeline {
         val s = batch.sparkSession
         // materialized once: consumed by the probe AND the append below
         val b = batch.localCheckpoint()
-        graft.operators.Dedup.probeGramIndex(s, b, indexPath)
+        probe(s, b, indexPath)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -601,13 +604,38 @@ object Pipeline {
         val marker = new org.apache.hadoop.fs.Path(s"$indexPath/appended/$batchId")
         val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker)) {
-          graft.operators.Dedup.appendGramIndex(s, indexPath, b)
+          append(s, indexPath, b)
           fs.mkdirs(marker.getParent)
           fs.createNewFile(marker)
           ()
         }
       }
       .start()
+
+  def streamIngestDedup(docs: DataFrame, indexPath: String,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    ingestLoop(graft.operators.Dedup.probeGramIndex,
+        graft.operators.Dedup.appendGramIndex)(
+      docs, indexPath, outDir, checkpointDir, trigger)
+
+  /** [[streamIngestDedup]]'s MinHash twin — probe the (band, bh) index,
+    * absorb the batch under the index's persisted cap. */
+  def streamIngestMinhashDedup(docs: DataFrame, indexPath: String,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    ingestLoop(graft.operators.Dedup.probeMinhashIndex,
+        graft.operators.Dedup.appendMinhashIndex)(
+      docs, indexPath, outDir, checkpointDir, trigger)
+
+  /** [[streamIngestDedup]]'s SimHash twin — probe the (chunk, cv) index,
+    * absorb the batch under the index's persisted cap. */
+  def streamIngestSimhashDedup(docs: DataFrame, indexPath: String,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    ingestLoop(graft.operators.Dedup.probeSimhashIndex,
+        graft.operators.Dedup.appendSimhashIndex)(
+      docs, indexPath, outDir, checkpointDir, trigger)
 
   /** Streaming split router — the serving half of `q_split_assign`:
     * arriving documents are stamped with the IDENTICAL deterministic

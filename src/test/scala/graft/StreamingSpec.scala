@@ -300,6 +300,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(new java.io.File(s"$indexPath/appended").list().nonEmpty)
   }
 
+  test("streamIngestSimhashDedup: cross-batch absorption through the band family") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val indexPath = Files.createTempDirectory("graft_ingest_sh_idx").toString
+    graft.operators.Dedup.writeSimhashIndex(spark, dir, indexPath)
+
+    val novel = "wvx singular broadcast document regarding chunk bucket " +
+      "admission pipelines and signature families absent from the corpus"
+    val ms = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("graft_ingest_sh_out").toString
+    val ckpt = Files.createTempDirectory("graft_ingest_sh_ckpt").toString
+    ms.addData(Seq((810001L, novel)))
+    val q1 = Pipeline.streamIngestSimhashDedup(
+      ms.toDF().toDF("doc_id", "text"), indexPath, out, ckpt,
+      Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    ms.addData(Seq((810002L, novel)))
+    val q2 = Pipeline.streamIngestSimhashDedup(
+      ms.toDF().toDF("doc_id", "text"), indexPath, out, ckpt,
+      Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+
+    val verdicts = spark.read.parquet(out)
+      .select("new_id", "dup_of", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // identical text → identical signature → Hamming 0 against the
+    // absorbed batch-1 doc
+    assert(verdicts.contains((810002L, 810001L, 0)),
+      s"batch-2 clone not flagged against the absorbed batch-1 doc: $verdicts")
+    assert(!verdicts.exists(v => v._1 == 810001L && v._2 == 810001L),
+      "self-match leaked")
+  }
+
   test("streamSketchDailies: per-batch state rows roll up to the batch sketch table's answers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
