@@ -997,17 +997,31 @@ object Similarity {
       .agg(max(struct(col("cos"), (-col("d1")).as("nd"))).as("best"))
       .select(col("vec_id"), (-col("best.nd")).as("dup_of"), col("best.cos").as("cos"),
         when(col("best.cos") >= SemDedupTau, 1).otherwise(0).as("is_dup"))
-      .orderBy("vec_id")
   }
+
+  /** Add-after-build maintenance for the SEMANTIC index — the layout is
+    * identical to the ANN IVF index (K-row `codebook/` + cid-partitioned
+    * `lists/`), so [[appendIvfIndex]]'s assignment-append applies as-is:
+    * new embeddings map-side assign against the trained codebook and
+    * append into exactly their own cell partitions — no retrain, no
+    * sibling rewrites. With this (and the text-side gram/band appends)
+    * every dedup index family has add-after-build maintenance. */
+  def appendSemanticIndex(s: SparkSession, indexPath: String,
+      newVecs: DataFrame): Unit =
+    appendIvfIndex(s, indexPath, newVecs)
 
   /** INCREMENTAL semantic dedup — the declared batch form: the new-batch
     * vectors (vec_id % [[SemIncMod]] = [[SemIncRem]]) probe the persisted
     * corpus index; memoized per input fingerprint like the text side. */
+  // Sorted here, not in the probe, so the streaming foreachBatch path
+  // doesn't pay a per-micro-batch sort no consumer reads (same split as
+  // the text-side incremental queries).
   def dedupSemanticIncremental(s: SparkSession, dir: String): DataFrame = {
     val batch = t(s, dir, "embeddings")
       .where(col("vec_id") % SemIncMod === SemIncRem)
       .select(col("vec_id"), col("embedding"))
     probeSemanticIndex(s, batch, ensureSemanticIndex(s, dir))
+      .orderBy("vec_id")
   }
 
   /** exact replay: codebook trained on the CORPUS split, both splits

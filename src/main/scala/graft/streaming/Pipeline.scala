@@ -637,6 +637,18 @@ object Pipeline {
         graft.operators.Dedup.appendSimhashIndex)(
       docs, indexPath, outDir, checkpointDir, trigger)
 
+  /** [[streamIngestDedup]]'s SEMANTIC twin — each micro-batch of
+    * (vec_id, embedding) is probed for SemDeDup verdicts against the
+    * persisted semantic index and then absorbed into its cid lists
+    * (`Similarity.appendSemanticIndex` — assignment-append, no
+    * retrain). Same exactly-once verdicts + marker-guarded appends. */
+  def streamIngestSemanticDedup(vecs: DataFrame, indexPath: String,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    ingestLoop(graft.operators.Similarity.probeSemanticIndex,
+        graft.operators.Similarity.appendSemanticIndex)(
+      vecs, indexPath, outDir, checkpointDir, trigger)
+
   /** Streaming split router — the serving half of `q_split_assign`:
     * arriving documents are stamped with the IDENTICAL deterministic
     * md5-bucket split label the batch query declares (shared `splitOf`

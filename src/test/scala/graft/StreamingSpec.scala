@@ -334,6 +334,39 @@ class StreamingSpec extends AnyFunSuite {
       "self-match leaked")
   }
 
+  test("streamIngestSemanticDedup: cross-batch absorption through the semantic index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val indexPath = Files.createTempDirectory("graft_ingest_sem_idx").toString
+    graft.operators.Similarity.writeSemanticIndex(spark, dir, indexPath)
+
+    // a novel vector far from the corpus split, then its near-clone: the
+    // clone is a dup only if batch 1 was absorbed into the cid lists
+    val rnd = new scala.util.Random(41)
+    val novel = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val clone = novel.clone(); clone(0) += 0.001f
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val out = Files.createTempDirectory("graft_ingest_sem_out").toString
+    val ckpt = Files.createTempDirectory("graft_ingest_sem_ckpt").toString
+    ms.addData(Seq((820001L, novel.toSeq)))
+    val q1 = Pipeline.streamIngestSemanticDedup(
+      ms.toDF().toDF("vec_id", "embedding"), indexPath, out, ckpt,
+      Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    ms.addData(Seq((820002L, clone.toSeq)))
+    val q2 = Pipeline.streamIngestSemanticDedup(
+      ms.toDF().toDF("vec_id", "embedding"), indexPath, out, ckpt,
+      Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+
+    val rows = spark.read.parquet(out)
+      .select("vec_id", "dup_of", "is_dup")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
+    assert(rows.get(820002L).exists { case (d, v) => d == 820001L && v == 1 },
+      s"batch-2 near-clone not flagged against the absorbed batch-1 vector: $rows")
+  }
+
   test("streamSketchDailies: per-batch state rows roll up to the batch sketch table's answers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
