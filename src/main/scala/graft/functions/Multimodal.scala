@@ -9,13 +9,15 @@ import org.apache.spark.sql.types._
   * star): image/audio/video as opaque BINARY columns with typed metadata,
   * processed by per-partition batch operators.
   *
-  * Image decode and resize are REAL (the JDK ships PNG/JPEG/GIF/BMP codecs
-  * in javax.imageio — no external dependency), with a deterministic
+  * Image decode/resize and WAV-PCM audio decode are REAL (the JDK ships
+  * PNG/JPEG/GIF/BMP codecs in javax.imageio and WAV/AIFF/AU parsing in
+  * javax.sound.sampled — no external dependency), with a deterministic
   * byte-sketch fallback for non-decodable payloads so the kernels are
-  * total. Audio resampling and video frame DECODE have no in-JVM codec, so
-  * those interiors remain deterministic STUBS (clearly marked below);
-  * everything around them — schema, typed rows, partition-local batch
-  * loop, output contract — is the real Spark plumbing a codec drops into.
+  * total. Compressed-audio resampling and video frame DECODE have no
+  * in-JVM codec, so those interiors remain deterministic STUBS (clearly
+  * marked below); everything around them — schema, typed rows,
+  * partition-local batch loop, output contract — is the real Spark
+  * plumbing a codec drops into.
   *
   * Scale design: media bytes never shuffle — all kernels are mapPartitions
   * (narrow, no exchange); only the small extracted features flow into joins
@@ -188,6 +190,45 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode via the JDK's javax.sound.sampled WAV/AIFF/AU
+    * parsers (PCM needs no codec — frames are the samples): decodable
+    * payloads produce a 16-bin sample-AMPLITUDE histogram over actual
+    * 16-bit PCM frames (bin = (sample + 32768) >> 12 — deterministic
+    * integer arithmetic). Non-decodable payloads (including the
+    * synthesized fmt-only headers, which carry no data chunk) fall back
+    * to [[byteHistogramSketch]], keeping the kernel total like the image
+    * path. */
+  private[functions] def decodeAudio(content: Array[Byte]): Array[Float] = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch { case _: Throwable => null }
+    if (in == null) byteHistogramSketch(content)
+    else {
+      val fmt = in.getFormat
+      val ok = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16
+      if (!ok) byteHistogramSketch(content)
+      else {
+        val bytes = in.readAllBytes()
+        val hist = new Array[Float](16)
+        val be = fmt.isBigEndian
+        var i = 0
+        var n = 0
+        while (i + 1 < bytes.length) {
+          val sample =
+            if (be) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+            else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+          hist((sample + 32768) >> 12) += 1f
+          n += 1
+          i += fmt.getFrameSize / math.max(fmt.getChannels, 1)
+        }
+        if (n == 0) byteHistogramSketch(content)
+        else { var j = 0; while (j < 16) { hist(j) /= n; j += 1 }; hist }
+      }
+    }
+  }
+
   /** Fallback feature for non-decodable payloads: a byte-histogram sketch
     * — deterministic, content-sensitive, same 16-dim shape as the pixel
     * path so downstream schemas never branch on decodability. */
@@ -218,8 +259,11 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         // batch boundary = where a vectorized codec would run once per chunk
         batch.iterator.map { m =>
-          val sampled = if (m.kind == "video") frameSampleStub(m.content, 4) else m.content
-          val emb = decodeImage(sampled, m.meta)
+          val emb = m.kind match {
+            case "audio" => decodeAudio(m.content)
+            case "video" => decodeImage(frameSampleStub(m.content, 4), m.meta)
+            case _       => decodeImage(m.content, m.meta)
+          }
           // probe the real container header rather than trusting carried meta:
           // at curation scale the binary column is the only source of truth
           val p = probeMedia(m.content)

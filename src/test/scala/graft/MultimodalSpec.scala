@@ -150,6 +150,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sketchLike.embedding.toSeq !== feats.head.embedding.toSeq)
   }
 
+  test("real WAV bytes: audio decode reads actual PCM samples") {
+    import spark.implicits._
+    // 64 frames of a ±16384 square wave, 16-bit mono PCM little-endian:
+    // +16384 → amplitude bin 12, -16384 → bin 4, half the mass each
+    val samples = Array.tabulate[Short](64)(i => if (i % 2 == 0) 16384 else -16384)
+    val pcm = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val meta = Multimodal.MediaMeta("audio/wav", 0, 0, 8000, 0)
+    val feat = Multimodal.extractFeatures(Seq(
+        Multimodal.MediaRow(1L, "audio", wav, meta)).toDS()).collect().head
+    assert(feat.embedding(12) === 0.5f && feat.embedding(4) === 0.5f,
+      s"expected half mass in amplitude bins 4 and 12, got ${feat.embedding.toSeq}")
+    // the header probe reads the real encoder's fmt chunk too
+    val p = Multimodal.probeMedia(wav)
+    assert(p.mime === "audio/wav" && p.sample_rate === 8000)
+    // corrupted RIFF tag → total fallback, different shape
+    val broken = wav.clone(); broken(0) = 0
+    val fb = Multimodal.extractFeatures(Seq(
+        Multimodal.MediaRow(2L, "audio", broken, meta)).toDS()).collect().head
+    assert(fb.embedding.toSeq !== feat.embedding.toSeq)
+  }
+
   test("resize on a real PNG transcodes: new dims decode back, content rewritten") {
     import spark.implicits._
     val gray = (64 << 16) | (64 << 8) | 64
