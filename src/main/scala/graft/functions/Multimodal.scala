@@ -11,13 +11,15 @@ import org.apache.spark.sql.types._
   *
   * Image decode/resize and WAV-PCM audio decode are REAL (the JDK ships
   * PNG/JPEG/GIF/BMP codecs in javax.imageio and WAV/AIFF/AU parsing in
-  * javax.sound.sampled — no external dependency), with a deterministic
-  * byte-sketch fallback for non-decodable payloads so the kernels are
-  * total. Compressed-audio resampling and video frame DECODE have no
-  * in-JVM codec, so those interiors remain deterministic STUBS (clearly
-  * marked below); everything around them — schema, typed rows,
-  * partition-local batch loop, output contract — is the real Spark
-  * plumbing a codec drops into.
+  * javax.sound.sampled — no external dependency). Video is REAL at the
+  * container level too: [[Mp4]] writes/parses actual ISO BMFF sample
+  * tables, so frame indexing walks stsz/stco/stsc byte ranges, and
+  * MJPEG-in-MP4 frames (fourcc `jpeg` — JPEG samples) decode through
+  * ImageIO like any still image. Only non-JPEG video codecs and
+  * compressed-audio resampling lack an in-JVM codec; those payloads take
+  * the deterministic byte-sketch fallback that keeps every kernel total
+  * (a 100 TB curation pass degrades per-row on undecodable bytes, never
+  * throws).
   *
   * Scale design: media bytes never shuffle — all kernels are mapPartitions
   * (narrow, no exchange); only the small extracted features flow into joins
@@ -86,19 +88,13 @@ object Multimodal {
     b.array
   }
 
-  /** MP4 ftyp box (12 bytes): big-endian box size + 'ftyp' + brand */
-  private def mp4Header(): Array[Byte] = {
-    val b = java.nio.ByteBuffer.allocate(12)
-    b.putInt(12).put("ftyp".getBytes("US-ASCII")).put("isom".getBytes("US-ASCII"))
-    b.array
-  }
-
   /** byte-level container probe — real parsing, no codec: PNG IHDR dims
     * (big-endian at 16/20), JPEG marker scan to SOF0–SOF3 (height then
-    * width), WAV fmt chunk (little-endian rate at 24), MP4 ftyp box.
-    * This is the format-sniffing a 100 TB media-curation pass runs per
-    * row before deciding to decode at all — header-only, so the scan
-    * cost is independent of payload size. */
+    * width), WAV fmt chunk (little-endian rate at 24), MP4 box walk
+    * ([[Mp4.parse]]: tkhd dims + stsz frame count). This is the
+    * format-sniffing a 100 TB media-curation pass runs per row before
+    * deciding to decode at all — structure-only, so the scan cost is
+    * independent of payload size. */
   def probeMedia(content: Array[Byte]): MediaMeta = {
     def u8(i: Int) = content(i) & 0xff
     def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
@@ -123,34 +119,53 @@ object Multimodal {
         && tag(12, 4) == "fmt ")
       MediaMeta("audio/wav", 0, 0, le32(24), 0)
     else if (content.length >= 12 && tag(4, 4) == "ftyp")
-      MediaMeta("video/mp4", 0, 0, 0, 0)
+      // real box walk: tkhd dims + stsz frame count; an ftyp with no
+      // parseable moov still identifies as MP4, with zeroed structure
+      Mp4.parse(content) match {
+        case Some(t) => MediaMeta("video/mp4", t.width, t.height, 0, t.nFrames)
+        case None    => MediaMeta("video/mp4", 0, 0, 0, 0)
+      }
     else MediaMeta("application/octet-stream", 0, 0, 0, 0)
   }
 
   /** deterministic synthetic media table derived from `documents`: the
-    * binary column is a REAL container header (PNG/JPEG/WAV/MP4 byte
-    * layout, parameterized by doc_id) followed by the doc text as an
-    * opaque payload — so header probing downstream exercises actual
-    * byte-format parsing, not carried metadata */
+    * binary column is a REAL container (PNG/JPEG/WAV headers; a full
+    * ISO-BMFF MP4 via [[Mp4.write]], parameterized by doc_id) holding the
+    * doc text as an opaque payload — so header probing and frame indexing
+    * downstream exercise actual byte-format parsing, not carried
+    * metadata. Video sample sizes are the uniform stride payload/nf, so
+    * the oracle can replay every offset arithmetically while Spark must
+    * read them back out of the stsz/stco tables. */
   def synthesizeMedia(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     t(s, dir, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val payload = text.getBytes("UTF-8")
         val kind = Seq("image", "audio", "video")((id % 3).toInt)
-        val (header, meta) = kind match {
+        val (content, meta) = kind match {
           case "image" =>
             val w = 64 + (id % 64).toInt * 16
             val h = 64 + (id % 48).toInt * 16
-            if (id % 2 == 0) (pngHeader(w, h), MediaMeta("image/png", w, h, 0, 1))
-            else (jpegHeader(w, h), MediaMeta("image/jpeg", w, h, 0, 1))
+            if (id % 2 == 0)
+              (pngHeader(w, h) ++ payload, MediaMeta("image/png", w, h, 0, 1))
+            else
+              (jpegHeader(w, h) ++ payload, MediaMeta("image/jpeg", w, h, 0, 1))
           case "audio" =>
             val rate = 8000 + (id % 5).toInt * 2000
-            (wavHeader(rate, payload.length), MediaMeta("audio/wav", 0, 0, rate, 0))
+            (wavHeader(rate, payload.length) ++ payload,
+              MediaMeta("audio/wav", 0, 0, rate, 0))
           case _ =>
-            (mp4Header(), MediaMeta("video/mp4", 320, 240, 0, 24 + (id % 100).toInt))
+            val nf = 24 + (id % 100).toInt
+            val w = 160 + (id % 16).toInt * 16
+            val h = 120 + (id % 12).toInt * 16
+            val stride = payload.length / nf
+            // fourcc "text": the samples are text slices, honestly not
+            // JPEG — the decode path must take its fallback, and the
+            // structural parse must still succeed
+            (Mp4.write(payload, Array.fill(nf)(stride), w, h, "text"),
+              MediaMeta("video/mp4", w, h, 0, nf))
         }
-        MediaRow(id, kind, header ++ payload, meta)
+        MediaRow(id, kind, content, meta)
       }
   }
 
@@ -167,27 +182,31 @@ object Multimodal {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
       catch { case _: Throwable => null }
-    if (img == null) byteHistogramSketch(content)
-    else {
-      val (w, h) = (img.getWidth, img.getHeight)
-      val hist = new Array[Float](16)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-            (rgb & 0xff) * 114) / 1000
-          hist(lum >> 4) += 1f
-          x += 1
-        }
-        y += 1
+    if (img == null) byteHistogramSketch(content) else pixelHistogram(img)
+  }
+
+  /** 16-bin normalized luminance histogram over decoded pixels (Rec. 601
+    * integer weights — bit-deterministic across JVMs); shared by the
+    * still-image and per-video-frame decode paths */
+  private def pixelHistogram(img: java.awt.image.BufferedImage): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val hist = new Array[Float](16)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        hist(lum >> 4) += 1f
+        x += 1
       }
-      val n = math.max(w * h, 1).toFloat
-      var i = 0
-      while (i < 16) { hist(i) /= n; i += 1 }
-      hist
+      y += 1
     }
+    val n = math.max(w * h, 1).toFloat
+    var i = 0
+    while (i < 16) { hist(i) /= n; i += 1 }
+    hist
   }
 
   /** REAL audio decode via the JDK's javax.sound.sampled WAV/AIFF/AU
@@ -240,13 +259,43 @@ object Multimodal {
     hist.map(_ / n)
   }
 
-  /** ??? STUB ??? — a real implementation resamples audio / samples video
-    * frames; fake keeps every k-th byte (frame-sampling shape) */
-  private def frameSampleStub(content: Array[Byte], k: Int): Array[Byte] = {
-    val out = new Array[Byte]((content.length + k - 1) / k)
-    var i = 0
-    while (i < out.length) { out(i) = content(i * k); i += 1 }
-    out
+  /** REAL video feature extraction: walk the MP4 sample table
+    * ([[Mp4.parse]]), pull every [[FrameEvery]]-th frame's byte range,
+    * and ImageIO-decode each sampled frame — actual pixels for
+    * MJPEG-in-MP4, where samples are JPEG stills the JDK can read. The
+    * feature is the mean luminance histogram over the decodable sampled
+    * frames. Payloads with no parseable sample table or no decodable
+    * frames (non-JPEG codecs — no in-JVM decoder exists) fall back to
+    * [[byteHistogramSketch]], keeping the kernel total. Decode cost is
+    * O(sampled frame bytes), not O(video bytes): the table makes the
+    * byte ranges addressable without a scan. */
+  private[functions] def decodeVideo(content: Array[Byte]): Array[Float] = {
+    Mp4.parse(content) match {
+      case None => byteHistogramSketch(content)
+      case Some(table) =>
+        val acc = new Array[Float](16)
+        var decoded = 0
+        var i = 0
+        while (i < table.nFrames) {
+          val (off, len) = table.samples(i)
+          if (off >= 0 && len > 0 && off + len <= content.length) {
+            val frame = java.util.Arrays.copyOfRange(
+              content, off.toInt, (off + len).toInt)
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+              catch { case _: Throwable => null }
+            if (img != null) {
+              val hist = pixelHistogram(img)
+              var j = 0
+              while (j < 16) { acc(j) += hist(j); j += 1 }
+              decoded += 1
+            }
+          }
+          i += FrameEvery
+        }
+        if (decoded == 0) byteHistogramSketch(content)
+        else { var j = 0; while (j < 16) { acc(j) /= decoded; j += 1 }; acc }
+    }
   }
 
   /** feature extraction as a partition-local batched kernel: iterate the
@@ -261,7 +310,7 @@ object Multimodal {
         batch.iterator.map { m =>
           val emb = m.kind match {
             case "audio" => decodeAudio(m.content)
-            case "video" => decodeImage(frameSampleStub(m.content, 4), m.meta)
+            case "video" => decodeVideo(m.content)
             case _       => decodeImage(m.content, m.meta)
           }
           // probe the real container header rather than trusting carried meta:
@@ -320,11 +369,13 @@ object Multimodal {
     * partition (no shuffle of media bytes; the output rows are 32 bytes
     * each whatever the video size).
     *
-    * ??? STUB ??? — a real implementation walks the MP4 sample tables
-    * (moov/stbl: stsz sizes + stco chunk offsets) to index frames; the
-    * 12-byte ftyp synth header has no sample table, so the fake assumes
-    * uniform stride payload/n_frames with n_frames from carried metadata.
-    * Partition-local batched kernel like [[extractFeatures]]. */
+    * REAL: [[Mp4.parse]] walks the container's moov/stbl sample tables
+    * (stsz sizes + stco chunk offsets + stsc chunk runs) — the offsets
+    * come from the bytes, not from carried metadata. Videos with no
+    * parseable sample table emit no refs (nothing is addressable without
+    * an index; the degradation is per-row and silent, like the decode
+    * fallbacks). Partition-local batched kernel like
+    * [[extractFeatures]]. */
   def frameRefs(media: Dataset[MediaRow], every: Int = FrameEvery,
       batchSize: Int = 64): Dataset[FrameRef] = {
     val spark = media.sparkSession
@@ -332,12 +383,12 @@ object Multimodal {
     media.filter(_.kind == "video").mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { m =>
-          val header = 12L // ftyp box — the only container structure present
-          val payload = m.content.length - header
-          val nf = m.meta.n_frames
-          val stride = if (nf > 0) payload / nf else 0L
-          (0 until nf by every).iterator
-            .map(i => FrameRef(m.media_id, i.toLong, header + i * stride, stride))
+          Mp4.parse(m.content).iterator.flatMap { table =>
+            (0 until table.nFrames by every).iterator.map { i =>
+              val (off, len) = table.samples(i)
+              FrameRef(m.media_id, i.toLong, off, len)
+            }
+          }
         }
       }
     }
@@ -346,10 +397,11 @@ object Multimodal {
   val FrameEvery = 8
 
   /** declared query: the sampled-frame byte-range index over the
-    * synthesized corpus — one row per kept frame, pinned arithmetically
-    * by the oracle (n_frames, stride, offsets are pure functions of
-    * doc_id and text length, so a kernel or synthesis drift breaks the
-    * hash) */
+    * synthesized corpus — one row per kept frame. The Spark side parses
+    * offsets/sizes back OUT of the real stsz/stco tables [[Mp4.write]]
+    * encoded; the oracle replays the arithmetic the writer used (uniform
+    * stride payload/nf from mdat data offset 24), so a one-byte drift in
+    * either the box writer or the box parser breaks the hash. */
   def mediaFrames(s: SparkSession, dir: String): DataFrame =
     frameRefs(synthesizeMedia(s, dir)).toDF()
       .orderBy("media_id", "frame_idx")
@@ -359,7 +411,7 @@ object Multimodal {
        |    strlen(text)::BIGINT AS payload
        |  FROM documents WHERE doc_id % 3 = 2),
        |f AS (SELECT media_id, i::BIGINT AS frame_idx,
-       |    (12 + i * (payload // nf))::BIGINT AS byte_off,
+       |    (24 + i * (payload // nf))::BIGINT AS byte_off,
        |    (payload // nf)::BIGINT AS n_bytes
        |  FROM v JOIN generate_series(0, 200) g(i)
        |    ON i < nf AND i % $FrameEvery = 0)
@@ -386,12 +438,15 @@ object Multimodal {
 
   /** the synthesis + probe replayed arithmetically: kind/mime/dims/rate
     * are pure functions of doc_id (synthesizeMedia's parameterization) and
-    * n_bytes = header_len + byte-length(text), with header_len fixed per
-    * container (PNG 33, JPEG 21, WAV 36, MP4 12). The oracle agrees with
-    * the Spark result only if the probe reads back exactly what the
-    * header writers encoded — a one-byte layout drift breaks the hash. */
+    * n_bytes = container_overhead + byte-length(text), with overhead fixed
+    * per container (PNG 33, JPEG 21, WAV 36) except MP4, whose overhead is
+    * [[Mp4.overheadBase]] + 4·nf (the stsz table grows with frame count).
+    * Video dims now flow through the tkhd box — written as 16.16 fixed
+    * point, parsed back by the probe. The oracle agrees with the Spark
+    * result only if the probe reads back exactly what the writers encoded
+    * — a one-byte layout drift breaks the hash. */
   val mediaFeaturesSql: String =
-    """SELECT
+    s"""SELECT
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
       |  CASE doc_id % 3
       |    WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END
@@ -399,10 +454,13 @@ object Multimodal {
       |  count(*) AS n,
       |  sum(CASE doc_id % 3
       |        WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 21 END
-      |        WHEN 1 THEN 36 ELSE 12 END
+      |        WHEN 1 THEN 36
+      |        ELSE ${Mp4.overheadBase} + 4 * (24 + doc_id % 100) END
       |      + strlen(text))::BIGINT AS total_bytes,
-      |  sum(CASE WHEN doc_id % 3 = 0 THEN 64 + (doc_id % 64) * 16 ELSE 0 END)::BIGINT AS sum_w,
-      |  sum(CASE WHEN doc_id % 3 = 0 THEN 64 + (doc_id % 48) * 16 ELSE 0 END)::BIGINT AS sum_h,
+      |  sum(CASE doc_id % 3 WHEN 0 THEN 64 + (doc_id % 64) * 16
+      |        WHEN 2 THEN 160 + (doc_id % 16) * 16 ELSE 0 END)::BIGINT AS sum_w,
+      |  sum(CASE doc_id % 3 WHEN 0 THEN 64 + (doc_id % 48) * 16
+      |        WHEN 2 THEN 120 + (doc_id % 12) * 16 ELSE 0 END)::BIGINT AS sum_h,
       |  sum(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 2000 ELSE 0 END)::BIGINT AS sum_rate
       |FROM documents
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

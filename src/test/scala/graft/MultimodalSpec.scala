@@ -53,14 +53,17 @@ class MultimodalSpec extends AnyFunSuite {
         case "audio" =>
           assert(p.sample_rate === m.meta.sample_rate, s"media ${m.media_id}")
         case _ =>
-          // an mp4 ftyp box carries no dims/rate — the probe must say so
-          // rather than echo the carried metadata
-          assert(p.width === 0 && p.height === 0 && p.sample_rate === 0)
+          // video dims/frame-count travel through real boxes now: tkhd
+          // 16.16 fixed-point dims and the stsz sample count must parse
+          // back to exactly what the writer encoded
+          assert(p.width === m.meta.width, s"media ${m.media_id}")
+          assert(p.height === m.meta.height, s"media ${m.media_id}")
+          assert(p.n_frames === m.meta.n_frames, s"media ${m.media_id}")
       }
     }
   }
 
-  test("decode stub: known payloads give exact histogram embeddings") {
+  test("decode fallback: non-decodable payloads give the exact byte-sketch histogram") {
     import spark.implicits._
     val content = Array.tabulate(16)(_.toByte) // one byte per histogram bin
     val meta = Multimodal.MediaMeta("application/octet-stream", 0, 0, 0, 0)
@@ -68,10 +71,11 @@ class MultimodalSpec extends AnyFunSuite {
       Seq(Multimodal.MediaRow(1L, "image", content, meta)).toDS()).collect().head
     assert(img.embedding.toSeq === Seq.fill(16)(1f / 16))
     assert(img.mime === "application/octet-stream" && img.n_bytes === 16L)
-    // the video path frame-samples every 4th byte before the histogram
+    // a video payload with no parseable MP4 structure takes the same
+    // total fallback — the kernel must not throw on arbitrary bytes
     val vid = Multimodal.extractFeatures(
       Seq(Multimodal.MediaRow(2L, "video", content, meta)).toDS()).collect().head
-    assert(vid.embedding.toSeq === (0 until 16).map(i => if (i % 4 == 0) 0.25f else 0f))
+    assert(vid.embedding.toSeq === Seq.fill(16)(1f / 16))
   }
 
   test("q_media_features aggregates features without shuffling media bytes") {
@@ -85,7 +89,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!p.contains("content"), "binary payload leaked into the shuffle")
   }
 
-  test("frameRefs: every-kth byte-range pointers match the uniform-stride model, videos only") {
+  test("frameRefs: every-kth byte ranges come from the parsed stsz/stco tables, videos only") {
     import spark.implicits._
     val media = functions.Multimodal.synthesizeMedia(spark, TestSpark.sfDir)
     val refs = functions.Multimodal.frameRefs(media).collect()
@@ -94,13 +98,69 @@ class MultimodalSpec extends AnyFunSuite {
     assert(videos.nonEmpty && refs.keySet === videos.map(_.media_id).toSet,
       "exactly the video rows produce frame refs")
     videos.foreach { m =>
+      // writer invariant: file = payload + overheadBase + 4·nf, samples
+      // laid back-to-back from the mdat data offset with uniform stride
       val nf = m.meta.n_frames
-      val stride = (m.content.length - 12L) / nf
+      val payload = m.content.length - functions.Mp4.overheadBase - 4L * nf
+      val stride = payload / nf
       val expect = (0 until nf by functions.Multimodal.FrameEvery)
-        .map(i => (i.toLong, 12L + i * stride, stride))
+        .map(i => (i.toLong, 24L + i * stride, stride))
       val got = refs(m.media_id).map(r => (r.frame_idx, r.byte_off, r.n_bytes)).toSeq
       assert(got === expect, s"media ${m.media_id}")
     }
+    // a video whose bytes carry no sample table is unaddressable: no refs
+    val noIdx = Multimodal.MediaRow(99L, "video", Array.tabulate(64)(_.toByte),
+      Multimodal.MediaMeta("video/mp4", 0, 0, 0, 5))
+    assert(functions.Multimodal.frameRefs(Seq(noIdx).toDS()).collect().isEmpty)
+  }
+
+  /** a REAL MJPEG-in-MP4: JPEG stills (encoded by ImageIO) as the MP4
+    * samples, indexed by a real stsz table with per-frame sizes */
+  private def mjpegVideo(shades: Seq[Int], w: Int, h: Int): (Array[Byte], Seq[Array[Byte]]) = {
+    val frames = shades.map(v => realImage("jpg", w, h, (v << 16) | (v << 8) | v))
+    (functions.Mp4.write(frames.reduce(_ ++ _), frames.map(_.length).toArray, w, h,
+      "jpeg"), frames)
+  }
+
+  test("real MJPEG MP4: sample table indexes actual JPEG frames, decode reads their pixels") {
+    import spark.implicits._
+    // 9 frames so sampling every 8th keeps frames 0 and 8; both solid
+    // gray 200 → all luminance mass in bin 12 (as in the still test)
+    val shades = Seq(200, 40, 40, 40, 40, 40, 40, 40, 200)
+    val (mp4, frames) = mjpegVideo(shades, 6, 4)
+    // probe: tkhd dims and stsz count read back from real boxes
+    val p = Multimodal.probeMedia(mp4)
+    assert(p.mime === "video/mp4" && p.width === 6 && p.height === 4
+      && p.n_frames === 9)
+    // frameRefs: per-frame sizes differ (JPEG output is content-dependent)
+    // so this exercises the stsz TABLE, not a uniform stride
+    val row = Multimodal.MediaRow(7L, "video", mp4,
+      Multimodal.MediaMeta("video/mp4", 6, 4, 0, 9))
+    val refs = functions.Multimodal.frameRefs(Seq(row).toDS(), every = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(refs.length === 9)
+    val expectOffs = frames.map(_.length.toLong).scanLeft(24L)(_ + _).init
+    assert(refs.map(_.byte_off).toSeq === expectOffs)
+    assert(refs.map(_.n_bytes).toSeq === frames.map(_.length.toLong))
+    // and the indexed ranges really are the JPEG bytes
+    refs.zip(frames).foreach { case (r, f) =>
+      assert(java.util.Arrays.equals(java.util.Arrays.copyOfRange(
+        mp4, r.byte_off.toInt, (r.byte_off + r.n_bytes).toInt), f))
+    }
+    // decode: sampled frames (0 and 8, both gray 200) run the actual JPEG
+    // codec — mean histogram has all mass in luminance bin 12; the dark
+    // unsampled frames (bin 2) must NOT contribute
+    val feat = Multimodal.extractFeatures(Seq(row).toDS()).collect().head
+    assert(feat.embedding(12) === 1.0f,
+      s"expected sampled-frame mass in bin 12, got ${feat.embedding.toSeq}")
+    assert(feat.width === 6 && feat.height === 4)
+    // corrupting the moov index degrades to the byte sketch, not a throw
+    val broken = mp4.clone()
+    val moovAt = mp4.indexOfSlice("moov".getBytes("US-ASCII"))
+    broken(moovAt) = 'x'.toByte
+    val fb = Multimodal.extractFeatures(Seq(row.copy(content = broken)).toDS())
+      .collect().head
+    assert(fb.embedding.toSeq !== feat.embedding.toSeq)
   }
 
   /** a REAL encoded image (JDK ImageIO), w×h pixels of one solid RGB
