@@ -919,6 +919,73 @@ object Dedup {
        |SELECT chunk, count(*) AS n_buckets, (sum(n * (n - 1)) // 2)::BIGINT AS n_pairs
        |FROM buckets WHERE n >= 2 GROUP BY chunk ORDER BY chunk""".stripMargin
 
+  // ---- band-index bucket observability --------------------------------
+
+  /** Bucket-occupancy profile of BOTH band families on the cross-engine
+    * md5 hash family — the observability the cap-tuning dial needs
+    * (PERF.md's cap sweep showed recall is bought back by raising the
+    * cap on the hot tail; this query is how a deployment SEES that tail
+    * without running a sweep). One row per family with exact integer
+    * stats over its bucket-size distribution: how many buckets exist,
+    * how full they are, how many singletons carry no dedup signal, and —
+    * the tuning signal — how many buckets exceed the write-time cap and
+    * how many entries the truncation would drop. Everything is counts,
+    * so the DuckDB replay is float-free.
+    *
+    * Scale shape: per family ONE (key) groupBy to bucket sizes (map-side
+    * combined) then one 2-row aggregate — the same shuffles the band
+    * builds themselves pay, no pair generation anywhere. */
+  def dedupBucketStats(s: SparkSession, dir: String): DataFrame = {
+    val mh = md5Banded(s, dir)
+      .groupBy("band", "bh").agg(count(lit(1)).as("n"))
+      .select(lit("minhash").as("family"), col("n"),
+        lit(MinhashMaxBucket.toLong).as("cap"))
+    val sh = md5SimhashSigs(s, dir).select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, 3), c -> shiftright(sig, c * 15) & 32767)"))
+          .as(Seq("chunk", "cv")))
+      .groupBy("chunk", "cv").agg(count(lit(1)).as("n"))
+      .select(lit("simhash").as("family"), col("n"),
+        lit(SimhashMaxBucket.toLong).as("cap"))
+    mh.unionByName(sh)
+      .groupBy("family")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("n")).as("n_entries"),
+        max(col("n")).as("max_size"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_singletons"),
+        sum(when(col("n") > col("cap"), 1L).otherwise(0L)).as("n_over_cap"),
+        sum(when(col("n") > col("cap"), col("n") - col("cap")).otherwise(0L))
+          .as("entries_over_cap"))
+      .orderBy("family")
+  }
+
+  /** both families replayed in scoped sub-WITHs (each chain defines its
+    * own `sigs` CTE, so they cannot share one WITH list) */
+  val dedupBucketStatsSql: String =
+    s"""WITH mh AS (
+       |  SELECT 'minhash' AS family, n, ${MinhashMaxBucket}::BIGINT AS cap FROM (
+       |    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |    grams AS (
+       |      SELECT doc_id, gram FROM (
+       |        SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+       |        FROM toks JOIN generate_series(1, 100000) g(i) ON i <= len(tk) - 2
+       |        WHERE len(tk) >= 3
+       |        UNION
+       |        SELECT doc_id, array_to_string(tk, ' ') AS gram FROM toks WHERE len(tk) < 3)),
+       |    $md5BandsCtes
+       |    SELECT count(*) AS n FROM bands GROUP BY band, bh) x),
+       |sh AS (
+       |  SELECT 'simhash' AS family, n, ${SimhashMaxBucket}::BIGINT AS cap FROM (
+       |    WITH $simhashChunkedCtes
+       |    SELECT count(*) AS n FROM chunked GROUP BY chunk, cv) y),
+       |u AS (SELECT * FROM mh UNION ALL SELECT * FROM sh)
+       |SELECT family, count(*) AS n_buckets, sum(n)::BIGINT AS n_entries,
+       |  max(n)::BIGINT AS max_size,
+       |  sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons,
+       |  sum(CASE WHEN n > cap THEN 1 ELSE 0 END)::BIGINT AS n_over_cap,
+       |  sum(CASE WHEN n > cap THEN n - cap ELSE 0 END)::BIGINT AS entries_over_cap
+       |FROM u GROUP BY family ORDER BY family""".stripMargin
+
   // ---- SimHash candidate-quality evaluation ---------------------------
   /** The [[dedupEval]] instrument for the SimHash family: recall/precision
     * of the PRODUCTION candidate set (chunk-collision buckets with the
@@ -1766,6 +1833,7 @@ object Dedup {
     "q_dedup_minhash_clusters" -> dedupMinhashClusters _,
     "q_dedup_simhash" -> dedupSimhash _,
     "q_dedup_simhash_chunks" -> dedupSimhashChunks _,
+    "q_dedup_bucket_stats" -> dedupBucketStats _,
     "q_dedup_simhash_eval" -> dedupSimhashEval _,
     "q_decontaminate" -> decontaminate _,
     "q_decontaminate_bloom" -> decontaminateBloom _,
@@ -1786,6 +1854,7 @@ object Dedup {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_apply" -> dedupApplySql,
     "q_dedup_simhash_chunks" -> dedupSimhashChunksSql,
+    "q_dedup_bucket_stats" -> dedupBucketStatsSql,
     "q_dedup_simhash_eval" -> dedupSimhashEvalSql,
     "q_decontaminate" -> decontaminateSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
