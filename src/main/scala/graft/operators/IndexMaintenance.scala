@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Compaction maintenance for the persisted index families.
+  *
+  * Why it exists: every index family now has add-after-build appends
+  * (appendIvfIndex / appendIvfPqIndex / appendSemanticIndex /
+  * appendMinhashIndex / appendSimhashIndex / appendGramIndex), and the
+  * streaming ingest admission loop runs one append PER MICRO-BATCH.
+  * Parquet append mode only ever adds files, so a 2-second trigger
+  * accumulates ~43k files/day per directory and probe-scan PLANNING
+  * (file listing + footer reads), not IO, becomes the bottleneck —
+  * the same failure mode `Sinks.compactDay` exists to stop on the log
+  * sink. Compaction rewrites a directory clustered by its probe keys
+  * into O(shuffle partitions) files and swaps it in place; probe
+  * results are unchanged (asserted per family in
+  * IndexMaintenanceSpec).
+  *
+  * Swap discipline: the rewrite lands in `<dir>__compact` first (the
+  * slow part — full shuffle + write — happens against a live index;
+  * probes keep working), then two renames swap it in. On a POSIX
+  * filesystem / HDFS, rename is atomic so the unreadable window is the
+  * gap between the two renames; a crash in that gap leaves
+  * `<dir>__old` intact for manual rollback. On S3-style object stores
+  * rename is copy+delete, so production runs there should instead
+  * write versioned directories and flip a manifest pointer — the same
+  * caveat `Sinks.writeManifest` documents for the shard layout.
+  *
+  * What compaction does NOT do: re-apply the bucket caps or the df
+  * pruning. Appends already enforce those at admission time, so a
+  * rewrite preserves row content exactly (the one semantic rewrite is
+  * the gram `dfs/` delta log, whose CONTRACT is "readers sum per gh" —
+  * summing the deltas into one row per gh is the log-compaction that
+  * contract was designed for).
+  */
+object IndexMaintenance {
+
+  /** number of parquet data files under a directory (recursive) — the
+    * quantity compaction exists to bound; exposed for ops/specs */
+  def dataFileCount(dir: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+      else if (f.getName.endsWith(".parquet")) 1
+      else 0
+    walk(new java.io.File(dir))
+  }
+
+  /** rewrite one parquet directory: read → optional transform →
+    * cluster by `clusterCols` → write to `<dir>__compact` → swap */
+  private def compactDir(s: SparkSession, dir: String,
+      clusterCols: Seq[String], partitionCols: Seq[String] = Nil,
+      transform: DataFrame => DataFrame = identity): Unit = {
+    val tmp = dir + "__compact"
+    val old = dir + "__old"
+    graft.util.deleteRecursively(tmp)
+    graft.util.deleteRecursively(old)
+    val w = transform(s.read.parquet(dir))
+      .repartition(clusterCols.map(col): _*)
+      .write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp)
+    val dirF = new java.io.File(dir)
+    val oldF = new java.io.File(old)
+    if (!dirF.renameTo(oldF))
+      sys.error(s"compact: cannot move $dir aside")
+    if (!new java.io.File(tmp).renameTo(dirF)) {
+      oldF.renameTo(dirF) // rollback — the live index stays valid
+      sys.error(s"compact: cannot swap $tmp into place")
+    }
+    graft.util.deleteRecursively(old)
+  }
+
+  /** SimHash band index: `bands/` re-clustered by its (chunk, cv) probe
+    * key; `meta/` (the persisted cap) untouched */
+  def compactSimhashIndex(s: SparkSession, indexPath: String): Unit =
+    compactDir(s, s"$indexPath/bands", Seq("chunk", "cv"))
+
+  /** MinHash band index: `bands/` by its (band, bh) probe key, `sigs/`
+    * by doc_id (verification reads it via a doc_id equi-join) */
+  def compactMinhashIndex(s: SparkSession, indexPath: String): Unit = {
+    compactDir(s, s"$indexPath/bands", Seq("band", "bh"))
+    compactDir(s, s"$indexPath/sigs", Seq("doc_id"))
+  }
+
+  /** Pruned inverted gram index: `grams/` by gh, `sizes/` by doc_id,
+    * and the `dfs/` DELTA LOG summed into one row per gh — readers sum
+    * per gh, so replacing k delta rows with their sum is the log
+    * compaction the delta contract exists for (df totals identical,
+    * future append admission decisions identical) */
+  def compactGramIndex(s: SparkSession, indexPath: String): Unit = {
+    compactDir(s, s"$indexPath/grams", Seq("gh"))
+    compactDir(s, s"$indexPath/sizes", Seq("doc_id"))
+    compactDir(s, s"$indexPath/dfs", Seq("gh"),
+      transform = _.groupBy("gh").agg(sum(col("df")).as("df")))
+  }
+
+  /** IVF (and semantic — same layout) index: `lists/` re-clustered and
+    * re-partitioned by cid, so each cell directory returns to one file
+    * per shuffle task; `codebook/` (the trained geometry) untouched */
+  def compactIvfIndex(s: SparkSession, indexPath: String): Unit =
+    compactDir(s, s"$indexPath/lists", Seq("cid"), partitionCols = Seq("cid"))
+
+  def compactSemanticIndex(s: SparkSession, indexPath: String): Unit =
+    compactIvfIndex(s, indexPath)
+
+  /** IVF+PQ: `lists/` carries the code columns but the same cid
+    * partitioning; `codebook/` and `pq/` (training state) untouched */
+  def compactIvfPqIndex(s: SparkSession, indexPath: String): Unit =
+    compactIvfIndex(s, indexPath)
+}

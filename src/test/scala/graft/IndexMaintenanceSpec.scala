@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Compaction maintenance: after append-driven file accumulation, each
+  * family's compaction must (a) shrink the data-file count, (b) leave
+  * probe/query results identical, and (c) never touch the training /
+  * metadata sidecars the index's geometry depends on. */
+class IndexMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def sidecarBytes(path: String): Map[String, Array[Byte]] =
+    new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath))
+      .toMap
+
+  private def batchDocs(ids: Range, text: String) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, text)).toDF("doc_id", "text")
+  }
+
+  test("compactSimhashIndex: fewer files, identical probe verdicts, meta untouched") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_cmp_sh").toString
+    operators.Dedup.writeSimhashIndex(spark, dir, idx)
+    val srcText = util.t(spark, dir, "documents")
+      .where(col("doc_id") % 10 =!= 7).orderBy("doc_id")
+      .select("text").limit(1).collect().head.getString(0)
+    // three appends = three more file generations, the admission-loop shape
+    (0 until 3).foreach(b =>
+      operators.Dedup.appendSimhashIndex(spark, idx,
+        batchDocs(800000 + b * 10 until 800000 + b * 10 + 3, srcText + s" b$b")))
+    val filesBefore = operators.IndexMaintenance.dataFileCount(s"$idx/bands")
+    val metaBefore = sidecarBytes(s"$idx/meta")
+    val probe = batchDocs(900001 to 900001, srcText)
+    val before = operators.Dedup.probeSimhashIndex(spark, probe, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._2)
+
+    operators.IndexMaintenance.compactSimhashIndex(spark, idx)
+
+    val filesAfter = operators.IndexMaintenance.dataFileCount(s"$idx/bands")
+    assert(filesAfter < filesBefore,
+      s"compaction did not shrink bands: $filesBefore -> $filesAfter")
+    val after = operators.Dedup.probeSimhashIndex(spark, probe, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._2)
+    assert(after === before, "probe verdicts changed across compaction")
+    assert(sidecarBytes(s"$idx/meta").view.mapValues(_.toSeq).toMap
+      === metaBefore.view.mapValues(_.toSeq).toMap, "meta sidecar rewritten")
+  }
+
+  test("compactMinhashIndex: fewer files in both dirs, identical probe verdicts") {
+    val idx = Files.createTempDirectory("graft_cmp_mh").toString
+    operators.Dedup.writeMinhashIndex(spark, dir, idx)
+    val srcText = util.t(spark, dir, "documents")
+      .where(col("doc_id") % 10 =!= 7).orderBy("doc_id")
+      .select("text").limit(1).collect().head.getString(0)
+    (0 until 3).foreach(b =>
+      operators.Dedup.appendMinhashIndex(spark, idx,
+        batchDocs(810000 + b * 10 until 810000 + b * 10 + 3, srcText)))
+    val bandsBefore = operators.IndexMaintenance.dataFileCount(s"$idx/bands")
+    val sigsBefore = operators.IndexMaintenance.dataFileCount(s"$idx/sigs")
+    val probe = batchDocs(900002 to 900002, srcText)
+    val before = operators.Dedup.probeMinhashIndex(spark, probe, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._2)
+
+    operators.IndexMaintenance.compactMinhashIndex(spark, idx)
+
+    assert(operators.IndexMaintenance.dataFileCount(s"$idx/bands") < bandsBefore)
+    assert(operators.IndexMaintenance.dataFileCount(s"$idx/sigs") < sigsBefore)
+    val after = operators.Dedup.probeMinhashIndex(spark, probe, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._2)
+    assert(after === before, "probe verdicts changed across compaction")
+  }
+
+  test("compactGramIndex: dfs delta log collapses to one row per gh with identical totals") {
+    val idx = Files.createTempDirectory("graft_cmp_gr").toString
+    operators.Dedup.writeGramIndex(spark, dir, idx)
+    val srcText = util.t(spark, dir, "documents")
+      .where(col("doc_id") % 10 =!= 7).orderBy("doc_id")
+      .select("text").limit(1).collect().head.getString(0)
+    (0 until 3).foreach(b =>
+      operators.Dedup.appendGramIndex(spark, idx,
+        batchDocs(820000 + b * 10 until 820000 + b * 10 + 2, srcText)))
+    val dfsRowsBefore = spark.read.parquet(s"$idx/dfs").count()
+    val totalsBefore = spark.read.parquet(s"$idx/dfs")
+      .groupBy("gh").agg(sum("df").as("df"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val probe = batchDocs(900003 to 900003, srcText)
+    val before = operators.Dedup.probeGramIndex(spark, probe, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._2)
+
+    operators.IndexMaintenance.compactGramIndex(spark, idx)
+
+    val dfs = spark.read.parquet(s"$idx/dfs")
+    assert(dfs.count() < dfsRowsBefore, "delta log not collapsed")
+    assert(dfs.groupBy("gh").count().where(col("count") > 1).count() === 0,
+      "dfs must hold one row per gh after log compaction")
+    val totalsAfter = dfs
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(totalsAfter === totalsBefore, "df totals drifted across compaction")
+    val after = operators.Dedup.probeGramIndex(spark, probe, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._2)
+    assert(after === before, "probe verdicts changed across compaction")
+  }
+
+  test("compactIvfIndex: cell dirs shrink, ANN top-k identical, codebook untouched") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_cmp_ivf").toString
+    operators.Similarity.writeIvfIndex(spark, dir, idx)
+    val vecs = util.t(spark, dir, "embeddings")
+      .orderBy("vec_id").limit(4)
+      .select(col("vec_id") + 900000L, col("embedding"))
+      .toDF("vec_id", "embedding")
+    (0 until 3).foreach(b =>
+      operators.Similarity.appendIvfIndex(spark, idx,
+        vecs.withColumn("vec_id", col("vec_id") + lit(b * 100L))))
+    val filesBefore = operators.IndexMaintenance.dataFileCount(s"$idx/lists")
+    val bookBefore = sidecarBytes(s"$idx/codebook")
+    val pe = util.t(spark, dir, "embeddings").orderBy("vec_id")
+      .select("embedding").limit(1)
+      .as[Array[Float]].collect().head.toSeq
+    def topk = operators.Similarity.annQueryIndex(spark, idx, pe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    val before = topk
+    operators.IndexMaintenance.compactIvfIndex(spark, idx)
+
+    assert(operators.IndexMaintenance.dataFileCount(s"$idx/lists") < filesBefore,
+      "compaction did not shrink lists")
+    assert(topk === before, "ANN top-k changed across compaction")
+    assert(sidecarBytes(s"$idx/codebook").view.mapValues(_.toSeq).toMap
+      === bookBefore.view.mapValues(_.toSeq).toMap, "codebook rewritten")
+  }
+}
