@@ -777,6 +777,45 @@ object Pipeline {
       .start()
   }
 
+  /** LIVE media feature extraction — the streaming serving twin of
+    * `q_media_features`' kernel: each micro-batch of
+    * (media_id, kind, content) rows runs the SAME partition-local
+    * batched decode kernel (`Multimodal.extractFeatures` — ImageIO
+    * stills, WAV-PCM audio, MP4 sample-table frame decode, byte-sketch
+    * fallback) as the batch path, so a media row's features are
+    * identical whether it arrives live or in bulk. Metadata comes from
+    * `probeMedia` on the arriving bytes — the binary column is the
+    * source of truth at ingest, the same rule the batch kernel applies.
+    * Stateless by design (per-row decode needs no cross-batch state);
+    * media bytes never leave their arriving partition — only the
+    * 16-float feature rows are written. Exactly-once per-batch_id
+    * partition overwrite like the other gates. */
+  def streamMediaFeatures(media: DataFrame, outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    media.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s2 = batch.sparkSession
+        import s2.implicits._
+        val typed = batch.select(col("media_id"), col("kind"), col("content"))
+          .as[(Long, String, Array[Byte])]
+          .map { case (id, kind, content) =>
+            graft.functions.Multimodal.MediaRow(id, kind, content,
+              graft.functions.Multimodal.probeMedia(content))
+          }
+        graft.functions.Multimodal.extractFeatures(typed)
+          .toDF()
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .start()
+
   /** LIVE semantic dedup — the embedding-side twin of
     * [[streamDedupIncremental]]: each micro-batch of (vec_id, embedding)
     * rows probes the persisted corpus semantic index

@@ -1000,4 +1000,32 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("timestamp", "device", "message").collect().toSeq
     assert(got.map(_.toSeq.map(String.valueOf)) === expected.map(_.toSeq.map(String.valueOf)))
   }
+
+  test("streamMediaFeatures: per-batch decode kernel reproduces the batch features") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val media = graft.functions.Multimodal.synthesizeMedia(spark, dir)
+    val rows = media.collect().map(m => (m.media_id, m.kind, m.content)).toSeq
+    val (firstHalf, secondHalf) = rows.splitAt(rows.size / 2)
+    val ms = MemoryStream[(Long, String, Array[Byte])]
+    ms.addData(firstHalf)
+    ms.addData(secondHalf)
+    val out = Files.createTempDirectory("graft_smf_out").toString
+    val ckpt = Files.createTempDirectory("graft_smf_ckpt").toString
+    val q = Pipeline.streamMediaFeatures(
+      ms.toDF().toDF("media_id", "kind", "content"), out, ckpt,
+      Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("media_id"), r.getAs[String]("kind"), r.getAs[String]("mime"),
+        r.getAs[Long]("n_bytes"), r.getAs[Int]("width"), r.getAs[Int]("height"),
+        r.getAs[Int]("sample_rate"), r.getAs[Seq[Float]]("embedding"))
+    val streamed = spark.read.parquet(out).collect().map(key).sortBy(_._1).toSeq
+    val batch = graft.functions.Multimodal.extractFeatures(media)
+      .toDF().collect().map(key).sortBy(_._1).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty && streamed.map(_._2).toSet
+      === Set("image", "audio", "video"))
+  }
 }
