@@ -46,6 +46,40 @@ object TextAnalysis {
       |FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) x
       |WHERE tok <> '' GROUP BY 1 ORDER BY cnt DESC, tok ASC LIMIT 20""".stripMargin
 
+  // ---- tokenizer-training pair statistics ----------------------------
+  /** Top adjacent-token-pair frequencies over the corpus — the merge
+    * statistics a BPE-style tokenizer-training pass computes each
+    * round (Sennrich 2016 §3: count all symbol pairs, merge the most
+    * frequent); at word granularity this is round-1's candidate table,
+    * and at 100 TB it is the step that must be a distributed count,
+    * not a driver-side dictionary. Shape: pairs are built per-row by a
+    * zip_with over two slices of the SAME token array (one codegen'd
+    * projection, no self-join of an exploded token table, no
+    * positional window), then ONE explode feeds a (t1, t2) groupBy —
+    * both aggregation keys scale with data. Total (cnt DESC, t1, t2)
+    * order with a top-100 cut keeps the output driver-safe at any
+    * corpus size. */
+  def bpePairs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(split(lower(col("text")), " ").as("tk"))
+      .select(explode(expr(
+        """zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
+          |  (a, b) -> struct(a AS t1, b AS t2))""".stripMargin)).as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .where(col("t1") =!= "" && col("t2") =!= "")
+      .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t1").asc, col("t2").asc)
+      .limit(100)
+
+  val bpePairsSql =
+    """WITH toks AS (SELECT string_split(lower(text), ' ') AS tk FROM documents),
+      |pairs AS (
+      |  SELECT tk[i] AS t1, tk[i+1] AS t2
+      |  FROM toks JOIN generate_series(1, 100000) g(i) ON i <= len(tk) - 1)
+      |SELECT t1, t2, count(*) AS cnt FROM pairs
+      |WHERE t1 <> '' AND t2 <> ''
+      |GROUP BY 1, 2 ORDER BY cnt DESC, t1 ASC, t2 ASC LIMIT 100""".stripMargin
+
   // ---- heuristic language ID -----------------------------------------
   /** tiny per-language stopword lists; winner = running strict-> max in
     * list order (en,es,de,fr,zh) — deterministic, mirrored in the oracle */
@@ -1017,6 +1051,7 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "q_text_stats" -> textStats _,
     "q_token_freq" -> tokenFreq _,
+    "q_bpe_pairs" -> bpePairs _,
     "q_lang_id" -> langId _,
     "q_quality_score" -> qualityScore _,
     "q_token_count" -> tokenCount _,
@@ -1045,6 +1080,7 @@ object TextAnalysis {
     "q_pack_efficiency" -> packEfficiencySql,
     "q_text_stats" -> textStatsSql,
     "q_token_freq" -> tokenFreqSql,
+    "q_bpe_pairs" -> bpePairsSql,
     "q_lang_id" -> langIdSql,
     "q_quality_score" -> qualityScoreSql,
     "q_token_count" -> tokenCountSql,
