@@ -60,14 +60,8 @@ object TextAnalysis {
     * order with a top-100 cut keeps the output driver-safe at any
     * corpus size. */
   def bpePairs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(split(lower(col("text")), " ").as("tk"))
-      .select(explode(expr(
-        """zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
-          |  (a, b) -> struct(a AS t1, b AS t2))""".stripMargin)).as("p"))
-      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
-      .where(col("t1") =!= "" && col("t2") =!= "")
-      .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+    pairCounts(t(s, dir, "documents")
+        .select(split(lower(col("text")), " ").as("tk")))
       .orderBy(col("cnt").desc, col("t1").asc, col("t2").asc)
       .limit(100)
 
@@ -79,6 +73,80 @@ object TextAnalysis {
       |SELECT t1, t2, count(*) AS cnt FROM pairs
       |WHERE t1 <> '' AND t2 <> ''
       |GROUP BY 1, 2 ORDER BY cnt DESC, t1 ASC, t2 ASC LIMIT 100""".stripMargin
+
+  /** adjacent-pair frequencies of a token-array frame (column `tk`) —
+    * the per-round count [[bpeTrain]] iterates; same plan shape as the
+    * declared [[bpePairs]] */
+  private def pairCounts(toks: DataFrame): DataFrame =
+    toks.select(explode(expr(
+        """zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
+          |  (a, b) -> struct(a AS t1, b AS t2))""".stripMargin)).as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .where(col("t1") =!= "" && col("t2") =!= "")
+      .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+
+  /** greedy left-to-right non-overlapping application of one merge —
+    * the standard BPE apply step (a merged symbol cannot re-pair with
+    * the token it just consumed within the same pass) */
+  private def applyMerge(toks: Seq[String], a: String, b: String,
+      joined: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+        out += joined; i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Iterated BPE-style merge TRAINING (Sennrich 2016 §3) at word
+    * granularity: each round counts all adjacent pairs DISTRIBUTED
+    * (the [[pairCounts]] aggregation — scaling keys, map-side
+    * combined), takes the argmax under the total (cnt DESC, t1, t2)
+    * order, and applies the merge map-side (the winning pair is a
+    * closure constant — no broadcast, no shuffle; merged token =
+    * `t1 + " " + t2`, so a merged phrase is itself mergeable next
+    * round). Output: one row per round (rank, t1, t2, cnt) — the merge
+    * table a tokenizer ships.
+    *
+    * Scale design: the driver sees exactly ONE row per round (the
+    * argmax — merge-decision metadata, the same O(1)-per-action class
+    * as the IVF codebook probe planning); corpus token arrays never
+    * leave their partitions, and each round's remap is lineage-
+    * truncated with a lazy localCheckpoint exactly like the label-
+    * propagation loop (without it the typed-map tree doubles per
+    * round). Rounds are the serial dimension, as in every production
+    * BPE trainer — per-round cost is one aggregation over (t1, t2).
+    * Verified by BpeSpec: hand-computed merge sequence on a fixture
+    * corpus (including the tie-break and the phrase-remerge case) and
+    * round-1 ≡ the declared [[bpePairs]] argmax on real data. */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    var toks = docs.select(split(lower(col("text")), " ").as("tk"))
+      .as[Seq[String]]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var dry = false
+    while (r <= nMerges && !dry) {
+      val top = pairCounts(toks.toDF("tk"))
+        .orderBy(col("cnt").desc, col("t1").asc, col("t2").asc)
+        .limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (a, b, n) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((r, a, b, n))
+        val joined = a + " " + b
+        toks = toks.map(applyMerge(_, a, b, joined)).localCheckpoint(false)
+      }
+      r += 1
+    }
+    merges.toSeq.toDF("rank", "t1", "t2", "cnt")
+  }
+
+  def bpeTrain(s: SparkSession, dir: String, nMerges: Int = 8): DataFrame =
+    bpeTrain(t(s, dir, "documents").select("text"), nMerges)
 
   // ---- heuristic language ID -----------------------------------------
   /** tiny per-language stopword lists; winner = running strict-> max in

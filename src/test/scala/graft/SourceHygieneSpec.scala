@@ -29,7 +29,11 @@ class SourceHygieneSpec extends AnyFunSuite {
     "Sinks.scala" -> 1,
     // Dedup.readIndexMeta: O(1) index-family constant (the cap the index
     // was BUILT with) read back for append maintenance — pure metadata
-    "Dedup.scala" -> 1)
+    "Dedup.scala" -> 1,
+    // TextAnalysis.bpeTrain: ONE argmax row per merge round — the
+    // merge-decision metadata every BPE trainer serializes on; corpus
+    // token arrays never reach the driver (documented in the scaladoc)
+    "TextAnalysis.scala" -> 1)
 
   test("no .collect() in main operator/function/source/streaming code outside the allowlist") {
     val roots = Seq("operators", "functions", "sources", "streaming", "")
