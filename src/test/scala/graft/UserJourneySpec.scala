@@ -65,4 +65,38 @@ class UserJourneySpec extends AnyFunSuite {
     assert(cats("firewall") === 4L) // f01, f09, f18, f19
     assert(cats("unknown") === 4L)  // f14-f17 fallbacks
   }
+
+  /** The dedup-index LIFECYCLE as production runs it: build once, absorb
+    * arriving batches, compact on a maintenance cadence, keep absorbing.
+    * The post-compaction append is the step no per-component spec covers
+    * — it proves compaction leaves an index the admission loop can keep
+    * writing into (meta sidecar intact, bucket caps still enforced). */
+  test("index lifecycle: build, absorb, compact, absorb again, probe") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val idx = Files.createTempDirectory("graft_journey_idx").toString
+    graft.operators.Dedup.writeGramIndex(spark, dir, idx)
+    val srcText = graft.util.t(spark, dir, "documents")
+      .where(col("doc_id") % 10 =!= 7).orderBy("doc_id")
+      .select("text").limit(1).collect().head.getString(0)
+
+    // day 1: a novel batch arrives and is absorbed
+    graft.operators.Dedup.appendGramIndex(spark, idx,
+      Seq((700001L, srcText)).toDF("doc_id", "text"))
+    // nightly maintenance
+    graft.operators.IndexMaintenance.compactGramIndex(spark, idx)
+    // day 2: absorption continues against the compacted index
+    graft.operators.Dedup.appendGramIndex(spark, idx,
+      Seq((700002L, srcText + " tail")).toDF("doc_id", "text"))
+
+    // a later probe of the same text must see the corpus original AND
+    // both absorbed generations — one written pre-compact, one post
+    val hits = graft.operators.Dedup.probeGramIndex(spark,
+        Seq((700003L, srcText)).toDF("doc_id", "text"), idx)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits.contains(700001L), s"pre-compact absorbed doc lost: $hits")
+    assert(hits.contains(700002L), s"post-compact append broken: $hits")
+    // and the persisted df cap survives the rewrite (meta untouched)
+    assert(new java.io.File(s"$idx/meta").exists)
+  }
 }
