@@ -36,6 +36,79 @@ object Relational {
     """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
       |WHERE l_quantity >= 49 ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** text-format round-trip dirs memoized per (session, dir, input
+    * fingerprint) — the same staleness-guarded cache pattern as the
+    * dedup index caches */
+  private val textFmtCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+
+  private def ensureTextFormats(s: SparkSession, dir: String): String =
+    textFmtCache.synchronized {
+      val key = (s, dir)
+      val fp = graft.util.inputFingerprint(dir, "documents.parquet")
+      val cached = textFmtCache.get(key)
+      if (cached != null && cached._1 == fp) cached._2
+      else {
+        if (cached != null) graft.util.deleteRecursively(cached._2)
+        val path = java.nio.file.Files.createTempDirectory("graft_textfmt").toString
+        val docs = t(s, dir, "documents")
+          .select("doc_id", "lang", "source", "text")
+        docs.write.mode("overwrite").json(s"$path/jsonl")
+        // RFC-4180 style: quote with `"`, escape by doubling — symmetric
+        // options on both sides; multiLine on read survives embedded
+        // newlines in text
+        docs.write.mode("overwrite")
+          .option("quote", "\"").option("escape", "\"")
+          .csv(s"$path/csv")
+        textFmtCache.put(key, (fp, path))
+        path
+      }
+    }
+
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("source", StringType), StructField("text", StringType)))
+
+  /** JSONL + CSV ROUND-TRIP scan — training pipelines interchange
+    * line-delimited JSON and CSV constantly, and quoting/escaping/
+    * encoding bugs corrupt silently: the documents table is written to
+    * both formats BY THE ENGINE, scanned back with explicit schemas
+    * (never inferSchema — an inference pass is a second full scan and a
+    * type lottery at 100 TB), and aggregated; the oracle computes the
+    * SAME aggregates over the parquet truth, so one mangled newline,
+    * quote, or unicode char in either direction breaks the hash. The
+    * 60-bit-md5 text hash-sum (mod 2³¹−1 so the sum stays in int64) is
+    * the content check; counts/lengths alone would miss transpositions. */
+  def scanTextFormats(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureTextFormats(s, dir)
+    val jsonl = s.read.schema(docsSchema).json(s"$path/jsonl")
+    val csv = s.read.schema(docsSchema)
+      .option("quote", "\"").option("escape", "\"").option("multiLine", "true")
+      .csv(s"$path/csv")
+    def agg(df: DataFrame, fmt: String): DataFrame =
+      df.groupBy()
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(length(col("text"))).cast(LongType).as("total_chars"),
+          sum(expr(
+            "cast(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) % 2147483647"))
+            .cast(LongType).as("text_hash_sum"),
+          sum(col("doc_id")).cast(LongType).as("id_sum"))
+        .select(lit(fmt).as("format"), col("*"))
+    agg(csv, "csv").unionByName(agg(jsonl, "jsonl")).orderBy("format")
+  }
+
+  val scanTextFormatsSql =
+    """WITH agg AS (
+      |  SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+      |    sum(length(text))::BIGINT AS total_chars,
+      |    sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 2147483647)::BIGINT AS text_hash_sum,
+      |    sum(doc_id)::BIGINT AS id_sum
+      |  FROM documents)
+      |SELECT 'csv' AS format, * FROM agg
+      |UNION ALL SELECT 'jsonl' AS format, * FROM agg
+      |ORDER BY format""".stripMargin
+
   // ---- B.2 projection / filter --------------------------------------
   def filterPred(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -543,6 +616,7 @@ object Relational {
     "q_scalar_subquery" -> scalarSubquery _,
     "q_scan_parquet" -> scanParquet _,
     "q_scan_pruned" -> scanPruned _,
+    "q_scan_text_formats" -> scanTextFormats _,
     "q_filter_pred" -> filterPred _,
     "q_project_arith" -> projectArith _,
     "q_filter_in_between" -> filterInBetween _,
@@ -574,6 +648,7 @@ object Relational {
     "q_scalar_subquery" -> scalarSubquerySql,
     "q_scan_parquet" -> scanParquetSql,
     "q_scan_pruned" -> scanPrunedSql,
+    "q_scan_text_formats" -> scanTextFormatsSql,
     "q_filter_pred" -> filterPredSql,
     "q_project_arith" -> projectArithSql,
     "q_filter_in_between" -> filterInBetweenSql,

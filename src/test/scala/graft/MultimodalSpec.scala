@@ -163,6 +163,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fb.embedding.toSeq !== feat.embedding.toSeq)
   }
 
+  test("Mp4.parse / decodeVideo are total: arbitrary and truncated bytes never throw") {
+    // deterministic xorshift byte soup — the parser runs on untrusted
+    // bytes at curation scale, so every malformed shape must return
+    // None / fall back, never escape an exception past the kernel
+    var state = 0x9e3779b97f4a7c15L
+    def next(): Long = {
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17; state
+    }
+    for (len <- Seq(0, 1, 7, 8, 15, 16, 64, 333, 4096)) {
+      val junk = Array.fill(len)((next() & 0xff).toByte)
+      assert(Multimodal.probeMedia(junk) != null)
+      assert(functions.Mp4.parse(junk).forall(_.nFrames >= 0))
+      // junk prefixed with a valid-looking ftyp must also be safe
+      if (len >= 8) {
+        val withFtyp = junk.clone()
+        Array[Byte](0, 0, 0, 16).copyToArray(withFtyp, 0)
+        "ftyp".getBytes("US-ASCII").copyToArray(withFtyp, 4)
+        assert(functions.Mp4.parse(withFtyp).forall(_.nFrames >= 0))
+      }
+    }
+    // every truncation point of a VALID file parses to None or a
+    // consistent table — no index-out-of-bounds at any boundary
+    val (mp4, _) = mjpegVideo(Seq(200, 40, 200), 4, 4)
+    for (cut <- 0 to mp4.length by 7) {
+      val sliced = java.util.Arrays.copyOfRange(mp4, 0, cut)
+      functions.Mp4.parse(sliced).foreach { t =>
+        assert(t.nFrames >= 0 && t.samples.forall(_._2 >= 0))
+      }
+    }
+  }
+
   /** a REAL encoded image (JDK ImageIO), w×h pixels of one solid RGB
     * color — the decode cases below run the actual PNG/JPEG codecs on it */
   private def realImage(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
