@@ -52,6 +52,7 @@ object Bench {
       graft.operators.Similarity.clearSemanticIndexCache()
       graft.operators.Bucketing.clearTableCache()
       graft.operators.Relational.clearZOrderCache()
+      graft.operators.Relational.clearTextFormatsCache()
       graft.operators.SketchTable.clearTableCache()
       val t0 = System.nanoTime()
       // noop-sink write, NOT .count(): count(1) lets Catalyst prune every

@@ -60,19 +60,30 @@ object Relational {
         docs.write.mode("overwrite")
           .option("quote", "\"").option("escape", "\"")
           .csv(s"$path/csv")
+        // the other columnar interchange format Spark bundles a native
+        // vectorized reader for — covers the binary round-trip too
+        docs.write.mode("overwrite").orc(s"$path/orc")
         textFmtCache.put(key, (fp, path))
         path
       }
+    }
+
+  /** cold-cache hook for Bench — the round-trip query must pay its
+    * three writes per measured run like every other memoized builder */
+  def clearTextFormatsCache(): Unit =
+    textFmtCache.synchronized {
+      textFmtCache.forEach((_, v) => graft.util.deleteRecursively(v._2))
+      textFmtCache.clear()
     }
 
   private val docsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("lang", StringType),
     StructField("source", StringType), StructField("text", StringType)))
 
-  /** JSONL + CSV ROUND-TRIP scan — training pipelines interchange
-    * line-delimited JSON and CSV constantly, and quoting/escaping/
+  /** JSONL + CSV + ORC ROUND-TRIP scan — training pipelines interchange
+    * these formats constantly, and quoting/escaping/
     * encoding bugs corrupt silently: the documents table is written to
-    * both formats BY THE ENGINE, scanned back with explicit schemas
+    * all three formats BY THE ENGINE, scanned back with explicit schemas
     * (never inferSchema — an inference pass is a second full scan and a
     * type lottery at 100 TB), and aggregated; the oracle computes the
     * SAME aggregates over the parquet truth, so one mangled newline,
@@ -85,6 +96,7 @@ object Relational {
     val csv = s.read.schema(docsSchema)
       .option("quote", "\"").option("escape", "\"").option("multiLine", "true")
       .csv(s"$path/csv")
+    val orc = s.read.schema(docsSchema).orc(s"$path/orc")
     def agg(df: DataFrame, fmt: String): DataFrame =
       df.groupBy()
         .agg(count(lit(1)).as("n_docs"),
@@ -95,7 +107,8 @@ object Relational {
             .cast(LongType).as("text_hash_sum"),
           sum(col("doc_id")).cast(LongType).as("id_sum"))
         .select(lit(fmt).as("format"), col("*"))
-    agg(csv, "csv").unionByName(agg(jsonl, "jsonl")).orderBy("format")
+    agg(csv, "csv").unionByName(agg(jsonl, "jsonl"))
+      .unionByName(agg(orc, "orc")).orderBy("format")
   }
 
   val scanTextFormatsSql =
@@ -107,6 +120,7 @@ object Relational {
       |  FROM documents)
       |SELECT 'csv' AS format, * FROM agg
       |UNION ALL SELECT 'jsonl' AS format, * FROM agg
+      |UNION ALL SELECT 'orc' AS format, * FROM agg
       |ORDER BY format""".stripMargin
 
   // ---- B.2 projection / filter --------------------------------------

@@ -157,10 +157,14 @@ class PlanHygieneSpec extends AnyFunSuite {
       "df skew regression: WindowExec partitioned on tok is back in q_tfidf_top")
   }
 
-  test("every parquet-backed query plans a columnar scan (no RDD fallback)") {
+  test("every file-backed query plans a recognizable file scan (no RDD fallback)") {
+    // json/csv/orc joined the recognizer with q_scan_text_formats — they
+    // are FileSourceScan nodes like parquet, exactly what the rule wants
+    // to see instead of an opaque RDD leaf
+    val scans = Seq("Scan parquet", "Scan json", "Scan csv", "Scan orc",
+      "LocalTableScan", "Scan ExistingRDD", "RowDataSourceScan")
     val offenders = plans.collect {
-      case (n, p) if !p.contains("Scan parquet") && !p.contains("LocalTableScan")
-        && !p.contains("Scan ExistingRDD") && !p.contains("RowDataSourceScan") => n
+      case (n, p) if !scans.exists(p.contains) => n
     }
     assert(offenders.isEmpty, s"no recognizable scan in: ${offenders.toSeq.sorted}")
   }
