@@ -175,11 +175,14 @@ object Mp4 {
       case "stsz" if e - s >= 12 =>
         val uniform = r.u32(s + 4)
         val n = r.u32(s + 8)
-        if (n >= 0 && n < Int.MaxValue) {
-          if (uniform != 0) sizes = Array.fill(n.toInt)(uniform)
-          else if (e - s >= 12 + 4 * n)
-            sizes = Array.tabulate(n.toInt)(i => r.u32(s + 12 + 4L * i))
-        }
+        // allocation bound on UNTRUSTED counts: n uniform samples of
+        // `uniform` bytes must physically fit in the file, and a table
+        // of n entries must fit in the box — without this a ~60-byte
+        // crafted stsz claiming 2^31 samples allocates gigabytes
+        if (uniform != 0) {
+          if (n <= r.len / uniform) sizes = Array.fill(n.toInt)(uniform)
+        } else if (e - s >= 12 + 4 * n)
+          sizes = Array.tabulate(n.toInt)(i => r.u32(s + 12 + 4L * i))
       case "stco" if e - s >= 8 =>
         val n = r.u32(s + 4)
         if (e - s >= 8 + 4 * n)

@@ -178,7 +178,7 @@ object Multimodal {
     * header+payload rows — fall back to [[byteHistogramSketch]] so the
     * kernel is TOTAL: a 100 TB curation pass must degrade per-row on
     * corrupt bytes, never throw. */
-  private[functions] def decodeImage(content: Array[Byte], meta: MediaMeta): Array[Float] = {
+  private[functions] def decodeImage(content: Array[Byte]): Array[Float] = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
       catch { case _: Throwable => null }
@@ -311,7 +311,7 @@ object Multimodal {
           val emb = m.kind match {
             case "audio" => decodeAudio(m.content)
             case "video" => decodeVideo(m.content)
-            case _       => decodeImage(m.content, m.meta)
+            case _       => decodeImage(m.content)
           }
           // probe the real container header rather than trusting carried meta:
           // at curation scale the binary column is the only source of truth
@@ -384,9 +384,15 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { m =>
           Mp4.parse(m.content).iterator.flatMap { table =>
-            (0 until table.nFrames by every).iterator.map { i =>
+            (0 until table.nFrames by every).iterator.flatMap { i =>
               val (off, len) = table.samples(i)
-              FrameRef(m.media_id, i.toLong, off, len)
+              // a truncated faststart file can carry a complete moov
+              // whose table points past the surviving bytes — emit only
+              // ranges the payload actually backs (decodeVideo applies
+              // the same guard)
+              if (off >= 0 && len >= 0 && off + len <= m.content.length)
+                Iterator.single(FrameRef(m.media_id, i.toLong, off, len))
+              else Iterator.empty
             }
           }
         }

@@ -37,39 +37,59 @@ import org.apache.spark.sql.functions._
   */
 object IndexMaintenance {
 
+  private def hfs(s: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
   /** number of parquet data files under a directory (recursive) — the
-    * quantity compaction exists to bound; exposed for ops/specs */
-  def dataFileCount(dir: String): Int = {
-    def walk(f: java.io.File): Int =
-      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
-      else if (f.getName.endsWith(".parquet")) 1
-      else 0
-    walk(new java.io.File(dir))
+    * quantity compaction exists to bound; exposed for ops/specs. Goes
+    * through the Hadoop FileSystem API like the swap, so HDFS/S3A
+    * paths count correctly instead of silently reading as zero. */
+  def dataFileCount(s: SparkSession, dir: String): Int = {
+    val fs = hfs(s, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) 0
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
   }
 
   /** rewrite one parquet directory: read → optional transform →
-    * cluster by `clusterCols` → write to `<dir>__compact` → swap */
+    * cluster by `clusterCols` → write to `<dir>__compact` → swap.
+    * All path operations go through the Hadoop FileSystem API (rename
+    * is atomic on POSIX/HDFS; see the object scaladoc for the object-
+    * store caveat). A prior crash between the two renames leaves
+    * `<dir>__old` as the only copy — that state is REFUSED, never
+    * cleaned up, so a re-run cannot destroy the rollback copy. */
   private def compactDir(s: SparkSession, dir: String,
       clusterCols: Seq[String], partitionCols: Seq[String] = Nil,
       transform: DataFrame => DataFrame = identity): Unit = {
-    val tmp = dir + "__compact"
-    val old = dir + "__old"
-    graft.util.deleteRecursively(tmp)
-    graft.util.deleteRecursively(old)
+    val fs = hfs(s, dir)
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    val tmpP = new org.apache.hadoop.fs.Path(dir + "__compact")
+    val oldP = new org.apache.hadoop.fs.Path(dir + "__old")
+    if (!fs.exists(dirP) && fs.exists(oldP))
+      sys.error(s"compact: $dir is missing but $oldP exists — a prior " +
+        "compaction crashed between its two renames and the rollback " +
+        s"copy is the ONLY copy; rename $oldP back to $dir before " +
+        "compacting again")
+    fs.delete(tmpP, true)
+    fs.delete(oldP, true) // reached only when dir exists — stale debris
     val w = transform(s.read.parquet(dir))
       .repartition(clusterCols.map(col): _*)
       .write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(tmp)
-    val dirF = new java.io.File(dir)
-    val oldF = new java.io.File(old)
-    if (!dirF.renameTo(oldF))
+      .parquet(tmpP.toString)
+    if (!fs.rename(dirP, oldP))
       sys.error(s"compact: cannot move $dir aside")
-    if (!new java.io.File(tmp).renameTo(dirF)) {
-      oldF.renameTo(dirF) // rollback — the live index stays valid
-      sys.error(s"compact: cannot swap $tmp into place")
+    if (!fs.rename(tmpP, dirP)) {
+      fs.rename(oldP, dirP) // rollback — the live index stays valid
+      sys.error(s"compact: cannot swap $tmpP into place")
     }
-    graft.util.deleteRecursively(old)
+    fs.delete(oldP, true)
   }
 
   /** SimHash band index: `bands/` re-clustered by its (chunk, cv) probe

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.util._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -124,24 +124,46 @@ object TextAnalysis {
   def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    def ckptRdd(ds: Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
+      ds.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
     var toks = docs.select(split(lower(col("text")), " ").as("tk"))
       .as[Seq[String]]
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // two-slot checkpoint tracking (the propagateMinLabelTracked
+    // discipline): `pending` = the current round's lazy checkpoint,
+    // materialized by the NEXT argmax action; `live` = the previous,
+    // already-materialized one that `pending` was computed from —
+    // unpersistable only once pending materializes. Peak storage stays
+    // at two corpus copies however many rounds run.
+    var live: Option[org.apache.spark.rdd.RDD[_]] = None
+    var pending: Option[org.apache.spark.rdd.RDD[_]] = None
     var r = 1
     var dry = false
     while (r <= nMerges && !dry) {
       val top = pairCounts(toks.toDF("tk"))
         .orderBy(col("cnt").desc, col("t1").asc, col("t2").asc)
         .limit(1).collect()
+      // the argmax materialized `pending` (it scanned toks) — its input
+      // checkpoint is now superseded
+      live.foreach(rd => try rd.unpersist(false) catch { case _: Throwable => })
+      live = pending
+      pending = None
       if (top.isEmpty) dry = true
       else {
         val (a, b, n) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         merges += ((r, a, b, n))
         val joined = a + " " + b
         toks = toks.map(applyMerge(_, a, b, joined)).localCheckpoint(false)
+        pending = ckptRdd(toks)
       }
       r += 1
     }
+    // the merge table is driver-side rows — every surviving checkpoint
+    // is dead at return
+    (live.toSeq ++ pending.toSeq)
+      .foreach(rd => try rd.unpersist(false) catch { case _: Throwable => })
     merges.toSeq.toDF("rank", "t1", "t2", "cnt")
   }
 

@@ -800,11 +800,15 @@ object Pipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s2 = batch.sparkSession
         import s2.implicits._
+        // carried meta is a placeholder: extractFeatures probes the
+        // container bytes itself (its documented source-of-truth rule),
+        // so probing here too would walk every video's boxes twice per
+        // batch for a field nothing reads
+        val blank = graft.functions.Multimodal.MediaMeta(null, 0, 0, 0, 0)
         val typed = batch.select(col("media_id"), col("kind"), col("content"))
           .as[(Long, String, Array[Byte])]
           .map { case (id, kind, content) =>
-            graft.functions.Multimodal.MediaRow(id, kind, content,
-              graft.functions.Multimodal.probeMedia(content))
+            graft.functions.Multimodal.MediaRow(id, kind, content, blank)
           }
         graft.functions.Multimodal.extractFeatures(typed)
           .toDF()

@@ -34,7 +34,7 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     (0 until 3).foreach(b =>
       operators.Dedup.appendSimhashIndex(spark, idx,
         batchDocs(800000 + b * 10 until 800000 + b * 10 + 3, srcText + s" b$b")))
-    val filesBefore = operators.IndexMaintenance.dataFileCount(s"$idx/bands")
+    val filesBefore = operators.IndexMaintenance.dataFileCount(spark, s"$idx/bands")
     val metaBefore = sidecarBytes(s"$idx/meta")
     val probe = batchDocs(900001 to 900001, srcText)
     val before = operators.Dedup.probeSimhashIndex(spark, probe, idx)
@@ -42,7 +42,7 @@ class IndexMaintenanceSpec extends AnyFunSuite {
 
     operators.IndexMaintenance.compactSimhashIndex(spark, idx)
 
-    val filesAfter = operators.IndexMaintenance.dataFileCount(s"$idx/bands")
+    val filesAfter = operators.IndexMaintenance.dataFileCount(spark, s"$idx/bands")
     assert(filesAfter < filesBefore,
       s"compaction did not shrink bands: $filesBefore -> $filesAfter")
     val after = operators.Dedup.probeSimhashIndex(spark, probe, idx)
@@ -61,16 +61,16 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     (0 until 3).foreach(b =>
       operators.Dedup.appendMinhashIndex(spark, idx,
         batchDocs(810000 + b * 10 until 810000 + b * 10 + 3, srcText)))
-    val bandsBefore = operators.IndexMaintenance.dataFileCount(s"$idx/bands")
-    val sigsBefore = operators.IndexMaintenance.dataFileCount(s"$idx/sigs")
+    val bandsBefore = operators.IndexMaintenance.dataFileCount(spark, s"$idx/bands")
+    val sigsBefore = operators.IndexMaintenance.dataFileCount(spark, s"$idx/sigs")
     val probe = batchDocs(900002 to 900002, srcText)
     val before = operators.Dedup.probeMinhashIndex(spark, probe, idx)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._2)
 
     operators.IndexMaintenance.compactMinhashIndex(spark, idx)
 
-    assert(operators.IndexMaintenance.dataFileCount(s"$idx/bands") < bandsBefore)
-    assert(operators.IndexMaintenance.dataFileCount(s"$idx/sigs") < sigsBefore)
+    assert(operators.IndexMaintenance.dataFileCount(spark, s"$idx/bands") < bandsBefore)
+    assert(operators.IndexMaintenance.dataFileCount(spark, s"$idx/sigs") < sigsBefore)
     val after = operators.Dedup.probeMinhashIndex(spark, probe, idx)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._2)
     assert(after === before, "probe verdicts changed across compaction")
@@ -118,7 +118,7 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     (0 until 3).foreach(b =>
       operators.Similarity.appendIvfIndex(spark, idx,
         vecs.withColumn("vec_id", col("vec_id") + lit(b * 100L))))
-    val filesBefore = operators.IndexMaintenance.dataFileCount(s"$idx/lists")
+    val filesBefore = operators.IndexMaintenance.dataFileCount(spark, s"$idx/lists")
     val bookBefore = sidecarBytes(s"$idx/codebook")
     val pe = util.t(spark, dir, "embeddings").orderBy("vec_id")
       .select("embedding").limit(1)
@@ -129,10 +129,31 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     val before = topk
     operators.IndexMaintenance.compactIvfIndex(spark, idx)
 
-    assert(operators.IndexMaintenance.dataFileCount(s"$idx/lists") < filesBefore,
+    assert(operators.IndexMaintenance.dataFileCount(spark, s"$idx/lists") < filesBefore,
       "compaction did not shrink lists")
     assert(topk === before, "ANN top-k changed across compaction")
     assert(sidecarBytes(s"$idx/codebook").view.mapValues(_.toSeq).toMap
       === bookBefore.view.mapValues(_.toSeq).toMap, "codebook rewritten")
+  }
+
+  test("crashed mid-swap state is refused: the __old rollback copy is never deleted") {
+    val idx = Files.createTempDirectory("graft_cmp_crash").toString
+    operators.Dedup.writeSimhashIndex(spark, dir, idx)
+    // simulate a crash between the two renames: bands moved aside, the
+    // compacted tree never swapped in
+    val bands = new java.io.File(s"$idx/bands")
+    val old = new java.io.File(s"$idx/bands__old")
+    assert(bands.renameTo(old))
+    val e = intercept[RuntimeException] {
+      operators.IndexMaintenance.compactSimhashIndex(spark, idx)
+    }
+    assert(e.getMessage.contains("ONLY copy"),
+      s"expected the refusal message, got: ${e.getMessage}")
+    // the rollback copy must survive the refused run intact
+    assert(old.exists && operators.IndexMaintenance.dataFileCount(spark, old.toString) > 0)
+    // operator recovery: rename back, compaction proceeds normally
+    assert(old.renameTo(bands))
+    operators.IndexMaintenance.compactSimhashIndex(spark, idx)
+    assert(operators.IndexMaintenance.dataFileCount(spark, bands.toString) > 0)
   }
 }

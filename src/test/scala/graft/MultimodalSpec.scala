@@ -194,6 +194,41 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("crafted stsz bomb: a tiny file claiming 2^31 uniform samples is rejected, not allocated") {
+    // hand-assembled ftyp + moov/trak/mdia/minf/stbl{stsz,stco}: the
+    // uniform-size stsz claims sample_size=1, sample_count=0x7ffffffe —
+    // a ~100-byte file that would demand a multi-GB array if the parser
+    // trusted the count instead of bounding it by the file's capacity
+    def box(tag: String, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + body.length)
+      b.putInt(8 + body.length).put(tag.getBytes("US-ASCII")).put(body)
+      b.array
+    }
+    def be(ints: Int*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 * ints.length)
+      ints.foreach(b.putInt); b.array
+    }
+    val stsz = box("stsz", be(0, 1, 0x7ffffffe)) // ver/flags, size=1, count
+    val stco = box("stco", be(0, 1, 24))
+    val bomb = box("ftyp", "isomiso2".getBytes("US-ASCII")) ++
+      box("moov", box("trak", box("mdia", box("minf", box("stbl", stsz ++ stco)))))
+    assert(functions.Mp4.parse(bomb).isEmpty, "bomb stsz must not produce a table")
+    assert(Multimodal.probeMedia(bomb).n_frames === 0)
+  }
+
+  test("sample table pointing past EOF: frameRefs emits nothing, decode falls back") {
+    import spark.implicits._
+    // a truncated-faststart-shaped failure: complete moov, missing data —
+    // the one stsz entry claims 100000 bytes the payload doesn't have
+    val dangling = functions.Mp4.write(Array[Byte](1, 2, 3), Array(100000), 8, 8)
+    val row = Multimodal.MediaRow(1L, "video", dangling,
+      Multimodal.MediaMeta("video/mp4", 8, 8, 0, 1))
+    assert(functions.Multimodal.frameRefs(Seq(row).toDS(), every = 1)
+      .collect().isEmpty, "byte ranges past EOF must not be emitted")
+    val feat = Multimodal.extractFeatures(Seq(row).toDS()).collect().head
+    assert(feat.embedding.sum > 0f) // byte-sketch fallback, not a throw
+  }
+
   /** a REAL encoded image (JDK ImageIO), w×h pixels of one solid RGB
     * color — the decode cases below run the actual PNG/JPEG codecs on it */
   private def realImage(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
