@@ -59,6 +59,11 @@ object Relational {
         // newlines in text
         docs.write.mode("overwrite")
           .option("quote", "\"").option("escape", "\"")
+          // the writer TRIMS cell whitespace by default — a silent
+          // corruption for text columns (found by the adversarial spec)
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
+          .option("nullValue", "\\N")
           .csv(s"$path/csv")
         // the other columnar interchange format Spark bundles a native
         // vectorized reader for — covers the binary round-trip too
@@ -95,6 +100,10 @@ object Relational {
     val jsonl = s.read.schema(docsSchema).json(s"$path/jsonl")
     val csv = s.read.schema(docsSchema)
       .option("quote", "\"").option("escape", "\"").option("multiLine", "true")
+      // the \N sentinel + emptyValue is the ONE combination (pinned by
+      // SourcesSpec's adversarial case) where a quoted "" reads back as
+      // the empty string instead of being conflated with null
+      .option("nullValue", "\\N").option("emptyValue", "")
       .csv(s"$path/csv")
     val orc = s.read.schema(docsSchema).orc(s"$path/orc")
     def agg(df: DataFrame, fmt: String): DataFrame =

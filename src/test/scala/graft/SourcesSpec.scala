@@ -72,6 +72,50 @@ class SourcesSpec extends AnyFunSuite {
       === logs.schema.map(f => (f.name, f.dataType)))
   }
 
+  test("adversarial text survives the q_scan_text_formats CSV/JSON options verbatim") {
+    import spark.implicits._
+    // the corpus may never exercise the hard cases, so the round-trip
+    // options are pinned directly on the content classes that break
+    // naive CSV: embedded newlines (needs multiLine), embedded quotes
+    // (needs quote-doubling), the delimiter itself, backslashes (must
+    // NOT act as escapes under escape='"'), CJK + emoji (UTF-8 width),
+    // leading/trailing spaces, and the empty string
+    val nasty = Seq(
+      (1L, "line one\nline two\r\nline three"),
+      (2L, "she said \"hi\", twice \"\""),
+      (3L, "comma, separated, values"),
+      (4L, "back\\slash \\n not an escape"),
+      (5L, "汉字 zeichen éè 🙂 end"),
+      (6L, "  padded  "),
+      (7L, ""))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_nasty").toString
+    nasty.write.mode("overwrite")
+      .option("quote", "\"").option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("nullValue", "\\N")
+      .csv(s"$dir/csv")
+    nasty.write.mode("overwrite").json(s"$dir/jsonl")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val expect = nasty.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val csvBack = spark.read.schema(schema)
+      .option("quote", "\"").option("escape", "\"").option("multiLine", "true")
+      .option("nullValue", "\\N").option("emptyValue", "")
+      .option("mode", "FAILFAST")
+      .csv(s"$dir/csv")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(csvBack === expect, "CSV mangled adversarial text")
+    val jsonBack = spark.read.schema(schema).option("mode", "FAILFAST")
+      .json(s"$dir/jsonl")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(jsonBack === expect, "JSONL mangled adversarial text")
+  }
+
   test("JSON lines round trip preserves arrays and severity bytes") {
     val dir = Files.createTempDirectory("graft_json").toString
     val full = Pipeline.parseToLog(model.rawLines(spark))
