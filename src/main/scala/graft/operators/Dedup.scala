@@ -1822,6 +1822,252 @@ object Dedup {
        |WHERE est_jaccard >= 0.5 ORDER BY new_id, dup_of""".stripMargin
   }
 
+  // ---- exact substring dedup (Lee et al. 2022) ------------------------
+
+  /** Minimum duplicated-substring length in characters. Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 §4.1) remove every substring of ≥ 50 BPE tokens
+    * that re-occurs anywhere in the corpus, via a suffix array. This
+    * engine reaches the same verdict set with corpus-global character
+    * L-gram fingerprints instead: every duplicated run of ≥ L characters
+    * covers ≥ 1 shared L-gram occurrence at each position of the run, so
+    * marking every position whose L-gram re-occurs and unioning the
+    * [pos, pos+L) intervals reconstructs the duplicated region EXACTLY
+    * (for runs ≥ L; shorter overlaps are below the threshold by
+    * definition). A flat gram relation shuffles and scales where a
+    * distributed suffix array does not. */
+  val SubstrL = 30
+
+  /** One row per character position whose L-gram re-occurs ANYWHERE in
+    * the corpus, excluding each gram's first occurrence under the total
+    * (doc_id, pos) order — the keep-first exemption that leaves exactly
+    * one copy of every duplicated substring in the cleaned corpus.
+    *
+    * Scale shape: the gram string is hashed to a 16-byte md5 IN THE SCAN
+    * STAGE (one explode over a length-L index sequence, substring +
+    * md5 + unhex in the same codegen stage — the repetitionRatio
+    * discipline), so the single shuffle carries (16 B, doc_id, pos) per
+    * position: the known ~const-factor amplification every substring-
+    * level dedup pays (a suffix array shuffles the same O(N) rows).
+    * First-occurrence detection is ONE row_number window partitioned by
+    * the hash — a scaling key with tiny (duplicate-count) partitions —
+    * not a groupBy + self-join, which would shuffle the gram table
+    * twice. */
+  def dupSubstrPositionsOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .where(length(col("text")) >= SubstrL)
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(1, length(text) - ${SubstrL - 1})")).as("p"))
+      .select(col("doc_id"), col("p").cast(LongType).as("pos"),
+        unhex(md5(expr(s"substring(text, p, $SubstrL)"))).as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "pos")))
+      .where(col("rn") >= 2)
+      .select("doc_id", "pos")
+  }
+
+  /** duplicated positions → merged 1-based [span_start, span_end) char
+    * intervals per doc: gaps-and-islands over a doc_id-partitioned
+    * window (scaling key; the repetitionGopher interval-union shape) —
+    * running max of interval end over preceding rows, island id =
+    * running count of gap openings, one groupBy per island */
+  def substringSpansOf(positions: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    positions
+      .withColumn("pm", max(col("pos") + lit(SubstrL.toLong)).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl", sum(when(col("pm").isNull || col("pos") > col("pm"),
+        1L).otherwise(0L)).over(wd))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + SubstrL).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
+  /** the SQL island chain shared by every substring oracle: positions
+    * CTE `d(doc_id, pos)` → merged spans CTE `spans` */
+  private def substrSpanCtes: String =
+    s"""w AS (
+       |  SELECT doc_id, pos, max(pos + $SubstrL) OVER (PARTITION BY doc_id
+       |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |  FROM d),
+       |isl AS (
+       |  SELECT doc_id, pos, sum(CASE WHEN pm IS NULL OR pos > pm THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |  FROM w),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS span_start, max(pos) + $SubstrL AS span_end
+       |  FROM isl GROUP BY doc_id, isl)""".stripMargin
+
+  private def substrGramCte(pred: String = ""): String =
+    s"""g AS (
+       |  SELECT doc_id, i AS pos, md5(substr(text, i::INT, $SubstrL)) AS h
+       |  FROM documents JOIN generate_series(1, 100000) t(i)
+       |    ON i <= length(text) - ${SubstrL - 1}$pred)""".stripMargin
+
+  /** Declared query: merged duplicated spans (doc_id, span_start,
+    * span_end), keep-first exemption applied — the removal plan the
+    * apply step executes. */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame =
+    substringSpansOf(dupSubstrPositionsOf(
+      t(s, dir, "documents").select("doc_id", "text")))
+      .orderBy("doc_id", "span_start")
+
+  val dedupSubstringSql: String =
+    s"""WITH ${substrGramCte()},
+       |r AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM g),
+       |d AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
+       |$substrSpanCtes
+       |SELECT doc_id, span_start, span_end FROM spans
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  /** Declared query: per-doc removal pressure — how much of each doc the
+    * substring pass deletes (all docs; zeros where nothing matched).
+    * The corpus-health dashboard row operators watch while tuning L. */
+  def dedupSubstringStats(s: SparkSession, dir: String): DataFrame = {
+    val st = substringSpansOf(dupSubstrPositionsOf(
+        t(s, dir, "documents").select("doc_id", "text")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start")).as("dup_chars"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("n_chars"))
+      .join(st, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        r4f(coalesce(col("dup_chars"), lit(0L)).cast(DoubleType) /
+          col("n_chars")).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSubstringStatsSql: String =
+    s"""WITH ${substrGramCte()},
+       |r AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM g),
+       |d AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
+       |$substrSpanCtes,
+       |st AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |    sum(span_end - span_start) AS dup_chars
+       |  FROM spans GROUP BY doc_id)
+       |SELECT doc.doc_id, length(doc.text) AS n_chars,
+       |  coalesce(st.n_spans, 0)::BIGINT AS n_spans,
+       |  coalesce(st.dup_chars, 0)::BIGINT AS dup_chars,
+       |  CAST(floor(coalesce(st.dup_chars, 0)::DOUBLE / length(doc.text)
+       |    * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS dup_ratio
+       |FROM documents doc LEFT JOIN st ON doc.doc_id = st.doc_id
+       |ORDER BY doc.doc_id""".stripMargin
+
+  /** Declared query: the cleaned corpus — duplicated spans cut out, kept
+    * segments re-joined in order. Segment extraction is a per-row
+    * substring; re-assembly is one groupBy(doc_id) whose per-group state
+    * is bounded by the doc's own span count (sort_array over the
+    * collected (offset, segment) structs — no ordered string_agg needed,
+    * no window over raw text). Docs without spans pass through via the
+    * left join. */
+  def dedupSubstringApply(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val sp = substringSpansOf(dupSubstrPositionsOf(docs))
+    val wd = Window.partitionBy("doc_id").orderBy("span_start")
+    // kept segments: [prev span_end, span_start) per span (head default
+    // 1), plus the tail [max span_end, len + 1)
+    val mids = sp
+      .withColumn("ks", lag(col("span_end"), 1, 1L).over(wd))
+      .select(col("doc_id"), col("ks"), col("span_start").as("ke"))
+    val tails = sp.groupBy("doc_id")
+      .agg(max(col("span_end")).as("ks"))
+      .select(col("doc_id"), col("ks"), lit(null).cast(LongType).as("ke"))
+    val segs = mids.unionByName(tails)
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("ks"), expr(
+        "substring(text, cast(ks AS INT), cast(coalesce(ke, length(text) + 1) - ks AS INT))")
+        .as("seg"))
+    val cleaned = segs.groupBy("doc_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("ks"), col("seg")))),
+        x => x.getField("seg"))).as("ct"))
+    docs.join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        length(col("text")).cast(LongType).as("orig_len"),
+        length(coalesce(col("ct"), col("text"))).cast(LongType).as("clean_len"),
+        coalesce(col("ct"), col("text")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSubstringApplySql: String =
+    s"""WITH ${substrGramCte()},
+       |r AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM g),
+       |d AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
+       |$substrSpanCtes,
+       |mids AS (
+       |  SELECT doc_id,
+       |    coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start),
+       |      1) AS ks,
+       |    span_start AS ke
+       |  FROM spans),
+       |tails AS (
+       |  SELECT doc_id, max(span_end) AS ks, NULL AS ke FROM spans GROUP BY doc_id),
+       |segs AS (
+       |  SELECT sg.doc_id, sg.ks,
+       |    substr(doc.text, sg.ks::INT,
+       |      (coalesce(sg.ke, length(doc.text) + 1) - sg.ks)::INT) AS seg
+       |  FROM (SELECT * FROM mids UNION ALL SELECT * FROM tails) sg
+       |  JOIN documents doc ON doc.doc_id = sg.doc_id),
+       |cleaned AS (
+       |  SELECT doc_id, string_agg(seg, '' ORDER BY ks) AS ct
+       |  FROM segs GROUP BY doc_id)
+       |SELECT doc.doc_id, length(doc.text) AS orig_len,
+       |  length(coalesce(c.ct, doc.text)) AS clean_len,
+       |  coalesce(c.ct, doc.text) AS clean_text
+       |FROM documents doc LEFT JOIN cleaned c ON doc.doc_id = c.doc_id
+       |ORDER BY doc.doc_id""".stripMargin
+
+  /** Declared query: the ingest-time form — positions in the NEW batch
+    * (doc_id % [[IncrementalMod]] == [[IncrementalRem]]) whose L-gram
+    * already occurs in the existing corpus, merged to spans. The batch
+    * side is O(batch); the corpus side contributes only its gram hashes
+    * through a left-semi equi-join on h (one shuffle each side, no
+    * first-occurrence window needed — ANY corpus hit marks the batch
+    * position). */
+  def dedupSubstringIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    def grams(df: DataFrame): DataFrame = df
+      .where(length(col("text")) >= SubstrL)
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(1, length(text) - ${SubstrL - 1})")).as("p"))
+      .select(col("doc_id"), col("p").cast(LongType).as("pos"),
+        unhex(md5(expr(s"substring(text, p, $SubstrL)"))).as("h"))
+    val corpus = grams(docs.where(col("doc_id") % IncrementalMod =!= IncrementalRem))
+      .select("h")
+    val batch = grams(docs.where(col("doc_id") % IncrementalMod === IncrementalRem))
+    substringSpansOf(
+        batch.join(corpus, Seq("h"), "left_semi").select("doc_id", "pos"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  val dedupSubstringIncrementalSql: String =
+    s"""WITH ${substrGramCte()},
+       |d AS (
+       |  SELECT DISTINCT b.doc_id, b.pos FROM g b
+       |  WHERE b.doc_id % $IncrementalMod = $IncrementalRem
+       |    AND EXISTS (SELECT 1 FROM g c
+       |      WHERE c.h = b.h AND c.doc_id % $IncrementalMod <> $IncrementalRem)),
+       |$substrSpanCtes
+       |SELECT doc_id, span_start, span_end FROM spans
+       |ORDER BY doc_id, span_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact _,
     "q_dedup_minhash" -> dedupMinhash _,
@@ -1844,7 +2090,11 @@ object Dedup {
     "q_dedup_minhash_incr_recall" -> dedupMinhashIncrRecall _,
     "q_dedup_cluster_sizes" -> dedupClusterSizes _,
     "q_dedup_keep_best" -> dedupKeepBest _,
-    "q_dedup_cross_source" -> dedupCrossSource _)
+    "q_dedup_cross_source" -> dedupCrossSource _,
+    "q_dedup_substring" -> dedupSubstring _,
+    "q_dedup_substring_stats" -> dedupSubstringStats _,
+    "q_dedup_substring_apply" -> dedupSubstringApply _,
+    "q_dedup_substring_incremental" -> dedupSubstringIncremental _)
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
@@ -1864,5 +2114,9 @@ object Dedup {
     "q_dedup_minhash_incr_recall" -> dedupMinhashIncrRecallSql,
     "q_dedup_cluster_sizes" -> dedupClusterSizesSql,
     "q_dedup_keep_best" -> dedupKeepBestSql,
-    "q_dedup_cross_source" -> dedupCrossSourceSql)
+    "q_dedup_cross_source" -> dedupCrossSourceSql,
+    "q_dedup_substring" -> dedupSubstringSql,
+    "q_dedup_substring_stats" -> dedupSubstringStatsSql,
+    "q_dedup_substring_apply" -> dedupSubstringApplySql,
+    "q_dedup_substring_incremental" -> dedupSubstringIncrementalSql)
 }

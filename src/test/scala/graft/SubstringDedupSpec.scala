@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact substring dedup (Lee et al. 2022, arXiv:2107.06499 §4.1 — the
+  * char-L-gram fingerprint form; SURVEY.md §2 B.11): planted duplicated
+  * runs with hand-computed span expectations, keep-first exemption,
+  * within-doc repeats, whole-doc duplication, and the incremental probe.
+  * The declared queries are ALSO oracle-checked against DuckDB on the
+  * real tables; this spec pins the semantics the oracle can't name —
+  * which doc keeps its copy, and exactly which characters go. */
+class SubstringDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val L = operators.Dedup.SubstrL
+
+  // planted corpus ------------------------------------------------------
+  // S: a 41-char run shared by docs 10 and 11 (and 14, a full copy of 10)
+  private val S = "0123456789abcdefghijklmnopqrstuvwxyz ABC"   // 40 chars
+  // T: a 35-char run repeated WITHIN doc 12
+  private val T = "zyxwvutsrqponmlkjihgfedcba 98765432"        // 35 chars
+  // boundary characters around each planted run are DISTINCT per
+  // occurrence, so the maximal shared substring is exactly the run —
+  // a shared flanking char would (correctly) widen the span by one
+  private val doc10 = "unique-head-alpha###" + S + "%%%unique-tail-alpha"
+  private val doc11 = "другое-head-beta****" + S + "&&&&other-tail-beta!"
+  private val doc12 = "intro-block-gamma_" + T + "-mid+" + T + "~outro-gamma"
+  private val doc13 = "tiny doc"                                // < L chars
+  private val doc14 = doc10                                     // exact copy
+  private val doc17 = "batch-doc-head====" + S + ";;;;batch-doc-tail"
+
+  private lazy val fixtureDir: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_substr").toString
+    Seq(
+      (10L, doc10, "en", "src0", doc10.length.toLong),
+      (11L, doc11, "en", "src0", doc11.length.toLong),
+      (12L, doc12, "en", "src1", doc12.length.toLong),
+      (13L, doc13, "en", "src1", doc13.length.toLong),
+      (14L, doc14, "en", "src2", doc14.length.toLong),
+      (17L, doc17, "en", "src3", doc17.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def spans(): Map[Long, Seq[(Long, Long)]] =
+    operators.Dedup.dedupSubstring(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+  test("keep-first: the lowest (doc_id, pos) copy of a shared run survives") {
+    val sp = spans()
+    assert(!sp.contains(10L), s"doc 10 is the canonical copy, got ${sp.get(10L)}")
+    // doc 11's span covers exactly S (1-based [start, end))
+    val s11 = doc11.indexOf(S) + 1L
+    assert(sp(11L) === Seq((s11, s11 + S.length)),
+      s"doc 11 expected exactly S at [$s11, ${s11 + S.length})")
+  }
+
+  test("within-doc repeat: second occurrence marked, first kept") {
+    val sp = spans()
+    val second = doc12.indexOf(T, doc12.indexOf(T) + 1) + 1L
+    assert(sp(12L) === Seq((second, second + T.length)),
+      s"doc 12 expected exactly the second T at [$second, ${second + T.length})")
+  }
+
+  test("whole-doc duplicate collapses to one full-width span; sub-L docs are exempt") {
+    val sp = spans()
+    assert(sp(14L) === Seq((1L, doc14.length + 1L)), "doc 14 is a full copy of 10")
+    assert(!sp.contains(13L), "doc shorter than L can hold no L-gram")
+  }
+
+  test("q_dedup_substring_stats prices removal per doc, zeros where clean") {
+    val st = operators.Dedup.dedupSubstringStats(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(st(10L) === ((0L, 0L, 0.0)))
+    assert(st(13L) === ((0L, 0L, 0.0)))
+    assert(st(11L)._2 === S.length.toLong)
+    assert(st(14L) === ((1L, doc14.length.toLong, 1.0)))
+    assert(st.keySet === Set(10L, 11L, 12L, 13L, 14L, 17L), "stats must cover ALL docs")
+  }
+
+  test("q_dedup_substring_apply cuts exactly the spans and re-joins in order") {
+    val cleaned = operators.Dedup.dedupSubstringApply(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(cleaned(10L) === doc10, "canonical copy untouched")
+    assert(cleaned(11L) === doc11.replace(S, ""), "doc 11 loses exactly S")
+    val second = doc12.indexOf(T, doc12.indexOf(T) + 1)
+    assert(cleaned(12L) ===
+      doc12.substring(0, second) + doc12.substring(second + T.length),
+      "doc 12 loses exactly the second T")
+    assert(cleaned(13L) === doc13, "sub-L doc passes through")
+    assert(cleaned(14L) === "", "full duplicate cleans to empty")
+  }
+
+  test("incremental probe: batch doc marked against corpus grams only") {
+    // doc 17 (17 % 10 == 7 → batch) shares S with corpus docs 10/11/14;
+    // corpus docs never appear on the left of the incremental verdict
+    val sp = operators.Dedup.dedupSubstringIncremental(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val s17 = doc17.indexOf(S) + 1L
+    assert(sp === Seq((17L, s17, s17 + S.length)),
+      s"batch probe expected exactly S in doc 17, got $sp")
+  }
+
+  test("span-covering property on real data: spans only cover duplicated grams") {
+    // every reported span on the sf0.001 corpus is ≥ L wide, in-bounds,
+    // and non-overlapping per doc in sorted order
+    val dir = "/root/testdata/sf0.001"
+    val rows = operators.Dedup.dedupSubstring(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lens = util.t(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (doc, sp) =>
+      val sorted = sp.sortBy(_._2)
+      sorted.foreach { case (_, s, e) =>
+        assert(e - s >= L, s"span narrower than L in doc $doc")
+        assert(s >= 1 && e <= lens(doc) + 1, s"span out of bounds in doc $doc")
+      }
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) =>
+          assert(s2 > e1, s"overlapping/adjacent unmerged spans in doc $doc")
+        case _ =>
+      }
+    }
+  }
+}
