@@ -39,5 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.WordNgrams].getName, "word_ngrams"),
       (exprs: Seq[Expression]) => functions.WordNgrams(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
+      new FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[functions.UnicodeNormalize].getName,
+        "unicode_normalize"),
+      (exprs: Seq[Expression]) => functions.UnicodeNormalize(exprs(0),
+        exprs(1).eval(null)
+          .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)))
   }
 }

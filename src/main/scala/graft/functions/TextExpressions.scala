@@ -71,14 +71,69 @@ object WordNgrams {
   }
 }
 
+/** Native Unicode normalization (NFC/NFD/NFKC/NFKD via
+  * `java.text.Normalizer`) — the curation-pipeline hygiene step Spark has
+  * no built-in for (mixed composed/decomposed sources hash and dedup as
+  * DIFFERENT documents until normalized; every serious corpus pipeline
+  * normalizes before fingerprinting). A codegen'd expression keeps it
+  * inside whole-stage codegen next to the md5/split projections it
+  * feeds, where a Scala UDF would box every row and fence the stage. */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if UnicodeNormalize.Forms.contains(form) =>
+      TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"unicode_normalize form must be one of ${UnicodeNormalize.Forms.mkString("/")}, got $form")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"unicode_normalize expects string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeNormalize.compute(input.asInstanceOf[UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = graft.functions.UnicodeNormalize.compute($a, "$form");""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UnicodeNormalize {
+  val Forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
+
+  /** called from both eval and generated code. Fast path: Normalizer
+    * .isNormalized is a cheap scan that avoids allocating for the
+    * overwhelmingly-already-normalized case (ASCII short-circuits). */
+  def compute(s: UTF8String, form: String): UTF8String = {
+    val f = java.text.Normalizer.Form.valueOf(form)
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+  }
+}
+
 object TextExpressions {
   /** register once per session; idempotent */
-  def register(s: SparkSession): Unit =
+  def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngrams", exprs => WordNgrams(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "unicode_normalize", exprs => UnicodeNormalize(exprs(0),
+        exprs(1).eval(null).asInstanceOf[UTF8String].toString), "built-in")
+  }
 
   /** word_ngrams(toks, n) as a Column (requires register first) */
   def wordNgrams(toks: Column, n: Int): Column =
     call_function("word_ngrams", toks, org.apache.spark.sql.functions.lit(n))
+
+  /** unicode_normalize(text, form) as a Column (requires register first) */
+  def unicodeNormalize(text: Column, form: String): Column =
+    call_function("unicode_normalize", text,
+      org.apache.spark.sql.functions.lit(form))
 }

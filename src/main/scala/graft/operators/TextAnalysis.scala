@@ -88,7 +88,7 @@ object TextAnalysis {
   /** greedy left-to-right non-overlapping application of one merge —
     * the standard BPE apply step (a merged symbol cannot re-pair with
     * the token it just consumed within the same pass) */
-  private def applyMerge(toks: Seq[String], a: String, b: String,
+  private[graft] def applyMerge(toks: Seq[String], a: String, b: String,
       joined: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
@@ -122,6 +122,17 @@ object TextAnalysis {
     * corpus (including the tie-break and the phrase-remerge case) and
     * round-1 ≡ the declared [[bpePairs]] argmax on real data. */
   def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    bpeTrainMerges(docs, nMerges).toDF("rank", "t1", "t2", "cnt")
+  }
+
+  /** the driver-side merge list behind [[bpeTrain]] — the merge table IS
+    * per-round decision metadata (one row per round, the allowlisted
+    * O(1)-per-action class), so encode callers take it as a Seq instead
+    * of re-collecting a DataFrame the driver just built */
+  def bpeTrainMerges(docs: DataFrame,
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
     val s = docs.sparkSession
     import s.implicits._
     def ckptRdd(ds: Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
@@ -164,11 +175,71 @@ object TextAnalysis {
     // is dead at return
     (live.toSeq ++ pending.toSeq)
       .foreach(rd => try rd.unpersist(false) catch { case _: Throwable => })
-    merges.toSeq.toDF("rank", "t1", "t2", "cnt")
+    merges.toSeq
   }
 
   def bpeTrain(s: SparkSession, dir: String, nMerges: Int = 8): DataFrame =
     bpeTrain(t(s, dir, "documents").select("text"), nMerges)
+
+  /** merge table memoized per (session, dir, input fingerprint, n) — the
+    * [[ensureSimhashIndex]]-style discipline, for driver metadata instead
+    * of a persisted index: training is nMerges serial distributed rounds,
+    * which the declared encode query shouldn't re-pay per call */
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, Seq[(String, String)])]()
+
+  def ensureBpeMerges(s: SparkSession, dir: String,
+      nMerges: Int = 8): Seq[(String, String)] =
+    bpeMergeCache.synchronized {
+      val key = (s, dir)
+      val fp = graft.util.inputFingerprint(dir, "documents.parquet") + s":$nMerges"
+      val cached = bpeMergeCache.get(key)
+      if (cached != null && cached._1 == fp) cached._2
+      else {
+        val merges = bpeTrainMerges(
+          t(s, dir, "documents").select("text"), nMerges)
+          .sortBy(_._1).map(m => (m._2, m._3))
+        bpeMergeCache.put(key, (fp, merges))
+        merges
+      }
+    }
+
+  /** BPE-style ENCODE: apply a trained merge table to the corpus — one
+    * greedy left-to-right non-overlapping pass per merge in rank order,
+    * exactly the discipline [[bpeTrain]] applied per training round, so
+    * encoding the training corpus with its own merge table reproduces
+    * the symbol stream training ended with (BpeSpec pins the
+    * equivalence). The merge list rides the closure as O(nMerges)
+    * constants — no broadcast, no shuffle; the encode is embarrassingly
+    * parallel map-side work. Output: (doc_id, syms, n_toks). */
+  def bpeEncode(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+      .as[(Long, Seq[String])]
+      .map { case (id, tk) =>
+        var syms = tk
+        for ((a, b) <- merges) syms = applyMerge(syms, a, b, a + " " + b)
+        (id, syms, tk.length.toLong)
+      }
+      .toDF("doc_id", "syms", "n_toks")
+  }
+
+  /** Declared query: per-doc encoding compression under the corpus's own
+    * 8-merge table — n_toks → n_syms and the ratio, the tokenizer-fit
+    * metric a data pipeline tracks per source/snapshot. No SQL oracle
+    * (iterated greedy merges are not expressible as one query); BpeSpec
+    * pins train/encode equivalence, hand-computed merge sequences, and
+    * the flatten-reconstruction property. */
+  def bpeEncodeQ(s: SparkSession, dir: String): DataFrame =
+    bpeEncode(t(s, dir, "documents").select("doc_id", "text"),
+      ensureBpeMerges(s, dir))
+      .select(col("doc_id"), col("n_toks"),
+        size(col("syms")).cast(LongType).as("n_syms"),
+        r4f(size(col("syms")).cast(DoubleType) / col("n_toks"))
+          .as("compression"))
+      .orderBy("doc_id")
 
   // ---- heuristic language ID -----------------------------------------
   /** tiny per-language stopword lists; winner = running strict-> max in
@@ -1056,6 +1127,48 @@ object TextAnalysis {
        |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'), '$PhoneRe', '<PHONE>', 'g') AS scrubbed
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- unicode normalization ------------------------------------------
+  /** Unicode NFC normalization via the native codegen'd
+    * [[graft.functions.UnicodeNormalize]] expression — the hygiene step
+    * that must run BEFORE fingerprinting/dedup (composed 'á' and
+    * decomposed 'a'+U+0301 hash as different documents; real web corpora
+    * mix both forms). Spark has no built-in for it; a Scala UDF would
+    * box every row and fence whole-stage codegen next to the md5/split
+    * projections this feeds.
+    *
+    * The declared query manufactures the DECOMPOSED variant in-plan
+    * (every 'a' → 'a' + U+0301, the NFD form of 'á' — this corpus is
+    * ASCII, so normalization would otherwise be unobservable; in
+    * production the messy upstream source plays this role), composes it
+    * back with NFC, and reports both code-point lengths plus the
+    * normalized text — raw_len > norm_len exactly where 'a' occurs, and
+    * the oracle's independent `nfc_normalize` must produce
+    * byte-identical strings. Map-side only; the lone shuffle is the
+    * declared orderBy. */
+  def normalizeText(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "a", "a\u0301").as("decomposed"))
+      .select(col("doc_id"),
+        length(col("decomposed")).cast(LongType).as("raw_len"),
+        graft.functions.TextExpressions
+          .unicodeNormalize(col("decomposed"), "NFC").as("norm_text"))
+      .select(col("doc_id"), col("raw_len"),
+        length(col("norm_text")).cast(LongType).as("norm_len"),
+        col("norm_text"))
+      .orderBy("doc_id")
+  }
+
+  val normalizeTextSql: String =
+    """WITH x AS (
+      |  SELECT doc_id, regexp_replace(text, 'a', 'a' || chr(769), 'g') AS decq
+      |  FROM documents)
+      |SELECT doc_id, length(decq) AS raw_len,
+      |  length(nfc_normalize(decq)) AS norm_len,
+      |  nfc_normalize(decq) AS norm_text
+      |FROM x ORDER BY doc_id""".stripMargin
+
   // ---- model-based quality scoring (hashing-trick linear classifier) --
   /** Model-based quality filtering (the fastText-classifier step of
     * DCLM / FineWeb-Edu-style pipelines) expressed in its at-scale Spark
@@ -1142,6 +1255,8 @@ object TextAnalysis {
     "q_text_stats" -> textStats _,
     "q_token_freq" -> tokenFreq _,
     "q_bpe_pairs" -> bpePairs _,
+    "q_bpe_encode" -> bpeEncodeQ _,
+    "q_normalize_text" -> normalizeText _,
     "q_lang_id" -> langId _,
     "q_quality_score" -> qualityScore _,
     "q_token_count" -> tokenCount _,
@@ -1171,6 +1286,7 @@ object TextAnalysis {
     "q_text_stats" -> textStatsSql,
     "q_token_freq" -> tokenFreqSql,
     "q_bpe_pairs" -> bpePairsSql,
+    "q_normalize_text" -> normalizeTextSql,
     "q_lang_id" -> langIdSql,
     "q_quality_score" -> qualityScoreSql,
     "q_token_count" -> tokenCountSql,

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** bpeTrain: hand-computed merge sequences on fixture corpora (the
@@ -41,6 +42,67 @@ class BpeSpec extends AnyFunSuite {
     val m2 = TextAnalysis.bpeTrain(docs("x y"), 5)
       .collect().map(r => (r.getString(1), r.getString(2)))
     assert(m2.toSeq === Seq(("x", "y")))
+  }
+
+  test("bpeEncode: hand-computed symbol stream under a trained table") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c a b"), (2L, "a b x")).toDF("doc_id", "text")
+    // merges from the hand-computed training above: (a,b) then ("a b",c)
+    val enc = TextAnalysis.bpeEncode(d, Seq(("a", "b"), ("a b", "c")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1), r.getLong(2)))).toMap
+    assert(enc(1L) === ((Seq("a b c", "a b"), 5L)))
+    assert(enc(2L) === ((Seq("a b", "x"), 3L)))
+  }
+
+  test("encoding the training corpus reproduces training's final symbol stream") {
+    import spark.implicits._
+    val texts = Seq("a b c a b", "a b x", "c a b c a b", "x y x y x y")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrainMerges(d.select("text"), 4)
+      .map(m => (m._2, m._3))
+    // replay training's per-round greedy apply directly on the driver
+    val expected = texts.map { t =>
+      merges.foldLeft(t.split(" ").toSeq) { case (syms, (a, b)) =>
+        TextAnalysis.applyMerge(syms, a, b, a + " " + b)
+      }
+    }
+    val enc = TextAnalysis.bpeEncode(d, merges).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    texts.indices.foreach { i =>
+      assert(enc(i.toLong) === expected(i), s"doc $i diverged from training")
+    }
+  }
+
+  test("q_bpe_encode: flatten-reconstruction and compression bounds on real data") {
+    val dir = "/root/testdata/sf0.001"
+    val merges = TextAnalysis.ensureBpeMerges(spark, dir)
+    assert(merges.nonEmpty, "real corpus must train a non-empty merge table")
+    val enc = TextAnalysis.bpeEncode(
+      util.t(spark, dir, "documents").select("doc_id", "text"), merges)
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2)))
+    assert(enc.nonEmpty)
+    val texts = util.t(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    enc.foreach { case (id, syms, nToks) =>
+      // splitting every symbol back on spaces reconstructs the original
+      // lowercased token stream — no token is lost or reordered
+      assert(syms.flatMap(_.split(" ", -1)) === texts(id).toLowerCase.split(" ", -1).toSeq,
+        s"doc $id does not reconstruct")
+      assert(syms.length <= nToks, s"doc $id grew under encoding")
+    }
+    assert(enc.exists { case (_, syms, nToks) => syms.length < nToks },
+      "no doc compressed at all — the merge table did nothing")
+    // declared form agrees with the raw encode
+    val q = operators.TextAnalysis.bpeEncodeQ(spark, dir).collect()
+    assert(q.map(_.getLong(0)).toSeq === q.map(_.getLong(0)).toSeq.sorted)
+    q.foreach { r =>
+      val (id, nToks, nSyms) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val direct = enc.find(_._1 == id).get
+      assert(nSyms === direct._2.length.toLong && nToks === direct._3)
+    }
   }
 
   test("round-1 merge equals the declared q_bpe_pairs argmax on real data") {

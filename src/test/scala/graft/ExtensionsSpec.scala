@@ -42,6 +42,9 @@ class ExtensionsSpec extends AnyFunSuite {
       val b = s.sql("SELECT sign_lsh_bucket(array(CAST(1.0 AS FLOAT)), 8) AS b")
         .collect().head.getInt(0)
       assert(b >= 0 && b < 256)
+      val norm = s.sql("SELECT unicode_normalize('a' || 'b', 'NFC') AS n")
+        .collect().head.getString(0)
+      assert(norm === "ab")
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

@@ -146,6 +146,46 @@ class VectorSpec extends AnyFunSuite {
       s"projection not codegen'd:\n$p")
   }
 
+  test("unicode_normalize: NFC composes, NFD decomposes, matches java.text.Normalizer") {
+    TextExpressions.register(spark)
+    import spark.implicits._
+    val decomposed = "cafe\u0301 a\u0301 plain"    // combining acutes
+    val composed = java.text.Normalizer.normalize(
+      decomposed, java.text.Normalizer.Form.NFC)
+    assert(composed.length < decomposed.length, "fixture must actually compose")
+    val out = Seq((1L, decomposed), (2L, "pure ascii"), (3L, composed))
+      .toDF("id", "t")
+      .select(col("id"),
+        TextExpressions.unicodeNormalize(col("t"), "NFC").as("nfc"),
+        TextExpressions.unicodeNormalize(col("t"), "NFD").as("nfd"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    assert(out(1L) === ((composed, decomposed)))
+    assert(out(3L) === ((composed, decomposed)), "NFD re-decomposes the composed form")
+    assert(out(2L) === (("pure ascii", "pure ascii")), "ASCII is a fixed point")
+    // idempotence through the expression itself
+    val twice = Seq(decomposed).toDF("t")
+      .select(TextExpressions.unicodeNormalize(
+        TextExpressions.unicodeNormalize(col("t"), "NFC"), "NFC").as("n"))
+      .collect().head.getString(0)
+    assert(twice === composed)
+    // null propagates
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(TextExpressions.unicodeNormalize(col("t"), "NFC").as("n"))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("unicode_normalize runs inside whole-stage codegen (no fallback)") {
+    TextExpressions.register(spark)
+    val df = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(TextExpressions.unicodeNormalize(col("text"), "NFKC").as("n"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined,
+      s"projection not codegen'd:\n$p")
+  }
+
   test("word_ngrams property: parity with the HOF form on generated token arrays") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
