@@ -2034,6 +2034,187 @@ object Dedup {
        |FROM documents doc LEFT JOIN cleaned c ON doc.doc_id = c.doc_id
        |ORDER BY doc.doc_id""".stripMargin
 
+  // -- winnowed variant: the 100 TB scale path --------------------------
+
+  /** Winnowing window in GRAMS (Schleimer, Wilkerson & Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", §4).
+    * The exact pass shuffles one row per character position; winnowing
+    * selects only each w-window's minimal gram hash, cutting the
+    * shuffled rows to ~2/(w+1) of positions at the cost of the
+    * guarantee weakening from runs ≥ L to runs ≥ L + w − 1 chars
+    * (the paper's t = w + k − 1 noise/guarantee threshold). w = 5 here
+    * so the approximation is observable against the exact twin at test
+    * scale; a production 100 TB run dials w up (w = 50 → ~25× fewer
+    * rows) and prices the recall with [[dedupSubstringWinnowEval]]. */
+  val WinnowW = 5
+
+  /** Robust-winnowing selection + dup marks, one row per SELECTED
+    * position whose gram re-occurs among selected positions corpus-wide
+    * (keep-first exemption as in the exact pass — and winnow marks ⊆
+    * exact marks: the exact-canonical occurrence, being the global
+    * (doc_id, pos) min, is also first among whatever subset selection
+    * keeps).
+    *
+    * Scale shape: selection is PER-DOC LOCAL math — gram hashes, window
+    * minima and argmin decode all happen in per-row arrays map-side
+    * (the docFingerprint idiom), so the corpus-wide shuffle only ever
+    * sees the selected ~2/(w+1) fraction. Rightmost-min tie-break is
+    * encoded arithmetically: comb = h40·2²⁰ + (2²⁰−1−pos), whose
+    * array_min is (min hash, max pos) — positions must fit 20 bits
+    * (docs ≤ 1M chars; wider docs would chunk upstream). The full
+    * 16-byte md5 is recomputed ONLY at selected positions, so 40-bit
+    * selection collisions cost selection quality, never verdicts. */
+  def winnowDupPositionsOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val P = 1L << 20
+    docs
+      .where(length(col("text")) >= SubstrL)
+      .select(col("doc_id"), col("text"),
+        expr(
+          s"""transform(sequence(1, length(text) - ${SubstrL - 1}), p ->
+             |  CAST(conv(substring(md5(substring(text, p, $SubstrL)), 1, 10), 16, 10) AS BIGINT)
+             |    * ${P}L + (${P - 1}L - p))""".stripMargin).as("comb"))
+      .select(col("doc_id"), col("text"),
+        explode(array_distinct(expr(
+          s"""transform(sequence(1, greatest(size(comb) - $WinnowW + 1, 1)), i ->
+             |  array_min(slice(comb, i, $WinnowW)))""".stripMargin))).as("wm"))
+      .select(col("doc_id"),
+        (lit(P - 1) - (col("wm") % lit(P))).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        unhex(md5(expr(s"substring(text, cast(pos AS INT), $SubstrL)"))).as("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "pos")))
+      .where(col("rn") >= 2)
+      .select("doc_id", "pos")
+  }
+
+  /** Declared query: winnowed duplicated spans — same shape as
+    * [[dedupSubstring]], computed from the ~2/(w+1) selected positions.
+    * Spans under-cover the exact pass (guarantee ≥ L + w − 1); the eval
+    * twin prices the gap. */
+  def dedupSubstringWinnow(s: SparkSession, dir: String): DataFrame =
+    substringSpansOf(winnowDupPositionsOf(
+      t(s, dir, "documents").select("doc_id", "text")))
+      .orderBy("doc_id", "span_start")
+
+  /** the winnow selection + dup-mark chain as oracle CTEs ending in
+    * `d(doc_id, pos)` — window starts are FULL windows only
+    * (pos ≤ max(ng − w + 1, 1)), mirroring the slice-overrun semantics
+    * of the per-row form */
+  private def winnowCtes: String = {
+    val P = 1L << 20
+    s"""g AS (
+       |  SELECT doc_id, i AS pos, text,
+       |    ('0x' || substr(md5(substr(text, i::INT, $SubstrL)), 1, 10))::BIGINT
+       |      * $P + (${P - 1} - i) AS comb
+       |  FROM documents JOIN generate_series(1, 100000) t(i)
+       |    ON i <= length(text) - ${SubstrL - 1}),
+       |wmin AS (
+       |  SELECT doc_id, pos,
+       |    min(comb) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wm,
+       |    count(*) OVER (PARTITION BY doc_id) AS ng
+       |  FROM g),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, ${P - 1} - (wm % $P) AS pos
+       |  FROM wmin WHERE pos <= greatest(ng - ${WinnowW - 1}, 1)),
+       |selh AS (
+       |  SELECT s.doc_id, s.pos, md5(substr(doc.text, s.pos::INT, $SubstrL)) AS h
+       |  FROM sel s JOIN documents doc ON doc.doc_id = s.doc_id),
+       |r AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM selh),
+       |d AS (SELECT doc_id, pos FROM r WHERE rn >= 2)""".stripMargin
+  }
+
+  val dedupSubstringWinnowSql: String =
+    s"""WITH $winnowCtes,
+       |$substrSpanCtes
+       |SELECT doc_id, span_start, span_end FROM spans
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  /** Declared query: what winnowing's row reduction costs in coverage —
+    * ONE exact metrics row (exact_chars, winnow_chars, char_recall,
+    * exact_docs, winnow_docs, sel_positions, exact_positions). Winnow
+    * marks ⊆ exact marks, so char_recall ≤ 1 by construction and the
+    * row-reduction ratio is read off the same output. The instrument a
+    * 100 TB deployment consults before choosing w. */
+  def dedupSubstringWinnowEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    def totals(spans: DataFrame, prefix: String): DataFrame =
+      spans.agg(
+        coalesce(sum(col("span_end") - col("span_start")), lit(0L))
+          .as(s"${prefix}_chars"),
+        count_distinct(col("doc_id")).as(s"${prefix}_docs"))
+    val exactPos = dupSubstrPositionsOf(docs)
+    val winnowPos = winnowDupPositionsOf(docs)
+    val ex = totals(substringSpansOf(exactPos), "exact")
+    val wn = totals(substringSpansOf(winnowPos), "winnow")
+    val cnt = exactPos.agg(count(lit(1)).as("exact_positions"))
+      .crossJoin(winnowPos.agg(count(lit(1)).as("winnow_positions")))
+    ex.crossJoin(wn).crossJoin(cnt)
+      .select(col("exact_chars"), col("winnow_chars"),
+        when(col("exact_chars") > 0,
+          r4f(col("winnow_chars").cast(DoubleType) / col("exact_chars")))
+          .as("char_recall"),
+        col("exact_docs"), col("winnow_docs"),
+        col("exact_positions"), col("winnow_positions"))
+  }
+
+  val dedupSubstringWinnowEvalSql: String =
+    s"""WITH ${substrGramCte()},
+       |r AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM g),
+       |d AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
+       |$substrSpanCtes,
+       |wmin AS (
+       |  SELECT doc_id, pos,
+       |    min(('0x' || substr(h, 1, 10))::BIGINT * ${1L << 20} + (${(1L << 20) - 1} - pos))
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wm,
+       |    count(*) OVER (PARTITION BY doc_id) AS ng
+       |  FROM g),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, ${(1L << 20) - 1} - (wm % ${1L << 20}) AS pos
+       |  FROM wmin WHERE pos <= greatest(ng - ${WinnowW - 1}, 1)),
+       |selh AS (
+       |  SELECT g.doc_id, g.pos, g.h FROM g JOIN sel USING (doc_id, pos)),
+       |r2 AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM selh),
+       |d2 AS (SELECT doc_id, pos FROM r2 WHERE rn >= 2),
+       |w2 AS (
+       |  SELECT doc_id, pos, max(pos + $SubstrL) OVER (PARTITION BY doc_id
+       |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |  FROM d2),
+       |isl2 AS (
+       |  SELECT doc_id, pos, sum(CASE WHEN pm IS NULL OR pos > pm THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |  FROM w2),
+       |spans2 AS (
+       |  SELECT doc_id, min(pos) AS span_start, max(pos) + $SubstrL AS span_end
+       |  FROM isl2 GROUP BY doc_id, isl),
+       |ex AS (
+       |  SELECT coalesce(sum(span_end - span_start), 0)::BIGINT AS exact_chars,
+       |    count(DISTINCT doc_id) AS exact_docs FROM spans),
+       |wn AS (
+       |  SELECT coalesce(sum(span_end - span_start), 0)::BIGINT AS winnow_chars,
+       |    count(DISTINCT doc_id) AS winnow_docs FROM spans2),
+       |cnt AS (
+       |  SELECT (SELECT count(*) FROM d) AS exact_positions,
+       |    (SELECT count(*) FROM d2) AS winnow_positions)
+       |SELECT exact_chars, winnow_chars,
+       |  CASE WHEN exact_chars > 0 THEN
+       |    CAST(floor(winnow_chars::DOUBLE / exact_chars * 10000::DOUBLE
+       |      + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) END AS char_recall,
+       |  exact_docs, winnow_docs, exact_positions, winnow_positions
+       |FROM ex, wn, cnt""".stripMargin
+
   /** Declared query: the ingest-time form — positions in the NEW batch
     * (doc_id % [[IncrementalMod]] == [[IncrementalRem]]) whose L-gram
     * already occurs in the existing corpus, merged to spans. The batch
@@ -2094,7 +2275,9 @@ object Dedup {
     "q_dedup_substring" -> dedupSubstring _,
     "q_dedup_substring_stats" -> dedupSubstringStats _,
     "q_dedup_substring_apply" -> dedupSubstringApply _,
-    "q_dedup_substring_incremental" -> dedupSubstringIncremental _)
+    "q_dedup_substring_incremental" -> dedupSubstringIncremental _,
+    "q_dedup_substring_winnow" -> dedupSubstringWinnow _,
+    "q_dedup_substring_winnow_eval" -> dedupSubstringWinnowEval _)
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
@@ -2118,5 +2301,7 @@ object Dedup {
     "q_dedup_substring" -> dedupSubstringSql,
     "q_dedup_substring_stats" -> dedupSubstringStatsSql,
     "q_dedup_substring_apply" -> dedupSubstringApplySql,
-    "q_dedup_substring_incremental" -> dedupSubstringIncrementalSql)
+    "q_dedup_substring_incremental" -> dedupSubstringIncrementalSql,
+    "q_dedup_substring_winnow" -> dedupSubstringWinnowSql,
+    "q_dedup_substring_winnow_eval" -> dedupSubstringWinnowEvalSql)
 }

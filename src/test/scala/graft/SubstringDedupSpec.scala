@@ -106,6 +106,36 @@ class SubstringDedupSpec extends AnyFunSuite {
       s"batch probe expected exactly S in doc 17, got $sp")
   }
 
+  test("winnow guarantee: runs >= L + w - 1 are still found, spans nest in exact spans") {
+    // S (40 chars) clears the winnowing threshold L + w − 1 = 34, so
+    // doc 11's duplicated run MUST surface even from selected-only grams
+    val wn = operators.Dedup.dedupSubstringWinnow(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ex = spans()
+    assert(wn.exists(_._1 == 11L), "winnow missed the >= L+w-1 run in doc 11")
+    assert(wn.exists(_._1 == 14L), "winnow missed the whole-doc duplicate")
+    assert(!wn.exists(_._1 == 10L), "winnow marked the canonical copy")
+    assert(!wn.exists(_._1 == 13L), "winnow marked a sub-L doc")
+    // every winnow span nests inside some exact span of the same doc
+    wn.foreach { case (doc, s, e) =>
+      assert(ex(doc).exists { case (es, ee) => s >= es && e <= ee },
+        s"winnow span [$s,$e) of doc $doc escapes the exact spans ${ex(doc)}")
+    }
+  }
+
+  test("winnow eval: marks are a subset, recall in (0,1], rows actually shrink") {
+    val r = operators.Dedup.dedupSubstringWinnowEval(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val (exactChars, winnowChars) = (r.getLong(0), r.getLong(1))
+    val recall = r.getDouble(2)
+    val (exactPos, winnowPos) = (r.getLong(5), r.getLong(6))
+    assert(exactChars > 0, "sf0.001 must contain duplicated substrings")
+    assert(winnowChars <= exactChars, "winnow coverage exceeded exact coverage")
+    assert(recall > 0.0 && recall <= 1.0)
+    assert(winnowPos < exactPos,
+      s"winnowing must shrink the marked-position set ($winnowPos vs $exactPos)")
+  }
+
   test("span-covering property on real data: spans only cover duplicated grams") {
     // every reported span on the sf0.001 corpus is ≥ L wide, in-bounds,
     // and non-overlapping per doc in sorted order
