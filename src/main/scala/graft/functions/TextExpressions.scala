@@ -71,6 +71,97 @@ object WordNgrams {
   }
 }
 
+/** Native robust-winnowing selection (Schleimer-Wilkerson-Aiken 2003 §4)
+  * — the per-doc local step of the winnowed substring-dedup scale path.
+  * Returns the 1-based positions of each w-window's minimal char-L-gram
+  * md5-40 hash (rightmost on hash ties), distinct, in window order.
+  *
+  * The HOF formulation — three nested transform/array_min/array_distinct
+  * lambdas with an md5 per gram — runs interpreted and profiled SLOWER
+  * than the exact pass it exists to beat (4.9 s vs 3.5 s at sf0.1: the
+  * lambda frames cost more than the shuffle they save at test scale).
+  * This expression computes the same selection in one JVM loop per row:
+  * md5 via a thread-local digest, sliding-window min via a monotonic
+  * deque (O(n) total, not O(n·w)). Semantics are pinned to the HOF form
+  * by a VectorSpec parity test and to DuckDB by the declared oracle. */
+case class WinnowPositions(child: Expression, l: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if l >= 1 && w >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"winnow_positions needs l >= 1 and w >= 1, got l=$l w=$w")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"winnow_positions expects string, got ${t.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "winnow_positions"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowPositions.compute(input.asInstanceOf[UTF8String], l, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WinnowPositions.compute($a, $l, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowPositions {
+  private val P: Long = 1L << 20
+
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** one JVM loop per row; called from both eval and generated code.
+    * comb(p0) = h40·2²⁰ + (2²⁰−1−pos): array minimum = (min hash,
+    * rightmost pos) — the tie-break is arithmetic, identical to the HOF
+    * and DuckDB forms. Full windows only; a doc with fewer than w grams
+    * gets one whole-array window (slice-overrun semantics). */
+  def compute(text: UTF8String, l: Int, w: Int): ArrayData = {
+    val n = text.numChars() - l + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val digest = md.get()
+    val comb = new Array[Long](n)
+    var p0 = 0
+    while (p0 < n) {
+      digest.reset()
+      val d = digest.digest(text.substringSQL(p0 + 1, l).getBytes)
+      val h40 = ((d(0) & 0xffL) << 32) | ((d(1) & 0xffL) << 24) |
+        ((d(2) & 0xffL) << 16) | ((d(3) & 0xffL) << 8) | (d(4) & 0xffL)
+      comb(p0) = h40 * P + (P - 1 - (p0 + 1))
+      p0 += 1
+    }
+    val starts = math.max(n - w + 1, 1)
+    val selected = new java.util.LinkedHashSet[Long]()
+    val deque = new java.util.ArrayDeque[Int]()
+    var i = 0
+    val first = math.min(w, n)
+    while (i < first) {
+      while (!deque.isEmpty && comb(deque.peekLast()) >= comb(i)) deque.pollLast()
+      deque.addLast(i)
+      i += 1
+    }
+    selected.add(comb(deque.peekFirst()))
+    var s = 1
+    while (s < starts) {
+      if (deque.peekFirst() < s) deque.pollFirst()
+      val in = s + w - 1
+      while (!deque.isEmpty && comb(deque.peekLast()) >= comb(in)) deque.pollLast()
+      deque.addLast(in)
+      selected.add(comb(deque.peekFirst()))
+      s += 1
+    }
+    val out = new Array[Any](selected.size())
+    val it = selected.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = P - 1 - (it.next() % P); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** Native Unicode normalization (NFC/NFD/NFKC/NFKD via
   * `java.text.Normalizer`) — the curation-pipeline hygiene step Spark has
   * no built-in for (mixed composed/decomposed sources hash and dedup as
@@ -126,6 +217,10 @@ object TextExpressions {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "unicode_normalize", exprs => UnicodeNormalize(exprs(0),
         exprs(1).eval(null).asInstanceOf[UTF8String].toString), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_positions", exprs => WinnowPositions(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int]), "built-in")
   }
 
   /** word_ngrams(toks, n) as a Column (requires register first) */
@@ -136,4 +231,10 @@ object TextExpressions {
   def unicodeNormalize(text: Column, form: String): Column =
     call_function("unicode_normalize", text,
       org.apache.spark.sql.functions.lit(form))
+
+  /** winnow_positions(text, l, w) as a Column (requires register first) */
+  def winnowPositions(text: Column, l: Int, w: Int): Column =
+    call_function("winnow_positions", text,
+      org.apache.spark.sql.functions.lit(l),
+      org.apache.spark.sql.functions.lit(w))
 }

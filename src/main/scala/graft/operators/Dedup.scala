@@ -2066,21 +2066,12 @@ object Dedup {
     * selection collisions cost selection quality, never verdicts. */
   def winnowDupPositionsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val P = 1L << 20
+    graft.functions.TextExpressions.register(docs.sparkSession)
     docs
       .where(length(col("text")) >= SubstrL)
       .select(col("doc_id"), col("text"),
-        expr(
-          s"""transform(sequence(1, length(text) - ${SubstrL - 1}), p ->
-             |  CAST(conv(substring(md5(substring(text, p, $SubstrL)), 1, 10), 16, 10) AS BIGINT)
-             |    * ${P}L + (${P - 1}L - p))""".stripMargin).as("comb"))
-      .select(col("doc_id"), col("text"),
-        explode(array_distinct(expr(
-          s"""transform(sequence(1, greatest(size(comb) - $WinnowW + 1, 1)), i ->
-             |  array_min(slice(comb, i, $WinnowW)))""".stripMargin))).as("wm"))
-      .select(col("doc_id"),
-        (lit(P - 1) - (col("wm") % lit(P))).as("pos"),
-        col("text"))
+        explode(graft.functions.TextExpressions
+          .winnowPositions(col("text"), SubstrL, WinnowW)).as("pos"))
       .select(col("doc_id"), col("pos"),
         unhex(md5(expr(s"substring(text, cast(pos AS INT), $SubstrL)"))).as("h"))
       .withColumn("rn", row_number().over(

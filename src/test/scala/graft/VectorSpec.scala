@@ -186,6 +186,47 @@ class VectorSpec extends AnyFunSuite {
       s"projection not codegen'd:\n$p")
   }
 
+  test("winnow_positions matches the HOF transform/array_min formulation exactly") {
+    TextExpressions.register(spark)
+    val L = operators.Dedup.SubstrL
+    val W = operators.Dedup.WinnowW
+    val P = 1L << 20
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .where(length(col("text")) >= L)
+    val both = docs.select(
+      col("doc_id"),
+      TextExpressions.winnowPositions(col("text"), L, W).as("native"),
+      expr(
+        s"""transform(array_distinct(transform(
+           |    sequence(1, greatest((length(text) - ${L - 1}) - $W + 1, 1)), i ->
+           |    array_min(slice(transform(sequence(1, length(text) - ${L - 1}), p ->
+           |      CAST(conv(substring(md5(substring(text, p, $L)), 1, 10), 16, 10) AS BIGINT)
+           |        * ${P}L + (${P - 1}L - p)), i, $W)))),
+           |  wm -> ${P - 1}L - (wm % ${P}L))""".stripMargin).as("hof"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"doc ${r.get(0)}")
+    }
+    // sub-w-gram doc: one whole-array window, one selected position
+    import spark.implicits._
+    val tiny = Seq("x" * L).toDF("text")
+      .select(TextExpressions.winnowPositions(col("text"), L, W).as("p"))
+      .collect().head.getSeq[Long](0)
+    assert(tiny === Seq(1L))
+  }
+
+  test("winnow_positions runs inside whole-stage codegen (no fallback)") {
+    TextExpressions.register(spark)
+    val df = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .where(length(col("text")) >= 30)
+      .select(TextExpressions.winnowPositions(col("text"), 30, 5).as("p"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(p).isDefined,
+      s"projection not codegen'd:\n$p")
+  }
+
   test("word_ngrams property: parity with the HOF form on generated token arrays") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
