@@ -48,6 +48,7 @@ object Bench {
       graft.operators.Dedup.clearGramIndexCache()
       graft.operators.Dedup.clearSimhashIndexCache()
       graft.operators.Dedup.clearMinhashIndexCache()
+      graft.operators.Dedup.clearSubstrIndexCache()
       graft.operators.Similarity.clearCodebookCache()
       graft.operators.Similarity.clearSemanticIndexCache()
       graft.operators.Bucketing.clearTableCache()

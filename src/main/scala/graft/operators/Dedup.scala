@@ -1855,12 +1855,7 @@ object Dedup {
     * twice. */
   def dupSubstrPositionsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs
-      .where(length(col("text")) >= SubstrL)
-      .select(col("doc_id"), col("text"),
-        explode(expr(s"sequence(1, length(text) - ${SubstrL - 1})")).as("p"))
-      .select(col("doc_id"), col("p").cast(LongType).as("pos"),
-        unhex(md5(expr(s"substring(text, p, $SubstrL)"))).as("h"))
+    substrGramsOf(docs)
       .withColumn("rn", row_number().over(
         Window.partitionBy("h").orderBy("doc_id", "pos")))
       .where(col("rn") >= 2)
@@ -2213,21 +2208,96 @@ object Dedup {
     * through a left-semi equi-join on h (one shuffle each side, no
     * first-occurrence window needed — ANY corpus hit marks the batch
     * position). */
-  def dedupSubstringIncremental(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select("doc_id", "text")
-    def grams(df: DataFrame): DataFrame = df
-      .where(length(col("text")) >= SubstrL)
-      .select(col("doc_id"), col("text"),
-        explode(expr(s"sequence(1, length(text) - ${SubstrL - 1})")).as("p"))
-      .select(col("doc_id"), col("p").cast(LongType).as("pos"),
-        unhex(md5(expr(s"substring(text, p, $SubstrL)"))).as("h"))
-    val corpus = grams(docs.where(col("doc_id") % IncrementalMod =!= IncrementalRem))
-      .select("h")
-    val batch = grams(docs.where(col("doc_id") % IncrementalMod === IncrementalRem))
-    substringSpansOf(
-        batch.join(corpus, Seq("h"), "left_semi").select("doc_id", "pos"))
-      .orderBy("doc_id", "span_start")
+  /** every (doc_id, pos, 16-byte md5 gram hash) row of a doc frame —
+    * the shared scan-stage front of the whole substring family */
+  private def substrGramsOf(docs: DataFrame): DataFrame = docs
+    .where(length(col("text")) >= SubstrL)
+    .select(col("doc_id"), col("text"),
+      explode(expr(s"sequence(1, length(text) - ${SubstrL - 1})")).as("p"))
+    .select(col("doc_id"), col("p").cast(LongType).as("pos"),
+      unhex(md5(expr(s"substring(text, p, $SubstrL)"))).as("h"))
+
+  /** Persist the corpus split's DISTINCT gram-hash set clustered by h —
+    * the at-rest form the incremental/streaming substring passes probe.
+    * Smallest index of any dedup family: 16 bytes per distinct corpus
+    * gram, no positions, no cap machinery — the probe is a LEFT-SEMI
+    * set-membership join, so each batch position matches at most once
+    * REGARDLESS of how often the gram occurs in the corpus; adversarial
+    * boilerplate cannot fan it out by construction. */
+  def writeSubstrIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
+    substrGramsOf(t(s, dir, "documents")
+        .where(col("doc_id") % IncrementalMod =!= IncrementalRem)
+        .select("doc_id", "text"))
+      .select("h").distinct()
+      .repartition(col("h"))
+      .write.mode("overwrite").parquet(s"$indexPath/hashes")
+    writeIndexMeta(s, indexPath, "substr_l", SubstrL.toLong)
   }
+
+  /** Add-after-build maintenance — the CHEAPEST append of any index
+    * family: the batch's distinct gram hashes are appended as-is with
+    * NO read of the existing index (O(batch) total). Correct because
+    * left-semi probe semantics are idempotent under duplicate hash
+    * rows — a hash present twice answers membership exactly like once
+    * — so cross-append duplicates cost bytes, never verdicts;
+    * `IndexMaintenance.compactSubstrIndex` reclaims the bytes.
+    * Caller contract: `docs` doc_ids are new to the index. */
+  def appendSubstrIndex(s: SparkSession, indexPath: String,
+      docs: DataFrame): Unit =
+    substrGramsOf(docs).select("h").distinct()
+      .repartition(col("h"))
+      .write.mode("append").parquet(s"$indexPath/hashes")
+
+  /** Probe a persisted substring index with ARBITRARY documents: batch
+    * grams left-semi join the hash set (one shuffle each side, aligned
+    * with the index's at-rest clustering), surviving positions merge to
+    * spans per doc. The declared batch query feeds it the deterministic
+    * split; `Pipeline.streamSubstringDedup` feeds it micro-batches. */
+  def probeSubstrIndex(s: SparkSession, docs: DataFrame,
+      indexPath: String): DataFrame =
+    substringSpansOf(
+      substrGramsOf(docs)
+        .join(s.read.parquet(s"$indexPath/hashes"), Seq("h"), "left_semi")
+        .select("doc_id", "pos"))
+
+  /** index path memoized per (session, dir, input fingerprint) — the
+    * substring twin of [[gramIndexPath]] */
+  private val substrIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+
+  def ensureSubstrIndex(s: SparkSession, dir: String): String =
+    substrIndexCache.synchronized {
+      val key = (s, dir)
+      val fp = graft.util.inputFingerprint(dir, "documents.parquet")
+      val cached = substrIndexCache.get(key)
+      if (cached != null && cached._1 == fp) cached._2
+      else {
+        if (cached != null) graft.util.deleteRecursively(cached._2)
+        val path = java.nio.file.Files.createTempDirectory("graft_substr_idx").toString
+        writeSubstrIndex(s, dir, path)
+        substrIndexCache.put(key, (fp, path))
+        path
+      }
+    }
+
+  def clearSubstrIndexCache(): Unit =
+    substrIndexCache.synchronized {
+      substrIndexCache.forEach((_, v) => graft.util.deleteRecursively(v._2))
+      substrIndexCache.clear()
+    }
+
+  // The declared batch query sorts for a stable oracle compare; the
+  // probe stays unsorted for the streaming sinks (the
+  // dedupSimhashIncremental discipline). Index-backed since the 10×
+  // measurement showed the self-contained form re-hashing the corpus
+  // per call at 3.79× scaling — worst of the suite (PERF.md).
+  def dedupSubstringIncremental(s: SparkSession, dir: String): DataFrame =
+    probeSubstrIndex(s,
+      t(s, dir, "documents")
+        .where(col("doc_id") % IncrementalMod === IncrementalRem)
+        .select("doc_id", "text"),
+      ensureSubstrIndex(s, dir))
+      .orderBy("doc_id", "span_start")
 
   val dedupSubstringIncrementalSql: String =
     s"""WITH ${substrGramCte()},

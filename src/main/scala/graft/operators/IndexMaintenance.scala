@@ -116,6 +116,14 @@ object IndexMaintenance {
       transform = _.groupBy("gh").agg(sum(col("df")).as("df")))
   }
 
+  /** Substring gram-hash set: `hashes/` re-clustered by h with the
+    * cross-append duplicates dropped — semantics-preserving because the
+    * probe is a left-semi membership join (present twice ≡ present
+    * once; the contract `Dedup.appendSubstrIndex` trades on) */
+  def compactSubstrIndex(s: SparkSession, indexPath: String): Unit =
+    compactDir(s, s"$indexPath/hashes", Seq("h"),
+      transform = _.distinct())
+
   /** IVF (and semantic — same layout) index: `lists/` re-clustered and
     * re-partitioned by cid, so each cell directory returns to one file
     * per shuffle task; `codebook/` (the trained geometry) untouched */

@@ -544,6 +544,31 @@ object Pipeline {
       }
       .start()
 
+  /** LIVE exact-substring gate — [[streamDedupIncremental]]'s twin over
+    * the persisted substring gram-hash set (`Dedup.writeSubstrIndex`):
+    * each micro-batch of (doc_id, text) hashes its char L-grams
+    * map-side, left-semi probes the corpus hash set, and emits merged
+    * duplicated spans through the SAME `probeSubstrIndex` path as the
+    * batch `q_dedup_substring_incremental` — verdicts identical live or
+    * in bulk. Stateless foreachBatch; exactly-once per-batch_id
+    * partition overwrite. */
+  def streamSubstringDedup(docs: DataFrame, indexPath: String,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.probeSubstrIndex(batch.sparkSession, batch, indexPath)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .start()
+
   /** LIVE MinHash near-dup gate — the LSH twin of [[streamSimhashDedup]]
     * over the persisted MinHash band index (`Dedup.writeMinhashIndex`):
     * micro-batches shingle + signature map-side and probe the corpus's
@@ -626,6 +651,16 @@ object Pipeline {
       trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
     ingestLoop(graft.operators.Dedup.probeMinhashIndex,
         graft.operators.Dedup.appendMinhashIndex)(
+      docs, indexPath, outDir, checkpointDir, trigger)
+
+  /** [[streamIngestDedup]]'s substring twin — probe the gram-hash set,
+    * absorb the batch (append is O(batch): no read of the existing
+    * index; see `Dedup.appendSubstrIndex`). */
+  def streamIngestSubstringDedup(docs: DataFrame, indexPath: String,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    ingestLoop(graft.operators.Dedup.probeSubstrIndex,
+        graft.operators.Dedup.appendSubstrIndex)(
       docs, indexPath, outDir, checkpointDir, trigger)
 
   /** [[streamIngestDedup]]'s SimHash twin — probe the (chunk, cv) index,

@@ -107,6 +107,35 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(after === before, "probe verdicts changed across compaction")
   }
 
+  test("compactSubstrIndex: cross-append duplicate hashes collapse, probe verdicts identical") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_cmp_sub").toString
+    operators.Dedup.writeSubstrIndex(spark, dir, idx)
+    val run = "COMPACT-RUN-ABCDEFGHIJKLMNOPQRSTUVWXYZ-01"
+    // three appends of the SAME text: identical hash sets — the duplicate
+    // accumulation the O(batch) append knowingly trades for
+    (0 until 3).foreach(b =>
+      operators.Dedup.appendSubstrIndex(spark, idx,
+        batchDocs(820000 + b until 820000 + b + 1, s"head-$b====" + run)))
+    val rowsBefore = spark.read.parquet(s"$idx/hashes").count()
+    val distinctBefore = spark.read.parquet(s"$idx/hashes").distinct().count()
+    assert(rowsBefore > distinctBefore, "fixture failed to create duplicate hash rows")
+    val filesBefore = operators.IndexMaintenance.dataFileCount(spark, s"$idx/hashes")
+    val probe = batchDocs(930001 to 930001, "probe~~~~" + run + ";;;;tail")
+    val before = operators.Dedup.probeSubstrIndex(spark, probe, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+    assert(before.nonEmpty, "probe should hit the appended run")
+
+    operators.IndexMaintenance.compactSubstrIndex(spark, idx)
+
+    assert(operators.IndexMaintenance.dataFileCount(spark, s"$idx/hashes") < filesBefore)
+    assert(spark.read.parquet(s"$idx/hashes").count() === distinctBefore,
+      "compaction must dedup the hash rows exactly")
+    val after = operators.Dedup.probeSubstrIndex(spark, probe, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+    assert(after === before, "probe verdicts changed across compaction")
+  }
+
   test("compactIvfIndex: cell dirs shrink, ANN top-k identical, codebook untouched") {
     import spark.implicits._
     val idx = Files.createTempDirectory("graft_cmp_ivf").toString

@@ -458,6 +458,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "expected verdicts for the batch split at sf0.01")
   }
 
+  test("streamSubstringDedup: per-batch hash probes reproduce the batch incremental substring dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val indexPath = graft.operators.Dedup.ensureSubstrIndex(spark, dir)
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % graft.operators.Dedup.IncrementalMod
+        === graft.operators.Dedup.IncrementalRem)
+      .select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val (firstHalf, secondHalf) = batchDocs.splitAt(batchDocs.size / 2)
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(firstHalf)
+    ms.addData(secondHalf)
+    val out = Files.createTempDirectory("graft_ssub_out").toString
+    val ckpt = Files.createTempDirectory("graft_ssub_ckpt").toString
+    val q = Pipeline.streamSubstringDedup(
+      ms.toDF().toDF("doc_id", "text"), indexPath, out, ckpt,
+      Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "span_start", "span_end")
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.operators.Dedup.dedupSubstringIncremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed === batch,
+      "streamed substring spans diverged from the batch incremental query")
+    assert(streamed.nonEmpty, "expected duplicated spans for the batch split at sf0.01")
+  }
+
+  test("streamIngestSubstringDedup: cross-batch absorption through the hash set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val indexPath = Files.createTempDirectory("graft_ingest_sub_idx").toString
+    graft.operators.Dedup.writeSubstrIndex(spark, dir, indexPath)
+
+    val run = "INGEST-RUN-ZYXWVUTSRQPONMLKJIHGFEDCBA-77"
+    val ms = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("graft_ingest_sub_out").toString
+    val ckpt = Files.createTempDirectory("graft_ingest_sub_ckpt").toString
+    ms.addData(Seq((830001L, "first-carrier####" + run)))
+    val q1 = Pipeline.streamIngestSubstringDedup(
+      ms.toDF().toDF("doc_id", "text"), indexPath, out, ckpt,
+      Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    ms.addData(Seq((830002L, "second-carrier@@@@" + run + "~~~~tail")))
+    val q2 = Pipeline.streamIngestSubstringDedup(
+      ms.toDF().toDF("doc_id", "text"), indexPath, out, ckpt,
+      Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+
+    val verdicts = spark.read.parquet(out)
+      .select("doc_id", "span_start", "span_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val zs = "second-carrier@@@@".length + 1L
+    assert(verdicts.contains((830002L, zs, zs + run.length)),
+      s"batch-2 clone of the batch-1 run not flagged — absorption failed: $verdicts")
+    assert(!verdicts.exists(_._1 == 830001L),
+      s"batch-1 novel doc should match nothing in its own batch: $verdicts")
+  }
+
   test("streamSimhashDedup: per-batch band probes reproduce the batch incremental SimHash dedup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

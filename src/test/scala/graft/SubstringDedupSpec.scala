@@ -106,6 +106,50 @@ class SubstringDedupSpec extends AnyFunSuite {
       s"batch probe expected exactly S in doc 17, got $sp")
   }
 
+  test("persisted substring index: probe == the in-plan chain; append absorbs, old files untouched") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_sub_idx").toString
+    operators.Dedup.writeSubstrIndex(spark, fixtureDir, idx)
+    // probe == the declared (memoized-index) incremental query
+    val probeDf = util.t(spark, fixtureDir, "documents")
+      .where(col("doc_id") % operators.Dedup.IncrementalMod
+        === operators.Dedup.IncrementalRem)
+      .select("doc_id", "text")
+    val viaIndex = operators.Dedup.probeSubstrIndex(spark, probeDf, idx)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val declared = operators.Dedup.dedupSubstringIncremental(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaIndex === declared, "explicit index diverged from the declared query")
+
+    // a novel 40-char run unknown to the corpus: no verdict before
+    // absorption, full-span verdict after
+    val Z = "NOVEL-RUN-0123456789-ZYXWVUTSRQPONMLKJIH"
+    val probe2 = Seq((901L, "probe-head####" + Z + "@@@@probe-tail")).toDF("doc_id", "text")
+    assert(operators.Dedup.probeSubstrIndex(spark, probe2, idx).collect().isEmpty,
+      "novel run matched before it was absorbed")
+    val hashFiles = new java.io.File(s"$idx/hashes").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath)).toMap
+    operators.Dedup.appendSubstrIndex(spark, idx,
+      Seq((900L, "donor-head****" + Z + "%%%%donor-tail")).toDF("doc_id", "text"))
+    val after = new java.io.File(s"$idx/hashes").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> java.nio.file.Files.readAllBytes(f.toPath)).toMap
+    hashFiles.foreach { case (name, bytes) =>
+      assert(after.contains(name) &&
+        java.util.Arrays.equals(after(name), bytes),
+        s"append rewrote existing index file $name")
+    }
+    assert(after.size > hashFiles.size, "append added no files")
+    val sp = operators.Dedup.probeSubstrIndex(spark, probe2, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val zs = "probe-head####".length + 1L
+    assert(sp === Seq((901L, zs, zs + Z.length)),
+      s"absorbed run not found by the next probe: $sp")
+  }
+
   test("winnow guarantee: runs >= L + w - 1 are still found, spans nest in exact spans") {
     // S (40 chars) clears the winnowing threshold L + w − 1 = 34, so
     // doc 11's duplicated run MUST surface even from selected-only grams
