@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool (not shipped surface): split the substring family's
+  * incremental cost into BUILD vs WARM PROBE at a given scale — the
+  * measurement behind the persisted-index design decision (PERF.md).
+  * The declared bench runs under the cold-cache rule, so
+  * `q_dedup_substring_incremental` pays index build + probe every
+  * measured run; production pays the build once per corpus snapshot and
+  * the probe per batch. This prints both, separately, as one JSON line:
+  * build_sec, first probe (plan + shuffle warmup) and min of 3 warm
+  * probes. Usage: IndexProbeTiming <sfDir>.
+  */
+object IndexProbeTiming {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def secs(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+    def r3(d: Double): Double = math.floor(d * 1000 + 0.5) / 1000
+
+    val idx = java.nio.file.Files.createTempDirectory("graft_probe_timing").toString
+    val build = secs(graft.operators.Dedup.writeSubstrIndex(spark, sfDir, idx))
+    val batch = graft.util.t(spark, sfDir, "documents")
+      .where(col("doc_id") % graft.operators.Dedup.IncrementalMod
+        === graft.operators.Dedup.IncrementalRem)
+      .select("doc_id", "text")
+    def probeOnce(): Unit =
+      graft.operators.Dedup.probeSubstrIndex(spark, batch, idx)
+        .write.mode("overwrite").format("noop").save()
+    val first = secs(probeOnce())
+    val warm = (1 to 3).map(_ => secs(probeOnce())).min
+    println(s"""{"tool":"IndexProbeTiming","sf":"$sfDir","build_sec":${r3(build)},""" +
+      s""""first_probe_sec":${r3(first)},"warm_probe_sec":${r3(warm)}}""")
+    graft.util.deleteRecursively(idx)
+    spark.stop()
+  }
+}
