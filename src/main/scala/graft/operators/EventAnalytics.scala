@@ -241,12 +241,64 @@ object EventAnalytics {
        |SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1
        |ORDER BY n_sessions DESC, path ASC LIMIT ${PathTopK}""".stripMargin
 
+  /** SCD-type-2 history build (Kimball slowly-changing dimension): each
+    * user's event_type stream collapses into validity periods — one row
+    * per RUN of consecutive equal values, [valid_from_us, valid_to_us)
+    * half-open, valid_to NULL on the current (open) period. The classic
+    * warehouse shape done Spark-native: change flags via lag, period ids
+    * via running sum, one groupBy per (user, period), then lead over the
+    * period starts to close each interval — every window partitions on
+    * user_id (a scaling key), so no single-task stage at any history
+    * size. Ties broken by event_id so both engines order identically. */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val we = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val periods = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(we).isNull ||
+          lag(col("event_type"), 1).over(we) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("period", sum(col("chg")).over(we))
+      .groupBy(col("user_id"), col("period"))
+      .agg(min(col("event_type")).as("event_type"),
+        min(col("ts_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val wp = Window.partitionBy("user_id").orderBy("valid_from_us")
+    periods
+      .select(col("user_id"), col("event_type"), col("valid_from_us"),
+        lead(col("valid_from_us"), 1).over(wp).as("valid_to_us"),
+        col("n_events"))
+      .orderBy("user_id", "valid_from_us")
+  }
+
+  val scd2Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us
+      |  FROM events),
+      |c AS (
+      |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+      |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |p AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS period
+      |  FROM c),
+      |periods AS (
+      |  SELECT user_id, period, min(event_type) AS event_type,
+      |    min(ts_us) AS valid_from_us, count(*) AS n_events
+      |  FROM p GROUP BY 1, 2)
+      |SELECT user_id, event_type, valid_from_us,
+      |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
+      |  n_events
+      |FROM periods ORDER BY user_id, valid_from_us""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_funnel" -> funnel _,
     "q_retention" -> retention _,
     "q_event_trigrams" -> eventTrigrams _,
     "q_event_paths" -> eventPaths _,
     "q_event_anomaly" -> eventAnomaly _,
+    "q_scd2" -> scd2 _,
     "q_agg_mode" -> aggMode _)
 
   val oracle: Map[String, String] = Map(
@@ -255,5 +307,6 @@ object EventAnalytics {
     "q_event_trigrams" -> eventTrigramsSql,
     "q_event_paths" -> eventPathsSql,
     "q_event_anomaly" -> eventAnomalySql,
+    "q_scd2" -> scd2Sql,
     "q_agg_mode" -> aggModeSql)
 }

@@ -633,9 +633,73 @@ object Relational {
       |      INTO NAME measure VALUE value)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** MERGE INTO / upsert semantics (the warehouse maintenance op every
+    * engine ships; ClickHouse reaches it via ReplacingMergeTree, Delta/
+    * Iceberg via MERGE): target = orders, source = a deterministic
+    * change batch derived from it (updates: every 13th key gets status
+    * 'U' and +10.00 on the price — decimal ADDITION, exact in both
+    * engines; inserts: the same keys negated, status 'I', price
+    * 100.00). Classic Spark shape: ONE full-outer shuffle join on the
+    * key, action = which side(s) matched, merged columns by coalesce
+    * (source wins). Output is the 3-row per-action audit (counts +
+    * exact decimal sums over ALL merged rows), so the hash compare
+    * pins the complete merge content without shipping the table. */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val target = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        d2(col("o_totalprice")).as("price"))
+    val updates = target.where(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("U").as("o_orderstatus"),
+        (col("price") + d2(lit(10))).as("price"))
+    val inserts = updates
+      .select((-col("o_orderkey")).as("o_orderkey"), col("o_custkey"),
+        lit("I").as("o_orderstatus"), d2(lit(100)).as("price"))
+    val source = updates.unionByName(inserts)
+    val merged = target.as("tgt")
+      .join(source.as("src"), Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        when(col("tgt.o_custkey").isNull, lit("insert"))
+          .when(col("src.o_custkey").isNull, lit("keep"))
+          .otherwise(lit("update")).as("action"),
+        coalesce(col("src.o_custkey"), col("tgt.o_custkey")).as("cust"),
+        coalesce(col("src.price"), col("tgt.price")).as("price"))
+    merged.groupBy("action")
+      .agg(count(lit(1)).as("n_rows"),
+        r4(sum(col("price"))).as("sum_price"),
+        count_distinct(col("cust")).as("n_cust"))
+      .orderBy("action")
+  }
+
+  val mergeUpsertSql: String =
+    """WITH target AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    o_totalprice::DECIMAL(18,2) AS price FROM orders),
+      |updates AS (
+      |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+      |    price + 10::DECIMAL(18,2) AS price
+      |  FROM target WHERE o_orderkey % 13 = 0),
+      |inserts AS (
+      |  SELECT -o_orderkey AS o_orderkey, o_custkey, 'I' AS o_orderstatus,
+      |    100::DECIMAL(18,2) AS price FROM updates),
+      |src AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts),
+      |merged AS (
+      |  SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+      |    CASE WHEN t.o_custkey IS NULL THEN 'insert'
+      |         WHEN s.o_custkey IS NULL THEN 'keep'
+      |         ELSE 'update' END AS action,
+      |    coalesce(s.o_custkey, t.o_custkey) AS cust,
+      |    coalesce(s.price, t.price) AS price
+      |  FROM target t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey)
+      |SELECT action, count(*) AS n_rows,
+      |  CAST(round(sum(price), 4) AS DOUBLE) AS sum_price,
+      |  count(DISTINCT cust) AS n_cust
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_scan_zorder" -> scanZOrder _,
     "q_unpivot" -> unpivotMeasures _,
+    "q_merge_upsert" -> mergeUpsert _,
     "q_scalar_subquery" -> scalarSubquery _,
     "q_scan_parquet" -> scanParquet _,
     "q_scan_pruned" -> scanPruned _,
@@ -668,6 +732,7 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q_scan_zorder" -> scanZOrderSql,
     "q_unpivot" -> unpivotMeasuresSql,
+    "q_merge_upsert" -> mergeUpsertSql,
     "q_scalar_subquery" -> scalarSubquerySql,
     "q_scan_parquet" -> scanParquetSql,
     "q_scan_pruned" -> scanPrunedSql,
