@@ -2029,6 +2029,92 @@ object Dedup {
        |FROM documents doc LEFT JOIN cleaned c ON doc.doc_id = c.doc_id
        |ORDER BY doc.doc_id""".stripMargin
 
+  /** Declared query: the convergence audit — re-run the duplicate-span
+    * chain on the CLEANED corpus and price what one apply pass leaves
+    * behind, in ONE exact row (orig_dup_chars, residual_dup_chars,
+    * residual_ratio). The removal itself cannot leave a non-canonical
+    * copy of any original gram (keep-first removes them all), but
+    * cutting a span makes its flanks adjacent, and the ≤ L−1 junction
+    * grams so created can collide with surviving text — the iterative
+    * aspect Lee et al. resolve by re-running; this instrument says
+    * whether a second pass is worth scheduling on a given corpus. */
+  def dedupSubstringResidual(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    def dupChars(spans: DataFrame, name: String): DataFrame =
+      spans.agg(coalesce(sum(col("span_end") - col("span_start")), lit(0L))
+        .as(name))
+    val orig = dupChars(substringSpansOf(dupSubstrPositionsOf(docs)),
+      "orig_dup_chars")
+    val cleaned = dedupSubstringApply(s, dir)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val resid = dupChars(substringSpansOf(dupSubstrPositionsOf(cleaned)),
+      "residual_dup_chars")
+    orig.crossJoin(resid)
+      .select(col("orig_dup_chars"), col("residual_dup_chars"),
+        when(col("orig_dup_chars") > 0,
+          r4f(col("residual_dup_chars").cast(DoubleType) /
+            col("orig_dup_chars"))).as("residual_ratio"))
+  }
+
+  val dedupSubstringResidualSql: String =
+    s"""WITH ${substrGramCte()},
+       |r AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM g),
+       |d AS (SELECT doc_id, pos FROM r WHERE rn >= 2),
+       |$substrSpanCtes,
+       |mids AS (
+       |  SELECT doc_id,
+       |    coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start),
+       |      1) AS ks,
+       |    span_start AS ke
+       |  FROM spans),
+       |tails AS (
+       |  SELECT doc_id, max(span_end) AS ks, NULL AS ke FROM spans GROUP BY doc_id),
+       |segs AS (
+       |  SELECT sg.doc_id, sg.ks,
+       |    substr(doc.text, sg.ks::INT,
+       |      (coalesce(sg.ke, length(doc.text) + 1) - sg.ks)::INT) AS seg
+       |  FROM (SELECT * FROM mids UNION ALL SELECT * FROM tails) sg
+       |  JOIN documents doc ON doc.doc_id = sg.doc_id),
+       |cleaned AS (
+       |  SELECT doc_id, string_agg(seg, '' ORDER BY ks) AS ct
+       |  FROM segs GROUP BY doc_id),
+       |cdocs AS (
+       |  SELECT doc.doc_id, coalesce(c.ct, doc.text) AS text
+       |  FROM documents doc LEFT JOIN cleaned c ON doc.doc_id = c.doc_id),
+       |g2 AS (
+       |  SELECT doc_id, i AS pos, md5(substr(text, i::INT, $SubstrL)) AS h
+       |  FROM cdocs JOIN generate_series(1, 100000) t2(i)
+       |    ON i <= length(text) - ${SubstrL - 1}),
+       |r2 AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM g2),
+       |d2 AS (SELECT doc_id, pos FROM r2 WHERE rn >= 2),
+       |w2 AS (
+       |  SELECT doc_id, pos, max(pos + $SubstrL) OVER (PARTITION BY doc_id
+       |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |  FROM d2),
+       |isl2 AS (
+       |  SELECT doc_id, pos, sum(CASE WHEN pm IS NULL OR pos > pm THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |  FROM w2),
+       |spans2 AS (
+       |  SELECT doc_id, min(pos) AS span_start, max(pos) + $SubstrL AS span_end
+       |  FROM isl2 GROUP BY doc_id, isl),
+       |o AS (SELECT coalesce(sum(span_end - span_start), 0)::BIGINT
+       |        AS orig_dup_chars FROM spans),
+       |q AS (SELECT coalesce(sum(span_end - span_start), 0)::BIGINT
+       |        AS residual_dup_chars FROM spans2)
+       |SELECT orig_dup_chars, residual_dup_chars,
+       |  CASE WHEN orig_dup_chars > 0 THEN
+       |    CAST(floor(residual_dup_chars::DOUBLE / orig_dup_chars
+       |      * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) END
+       |    AS residual_ratio
+       |FROM o, q""".stripMargin
+
   // -- winnowed variant: the 100 TB scale path --------------------------
 
   /** Winnowing window in GRAMS (Schleimer, Wilkerson & Aiken 2003,
@@ -2338,7 +2424,8 @@ object Dedup {
     "q_dedup_substring_apply" -> dedupSubstringApply _,
     "q_dedup_substring_incremental" -> dedupSubstringIncremental _,
     "q_dedup_substring_winnow" -> dedupSubstringWinnow _,
-    "q_dedup_substring_winnow_eval" -> dedupSubstringWinnowEval _)
+    "q_dedup_substring_winnow_eval" -> dedupSubstringWinnowEval _,
+    "q_dedup_substring_residual" -> dedupSubstringResidual _)
 
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
@@ -2364,5 +2451,6 @@ object Dedup {
     "q_dedup_substring_apply" -> dedupSubstringApplySql,
     "q_dedup_substring_incremental" -> dedupSubstringIncrementalSql,
     "q_dedup_substring_winnow" -> dedupSubstringWinnowSql,
-    "q_dedup_substring_winnow_eval" -> dedupSubstringWinnowEvalSql)
+    "q_dedup_substring_winnow_eval" -> dedupSubstringWinnowEvalSql,
+    "q_dedup_substring_residual" -> dedupSubstringResidualSql)
 }

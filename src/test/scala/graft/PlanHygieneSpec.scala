@@ -73,6 +73,7 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_dedup_minhash_incr_recall", // two 1-row metric aggregates broadcast-crossed
       "q_dedup_simhash_incr_recall", // two 1-row metric aggregates broadcast-crossed
       "q_dedup_substring_winnow_eval", // four 1-row metric aggregates broadcast-crossed
+      "q_dedup_substring_residual", // two 1-row metric aggregates broadcast-crossed
       "q_skew_stats",       // broadcast one-row total/key-count frame
       "q_sim_eval",         // five 1-row metric aggregates broadcast-crossed
       "q_sim_eval_pq",      // per-path 1-row metric aggregates broadcast-crossed

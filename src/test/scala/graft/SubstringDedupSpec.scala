@@ -180,6 +180,27 @@ class SubstringDedupSpec extends AnyFunSuite {
       s"winnowing must shrink the marked-position set ($winnowPos vs $exactPos)")
   }
 
+  test("residual audit: removal leaves no non-canonical copy of any original gram") {
+    // fixture: cleaned corpus = docs 10/12(first T)/13/17 intact-ish,
+    // 11 loses S, 14 empties — no surviving cross-doc run, and junction
+    // grams (unique boundary chars) collide with nothing
+    val r = operators.Dedup.dedupSubstringResidual(spark, fixtureDir).collect().head
+    val (orig, resid) = (r.getLong(0), r.getLong(1))
+    // S is marked in docs 11 AND 17 (10 is canonical), T's second run in
+    // 12, and the whole of 14
+    assert(orig === (2 * S.length + T.length + doc14.length).toLong,
+      "orig_dup_chars must equal the planted span mass")
+    assert(resid === 0L, s"fixture removal must converge in one pass, got $resid")
+    assert(r.getDouble(2) === 0.0)
+    // real corpus: residual strictly below original (the word-salad vocab
+    // DOES create junction collisions — the instrument's reason to exist)
+    val real = operators.Dedup.dedupSubstringResidual(spark, "/root/testdata/sf0.001")
+      .collect().head
+    assert(real.getLong(0) > 0)
+    assert(real.getLong(1) < real.getLong(0),
+      "one pass must strictly reduce duplicated mass")
+  }
+
   test("span-covering property on real data: spans only cover duplicated grams") {
     // every reported span on the sf0.001 corpus is ≥ L wide, in-bounds,
     // and non-overlapping per doc in sorted order
