@@ -49,6 +49,7 @@ object Bench {
       graft.operators.Dedup.clearSimhashIndexCache()
       graft.operators.Dedup.clearMinhashIndexCache()
       graft.operators.Dedup.clearSubstrIndexCache()
+      graft.operators.Dedup.clearWinnowIndexCache()
       graft.operators.Similarity.clearCodebookCache()
       graft.operators.Similarity.clearSemanticIndexCache()
       graft.operators.Bucketing.clearTableCache()

@@ -2287,6 +2287,121 @@ object Dedup {
        |  exact_docs, winnow_docs, exact_positions, winnow_positions
        |FROM ex, wn, cnt""".stripMargin
 
+  /** (doc_id, pos, full 16-byte md5) at the WINNOW-SELECTED positions
+    * only — the scan-stage front of the winnowed index/incremental
+    * path. Selection is per-doc local (the native expression); the
+    * full hash is computed only at the ~2/(w+1) selected positions. */
+  private def winnowGramsOf(docs: DataFrame): DataFrame = {
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    docs
+      .where(length(col("text")) >= SubstrL)
+      .select(col("doc_id"), col("text"),
+        explode(graft.functions.TextExpressions
+          .winnowPositions(col("text"), SubstrL, WinnowW)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        unhex(md5(expr(s"substring(text, cast(pos AS INT), $SubstrL)"))).as("h"))
+  }
+
+  /** The 100 TB at-rest form: persist only the corpus split's
+    * WINNOW-SELECTED gram hashes — ~2/(w+1) of the exact index's rows
+    * (w=50 in production → ~25× smaller), at the same ≥ L+w−1 run
+    * guarantee the batch winnow pass carries. Same layout and append/
+    * compact story as [[writeSubstrIndex]] (left-semi membership probe:
+    * duplicate rows are free, no caps needed). */
+  def writeWinnowIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
+    winnowGramsOf(t(s, dir, "documents")
+        .where(col("doc_id") % IncrementalMod =!= IncrementalRem)
+        .select("doc_id", "text"))
+      .select("h").distinct()
+      .repartition(col("h"))
+      .write.mode("overwrite").parquet(s"$indexPath/hashes")
+    writeIndexMeta(s, indexPath, "substr_l", SubstrL.toLong)
+  }
+
+  /** O(batch) append — identical contract to [[appendSubstrIndex]] */
+  def appendWinnowIndex(s: SparkSession, indexPath: String,
+      docs: DataFrame): Unit =
+    winnowGramsOf(docs).select("h").distinct()
+      .repartition(col("h"))
+      .write.mode("append").parquet(s"$indexPath/hashes")
+
+  /** Probe: the batch winnows ITSELF map-side, then only its selected
+    * positions join the selected-hash set — both sides of the shuffle
+    * shrink by ~2/(w+1). A shared run ≥ L+w−1 selects the same minimal
+    * gram on both sides (selection depends on the gram hashes of the
+    * run's interior, not on absolute position), so the hit survives. */
+  def probeWinnowIndex(s: SparkSession, docs: DataFrame,
+      indexPath: String): DataFrame =
+    substringSpansOf(
+      winnowGramsOf(docs)
+        .join(s.read.parquet(s"$indexPath/hashes"), Seq("h"), "left_semi")
+        .select("doc_id", "pos"))
+
+  private val winnowIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+
+  def ensureWinnowIndex(s: SparkSession, dir: String): String =
+    winnowIndexCache.synchronized {
+      val key = (s, dir)
+      val fp = graft.util.inputFingerprint(dir, "documents.parquet")
+      val cached = winnowIndexCache.get(key)
+      if (cached != null && cached._1 == fp) cached._2
+      else {
+        if (cached != null) graft.util.deleteRecursively(cached._2)
+        val path = java.nio.file.Files.createTempDirectory("graft_winnow_idx").toString
+        writeWinnowIndex(s, dir, path)
+        winnowIndexCache.put(key, (fp, path))
+        path
+      }
+    }
+
+  def clearWinnowIndexCache(): Unit =
+    winnowIndexCache.synchronized {
+      winnowIndexCache.forEach((_, v) => graft.util.deleteRecursively(v._2))
+      winnowIndexCache.clear()
+    }
+
+  /** Declared query: the winnowed ingest-time form — batch split probes
+    * the persisted winnow index; spans under-cover the exact incremental
+    * pass by the same ≥ L+w−1 guarantee the batch winnow twin carries. */
+  def dedupSubstringWinnowIncremental(s: SparkSession, dir: String): DataFrame =
+    probeWinnowIndex(s,
+      t(s, dir, "documents")
+        .where(col("doc_id") % IncrementalMod === IncrementalRem)
+        .select("doc_id", "text"),
+      ensureWinnowIndex(s, dir))
+      .orderBy("doc_id", "span_start")
+
+  val dedupSubstringWinnowIncrementalSql: String = {
+    val P = 1L << 20
+    s"""WITH g AS (
+       |  SELECT doc_id, i AS pos, text,
+       |    md5(substr(text, i::INT, $SubstrL)) AS h,
+       |    ('0x' || substr(md5(substr(text, i::INT, $SubstrL)), 1, 10))::BIGINT
+       |      * $P + (${P - 1} - i) AS comb
+       |  FROM documents JOIN generate_series(1, 100000) t(i)
+       |    ON i <= length(text) - ${SubstrL - 1}),
+       |wmin AS (
+       |  SELECT doc_id, pos,
+       |    min(comb) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wm,
+       |    count(*) OVER (PARTITION BY doc_id) AS ng
+       |  FROM g),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, ${P - 1} - (wm % $P) AS pos
+       |  FROM wmin WHERE pos <= greatest(ng - ${WinnowW - 1}, 1)),
+       |selh AS (
+       |  SELECT g.doc_id, g.pos, g.h FROM g JOIN sel USING (doc_id, pos)),
+       |d AS (
+       |  SELECT DISTINCT b.doc_id, b.pos FROM selh b
+       |  WHERE b.doc_id % $IncrementalMod = $IncrementalRem
+       |    AND EXISTS (SELECT 1 FROM selh c
+       |      WHERE c.h = b.h AND c.doc_id % $IncrementalMod <> $IncrementalRem)),
+       |$substrSpanCtes
+       |SELECT doc_id, span_start, span_end FROM spans
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   /** Declared query: the ingest-time form — positions in the NEW batch
     * (doc_id % [[IncrementalMod]] == [[IncrementalRem]]) whose L-gram
     * already occurs in the existing corpus, merged to spans. The batch
@@ -2425,6 +2540,7 @@ object Dedup {
     "q_dedup_substring_incremental" -> dedupSubstringIncremental _,
     "q_dedup_substring_winnow" -> dedupSubstringWinnow _,
     "q_dedup_substring_winnow_eval" -> dedupSubstringWinnowEval _,
+    "q_dedup_substring_winnow_incremental" -> dedupSubstringWinnowIncremental _,
     "q_dedup_substring_residual" -> dedupSubstringResidual _)
 
   val oracle: Map[String, String] = Map(
@@ -2452,5 +2568,6 @@ object Dedup {
     "q_dedup_substring_incremental" -> dedupSubstringIncrementalSql,
     "q_dedup_substring_winnow" -> dedupSubstringWinnowSql,
     "q_dedup_substring_winnow_eval" -> dedupSubstringWinnowEvalSql,
+    "q_dedup_substring_winnow_incremental" -> dedupSubstringWinnowIncrementalSql,
     "q_dedup_substring_residual" -> dedupSubstringResidualSql)
 }

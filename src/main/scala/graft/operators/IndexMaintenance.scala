@@ -124,6 +124,10 @@ object IndexMaintenance {
     compactDir(s, s"$indexPath/hashes", Seq("h"),
       transform = _.distinct())
 
+  /** winnowed substring index: identical layout and contract */
+  def compactWinnowIndex(s: SparkSession, indexPath: String): Unit =
+    compactSubstrIndex(s, indexPath)
+
   /** IVF (and semantic — same layout) index: `lists/` re-clustered and
     * re-partitioned by cid, so each cell directory returns to one file
     * per shuffle task; `codebook/` (the trained geometry) untouched */

@@ -663,6 +663,17 @@ object Pipeline {
         graft.operators.Dedup.appendSubstrIndex)(
       docs, indexPath, outDir, checkpointDir, trigger)
 
+  /** the winnowed form of the substring admission loop — both the probe
+    * and the absorbed rows are the ~2/(w+1) selected fingerprints
+    * (`Dedup.writeWinnowIndex`), the right trade once the live corpus
+    * is too big for the exact hash set */
+  def streamIngestWinnowDedup(docs: DataFrame, indexPath: String,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    ingestLoop(graft.operators.Dedup.probeWinnowIndex,
+        graft.operators.Dedup.appendWinnowIndex)(
+      docs, indexPath, outDir, checkpointDir, trigger)
+
   /** [[streamIngestDedup]]'s SimHash twin — probe the (chunk, cv) index,
     * absorb the batch under the index's persisted cap. */
   def streamIngestSimhashDedup(docs: DataFrame, indexPath: String,

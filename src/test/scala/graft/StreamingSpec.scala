@@ -521,6 +521,38 @@ class StreamingSpec extends AnyFunSuite {
       s"batch-1 novel doc should match nothing in its own batch: $verdicts")
   }
 
+  test("streamIngestWinnowDedup: cross-batch absorption through the selected-fingerprint set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val indexPath = Files.createTempDirectory("graft_ingest_win_idx").toString
+    graft.operators.Dedup.writeWinnowIndex(spark, dir, indexPath)
+
+    // 41 chars >= L + w - 1, so the winnow guarantee must carry it
+    val run = "WINNOW-INGEST-RUN-0123456789-QRSTUVWXYZ-3"
+    val ms = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("graft_ingest_win_out").toString
+    val ckpt = Files.createTempDirectory("graft_ingest_win_ckpt").toString
+    ms.addData(Seq((840001L, "carrier-one####" + run)))
+    val q1 = Pipeline.streamIngestWinnowDedup(
+      ms.toDF().toDF("doc_id", "text"), indexPath, out, ckpt,
+      Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    ms.addData(Seq((840002L, "carrier-two@@@@" + run + "~~~~end")))
+    val q2 = Pipeline.streamIngestWinnowDedup(
+      ms.toDF().toDF("doc_id", "text"), indexPath, out, ckpt,
+      Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+
+    val verdicts = spark.read.parquet(out)
+      .select("doc_id", "span_start", "span_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(verdicts.exists(_._1 == 840002L),
+      s"batch-2 clone of the batch-1 run not flagged via selected fingerprints: $verdicts")
+    assert(!verdicts.exists(_._1 == 840001L),
+      s"batch-1 novel doc should match nothing in its own batch: $verdicts")
+  }
+
   test("streamSimhashDedup: per-batch band probes reproduce the batch incremental SimHash dedup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -180,6 +180,39 @@ class SubstringDedupSpec extends AnyFunSuite {
       s"winnowing must shrink the marked-position set ($winnowPos vs $exactPos)")
   }
 
+  test("winnow index: declared incremental == explicit probe, subset of the exact incremental") {
+    import org.apache.spark.sql.functions._
+    val idx = Files.createTempDirectory("graft_win_idx").toString
+    operators.Dedup.writeWinnowIndex(spark, fixtureDir, idx)
+    val probeDf = util.t(spark, fixtureDir, "documents")
+      .where(col("doc_id") % operators.Dedup.IncrementalMod
+        === operators.Dedup.IncrementalRem)
+      .select("doc_id", "text")
+    val viaIndex = operators.Dedup.probeWinnowIndex(spark, probeDf, idx)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val declared = operators.Dedup
+      .dedupSubstringWinnowIncremental(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaIndex === declared)
+    // S (40 chars >= L+w-1 = 34) must still surface from selected grams
+    assert(declared.exists(_._1 == 17L),
+      s"winnow index missed doc 17's >= L+w-1 run: $declared")
+    // and every winnow verdict nests inside an exact-incremental span
+    val exact = operators.Dedup.dedupSubstringIncremental(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    declared.foreach { case (doc, s0, e0) =>
+      assert(exact.exists { case (d2, s2, e2) => d2 == doc && s0 >= s2 && e0 <= e2 },
+        s"winnow span [$s0,$e0) of doc $doc escapes the exact spans")
+    }
+    // the index really is smaller than the exact one
+    val exIdx = Files.createTempDirectory("graft_sub_idx2").toString
+    operators.Dedup.writeSubstrIndex(spark, fixtureDir, exIdx)
+    val nWin = spark.read.parquet(s"$idx/hashes").count()
+    val nEx = spark.read.parquet(s"$exIdx/hashes").count()
+    assert(nWin < nEx, s"winnow index not smaller: $nWin vs $nEx")
+  }
+
   test("residual audit: removal leaves no non-canonical copy of any original gram") {
     // fixture: cleaned corpus = docs 10/12(first T)/13/17 intact-ish,
     // 11 loses S, 14 empties — no surviving cross-doc run, and junction
