@@ -2029,6 +2029,48 @@ object Dedup {
        |FROM documents doc LEFT JOIN cleaned c ON doc.doc_id = c.doc_id
        |ORDER BY doc.doc_id""".stripMargin
 
+  /** Minimum shared L-grams for a doc pair to surface in
+    * [[dedupSubstringPairs]] — 5 grams ≈ shared runs ≥ L + 4 chars,
+    * filtering isolated single-gram coincidences */
+  val SubstrPairMinGrams = 5
+
+  /** Declared query: doc-PAIR shared-substring mass — the bridge from
+    * position-level substring dedup into the pair/cluster machinery the
+    * other families feed (clusterLabels, keep-best, cross-source): each
+    * non-canonical occurrence pairs its doc with the gram's canonical
+    * doc (the first_value of the SAME h-window the marking pass uses —
+    * no extra shuffle class), one groupBy counts shared grams per
+    * (d1, d2). Within-doc repeats are excluded (src = self), so d1 < d2
+    * always; fan-out is bounded by the marked-position count, never
+    * quadratic in bucket size. */
+  def dedupSubstringPairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wH = Window.partitionBy("h").orderBy("doc_id", "pos")
+    substrGramsOf(t(s, dir, "documents").select("doc_id", "text"))
+      .withColumn("rn", row_number().over(wH))
+      .withColumn("src", first(col("doc_id")).over(wH))
+      .where(col("rn") >= 2 && col("doc_id") =!= col("src"))
+      .groupBy(col("src").as("d1"), col("doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .where(col("n_shared_grams") >= SubstrPairMinGrams)
+      .orderBy("d1", "d2")
+  }
+
+  val dedupSubstringPairsSql: String =
+    s"""WITH ${substrGramCte()},
+       |r AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER w AS rn,
+       |    first_value(doc_id) OVER w AS src
+       |  FROM g WINDOW w AS (PARTITION BY h ORDER BY doc_id, pos)),
+       |pairs AS (
+       |  SELECT src AS d1, doc_id AS d2, count(*) AS n_shared_grams
+       |  FROM r WHERE rn >= 2 AND doc_id <> src
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, n_shared_grams FROM pairs
+       |WHERE n_shared_grams >= $SubstrPairMinGrams
+       |ORDER BY d1, d2""".stripMargin
+
   /** Declared query: the convergence audit — re-run the duplicate-span
     * chain on the CLEANED corpus and price what one apply pass leaves
     * behind, in ONE exact row (orig_dup_chars, residual_dup_chars,
@@ -2541,6 +2583,7 @@ object Dedup {
     "q_dedup_substring_winnow" -> dedupSubstringWinnow _,
     "q_dedup_substring_winnow_eval" -> dedupSubstringWinnowEval _,
     "q_dedup_substring_winnow_incremental" -> dedupSubstringWinnowIncremental _,
+    "q_dedup_substring_pairs" -> dedupSubstringPairs _,
     "q_dedup_substring_residual" -> dedupSubstringResidual _)
 
   val oracle: Map[String, String] = Map(
@@ -2569,5 +2612,6 @@ object Dedup {
     "q_dedup_substring_winnow" -> dedupSubstringWinnowSql,
     "q_dedup_substring_winnow_eval" -> dedupSubstringWinnowEvalSql,
     "q_dedup_substring_winnow_incremental" -> dedupSubstringWinnowIncrementalSql,
+    "q_dedup_substring_pairs" -> dedupSubstringPairsSql,
     "q_dedup_substring_residual" -> dedupSubstringResidualSql)
 }

@@ -213,6 +213,16 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(nWin < nEx, s"winnow index not smaller: $nWin vs $nEx")
   }
 
+  test("doc-pair bridge: shared gram mass lands on (canonical, marked) pairs") {
+    val pairs = operators.Dedup.dedupSubstringPairs(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // S (40 chars) = 11 interior grams shared 10→{11, 17}; doc 14 is a
+    // full 80-char copy of 10 = 51 grams; doc 12's repeat is WITHIN-doc
+    // and must not pair
+    assert(pairs === Seq(
+      (10L, 11L, 11L), (10L, 14L, 51L), (10L, 17L, 11L)), s"got $pairs")
+  }
+
   test("residual audit: removal leaves no non-canonical copy of any original gram") {
     // fixture: cleaned corpus = docs 10/12(first T)/13/17 intact-ish,
     // 11 loses S, 14 empties — no surviving cross-doc run, and junction
