@@ -244,6 +244,56 @@ class SubstringDedupSpec extends AnyFunSuite {
       "one pass must strictly reduce duplicated mass")
   }
 
+  test("property: spans match a brute-force reference on generated block corpora") {
+    import spark.implicits._
+    // corpora built by concatenating from a small block pool — block
+    // reuse plants real shared runs at random offsets, including
+    // within-doc repeats and cross-doc overlaps the fixture can't cover
+    val rnd = new scala.util.Random(20260814)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    def randBlock(len: Int): String =
+      Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    (1 to 5).foreach { trial =>
+      val pool = Seq.fill(6)(randBlock(10 + rnd.nextInt(26)))
+      val docs = (0 until 12).map { id =>
+        val text = Seq.fill(1 + rnd.nextInt(6))(pool(rnd.nextInt(pool.size)))
+          .mkString
+        (id.toLong, text)
+      }
+      // brute-force reference: literal gram strings, first-occurrence
+      // exemption, interval union
+      val L = operators.Dedup.SubstrL
+      val occ = scala.collection.mutable.LinkedHashMap
+        .empty[String, List[(Long, Int)]]
+      for ((id, text) <- docs; p <- 1 to text.length - L + 1)
+        occ.updateWith(text.substring(p - 1, p - 1 + L)) {
+          case Some(l) => Some((id, p) :: l)
+          case None => Some(List((id, p)))
+        }
+      val marks = occ.values.flatMap { revOccs =>
+        val sorted = revOccs.reverse.sortBy(identity)
+        if (sorted.size >= 2) sorted.tail else Nil
+      }.toSeq
+      val expected = marks.groupBy(_._1).flatMap { case (id, ps) =>
+        val sorted = ps.map(_._2).sorted
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        for (p <- sorted) {
+          if (spans.nonEmpty && p <= spans.last._2)
+            spans(spans.size - 1) = (spans.last._1, math.max(spans.last._2, p + L))
+          else spans += ((p.toLong, (p + L).toLong))
+        }
+        spans.map { case (s0, e0) => (id, s0, e0) }
+      }.toSeq.sorted
+
+      val got = operators.Dedup.substringSpansOf(
+          operators.Dedup.dupSubstrPositionsOf(docs.toDF("doc_id", "text")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+      assert(got === expected, s"trial $trial diverged from brute force")
+      assert(expected.nonEmpty, s"trial $trial generated no duplicates — weak fixture")
+    }
+  }
+
   test("span-covering property on real data: spans only cover duplicated grams") {
     // every reported span on the sf0.001 corpus is ≥ L wide, in-bounds,
     // and non-overlapping per doc in sorted order
