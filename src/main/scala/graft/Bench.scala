@@ -50,6 +50,7 @@ object Bench {
       graft.operators.Dedup.clearMinhashIndexCache()
       graft.operators.Dedup.clearSubstrIndexCache()
       graft.operators.Dedup.clearWinnowIndexCache()
+      graft.operators.Dedup.clearSubstringSpansCache()
       graft.operators.Similarity.clearCodebookCache()
       graft.operators.Similarity.clearSemanticIndexCache()
       graft.operators.Bucketing.clearTableCache()

@@ -1902,12 +1902,46 @@ object Dedup {
        |  FROM documents JOIN generate_series(1, 100000) t(i)
        |    ON i <= length(text) - ${SubstrL - 1}$pred)""".stripMargin
 
+  /** corpus span frame memoized per (session, dir, input fingerprint)
+    * with a lazy localCheckpoint — the clusterLabels discipline: four
+    * declared queries (spans/stats/apply/residual) share this exact
+    * frame, and residual derives it twice in ONE call (orig side + the
+    * embedded apply), so even under the bench's per-query cache clear
+    * the memo pays. Checkpoint blocks are unpersisted on replace/clear
+    * exactly like the labels cache. */
+  private val spansCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (String, DataFrame, Option[org.apache.spark.rdd.RDD[_]])]()
+
+  private def corpusSubstringSpans(s: SparkSession, dir: String): DataFrame =
+    spansCache.synchronized {
+      val key = (s, dir)
+      val fp = graft.util.inputFingerprint(dir, "documents.parquet")
+      val cached = spansCache.get(key)
+      if (cached != null && cached._1 == fp) cached._2
+      else {
+        if (cached != null)
+          cached._3.foreach(r => try r.unpersist(false) catch { case _: Throwable => })
+        val spans = substringSpansOf(dupSubstrPositionsOf(
+          t(s, dir, "documents").select("doc_id", "text")))
+          .localCheckpoint(false)
+        spansCache.put(key, (fp, spans, checkpointRdd(spans)))
+        spans
+      }
+    }
+
+  def clearSubstringSpansCache(): Unit = spansCache.synchronized {
+    spansCache.forEach { (_, v) =>
+      v._3.foreach(r => try r.unpersist(false) catch { case _: Throwable => })
+    }
+    spansCache.clear()
+  }
+
   /** Declared query: merged duplicated spans (doc_id, span_start,
     * span_end), keep-first exemption applied — the removal plan the
     * apply step executes. */
   def dedupSubstring(s: SparkSession, dir: String): DataFrame =
-    substringSpansOf(dupSubstrPositionsOf(
-      t(s, dir, "documents").select("doc_id", "text")))
+    corpusSubstringSpans(s, dir)
       .orderBy("doc_id", "span_start")
 
   val dedupSubstringSql: String =
@@ -1925,8 +1959,7 @@ object Dedup {
     * substring pass deletes (all docs; zeros where nothing matched).
     * The corpus-health dashboard row operators watch while tuning L. */
   def dedupSubstringStats(s: SparkSession, dir: String): DataFrame = {
-    val st = substringSpansOf(dupSubstrPositionsOf(
-        t(s, dir, "documents").select("doc_id", "text")))
+    val st = corpusSubstringSpans(s, dir)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(col("span_end") - col("span_start")).as("dup_chars"))
@@ -1971,7 +2004,7 @@ object Dedup {
   def dedupSubstringApply(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val sp = substringSpansOf(dupSubstrPositionsOf(docs))
+    val sp = corpusSubstringSpans(s, dir)
     val wd = Window.partitionBy("doc_id").orderBy("span_start")
     // kept segments: [prev span_end, span_start) per span (head default
     // 1), plus the tail [max span_end, len + 1)
@@ -2081,12 +2114,10 @@ object Dedup {
     * aspect Lee et al. resolve by re-running; this instrument says
     * whether a second pass is worth scheduling on a given corpus. */
   def dedupSubstringResidual(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select("doc_id", "text")
     def dupChars(spans: DataFrame, name: String): DataFrame =
       spans.agg(coalesce(sum(col("span_end") - col("span_start")), lit(0L))
         .as(name))
-    val orig = dupChars(substringSpansOf(dupSubstrPositionsOf(docs)),
-      "orig_dup_chars")
+    val orig = dupChars(corpusSubstringSpans(s, dir), "orig_dup_chars")
     val cleaned = dedupSubstringApply(s, dir)
       .select(col("doc_id"), col("clean_text").as("text"))
     val resid = dupChars(substringSpansOf(dupSubstrPositionsOf(cleaned)),
