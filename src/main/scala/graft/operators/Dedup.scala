@@ -2104,6 +2104,43 @@ object Dedup {
        |WHERE n_shared_grams >= $SubstrPairMinGrams
        |ORDER BY d1, d2""".stripMargin
 
+  /** Declared query: cross-source substring leakage — the substring
+    * family's twin of [[dedupCrossSource]]: which (source_a, source_b)
+    * cells the shared-substring mass lands in. The provenance question a
+    * corpus owner asks first ("is source X plagiarizing source Y, or is
+    * the duplication intra-source boilerplate?"), answered from the same
+    * pair frame [[dedupSubstringPairs]] emits — directional (d1 = the
+    * canonical/kept doc's source), so the cells also say which source
+    * loses text in the cut. */
+  def dedupSubstringCrossSource(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    dedupSubstringPairs(s, dir)
+      .join(src.select(col("doc_id").as("d1"), col("source").as("source_kept")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("source_cut")), "d2")
+      .groupBy("source_kept", "source_cut")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_shared_grams")).as("shared_grams"))
+      .orderBy("source_kept", "source_cut")
+  }
+
+  val dedupSubstringCrossSourceSql: String =
+    s"""WITH ${substrGramCte()},
+       |r AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER w AS rn,
+       |    first_value(doc_id) OVER w AS src
+       |  FROM g WINDOW w AS (PARTITION BY h ORDER BY doc_id, pos)),
+       |pairs AS (
+       |  SELECT src AS d1, doc_id AS d2, count(*) AS n_shared_grams
+       |  FROM r WHERE rn >= 2 AND doc_id <> src
+       |  GROUP BY 1, 2),
+       |kept AS (SELECT * FROM pairs WHERE n_shared_grams >= $SubstrPairMinGrams)
+       |SELECT a.source AS source_kept, b.source AS source_cut,
+       |  count(*) AS n_pairs, sum(n_shared_grams)::BIGINT AS shared_grams
+       |FROM kept JOIN documents a ON kept.d1 = a.doc_id
+       |          JOIN documents b ON kept.d2 = b.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Declared query: the convergence audit — re-run the duplicate-span
     * chain on the CLEANED corpus and price what one apply pass leaves
     * behind, in ONE exact row (orig_dup_chars, residual_dup_chars,
@@ -2615,6 +2652,7 @@ object Dedup {
     "q_dedup_substring_winnow_eval" -> dedupSubstringWinnowEval _,
     "q_dedup_substring_winnow_incremental" -> dedupSubstringWinnowIncremental _,
     "q_dedup_substring_pairs" -> dedupSubstringPairs _,
+    "q_dedup_substring_cross_source" -> dedupSubstringCrossSource _,
     "q_dedup_substring_residual" -> dedupSubstringResidual _)
 
   val oracle: Map[String, String] = Map(
@@ -2644,5 +2682,6 @@ object Dedup {
     "q_dedup_substring_winnow_eval" -> dedupSubstringWinnowEvalSql,
     "q_dedup_substring_winnow_incremental" -> dedupSubstringWinnowIncrementalSql,
     "q_dedup_substring_pairs" -> dedupSubstringPairsSql,
+    "q_dedup_substring_cross_source" -> dedupSubstringCrossSourceSql,
     "q_dedup_substring_residual" -> dedupSubstringResidualSql)
 }

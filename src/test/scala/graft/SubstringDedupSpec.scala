@@ -223,6 +223,18 @@ class SubstringDedupSpec extends AnyFunSuite {
       (10L, 11L, 11L), (10L, 14L, 51L), (10L, 17L, 11L)), s"got $pairs")
   }
 
+  test("cross-source cells: shared mass lands directionally on (kept, cut) sources") {
+    // fixture sources: 10→src0 (canonical), 11→src0, 14→src2, 17→src3
+    val cells = operators.Dedup.dedupSubstringCrossSource(spark, fixtureDir)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(cells === Map(
+      ("src0", "src0") -> ((1L, 11L)),   // 10→11, intra-source
+      ("src0", "src2") -> ((1L, 51L)),   // 10→14, the full copy
+      ("src0", "src3") -> ((1L, 11L))))  // 10→17
+  }
+
   test("residual audit: removal leaves no non-canonical copy of any original gram") {
     // fixture: cleaned corpus = docs 10/12(first T)/13/17 intact-ish,
     // 11 loses S, 14 empties — no surviving cross-doc run, and junction
