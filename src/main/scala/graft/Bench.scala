@@ -51,6 +51,7 @@ object Bench {
       graft.operators.Dedup.clearSubstrIndexCache()
       graft.operators.Dedup.clearWinnowIndexCache()
       graft.operators.Dedup.clearSubstringSpansCache()
+      graft.operators.TextAnalysis.clearBpeMergeCache()
       graft.operators.Similarity.clearCodebookCache()
       graft.operators.Similarity.clearSemanticIndexCache()
       graft.operators.Bucketing.clearTableCache()

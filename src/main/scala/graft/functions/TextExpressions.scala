@@ -123,6 +123,14 @@ object WinnowPositions {
   def compute(text: UTF8String, l: Int, w: Int): ArrayData = {
     val n = text.numChars() - l + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    // The comb encoding packs the 1-based gram position into the low 20
+    // bits; a position >= 2^20 would go negative and silently corrupt
+    // both the window-min ordering and the decoded span starts. Fail
+    // fast instead — callers must chunk docs above ~1M chars upstream.
+    if (n >= P) throw new IllegalArgumentException(
+      s"winnow_positions: document has $n grams (chars=${text.numChars()}), " +
+        s"exceeding the 2^20-1 position-encoding limit; chunk the document " +
+        s"upstream (e.g. CorpusOps.chunkOverlap) before winnowing")
     val digest = md.get()
     val comb = new Array[Long](n)
     var p0 = 0

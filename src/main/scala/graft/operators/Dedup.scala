@@ -1132,10 +1132,32 @@ object Dedup {
     * production deployment tunes them per corpus and the index itself is
     * the source of truth. */
   private def writeIndexMeta(s: SparkSession, indexPath: String,
-      key: String, value: Long): Unit = {
+      key: String, value: Long): Unit =
+    writeIndexMetaAll(s, indexPath, Seq(key -> value))
+
+  /** multi-key form: one overwrite of `meta/` with every constant the
+    * index was built under — callers that persist more than one tunable
+    * must write them in a single call (mode=overwrite replaces the dir) */
+  private def writeIndexMetaAll(s: SparkSession, indexPath: String,
+      pairs: Seq[(String, Long)]): Unit = {
     import s.implicits._
-    Seq((key, value)).toDF("key", "value")
+    pairs.toDF("key", "value")
       .write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** Guard for probe/append against an index built under a DIFFERENT
+    * constant than the running binary's: a silent mismatch (e.g. winnow
+    * w) changes the selection on the probe side relative to the at-rest
+    * side and weakens the detection guarantee with no detectable error.
+    * Indexes written before the meta key existed pass (default). */
+  private def requireIndexMeta(s: SparkSession, indexPath: String,
+      key: String, expected: Long): Unit = {
+    val have = readIndexMeta(s, indexPath, key, expected)
+    require(have == expected,
+      s"index at $indexPath was built with $key=$have but this binary " +
+        s"uses $key=$expected; rebuild the index or align the constant " +
+        s"— probing across a $key mismatch silently changes which grams " +
+        s"are selected and voids the detection guarantee")
   }
 
   /** O(1) metadata readback (driver-side by design, like the IVF
@@ -2425,15 +2447,23 @@ object Dedup {
       .select("h").distinct()
       .repartition(col("h"))
       .write.mode("overwrite").parquet(s"$indexPath/hashes")
-    writeIndexMeta(s, indexPath, "substr_l", SubstrL.toLong)
+    // winnow_w is part of the index's identity: the ≥ L+w−1 guarantee
+    // only holds when at-rest and probe sides select under the SAME w
+    writeIndexMetaAll(s, indexPath,
+      Seq("substr_l" -> SubstrL.toLong, "winnow_w" -> WinnowW.toLong))
   }
 
-  /** O(batch) append — identical contract to [[appendSubstrIndex]] */
+  /** O(batch) append — identical contract to [[appendSubstrIndex]],
+    * plus the winnow_w guard (appending grams selected under a
+    * different w would mix selection regimes inside one index) */
   def appendWinnowIndex(s: SparkSession, indexPath: String,
-      docs: DataFrame): Unit =
+      docs: DataFrame): Unit = {
+    requireIndexMeta(docs.sparkSession, indexPath, "substr_l", SubstrL.toLong)
+    requireIndexMeta(docs.sparkSession, indexPath, "winnow_w", WinnowW.toLong)
     winnowGramsOf(docs).select("h").distinct()
       .repartition(col("h"))
       .write.mode("append").parquet(s"$indexPath/hashes")
+  }
 
   /** Probe: the batch winnows ITSELF map-side, then only its selected
     * positions join the selected-hash set — both sides of the shuffle
@@ -2441,11 +2471,14 @@ object Dedup {
     * gram on both sides (selection depends on the gram hashes of the
     * run's interior, not on absolute position), so the hit survives. */
   def probeWinnowIndex(s: SparkSession, docs: DataFrame,
-      indexPath: String): DataFrame =
+      indexPath: String): DataFrame = {
+    requireIndexMeta(s, indexPath, "substr_l", SubstrL.toLong)
+    requireIndexMeta(s, indexPath, "winnow_w", WinnowW.toLong)
     substringSpansOf(
       winnowGramsOf(docs)
         .join(s.read.parquet(s"$indexPath/hashes"), Seq("h"), "left_semi")
         .select("doc_id", "pos"))
+  }
 
   private val winnowIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
@@ -2554,10 +2587,12 @@ object Dedup {
     * `IndexMaintenance.compactSubstrIndex` reclaims the bytes.
     * Caller contract: `docs` doc_ids are new to the index. */
   def appendSubstrIndex(s: SparkSession, indexPath: String,
-      docs: DataFrame): Unit =
+      docs: DataFrame): Unit = {
+    requireIndexMeta(docs.sparkSession, indexPath, "substr_l", SubstrL.toLong)
     substrGramsOf(docs).select("h").distinct()
       .repartition(col("h"))
       .write.mode("append").parquet(s"$indexPath/hashes")
+  }
 
   /** Probe a persisted substring index with ARBITRARY documents: batch
     * grams left-semi join the hash set (one shuffle each side, aligned
@@ -2565,11 +2600,13 @@ object Dedup {
     * spans per doc. The declared batch query feeds it the deterministic
     * split; `Pipeline.streamSubstringDedup` feeds it micro-batches. */
   def probeSubstrIndex(s: SparkSession, docs: DataFrame,
-      indexPath: String): DataFrame =
+      indexPath: String): DataFrame = {
+    requireIndexMeta(s, indexPath, "substr_l", SubstrL.toLong)
     substringSpansOf(
       substrGramsOf(docs)
         .join(s.read.parquet(s"$indexPath/hashes"), Seq("h"), "left_semi")
         .select("doc_id", "pos"))
+  }
 
   /** index path memoized per (session, dir, input fingerprint) — the
     * substring twin of [[gramIndexPath]] */

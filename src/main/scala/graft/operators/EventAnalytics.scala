@@ -264,7 +264,11 @@ object EventAnalytics {
       .agg(min(col("event_type")).as("event_type"),
         min(col("ts_us")).as("valid_from_us"),
         count(lit(1)).as("n_events"))
-    val wp = Window.partitionBy("user_id").orderBy("valid_from_us")
+    // the closing window ties on (valid_from_us, period): two periods can
+    // share a valid_from_us when a user has equal-ts events of different
+    // types, and period is the deterministic event_id-derived sequence —
+    // without it the lead assignment is engine-dependent on such ties
+    val wp = Window.partitionBy("user_id").orderBy("valid_from_us", "period")
     periods
       .select(col("user_id"), col("event_type"), col("valid_from_us"),
         lead(col("valid_from_us"), 1).over(wp).as("valid_to_us"),
@@ -288,7 +292,7 @@ object EventAnalytics {
       |    min(ts_us) AS valid_from_us, count(*) AS n_events
       |  FROM p GROUP BY 1, 2)
       |SELECT user_id, event_type, valid_from_us,
-      |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
+      |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us, period) AS valid_to_us,
       |  n_events
       |FROM periods ORDER BY user_id, valid_from_us""".stripMargin
 

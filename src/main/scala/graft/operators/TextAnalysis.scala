@@ -204,6 +204,12 @@ object TextAnalysis {
       }
     }
 
+  /** bench cold-cache hook, mirroring the index-cache clears: without it
+    * q_bpe_encode is measured warm after its first run and the reported
+    * cost omits the nMerges-round distributed training */
+  def clearBpeMergeCache(): Unit =
+    bpeMergeCache.synchronized { bpeMergeCache.clear() }
+
   /** BPE-style ENCODE: apply a trained merge table to the corpus — one
     * greedy left-to-right non-overlapping pass per merge in rank order,
     * exactly the discipline [[bpeTrain]] applied per training round, so

@@ -213,6 +213,52 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(nWin < nEx, s"winnow index not smaller: $nWin vs $nEx")
   }
 
+  test("winnow index: probe and append refuse a winnow_w/substr_l mismatch") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_win_idx_meta").toString
+    operators.Dedup.writeWinnowIndex(spark, fixtureDir, idx)
+    val probeDf = util.t(spark, fixtureDir, "documents").select("doc_id", "text")
+    // sanity: matching meta passes
+    operators.Dedup.probeWinnowIndex(spark, probeDf, idx).count()
+    // corrupt the persisted w (simulates an index built by a binary with
+    // a different WinnowW) — probe and append must fail fast, not
+    // silently mix selection regimes
+    Seq(("substr_l", operators.Dedup.SubstrL.toLong), ("winnow_w", 999L))
+      .toDF("key", "value").write.mode("overwrite").parquet(s"$idx/meta")
+    val eProbe = intercept[IllegalArgumentException] {
+      operators.Dedup.probeWinnowIndex(spark, probeDf, idx)
+    }
+    assert(eProbe.getMessage.contains("winnow_w"))
+    intercept[IllegalArgumentException] {
+      operators.Dedup.appendWinnowIndex(spark, idx, probeDf)
+    }
+    // substring index: same guard on substr_l
+    val sIdx = Files.createTempDirectory("graft_sub_idx_meta").toString
+    operators.Dedup.writeSubstrIndex(spark, fixtureDir, sIdx)
+    Seq(("substr_l", 999L)).toDF("key", "value")
+      .write.mode("overwrite").parquet(s"$sIdx/meta")
+    val eSub = intercept[IllegalArgumentException] {
+      operators.Dedup.probeSubstrIndex(spark, probeDf, sIdx)
+    }
+    assert(eSub.getMessage.contains("substr_l"))
+    intercept[IllegalArgumentException] {
+      operators.Dedup.appendSubstrIndex(spark, sIdx, probeDf)
+    }
+  }
+
+  test("winnow_positions fails fast past the 2^20 position-encoding limit") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val l = operators.Dedup.SubstrL
+    // just under the limit: n = 2^20 - 1 positions is legal
+    // (not executed — would hash a million grams; the guard is the point)
+    val over = UTF8String.fromString("x" * ((1 << 20) + l))
+    val e = intercept[IllegalArgumentException] {
+      functions.WinnowPositions.compute(over, l, operators.Dedup.WinnowW)
+    }
+    assert(e.getMessage.contains("chunk"),
+      s"error must tell the caller to chunk upstream: ${e.getMessage}")
+  }
+
   test("doc-pair bridge: shared gram mass lands on (canonical, marked) pairs") {
     val pairs = operators.Dedup.dedupSubstringPairs(spark, fixtureDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
