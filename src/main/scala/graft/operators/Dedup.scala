@@ -811,8 +811,15 @@ object Dedup {
     * degenerate content (boilerplate, near-empty docs) piles signatures
     * into one key; O(n) rep pairs keep the members transitively
     * connected without the O(n²) blowup, and unlike dropping the bucket
-    * they preserve the near-dup signal of boilerplate variants. */
-  val SimhashMaxBucket = 64
+    * they preserve the near-dup signal of boilerplate variants.
+    *
+    * 256, not MinHash's 64: SimHash buckets its 4 signature chunks into
+    * only 2^15-2^16 keys (vs MinHash's 16-byte band hashes), so real
+    * corpora pack buckets much denser — the round-12 CapSweep measured
+    * incremental recall 0.78 at 10× density under 64 and named 256 the
+    * sweet spot (+18 pts recall for +8% index rows); at 256 the
+    * worst-case in-bucket pair fan-out is still a bounded 32,640. */
+  val SimhashMaxBucket = 256
 
   /** near-dup candidates: equal 16-bit chunk (pigeonhole for Hamming ≤ 3),
     * verified by exact popcount of XOR ≤ 3. Bucket members collect into
@@ -1135,6 +1142,61 @@ object Dedup {
       key: String, value: Long): Unit =
     writeIndexMetaAll(s, indexPath, Seq(key -> value))
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+
+  /** over-cap mass fraction past which band-index build/append logs a
+    * warning: the density-adaptive dial's tripwire. 2% tracks the
+    * round-12 CapSweep finding — under that, truncation cost recall
+    * nothing measurable; over it, the cap needs raising for THIS corpus. */
+  val BandOverCapWarnFraction = 0.02
+
+  /** Pre-cap bucket-occupancy profile of a band relation, unpivoted to
+    * meta/ (key, value) rows — persisted WITH each band index at write
+    * time so a deployment can see (and `append*Index` can warn about)
+    * the over-cap mass without re-running a sweep. Costs one extra
+    * map-side-combined aggregation pass over the entries at build time;
+    * builds are rare and the profile is the tuning signal a 100 TB
+    * corpus needs to pick its cap. */
+  private def occupancyProfile(entries: DataFrame, keys: Seq[String],
+      cap: Int): DataFrame =
+    entries.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"),
+        coalesce(sum(col("n")), lit(0L)).as("n_entries"),
+        coalesce(max(col("n")), lit(0L)).as("max_bucket_size"),
+        coalesce(sum(when(col("n") > cap, 1L).otherwise(0L)), lit(0L))
+          .as("n_over_cap"),
+        coalesce(sum(when(col("n") > cap, col("n") - cap).otherwise(0L)),
+          lit(0L)).as("entries_over_cap"))
+      .select(expr(
+        """stack(5,
+          |  'n_buckets', n_buckets,
+          |  'n_entries', n_entries,
+          |  'max_bucket_size', max_bucket_size,
+          |  'n_over_cap', n_over_cap,
+          |  'entries_over_cap', entries_over_cap) AS (key, value)""".stripMargin))
+
+  /** meta/ = build constants + occupancy profile, one overwrite */
+  private def writeIndexMetaWithProfile(s: SparkSession, indexPath: String,
+      constants: Seq[(String, Long)], profile: DataFrame): Unit = {
+    import s.implicits._
+    constants.toDF("key", "value").unionByName(profile)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexPath/meta")
+  }
+
+  /** build-time tripwire on the just-persisted profile (two O(1) meta
+    * readbacks, no data pass) */
+  private def warnIfOverCap(s: SparkSession, indexPath: String,
+      family: String, cap: Long): Unit = {
+    val entries = readIndexMeta(s, indexPath, "n_entries", 0L)
+    val over = readIndexMeta(s, indexPath, "entries_over_cap", 0L)
+    if (entries > 0 && over.toDouble / entries > BandOverCapWarnFraction)
+      log.warn(s"$family index at $indexPath: $over of $entries band entries " +
+        f"(${over.toDouble / entries * 100}%.1f%%) exceed the write-time cap $cap " +
+        s"and were truncated — recall on dense buckets will suffer; raise the " +
+        s"cap for this corpus (see q_dedup_bucket_stats / tools.CapSweep)")
+  }
+
   /** multi-key form: one overwrite of `meta/` with every constant the
     * index was built under — callers that persist more than one tunable
     * must write them in a single call (mode=overwrite replaces the dir) */
@@ -1172,12 +1234,13 @@ object Dedup {
 
   def writeSimhashIndex(s: SparkSession, dir: String, indexPath: String,
       maxBucket: Int = SimhashMaxBucket): Unit = {
-    md5SimhashSigsOf(t(s, dir, "documents")
+    def chunked = md5SimhashSigsOf(t(s, dir, "documents")
         .where(col("doc_id") % IncrementalMod =!= IncrementalRem))
       .select(col("doc_id"), col("sig"),
         posexplode(expr(
           "transform(sequence(0, 3), c -> shiftright(sig, c * 15) & 32767)"))
           .as(Seq("chunk", "cv")))
+    chunked
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("chunk", "cv").orderBy("doc_id")))
@@ -1185,7 +1248,9 @@ object Dedup {
       .select("chunk", "cv", "doc_id", "sig")
       .repartition(col("chunk"), col("cv"))
       .write.mode("overwrite").parquet(s"$indexPath/bands")
-    writeIndexMeta(s, indexPath, "max_bucket", maxBucket.toLong)
+    writeIndexMetaWithProfile(s, indexPath, Seq("max_bucket" -> maxBucket.toLong),
+      occupancyProfile(chunked.select("chunk", "cv"), Seq("chunk", "cv"), maxBucket))
+    warnIfOverCap(s, indexPath, "simhash", maxBucket.toLong)
   }
 
   /** Add-after-build maintenance for the SimHash band index — the band
@@ -1198,25 +1263,44 @@ object Dedup {
     * count) and new entries only fill the remaining slots, smallest
     * doc_id first — so a hot bucket that was truncated at build time
     * cannot regrow past the cap through appends. Caller contract
-    * (same as appendIvfIndex): `docs` doc_ids are new to the index. */
+    * (same as appendIvfIndex): `docs` doc_ids are new to the index.
+    *
+    * Returns the number of band entries the cap REJECTED this append —
+    * the density tripwire: when the rejected fraction crosses
+    * [[BandOverCapWarnFraction]] a warning is logged naming the cap to
+    * retune. Counting costs two O(batch) localCheckpoints (batch-sized
+    * by the caller contract); the index is still never rewritten. */
   def appendSimhashIndex(s: SparkSession, indexPath: String,
-      docs: DataFrame): Unit = {
+      docs: DataFrame): Long = {
     val maxBucket = readIndexMeta(s, indexPath, "max_bucket", SimhashMaxBucket.toLong)
     val occupancy = s.read.parquet(s"$indexPath/bands")
       .groupBy("chunk", "cv").agg(count(lit(1)).as("n_have"))
-    md5SimhashSigsOf(docs)
+    val batchChunks = md5SimhashSigsOf(docs)
       .select(col("doc_id"), col("sig"),
         posexplode(expr(
           "transform(sequence(0, 3), c -> shiftright(sig, c * 15) & 32767)"))
           .as(Seq("chunk", "cv")))
+      .localCheckpoint()
+    val total = batchChunks.count()
+    val admitted = batchChunks
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("chunk", "cv").orderBy("doc_id")))
       .join(occupancy, Seq("chunk", "cv"), "left")
       .where(col("rn") + coalesce(col("n_have"), lit(0L)) <= maxBucket)
       .select("chunk", "cv", "doc_id", "sig")
+      .localCheckpoint()
+    val kept = admitted.count()
+    admitted
       .repartition(col("chunk"), col("cv"))
       .write.mode("append").parquet(s"$indexPath/bands")
+    val dropped = total - kept
+    if (total > 0 && dropped.toDouble / total > BandOverCapWarnFraction)
+      log.warn(s"simhash index at $indexPath: append rejected $dropped of " +
+        s"$total band entries at cap $maxBucket — the corpus has outgrown " +
+        s"the cap this index was built with; rebuild with a higher cap " +
+        s"(see q_dedup_bucket_stats / tools.CapSweep)")
+    dropped
   }
 
   /** Probe the persisted band index with ARBITRARY documents (doc_id,
@@ -1608,7 +1692,8 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$indexPath/sigs")
     // bands derive from the just-written sigs (like the IVF+PQ layout's
     // pq/ readback) so the signature aggregation runs once, not twice
-    bandsOfSigs(s.read.parquet(s"$indexPath/sigs"))
+    def bands = bandsOfSigs(s.read.parquet(s"$indexPath/sigs"))
+    bands
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("band", "bh").orderBy("doc_id")))
@@ -1616,7 +1701,9 @@ object Dedup {
       .select("band", "bh", "doc_id")
       .repartition(col("band"), col("bh"))
       .write.mode("overwrite").parquet(s"$indexPath/bands")
-    writeIndexMeta(s, indexPath, "max_bucket", maxBucket.toLong)
+    writeIndexMetaWithProfile(s, indexPath, Seq("max_bucket" -> maxBucket.toLong),
+      occupancyProfile(bands.select("band", "bh"), Seq("band", "bh"), maxBucket))
+    warnIfOverCap(s, indexPath, "minhash", maxBucket.toLong)
   }
 
   /** Add-after-build maintenance for the MinHash band index — see
@@ -1629,7 +1716,7 @@ object Dedup {
     * the entries that fit under [[MinhashMaxBucket]] given current
     * bucket occupancy. */
   def appendMinhashIndex(s: SparkSession, indexPath: String,
-      docs: DataFrame): Unit = {
+      docs: DataFrame): Long = {
     graft.functions.TextExpressions.register(s)
     val maxBucket = readIndexMeta(s, indexPath, "max_bucket", MinhashMaxBucket.toLong)
     def newSigs = md5SigsOf(docs
@@ -1643,15 +1730,27 @@ object Dedup {
     // bands derive from a fresh signature aggregation rather than a
     // sigs/ readback — the build-time readback trick would re-scan the
     // WHOLE corpus's signatures here, not just the batch's
-    bandsOfSigs(newSigs)
+    val batchBands = bandsOfSigs(newSigs).localCheckpoint()
+    val total = batchBands.count()
+    val admitted = batchBands
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("band", "bh").orderBy("doc_id")))
       .join(occupancy, Seq("band", "bh"), "left")
       .where(col("rn") + coalesce(col("n_have"), lit(0L)) <= maxBucket)
       .select("band", "bh", "doc_id")
+      .localCheckpoint()
+    val kept = admitted.count()
+    admitted
       .repartition(col("band"), col("bh"))
       .write.mode("append").parquet(s"$indexPath/bands")
+    val dropped = total - kept
+    if (total > 0 && dropped.toDouble / total > BandOverCapWarnFraction)
+      log.warn(s"minhash index at $indexPath: append rejected $dropped of " +
+        s"$total band entries at cap $maxBucket — the corpus has outgrown " +
+        s"the cap this index was built with; rebuild with a higher cap " +
+        s"(see q_dedup_bucket_stats / tools.CapSweep)")
+    dropped
   }
 
   /** Probe the persisted MinHash index with ARBITRARY documents (doc_id,

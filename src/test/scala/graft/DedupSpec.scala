@@ -57,25 +57,25 @@ class DedupSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_hot").toString
     val base = "the quick brown fox jumps over the lazy dog again and again until done"
-    // 100 identical degenerate docs: every (chunk, cv) bucket they form has
-    // 100 members (> SimhashMaxBucket). The guard must emit only pairs
-    // through the min-doc_id representative (99 pairs, keeping the
-    // component connected), never the 100*99/2 all-pairs blowup; the
+    // 300 identical degenerate docs: every (chunk, cv) bucket they form has
+    // 300 members (> SimhashMaxBucket). The guard must emit only pairs
+    // through the min-doc_id representative (299 pairs, keeping the
+    // component connected), never the 300*299/2 all-pairs blowup; the
     // planted near-dup pair lives in small buckets and must still come out.
-    val degenerate = (100L to 199L).map(i => (i, "x x", "en", "srcd", 3L))
+    val degenerate = (100L to 399L).map(i => (i, "x x", "en", "srcd", 3L))
     val docs = Seq(
       (1L, base, "en", "src0", base.length.toLong),
       (2L, base, "en", "src0", base.length.toLong), // exact dup of 1: Hamming 0, small bucket
       (3L, "completely different words about spark query engines and shuffles here now", "en", "src2", 70L)) ++ degenerate
     docs.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    assert(operators.Dedup.SimhashMaxBucket < 100)
+    assert(operators.Dedup.SimhashMaxBucket < 300)
     val pairs = operators.Dedup.dedupSimhash(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val degen = pairs.filter { case (a, b) => a >= 100L && b >= 100L }
     assert(degen.forall(_._1 == 100L),
       s"hot-bucket pairs must all route through the representative: $degen")
-    assert(degen.size === 99, s"expected 99 rep pairs, got ${degen.size}")
+    assert(degen.size === 299, s"expected 299 rep pairs, got ${degen.size}")
     assert(pairs.contains((1L, 2L)), "planted dup pair 1-2 lost to the bucket guard")
   }
 
@@ -581,8 +581,10 @@ class DedupSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(bytes, after(name)), s"pre-append file $name rewritten")
     }
 
+    // 300 > SimhashMaxBucket further clones: every clone bucket must top
+    // out at exactly the cap regardless of its pre-append occupancy
     operators.Dedup.appendSimhashIndex(spark, idx,
-      (910001L to 910070L).map(i => (i, srcText)).toDF("doc_id", "text"))
+      (910001L to 910300L).map(i => (i, srcText)).toDF("doc_id", "text"))
     val cloneBuckets = spark.read.parquet(s"$idx/bands")
       .where(col("doc_id") === 900001L).select("chunk", "cv")
     val counts = spark.read.parquet(s"$idx/bands")
@@ -605,21 +607,27 @@ class DedupSpec extends AnyFunSuite {
     val hot = (930001L to 930010L).map(i => (i, srcText)).toDF("doc_id", "text")
 
     // SimHash: built with a deliberately tiny cap — the meta sidecar, not
-    // SimhashMaxBucket (64), must bound every bucket after a hot append
+    // SimhashMaxBucket (256), must bound every bucket after a hot append
     val shIdx = Files.createTempDirectory("graft_sh_meta").toString
     operators.Dedup.writeSimhashIndex(spark, dir, shIdx, maxBucket = 4)
-    operators.Dedup.appendSimhashIndex(spark, shIdx, hot)
+    val shDropped = operators.Dedup.appendSimhashIndex(spark, shIdx, hot)
     val shMax = spark.read.parquet(s"$shIdx/bands")
       .groupBy("chunk", "cv").count().agg(max("count")).collect().head.getLong(0)
     assert(shMax <= 4L, s"simhash bucket grew past the persisted cap: $shMax")
+    // 10 clones × 4 chunks against cap 4: the rejected-entry count the
+    // over-cap tripwire warns on must surface most of the batch
+    assert(shDropped >= 24L,
+      s"append must report the cap-rejected entries, got $shDropped")
 
     // MinHash twin
     val mhIdx = Files.createTempDirectory("graft_mh_meta").toString
     operators.Dedup.writeMinhashIndex(spark, dir, mhIdx, maxBucket = 4)
-    operators.Dedup.appendMinhashIndex(spark, mhIdx, hot)
+    val mhDropped = operators.Dedup.appendMinhashIndex(spark, mhIdx, hot)
     val mhMax = spark.read.parquet(s"$mhIdx/bands")
       .groupBy("band", "bh").count().agg(max("count")).collect().head.getLong(0)
     assert(mhMax <= 4L, s"minhash bucket grew past the persisted cap: $mhMax")
+    assert(mhDropped > 0L,
+      s"append must report the cap-rejected entries, got $mhDropped")
 
     // gram index: a custom df cap persisted at build prunes appends too —
     // after 3 identical clones no gram may exceed 2 entries
@@ -685,24 +693,25 @@ class DedupSpec extends AnyFunSuite {
 
   test("q_dedup_simhash_eval: SimhashEvalMaxBucket bounds truth pairs on a degenerate bucket") {
     import spark.implicits._
-    // 100 identical docs: one signature, every chunk bucket holds all 100
+    // 300 identical docs: one signature, every chunk bucket holds all 300
+    // (> SimhashMaxBucket = 256)
     val dir = Files.createTempDirectory("graft_simhash_cap").toString
     val tx = "identical boilerplate banner text repeated across the whole crawl"
-    (1L to 100L).map(id => (id, tx, "en", "src", tx.length.toLong))
+    (1L to 300L).map(id => (id, tx, "en", "src", tx.length.toLong))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    // declared (uncapped) truth is all-pairs: C(100,2); the candidate
-    // side is already rep-capped (100 > SimhashMaxBucket) at 99 pairs
+    // declared (uncapped) truth is all-pairs: C(300,2); the candidate
+    // side is already rep-capped (300 > SimhashMaxBucket) at 299 pairs
     val uncapped = operators.Dedup.dedupSimhashEval(spark, dir).collect()(0)
-    assert(uncapped.getLong(1) === 4950L, s"uncapped truth ${uncapped.getLong(1)}")
-    assert(uncapped.getLong(0) === 99L, s"capped candidates ${uncapped.getLong(0)}")
+    assert(uncapped.getLong(1) === 44850L, s"uncapped truth ${uncapped.getLong(1)}")
+    assert(uncapped.getLong(0) === 299L, s"capped candidates ${uncapped.getLong(0)}")
 
     // capped truth switches to representative pairing: min-doc vs rest,
     // O(n) not O(n²) — and then recall reads 1.0 (both sides rep-paired)
     val capped = operators.Dedup.dedupSimhashEval(
       spark, dir, operators.Dedup.SimhashEvalMaxBucket).collect()(0)
-    assert(capped.getLong(1) === 99L, s"capped truth ${capped.getLong(1)}")
+    assert(capped.getLong(1) === 299L, s"capped truth ${capped.getLong(1)}")
     assert(capped.getDouble(3) === 1.0, s"capped recall ${capped.getDouble(3)}")
   }
 }

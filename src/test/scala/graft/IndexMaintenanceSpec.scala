@@ -23,6 +23,33 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     ids.map(i => (i.toLong, text)).toDF("doc_id", "text")
   }
 
+  test("band-index meta persists the write-time occupancy profile") {
+    // both band families must record the pre-cap bucket profile alongside
+    // the cap: the density signal appends warn on and deployments tune by
+    val profileKeys = Set("n_buckets", "n_entries", "max_bucket_size",
+      "n_over_cap", "entries_over_cap")
+    for ((name, write) <- Seq[(String, String => Unit)](
+        "simhash" -> (p => operators.Dedup.writeSimhashIndex(spark, dir, p)),
+        "minhash" -> (p => operators.Dedup.writeMinhashIndex(spark, dir, p)))) {
+      val idx = Files.createTempDirectory(s"graft_prof_$name").toString
+      write(idx)
+      val meta = spark.read.parquet(s"$idx/meta").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(profileKeys.subsetOf(meta.keySet),
+        s"$name meta missing profile rows: ${meta.keySet}")
+      assert(meta.contains("max_bucket"), s"$name meta lost the cap")
+      assert(meta("n_entries") > 0L, s"$name profile is empty: $meta")
+      assert(meta("n_buckets") > 0L && meta("max_bucket_size") > 0L)
+      assert(meta("entries_over_cap") >= meta("n_over_cap") * 0L &&
+        meta("n_over_cap") <= meta("n_buckets"))
+      // sf0.001 under the shipped caps has no degenerate bucket — and the
+      // profile is exactly how a deployment would CHECK that claim
+      assert(meta("entries_over_cap").toDouble / meta("n_entries")
+        <= operators.Dedup.BandOverCapWarnFraction,
+        s"$name over-cap mass unexpectedly high at sf0.001: $meta")
+    }
+  }
+
   test("compactSimhashIndex: fewer files, identical probe verdicts, meta untouched") {
     import spark.implicits._
     val idx = Files.createTempDirectory("graft_cmp_sh").toString
