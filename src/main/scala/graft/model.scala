@@ -69,6 +69,186 @@ object model {
       when(fb, raw).otherwise(msg).as("message"))
   }
 
+  // ---- real-syslog header decode (RFC 5424 / RFC 3164) -----------------
+  // The reference README claims RFC 5424 (README.md:60) but parses only
+  // the MikroTik topics format; its own example line
+  // `<166>1 2023-10-27T10:00:00+00:00 …` (README.md:121) lands whole in
+  // `message` via the fallback. This decode is what a real syslog fleet
+  // needs: <PRI> → facility×severity, header timestamp/hostname/app
+  // extraction for both RFC shapes, with the topics parse preserved as
+  // the fallback for MikroTik-style lines. Pure column expressions.
+
+  /** `<PRI>VERSION TS HOST APP PROCID MSGID REST` — REST is structured
+    * data + optional message, split downstream */
+  val rfc5424Re: String =
+    "^<(\\d{1,3})>([1-9]\\d{0,2}) (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) ?(.*)$"
+  /** `<PRI>MMM dd HH:mm:ss HOST MSG` — RFC 3164 stamps the day space-
+    * padded (`Oct  7`); unpadded single digits are out of spec and fall
+    * through to the pri-only branch */
+  val rfc3164Re: String =
+    "^<(\\d{1,3})>([A-Z][a-z]{2} [ 0-9]\\d \\d{2}:\\d{2}:\\d{2}) (\\S+) ?(.*)$"
+  /** leading structured-data run: one or more [...] blocks (escaped `\]`
+    * inside param values is out of scope — documented simplification) */
+  val rfc5424SdRe: String = "^((?:\\[[^\\]]*\\])+)"
+
+  /** Full RFC decode: raw line → struct(format, facility, severity,
+    * version, ts_text, ts_us, hostname, appname, procid, msgid, sd,
+    * message). Branches:
+    *  - `rfc5424`: PRI ≤ 191 and a version digit — all 6 header fields
+    *    plus SD/message split (NILVALUE `-` kept verbatim in the text
+    *    fields; ts_us parses RFC 3339 incl. fraction and offset, null on
+    *    NIL);
+    *  - `rfc3164`: PRI ≤ 191 and the BSD `MMM dd HH:mm:ss` stamp — the
+    *    year-less text is kept as ts_text (no ts_us: RFC 3164 carries no
+    *    year, inventing one would be a lie);
+    *  - `pri`: a valid PRI but neither shape — facility/severity decode
+    *    still applies, the rest is the message;
+    *  - `topics`: no PRI (or PRI > 191, which RFC 5424 §6.2.1 forbids) —
+    *    the MikroTik topics parse ([[parseSyslog]]) supplies severity
+    *    and message; facility/header fields are null.
+    * Total: never throws on any input (try-parses, nullif-guarded
+    * extraction). */
+  def parseRfc(raw: Column): Column = {
+    val priTxt = nullif(regexp_extract(raw, "^<(\\d{1,3})>", 1), lit(""))
+    val pri = priTxt.cast(IntegerType)
+    val priOk = pri.isNotNull && pri <= 191
+    val is5424 = priOk && raw.rlike(rfc5424Re)
+    val is3164 = priOk && !is5424 && raw.rlike(rfc3164Re)
+    val isPri = priOk && !is5424 && !is3164
+    // 5424 fields
+    val ts5 = nullif(regexp_extract(raw, rfc5424Re, 3), lit(""))
+    val rest = regexp_extract(raw, rfc5424Re, 8)
+    val sdBr = regexp_extract(rest, rfc5424SdRe, 1)
+    val msg5 = when(rest === "-", lit(""))
+      .when(rest.startsWith("- "), substring(rest, 3, Int.MaxValue))
+      .when(sdBr =!= "", ltrim(substring(rest, length(sdBr) + 1, lit(Int.MaxValue))))
+      .otherwise(rest)
+    val sd5 = when(rest === "-" || rest.startsWith("- "), lit("-"))
+      .when(sdBr =!= "", sdBr)
+      .otherwise(lit(null).cast(StringType))
+    // topics fallback
+    val tp = parseSyslog(raw)
+    val nullStr = lit(null).cast(StringType)
+    struct(
+      when(is5424, lit("rfc5424")).when(is3164, lit("rfc3164"))
+        .when(isPri, lit("pri")).otherwise(lit("topics")).as("format"),
+      when(priOk, (pri / 8).cast(ByteType))
+        .otherwise(lit(null).cast(ByteType)).as("facility"),
+      when(priOk, pmod(pri, lit(8)).cast(ByteType))
+        .otherwise(tp.getField("severity")).as("severity"),
+      when(is5424, regexp_extract(raw, rfc5424Re, 2).cast(IntegerType))
+        .otherwise(lit(null).cast(IntegerType)).as("version"),
+      when(is5424, ts5)
+        .when(is3164, regexp_extract(raw, rfc3164Re, 2))
+        .otherwise(nullStr).as("ts_text"),
+      when(is5424, unix_micros(try_to_timestamp(ts5)))
+        .otherwise(lit(null).cast(LongType)).as("ts_us"),
+      when(is5424, regexp_extract(raw, rfc5424Re, 4))
+        .when(is3164, regexp_extract(raw, rfc3164Re, 3))
+        .otherwise(nullStr).as("hostname"),
+      when(is5424, regexp_extract(raw, rfc5424Re, 5)).otherwise(nullStr).as("appname"),
+      when(is5424, regexp_extract(raw, rfc5424Re, 6)).otherwise(nullStr).as("procid"),
+      when(is5424, regexp_extract(raw, rfc5424Re, 7)).otherwise(nullStr).as("msgid"),
+      when(is5424, sd5).otherwise(nullStr).as("sd"),
+      when(is5424, msg5)
+        .when(is3164, regexp_extract(raw, rfc3164Re, 4))
+        .when(isPri, regexp_replace(raw, "^<\\d{1,3}>", ""))
+        .otherwise(tp.getField("message")).as("message"))
+  }
+
+  /** RFC-shaped raw corpus: the RFC 5424 spec examples (§6.5), RFC 3164
+    * BSD examples (§5.4), the reference README's own line (README.md:121),
+    * NIL fields, boundary and invalid PRIs, and MikroTik/edge fallbacks. */
+  val rfcFixture: Seq[(Int, String, String, String)] = Seq(
+    (1, "<34>1 2003-10-11T22:14:15.003Z mymachine.example.com su - ID47 - 'su root' failed for lonvick on /dev/pts/8", "10.0.1.2:514", "2024-02-01 00:05:00"),
+    (2, "<165>1 2003-08-24T05:14:15.000003-07:00 192.0.2.1 myproc 8710 - - %% It's time to make the do-nuts.", "10.0.1.2:514", "2024-02-01 00:10:00"),
+    (3, "<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog - ID47 [exampleSDID@32473 iut=\"3\" eventSource=\"Application\" eventID=\"1011\"] An application event log entry", "10.0.1.3:514", "2024-02-01 00:15:00"),
+    (4, "<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog - ID47 [exampleSDID@32473 iut=\"3\"][examplePriority@32473 class=\"high\"]", "10.0.1.3:514", "2024-02-01 00:20:00"),
+    (5, "<166>1 2023-10-27T10:00:00+00:00 MyDevice this is a test", "10.0.1.4:514", "2024-02-01 00:25:00"),
+    (6, "<0>1 - - - - - -", "10.0.1.4:514", "2024-02-01 00:30:00"),
+    (7, "<13>Oct 11 22:14:15 mymachine su: 'su root' failed for lonvick", "10.0.1.5:514", "2024-02-01 00:35:00"),
+    (8, "<13>Oct  7 10:09:00 unicorn sched[0]: That's All Folks!", "10.0.1.5:514", "2024-02-01 00:40:00"),
+    (9, "<191>Nov 30 23:59:59 h1 x", "10.0.1.6:514", "2024-02-01 00:45:00"),
+    (10, "<999>1 2023-01-01T00:00:00Z h a p m - x", "10.0.1.6:514", "2024-02-01 00:50:00"),
+    (11, "firewall,info forward: in:ether1 out:ether2", "10.0.0.5:51514", "2024-02-01 00:55:00"),
+    (12, "system,error,critical login failure for user admin", "10.0.0.5:51514", "2024-02-01 01:00:00"),
+    (13, "<165>written without version", "10.0.1.7:514", "2024-02-01 01:05:00"),
+    (14, "nospacetoken", "10.0.1.7:514", "2024-02-01 01:10:00"),
+    (15, "", "10.0.1.8:514", "2024-02-01 01:15:00"),
+    (16, "<165> leading space msg", "10.0.1.8:514", "2024-02-01 01:20:00"))
+
+  def rfcLines(s: SparkSession): DataFrame = {
+    import s.implicits._
+    rfcFixture.toDF("id", "raw", "device", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+      .drop("ts_s")
+  }
+
+  /** the RFC fixture as a DuckDB VALUES relation `f(id, raw, device, ts)` */
+  def rfcLinesValuesSql: String =
+    rfcFixture.map { case (id, raw, dev, ts) =>
+      val esc = raw.replace("'", "''")
+      s"($id, '$esc', '$dev', TIMESTAMP '$ts')"
+    }.mkString("(VALUES ", ", ", ") f(id, raw, device, ts)")
+
+  /** DuckDB twin of [[parseRfc]] over `$rel` — the same regexes, branch
+    * conditions and arithmetic; topics severity/message reuse the
+    * [[parseSyslogOracleSql]] CASE logic inline. */
+  def parseRfcOracleSql(rel: String): String = {
+    val sevCase = severityTokens.map { case (t, c) => s"WHEN sevtok = '$t' THEN $c" }.mkString(" ")
+    s"""WITH src AS (SELECT * FROM $rel),
+       |pri AS (SELECT *,
+       |  try_cast(nullif(regexp_extract(raw, '^<(\\d{1,3})>', 1), '') AS INT) AS pri
+       |  FROM src),
+       |fl AS (SELECT *,
+       |  pri IS NOT NULL AND pri <= 191 AS pri_ok,
+       |  pri IS NOT NULL AND pri <= 191 AND regexp_matches(raw, '${rfc5424Re}') AS is5424
+       |  FROM pri),
+       |fl2 AS (SELECT *,
+       |  pri_ok AND NOT is5424 AND regexp_matches(raw, '${rfc3164Re}') AS is3164
+       |  FROM fl),
+       |fl3 AS (SELECT *, pri_ok AND NOT is5424 AND NOT is3164 AS ispri FROM fl2),
+       |f5 AS (SELECT *,
+       |  nullif(regexp_extract(raw, '${rfc5424Re}', 3), '') AS ts5,
+       |  regexp_extract(raw, '${rfc5424Re}', 8) AS rest
+       |  FROM fl3),
+       |f6 AS (SELECT *, regexp_extract(rest, '${rfc5424SdRe}', 1) AS sdbr FROM f5),
+       |tp AS (SELECT *,
+       |  CASE WHEN strpos(raw, ' ') > 0 THEN substr(raw, 1, strpos(raw, ' ') - 1) ELSE raw END AS catstr,
+       |  CASE WHEN strpos(raw, ' ') > 0 THEN substr(raw, strpos(raw, ' ') + 1) ELSE '' END AS tmsg
+       |  FROM f6),
+       |tt AS (SELECT *, string_split(catstr, ',') AS topics FROM tp),
+       |td AS (SELECT *, len(topics) AS ntop,
+       |  CASE WHEN len(topics) >= 2 THEN topics[2] ELSE NULL END AS sevtok FROM tt)
+       |SELECT id,
+       |  CASE WHEN is5424 THEN 'rfc5424' WHEN is3164 THEN 'rfc3164'
+       |       WHEN ispri THEN 'pri' ELSE 'topics' END AS format,
+       |  CAST(CASE WHEN pri_ok THEN pri // 8 END AS TINYINT) AS facility,
+       |  CAST(CASE WHEN pri_ok THEN pri % 8
+       |            WHEN ntop < 2 THEN 6 $sevCase ELSE 6 END AS TINYINT) AS severity,
+       |  CAST(CASE WHEN is5424 THEN regexp_extract(raw, '${rfc5424Re}', 2) END AS INT) AS version,
+       |  CASE WHEN is5424 THEN ts5
+       |       WHEN is3164 THEN regexp_extract(raw, '${rfc3164Re}', 2) END AS ts_text,
+       |  CASE WHEN is5424 THEN epoch_us(try_cast(ts5 AS TIMESTAMPTZ)) END AS ts_us,
+       |  CASE WHEN is5424 THEN regexp_extract(raw, '${rfc5424Re}', 4)
+       |       WHEN is3164 THEN regexp_extract(raw, '${rfc3164Re}', 3) END AS hostname,
+       |  CASE WHEN is5424 THEN regexp_extract(raw, '${rfc5424Re}', 5) END AS appname,
+       |  CASE WHEN is5424 THEN regexp_extract(raw, '${rfc5424Re}', 6) END AS procid,
+       |  CASE WHEN is5424 THEN regexp_extract(raw, '${rfc5424Re}', 7) END AS msgid,
+       |  CASE WHEN is5424 THEN
+       |    CASE WHEN rest = '-' OR rest LIKE '- %' THEN '-'
+       |         WHEN sdbr <> '' THEN sdbr END END AS sd,
+       |  CASE WHEN is5424 THEN
+       |         CASE WHEN rest = '-' THEN ''
+       |              WHEN rest LIKE '- %' THEN substr(rest, 3)
+       |              WHEN sdbr <> '' THEN ltrim(substr(rest, len(sdbr) + 1))
+       |              ELSE rest END
+       |       WHEN is3164 THEN regexp_extract(raw, '${rfc3164Re}', 4)
+       |       WHEN ispri THEN regexp_replace(raw, '^<\\d{1,3}>', '')
+       |       WHEN ntop < 2 THEN raw ELSE tmsg END AS message
+       |FROM td""".stripMargin
+  }
+
   /** Raw syslog corpus — one line per parser branch (FIXTURES.md §1), with
     * injected deterministic device + event-time companions (the reference
     * stamps wall-clock/remoteAddr, which is untestable). */

@@ -80,6 +80,29 @@ object Syslog {
     s"SELECT tok, CAST(CASE $sevCase ELSE 6 END AS TINYINT) AS code FROM (VALUES $vals) t(tok) ORDER BY tok"
   }
 
+  /** Real-syslog header decode (RFC 5424 §6 / RFC 3164 §4): `<PRI>` →
+    * facility × severity, header timestamp/hostname/app extraction, the
+    * MikroTik topics parse preserved as the no-header fallback — the
+    * first operator an actual NOC user needs that the reference's
+    * topics-only parser can't serve (its own README example line,
+    * README.md:121, lands whole in `message` there). Pure column
+    * expressions over the RFC fixture; every branch DuckDB-replayed. */
+  def parseRfc5424Q(s: SparkSession, dir: String): DataFrame =
+    model.rfcLines(s)
+      .withColumn("p", model.parseRfc(col("raw")))
+      .select(col("id"), col("p.format").as("format"),
+        col("p.facility").as("facility"), col("p.severity").as("severity"),
+        col("p.version").as("version"), col("p.ts_text").as("ts_text"),
+        col("p.ts_us").as("ts_us"), col("p.hostname").as("hostname"),
+        col("p.appname").as("appname"), col("p.procid").as("procid"),
+        col("p.msgid").as("msgid"), col("p.sd").as("sd"),
+        col("p.message").as("message"))
+      .orderBy("id")
+
+  val parseRfc5424Sql: String =
+    s"""SELECT * FROM (${model.parseRfcOracleSql(model.rfcLinesValuesSql)}) p
+       |ORDER BY id""".stripMargin
+
   /** generator (UDTF) surface: message → one row per word (1→N) */
   def tokenize(s: SparkSession, dir: String): DataFrame =
     model.rawLines(s)
@@ -97,6 +120,7 @@ object Syslog {
   val queries: Map[String, Q] = Map(
     "q_severity_hourly" -> flagship _,
     "q_parse_syslog" -> parseSyslogQ _,
+    "q_parse_rfc5424" -> parseRfc5424Q _,
     "q_case_map" -> caseMap _,
     "q_udf_expr_severity" -> udfSeverity _,
     "q_udtf_tokenize" -> tokenize _)
@@ -104,6 +128,7 @@ object Syslog {
   val oracle: Map[String, String] = Map(
     "q_severity_hourly" -> flagshipSql,
     "q_parse_syslog" -> parseSyslogSql,
+    "q_parse_rfc5424" -> parseRfc5424Sql,
     "q_case_map" -> caseMapSql,
     "q_udf_expr_severity" -> udfSeveritySql,
     "q_udtf_tokenize" -> tokenizeSql)

@@ -28,11 +28,29 @@ import org.apache.spark.sql.functions._
   * Remaining tables are copied as-is (the heavy tail never scans them).
   */
 object ScaleTestdata {
+
+  /** Long-run boilerplate passages planted under the `longruns` mode —
+    * the corpus shape the winnow dial's large-w claim targets (license
+    * pages, nav templates, quoted blocks: identical multi-hundred-char
+    * to multi-KB runs repeated across a corpus). Deterministic text, one
+    * of three lengths (~1000 / ~2000 / ~4000 chars) per planted doc, the
+    * SAME across copies so the runs genuinely duplicate corpus-wide. */
+  private def boilerplate(n: Int): String = {
+    val unit = "All rights reserved worldwide under the governing terms; " +
+      "redistribution of this page template, header, footer and navigation " +
+      "block requires retention of this notice in every rendered copy. "
+    val sb = new StringBuilder
+    while (sb.length < n) sb.append(unit)
+    sb.substring(0, n)
+  }
+
   def main(args: Array[String]): Unit = {
-    val (src, dst, factor) = args match {
-      case Array(s, d)    => (s, d, 10)
-      case Array(s, d, f) => (s, d, f.toInt)
-      case _ => sys.error("usage: ScaleTestdata <srcSfDir> <dstDir> [factor]")
+    val (src, dst, factor, longruns) = args match {
+      case Array(s, d)                 => (s, d, 10, false)
+      case Array(s, d, f)              => (s, d, f.toInt, false)
+      case Array(s, d, f, "longruns")  => (s, d, f.toInt, true)
+      case _ => sys.error(
+        "usage: ScaleTestdata <srcSfDir> <dstDir> [factor] [longruns]")
     }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -65,11 +83,26 @@ object ScaleTestdata {
     }
 
     replicate("documents", Seq("doc_id"), { (df, k) =>
-      if (k == 0) df
-      else df.withColumn("text",
+      val relabeled =
+        if (k == 0) df
+        else df.withColumn("text",
           concat_ws(" ", transform(split(col("text"), " "),
             t => concat(lit(s"c$k~"), t))))
-        .withColumn("n_chars", length(col("text")).cast("long"))
+      // longruns: 1-in-7 docs get a long boilerplate passage appended
+      // AFTER the per-copy relabeling (identical across copies → genuine
+      // corpus-wide duplicated runs ≥ L+w−1 for w up to ~hundreds);
+      // length rotates 1000/2000/4000 by doc_id so the sweep prices the
+      // edge-loss-vs-run-length curve, not a single run size
+      val planted =
+        if (!longruns) relabeled
+        else relabeled.withColumn("text",
+          when(col("doc_id") % 7 === 2,
+            concat(col("text"), lit(" "),
+              when(col("doc_id") % 3 === 0, lit(boilerplate(1000)))
+                .when(col("doc_id") % 3 === 1, lit(boilerplate(2000)))
+                .otherwise(lit(boilerplate(4000)))))
+            .otherwise(col("text")))
+      planted.withColumn("n_chars", length(col("text")).cast("long"))
     })
     replicate("embeddings", Seq("vec_id"), { (df, k) =>
       if (k == 0) df
