@@ -1988,11 +1988,27 @@ object Dedup {
     * window (scaling key; the repetitionGopher interval-union shape) —
     * running max of interval end over preceding rows, island id =
     * running count of gap openings, one groupBy per island */
-  def substringSpansOf(positions: DataFrame): DataFrame = {
+  def substringSpansOf(positions: DataFrame): DataFrame =
+    substringSpansOf(positions, SubstrL)
+
+  /** mergeGap variant: consecutive marked positions ≤ `mergeGap` apart
+    * join one island (span_end stays pos + L). The exact pass uses
+    * mergeGap = L — the sound union of certainly-duplicated intervals.
+    * The WINNOW paths need mergeGap = max(L, w): within a shared run,
+    * consecutive selected positions are ≤ w apart (the winnow window
+    * guarantee), so at w > L the L-gap merge fragments one long run
+    * into islands with spurious ≤ w−L char holes — the round-13
+    * long-run sweep measured that as char recall 0.59 at w = 50 where
+    * the runs themselves were fully detected. Bridging at w repairs it;
+    * the cost is ≤ w−L possibly-non-duplicated chars absorbed between
+    * two marked runs closer than w, the standard winnowing
+    * over-approximation (Schleimer 2003 §4's t-guarantee trades the
+    * same slack). At the shipped w = 5 < L this is exactly the L merge. */
+  def substringSpansOf(positions: DataFrame, mergeGap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wd = Window.partitionBy("doc_id").orderBy("pos")
     positions
-      .withColumn("pm", max(col("pos") + lit(SubstrL.toLong)).over(
+      .withColumn("pm", max(col("pos") + lit(mergeGap.toLong)).over(
         wd.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("isl", sum(when(col("pm").isNull || col("pos") > col("pm"),
         1L).otherwise(0L)).over(wd))
@@ -2001,6 +2017,9 @@ object Dedup {
         (max(col("pos")) + SubstrL).as("span_end"))
       .select("doc_id", "span_start", "span_end")
   }
+
+  /** the winnow paths' island merge gap — ≡ L at the shipped w */
+  def winnowMergeGap: Int = math.max(SubstrL, WinnowW)
 
   /** the SQL island chain shared by every substring oracle: positions
     * CTE `d(doc_id, pos)` → merged spans CTE `spans` */
@@ -2398,7 +2417,7 @@ object Dedup {
     * twin prices the gap. */
   def dedupSubstringWinnow(s: SparkSession, dir: String): DataFrame =
     substringSpansOf(winnowDupPositionsOf(
-      t(s, dir, "documents").select("doc_id", "text")))
+      t(s, dir, "documents").select("doc_id", "text")), winnowMergeGap)
       .orderBy("doc_id", "span_start")
 
   /** the winnow selection + dup-mark chain as oracle CTEs ending in
@@ -2454,7 +2473,7 @@ object Dedup {
     val exactPos = dupSubstrPositionsOf(docs)
     val winnowPos = winnowDupPositionsOf(docs)
     val ex = totals(substringSpansOf(exactPos), "exact")
-    val wn = totals(substringSpansOf(winnowPos), "winnow")
+    val wn = totals(substringSpansOf(winnowPos, winnowMergeGap), "winnow")
     val cnt = exactPos.agg(count(lit(1)).as("exact_positions"))
       .crossJoin(winnowPos.agg(count(lit(1)).as("winnow_positions")))
     ex.crossJoin(wn).crossJoin(cnt)
@@ -2576,7 +2595,7 @@ object Dedup {
     substringSpansOf(
       winnowGramsOf(docs)
         .join(s.read.parquet(s"$indexPath/hashes"), Seq("h"), "left_semi")
-        .select("doc_id", "pos"))
+        .select("doc_id", "pos"), winnowMergeGap)
   }
 
   private val winnowIndexCache =

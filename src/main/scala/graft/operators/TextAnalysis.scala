@@ -665,10 +665,26 @@ object TextAnalysis {
     * map-side-combined groupBy on (doc_id, n, gram) for the top family
     * and a count-over window for the dup family; the interval union is
     * a running-max window over only the duplicated rows. */
-  def repetitionGopher(s: SparkSession, dir: String): DataFrame = {
+  def repetitionGopher(s: SparkSession, dir: String): DataFrame =
+    repetitionGopherOf(t(s, dir, "documents"))
+
+  /** Deterministic 10% doc-sample variant (md5(doc_id) — the
+    * [[Aggregates.sampleHash]] predicate, stable across runs/engines):
+    * the Gopher metrics are per-doc, so the sampled chain is EXACT on
+    * the docs it keeps — right for corpus-health dashboards where the
+    * full per-doc frame's cost (the steepest intrinsic scaler in the
+    * suite, ~5-6× at 10× data: 9 gram streams × every token ride the
+    * unpivot) buys nothing a 10% panel doesn't. Curation cuts keep
+    * using the exact form — a threshold filter must judge every doc. */
+  def repetitionGopherSampled(s: SparkSession, dir: String): DataFrame =
+    repetitionGopherOf(t(s, dir, "documents")
+      .where(conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
+        .cast(LongType) % 10 < 1))
+
+  private def repetitionGopherOf(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wp = Window.partitionBy("doc_id").orderBy("pos")
-    val offs = t(s, dir, "documents")
+    val offs = documents
       .select(col("doc_id"), length(col("text")).as("dl"),
         posexplode(toks).as(Seq("pos", "tok")))
       .withColumn("cs", coalesce(sum(length(col("tok")) + 1)
@@ -725,14 +741,22 @@ object TextAnalysis {
       pick("dup", 5, "dup_char_frac_5"), pick("dup", 6, "dup_char_frac_6"),
       pick("dup", 7, "dup_char_frac_7"), pick("dup", 8, "dup_char_frac_8"),
       pick("dup", 9, "dup_char_frac_9"), pick("dup", 10, "dup_char_frac_10"))
-    t(s, dir, "documents").select(col("doc_id"))
+    documents.select(col("doc_id"))
       .join(metrics, Seq("doc_id"), "left")
       .orderBy("doc_id")
   }
 
-  val repetitionGopherSql =
-    """WITH tk AS (
-      |  SELECT doc_id, length(text) AS dl, string_split(text, ' ') AS tk FROM documents),
+  val repetitionGopherSql: String = repetitionGopherSqlOver("documents")
+
+  /** the sampled twin replays the identical chain over the sampled
+    * relation — same predicate text as [[Aggregates.sampleHashSql]] */
+  val repetitionGopherSampledSql: String = repetitionGopherSqlOver(
+    "(SELECT * FROM documents WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 < 1)")
+
+  private def repetitionGopherSqlOver(rel: String) =
+    s"""WITH docs AS (SELECT * FROM $rel),
+      |tk AS (
+      |  SELECT doc_id, length(text) AS dl, string_split(text, ' ') AS tk FROM docs),
       |p AS (
       |  SELECT doc_id, dl, i - 1 AS pos, tk[i] AS tok
       |  FROM tk JOIN generate_series(1, 100000) s(i) ON i <= len(tk)),
@@ -793,7 +817,7 @@ object TextAnalysis {
       |SELECT d.doc_id, m.top_char_frac_2, m.top_char_frac_3, m.top_char_frac_4,
       |  m.dup_char_frac_5, m.dup_char_frac_6, m.dup_char_frac_7,
       |  m.dup_char_frac_8, m.dup_char_frac_9, m.dup_char_frac_10
-      |FROM documents d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id""".stripMargin
+      |FROM docs d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
   /** Per-SOURCE quality deciles — the fair cross-source curation cut:
     * a single global threshold keeps whole sources whose score
@@ -1274,6 +1298,7 @@ object TextAnalysis {
     "q_pack_efficiency" -> packEfficiency _,
     "q_repetition_ratio" -> repetitionRatio _,
     "q_repetition_gopher" -> repetitionGopher _,
+    "q_repetition_gopher_sampled" -> repetitionGopherSampled _,
     "q_pii_scrub" -> piiScrub _,
     "q_sample_per_source" -> samplePerSource _,
     "q_quality_filter" -> qualityFilter _,
@@ -1299,6 +1324,7 @@ object TextAnalysis {
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_repetition_ratio" -> repetitionRatioSql,
     "q_repetition_gopher" -> repetitionGopherSql,
+    "q_repetition_gopher_sampled" -> repetitionGopherSampledSql,
     "q_pii_scrub" -> piiScrubSql,
     "q_sample_per_source" -> samplePerSourceSql,
     "q_quality_filter" -> qualityFilterSql,

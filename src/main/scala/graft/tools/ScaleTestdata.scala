@@ -11,12 +11,20 @@ import org.apache.spark.sql.functions._
   *
   * Replication semantics (copy k of K, ids offset by k·OFF with OFF a
   * multiple of 10 so every `% 10` split keeps its per-copy fraction):
-  * - `documents.text`: every token is prefixed `c<k>~` for k > 0 — an
-  *   injective per-copy relabeling of the token space. All WITHIN-copy
-  *   statistics (token/gram counts, repetition ratios, dup pair fronts,
-  *   bucket structure) are preserved exactly; ACROSS copies nothing
-  *   collides. Corpus-level workloads therefore scale linearly in
-  *   expectation — the right null hypothesis for a scaling measurement.
+  * - `documents.text`: copy k > 0 is rewritten by a per-copy
+  *   SUBSTITUTION CIPHER (a-z, A-Z, 0-9 each rotated by k) — an
+  *   injective per-CHARACTER relabeling, so every within-copy statistic
+  *   is preserved EXACTLY at both the token level (tokens remap 1:1,
+  *   lengths unchanged) and the character level (L-gram equality is
+  *   isomorphic); across copies nothing collides (a cross-copy match
+  *   would need ≥ L chars with no letter or digit). The earlier `c<k>~`
+  *   token-prefix scheme preserved token statistics but COLLAPSED
+  *   char-gram entropy (~12-char periodicity around every token),
+  *   inflating the 10× corpus's exact-substring dup mass ~16× with
+  *   short mosaic collisions — a testdata artifact, not a property of
+  *   the data, and it skewed every substring-family scaling ratio.
+  *   Corpus-level workloads scale linearly in expectation — the right
+  *   null hypothesis for a scaling measurement.
   * - `embeddings.embedding`: component i of copy k gets a deterministic
   *   ±0.024 perturbation ((k·31 + i) mod 17 − 8) · 0.003 — breaks the
   *   exact-duplicate degeneracy K identical copies would create (ties in
@@ -82,12 +90,19 @@ object ScaleTestdata {
       println(s"[scale] $name: ${base.count()} x $factor")
     }
 
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val digits = "0123456789"
+    def rot(s: String, k: Int): String = {
+      val n = s.length; val r = ((k % n) + n) % n
+      s.substring(r) + s.substring(0, r)
+    }
     replicate("documents", Seq("doc_id"), { (df, k) =>
       val relabeled =
         if (k == 0) df
         else df.withColumn("text",
-          concat_ws(" ", transform(split(col("text"), " "),
-            t => concat(lit(s"c$k~"), t))))
+          translate(col("text"), lower + upper + digits,
+            rot(lower, k) + rot(upper, k) + rot(digits, k)))
       // longruns: 1-in-7 docs get a long boilerplate passage appended
       // AFTER the per-copy relabeling (identical across copies → genuine
       // corpus-wide duplicated runs ≥ L+w−1 for w up to ~hundreds);

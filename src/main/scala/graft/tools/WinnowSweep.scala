@@ -37,13 +37,14 @@ object WinnowSweep {
     val nPositions = docs.where(length(col("text")) >= L)
       .agg(sum(length(col("text")) - (L - 1))).collect().head.getLong(0)
 
-    def spansMass(positions: DataFrame): Long =
-      graft.operators.Dedup.substringSpansOf(positions)
-        .agg(coalesce(sum(col("span_end") - col("span_start")), lit(0L)))
+    def mass(spans: DataFrame): Long =
+      spans.agg(coalesce(sum(col("span_end") - col("span_start")), lit(0L)))
         .collect().head.getLong(0)
 
-    val exactMass = spansMass(
-      graft.operators.Dedup.dupSubstrPositionsOf(docs))
+    val exactSpans = graft.operators.Dedup.substringSpansOf(
+        graft.operators.Dedup.dupSubstrPositionsOf(docs))
+      .localCheckpoint()
+    val exactMass = mass(exactSpans)
     println(s"""{"tool":"WinnowSweep","sf":"$sfDir","l":$L,""" +
       s""""n_positions":$nPositions,"exact_dup_chars":$exactMass}""")
 
@@ -62,12 +63,28 @@ object WinnowSweep {
           Window.partitionBy("h").orderBy("doc_id", "pos")))
         .where(col("rn") >= 2)
         .select("doc_id", "pos")
-      val mass = spansMass(marked)
+      // winnow islands merge at max(L, w): within a shared run selected
+      // gaps are <= w, so the L merge fragments long runs once w > L
+      val wSpans = graft.operators.Dedup
+        .substringSpansOf(marked, math.max(L, w)).localCheckpoint()
+      val wMass = mass(wSpans)
+      // honest recall/precision: winnow spans are no longer a subset of
+      // exact spans once bridging can absorb inter-run slack, so score
+      // the clipped per-doc overlap, not the raw mass ratio
+      val inter = wSpans.as("w").join(exactSpans.as("e"),
+          col("w.doc_id") === col("e.doc_id") &&
+          col("w.span_start") < col("e.span_end") &&
+          col("e.span_start") < col("w.span_end"))
+        .select((least(col("w.span_end"), col("e.span_end")) -
+          greatest(col("w.span_start"), col("e.span_start"))).as("ov"))
+        .agg(coalesce(sum(col("ov")), lit(0L)))
+        .collect().head.getLong(0)
       def r4(d: Double): Double = math.floor(d * 10000 + 0.5) / 10000
       println(s"""{"w":$w,"selected":$nSel,""" +
         s""""selected_frac":${r4(nSel.toDouble / nPositions)},""" +
-        s""""covered_dup_chars":$mass,""" +
-        s""""char_recall":${if (exactMass > 0) r4(mass.toDouble / exactMass) else 1.0}}""")
+        s""""winnow_chars":$wMass,"overlap_chars":$inter,""" +
+        s""""char_recall":${if (exactMass > 0) r4(inter.toDouble / exactMass) else 1.0},""" +
+        s""""precision":${if (wMass > 0) r4(inter.toDouble / wMass) else 1.0}}""")
     }
     spark.stop()
   }
