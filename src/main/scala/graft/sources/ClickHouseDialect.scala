@@ -49,6 +49,50 @@ object ClickHouseDialect extends JdbcDialect {
   override def quoteIdentifier(colName: String): String =
     s"`${colName.replace("`", "``")}`"
 
+  /** ClickHouse STRING LITERAL escaping — where a generic dialect breaks
+    * silently: the CH lexer processes BACKSLASH escapes inside
+    * single-quoted literals (`\'`, `\\`, `\n`, …), so the ANSI-only
+    * `''` doubling the generic `compileValue` emits mis-renders any
+    * value containing a backslash (e.g. a Windows path pushed down in a
+    * WHERE filter reaches the server with its escapes interpreted).
+    * Escapes backslash first, then quote; control chars (newline, tab,
+    * CR, NUL) to their named escapes so a multi-line message stays one
+    * literal token. Unicode passes through — CH literals are UTF-8. */
+  def escapeStringLiteral(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '\'' => sb.append("\\'")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case '\u0000' => sb.append("\\0")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** CH `Array(String)` literal text (`['a','b']`) — for INSERT/SELECT
+    * text generation against the reference's `categories` column; the
+    * JDBC parameter path binds arrays natively, but any tool that has to
+    * RENDER the statement (the reference's own `PrepareBatch` SQL, CH
+    * `INSERT … VALUES` text, dashboards) needs exactly this escaping. */
+  def arrayLiteral(values: Seq[String]): String =
+    values.map(v => s"'${escapeStringLiteral(v)}'").mkString("[", ",", "]")
+
+  /** filter-pushdown literal rendering (Spark calls this when compiling
+    * Catalyst filters to WHERE text). Strings/dates/timestamps get CH
+    * escaping; Seq stays a comma list (the generic contract for IN). */
+  override def compileValue(value: Any): Any = value match {
+    case s: String => s"'${escapeStringLiteral(s)}'"
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      s"'${escapeStringLiteral(s.toString)}'"
+    case t: java.sql.Timestamp => s"'${escapeStringLiteral(t.toString)}'"
+    case d: java.sql.Date => s"'${escapeStringLiteral(d.toString)}'"
+    case a: Array[Any] => a.map(compileValue).mkString(", ")
+    case _ => value
+  }
+
   /** ClickHouse TRUNCATE does not cascade */
   override def isCascadingTruncateTable(): Option[Boolean] = Some(false)
 

@@ -63,6 +63,91 @@ class ClickHouseDialectSpec extends AnyFunSuite {
     assert(ClickHouseDialect.writeProperties.getProperty("batchsize") === "1000")
   }
 
+  // ---- adversarial literal rendering ---------------------------------
+
+  /** the CH lexer's single-quoted-literal rules, inverted: consume
+    * '...'-literals processing backslash escapes — what the server does
+    * to the text our dialect renders. A literal that survives
+    * parse(render(s)) == s under THESE rules is CH-safe. */
+  private def chParseLiteral(lit: String): String = {
+    assert(lit.length >= 2 && lit.head == '\'' && lit.last == '\'', lit)
+    val body = lit.substring(1, lit.length - 1)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      body(i) match {
+        case '\\' =>
+          assert(i + 1 < body.length, s"dangling backslash in $lit")
+          body(i + 1) match {
+            case '\\' => sb.append('\\'); case '\'' => sb.append('\'')
+            case 'n' => sb.append('\n'); case 'r' => sb.append('\r')
+            case 't' => sb.append('\t'); case '0' => sb.append('\u0000')
+            case c => sb.append(c) // CH: unknown escape = the char itself
+          }
+          i += 2
+        case '\'' => fail(s"unescaped quote terminates the literal early: $lit")
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private val adversarial = Seq(
+    "plain", "", "it's", "two''quotes", "back\\slash", "\\", "\\\\",
+    "C:\\temp\\new\\table", "line1\nline2", "tab\there", "cr\rhere",
+    "nul\u0000byte", "mix'\\\n\t'", "ünïcode-✓-日本語", "😀emoji",
+    "trailing\\", "'", "''", "\\'", "a'b\\c\nd")
+
+  test("string literals survive the ClickHouse lexer: parse(render(s)) == s") {
+    adversarial.foreach { s =>
+      val lit = ClickHouseDialect.compileValue(s).asInstanceOf[String]
+      assert(chParseLiteral(lit) === s, s"payload ${s.map(_.toInt)}")
+      // and the rendered text is ONE token: no unescaped quote or raw
+      // newline that would split the statement
+      assert(!lit.substring(1, lit.length - 1)
+        .replace("\\\\", "").replace("\\'", "").contains("'"), lit)
+      assert(!lit.contains("\n") && !lit.contains("\r") && !lit.contains("\u0000"), lit)
+    }
+  }
+
+  test("Array(String) literals: element round-trip, bracket shape, adversarial elements") {
+    val lit = ClickHouseDialect.arrayLiteral(adversarial)
+    assert(lit.startsWith("[") && lit.endsWith("]"))
+    // split on top-level ','-between-literals by re-lexing
+    val body = lit.substring(1, lit.length - 1)
+    val elems = scala.collection.mutable.Buffer[String]()
+    var i = 0
+    while (i < body.length) {
+      assert(body(i) == '\'', s"element must start with quote at $i: $body")
+      // walk escapes pairwise to find the real terminating quote
+      var j = i + 1
+      var done = false
+      while (!done) body(j) match {
+        case '\\' => j += 2
+        case '\'' => done = true
+        case _ => j += 1
+      }
+      elems += chParseLiteral(body.substring(i, j + 1))
+      i = j + 1
+      if (i < body.length) { assert(body(i) == ','); i += 1 }
+    }
+    assert(elems.toSeq === adversarial)
+    assert(ClickHouseDialect.arrayLiteral(Nil) === "[]")
+  }
+
+  test("timestamp/date literals render quoted and parseable") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123456")
+    val tLit = ClickHouseDialect.compileValue(ts).asInstanceOf[String]
+    assert(tLit === "'2024-01-02 03:04:05.123456'", tLit)
+    val dLit = ClickHouseDialect
+      .compileValue(java.sql.Date.valueOf("2024-01-02")).asInstanceOf[String]
+    assert(dLit === "'2024-01-02'", dLit)
+    // IN-list contract: arrays stay a comma list, elements escaped
+    val in = ClickHouseDialect
+      .compileValue(Array[Any]("a'b", "c\\d")).asInstanceOf[String]
+    assert(in === "'a\\'b', 'c\\\\d'", in)
+  }
+
   test("live ClickHouse round-trip: DDL + INSERT + readback (GRAFT_CLICKHOUSE_URL-gated)") {
     // the generated-SQL tests above can't catch a dialect/server mismatch;
     // this closes that gap wherever a real server exists. Set e.g.
