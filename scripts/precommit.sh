@@ -19,6 +19,8 @@ bench_gate() {
   # committed side is read from git (not the working tree) so the gate
   # can't be defeated by overwriting the baseline in the same commit.
   git show HEAD:BENCH_LOCAL.json > /tmp/bench_committed.json
+  local load_before
+  load_before=$(cut -d' ' -f1-3 /proc/loadavg)
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     SPARK_GRAFT_BENCH_OUT=/tmp/bench_fresh.json \
     sbt -batch "runMain graft.Bench" > /tmp/bench_gate.log 2>&1
@@ -28,6 +30,30 @@ bench_gate() {
   # commit-caused global slowdowns, not just per-query outliers.
   python3 scripts/benchdiff.py /tmp/bench_committed.json /tmp/bench_fresh.json \
     --factor auto --max-factor 1.25 --threshold 1.4
+  # Gate passed: the fresh run IS the new canonical baseline. Refresh
+  # BENCH_LOCAL.json automatically and append the box-state record PERF.md
+  # used to carry by hand, so the next diff measures against the same box
+  # state and the refresh provenance is in-repo, not in prose.
+  cp /tmp/bench_fresh.json BENCH_LOCAL.json
+  python3 - "$load_before" <<'PYEOF'
+import json, subprocess, sys, datetime
+d = json.load(open('BENCH_LOCAL.json'))
+rev = subprocess.run(['git', 'rev-parse', '--short', 'HEAD'],
+                     capture_output=True, text=True).stdout.strip()
+note = {
+    'ts': datetime.datetime.now(datetime.timezone.utc)
+        .strftime('%Y-%m-%dT%H:%M:%SZ'),
+    'head': rev,
+    'loadavg_before': sys.argv[1],
+    'total_sec': d.get('value'),
+    'n_queries': len(d.get('queries', {})),
+    'method': d.get('method'),
+}
+with open('BENCH_NOTES.log', 'a') as f:
+    f.write(json.dumps(note, sort_keys=True) + '\n')
+print(f"bench gate: baseline refreshed ({note['total_sec']} s / "
+      f"{note['n_queries']} queries, load {note['loadavg_before']})")
+PYEOF
 }
 
 if [[ "${1:-}" == "--bench" ]]; then
