@@ -1153,20 +1153,21 @@ object Dedup {
   /** Pre-cap bucket-occupancy profile of a band relation, unpivoted to
     * meta/ (key, value) rows — persisted WITH each band index at write
     * time so a deployment can see (and `append*Index` can warn about)
-    * the over-cap mass without re-running a sweep. Costs one extra
-    * map-side-combined aggregation pass over the entries at build time;
-    * builds are rare and the profile is the tuning signal a 100 TB
-    * corpus needs to pick its cap. */
-  private def occupancyProfile(entries: DataFrame, keys: Seq[String],
-      cap: Int): DataFrame =
-    entries.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    * the over-cap mass without re-running a sweep. Computed from the
+    * collapsed SIZES frame (one row per bucket) so the heavy entries
+    * pass runs once; builds are rare and the profile is the tuning
+    * signal a 100 TB corpus needs to pick its cap. `capDf` is a 1-row
+    * (cap BIGINT) frame — a literal for fixed caps, [[derivedCapOf]]'s
+    * output for auto. */
+  private def occupancyProfile(sizes: DataFrame, capDf: DataFrame): DataFrame =
+    sizes.crossJoin(broadcast(capDf))
       .agg(count(lit(1)).as("n_buckets"),
         coalesce(sum(col("n")), lit(0L)).as("n_entries"),
         coalesce(max(col("n")), lit(0L)).as("max_bucket_size"),
-        coalesce(sum(when(col("n") > cap, 1L).otherwise(0L)), lit(0L))
+        coalesce(sum(when(col("n") > col("cap"), 1L).otherwise(0L)), lit(0L))
           .as("n_over_cap"),
-        coalesce(sum(when(col("n") > cap, col("n") - cap).otherwise(0L)),
-          lit(0L)).as("entries_over_cap"))
+        coalesce(sum(when(col("n") > col("cap"), col("n") - col("cap"))
+          .otherwise(0L)), lit(0L)).as("entries_over_cap"))
       .select(expr(
         """stack(5,
           |  'n_buckets', n_buckets,
@@ -1175,14 +1176,72 @@ object Dedup {
           |  'n_over_cap', n_over_cap,
           |  'entries_over_cap', entries_over_cap) AS (key, value)""".stripMargin))
 
-  /** meta/ = build constants + occupancy profile, one overwrite */
-  private def writeIndexMetaWithProfile(s: SparkSession, indexPath: String,
-      constants: Seq[(String, Long)], profile: DataFrame): Unit = {
-    import s.implicits._
-    constants.toDF("key", "value").unionByName(profile)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexPath/meta")
+  /** Sentinel: derive the write-time cap from the corpus itself */
+  val SimhashCapAuto = 0
+  /** auto-cap target: truncation may shed at most this fraction of all
+    * band entries. 0.5%, priced on the 10× corpus: a 1% target derived
+    * cap 303 → incremental recall 0.9414; 0.5% derives 421 → ≥ 0.96
+    * (CapSweep: 384 → 0.9606), for ~+1% index rows — truncated entries
+    * are disproportionately real near-dup mass (hot buckets are hot
+    * because content repeats), so the over-mass budget buys recall
+    * roughly 6-8× its size and a sub-1% budget is the right default. */
+  val SimhashCapTargetFrac = 0.005
+  /** hard ceiling on the derived cap — the bounded-fan-out guarantee the
+    * cap exists for survives any corpus degeneracy (a corpus of one
+    * giant bucket would otherwise derive cap ≈ 0.99·N) */
+  val SimhashCapMax = 1024
+
+  /** Density-derived write-time cap, fully in-plan (no driver collect):
+    * the smallest OBSERVED bucket size c whose truncation sheds no more
+    * than [[SimhashCapTargetFrac]] of all band entries, clamped to
+    * [[SimhashCapMax]]. over_mass(c) = Σ_{n>c} (n−c)·cnt_n computed via
+    * suffix sums over the distinct-size domain (a few hundred rows —
+    * metadata scale, so the single-partition ordered window is fine).
+    * Candidates are the observed sizes: over_mass is decreasing in c,
+    * so the minimal satisfying size is within one size-step of the
+    * true integer optimum — determinism across engines matters more
+    * than that sliver. Empty corpus → the [[SimhashMaxBucket]]
+    * constant. Returns a 1-row (cap BIGINT) frame. */
+  private def derivedCapOf(sizes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("n").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sz = sizes.groupBy("n").agg(count(lit(1)).as("cnt"))
+    val cand = sz
+      .withColumn("over_mass",
+        coalesce(sum(col("n") * col("cnt")).over(w), lit(0L))
+          - col("n") * coalesce(sum(col("cnt")).over(w), lit(0L)))
+    val tot = sz.agg(coalesce(sum(col("n") * col("cnt")), lit(0L)).as("entries"))
+    cand.crossJoin(broadcast(tot))
+      .where(col("over_mass") <=
+        ceil(col("entries") * lit(SimhashCapTargetFrac)))
+      .agg(least(coalesce(min(col("n")), lit(SimhashMaxBucket.toLong)),
+        lit(SimhashCapMax.toLong)).as("cap"))
   }
+
+  /** the cap-derivation chain as oracle SQL: `$rel` must expose one row
+    * per (bucket) with a size column `n`; yields a scalar-subquery-able
+    * relation `capv(cap)` */
+  private def derivedCapSql(rel: String): String =
+    s"""sz AS (SELECT n, count(*) AS cnt FROM $rel GROUP BY n),
+       |cand AS (
+       |  SELECT n,
+       |    coalesce(sum(n * cnt) OVER (ORDER BY n DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    - n * coalesce(sum(cnt) OVER (ORDER BY n DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS over_mass
+       |  FROM sz),
+       |tot AS (SELECT coalesce(sum(n * cnt), 0) AS entries FROM sz),
+       |capv AS (
+       |  SELECT least(coalesce(min(n), $SimhashMaxBucket), $SimhashCapMax) AS cap
+       |  FROM cand, tot
+       |  WHERE over_mass <= ceil(entries * $SimhashCapTargetFrac))""".stripMargin
+
+  /** meta/ = build constants + occupancy profile (key, value) rows in
+    * one overwrite */
+  private def writeIndexMetaWithProfile(s: SparkSession, indexPath: String,
+      metaDf: DataFrame): Unit =
+    metaDf.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
 
   /** build-time tripwire on the just-persisted profile (two O(1) meta
     * readbacks, no data pass) */
@@ -1232,25 +1291,41 @@ object Dedup {
       .where(col("key") === key).select("value")
       .collect().headOption.map(_.getLong(0)).getOrElse(default)
 
+  /** maxBucket = [[SimhashCapAuto]] (the default) derives the cap from
+    * the corpus's own occupancy profile ([[derivedCapOf]]) — the
+    * density-adaptive form; pass an explicit cap to pin it. Either way
+    * the APPLIED cap is persisted in meta/ as the index's source of
+    * truth for appends. Two heavy passes at build: the collapsed sizes
+    * aggregation (localCheckpointed — bucket-count scale, feeds cap +
+    * profile) and the bands write itself. */
   def writeSimhashIndex(s: SparkSession, dir: String, indexPath: String,
-      maxBucket: Int = SimhashMaxBucket): Unit = {
+      maxBucket: Int = SimhashCapAuto): Unit = {
+    import s.implicits._
     def chunked = md5SimhashSigsOf(t(s, dir, "documents")
         .where(col("doc_id") % IncrementalMod =!= IncrementalRem))
       .select(col("doc_id"), col("sig"),
         posexplode(expr(
           "transform(sequence(0, 3), c -> shiftright(sig, c * 15) & 32767)"))
           .as(Seq("chunk", "cv")))
+    val sizes = chunked.groupBy("chunk", "cv")
+      .agg(count(lit(1)).as("n")).select("n").localCheckpoint()
+    val capDf =
+      if (maxBucket == SimhashCapAuto) derivedCapOf(sizes)
+      else Seq(maxBucket.toLong).toDF("cap")
     chunked
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("chunk", "cv").orderBy("doc_id")))
-      .where(col("rn") <= maxBucket)
+      .crossJoin(broadcast(capDf))
+      .where(col("rn") <= col("cap"))
       .select("chunk", "cv", "doc_id", "sig")
       .repartition(col("chunk"), col("cv"))
       .write.mode("overwrite").parquet(s"$indexPath/bands")
-    writeIndexMetaWithProfile(s, indexPath, Seq("max_bucket" -> maxBucket.toLong),
-      occupancyProfile(chunked.select("chunk", "cv"), Seq("chunk", "cv"), maxBucket))
-    warnIfOverCap(s, indexPath, "simhash", maxBucket.toLong)
+    writeIndexMetaWithProfile(s, indexPath,
+      capDf.select(lit("max_bucket").as("key"), col("cap").as("value"))
+        .unionByName(occupancyProfile(sizes, capDf)))
+    warnIfOverCap(s, indexPath, "simhash",
+      readIndexMeta(s, indexPath, "max_bucket", SimhashMaxBucket.toLong))
   }
 
   /** Add-after-build maintenance for the SimHash band index — the band
@@ -1391,11 +1466,17 @@ object Dedup {
         .distinct()
         .where(col("hamming") <= 3)
         .select("new_id", "dup_of")
+    // capped side mirrors the index build's DERIVED cap (the
+    // writeSimhashIndex default), so the instrument prices the cap a
+    // default build actually applies on THIS corpus
+    val capDf = derivedCapOf(
+      corpus.groupBy("chunk", "cv").agg(count(lit(1)).as("n")).select("n"))
     val capped = corpus
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("chunk", "cv").orderBy("doc_id")))
-      .where(col("rn") <= SimhashMaxBucket)
+      .crossJoin(broadcast(capDf))
+      .where(col("rn") <= col("cap"))
     verified(corpus).agg(count(lit(1)).as("n_truth"))
       .crossJoin(broadcast(verified(capped).agg(count(lit(1)).as("n_found"))))
       .select(col("n_truth"), col("n_found"),
@@ -1408,12 +1489,14 @@ object Dedup {
     s"""WITH $simhashChunkedCtes,
        |corpus AS (SELECT chunk, cv, doc_id, sig FROM chunked
        |  WHERE doc_id % $IncrementalMod <> $IncrementalRem),
+       |bsz AS (SELECT count(*) AS n FROM corpus GROUP BY chunk, cv),
+       |${derivedCapSql("bsz")},
        |capped AS (
        |  SELECT chunk, cv, doc_id, sig FROM (
        |    SELECT chunk, cv, doc_id, sig,
        |      row_number() OVER (PARTITION BY chunk, cv ORDER BY doc_id) AS rn
        |    FROM corpus) x
-       |  WHERE rn <= $SimhashMaxBucket),
+       |  WHERE rn <= (SELECT cap FROM capv)),
        |probe AS (
        |  SELECT chunk, cv, doc_id AS new_id, sig AS new_sig
        |  FROM chunked WHERE doc_id % $IncrementalMod = $IncrementalRem),
@@ -1442,12 +1525,16 @@ object Dedup {
   // here would interpolate their pre-initialization 0s into the SQL
   lazy val dedupSimhashIncrementalSql: String =
     s"""WITH $simhashChunkedCtes,
+       |corpus AS (SELECT chunk, cv, doc_id, sig FROM chunked
+       |  WHERE doc_id % $IncrementalMod <> $IncrementalRem),
+       |bsz AS (SELECT count(*) AS n FROM corpus GROUP BY chunk, cv),
+       |${derivedCapSql("bsz")},
        |idx AS (
        |  SELECT chunk, cv, doc_id, sig FROM (
        |    SELECT chunk, cv, doc_id, sig,
        |      row_number() OVER (PARTITION BY chunk, cv ORDER BY doc_id) AS rn
-       |    FROM chunked WHERE doc_id % $IncrementalMod <> $IncrementalRem) x
-       |  WHERE rn <= $SimhashMaxBucket),
+       |    FROM corpus) x
+       |  WHERE rn <= (SELECT cap FROM capv)),
        |probe AS (
        |  SELECT chunk, cv, doc_id AS new_id, sig AS new_sig
        |  FROM chunked WHERE doc_id % $IncrementalMod = $IncrementalRem),
@@ -1692,6 +1779,7 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$indexPath/sigs")
     // bands derive from the just-written sigs (like the IVF+PQ layout's
     // pq/ readback) so the signature aggregation runs once, not twice
+    import s.implicits._
     def bands = bandsOfSigs(s.read.parquet(s"$indexPath/sigs"))
     bands
       .withColumn("rn", row_number().over(
@@ -1701,8 +1789,12 @@ object Dedup {
       .select("band", "bh", "doc_id")
       .repartition(col("band"), col("bh"))
       .write.mode("overwrite").parquet(s"$indexPath/bands")
-    writeIndexMetaWithProfile(s, indexPath, Seq("max_bucket" -> maxBucket.toLong),
-      occupancyProfile(bands.select("band", "bh"), Seq("band", "bh"), maxBucket))
+    val capDf = Seq(maxBucket.toLong).toDF("cap")
+    writeIndexMetaWithProfile(s, indexPath,
+      capDf.select(lit("max_bucket").as("key"), col("cap").as("value"))
+        .unionByName(occupancyProfile(
+          bands.groupBy("band", "bh").agg(count(lit(1)).as("n")).select("n"),
+          capDf)))
     warnIfOverCap(s, indexPath, "minhash", maxBucket.toLong)
   }
 

@@ -581,10 +581,17 @@ class DedupSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(bytes, after(name)), s"pre-append file $name rewritten")
     }
 
-    // 300 > SimhashMaxBucket further clones: every clone bucket must top
-    // out at exactly the cap regardless of its pre-append occupancy
+    // default build = density-DERIVED cap, persisted in meta/ — the
+    // appends must top every clone bucket out at exactly that cap
+    val derivedCap = spark.read.parquet(s"$idx/meta")
+      .where(col("key") === "max_bucket").select("value")
+      .collect().head.getLong(0)
+    assert(derivedCap >= 1L && derivedCap <= operators.Dedup.SimhashCapMax,
+      s"derived cap out of range: $derivedCap")
+    // enough clones to overflow any derivable cap on this corpus
+    val nClones = derivedCap.toInt + 50
     operators.Dedup.appendSimhashIndex(spark, idx,
-      (910001L to 910300L).map(i => (i, srcText)).toDF("doc_id", "text"))
+      (910001L until (910001L + nClones)).map(i => (i, srcText)).toDF("doc_id", "text"))
     val cloneBuckets = spark.read.parquet(s"$idx/bands")
       .where(col("doc_id") === 900001L).select("chunk", "cv")
     val counts = spark.read.parquet(s"$idx/bands")
@@ -592,9 +599,9 @@ class DedupSpec extends AnyFunSuite {
       .groupBy("chunk", "cv").count().collect()
     assert(counts.nonEmpty)
     counts.foreach { r =>
-      assert(r.getLong(2) === operators.Dedup.SimhashMaxBucket.toLong,
+      assert(r.getLong(2) === derivedCap,
         s"hot bucket (${r.get(0)},${r.get(1)}) at ${r.getLong(2)}, " +
-          s"expected exactly the ${operators.Dedup.SimhashMaxBucket} cap")
+          s"expected exactly the derived cap $derivedCap")
     }
   }
 
