@@ -117,6 +117,29 @@ object Pipeline {
         col("p.categories").as("categories"),
         col("p.message").as("message"))
 
+  /** RFC-aware ingest twin of [[parseToLog]]: the same truncation cap
+    * and streaming shape, with `model.parseRfc` supplying the full
+    * header decode (format, facility, severity, header ts, hostname,
+    * app, message — see q_parse_rfc5424). `severity` comes from the
+    * `<PRI>` when a valid header exists and falls back to the topics
+    * decode otherwise, so a mixed MikroTik + RFC fleet lands in ONE
+    * stream with uniform severity semantics; stream ≡ batch by
+    * construction (same expressions). */
+  def parseToRfcLog(lines: DataFrame): DataFrame =
+    lines
+      .withColumn("p", model.parseRfc(substring(col("raw"), 1, MaxDatagramChars)))
+      .select(
+        col("ts").as("timestamp"),
+        col("device"),
+        col("p.format").as("format"),
+        col("p.facility").as("facility"),
+        col("p.severity").as("severity"),
+        col("p.ts_text").as("header_ts_text"),
+        col("p.ts_us").as("header_ts_us"),
+        col("p.hostname").as("hostname"),
+        col("p.appname").as("appname"),
+        col("p.message").as("message"))
+
   /** the whole reference as one streaming query: lines → parse → 2 s
     * trigger → batched parquet sink (stream_pipeline_e2e).
     * Idempotent: batch N writes partition `batch_id=N` with dynamic

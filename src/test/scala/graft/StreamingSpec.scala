@@ -44,6 +44,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size === model.syslogFixture.size)
   }
 
+  test("rfc ingest twin: stream run equals the batch decode on a mixed fleet") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // mixed MikroTik + RFC fleet: both fixtures through ONE decode
+    val lines = (model.syslogFixture ++ model.rfcFixture.map {
+      case (id, raw, dev, t) => (id + 100, raw, dev, t)
+    }).map { case (_, raw, dev, t) => RawLine(raw, dev, ts(t)) }
+    val ms = MemoryStream[RawLine]
+    ms.addData(lines)
+    val ckpt = Files.createTempDirectory("graft_rfc_ckpt").toString
+    val rows = scala.collection.mutable.Buffer[Seq[org.apache.spark.sql.Row]]()
+    val q = Pipeline.parseToRfcLog(ms.toDF()).writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows.synchronized { rows += b.collect().toSeq }; ()
+      }
+      .start()
+    q.awaitTermination(60000)
+    val streamed = rows.flatten
+      .sortBy(r => (r.getTimestamp(0).getTime, r.getString(1), r.getString(9)))
+    val batch = Pipeline.parseToRfcLog(lines.toDF())
+      .orderBy("timestamp", "device", "message")
+      .collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.size === model.syslogFixture.size + model.rfcFixture.size)
+    // the RFC lines carry decoded facilities; the MikroTik lines don't
+    val formats = streamed.map(_.getString(2)).toSet
+    assert(formats.contains("rfc5424") && formats.contains("rfc3164")
+      && formats.contains("topics"))
+    assert(streamed.filter(_.getString(2) == "rfc5424").forall(!_.isNullAt(3)))
+  }
+
   test("stream_watermark_late: rows behind the watermark are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
