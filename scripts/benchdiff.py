@@ -45,6 +45,14 @@ ap.add_argument("--factor", default=None,
                 help="divide new-side times by this global factor before "
                      "comparing ('auto' = median like-for-like ratio); use "
                      "to strip a uniform environment shift")
+ap.add_argument("--accept", action="append", default=[],
+                metavar="QUERY=REASON",
+                help="adjudicated exception: a named query may regress this "
+                     "run because the stated reason (e.g. a quality fix "
+                     "whose cost is priced in PERF.md) — the move is "
+                     "reported as ACCEPTED and does not fail the gate; the "
+                     "reason is required so the acceptance is self-"
+                     "documenting in the gate log")
 ap.add_argument("--max-factor", type=float, default=None,
                 help="with --factor auto: fail (exit 1) when the computed "
                      "median ratio exceeds this bound, so a commit-caused "
@@ -145,9 +153,20 @@ if args.factor == "auto":
 elif args.factor is not None:
     factor = float(args.factor)
 
+accepted_reasons = {}
+for spec in args.accept:
+    if "=" not in spec:
+        print(f"--accept needs QUERY=REASON, got: {spec}", file=sys.stderr)
+        sys.exit(2)
+    q, reason = spec.split("=", 1)
+    if not reason.strip():
+        print(f"--accept {q}: empty reason refused", file=sys.stderr)
+        sys.exit(2)
+    accepted_reasons[q] = reason.strip()
+
 added = sorted(set(qn) - set(qo))
 removed = sorted(set(qo) - set(qn))
-regressions, improvements = [], []
+regressions, improvements, accepted = [], [], []
 for k in shared:
     o, n = qo[k], qn[k] / factor
     o_hi = o * max(vo.get(k, 1.0), 1.0)
@@ -155,7 +174,10 @@ for k in shared:
     if max(o, n) < args.floor:
         continue
     if n > o_hi * args.threshold:          # new min above old range: slower
-        regressions.append((k, o, n, n / o if o > 0 else float("inf")))
+        if k in accepted_reasons:
+            accepted.append((k, o, n, n / o if o > 0 else float("inf")))
+        else:
+            regressions.append((k, o, n, n / o if o > 0 else float("inf")))
     elif n_hi * args.threshold < o:        # new range below old min: faster
         improvements.append((k, o, n, n / o if o > 0 else 0.0))
 
@@ -177,6 +199,12 @@ for label, rows in (("REGRESSION", regressions), ("improvement", improvements)):
     for k, o, n, r in rows:
         print(f"  {label} {k}: {o:.3f} s -> {n:.3f} s ({r:.2f}x"
               + (f" after /{factor:.2f}" if factor != 1.0 else "") + ")")
+for k, o, n, r in accepted:
+    print(f"  ACCEPTED {k}: {o:.3f} s -> {n:.3f} s ({r:.2f}x) — "
+          f"{accepted_reasons[k]}")
+stale = sorted(set(accepted_reasons) - {k for k, *_ in accepted})
+if stale:
+    print(f"  note: --accept entries that did not flag (drop them): {stale}")
 if added:
     print(f"  added: {added}")
 if removed and not partial:
