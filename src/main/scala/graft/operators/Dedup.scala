@@ -1301,8 +1301,15 @@ object Dedup {
   def writeSimhashIndex(s: SparkSession, dir: String, indexPath: String,
       maxBucket: Int = SimhashCapAuto): Unit = {
     import s.implicits._
-    def chunked = md5SimhashSigsOf(t(s, dir, "documents")
+    // the token-hash signature aggregation is the build's expensive
+    // stage; checkpoint its O(docs) 2-column output (doc_id, sig — far
+    // smaller than the bands/ index being written) so the sizes pass
+    // (cap derivation + profile) and the bands pass both read it
+    // instead of re-hashing every token
+    val sigs = md5SimhashSigsOf(t(s, dir, "documents")
         .where(col("doc_id") % IncrementalMod =!= IncrementalRem))
+      .localCheckpoint()
+    def chunked = sigs
       .select(col("doc_id"), col("sig"),
         posexplode(expr(
           "transform(sequence(0, 3), c -> shiftright(sig, c * 15) & 32767)"))
