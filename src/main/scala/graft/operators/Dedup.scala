@@ -1201,8 +1201,10 @@ object Dedup {
     * so the minimal satisfying size is within one size-step of the
     * true integer optimum — determinism across engines matters more
     * than that sliver. Empty corpus → the [[SimhashMaxBucket]]
-    * constant. Returns a 1-row (cap BIGINT) frame. */
-  private def derivedCapOf(sizes: DataFrame): DataFrame = {
+    * constant. Returns a 1-row (cap BIGINT) frame. Input: one row per
+    * bucket with its size in column `n`. Public as the derivation is a
+    * contract (the oracles replay it) and DedupSpec pins it directly. */
+  def derivedCapOf(sizes: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("n").desc)
       .rowsBetween(Window.unboundedPreceding, -1)

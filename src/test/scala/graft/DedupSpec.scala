@@ -605,6 +605,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("derivedCapOf: minimal size under the over-mass target, hard ceiling, empty fallback") {
+    import spark.implicits._
+    def cap(sizes: Seq[Long]): Long =
+      operators.Dedup.derivedCapOf(sizes.toDF("n")).collect().head.getLong(0)
+    // 100 singleton buckets + one bucket of 50: entries 150, target
+    // ceil(0.75) = 1; truncating at 1 sheds 49 (> 1), at 50 sheds 0 →
+    // the hot bucket is kept whole because it IS the signal
+    assert(cap(Seq.fill(100)(1L) :+ 50L) === 50L)
+    // heavy head that CAN be truncated within budget: 1000 buckets of 4
+    // (4000 entries) + one of 40; target ceil(4040*0.005) = 21;
+    // over_mass(4) = 36 > 21, over_mass(40) = 0 → 40 (the minimal
+    // observed size under budget — sizes, not arbitrary integers)
+    assert(cap(Seq.fill(1000)(4L) :+ 40L) === 40L)
+    // a size below the max qualifies when the shed fits the budget:
+    // 4000 singletons + one of 21: target ceil(4021*0.005) = 21;
+    // over_mass(1) = 20 <= 21 → cap 1 (truncates the hot bucket to 1)
+    assert(cap(Seq.fill(4000)(1L) :+ 21L) === 1L)
+    // degenerate all-one-bucket corpus: derivation would want ~0.995N,
+    // the SimhashCapMax ceiling preserves bounded fan-out
+    assert(cap(Seq(5000L)) === operators.Dedup.SimhashCapMax.toLong)
+    // empty corpus → the constant fallback
+    assert(cap(Seq.empty) === operators.Dedup.SimhashMaxBucket.toLong)
+  }
+
   test("band-index appends enforce the cap PERSISTED with the index, not the compile-time constant") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
