@@ -1,0 +1,72 @@
+package graft.tools
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+/** Dev tool (not shipped surface): grow streaming keyed state to a size
+  * where the heap-vs-disk choice MATTERS and measure both providers —
+  * the evidence behind `Pipeline.useRocksDbStateStore` that a sandbox
+  * spec with 3 keys cannot give. A rate-micro-batch source feeds a
+  * stateful count with monotonically NEW keys every batch (worst case:
+  * state only ever grows, nothing expires), until the state operator
+  * holds `nKeys` rows; prints one JSON line with wall time, the last
+  * batch's durationMs (the steady-state cost of touching a store this
+  * size), the operator's own memory accounting, and JVM heap in use.
+  *
+  * Usage: StateVolume <provider: hdfs|rocksdb> [nKeys] [rowsPerBatch]
+  * (defaults 20M keys, 2M rows/batch → 10 batches).
+  */
+object StateVolume {
+  def main(args: Array[String]): Unit = {
+    val provider = args.headOption.getOrElse("rocksdb")
+    val nKeys = args.drop(1).headOption.map(_.toLong).getOrElse(20000000L)
+    val rowsPerBatch = args.drop(2).headOption.map(_.toLong).getOrElse(2000000L)
+    val b = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+    if (provider == "rocksdb")
+      b.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    val q = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .load()
+      .selectExpr("value AS k")
+      .groupBy("k").count()
+      .writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.format("noop").mode("overwrite").save()
+      }
+      .start()
+
+    var total = 0L
+    var lastBatchMs = -1L
+    var mem = -1L
+    while (total < nKeys) {
+      Thread.sleep(500)
+      val p = q.lastProgress
+      if (p != null && p.stateOperators.nonEmpty) {
+        total = p.stateOperators(0).numRowsTotal
+        lastBatchMs = p.durationMs.values().asScala.map(_.longValue).sum
+        mem = p.stateOperators(0).memoryUsedBytes
+      }
+    }
+    q.stop()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    val rt = Runtime.getRuntime
+    val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+    println(f"""STATEVOLUME {"provider":"$provider","state_rows":$total,""" +
+      f""""wall_sec":$wallSec%.1f,"last_batch_ms":$lastBatchMs,""" +
+      f""""state_mem_bytes":$mem,"jvm_heap_used_mb":$heapMb}""")
+    spark.stop()
+  }
+}
