@@ -246,6 +246,29 @@ class SubstringDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("span merge gap: islands bridge at <= mergeGap and split above it") {
+    import spark.implicits._
+    val L = operators.Dedup.SubstrL
+    // marked positions 1, 1+45, 1+90: with the exact L=30 merge these are
+    // three islands (gap 45 > 30); with a winnow bridge of 50 they fuse
+    // into one span [1, 91+L)
+    val pos = Seq((1L, 1L), (1L, 46L), (1L, 91L)).toDF("doc_id", "pos")
+    val exact = operators.Dedup.substringSpansOf(pos)
+      .orderBy("span_start")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(exact === Seq((1L, 1L + L), (46L, 46L + L), (91L, 91L + L)))
+    val bridged = operators.Dedup.substringSpansOf(pos, 50)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(bridged === Seq((1L, 91L + L)))
+    // boundary: gap exactly mergeGap merges, one past splits
+    val b = Seq((2L, 10L), (2L, 60L)).toDF("doc_id", "pos")
+    assert(operators.Dedup.substringSpansOf(b, 50).count() === 1L)
+    assert(operators.Dedup.substringSpansOf(b, 49).count() === 2L)
+    // the default gap equals L so the shipped w = 5 (< L) is unchanged
+    assert(operators.Dedup.winnowMergeGap ===
+      math.max(L, operators.Dedup.WinnowW))
+  }
+
   test("winnow_positions fails fast past the 2^20 position-encoding limit") {
     import org.apache.spark.unsafe.types.UTF8String
     val l = operators.Dedup.SubstrL
