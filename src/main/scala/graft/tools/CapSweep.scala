@@ -17,9 +17,15 @@ import org.apache.spark.sql.functions._
 object CapSweep {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/testdata_sf1")
+    // "auto" sweeps the density-derived default (SimhashCapAuto); the
+    // printed row shows the cap the derivation actually picked
     val caps = args.drop(1).headOption
-      .map(_.split(",").map(_.trim.toInt).toSeq)
-      .getOrElse(Seq(32, 64, 128, 256))
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Seq("32", "64", "128", "256", "auto"))
+      .map {
+        case "auto" => graft.operators.Dedup.SimhashCapAuto
+        case n => n.toInt
+      }
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -51,10 +57,17 @@ object CapSweep {
     for (cap <- caps) {
       val idx = java.nio.file.Files.createTempDirectory(s"graft_capsweep_$cap").toString
       graft.operators.Dedup.writeSimhashIndex(spark, sfDir, idx, maxBucket = cap)
+      // the cap the build APPLIED (for auto, the derived value) lives in meta/
+      val applied = spark.read.parquet(s"$idx/meta")
+        .where(org.apache.spark.sql.functions.col("key") === "max_bucket")
+        .select("value").collect().head.getLong(0)
+      val label =
+        if (cap == graft.operators.Dedup.SimhashCapAuto) s"auto($applied)"
+        else cap.toString
       val nRows = spark.read.parquet(s"$idx/bands").count()
       val nFound = probePairs(idx).join(truth, Seq("new_id", "dup_of"), "left_semi").count()
       val recall = if (nTruth > 0) nFound.toDouble / nTruth else 1.0
-      println(f"CAPSWEEP cap=$cap%-10d index_rows=$nRows%-10d n_found=$nFound%-8d recall=$recall%.4f")
+      println(f"CAPSWEEP cap=$label%-12s index_rows=$nRows%-10d n_found=$nFound%-8d recall=$recall%.4f")
       graft.util.deleteRecursively(idx)
     }
     graft.util.deleteRecursively(truthIdx)
