@@ -1820,11 +1820,15 @@ object Dedup {
       docs: DataFrame): Long = {
     graft.functions.TextExpressions.register(s)
     val maxBucket = readIndexMeta(s, indexPath, "max_bucket", MinhashMaxBucket.toLong)
-    def newSigs = md5SigsOf(docs
+    // O(batch) rows, checkpointed: the shingle+signature aggregation is
+    // the append's expensive stage and feeds BOTH the sigs/ write and
+    // the band derivation — without the pin it would run twice
+    val newSigs = md5SigsOf(docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("grams",
         graft.functions.TextExpressions.wordNgrams(col("toks"), 3))
       .select(col("doc_id"), explode(col("grams")).as("gram")))
+      .localCheckpoint()
     newSigs.write.mode("append").parquet(s"$indexPath/sigs")
     val occupancy = s.read.parquet(s"$indexPath/bands")
       .groupBy("band", "bh").agg(count(lit(1)).as("n_have"))
