@@ -1150,6 +1150,11 @@ object Dedup {
     * nothing measurable; over it, the cap needs raising for THIS corpus. */
   val BandOverCapWarnFraction = 0.02
 
+  /** appends below this many band entries never warn: a 4-entry
+    * micro-batch shedding one row is 25% — statistically meaningless,
+    * and the streaming admission loops append tiny batches constantly */
+  val BandWarnMinEntries = 1000L
+
   /** Pre-cap bucket-occupancy profile of a band relation, unpivoted to
     * meta/ (key, value) rows — persisted WITH each band index at write
     * time so a deployment can see (and `append*Index` can warn about)
@@ -1379,7 +1384,8 @@ object Dedup {
       .repartition(col("chunk"), col("cv"))
       .write.mode("append").parquet(s"$indexPath/bands")
     val dropped = total - kept
-    if (total > 0 && dropped.toDouble / total > BandOverCapWarnFraction)
+    if (total >= BandWarnMinEntries &&
+        dropped.toDouble / total > BandOverCapWarnFraction)
       log.warn(s"simhash index at $indexPath: append rejected $dropped of " +
         s"$total band entries at cap $maxBucket — the corpus has outgrown " +
         s"the cap this index was built with; rebuild with a higher cap " +
@@ -1850,7 +1856,8 @@ object Dedup {
       .repartition(col("band"), col("bh"))
       .write.mode("append").parquet(s"$indexPath/bands")
     val dropped = total - kept
-    if (total > 0 && dropped.toDouble / total > BandOverCapWarnFraction)
+    if (total >= BandWarnMinEntries &&
+        dropped.toDouble / total > BandOverCapWarnFraction)
       log.warn(s"minhash index at $indexPath: append rejected $dropped of " +
         s"$total band entries at cap $maxBucket — the corpus has outgrown " +
         s"the cap this index was built with; rebuild with a higher cap " +
