@@ -52,6 +52,7 @@ object StateVolume {
     var lastBatchMs = -1L
     var mem = -1L
     while (total < nKeys) {
+      q.exception.foreach(throw _)
       Thread.sleep(500)
       val p = q.lastProgress
       if (p != null && p.stateOperators.nonEmpty) {
