@@ -941,7 +941,13 @@ object Dedup {
     *
     * Scale shape: per family ONE (key) groupBy to bucket sizes (map-side
     * combined) then one 2-row aggregate — the same shuffles the band
-    * builds themselves pay, no pair generation anywhere. */
+    * builds themselves pay, no pair generation anywhere.
+    *
+    * The `cap` column is the REFERENCE constant ([[MinhashMaxBucket]] /
+    * [[SimhashMaxBucket]]), a fixed oracle-replayable yardstick — the
+    * cap a DEFAULT index build actually applies is density-DERIVED
+    * ([[derivedCapOf]]) and persisted in that index's `meta/`; read it
+    * there, or run `tools.CapSweep … auto` to price it. */
   def dedupBucketStats(s: SparkSession, dir: String): DataFrame = {
     val mh = md5Banded(s, dir)
       .groupBy("band", "bh").agg(count(lit(1)).as("n"))
