@@ -1131,12 +1131,15 @@ object Dedup {
     * the whole build + probe replays in DuckDB — a STRONGER contract
     * than the oracle-free native-murmur3 batch operator.
     *
-    * Hot-bucket guard at WRITE time: a (chunk, cv) bucket keeps only its
-    * [[SimhashMaxBucket]] smallest doc_ids — bounded probe fan-out by
-    * construction (an adversarial boilerplate corpus cannot make an
-    * arriving batch join O(corpus) rows); the cost is possible missed
-    * matches against truncated members of degenerate buckets, the same
-    * recall trade the batch operator's representative pairing makes. */
+    * Hot-bucket guard at WRITE time: a (chunk, cv) bucket keeps only
+    * its cap-many smallest doc_ids — the cap DERIVED from the corpus's
+    * own occupancy profile by default ([[derivedCapOf]]; explicit via
+    * `maxBucket`) — bounded probe fan-out by construction (an
+    * adversarial boilerplate corpus cannot make an arriving batch join
+    * O(corpus) rows, the [[SimhashCapMax]] ceiling holds under any
+    * degeneracy); the cost is possible missed matches against truncated
+    * members of degenerate buckets, budgeted at
+    * [[SimhashCapTargetFrac]] of band entries. */
   /** Index-family constants persisted WITH the index (`meta/`): appends
     * must enforce the cap the index was BUILT with, not whatever constant
     * the appending binary compiled against — the 10× scaling run showed
@@ -1352,8 +1355,8 @@ object Dedup {
     * family's twin of `Similarity.appendIvfIndex`: signature the new
     * docs map-side, chunk them, and APPEND into `bands/` without
     * touching any existing file (parquet append adds files; the old
-    * ones stay byte-identical). The write-time [[SimhashMaxBucket]] cap
-    * is respected across builds: current bucket occupancy is read from
+    * ones stay byte-identical). The write-time cap PERSISTED with the
+    * index is respected across builds: current bucket occupancy is read from
     * the index (column-pruned to the two bucket keys, map-side-combined
     * count) and new entries only fill the remaining slots, smallest
     * doc_id first — so a hot bucket that was truncated at build time
