@@ -2583,7 +2583,15 @@ object Dedup {
     * exact_docs, winnow_docs, sel_positions, exact_positions). Winnow
     * marks ⊆ exact marks, so char_recall ≤ 1 by construction and the
     * row-reduction ratio is read off the same output. The instrument a
-    * 100 TB deployment consults before choosing w. */
+    * 100 TB deployment consults before choosing w.
+    *
+    * Caveat at w > L: the winnow islands then bridge at w
+    * ([[winnowMergeGap]]) and can absorb ≤ w−L chars between close
+    * marked runs, so winnow spans are no longer a strict subset and
+    * this mass ratio stops being a true recall — use `tools.WinnowSweep`
+    * there, which scores the clipped per-doc overlap and reports
+    * precision alongside (measured 1.0 at w = 50 on the long-run
+    * corpus). At the shipped w = 5 the subset property holds exactly. */
   def dedupSubstringWinnowEval(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
     def totals(spans: DataFrame, prefix: String): DataFrame =
