@@ -65,6 +65,59 @@ class UdpSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("RFC datagrams flow source → rfc decode → sink: the real-syslog NOC path") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val probe = new DatagramSocket(0)
+    val port = probe.getLocalPort
+    probe.close()
+    sources.UdpSourceProvider.receiver(port)
+
+    val lines = spark.readStream
+      .format(classOf[sources.UdpSourceProvider].getName)
+      .option("port", port.toString)
+      .load()
+    val ckpt = Files.createTempDirectory("graft_udp_rfc_ckpt").toString
+    val q = Pipeline.parseToRfcLog(lines).writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("udp_rfc").start()
+
+    val sender = new DatagramSocket()
+    val target = InetAddress.getByName("127.0.0.1")
+    // a mixed fleet on one socket: RFC 5424, RFC 3164, MikroTik topics
+    val payloads = Seq(
+      "<34>1 2003-10-11T22:14:15.003Z mymachine.example.com su - ID47 - auth failure",
+      "<13>Oct 11 22:14:15 mymachine su: session opened",
+      "firewall,info forward: in:ether1 out:ether2")
+    try {
+      payloads.foreach { p =>
+        val b = p.getBytes("UTF-8")
+        sender.send(new DatagramPacket(b, b.length, target, port))
+      }
+      val deadline = System.currentTimeMillis() + 120000
+      var n = 0L
+      while (n < payloads.size && System.currentTimeMillis() < deadline) {
+        Thread.sleep(1000)
+        n = try spark.table("udp_rfc").count() catch { case _: Throwable => 0L }
+      }
+      assert(n === payloads.size.toLong, "datagrams did not reach the sink")
+      val rows = spark.table("udp_rfc")
+        .select("format", "facility", "severity", "hostname")
+        .collect().map(r => (r.getString(0),
+          if (r.isNullAt(1)) -1 else r.getByte(1).toInt,
+          r.getByte(2).toInt, if (r.isNullAt(3)) null else r.getString(3)))
+        .sortBy(_._1).toSeq
+      assert(rows === Seq(
+        ("rfc3164", 1, 5, "mymachine"),
+        ("rfc5424", 4, 2, "mymachine.example.com"),
+        ("topics", -1, 6, null)), s"got $rows")
+    } finally {
+      sender.close()
+      q.stop()
+    }
+  }
+
   test("restored offsets re-base a fresh receiver instead of swallowing new datagrams") {
     val probe = new DatagramSocket(0)
     val port = probe.getLocalPort
