@@ -385,8 +385,29 @@ object Pipeline {
   val RocksDbProviderClass =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  def useRocksDbStateStore(spark: SparkSession): Unit =
+  def useRocksDbStateStore(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProviderClass)
+    quietRocksDbNativeLogger()
+  }
+
+  /** rocksdbjni's `LoggerJniCallback` is invoked from NATIVE background
+    * threads (compaction, flush, write-stall reporting); under sustained
+    * WARN-level traffic it segfaulted the JVM twice in the round-13
+    * StateVolume campaign at 100M keys × 4M rows/batch (SIGSEGV in
+    * `LoggerJniCallback::Logv` called from `DBImpl::BackgroundCompaction`
+    * — adjudicated in PERF.md's StateVolume section). Spark derives the
+    * native `InfoLogLevel` from the slf4j level of its own
+    * state-store RocksDB class logger (`RocksDB.createLogger`: root WARN
+    * ⟹ native WARN_LEVEL), so a root logger at WARN — the usual quiet
+    * setting — silently arms the fragile callback on every write-stall
+    * message. Pinning THIS class logger to ERROR drops the native level
+    * to ERROR_LEVEL, keeping the JNI callback out of the hot native
+    * paths while real errors stay visible. Must run before `start()`
+    * (the provider captures its logger when the query starts). */
+  def quietRocksDbNativeLogger(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.state.RocksDB",
+      org.apache.logging.log4j.Level.ERROR)
 
   /** Streaming heavy hitters (ClickHouse `topK` live, stream_topk):
     * sharded space-saving state over the device stream. Each of

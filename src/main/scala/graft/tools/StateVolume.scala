@@ -33,6 +33,16 @@ object StateVolume {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // root-at-WARN arms rocksdbjni's native WARN-level JNI log callback,
+    // which segfaulted this tool twice at 100M×4M (PERF.md adjudication);
+    // pin the state-store class logger to ERROR before the query starts
+    if (provider == "rocksdb") {
+      graft.streaming.Pipeline.quietRocksDbNativeLogger()
+      val cl = org.slf4j.LoggerFactory.getLogger(
+        "org.apache.spark.sql.execution.streaming.state.RocksDB")
+      println(s"rocksdb class logger: warnEnabled=${cl.isWarnEnabled} " +
+        s"errorEnabled=${cl.isErrorEnabled} (native level = first enabled of WARN/INFO/DEBUG, else ERROR)")
+    }
 
     val t0 = System.nanoTime()
     val q = spark.readStream.format("rate-micro-batch")
@@ -62,6 +72,15 @@ object StateVolume {
       }
     }
     q.stop()
+    // teardown discipline, not just hygiene: letting the JVM exit while
+    // state-store RocksDB instances are still loaded leaves their NATIVE
+    // compaction threads running into DestroyJavaVM — any late native log
+    // line then calls the JNI logger callback on a dying VM, AttachCurrent
+    // Thread fails, and rocksdbjni dereferences the null env (the two
+    // round-13 SIGSEGVs in LoggerJniCallback::Logv; PERF.md adjudication).
+    // Unloading every provider here closes each RocksDB and joins its
+    // background work BEFORE the VM starts dying.
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     val wallSec = (System.nanoTime() - t0) / 1e9
     val rt = Runtime.getRuntime
     val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
