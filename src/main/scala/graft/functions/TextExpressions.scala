@@ -110,36 +110,46 @@ case class WinnowPositions(child: Expression, l: Int, w: Int)
 }
 
 object WinnowPositions {
-  private val P: Long = 1L << 20
-
   private val md = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
   /** one JVM loop per row; called from both eval and generated code.
-    * comb(p0) = h40·2²⁰ + (2²⁰−1−pos): array minimum = (min hash,
-    * rightmost pos) — the tie-break is arithmetic, identical to the HOF
-    * and DuckDB forms. Full windows only; a doc with fewer than w grams
-    * gets one whole-array window (slice-overrun semantics). */
+    * Selection order is (min h40, rightmost position on hash ties) —
+    * the deque pop condition `h(last) >= h(new)` realizes exactly the
+    * ordering the HOF/DuckDB twins encode arithmetically as
+    * h40·2²⁰ + (2²⁰−1−pos); comparing the (hash, position) pair
+    * directly instead of packing it removes their 2^20-1 position
+    * ceiling, so arbitrarily long documents winnow without chunking
+    * (the twins only ever see short oracle docs, where the encodings
+    * coincide). Full windows only; a doc with fewer than w grams gets
+    * one whole-array window (slice-overrun semantics). */
   def compute(text: UTF8String, l: Int, w: Int): ArrayData = {
-    val n = text.numChars() - l + 1
+    val nChars = text.numChars()
+    val n = nChars - l + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
-    // The comb encoding packs the 1-based gram position into the low 20
-    // bits; a position >= 2^20 would go negative and silently corrupt
-    // both the window-min ordering and the decoded span starts. Fail
-    // fast instead — callers must chunk docs above ~1M chars upstream.
-    if (n >= P) throw new IllegalArgumentException(
-      s"winnow_positions: document has $n grams (chars=${text.numChars()}), " +
-        s"exceeding the 2^20-1 position-encoding limit; chunk the document " +
-        s"upstream (e.g. CorpusOps.chunkOverlap) before winnowing")
+    // one pass to char→byte offsets: each gram then hashes its byte
+    // slice directly, where substringSQL would re-scan from the string
+    // head per gram — O(chars²) on exactly the long docs this
+    // expression must now support
+    val bytes = text.getBytes
+    val offs = new Array[Int](nChars + 1)
+    var ci = 0
+    var bi = 0
+    while (ci < nChars) {
+      offs(ci) = bi
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+      ci += 1
+    }
+    offs(nChars) = bi
     val digest = md.get()
-    val comb = new Array[Long](n)
+    val h = new Array[Long](n)
     var p0 = 0
     while (p0 < n) {
       digest.reset()
-      val d = digest.digest(text.substringSQL(p0 + 1, l).getBytes)
-      val h40 = ((d(0) & 0xffL) << 32) | ((d(1) & 0xffL) << 24) |
+      digest.update(bytes, offs(p0), offs(p0 + l) - offs(p0))
+      val d = digest.digest()
+      h(p0) = ((d(0) & 0xffL) << 32) | ((d(1) & 0xffL) << 24) |
         ((d(2) & 0xffL) << 16) | ((d(3) & 0xffL) << 8) | (d(4) & 0xffL)
-      comb(p0) = h40 * P + (P - 1 - (p0 + 1))
       p0 += 1
     }
     val starts = math.max(n - w + 1, 1)
@@ -148,24 +158,24 @@ object WinnowPositions {
     var i = 0
     val first = math.min(w, n)
     while (i < first) {
-      while (!deque.isEmpty && comb(deque.peekLast()) >= comb(i)) deque.pollLast()
+      while (!deque.isEmpty && h(deque.peekLast()) >= h(i)) deque.pollLast()
       deque.addLast(i)
       i += 1
     }
-    selected.add(comb(deque.peekFirst()))
+    selected.add(deque.peekFirst() + 1L)
     var s = 1
     while (s < starts) {
       if (deque.peekFirst() < s) deque.pollFirst()
       val in = s + w - 1
-      while (!deque.isEmpty && comb(deque.peekLast()) >= comb(in)) deque.pollLast()
+      while (!deque.isEmpty && h(deque.peekLast()) >= h(in)) deque.pollLast()
       deque.addLast(in)
-      selected.add(comb(deque.peekFirst()))
+      selected.add(deque.peekFirst() + 1L)
       s += 1
     }
     val out = new Array[Any](selected.size())
     val it = selected.iterator()
     var k = 0
-    while (it.hasNext) { out(k) = P - 1 - (it.next() % P); k += 1 }
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
     new GenericArrayData(out)
   }
 }

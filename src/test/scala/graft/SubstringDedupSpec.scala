@@ -269,17 +269,82 @@ class SubstringDedupSpec extends AnyFunSuite {
       math.max(L, operators.Dedup.WinnowW))
   }
 
-  test("winnow_positions fails fast past the 2^20 position-encoding limit") {
+  /** brute-force robust-winnowing reference: per-window rightmost-min
+    * over md5-40 gram hashes — O(n·w), independent of the deque/packing
+    * machinery under test. BMP-only text so String (UTF-16) and
+    * UTF8String (code-point) character indexing coincide. */
+  private def winnowRef(text: String, l: Int, w: Int): Seq[Long] = {
+    val n = text.length - l + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = Array.tabulate(n) { i =>
+      val d = md.digest(text.substring(i, i + l).getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 32) | ((d(1) & 0xffL) << 24) |
+        ((d(2) & 0xffL) << 16) | ((d(3) & 0xffL) << 8) | (d(4) & 0xffL)
+    }
+    val starts = math.max(n - w + 1, 1)
+    val sel = scala.collection.mutable.LinkedHashSet[Long]()
+    var s = 0
+    while (s < starts) {
+      var best = s
+      val end = math.min(s + w, n)
+      var i = s + 1
+      while (i < end) { if (h(i) <= h(best)) best = i; i += 1 }
+      sel += (best + 1).toLong
+      s += 1
+    }
+    sel.toSeq
+  }
+
+  test("winnow_positions handles >2^20-position docs (brute-force parity)") {
     import org.apache.spark.unsafe.types.UTF8String
     val l = operators.Dedup.SubstrL
-    // just under the limit: n = 2^20 - 1 positions is legal
-    // (not executed — would hash a million grams; the guard is the point)
-    val over = UTF8String.fromString("x" * ((1 << 20) + l))
-    val e = intercept[IllegalArgumentException] {
-      functions.WinnowPositions.compute(over, l, operators.Dedup.WinnowW)
+    val w = operators.Dedup.WinnowW
+    // 2^20 + margin chars with multi-byte sprinkles: the old packed
+    // encoding corrupted (and then failed fast) past 2^20-1 positions;
+    // the pair-comparison form must select exactly the reference set
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefghij üé".toCharArray
+    val chars = (1 << 20) + 200 + l
+    val sb = new StringBuilder(chars)
+    (0 until chars).foreach(_ => sb += alphabet(rnd.nextInt(alphabet.length)))
+    val doc = sb.toString
+    val got = functions.WinnowPositions
+      .compute(UTF8String.fromString(doc), l, w)
+      .toLongArray().toSeq
+    assert(got.length > (1 << 20) / w,
+      s"a ${chars}-char doc must select >n/w fingerprints, got ${got.length}")
+    assert(got === winnowRef(doc, l, w))
+  }
+
+  test("winnow locality: shared-region fingerprints coincide across long docs") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val l = operators.Dedup.SubstrL
+    val w = operators.Dedup.WinnowW
+    // two >2^20-char docs sharing a 100k-char region at different
+    // offsets: winnowing is local (each selection depends on a w+l-1
+    // char context), so interior selections inside the shared region
+    // must coincide offset-shifted — the property that makes winnowed
+    // dedup spans byte-identical to the exact pass on the overlap
+    val rnd = new scala.util.Random(7)
+    def rand(n: Int): String = {
+      val sb = new StringBuilder(n)
+      (0 until n).foreach(_ => sb += ('a' + rnd.nextInt(26)).toChar)
+      sb.toString
     }
-    assert(e.getMessage.contains("chunk"),
-      s"error must tell the caller to chunk upstream: ${e.getMessage}")
+    val shared = rand(100000)
+    val a = rand((1 << 20) + 50) + shared + rand(3000)
+    val b = rand(500000) + shared + rand((1 << 19))
+    val offA = (1 << 20) + 50
+    val offB = 500000
+    def interior(ps: Seq[Long], off: Int): Set[Long] = ps
+      .filter(p => p > off + w + l && p <= off + shared.length - (w + l))
+      .map(_ - off).toSet
+    val pa = functions.WinnowPositions.compute(UTF8String.fromString(a), l, w).toLongArray().toSeq
+    val pb = functions.WinnowPositions.compute(UTF8String.fromString(b), l, w).toLongArray().toSeq
+    val ia = interior(pa, offA)
+    val ib = interior(pb, offB)
+    assert(ia.nonEmpty && ia === ib,
+      s"interior selections differ: onlyA=${(ia -- ib).take(5)} onlyB=${(ib -- ia).take(5)}")
   }
 
   test("doc-pair bridge: shared gram mass lands on (canonical, marked) pairs") {
