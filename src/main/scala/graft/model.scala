@@ -156,6 +156,91 @@ object model {
         .otherwise(tp.getField("message")).as("message"))
   }
 
+  /** one SD param inside a block: `NAME="VALUE"` — SD-NAMEs carry no
+    * space/=/]/"/ (RFC 5424 §6.3.3), values are quoted and MAY contain
+    * spaces; escaped `\"` inside values is out of scope, the same
+    * documented simplification as escaped `\]` in [[rfc5424SdRe]] */
+  val sdParamRe: String = "([^ =\\]\"]+)=\"([^\"]*)\""
+
+  /** RFC 5424 §6.3 structured-data decode: the raw `sd` bracket blob
+    * ([[parseRfc]]'s `sd` field) → `MAP(sd_id → MAP(param → value))`.
+    * NIL (`-`) and null → null; a block with no params → empty inner
+    * map. Pure column expressions (`regexp_extract_all` + `transform` +
+    * `map_from_*`) — stays in codegen next to the header decode.
+    * SD-IDs are unique per message by RFC 5424 §6.3.2 ("the same SD-ID
+    * MUST NOT exist more than once"); a violating input would surface
+    * as Spark's duplicate-map-key error rather than silently dropping
+    * a block. */
+  def parseSdParams(sd: Column): Column = {
+    val blocks = regexp_extract_all(sd, lit("\\[([^\\]]*)\\]"), lit(1))
+    val entries = transform(blocks, b => struct(
+      substring_index(b, " ", 1).as("key"),
+      map_from_arrays(
+        regexp_extract_all(b, lit(sdParamRe), lit(1)),
+        regexp_extract_all(b, lit(sdParamRe), lit(2))).as("value")))
+    when(sd.isNull || sd === "-",
+        lit(null).cast(MapType(StringType, MapType(StringType, StringType))))
+      .otherwise(map_from_entries(entries))
+  }
+
+  /** [[parseSdParams]] flattened to one row per (sd_id, param) — the
+    * hashable/relational view (map cells don't hash); `entries` is the
+    * same transform as the map form without the final map_from_entries */
+  def sdParamRows(df: DataFrame, sdCol: String): DataFrame = {
+    val blocks = regexp_extract_all(col(sdCol), lit("\\[([^\\]]*)\\]"), lit(1))
+    df.where(col(sdCol).isNotNull && col(sdCol) =!= "-")
+      .select(col("*"), explode(blocks).as("blk"))
+      .select(col("*"), substring_index(col("blk"), " ", 1).as("sd_id"),
+        explode(map_from_arrays(
+          regexp_extract_all(col("blk"), lit(sdParamRe), lit(1)),
+          regexp_extract_all(col("blk"), lit(sdParamRe), lit(2)))).as(Seq("param", "value")))
+      .drop("blk")
+  }
+
+  val monthTokens: Seq[(String, Int)] = Seq("Jan" -> 1, "Feb" -> 2,
+    "Mar" -> 3, "Apr" -> 4, "May" -> 5, "Jun" -> 6, "Jul" -> 7,
+    "Aug" -> 8, "Sep" -> 9, "Oct" -> 10, "Nov" -> 11, "Dec" -> 12)
+
+  /** pieces of the 3164 stamp — shared by the Spark and DuckDB twins */
+  val rfc3164TsRe: String = "^([A-Z][a-z]{2}) +(\\d{1,2}) (\\d{2}):(\\d{2}):(\\d{2})$"
+
+  /** RFC 3164 timestamp materialization: the year-less BSD stamp
+    * ([[parseRfc]]'s `ts_text`) + an anchor timestamp (ingest time) →
+    * epoch micros. [[parseRfc]] itself deliberately leaves 3164 `ts_us`
+    * null (the wire carries no year; inventing one silently would be a
+    * lie) — this is the EXPLICIT, documented deviation every production
+    * syslog pipeline makes so 3164 rows can join the time-bucketed
+    * queries: year = anchor year, with the standard Dec/Jan rollover
+    * rule (a Dec stamp ingested in Jan is last year's; a Jan stamp
+    * ingested in Dec is next year's — clock-skew across the boundary).
+    * Feb 29 under a non-leap resolved year → null (the guard arithmetic
+    * is replayed verbatim in the DuckDB twin), as is any out-of-range
+    * field. */
+  def anchor3164TsUs(tsText: Column, anchor: Column): Column = {
+    val monTok = regexp_extract(tsText, rfc3164TsRe, 1)
+    val mon = monthTokens.foldLeft(lit(null).cast(IntegerType)) {
+      case (acc, (t, m)) => when(monTok === t, lit(m)).otherwise(acc)
+    }
+    val day = nullif(regexp_extract(tsText, rfc3164TsRe, 2), lit("")).cast(IntegerType)
+    val hh = nullif(regexp_extract(tsText, rfc3164TsRe, 3), lit("")).cast(IntegerType)
+    val mi = nullif(regexp_extract(tsText, rfc3164TsRe, 4), lit("")).cast(IntegerType)
+    val ss = nullif(regexp_extract(tsText, rfc3164TsRe, 5), lit("")).cast(IntegerType)
+    val anchorMon = month(anchor)
+    val yr = when(mon === 12 && anchorMon === 1, year(anchor) - 1)
+      .when(mon === 1 && anchorMon === 12, year(anchor) + 1)
+      .otherwise(year(anchor))
+    val leap = (yr % 4 === 0 && yr % 100 =!= 0) || yr % 400 === 0
+    val maxDay = when(mon === 2, when(leap, lit(29)).otherwise(lit(28)))
+      .when(mon.isin(4, 6, 9, 11), lit(30)).otherwise(lit(31))
+    val ok = mon.isNotNull && day.isNotNull && anchor.isNotNull &&
+      day.between(1, maxDay) && hh <= 23 && mi <= 59 && ss <= 59
+    // the guard makes every field valid before to_timestamp sees it, so
+    // the ANSI path can't throw; single-letter patterns take unpadded days
+    when(ok, unix_micros(to_timestamp(
+      concat_ws(" ", yr, mon, day, hh, mi, ss), "yyyy M d H m s")))
+      .otherwise(lit(null).cast(LongType))
+  }
+
   /** RFC-shaped raw corpus: the RFC 5424 spec examples (§6.5), RFC 3164
     * BSD examples (§5.4), the reference README's own line (README.md:121),
     * NIL fields, boundary and invalid PRIs, and MikroTik/edge fallbacks. */
@@ -175,7 +260,17 @@ object model {
     (13, "<165>written without version", "10.0.1.7:514", "2024-02-01 01:05:00"),
     (14, "nospacetoken", "10.0.1.7:514", "2024-02-01 01:10:00"),
     (15, "", "10.0.1.8:514", "2024-02-01 01:15:00"),
-    (16, "<165> leading space msg", "10.0.1.8:514", "2024-02-01 01:20:00"))
+    (16, "<165> leading space msg", "10.0.1.8:514", "2024-02-01 01:20:00"),
+    // year-anchoring boundary rows (anchor3164TsUs): Dec stamp ingested
+    // Jan 1 → previous year; Jan stamp ingested Dec 31 → next year;
+    // Feb 29 under a non-leap resolved year → null
+    (17, "<13>Dec 31 23:59:58 gw year rollover back", "10.0.1.9:514", "2025-01-01 00:00:05"),
+    (18, "<13>Jan  1 00:00:02 gw year rollover fwd", "10.0.1.9:514", "2024-12-31 23:59:58"),
+    (19, "<13>Feb 29 12:00:00 gw invalid in non-leap", "10.0.1.9:514", "2023-03-01 00:00:00"),
+    // SD param-extraction shapes (parseSdParams): value WITH spaces,
+    // empty value, param-less block, empty block
+    (20, "<165>1 2003-10-11T22:14:15.003Z h app - - [meta@99 path=\"/var/log/app log\" note=\"\"][bare@1][x@2 k=\"v\"] spaced-value msg", "10.0.1.9:514", "2024-02-01 01:25:00"),
+    (21, "<165>1 2003-10-11T22:14:15.003Z h app - - [] empty block", "10.0.1.9:514", "2024-02-01 01:30:00"))
 
   def rfcLines(s: SparkSession): DataFrame = {
     import s.implicits._

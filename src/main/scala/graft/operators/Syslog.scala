@@ -103,6 +103,76 @@ object Syslog {
     s"""SELECT * FROM (${model.parseRfcOracleSql(model.rfcLinesValuesSql)}) p
        |ORDER BY id""".stripMargin
 
+  /** RFC 5424 §6.3 structured-data PARAM extraction — the NOC user's
+    * next query after the header decode (`sd['exampleSDID@32473']
+    * ['eventID']`). [[model.parseSdParams]] is the map-typed API; this
+    * declared view flattens to one row per (sd_id, param) because map
+    * cells don't hash in the driver compare. Blocks with no params
+    * (`[bare@1]`) and the empty block (`[]`) drop out of the flattened
+    * view on both sides by the same rule (no kv pairs to emit). */
+  def parseSdParamsQ(s: SparkSession, dir: String): DataFrame = {
+    val parsed = model.rfcLines(s)
+      .withColumn("p", model.parseRfc(col("raw")))
+      .select(col("id"), col("p.sd").as("sd"))
+    model.sdParamRows(parsed, "sd")
+      .select("id", "sd_id", "param", "value")
+      .orderBy("id", "sd_id", "param")
+  }
+
+  val parseSdParamsSql: String =
+    s"""WITH p AS (${model.parseRfcOracleSql(model.rfcLinesValuesSql)}),
+       |b AS (SELECT id, unnest(regexp_extract_all(sd, '\\[([^\\]]*)\\]', 1)) AS blk
+       |      FROM p WHERE sd IS NOT NULL AND sd <> '-'),
+       |kv AS (SELECT id,
+       |    CASE WHEN strpos(blk, ' ') > 0 THEN substr(blk, 1, strpos(blk, ' ') - 1) ELSE blk END AS sd_id,
+       |    unnest(regexp_extract_all(blk, '${model.sdParamRe}', 1)) AS param,
+       |    unnest(regexp_extract_all(blk, '${model.sdParamRe}', 2)) AS value
+       |  FROM b)
+       |SELECT id, sd_id, param, value FROM kv ORDER BY id, sd_id, param""".stripMargin
+
+  /** RFC 3164 year anchoring ([[model.anchor3164TsUs]]): the year-less
+    * BSD stamp + the row's ingest timestamp → epoch micros under the
+    * Dec/Jan rollover rule, plus the hour bucket proving 3164 rows now
+    * join the `q_date_trunc`/`q_window_tumbling` family. `parseRfc`
+    * itself keeps `ts_us` null for 3164 — this materialization is the
+    * documented opt-in deviation. */
+  def parseRfc3164TsQ(s: SparkSession, dir: String): DataFrame = {
+    val anchored = model.rfcLines(s)
+      .withColumn("p", model.parseRfc(col("raw")))
+      .where(col("p.format") === "rfc3164")
+      .select(col("id"), col("p.ts_text").as("ts_text"),
+        model.anchor3164TsUs(col("p.ts_text"), col("ts")).as("ts_us"))
+    anchored
+      .withColumn("hour", date_trunc("hour", timestamp_micros(col("ts_us"))))
+      .orderBy("id")
+  }
+
+  val parseRfc3164TsSql: String = {
+    val monCase = model.monthTokens.map { case (t, m) => s"WHEN '$t' THEN $m" }.mkString(" ")
+    val re = model.rfc3164TsRe
+    s"""WITH p AS (${model.parseRfcOracleSql(model.rfcLinesValuesSql)}),
+       |j AS (SELECT p.id, p.ts_text, g.ts AS anchor
+       |      FROM p JOIN ${model.rfcLinesValuesSql.replace(" f(", " g(")} ON p.id = g.id
+       |      WHERE p.format = 'rfc3164'),
+       |x AS (SELECT *, CASE regexp_extract(ts_text, '$re', 1) $monCase END AS mon,
+       |      try_cast(nullif(regexp_extract(ts_text, '$re', 2), '') AS INT) AS day,
+       |      try_cast(nullif(regexp_extract(ts_text, '$re', 3), '') AS INT) AS hh,
+       |      try_cast(nullif(regexp_extract(ts_text, '$re', 4), '') AS INT) AS mi,
+       |      try_cast(nullif(regexp_extract(ts_text, '$re', 5), '') AS INT) AS ss FROM j),
+       |y AS (SELECT *, CASE WHEN mon = 12 AND month(anchor) = 1 THEN year(anchor) - 1
+       |                     WHEN mon = 1 AND month(anchor) = 12 THEN year(anchor) + 1
+       |                     ELSE year(anchor) END AS yr FROM x),
+       |z AS (SELECT *, mon IS NOT NULL AND day IS NOT NULL AND anchor IS NOT NULL
+       |      AND day BETWEEN 1 AND (CASE WHEN mon = 2 THEN (CASE WHEN (yr % 4 = 0 AND yr % 100 <> 0) OR yr % 400 = 0 THEN 29 ELSE 28 END)
+       |                                  WHEN mon IN (4, 6, 9, 11) THEN 30 ELSE 31 END)
+       |      AND hh <= 23 AND mi <= 59 AND ss <= 59 AS ok FROM y),
+       |r AS (SELECT id, ts_text,
+       |      CASE WHEN ok THEN epoch_us(make_timestamp(yr, mon, day, hh, mi, CAST(ss AS DOUBLE))) END AS ts_us FROM z)
+       |SELECT id, ts_text, ts_us,
+       |  CASE WHEN ts_us IS NOT NULL THEN date_trunc('hour', make_timestamp(ts_us)) END AS hour
+       |FROM r ORDER BY id""".stripMargin
+  }
+
   /** generator (UDTF) surface: message → one row per word (1→N) */
   def tokenize(s: SparkSession, dir: String): DataFrame =
     model.rawLines(s)
@@ -121,6 +191,8 @@ object Syslog {
     "q_severity_hourly" -> flagship _,
     "q_parse_syslog" -> parseSyslogQ _,
     "q_parse_rfc5424" -> parseRfc5424Q _,
+    "q_parse_sd_params" -> parseSdParamsQ _,
+    "q_parse_rfc3164_ts" -> parseRfc3164TsQ _,
     "q_case_map" -> caseMap _,
     "q_udf_expr_severity" -> udfSeverity _,
     "q_udtf_tokenize" -> tokenize _)
@@ -129,6 +201,8 @@ object Syslog {
     "q_severity_hourly" -> flagshipSql,
     "q_parse_syslog" -> parseSyslogSql,
     "q_parse_rfc5424" -> parseRfc5424Sql,
+    "q_parse_sd_params" -> parseSdParamsSql,
+    "q_parse_rfc3164_ts" -> parseRfc3164TsSql,
     "q_case_map" -> caseMapSql,
     "q_udf_expr_severity" -> udfSeveritySql,
     "q_udtf_tokenize" -> tokenizeSql)

@@ -205,6 +205,114 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
+  test("sd params: fixture shapes — multi-block, spaced values, bare/empty blocks, NIL") {
+    val rows = Seq(
+      // RFC 5424 §6.5 single and multi-block examples
+      "[exampleSDID@32473 iut=\"3\" eventSource=\"Application\" eventID=\"1011\"]",
+      "[exampleSDID@32473 iut=\"3\"][examplePriority@32473 class=\"high\"]",
+      // value with spaces, empty value, param-less block, empty block
+      "[meta@99 path=\"/var/log/app log\" note=\"\"][bare@1][]",
+      "-", null)
+      .toDF("sd")
+      .select(model.parseSdParams(col("sd")).as("m"))
+      .as[Option[Map[String, Map[String, String]]]]
+      .collect().toSeq
+    assert(rows(0) === Some(Map("exampleSDID@32473" ->
+      Map("iut" -> "3", "eventSource" -> "Application", "eventID" -> "1011"))))
+    assert(rows(1) === Some(Map(
+      "exampleSDID@32473" -> Map("iut" -> "3"),
+      "examplePriority@32473" -> Map("class" -> "high"))))
+    assert(rows(2) === Some(Map(
+      "meta@99" -> Map("path" -> "/var/log/app log", "note" -> ""),
+      "bare@1" -> Map.empty[String, String],
+      "" -> Map.empty[String, String])))
+    assert(rows(3) === None && rows(4) === None)
+  }
+
+  test("sd params property: generated blobs round-trip to the exact nested map") {
+    val nameGen = Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('@', '.', '-')))
+      .map(_.mkString.take(12))
+    val valGen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '), Gen.const('/')))
+      .map(_.mkString.take(20))
+    val paramGen = Gen.mapOfN(3, Gen.zip(nameGen, valGen)).map(_.take(3))
+    val blockGen = Gen.zip(nameGen, paramGen)
+    val blobGen = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, blockGen))
+      // RFC 5424 §6.3.2: SD-IDs unique per message — dedup by id
+      .map(_.groupBy(_._1).map(_._2.head).toSeq)
+    val cases = (0 until 200).flatMap(i => blobGen.apply(Gen.Parameters.default, Seed(41L + i)))
+    val blobs = cases.map(_.map { case (id, ps) =>
+      (Seq(id) ++ ps.map { case (k, v) => s"""$k="$v"""" }).mkString("[", " ", "]")
+    }.mkString)
+    val got = blobs.toDF("sd")
+      .select(model.parseSdParams(col("sd")).as("m"))
+      .as[Map[String, Map[String, String]]]
+      .collect().toSeq
+    got.zip(cases).zip(blobs).foreach { case ((m, c), blob) =>
+      assert(m === c.map { case (id, ps) => id -> ps.toMap }.toMap, s"blob '$blob'")
+    }
+  }
+
+  test("3164 anchoring: Dec/Jan rollover, leap-year guard, hour-bucket join") {
+    def anchored(tsText: String, anchor: String): Option[Long] = {
+      val r = Seq((tsText, anchor)).toDF("t", "a")
+        .select(model.anchor3164TsUs(col("t"), to_timestamp(col("a"))).as("us"))
+        .collect().head
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    def us(iso: String): Long =
+      java.time.Instant.parse(iso).toEpochMilli * 1000L
+    // plain: same year as anchor
+    assert(anchored("Oct 11 22:14:15", "2024-11-01 00:00:00") === Some(us("2024-10-11T22:14:15Z")))
+    // Dec stamp ingested Jan 1 → PREVIOUS year
+    assert(anchored("Dec 31 23:59:58", "2025-01-01 00:00:05") === Some(us("2024-12-31T23:59:58Z")))
+    // Jan stamp ingested Dec 31 → NEXT year
+    assert(anchored("Jan  1 00:00:02", "2024-12-31 23:59:58") === Some(us("2025-01-01T00:00:02Z")))
+    // Feb 29: valid under a leap anchor year, null under a non-leap one
+    assert(anchored("Feb 29 12:00:00", "2024-03-01 00:00:00") === Some(us("2024-02-29T12:00:00Z")))
+    assert(anchored("Feb 29 12:00:00", "2023-03-01 00:00:00") === None)
+    // century rule: 2100 is NOT leap, 2000 is
+    assert(anchored("Feb 29 12:00:00", "2100-03-01 00:00:00") === None)
+    assert(anchored("Feb 29 12:00:00", "2000-03-01 00:00:00") === Some(us("2000-02-29T12:00:00Z")))
+    // out-of-range fields and malformed stamps → null, never a throw
+    assert(anchored("Apr 31 10:00:00", "2024-04-01 00:00:00") === None)
+    assert(anchored("Oct 11 24:00:00", "2024-10-01 00:00:00") === None)
+    assert(anchored("Oct 11 22:60:00", "2024-10-01 00:00:00") === None)
+    assert(anchored("nonsense", "2024-10-01 00:00:00") === None)
+    // anchored 3164 rows join the time-bucketed family: hour truncation
+    // of the materialized ts lands in the right bucket
+    val hour = Seq(("Dec 31 23:59:58", "2025-01-01 00:00:05")).toDF("t", "a")
+      .select(date_trunc("hour",
+        timestamp_micros(model.anchor3164TsUs(col("t"), to_timestamp(col("a"))))).as("h"))
+      .as[java.sql.Timestamp].collect().head
+    assert(hour.toInstant === java.time.Instant.parse("2024-12-31T23:00:00Z"))
+  }
+
+  test("3164 anchoring property: generated stamps resolve to the rule's year exactly") {
+    val gen = for {
+      mon <- Gen.choose(1, 12)
+      day <- Gen.choose(1, 28) // always-valid days; edge days covered above
+      hh <- Gen.choose(0, 23); mi <- Gen.choose(0, 59); ss <- Gen.choose(0, 59)
+      aMon <- Gen.choose(1, 12)
+      aYear <- Gen.choose(1990, 2085)
+    } yield (mon, day, hh, mi, ss, aMon, aYear)
+    val cases = (0 until 250).flatMap(i => gen.apply(Gen.Parameters.default, Seed(63L + i)))
+    val monTok = model.monthTokens.map(_.swap).toMap
+    val df = cases.zipWithIndex.map { case ((mon, day, hh, mi, ss, aMon, aYear), i) =>
+      val pad = if (day < 10) s" $day" else day.toString
+      (i.toLong, f"${monTok(mon)} $pad $hh%02d:$mi%02d:$ss%02d", f"$aYear-$aMon%02d-15 12:00:00")
+    }.toDF("i", "t", "a")
+    val got = df.select(col("i"),
+        model.anchor3164TsUs(col("t"), to_timestamp(col("a"))).as("us"))
+      .orderBy("i").as[(Long, Option[Long])].collect()
+    got.zip(cases).foreach { case ((_, us), (mon, day, hh, mi, ss, aMon, aYear)) =>
+      val yr = if (mon == 12 && aMon == 1) aYear - 1
+        else if (mon == 1 && aMon == 12) aYear + 1 else aYear
+      val want = java.time.LocalDateTime.of(yr, mon, day, hh, mi, ss)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+      assert(us === Some(want), s"mon=$mon day=$day anchor=$aYear-$aMon")
+    }
+  }
+
   test("rfc decode is total: arbitrary input never throws, fields stay in range") {
     val junk = (0 until 300).flatMap(i =>
       Gen.asciiPrintableStr.apply(Gen.Parameters.default, Seed(99L + i))) ++
