@@ -139,10 +139,19 @@ qo, qn = old["queries"], new["queries"]
 vo, vn = old.get("variance", {}) or {}, new.get("variance", {}) or {}
 shared = sorted(set(qo) & set(qn))
 
+# The median like-for-like ratio IS the box-drift estimate: a uniform
+# environment shift moves every untouched query by roughly this factor
+# (r13's driver artifact ran a uniform 1.11x vs the gate's run of the
+# SAME code). Always computed and reported; --factor auto additionally
+# strips it so only movers BEYOND the drift flag.
+drift = None
+_ratios = [qn[k] / qo[k] for k in shared if qo[k] > 0]
+if _ratios:
+    drift = statistics.median(_ratios)
+
 factor = 1.0
 if args.factor == "auto":
-    ratios = [qn[k] / qo[k] for k in shared if qo[k] > 0]
-    factor = statistics.median(ratios) if ratios else 1.0
+    factor = drift if drift is not None else 1.0
     if args.max_factor is not None and factor > args.max_factor:
         print(f"UNIFORM SLOWDOWN: auto factor {factor:.3f}x exceeds "
               f"--max-factor {args.max_factor}x — a commit-caused global "
@@ -193,7 +202,11 @@ if common_old:
     print(f"like-for-like ({len(shared)} shared): "
           f"{common_old:.1f} s -> {common_new:.1f} s "
           f"({common_new / common_old:.3f}x)")
-if factor != 1.0:
+if drift is not None:
+    print(f"drift factor (median per-query ratio): {drift:.3f}x"
+          + ("" if args.factor == "auto" else
+             " [NOT stripped — pass --factor auto to flag only movers beyond it]"))
+if factor != 1.0 and args.factor != "auto":
     print(f"global factor stripped from new side: {factor:.3f}x")
 for label, rows in (("REGRESSION", regressions), ("improvement", improvements)):
     for k, o, n, r in rows:
