@@ -1,0 +1,210 @@
+package graft
+
+import java.io.OutputStream
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.nio.file.Files
+
+import graft.streaming.Pipeline
+import org.scalatest.funsuite.AnyFunSuite
+
+/** stream_source_tcp e2e: RFC 6587 framed syslog over real loopback TCP
+  * through the DSv2 source — octet counting and LF framing mixed on one
+  * connection, the RFC decode downstream, burst admission parity with
+  * the UDP source (the two share the offset/admission machinery in
+  * sources.Ingest). */
+class TcpSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freePort(): Int = {
+    val s = new ServerSocket(0); val p = s.getLocalPort; s.close(); p
+  }
+
+  private def octet(msg: String): Array[Byte] = {
+    val b = msg.getBytes("UTF-8")
+    (s"${b.length} ".getBytes("UTF-8").toSeq ++ b.toSeq).toArray
+  }
+
+  test("framing: mixed octet-counting and LF frames on one connection") {
+    val rx = new sources.TcpReceiver(0)
+    rx.start()
+    val sock = new Socket(InetAddress.getByName("127.0.0.1"), rx.boundPort)
+    try {
+      val out: OutputStream = sock.getOutputStream
+      // octet-counted frame whose PAYLOAD contains \n — must arrive whole
+      out.write(octet("<34>1 2003-10-11T22:14:15.003Z h app - - - line1\nline2"))
+      // LF-framed with CRLF
+      out.write("<13>Oct 11 22:14:15 h su: lf framed\r\n".getBytes("UTF-8"))
+      // empty LF line: skipped
+      out.write("\n".getBytes("UTF-8"))
+      // octet-counted again after the LF ones (per-message detection)
+      out.write(octet("firewall,info forward"))
+      // digit-run NOT followed by SP: falls back to LF framing, digits kept
+      out.write("99x not a length\n".getBytes("UTF-8"))
+      out.flush()
+      val dl = System.currentTimeMillis() + 10000
+      while (rx.latest < 4L && System.currentTimeMillis() < dl) Thread.sleep(50)
+      val rows = rx.log.slice(0, rx.latest).map(_._1).toSeq
+      assert(rows === Seq(
+        "<34>1 2003-10-11T22:14:15.003Z h app - - - line1\nline2",
+        "<13>Oct 11 22:14:15 h su: lf framed",
+        "firewall,info forward",
+        "99x not a length"), s"got $rows")
+      val dev = rx.log.slice(0, 1).head._2
+      assert(dev.startsWith("127.0.0.1:"), s"device should be ip:port, got $dev")
+    } finally {
+      sock.close()
+      rx.shutdown()
+    }
+  }
+
+  test("framing: oversize octet frame truncates but stays in sync") {
+    val rx = new sources.TcpReceiver(0)
+    rx.start()
+    val sock = new Socket(InetAddress.getByName("127.0.0.1"), rx.boundPort)
+    try {
+      val out = sock.getOutputStream
+      val big = "x" * (sources.Ingest.MaxMessage + 5000)
+      out.write(octet(big))
+      out.write(octet("after the big one"))
+      out.flush()
+      val dl = System.currentTimeMillis() + 10000
+      while (rx.latest < 2L && System.currentTimeMillis() < dl) Thread.sleep(50)
+      val rows = rx.log.slice(0, rx.latest).map(_._1).toSeq
+      assert(rows.length === 2, s"desynchronized: $rows")
+      assert(rows.head === "x" * sources.Ingest.MaxMessage,
+        "oversize frame should truncate at the reference's 40960-byte cap")
+      assert(rows(1) === "after the big one",
+        "the frame AFTER an oversize one must parse cleanly")
+    } finally {
+      sock.close()
+      rx.shutdown()
+    }
+  }
+
+  test("framing: frames split across TCP segments reassemble") {
+    val rx = new sources.TcpReceiver(0)
+    rx.start()
+    val sock = new Socket(InetAddress.getByName("127.0.0.1"), rx.boundPort)
+    try {
+      sock.setTcpNoDelay(true)
+      val out = sock.getOutputStream
+      val frame = octet("<165>1 2003-10-11T22:14:15.003Z h app - - - split frame payload")
+      // drip the frame byte-group by byte-group: length prefix split from
+      // payload, payload split mid-way — stream framing must not care
+      Seq(frame.slice(0, 2), frame.slice(2, 10), frame.slice(10, frame.length))
+        .foreach { part => out.write(part); out.flush(); Thread.sleep(30) }
+      out.write("tail,info lf after split\n".getBytes("UTF-8"))
+      out.flush()
+      val dl = System.currentTimeMillis() + 10000
+      while (rx.latest < 2L && System.currentTimeMillis() < dl) Thread.sleep(50)
+      val rows = rx.log.slice(0, rx.latest).map(_._1).toSeq
+      assert(rows === Seq(
+        "<165>1 2003-10-11T22:14:15.003Z h app - - - split frame payload",
+        "tail,info lf after split"), s"got $rows")
+    } finally {
+      sock.close()
+      rx.shutdown()
+    }
+  }
+
+  test("framed TCP flows source → rfc decode → sink: mixed fleet, two connections") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val port = freePort()
+    sources.TcpSyslogSourceProvider.receiver(port)
+
+    val lines = spark.readStream
+      .format(classOf[sources.TcpSyslogSourceProvider].getName)
+      .option("port", port.toString)
+      .load()
+    val ckpt = Files.createTempDirectory("graft_tcp_rfc_ckpt").toString
+    val q = Pipeline.parseToRfcLog(lines).writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("tcp_rfc").start()
+
+    val target = InetAddress.getByName("127.0.0.1")
+    val sockA = new Socket(target, port)
+    val sockB = new Socket(target, port)
+    try {
+      // connection A: octet-counted RFC 5424 + LF-framed RFC 3164
+      val a = sockA.getOutputStream
+      a.write(octet("<34>1 2003-10-11T22:14:15.003Z mymachine.example.com su - ID47 - auth failure"))
+      a.write("<13>Oct 11 22:14:15 mymachine su: session opened\n".getBytes("UTF-8"))
+      a.flush()
+      // connection B: LF-framed MikroTik topics line
+      val bOut = sockB.getOutputStream
+      bOut.write("firewall,info forward: in:ether1 out:ether2\n".getBytes("UTF-8"))
+      bOut.flush()
+
+      val deadline = System.currentTimeMillis() + 120000
+      var n = 0L
+      while (n < 3L && System.currentTimeMillis() < deadline) {
+        Thread.sleep(1000)
+        n = try spark.table("tcp_rfc").count() catch { case _: Throwable => 0L }
+      }
+      assert(n === 3L, "framed messages did not reach the sink")
+      val rows = spark.table("tcp_rfc")
+        .select("format", "facility", "severity", "hostname")
+        .collect().map(r => (r.getString(0),
+          if (r.isNullAt(1)) -1 else r.getByte(1).toInt,
+          r.getByte(2).toInt, if (r.isNullAt(3)) null else r.getString(3)))
+        .sortBy(_._1).toSeq
+      assert(rows === Seq(
+        ("rfc3164", 1, 5, "mymachine"),
+        ("rfc5424", 4, 2, "mymachine.example.com"),
+        ("topics", -1, 6, null)), s"got $rows")
+    } finally {
+      sockA.close()
+      sockB.close()
+      q.stop()
+    }
+  }
+
+  test("maxRowsPerBatch caps micro-batch size under burst (admission parity with UDP)") {
+    val port = freePort()
+    val rx = sources.TcpSyslogSourceProvider.receiver(port)
+
+    val sock = new Socket(InetAddress.getByName("127.0.0.1"), port)
+    try {
+      // burst past the 1000-row flush bound BEFORE the stream starts —
+      // TCP is lossless, so unlike the UDP twin every row must arrive
+      val out = sock.getOutputStream
+      val total = 2500
+      (1 to total).foreach { i =>
+        out.write(s"system,info burst row $i\n".getBytes("UTF-8"))
+      }
+      out.flush()
+      val rxDeadline = System.currentTimeMillis() + 15000
+      while (rx.latest < total && System.currentTimeMillis() < rxDeadline) Thread.sleep(50)
+      assert(rx.latest === total.toLong, s"TCP must be lossless, got ${rx.latest}")
+
+      val sizes = scala.collection.mutable.ArrayBuffer[Long]()
+      val ckpt = Files.createTempDirectory("graft_tcp_burst_ckpt").toString
+      val q = spark.readStream
+        .format(classOf[sources.TcpSyslogSourceProvider].getName)
+        .option("port", port.toString)
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.count()
+          sizes.synchronized { sizes += n }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      try {
+        val deadline = System.currentTimeMillis() + 30000
+        while (sizes.synchronized(sizes.sum) < total &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+        val snap = sizes.synchronized(sizes.toSeq)
+        assert(snap.sum >= total, s"rows lost: ${snap.sum} of $total")
+        assert(snap.forall(_ <= sources.UdpSourceProvider.FlushRows),
+          s"a micro-batch exceeded the ${sources.UdpSourceProvider.FlushRows}-row flush bound: $snap")
+        assert(snap.count(_ == sources.UdpSourceProvider.FlushRows) >= 2,
+          s"expected at least two full flush-bound batches from a $total-row burst: $snap")
+      } finally q.stop()
+    } finally sock.close()
+  }
+}

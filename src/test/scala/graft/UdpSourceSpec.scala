@@ -140,8 +140,8 @@ class UdpSourceSpec extends AnyFunSuite {
       assert(rx.latest === 10L)
       // without the re-base these three rows would be eaten by the stale
       // offset range (slice clamps to the new buffer's head)
-      val parts = stream.planInputPartitions(restored, sources.UdpOffset(rx.latest))
-      val rows = parts.head.asInstanceOf[sources.UdpInputPartition].rows
+      val parts = stream.planInputPartitions(restored, sources.IngestOffset(rx.latest))
+      val rows = parts.head.asInstanceOf[sources.IngestInputPartition].rows
       assert(rows.length === 3, "new datagrams swallowed by a stale restored offset")
       assert(rows.map(_._1).toSeq === Seq("row 1", "row 2", "row 3"))
     } finally {
@@ -183,12 +183,12 @@ class UdpSourceSpec extends AnyFunSuite {
       // batch 1: GLOBAL cap of 10 rows split max-min fair → 5 from each
       val end1 = stream.latestOffset(start,
         org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(10))
-      val ns1 = end1.asInstanceOf[sources.UdpOffset].ns
+      val ns1 = end1.asInstanceOf[sources.IngestOffset].ns
       assert(ns1.sum === 10L, s"global cap violated: $ns1")
       assert(ns1 === Seq(5L, 5L), s"expected a fair split, got $ns1")
       val parts1 = stream.planInputPartitions(start, end1)
       assert(parts1.length === 2, "expected one InputPartition per receiver")
-      val rows1 = parts1.flatMap(_.asInstanceOf[sources.UdpInputPartition].rows.map(_._1))
+      val rows1 = parts1.flatMap(_.asInstanceOf[sources.IngestInputPartition].rows.map(_._1))
       assert(rows1.count(_.startsWith("a")) === 5)
       assert(rows1.count(_.startsWith("b")) === 5)
 
@@ -196,7 +196,7 @@ class UdpSourceSpec extends AnyFunSuite {
       val end2 = stream.latestOffset(end1,
         org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(10))
       val rows2 = stream.planInputPartitions(end1, end2)
-        .flatMap(_.asInstanceOf[sources.UdpInputPartition].rows.map(_._1))
+        .flatMap(_.asInstanceOf[sources.IngestInputPartition].rows.map(_._1))
       assert((rows1 ++ rows2).sorted.toSeq ===
         ((1 to 8).map(i => s"a $i") ++ (1 to 7).map(i => s"b $i")).sorted)
     } finally {
