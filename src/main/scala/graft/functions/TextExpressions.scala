@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native text-shingling expression (SURVEY.md §4.2 ladder step b).
@@ -110,8 +110,27 @@ case class WinnowPositions(child: Expression, l: Int, w: Int)
 }
 
 object WinnowPositions {
-  private val md = ThreadLocal.withInitial[java.security.MessageDigest](
+  private[functions] val md = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** shared per-row groundwork: UTF-8 bytes + char→byte offset table.
+    * Each gram then hashes its byte slice directly, where substringSQL
+    * would re-scan from the string head per gram — O(chars²) on long
+    * docs. Used by the winnow pass AND the exact-pass [[CharGramMd5]]. */
+  private[functions] def byteOffsets(text: UTF8String): (Array[Byte], Array[Int]) = {
+    val nChars = text.numChars()
+    val bytes = text.getBytes
+    val offs = new Array[Int](nChars + 1)
+    var ci = 0
+    var bi = 0
+    while (ci < nChars) {
+      offs(ci) = bi
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+      ci += 1
+    }
+    offs(nChars) = bi
+    (bytes, offs)
+  }
 
   /** one JVM loop per row; called from both eval and generated code.
     * Selection order is (min h40, rightmost position on hash ties) —
@@ -124,23 +143,20 @@ object WinnowPositions {
     * coincide). Full windows only; a doc with fewer than w grams gets
     * one whole-array window (slice-overrun semantics). */
   def compute(text: UTF8String, l: Int, w: Int): ArrayData = {
+    val sel = select(text, l, w)
+    val out = new Array[Any](sel.length)
+    var k = 0
+    while (k < sel.length) { out(k) = sel(k); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** selected 1-based gram positions, distinct, in window order —
+    * shared by [[compute]] and [[WinnowGrams]] */
+  private[functions] def select(text: UTF8String, l: Int, w: Int): Array[Long] = {
     val nChars = text.numChars()
     val n = nChars - l + 1
-    if (n <= 0) return new GenericArrayData(Array.empty[Any])
-    // one pass to char→byte offsets: each gram then hashes its byte
-    // slice directly, where substringSQL would re-scan from the string
-    // head per gram — O(chars²) on exactly the long docs this
-    // expression must now support
-    val bytes = text.getBytes
-    val offs = new Array[Int](nChars + 1)
-    var ci = 0
-    var bi = 0
-    while (ci < nChars) {
-      offs(ci) = bi
-      bi += UTF8String.numBytesForFirstByte(bytes(bi))
-      ci += 1
-    }
-    offs(nChars) = bi
+    if (n <= 0) return Array.empty[Long]
+    val (bytes, offs) = byteOffsets(text)
     val digest = md.get()
     val h = new Array[Long](n)
     var p0 = 0
@@ -172,10 +188,110 @@ object WinnowPositions {
       selected.add(deque.peekFirst() + 1L)
       s += 1
     }
-    val out = new Array[Any](selected.size())
+    val out = new Array[Long](selected.size())
     val it = selected.iterator()
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+}
+
+/** Winnow selection + the full 16-byte md5 at each selected position, in
+  * one pass: `array<struct<pos: bigint, h: binary>>`. The selection is
+  * byte-identical to [[WinnowPositions]] (same 40-bit ordering); the full
+  * digest is recomputed only at the selected ~n/w positions from the
+  * already-built offset table, replacing the downstream
+  * `unhex(md5(substring(text, pos, l)))` projection whose substring
+  * re-scans O(pos) chars per selected gram. */
+case class WinnowGrams(child: Expression, l: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if l >= 1 && w >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"winnow_grams needs l >= 1 and w >= 1, got l=$l w=$w")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"winnow_grams expects string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("h", BinaryType, nullable = false))), containsNull = false)
+  override def prettyName: String = "winnow_grams"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowGrams.compute(input.asInstanceOf[UTF8String], l, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WinnowGrams.compute($a, $l, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowGrams {
+  def compute(text: UTF8String, l: Int, w: Int): ArrayData = {
+    val sel = WinnowPositions.select(text, l, w)
+    if (sel.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val (bytes, offs) = WinnowPositions.byteOffsets(text)
+    val digest = WinnowPositions.md.get()
+    val out = new Array[Any](sel.length)
+    var k = 0
+    while (k < sel.length) {
+      val p0 = (sel(k) - 1).toInt
+      digest.reset()
+      digest.update(bytes, offs(p0), offs(p0 + l) - offs(p0))
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(sel(k), digest.digest())
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** All char-L-gram md5s of a document in one pass:
+  * `array<binary>` — element i (0-based) is the 16-byte md5 of the gram
+  * at 1-based position i+1. The exact substring-dedup pass feeds this to
+  * `posexplode`, replacing an `explode(sequence) → substring → md5 →
+  * unhex` chain that re-scans O(pos) chars per gram (quadratic on long
+  * docs) and round-trips every digest through hex text. */
+case class CharGramMd5(child: Expression, l: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if l >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"char_gram_md5 needs l >= 1, got l=$l")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_gram_md5 expects string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "char_gram_md5"
+
+  override def nullSafeEval(input: Any): Any =
+    CharGramMd5.compute(input.asInstanceOf[UTF8String], l)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.CharGramMd5.compute($a, $l);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharGramMd5 {
+  def compute(text: UTF8String, l: Int): ArrayData = {
+    val n = text.numChars() - l + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val (bytes, offs) = WinnowPositions.byteOffsets(text)
+    val digest = WinnowPositions.md.get()
+    val out = new Array[Any](n)
+    var p0 = 0
+    while (p0 < n) {
+      digest.reset()
+      digest.update(bytes, offs(p0), offs(p0 + l) - offs(p0))
+      out(p0) = digest.digest()
+      p0 += 1
+    }
     new GenericArrayData(out)
   }
 }
@@ -239,6 +355,13 @@ object TextExpressions {
       "winnow_positions", exprs => WinnowPositions(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int],
         exprs(2).eval(null).asInstanceOf[Int]), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_grams", exprs => WinnowGrams(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int]), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_gram_md5", exprs => CharGramMd5(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
   }
 
   /** word_ngrams(toks, n) as a Column (requires register first) */
@@ -255,4 +378,15 @@ object TextExpressions {
     call_function("winnow_positions", text,
       org.apache.spark.sql.functions.lit(l),
       org.apache.spark.sql.functions.lit(w))
+
+  /** winnow_grams(text, l, w) as a Column (requires register first) */
+  def winnowGrams(text: Column, l: Int, w: Int): Column =
+    call_function("winnow_grams", text,
+      org.apache.spark.sql.functions.lit(l),
+      org.apache.spark.sql.functions.lit(w))
+
+  /** char_gram_md5(text, l) as a Column (requires register first) */
+  def charGramMd5(text: Column, l: Int): Column =
+    call_function("char_gram_md5", text,
+      org.apache.spark.sql.functions.lit(l))
 }

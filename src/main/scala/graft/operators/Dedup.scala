@@ -2508,24 +2508,23 @@ object Dedup {
     * keeps).
     *
     * Scale shape: selection is PER-DOC LOCAL math — gram hashes, window
-    * minima and argmin decode all happen in per-row arrays map-side
-    * (the docFingerprint idiom), so the corpus-wide shuffle only ever
-    * sees the selected ~2/(w+1) fraction. Rightmost-min tie-break is
-    * encoded arithmetically: comb = h40·2²⁰ + (2²⁰−1−pos), whose
-    * array_min is (min hash, max pos) — positions must fit 20 bits
-    * (docs ≤ 1M chars; wider docs would chunk upstream). The full
-    * 16-byte md5 is recomputed ONLY at selected positions, so 40-bit
-    * selection collisions cost selection quality, never verdicts. */
+    * minima, and the full md5 at each selected position all happen in
+    * ONE JVM pass per row ([[graft.functions.WinnowGrams]]: byte-offset
+    * table + sliding-window deque; no position-width limit, so
+    * arbitrarily long docs winnow without chunking), and the corpus-wide
+    * shuffle only ever sees the selected ~2/(w+1) fraction. Rightmost-
+    * min tie-break on the 40-bit selection hash matches the HOF/DuckDB
+    * twins' arithmetic encoding. The full 16-byte md5 is emitted ONLY
+    * at selected positions, so 40-bit selection collisions cost
+    * selection quality, never verdicts. */
   def winnowDupPositionsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.TextExpressions.register(docs.sparkSession)
     docs
       .where(length(col("text")) >= SubstrL)
-      .select(col("doc_id"), col("text"),
-        explode(graft.functions.TextExpressions
-          .winnowPositions(col("text"), SubstrL, WinnowW)).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        unhex(md5(expr(s"substring(text, cast(pos AS INT), $SubstrL)"))).as("h"))
+      .select(col("doc_id"), explode(graft.functions.TextExpressions
+        .winnowGrams(col("text"), SubstrL, WinnowW)).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("h").orderBy("doc_id", "pos")))
       .where(col("rn") >= 2)
@@ -2674,11 +2673,9 @@ object Dedup {
     graft.functions.TextExpressions.register(docs.sparkSession)
     docs
       .where(length(col("text")) >= SubstrL)
-      .select(col("doc_id"), col("text"),
-        explode(graft.functions.TextExpressions
-          .winnowPositions(col("text"), SubstrL, WinnowW)).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        unhex(md5(expr(s"substring(text, cast(pos AS INT), $SubstrL)"))).as("h"))
+      .select(col("doc_id"), explode(graft.functions.TextExpressions
+        .winnowGrams(col("text"), SubstrL, WinnowW)).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
   }
 
   /** The 100 TB at-rest form: persist only the corpus split's
@@ -2801,12 +2798,14 @@ object Dedup {
     * position). */
   /** every (doc_id, pos, 16-byte md5 gram hash) row of a doc frame —
     * the shared scan-stage front of the whole substring family */
-  private def substrGramsOf(docs: DataFrame): DataFrame = docs
-    .where(length(col("text")) >= SubstrL)
-    .select(col("doc_id"), col("text"),
-      explode(expr(s"sequence(1, length(text) - ${SubstrL - 1})")).as("p"))
-    .select(col("doc_id"), col("p").cast(LongType).as("pos"),
-      unhex(md5(expr(s"substring(text, p, $SubstrL)"))).as("h"))
+  private def substrGramsOf(docs: DataFrame): DataFrame = {
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    docs
+      .where(length(col("text")) >= SubstrL)
+      .select(col("doc_id"), posexplode(graft.functions.TextExpressions
+        .charGramMd5(col("text"), SubstrL)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"), col("h"))
+  }
 
   /** Persist the corpus split's DISTINCT gram-hash set clustered by h —
     * the at-rest form the incremental/streaming substring passes probe.

@@ -186,6 +186,41 @@ class VectorSpec extends AnyFunSuite {
       s"projection not codegen'd:\n$p")
   }
 
+  test("char_gram_md5 matches the explode/substring/md5 chain exactly") {
+    TextExpressions.register(spark)
+    val L = operators.Dedup.SubstrL
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .where(length(col("text")) >= L).limit(200)
+    val native = docs.select(col("doc_id"),
+        posexplode(TextExpressions.charGramMd5(col("text"), L)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), hex(col("h")).as("h"))
+    val hof = docs.select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(1, length(text) - ${L - 1})")).as("p"))
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+        upper(md5(expr(s"substring(text, p, $L)"))).as("h"))
+    assert(native.count() === hof.count())
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
+      "gram hash streams differ")
+  }
+
+  test("winnow_grams = winnow_positions + full md5 at each selected position") {
+    TextExpressions.register(spark)
+    val L = operators.Dedup.SubstrL
+    val W = operators.Dedup.WinnowW
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .where(length(col("text")) >= L).limit(200)
+    val fused = docs.select(col("doc_id"),
+        explode(TextExpressions.winnowGrams(col("text"), L, W)).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), hex(col("g.h")).as("h"))
+    val composed = docs.select(col("doc_id"), col("text"),
+        explode(TextExpressions.winnowPositions(col("text"), L, W)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        upper(md5(expr(s"substring(text, cast(pos AS INT), $L)"))).as("h"))
+    assert(fused.count() === composed.count())
+    assert(fused.exceptAll(composed).isEmpty && composed.exceptAll(fused).isEmpty,
+      "fused winnow grams differ from the composed form")
+  }
+
   test("winnow_positions matches the HOF transform/array_min formulation exactly") {
     TextExpressions.register(spark)
     val L = operators.Dedup.SubstrL
