@@ -296,6 +296,56 @@ object CharGramMd5 {
   }
 }
 
+/** First `hexLen` hex digits of md5(text) as a BIGINT — numerically
+  * identical to `cast(conv(substring(md5(x), 1, hexLen), 16, 10) AS
+  * BIGINT)`, the cross-engine gram-hash idiom the MinHash/Jaccard/
+  * span-ratio pipelines shuffle on (DuckDB twin:
+  * `('0x' || substr(md5(x), 1, hexLen))::BIGINT`). The conv form
+  * hex-encodes the full 16-byte digest to a 32-char string, substrings
+  * it, then parses digits back to a number — three allocations per gram
+  * on the hottest projection in the dedup family; this reads the
+  * nibbles straight off the digest. hexLen ≤ 15 keeps the value inside
+  * a signed 64-bit integer, like the conv form it replaces. */
+case class Md5Prefix64(child: Expression, hexLen: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if hexLen >= 1 && hexLen <= 15 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"md5_prefix64 needs 1 <= hexLen <= 15, got $hexLen")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"md5_prefix64 expects string, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix64"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Prefix64.compute(input.asInstanceOf[UTF8String], hexLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Md5Prefix64.compute($a, $hexLen);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5Prefix64 {
+  def compute(s: UTF8String, hexLen: Int): Long = {
+    val digest = WinnowPositions.md.get()
+    digest.reset()
+    val d = digest.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < hexLen) {
+      val nib = if ((i & 1) == 0) (d(i >> 1) >> 4) & 0xf else d(i >> 1) & 0xf
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+}
+
 /** Native Unicode normalization (NFC/NFD/NFKC/NFKD via
   * `java.text.Normalizer`) — the curation-pipeline hygiene step Spark has
   * no built-in for (mixed composed/decomposed sources hash and dedup as
@@ -362,6 +412,9 @@ object TextExpressions {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_gram_md5", exprs => CharGramMd5(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_prefix64", exprs => Md5Prefix64(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
   }
 
   /** word_ngrams(toks, n) as a Column (requires register first) */
@@ -389,4 +442,9 @@ object TextExpressions {
   def charGramMd5(text: Column, l: Int): Column =
     call_function("char_gram_md5", text,
       org.apache.spark.sql.functions.lit(l))
+
+  /** md5_prefix64(text, hexLen) as a Column (requires register first) */
+  def md5Prefix64(text: Column, hexLen: Int): Column =
+    call_function("md5_prefix64", text,
+      org.apache.spark.sql.functions.lit(hexLen))
 }

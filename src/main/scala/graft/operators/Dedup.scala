@@ -137,8 +137,9 @@ object Dedup {
     * (doc_id, gram) frame — the reusable signature kernel behind
     * [[md5Banded]] and the persisted [[writeMinhashIndex]] */
   private def md5SigsOf(g: DataFrame): DataFrame = {
-    val h = g.withColumn("h", expr(
-      s"cast(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT) % $MinhashOracleP"))
+    graft.functions.TextExpressions.register(g.sparkSession)
+    val h = g.withColumn("h", graft.functions.TextExpressions
+      .md5Prefix64(col("gram"), 15) % MinhashOracleP)
     val aggs = (0 until MinhashPerms).map { j =>
       val (a, b) = bandPerm(j)
       min((col("h") * a + b) % MinhashOracleP).as(s"s$j")
@@ -228,7 +229,7 @@ object Dedup {
     val byGram = shingled(s, dir)
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .select(col("doc_id"),
-        expr("cast(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)").as("gh"))
+        graft.functions.TextExpressions.md5Prefix64(col("gram"), 15).as("gh"))
       .groupBy("gh").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")).between(2, JaccardMaxDf))
     // two chained posexplodes (codegen'd Generate ops) beat a nested

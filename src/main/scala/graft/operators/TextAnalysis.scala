@@ -950,7 +950,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(graft.functions.TextExpressions.wordNgrams(toks, 5)).as("g"))
       .select(col("doc_id"),
-        expr("cast(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)").as("gh"))
+        graft.functions.TextExpressions.md5Prefix64(col("g"), 15).as("gh"))
     val dfs = spans.groupBy("gh").agg(count(lit(1)).as("df"))
     spans.join(dfs, "gh")
       .groupBy("doc_id")

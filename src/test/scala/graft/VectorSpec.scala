@@ -221,6 +221,25 @@ class VectorSpec extends AnyFunSuite {
       "fused winnow grams differ from the composed form")
   }
 
+  test("md5_prefix64 matches the conv/substring/md5 form exactly") {
+    TextExpressions.register(spark)
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("text")).limit(500)
+    Seq(8, 10, 13, 15).foreach { n =>
+      val diff = docs.select(
+          TextExpressions.md5Prefix64(col("text"), n).as("native"),
+          expr(s"cast(conv(substring(md5(text), 1, $n), 16, 10) AS BIGINT)").as("hof"))
+        .where(col("native") =!= col("hof") ||
+          col("native").isNull =!= col("hof").isNull)
+      assert(diff.isEmpty, s"hexLen=$n mismatch: ${diff.take(3).toSeq}")
+    }
+    // null propagates
+    import spark.implicits._
+    val r = Seq(Option.empty[String]).toDF("t")
+      .select(TextExpressions.md5Prefix64(col("t"), 15)).collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("winnow_positions matches the HOF transform/array_min formulation exactly") {
     TextExpressions.register(spark)
     val L = operators.Dedup.SubstrL
