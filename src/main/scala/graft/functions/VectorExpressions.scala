@@ -206,6 +206,57 @@ case class SimHashSig(child: Expression)
     copy(child = newChild)
 }
 
+/** The CROSS-ENGINE SimHash signature as one map-side expression: 60-bit
+  * sig over md5-prefix token hashes, numerically identical to the
+  * explode → `md5_prefix64(tk, 15)` → groupBy(doc_id) with 60 bit-vote
+  * sum-aggregates formulation the DuckDB oracle CTEs replay (bit b set
+  * iff Σ_tokens ((h>>b)&1 ? +1 : −1) ≥ 0). The aggregate form shuffles
+  * one row per TOKEN into a 60-column partial agg; every token of a doc
+  * is already present in the doc's own row, so the signature is per-row
+  * local math — zero explode, zero shuffle. The murmur3 [[SimHashSig]]
+  * stays the production default; this twin exists wherever the oracle
+  * must replay the hash family (chunks/eval/index paths). */
+case class SimHashSigMd5(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash_sig_md5 expects array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash_sig_md5"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHashSigMd5.compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SimHashSigMd5.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashSigMd5 {
+  def compute(arr: ArrayData): Long = {
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = Md5Prefix64.compute(arr.getUTF8String(i), 15)
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) { if (counts(b) >= 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
 /** Sign-LSH (random hyperplane) bucket id as ONE native expression:
   * array<float> embedding → INT of `planes` sign bits. Bit j is set when
   * dot(embedding, plane_j) >= 0, where plane_j's component for dimension d
@@ -471,6 +522,8 @@ object VectorExpressions {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_sig", exprs => SimHashSig(exprs(0)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_sig_md5", exprs => SimHashSigMd5(exprs(0)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sign_lsh_bucket", exprs => SignLshBucket(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -485,6 +538,9 @@ object VectorExpressions {
 
   /** simhash_sig(tokens) as a Column (requires register first) */
   def simhashSig(toks: Column): Column = call_function("simhash_sig", toks)
+
+  /** simhash_sig_md5(tokens) as a Column (requires register first) */
+  def simhashSigMd5(toks: Column): Column = call_function("simhash_sig_md5", toks)
 
   /** cosine_sim(a, b) as a Column (requires register(session) first) */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)

@@ -862,26 +862,20 @@ object Dedup {
     * oracle checks collision-bucket and candidate-pair counts. The
     * production path keeps the native murmur3 SimHashSig; this twin
     * hard-oracles the pigeonhole bucketing that the planted-dup spec can
-    * only sample. Shape: one md5 per token, 60 codegen'd sum-aggregates
-    * in one map-side-combined groupBy — no explode amplification beyond
-    * the token rows themselves. */
+    * only sample. */
   /** md5 60-bit SimHash signatures per doc — the cross-engine hash family
     * shared by [[dedupSimhashChunks]] (bucket mechanics),
     * [[dedupSimhashEval]] (candidate quality), and the persisted
-    * [[writeSimhashIndex]]/[[probeSimhashIndex]] pair: one md5 per token,
-    * 60 codegen'd sum-aggregates in one map-side-combined groupBy. */
+    * [[writeSimhashIndex]]/[[probeSimhashIndex]] pair. One map-side
+    * native expression per row ([[graft.functions.SimHashSigMd5]]) —
+    * numerically identical to the explode → md5-per-token → 60
+    * bit-vote sum-aggregates formulation the DuckDB CTEs replay, with
+    * zero explode and zero shuffle (every token of a doc is already in
+    * the doc's own row). */
   private def md5SimhashSigsOf(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
-      .withColumn("h", expr(
-        "cast(conv(substring(md5(tk), 1, 15), 16, 10) AS BIGINT)"))
-    val bitSums = (0 until 60).map(b =>
-      sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s$b"))
-    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("sig", (0 until 60).map(b =>
-        when(col(s"s$b") >= 0, lit(1L)).otherwise(lit(0L)) * (1L << b))
-        .reduce(_ + _))
-      .select("doc_id", "sig")
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    docs.select(col("doc_id"), graft.functions.VectorExpressions
+      .simhashSigMd5(split(col("text"), " ")).as("sig"))
   }
 
   private def md5SimhashSigs(s: SparkSession, dir: String): DataFrame =

@@ -221,6 +221,30 @@ class VectorSpec extends AnyFunSuite {
       "fused winnow grams differ from the composed form")
   }
 
+  test("simhash_sig_md5 matches the explode/groupBy bit-vote formulation exactly") {
+    TextExpressions.register(spark)
+    functions.VectorExpressions.register(spark)
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(300)
+    val native = docs.select(col("doc_id"),
+      functions.VectorExpressions.simhashSigMd5(split(col("text"), " ")).as("sig"))
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .withColumn("h", expr(
+        "cast(conv(substring(md5(tk), 1, 15), 16, 10) AS BIGINT)"))
+    val bitSums = (0 until 60).map(b =>
+      sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s$b"))
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("sig", (0 until 60).map(b =>
+        when(col(s"s$b") >= 0, lit(1L)).otherwise(lit(0L)) * (1L << b))
+        .reduce(_ + _))
+      .select("doc_id", "sig")
+    val diff = native.as("n").join(agg.as("a"), "doc_id")
+      .where(col("n.sig") =!= col("a.sig"))
+    assert(native.count() === agg.count())
+    assert(diff.isEmpty, s"signatures differ: ${diff.take(3).toSeq}")
+  }
+
   test("md5_prefix64 matches the conv/substring/md5 form exactly") {
     TextExpressions.register(spark)
     val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
