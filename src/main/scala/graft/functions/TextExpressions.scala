@@ -346,6 +346,61 @@ object Md5Prefix64 {
   }
 }
 
+/** POSITIONAL word-n-gram md5-prefix hashes: element i (0-based) is
+  * [[Md5Prefix64]] of `concat_ws(' ', tk[i..i+n-1])` — one entry per
+  * window start, duplicates kept (unlike [[WordNgrams]], which dedups
+  * for the set-shaped consumers). Numerically identical to the HOF
+  * `transform(sequence(0, size(tk)-n), i -> cast(conv(substring(
+  * md5(concat_ws(' ', tk[i]...)), 1, hexLen), 16, 10) AS BIGINT))`
+  * that the scrub-span / fingerprint / quality-model pipelines ran
+  * INTERPRETED (a lambda frame + boxed element_at calls + the hex
+  * round-trip per gram). Empty array when the doc has fewer than n
+  * tokens. */
+case class WordNgramMd5p64(child: Expression, n: Int, hexLen: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 && hexLen >= 1 && hexLen <= 15 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+      s"word_ngram_md5p64 needs n >= 1 and 1 <= hexLen <= 15, got n=$n hexLen=$hexLen")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_ngram_md5p64 expects array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_ngram_md5p64"
+
+  override def nullSafeEval(input: Any): Any =
+    WordNgramMd5p64.compute(input.asInstanceOf[ArrayData], n, hexLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WordNgramMd5p64.compute($a, $n, $hexLen);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordNgramMd5p64 {
+  private val Sep = UTF8String.fromString(" ")
+
+  def compute(toks: ArrayData, n: Int, hexLen: Int): ArrayData = {
+    val len = toks.numElements()
+    val count = len - n + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val parts = new Array[UTF8String](n)
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      var k = 0
+      while (k < n) { parts(k) = toks.getUTF8String(i + k); k += 1 }
+      out(i) = Md5Prefix64.compute(UTF8String.concatWs(Sep, parts: _*), hexLen)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Native Unicode normalization (NFC/NFD/NFKC/NFKD via
   * `java.text.Normalizer`) — the curation-pipeline hygiene step Spark has
   * no built-in for (mixed composed/decomposed sources hash and dedup as
@@ -415,6 +470,10 @@ object TextExpressions {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_prefix64", exprs => Md5Prefix64(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngram_md5p64", exprs => WordNgramMd5p64(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int],
+        exprs(2).eval(null).asInstanceOf[Int]), "built-in")
   }
 
   /** word_ngrams(toks, n) as a Column (requires register first) */
@@ -446,5 +505,11 @@ object TextExpressions {
   /** md5_prefix64(text, hexLen) as a Column (requires register first) */
   def md5Prefix64(text: Column, hexLen: Int): Column =
     call_function("md5_prefix64", text,
+      org.apache.spark.sql.functions.lit(hexLen))
+
+  /** word_ngram_md5p64(toks, n, hexLen) as a Column (requires register first) */
+  def wordNgramMd5p64(toks: Column, n: Int, hexLen: Int): Column =
+    call_function("word_ngram_md5p64", toks,
+      org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.lit(hexLen))
 }

@@ -1032,6 +1032,7 @@ object TextAnalysis {
   val ScrubSpanDf = 2
 
   def scrubCommonSpans(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.register(s)
     val tokd = t(s, dir, "documents").select(col("doc_id"), toks.as("tk"))
     // ALL span occurrences with their 0-based start positions — the
     // coverage computation needs positions, so this is posexplode over an
@@ -1043,10 +1044,8 @@ object TextAnalysis {
     // materialized payload is (doc_id, pos, gh) — 20 B/span, never the
     // token stream — so it stays executor-local and bounded at scale.
     val spans = tokd.where(size(col("tk")) >= 5)
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(0, size(tk) - 5), i -> " +
-          "cast(conv(substring(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])), 1, 15), 16, 10) AS BIGINT))"))
-        .as(Seq("pos", "gh")))
+      .select(col("doc_id"), posexplode(graft.functions.TextExpressions
+        .wordNgramMd5p64(col("tk"), 5, 15)).as(Seq("pos", "gh")))
       .localCheckpoint()
     val common = spans.select(col("doc_id"), col("gh")).distinct()
       .groupBy("gh").agg(count(lit(1)).as("n_docs"))
@@ -1222,18 +1221,19 @@ object TextAnalysis {
     * bias, so no rounded-boundary flakiness cross-engine. */
   val QualityModelBiasMilli = 0L
 
-  def qualityModel(s: SparkSession, dir: String): DataFrame =
+  def qualityModel(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.register(s)
     t(s, dir, "documents")
       .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
-      .withColumn("wsum", expr(
-        """aggregate(transform(tk,
-          |  t -> (CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % 2001) - 1000L),
-          |  0L, (a, x) -> a + x)""".stripMargin))
+      .withColumn("hs",
+        graft.functions.TextExpressions.wordNgramMd5p64(col("tk"), 1, 15))
+      .withColumn("wsum", expr("aggregate(hs, 0L, (a, x) -> a + (x % 2001) - 1000L)"))
       .select(col("doc_id"), size(col("tk")).cast(LongType).as("n_tok"),
         r4(col("wsum").cast(DoubleType)
           / (size(col("tk")).cast(LongType) * 1000L).cast(DoubleType)).as("score"),
         when(col("wsum") >= QualityModelBiasMilli, 1).otherwise(0).as("keep"))
       .orderBy("doc_id")
+  }
 
   val qualityModelSql =
     s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
@@ -1252,23 +1252,24 @@ object TextAnalysis {
     * sliding-window (w=5) minima, per-doc fingerprint summary. The
     * window-min dedup is the winnowing selection step (Schleimer et al.,
     * MOSS) — at scale the fingerprint set is the doc's dedup sketch. */
-  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
     // winnowing is per-document local math: gram hashes once, sliding
     // 5-window minima via slice over the hash array — a map-side
     // projection (the explode + per-doc window form sorted and shuffled
     // every gram row for what one row can compute)
+    graft.functions.TextExpressions.register(s)
     t(s, dir, "documents")
       .select(col("doc_id"), toks.as("tk"))
       .where(size(col("tk")) >= 3)
-      .withColumn("hs", expr(
-        """transform(sequence(0, size(tk) - 3),
-          |  i -> CAST(conv(substring(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2])), 1, 15), 16, 10) AS BIGINT))""".stripMargin))
+      .withColumn("hs",
+        graft.functions.TextExpressions.wordNgramMd5p64(col("tk"), 3, 15))
       .withColumn("wmins", expr(
         "transform(sequence(1, size(hs)), i -> array_min(slice(hs, greatest(i - 4, 1), i - greatest(i - 4, 1) + 1)))"))
       .select(col("doc_id"),
         size(array_distinct(col("wmins"))).cast(LongType).as("n_fp"),
         array_min(col("wmins")).as("fp_min"), array_max(col("wmins")).as("fp_max"))
       .orderBy("doc_id")
+  }
 
   val docFingerprintSql =
     """WITH g AS (

@@ -245,6 +245,28 @@ class VectorSpec extends AnyFunSuite {
     assert(diff.isEmpty, s"signatures differ: ${diff.take(3).toSeq}")
   }
 
+  test("word_ngram_md5p64 matches the positional HOF transform exactly") {
+    TextExpressions.register(spark)
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .limit(300)
+    Seq(1, 3, 5).foreach { n =>
+      val idx = (0 until n).map(k => s"tk[i+$k]").mkString(", ")
+      val diff = docs.where(size(col("tk")) >= n).select(
+          TextExpressions.wordNgramMd5p64(col("tk"), n, 15).as("native"),
+          expr(s"transform(sequence(0, size(tk) - $n), i -> " +
+            s"cast(conv(substring(md5(concat_ws(' ', $idx)), 1, 15), 16, 10) AS BIGINT))").as("hof"))
+        .where(col("native") =!= col("hof"))
+      assert(diff.isEmpty, s"n=$n mismatch: ${diff.take(2).toSeq}")
+    }
+    // fewer than n tokens → empty array (HOF would error on the negative sequence)
+    import spark.implicits._
+    val tiny = Seq(Seq("a", "b")).toDF("tk")
+      .select(TextExpressions.wordNgramMd5p64(col("tk"), 5, 15).as("g"))
+      .collect().head.getSeq[Long](0)
+    assert(tiny === Seq.empty)
+  }
+
   test("md5_prefix64 matches the conv/substring/md5 form exactly") {
     TextExpressions.register(spark)
     val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
