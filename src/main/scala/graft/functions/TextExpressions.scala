@@ -401,6 +401,69 @@ object WordNgramMd5p64 {
   }
 }
 
+/** One BPE merge round applied to a token array: greedy left-to-right
+  * non-overlapping replacement of adjacent (a, b) with `a + " " + b` —
+  * the exact semantics of `TextAnalysis.applyMerge` (a merged symbol
+  * cannot re-pair with the token it just consumed within the same
+  * pass). The training loop previously ran this via `Dataset.map`,
+  * paying a full encoder round-trip (row → Seq[String] → row) on the
+  * whole corpus EVERY round; as a codegen'd expression the remap stays
+  * inside the same stage as the next round's pair count. The merge pair
+  * is a per-round constant, so it rides the expression as literals —
+  * no broadcast, no shuffle, matching the closure-constant design of
+  * the loop it serves. */
+case class BpeMergeStep(child: Expression, a: String, b: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private lazy val aU8 = UTF8String.fromString(a)
+  private lazy val bU8 = UTF8String.fromString(b)
+  private lazy val joinedU8 = UTF8String.fromString(a + " " + b)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_merge_step expects array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_merge_step"
+
+  override def nullSafeEval(input: Any): Any =
+    BpeMergeStep.compute(input.asInstanceOf[ArrayData], aU8, bU8, joinedU8)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[UTF8String].getName
+    val aRef = ctx.addReferenceObj("bpeMergeA", aU8, cls)
+    val bRef = ctx.addReferenceObj("bpeMergeB", bU8, cls)
+    val jRef = ctx.addReferenceObj("bpeMergeJoined", joinedU8, cls)
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.BpeMergeStep.compute($x, $aRef, $bRef, $jRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeMergeStep {
+  def compute(arr: ArrayData, a: UTF8String, b: UTF8String,
+      joined: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    val tmp = new Array[Any](n)
+    var i = 0
+    var k = 0
+    while (i < n) {
+      if (i + 1 < n && a.equals(arr.getUTF8String(i)) &&
+          b.equals(arr.getUTF8String(i + 1))) {
+        tmp(k) = joined; k += 1; i += 2
+      } else {
+        tmp(k) = arr.getUTF8String(i); k += 1; i += 1
+      }
+    }
+    new GenericArrayData(
+      if (k == n) tmp
+      else java.util.Arrays.copyOf(tmp.asInstanceOf[Array[AnyRef]], k).asInstanceOf[Array[Any]])
+  }
+}
+
 /** Native Unicode normalization (NFC/NFD/NFKC/NFKD via
   * `java.text.Normalizer`) — the curation-pipeline hygiene step Spark has
   * no built-in for (mixed composed/decomposed sources hash and dedup as
@@ -474,6 +537,10 @@ object TextExpressions {
       "word_ngram_md5p64", exprs => WordNgramMd5p64(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int],
         exprs(2).eval(null).asInstanceOf[Int]), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_merge_step", exprs => BpeMergeStep(exprs(0),
+        exprs(1).eval(null).asInstanceOf[UTF8String].toString,
+        exprs(2).eval(null).asInstanceOf[UTF8String].toString), "built-in")
   }
 
   /** word_ngrams(toks, n) as a Column (requires register first) */
@@ -512,4 +579,10 @@ object TextExpressions {
     call_function("word_ngram_md5p64", toks,
       org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.lit(hexLen))
+
+  /** bpe_merge_step(toks, a, b) as a Column (requires register first) */
+  def bpeMergeStep(toks: Column, a: String, b: String): Column =
+    call_function("bpe_merge_step", toks,
+      org.apache.spark.sql.functions.lit(a),
+      org.apache.spark.sql.functions.lit(b))
 }

@@ -134,13 +134,12 @@ object TextAnalysis {
   def bpeTrainMerges(docs: DataFrame,
       nMerges: Int): Seq[(Int, String, String, Long)] = {
     val s = docs.sparkSession
-    import s.implicits._
+    graft.functions.TextExpressions.register(s)
     def ckptRdd(ds: Dataset[_]): Option[org.apache.spark.rdd.RDD[_]] =
       ds.queryExecution.analyzed.collectFirst {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }
     var toks = docs.select(split(lower(col("text")), " ").as("tk"))
-      .as[Seq[String]]
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     // two-slot checkpoint tracking (the propagateMinLabelTracked
     // discipline): `pending` = the current round's lazy checkpoint,
@@ -153,7 +152,7 @@ object TextAnalysis {
     var r = 1
     var dry = false
     while (r <= nMerges && !dry) {
-      val top = pairCounts(toks.toDF("tk"))
+      val top = pairCounts(toks)
         .orderBy(col("cnt").desc, col("t1").asc, col("t2").asc)
         .limit(1).collect()
       // the argmax materialized `pending` (it scanned toks) — its input
@@ -165,8 +164,11 @@ object TextAnalysis {
       else {
         val (a, b, n) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         merges += ((r, a, b, n))
-        val joined = a + " " + b
-        toks = toks.map(applyMerge(_, a, b, joined)).localCheckpoint(false)
+        // per-round remap as a codegen'd expression (BpeMergeStep ≡
+        // applyMerge, BpeSpec-pinned) — the old Dataset.map paid a full
+        // encoder round-trip over the corpus every round
+        toks = toks.select(graft.functions.TextExpressions
+          .bpeMergeStep(col("tk"), a, b).as("tk")).localCheckpoint(false)
         pending = ckptRdd(toks)
       }
       r += 1
@@ -220,16 +222,16 @@ object TextAnalysis {
     * parallel map-side work. Output: (doc_id, syms, n_toks). */
   def bpeEncode(docs: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    docs.select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
-      .as[(Long, Seq[String])]
-      .map { case (id, tk) =>
-        var syms = tk
-        for ((a, b) <- merges) syms = applyMerge(syms, a, b, a + " " + b)
-        (id, syms, tk.length.toLong)
-      }
-      .toDF("doc_id", "syms", "n_toks")
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    // the whole rank-ordered merge chain folds into ONE codegen'd
+    // projection (BpeMergeStep ≡ applyMerge per rank) — no encoder
+    // round-trip, no lambda; the merge table rides as literals
+    val tk = split(lower(col("text")), " ")
+    val syms = merges.foldLeft(tk) { case (c, (a, b)) =>
+      graft.functions.TextExpressions.bpeMergeStep(c, a, b)
+    }
+    docs.select(col("doc_id"), syms.as("syms"),
+      size(tk).cast(LongType).as("n_toks"))
   }
 
   /** Declared query: per-doc encoding compression under the corpus's own
