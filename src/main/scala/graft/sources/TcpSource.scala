@@ -46,8 +46,12 @@ object TcpSyslogSourceProvider {
 
   private val receivers = new ConcurrentHashMap[Int, TcpReceiver]()
 
-  def receiver(port: Int): TcpReceiver =
-    receivers.computeIfAbsent(port, p => { val r = new TcpReceiver(p); r.start(); r })
+  def receiver(port: Int): TcpReceiver = receiver(port, None)
+
+  /** TLS config is bound at first open per port (listeners are shared
+    * across planning calls, like the UDP registry) */
+  def receiver(port: Int, tls: Option[TlsServerConfig]): TcpReceiver =
+    receivers.computeIfAbsent(port, p => { val r = new TcpReceiver(p, tls); r.start(); r })
 
   def stop(port: Int): Unit = {
     val r = receivers.remove(port)
@@ -55,11 +59,40 @@ object TcpSyslogSourceProvider {
   }
 }
 
-/** accept loop + per-connection RFC 6587 frame readers */
-final class TcpReceiver(port: Int) extends Thread(s"graft-tcp-$port") {
+/** RFC 5425 transport config: server keystore (PKCS12) holding the
+  * receiver's certificate + private key. RFC 5425 mandates
+  * octet-counting framing, which [[TcpReceiver.readFrame]] already
+  * speaks — TLS changes only the socket factory. */
+case class TlsServerConfig(keystorePath: String, keystorePassword: String) {
+  def serverSocket(port: Int): ServerSocket = {
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = new java.io.FileInputStream(keystorePath)
+    try ks.load(in, keystorePassword.toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, keystorePassword.toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    val s = ctx.getServerSocketFactory.createServerSocket()
+    s.bind(new InetSocketAddress("0.0.0.0", port), 64)
+    s
+  }
+}
+
+/** accept loop + per-connection RFC 6587/5425 frame readers; with a
+  * [[TlsServerConfig]] the accept socket is an SSLServerSocket and every
+  * connection handshakes TLS before the first frame byte (a plaintext
+  * client's bytes die in the handshake — they can never reach the log) */
+final class TcpReceiver(port: Int, tls: Option[TlsServerConfig] = None)
+    extends Thread(s"graft-tcp-$port") {
   setDaemon(true)
-  private val server = new ServerSocket()
-  server.bind(new InetSocketAddress("0.0.0.0", port), 64)
+  private val server = tls match {
+    case Some(cfg) => cfg.serverSocket(port)
+    case None =>
+      val s = new ServerSocket()
+      s.bind(new InetSocketAddress("0.0.0.0", port), 64)
+      s
+  }
   val boundPort: Int = server.getLocalPort
   val log = new BoundedRowLog(Ingest.BufferLimit)
 
@@ -171,14 +204,23 @@ class TcpSyslogSourceProvider extends TableProvider {
       case Some(csv) => csv.split(",").map(_.trim.toInt).toSeq
       case None => Seq(properties.getOrDefault("port", "5514").toInt)
     }
-    new TcpTable(ports,
+    // RFC 5425: `tls=true` + `tlsKeystore`/`tlsKeystorePassword` (PKCS12)
+    val tls = if (properties.getOrDefault("tls", "false").toBoolean)
+      Some(TlsServerConfig(
+        Option(properties.get("tlsKeystore")).getOrElse(
+          throw new IllegalArgumentException("tls=true requires tlsKeystore")),
+        properties.getOrDefault("tlsKeystorePassword", "")))
+    else None
+    new TcpTable(ports, tls,
       properties.getOrDefault("maxRowsPerBatch",
         UdpSourceProvider.FlushRows.toString).toLong)
   }
 }
 
-class TcpTable(ports: Seq[Int], maxRowsPerBatch: Long) extends Table with SupportsRead {
-  override def name(): String = s"tcp:${ports.mkString(",")}"
+class TcpTable(ports: Seq[Int], tls: Option[TlsServerConfig],
+    maxRowsPerBatch: Long) extends Table with SupportsRead {
+  override def name(): String =
+    s"${if (tls.isDefined) "tcp+tls" else "tcp"}:${ports.mkString(",")}"
   override def schema(): StructType = TcpSyslogSourceProvider.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -187,16 +229,18 @@ class TcpTable(ports: Seq[Int], maxRowsPerBatch: Long) extends Table with Suppor
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = TcpSyslogSourceProvider.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new TcpMicroBatchStream(ports, maxRowsPerBatch)
+          new TcpMicroBatchStream(ports, tls, maxRowsPerBatch)
       }
     }
 }
 
-class TcpMicroBatchStream(ports: Seq[Int], maxRowsPerBatch: Long)
+class TcpMicroBatchStream(ports: Seq[Int], tls: Option[TlsServerConfig],
+    maxRowsPerBatch: Long)
     extends BufferedMicroBatchStream(ports, maxRowsPerBatch) {
-  def this(port: Int, maxRowsPerBatch: Long) = this(Seq(port), maxRowsPerBatch)
+  def this(port: Int, maxRowsPerBatch: Long) = this(Seq(port), None, maxRowsPerBatch)
+  def this(ports: Seq[Int], maxRowsPerBatch: Long) = this(ports, None, maxRowsPerBatch)
 
   override protected def log(port: Int): BoundedRowLog =
-    TcpSyslogSourceProvider.receiver(port).log
+    TcpSyslogSourceProvider.receiver(port, tls).log
   override protected def stopPort(port: Int): Unit = TcpSyslogSourceProvider.stop(port)
 }

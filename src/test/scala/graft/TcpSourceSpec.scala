@@ -107,6 +107,110 @@ class TcpSourceSpec extends AnyFunSuite {
     }
   }
 
+  /** self-signed PKCS12 keystore via the JDK's keytool; trust-all client
+    * context (the test peers on loopback — no CA to chain to) */
+  private def makeKeystore(): (String, String) = {
+    val dir = Files.createTempDirectory("graft_tls_ks")
+    val path = dir.resolve("server.p12").toString
+    val pw = "graftpass"
+    val keytool = new ProcessBuilder(
+      s"${System.getProperty("java.home")}/bin/keytool",
+      "-genkeypair", "-alias", "graft", "-keyalg", "RSA", "-keysize", "2048",
+      "-validity", "2", "-dname", "CN=localhost",
+      "-keystore", path, "-storetype", "PKCS12",
+      "-storepass", pw, "-keypass", pw)
+      .redirectErrorStream(true).start()
+    val out = new String(keytool.getInputStream.readAllBytes, "UTF-8")
+    assert(keytool.waitFor() === 0, s"keytool failed: $out")
+    (path, pw)
+  }
+
+  private def trustAllSocket(port: Int): javax.net.ssl.SSLSocket = {
+    val trustAll: Array[javax.net.ssl.TrustManager] = Array(
+      new javax.net.ssl.X509TrustManager {
+        override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+      })
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(null, trustAll, null)
+    ctx.getSocketFactory.createSocket("127.0.0.1", port)
+      .asInstanceOf[javax.net.ssl.SSLSocket]
+  }
+
+  test("TLS (RFC 5425): octet-counted frames over a real TLS handshake; plaintext rejected") {
+    val (ksPath, ksPw) = makeKeystore()
+    val rx = new sources.TcpReceiver(0, Some(sources.TlsServerConfig(ksPath, ksPw)))
+    rx.start()
+    // plaintext client first: its bytes must die in the handshake, never
+    // reaching the log (RFC 5425's point — no cleartext fallback)
+    val plain = new Socket(InetAddress.getByName("127.0.0.1"), rx.boundPort)
+    try {
+      plain.getOutputStream.write(octet("<34>1 2003-10-11T22:14:15.003Z h app - - - plaintext leak"))
+      plain.getOutputStream.flush()
+    } catch { case _: java.io.IOException => () } finally plain.close()
+
+    val sock = trustAllSocket(rx.boundPort)
+    try {
+      sock.startHandshake()
+      val out = sock.getOutputStream
+      out.write(octet("<34>1 2003-10-11T22:14:15.003Z secure.example.com su - ID47 - over tls"))
+      out.write(octet("firewall,info tls forward"))
+      out.flush()
+      val dl = System.currentTimeMillis() + 10000
+      while (rx.latest < 2L && System.currentTimeMillis() < dl) Thread.sleep(50)
+      val rows = rx.log.slice(0, rx.latest).map(_._1).toSeq
+      assert(rows === Seq(
+        "<34>1 2003-10-11T22:14:15.003Z secure.example.com su - ID47 - over tls",
+        "firewall,info tls forward"), s"got $rows")
+      assert(!rows.exists(_.contains("plaintext leak")),
+        "plaintext bytes must never survive the TLS handshake")
+    } finally {
+      sock.close()
+      rx.shutdown()
+    }
+  }
+
+  test("TLS source e2e: readStream with tls options lands decoded rows") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val (ksPath, ksPw) = makeKeystore()
+    val port = freePort()
+    sources.TcpSyslogSourceProvider.receiver(port,
+      Some(sources.TlsServerConfig(ksPath, ksPw)))
+
+    val lines = spark.readStream
+      .format(classOf[sources.TcpSyslogSourceProvider].getName)
+      .option("port", port.toString)
+      .option("tls", "true")
+      .option("tlsKeystore", ksPath)
+      .option("tlsKeystorePassword", ksPw)
+      .load()
+    val ckpt = Files.createTempDirectory("graft_tls_ckpt").toString
+    val q = Pipeline.parseToRfcLog(lines).writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("tls_rfc").start()
+    val sock = trustAllSocket(port)
+    try {
+      sock.startHandshake()
+      sock.getOutputStream.write(octet("<165>1 2023-01-01T00:00:00Z tlshost app 1 - - hello"))
+      sock.getOutputStream.flush()
+      val deadline = System.currentTimeMillis() + 120000
+      var n = 0L
+      while (n < 1L && System.currentTimeMillis() < deadline) {
+        Thread.sleep(1000)
+        n = try spark.table("tls_rfc").count() catch { case _: Throwable => 0L }
+      }
+      assert(n === 1L, "TLS frame did not reach the sink")
+      val r = spark.table("tls_rfc").select("format", "hostname").collect().head
+      assert(r.getString(0) === "rfc5424" && r.getString(1) === "tlshost")
+    } finally {
+      sock.close()
+      q.stop()
+    }
+  }
+
   test("framed TCP flows source → rfc decode → sink: mixed fleet, two connections") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val port = freePort()
