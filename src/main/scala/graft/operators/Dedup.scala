@@ -1587,12 +1587,17 @@ object Dedup {
   val IncrementalMod = 10
   val IncrementalRem = 7
 
-  /** distinct per-doc grams under the portable 60-bit md5-prefix key */
-  private def ghGrams(s: SparkSession, dir: String): DataFrame =
+  /** distinct per-doc grams under the portable 60-bit md5-prefix key
+    * (native [[graft.functions.TextExpressions.md5Prefix64]] — one
+    * codegen'd digest per gram, bit-identical to the interpreted
+    * conv(substring(md5)) form per its parity spec) */
+  private def ghGrams(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.register(s)
     shingled(s, dir)
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .select(col("doc_id"),
-        expr("cast(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)").as("gh"))
+        graft.functions.TextExpressions.md5Prefix64(col("gram"), 15).as("gh"))
+  }
 
   /** Persist the corpus-side index: `grams/` = pruned inverted index
     * (gh, doc_id) clustered by gh so a probe's shuffle lands aligned, and
@@ -1654,7 +1659,7 @@ object Dedup {
     val batchGh = batchSh
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .select(col("doc_id"),
-        expr("cast(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)").as("gh"))
+        graft.functions.TextExpressions.md5Prefix64(col("gram"), 15).as("gh"))
     val batchDf = batchGh.groupBy("gh").agg(count(lit(1)).as("new_df"))
     val oldDf = s.read.parquet(s"$indexPath/dfs")
       .groupBy("gh").agg(sum(col("df")).as("old_df"))
@@ -1716,7 +1721,7 @@ object Dedup {
     val batchG = batchSh
       .select(col("doc_id").as("new_id"), explode(col("grams")).as("gram"))
       .select(col("new_id"),
-        expr("cast(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)").as("gh"))
+        graft.functions.TextExpressions.md5Prefix64(col("gram"), 15).as("gh"))
     val idx = s.read.parquet(s"$indexPath/grams")
       .select(col("gh"), col("doc_id").as("dup_of"))
     val sizes = s.read.parquet(s"$indexPath/sizes")
