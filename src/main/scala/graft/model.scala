@@ -87,9 +87,16 @@ object model {
     * through to the pri-only branch */
   val rfc3164Re: String =
     "^<(\\d{1,3})>([A-Z][a-z]{2} [ 0-9]\\d \\d{2}:\\d{2}:\\d{2}) (\\S+) ?(.*)$"
-  /** leading structured-data run: one or more [...] blocks (escaped `\]`
-    * inside param values is out of scope — documented simplification) */
-  val rfc5424SdRe: String = "^((?:\\[[^\\]]*\\])+)"
+  /** leading structured-data run: one or more [...] blocks. Block
+    * content admits the RFC 5424 §6.3.3 escape sequences — a `\]`
+    * inside a PARAM-VALUE does not close the block (`[^\]\\]|\\.`:
+    * any char that is neither `]` nor `\`, or a backslash + one
+    * escaped char). */
+  val rfc5424SdRe: String = "^((?:\\[(?:[^\\]\\\\]|\\\\.)*\\])+)"
+
+  /** one SD-ELEMENT's content (between the brackets), escape-aware like
+    * [[rfc5424SdRe]] — shared by the Spark decode and the DuckDB twin */
+  val sdBlockRe: String = "\\[((?:[^\\]\\\\]|\\\\.)*)\\]"
 
   /** Full RFC decode: raw line → struct(format, facility, severity,
     * version, ts_text, ts_us, hostname, appname, procid, msgid, sd,
@@ -157,10 +164,24 @@ object model {
   }
 
   /** one SD param inside a block: `NAME="VALUE"` — SD-NAMEs carry no
-    * space/=/]/"/ (RFC 5424 §6.3.3), values are quoted and MAY contain
-    * spaces; escaped `\"` inside values is out of scope, the same
-    * documented simplification as escaped `\]` in [[rfc5424SdRe]] */
-  val sdParamRe: String = "([^ =\\]\"]+)=\"([^\"]*)\""
+    * space/=/]/" (RFC 5424 §6.3.3); values are quoted, MAY contain
+    * spaces, and admit the §6.3.3 escapes (`\"` does not close the
+    * value: `[^"\\]|\\.`). The raw captured value still carries the
+    * backslashes — [[sdUnescape]] is the decode step. */
+  val sdParamRe: String = "([^ =\\]\"]+)=\"((?:[^\"\\\\]|\\\\.)*)\""
+
+  /** RFC 5424 §6.3.3 PARAM-VALUE unescape: `\"` `\]` `\\` → `"` `]`
+    * `\`. Producers MUST escape exactly those three characters; a
+    * backslash before any OTHER character is passed through untouched
+    * (the RFC instructs receivers to leave unrecognized sequences
+    * as-is, so `\d` stays `\d`). */
+  def sdUnescape(v: Column): Column =
+    regexp_replace(v, "\\\\([\"\\]\\\\])", "$1")
+
+  /** DuckDB twin of [[sdUnescape]] over SQL expression `e` (RE2: same
+    * pattern, `\1` back-reference, global flag) */
+  def sdUnescapeSql(e: String): String =
+    s"""regexp_replace($e, '\\\\(["\\]\\\\])', '\\1', 'g')"""
 
   /** RFC 5424 §6.3 structured-data decode: the raw `sd` bracket blob
     * ([[parseRfc]]'s `sd` field) → `MAP(sd_id → MAP(param → value))`.
@@ -170,31 +191,51 @@ object model {
     * SD-IDs are unique per message by RFC 5424 §6.3.2 ("the same SD-ID
     * MUST NOT exist more than once"); a violating input would surface
     * as Spark's duplicate-map-key error rather than silently dropping
-    * a block. */
+    * a block. A repeated PARAM-NAME inside one block, however, IS
+    * conformant (§6.3.2's own example: `[origin ip=".." ip=".."]`) —
+    * the map cell keeps the LAST occurrence (map keys can't repeat;
+    * [[sdParamRows]] is the lossless view that keeps every
+    * occurrence). Values arrive §6.3.3-unescaped. */
   def parseSdParams(sd: Column): Column = {
-    val blocks = regexp_extract_all(sd, lit("\\[([^\\]]*)\\]"), lit(1))
-    val entries = transform(blocks, b => struct(
-      substring_index(b, " ", 1).as("key"),
-      map_from_arrays(
-        regexp_extract_all(b, lit(sdParamRe), lit(1)),
-        regexp_extract_all(b, lit(sdParamRe), lit(2))).as("value")))
+    val blocks = regexp_extract_all(sd, lit(sdBlockRe), lit(1))
+    val entries = transform(blocks, b => {
+      val names = regexp_extract_all(b, lit(sdParamRe), lit(1))
+      val kvs = zip_with(
+        names,
+        transform(regexp_extract_all(b, lit(sdParamRe), lit(2)), sdUnescape(_)),
+        (n, v) => struct(n.as("key"), v.as("value")))
+      // keep-last: drop entry i when the same name appears again after
+      // position i (slice is 1-based: elements i+2 .. end)
+      val lastWins = filter(kvs, (e, i) =>
+        !exists(slice(names, i + lit(2), size(names)),
+          n => n === e.getField("key")))
+      struct(
+        substring_index(b, " ", 1).as("key"),
+        map_from_entries(lastWins).as("value"))
+    })
     when(sd.isNull || sd === "-",
         lit(null).cast(MapType(StringType, MapType(StringType, StringType))))
       .otherwise(map_from_entries(entries))
   }
 
   /** [[parseSdParams]] flattened to one row per (sd_id, param) — the
-    * hashable/relational view (map cells don't hash); `entries` is the
-    * same transform as the map form without the final map_from_entries */
+    * hashable/relational view (map cells don't hash). Unlike the map
+    * API this view is LOSSLESS for repeated PARAM-NAMEs: each
+    * occurrence is its own row (zipped-array explode, no intermediate
+    * map that would dedup or throw). Values §6.3.3-unescaped. */
   def sdParamRows(df: DataFrame, sdCol: String): DataFrame = {
-    val blocks = regexp_extract_all(col(sdCol), lit("\\[([^\\]]*)\\]"), lit(1))
+    val blocks = regexp_extract_all(col(sdCol), lit(sdBlockRe), lit(1))
+    val kvs = zip_with(
+      regexp_extract_all(col("blk"), lit(sdParamRe), lit(1)),
+      regexp_extract_all(col("blk"), lit(sdParamRe), lit(2)),
+      (n, v) => struct(n.as("param"), v.as("value")))
     df.where(col(sdCol).isNotNull && col(sdCol) =!= "-")
       .select(col("*"), explode(blocks).as("blk"))
       .select(col("*"), substring_index(col("blk"), " ", 1).as("sd_id"),
-        explode(map_from_arrays(
-          regexp_extract_all(col("blk"), lit(sdParamRe), lit(1)),
-          regexp_extract_all(col("blk"), lit(sdParamRe), lit(2)))).as(Seq("param", "value")))
-      .drop("blk")
+        explode(kvs).as("kv"))
+      .select(col("*"), col("kv.param").as("param"),
+        sdUnescape(col("kv.value")).as("value"))
+      .drop("blk", "kv")
   }
 
   val monthTokens: Seq[(String, Int)] = Seq("Jan" -> 1, "Feb" -> 2,
@@ -270,7 +311,13 @@ object model {
     // SD param-extraction shapes (parseSdParams): value WITH spaces,
     // empty value, param-less block, empty block
     (20, "<165>1 2003-10-11T22:14:15.003Z h app - - [meta@99 path=\"/var/log/app log\" note=\"\"][bare@1][x@2 k=\"v\"] spaced-value msg", "10.0.1.9:514", "2024-02-01 01:25:00"),
-    (21, "<165>1 2003-10-11T22:14:15.003Z h app - - [] empty block", "10.0.1.9:514", "2024-02-01 01:30:00"))
+    (21, "<165>1 2003-10-11T22:14:15.003Z h app - - [] empty block", "10.0.1.9:514", "2024-02-01 01:30:00"),
+    // §6.3.3 escape shapes: \" and \] inside a value (must not close
+    // the value/block), \\ → \, and an unrecognized \d left as-is
+    (22, "<165>1 2003-10-11T22:14:15.003Z h app - - [esc@9 path=\"C:\\\\logs\\\\app\" msg=\"say \\\"hi\\] now\\\" ok\" re=\"\\d+\"] escaped values", "10.0.1.9:514", "2024-02-01 01:35:00"),
+    // §6.3.2's own repeated-PARAM-NAME example: both occurrences
+    // survive the flat view; the map API keeps the last
+    (23, "<165>1 2003-10-11T22:14:15.003Z h app - - [origin ip=\"192.0.2.1\" ip=\"192.0.2.129\"] dup param", "10.0.1.9:514", "2024-02-01 01:40:00"))
 
   def rfcLines(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -280,11 +327,15 @@ object model {
   }
 
   /** the RFC fixture as a DuckDB VALUES relation `f(id, raw, device, ts)` */
-  def rfcLinesValuesSql: String =
+  def rfcLinesValuesSql: String = rfcLinesValuesSql("f")
+
+  /** same VALUES relation under a caller-chosen alias (for oracles that
+    * join the fixture against itself — no string surgery on the SQL) */
+  def rfcLinesValuesSql(alias: String): String =
     rfcFixture.map { case (id, raw, dev, ts) =>
       val esc = raw.replace("'", "''")
       s"($id, '$esc', '$dev', TIMESTAMP '$ts')"
-    }.mkString("(VALUES ", ", ", ") f(id, raw, device, ts)")
+    }.mkString("(VALUES ", ", ", s") $alias(id, raw, device, ts)")
 
   /** DuckDB twin of [[parseRfc]] over `$rel` — the same regexes, branch
     * conditions and arithmetic; topics severity/message reuse the

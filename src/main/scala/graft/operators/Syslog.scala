@@ -109,26 +109,30 @@ object Syslog {
     * declared view flattens to one row per (sd_id, param) because map
     * cells don't hash in the driver compare. Blocks with no params
     * (`[bare@1]`) and the empty block (`[]`) drop out of the flattened
-    * view on both sides by the same rule (no kv pairs to emit). */
+    * view on both sides by the same rule (no kv pairs to emit).
+    * Values are §6.3.3-unescaped on both sides; repeated PARAM-NAMEs
+    * (§6.3.2-conformant) each keep their row, so `value` joins the
+    * sort keys to pin a total order. */
   def parseSdParamsQ(s: SparkSession, dir: String): DataFrame = {
     val parsed = model.rfcLines(s)
       .withColumn("p", model.parseRfc(col("raw")))
       .select(col("id"), col("p.sd").as("sd"))
     model.sdParamRows(parsed, "sd")
       .select("id", "sd_id", "param", "value")
-      .orderBy("id", "sd_id", "param")
+      .orderBy("id", "sd_id", "param", "value")
   }
 
   val parseSdParamsSql: String =
     s"""WITH p AS (${model.parseRfcOracleSql(model.rfcLinesValuesSql)}),
-       |b AS (SELECT id, unnest(regexp_extract_all(sd, '\\[([^\\]]*)\\]', 1)) AS blk
+       |b AS (SELECT id, unnest(regexp_extract_all(sd, '${model.sdBlockRe}', 1)) AS blk
        |      FROM p WHERE sd IS NOT NULL AND sd <> '-'),
        |kv AS (SELECT id,
        |    CASE WHEN strpos(blk, ' ') > 0 THEN substr(blk, 1, strpos(blk, ' ') - 1) ELSE blk END AS sd_id,
        |    unnest(regexp_extract_all(blk, '${model.sdParamRe}', 1)) AS param,
        |    unnest(regexp_extract_all(blk, '${model.sdParamRe}', 2)) AS value
        |  FROM b)
-       |SELECT id, sd_id, param, value FROM kv ORDER BY id, sd_id, param""".stripMargin
+       |SELECT id, sd_id, param, ${model.sdUnescapeSql("value")} AS value
+       |FROM kv ORDER BY id, sd_id, param, value""".stripMargin
 
   /** RFC 3164 year anchoring ([[model.anchor3164TsUs]]): the year-less
     * BSD stamp + the row's ingest timestamp → epoch micros under the
@@ -152,7 +156,7 @@ object Syslog {
     val re = model.rfc3164TsRe
     s"""WITH p AS (${model.parseRfcOracleSql(model.rfcLinesValuesSql)}),
        |j AS (SELECT p.id, p.ts_text, g.ts AS anchor
-       |      FROM p JOIN ${model.rfcLinesValuesSql.replace(" f(", " g(")} ON p.id = g.id
+       |      FROM p JOIN ${model.rfcLinesValuesSql("g")} ON p.id = g.id
        |      WHERE p.format = 'rfc3164'),
        |x AS (SELECT *, CASE regexp_extract(ts_text, '$re', 1) $monCase END AS mon,
        |      try_cast(nullif(regexp_extract(ts_text, '$re', 2), '') AS INT) AS day,

@@ -252,6 +252,62 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
+  /** the producer-side RFC 5424 §6.3.3 escape: `\` `"` `]` → `\\` `\"` `\]` */
+  private def sdEscape(v: String): String =
+    v.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case ']'  => "\\]"
+      case c    => c.toString
+    }
+
+  test("sd params: §6.3.3 escapes — \\\" and \\] don't close value/block, \\\\ decodes, \\d passes through") {
+    val blob = """[esc@9 path="C:\\logs\\app" msg="say \"hi\] now\" ok" re="\d+"]"""
+    val m = Seq(blob).toDF("sd")
+      .select(model.parseSdParams(col("sd")).as("m"))
+      .as[Map[String, Map[String, String]]]
+      .collect().head
+    assert(m === Map("esc@9" -> Map(
+      "path" -> """C:\logs\app""",
+      "msg" -> """say "hi] now" ok""",
+      "re" -> """\d+""")))
+    // flat view decodes identically
+    val rows = model.sdParamRows(Seq((1, blob)).toDF("id", "sd"), "sd")
+      .select("param", "value").as[(String, String)].collect().toMap
+    assert(rows === Map("path" -> """C:\logs\app""",
+      "msg" -> """say "hi] now" ok""", "re" -> """\d+"""))
+  }
+
+  test("sd params property: escape(x) round-trips to x through both APIs") {
+    val rawValGen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar,
+      Gen.oneOf('"', ']', '\\', ' ', '[', '='))).map(_.mkString.take(20))
+    val vals = (0 until 200).flatMap(i =>
+      rawValGen.apply(Gen.Parameters.default, Seed(97L + i)))
+    val blobs = vals.map(v => s"""[p@1 k="${sdEscape(v)}"]""")
+    val got = blobs.toDF("sd")
+      .select(model.parseSdParams(col("sd")).as("m"))
+      .as[Map[String, Map[String, String]]]
+      .collect().toSeq
+    got.zip(vals).zip(blobs).foreach { case ((m, v), blob) =>
+      assert(m === Map("p@1" -> Map("k" -> v)), s"blob '$blob'")
+    }
+  }
+
+  test("sd params: repeated PARAM-NAME (§6.3.2 origin example) — map keeps last, flat view keeps all") {
+    val blob = """[origin ip="192.0.2.1" ip="192.0.2.129"][x@2 a="1"]"""
+    val m = Seq(blob).toDF("sd")
+      .select(model.parseSdParams(col("sd")).as("m"))
+      .as[Map[String, Map[String, String]]]
+      .collect().head
+    assert(m === Map("origin" -> Map("ip" -> "192.0.2.129"),
+      "x@2" -> Map("a" -> "1")))
+    val rows = model.sdParamRows(Seq((1, blob)).toDF("id", "sd"), "sd")
+      .select("sd_id", "param", "value").as[(String, String, String)]
+      .collect().toSeq.sorted
+    assert(rows === Seq(("origin", "ip", "192.0.2.1"),
+      ("origin", "ip", "192.0.2.129"), ("x@2", "a", "1")))
+  }
+
   test("3164 anchoring: Dec/Jan rollover, leap-year guard, hour-bucket join") {
     def anchored(tsText: String, anchor: String): Option[Long] = {
       val r = Seq((tsText, anchor)).toDF("t", "a")
