@@ -49,9 +49,18 @@ object TcpSyslogSourceProvider {
   def receiver(port: Int): TcpReceiver = receiver(port, None)
 
   /** TLS config is bound at first open per port (listeners are shared
-    * across planning calls, like the UDP registry) */
-  def receiver(port: Int, tls: Option[TlsServerConfig]): TcpReceiver =
-    receivers.computeIfAbsent(port, p => { val r = new TcpReceiver(p, tls); r.start(); r })
+    * across planning calls, like the UDP registry). A later caller
+    * requesting a DIFFERENT TLS setting for an already-bound port is an
+    * error, not a silent downgrade: a query asking for tls=true must
+    * never be handed a plaintext listener. */
+  def receiver(port: Int, tls: Option[TlsServerConfig]): TcpReceiver = {
+    val r = receivers.computeIfAbsent(port, p => { val rx = new TcpReceiver(p, tls); rx.start(); rx })
+    if (r.tlsConfig != tls)
+      throw new IllegalStateException(
+        s"TCP syslog port $port is already bound with tls=${r.tlsConfig.isDefined}" +
+          s"; a conflicting TLS configuration was requested (stop the port first)")
+    r
+  }
 
   def stop(port: Int): Unit = {
     val r = receivers.remove(port)
@@ -62,18 +71,42 @@ object TcpSyslogSourceProvider {
 /** RFC 5425 transport config: server keystore (PKCS12) holding the
   * receiver's certificate + private key. RFC 5425 mandates
   * octet-counting framing, which [[TcpReceiver.readFrame]] already
-  * speaks — TLS changes only the socket factory. */
-case class TlsServerConfig(keystorePath: String, keystorePassword: String) {
-  def serverSocket(port: Int): ServerSocket = {
+  * speaks — TLS changes only the socket factory.
+  *
+  * Mutual authentication (RFC 5425 §5.2 — certificate-based client
+  * auth is a MUST-support): set [[needClientAuth]] and point
+  * [[truststorePath]] at a PKCS12 truststore of accepted sender
+  * certs/CAs. A connecting client without a chainable cert fails the
+  * handshake — its frames can never reach the log. */
+case class TlsServerConfig(keystorePath: String, keystorePassword: String,
+    truststorePath: Option[String] = None, truststorePassword: String = "",
+    needClientAuth: Boolean = false) {
+  private def loadStore(path: String, pw: String): java.security.KeyStore = {
     val ks = java.security.KeyStore.getInstance("PKCS12")
-    val in = new java.io.FileInputStream(keystorePath)
-    try ks.load(in, keystorePassword.toCharArray) finally in.close()
+    val in = new java.io.FileInputStream(path)
+    try ks.load(in, pw.toCharArray) finally in.close()
+    ks
+  }
+
+  def serverSocket(port: Int): ServerSocket = {
     val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
       javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
-    kmf.init(ks, keystorePassword.toCharArray)
+    kmf.init(loadStore(keystorePath, keystorePassword),
+      keystorePassword.toCharArray)
+    // trust managers from the explicit truststore when given (the mTLS
+    // path); otherwise JVM default (server-auth-only — clients aren't
+    // verified, so the default set is never consulted)
+    val tms = truststorePath.map { tp =>
+      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(loadStore(tp, truststorePassword))
+      tmf.getTrustManagers
+    }.orNull
     val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
-    ctx.init(kmf.getKeyManagers, null, null)
+    ctx.init(kmf.getKeyManagers, tms, null)
     val s = ctx.getServerSocketFactory.createServerSocket()
+      .asInstanceOf[javax.net.ssl.SSLServerSocket]
+    if (needClientAuth) s.setNeedClientAuth(true)
     s.bind(new InetSocketAddress("0.0.0.0", port), 64)
     s
   }
@@ -86,6 +119,9 @@ case class TlsServerConfig(keystorePath: String, keystorePassword: String) {
 final class TcpReceiver(port: Int, tls: Option[TlsServerConfig] = None)
     extends Thread(s"graft-tcp-$port") {
   setDaemon(true)
+  /** the config this listener was bound with — the registry's
+    * conflicting-rebind guard compares against it */
+  private[sources] val tlsConfig: Option[TlsServerConfig] = tls
   private val server = tls match {
     case Some(cfg) => cfg.serverSocket(port)
     case None =>
@@ -110,6 +146,14 @@ final class TcpReceiver(port: Int, tls: Option[TlsServerConfig] = None)
       } catch {
         case _: Throwable if !running => // server closed on shutdown
         case _: java.io.IOException => // transient accept error
+        case e: Throwable =>
+          // unexpected failure while live (thread exhaustion, SSL
+          // internals): surface it and keep accepting — a silently dead
+          // listener reads as network loss to the whole fleet. Brief
+          // pause so a persistent fault can't spin the loop hot.
+          System.err.println(s"graft-tcp-$port accept loop: $e")
+          try Thread.sleep(100)
+          catch { case _: InterruptedException => running = false }
       }
     }
   }
@@ -204,13 +248,24 @@ class TcpSyslogSourceProvider extends TableProvider {
       case Some(csv) => csv.split(",").map(_.trim.toInt).toSeq
       case None => Seq(properties.getOrDefault("port", "5514").toInt)
     }
-    // RFC 5425: `tls=true` + `tlsKeystore`/`tlsKeystorePassword` (PKCS12)
-    val tls = if (properties.getOrDefault("tls", "false").toBoolean)
+    // RFC 5425: `tls=true` + `tlsKeystore`/`tlsKeystorePassword` (PKCS12);
+    // mutual auth (§5.2): `tlsNeedClientAuth=true` +
+    // `tlsTruststore`/`tlsTruststorePassword` (accepted sender certs/CAs)
+    val tls = if (properties.getOrDefault("tls", "false").toBoolean) {
+      val needClientAuth =
+        properties.getOrDefault("tlsNeedClientAuth", "false").toBoolean
+      val truststore = Option(properties.get("tlsTruststore"))
+      if (needClientAuth && truststore.isEmpty)
+        throw new IllegalArgumentException(
+          "tlsNeedClientAuth=true requires tlsTruststore")
       Some(TlsServerConfig(
         Option(properties.get("tlsKeystore")).getOrElse(
           throw new IllegalArgumentException("tls=true requires tlsKeystore")),
-        properties.getOrDefault("tlsKeystorePassword", "")))
-    else None
+        properties.getOrDefault("tlsKeystorePassword", ""),
+        truststore,
+        properties.getOrDefault("tlsTruststorePassword", ""),
+        needClientAuth))
+    } else None
     new TcpTable(ports, tls,
       properties.getOrDefault("maxRowsPerBatch",
         UdpSourceProvider.FlushRows.toString).toLong)

@@ -125,15 +125,57 @@ class TcpSourceSpec extends AnyFunSuite {
     (path, pw)
   }
 
+  private val trustAll: Array[javax.net.ssl.TrustManager] = Array(
+    new javax.net.ssl.X509TrustManager {
+      override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+      override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
+    })
+
   private def trustAllSocket(port: Int): javax.net.ssl.SSLSocket = {
-    val trustAll: Array[javax.net.ssl.TrustManager] = Array(
-      new javax.net.ssl.X509TrustManager {
-        override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
-        override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
-        override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] = Array.empty
-      })
     val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
     ctx.init(null, trustAll, null)
+    ctx.getSocketFactory.createSocket("127.0.0.1", port)
+      .asInstanceOf[javax.net.ssl.SSLSocket]
+  }
+
+  private def keytool(args: String*): Unit = {
+    val p = new ProcessBuilder(
+      (Seq(s"${System.getProperty("java.home")}/bin/keytool") ++ args): _*)
+      .redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+    assert(p.waitFor() === 0, s"keytool failed: $out")
+  }
+
+  /** mTLS sender material: a client keypair keystore + a server-side
+    * truststore holding (only) that client's cert */
+  private def makeClientIdentity(): (String, String, String) = {
+    val dir = Files.createTempDirectory("graft_tls_client")
+    val ks = dir.resolve("client.p12").toString
+    val cer = dir.resolve("client.cer").toString
+    val trust = dir.resolve("trust.p12").toString
+    val pw = "graftpass"
+    keytool("-genkeypair", "-alias", "sender", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "2", "-dname", "CN=sender",
+      "-keystore", ks, "-storetype", "PKCS12", "-storepass", pw, "-keypass", pw)
+    keytool("-exportcert", "-alias", "sender", "-keystore", ks,
+      "-storepass", pw, "-file", cer)
+    keytool("-importcert", "-noprompt", "-alias", "sender", "-file", cer,
+      "-keystore", trust, "-storetype", "PKCS12", "-storepass", pw)
+    (ks, trust, pw)
+  }
+
+  /** client socket that PRESENTS a cert from `ksPath` (and trusts any
+    * server — loopback peers, no CA) */
+  private def clientCertSocket(port: Int, ksPath: String, pw: String): javax.net.ssl.SSLSocket = {
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = new java.io.FileInputStream(ksPath)
+    try ks.load(in, pw.toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, pw.toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, trustAll, null)
     ctx.getSocketFactory.createSocket("127.0.0.1", port)
       .asInstanceOf[javax.net.ssl.SSLSocket]
   }
@@ -208,6 +250,86 @@ class TcpSourceSpec extends AnyFunSuite {
     } finally {
       sock.close()
       q.stop()
+    }
+  }
+
+  test("mTLS (RFC 5425 §5.2): certless client rejected before any frame lands; cert-bearing client decodes") {
+    val (serverKs, serverPw) = makeKeystore()
+    val (clientKs, trustPath, pw) = makeClientIdentity()
+    val rx = new sources.TcpReceiver(0, Some(sources.TlsServerConfig(
+      serverKs, serverPw, Some(trustPath), pw, needClientAuth = true)))
+    rx.start()
+    // client that completes TLS but presents NO certificate: the server
+    // aborts the handshake (certificate_required) — its frames must
+    // never reach the log
+    val bare = trustAllSocket(rx.boundPort)
+    try {
+      bare.startHandshake()
+      bare.getOutputStream.write(octet("<34>1 2003-10-11T22:14:15.003Z h app - - - certless leak"))
+      bare.getOutputStream.flush()
+      bare.getInputStream.read() // drive the server's alert back
+    } catch { case _: java.io.IOException => () } finally bare.close()
+    Thread.sleep(500)
+    assert(rx.latest === 0L, "certless client's frames must never reach the log")
+    // client presenting the truststore's cert: frames decode normally
+    val sock = clientCertSocket(rx.boundPort, clientKs, pw)
+    try {
+      sock.startHandshake()
+      val out = sock.getOutputStream
+      out.write(octet("<34>1 2003-10-11T22:14:15.003Z mutual.example.com su - ID47 - over mtls"))
+      out.flush()
+      val dl = System.currentTimeMillis() + 10000
+      while (rx.latest < 1L && System.currentTimeMillis() < dl) Thread.sleep(50)
+      val rows = rx.log.slice(0, rx.latest).map(_._1).toSeq
+      assert(rows === Seq(
+        "<34>1 2003-10-11T22:14:15.003Z mutual.example.com su - ID47 - over mtls"),
+        s"got $rows")
+    } finally {
+      sock.close()
+      rx.shutdown()
+    }
+  }
+
+  test("conflicting TLS rebind on a bound port throws instead of silently downgrading") {
+    val port = freePort()
+    sources.TcpSyslogSourceProvider.receiver(port) // bound plaintext
+    try {
+      val (ksPath, ksPw) = makeKeystore()
+      intercept[IllegalStateException] {
+        sources.TcpSyslogSourceProvider.receiver(port,
+          Some(sources.TlsServerConfig(ksPath, ksPw)))
+      }
+      // re-requesting the SAME binding stays fine
+      sources.TcpSyslogSourceProvider.receiver(port)
+    } finally sources.TcpSyslogSourceProvider.stop(port)
+  }
+
+  test("restored offsets re-base a fresh TCP receiver instead of swallowing new frames") {
+    val port = freePort()
+    val stream = new sources.TcpMicroBatchStream(port, 1000)
+    // simulate a checkpoint restore: offset 7 was committed by a previous
+    // JVM; the fresh receiver's buffer is empty
+    val restored = stream.deserializeOffset("7")
+    val rx = sources.TcpSyslogSourceProvider.receiver(port)
+    assert(rx.latest === 7L, "restore should fast-forward the offset space")
+    val sock = new Socket(InetAddress.getByName("127.0.0.1"), port)
+    try {
+      val out: OutputStream = sock.getOutputStream
+      (1 to 3).foreach(i => out.write(octet(s"row $i")))
+      out.flush()
+      val dl = System.currentTimeMillis() + 10000
+      while (rx.latest < 10L && System.currentTimeMillis() < dl) Thread.sleep(50)
+      assert(rx.latest === 10L)
+      // without the re-base these three frames would be eaten by the
+      // stale offset range (slice clamps to the new buffer's head) —
+      // on a lossless-by-contract transport that would be silent loss
+      val parts = stream.planInputPartitions(restored, sources.IngestOffset(rx.latest))
+      val rows = parts.head.asInstanceOf[sources.IngestInputPartition].rows
+      assert(rows.length === 3, "new frames swallowed by a stale restored offset")
+      assert(rows.map(_._1).toSeq === Seq("row 1", "row 2", "row 3"))
+    } finally {
+      sock.close()
+      sources.TcpSyslogSourceProvider.stop(port)
     }
   }
 
