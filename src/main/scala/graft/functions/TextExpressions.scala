@@ -152,10 +152,17 @@ object WinnowPositions {
 
   /** selected 1-based gram positions, distinct, in window order —
     * shared by [[compute]] and [[WinnowGrams]] */
-  private[functions] def select(text: UTF8String, l: Int, w: Int): Array[Long] = {
+  private[functions] def select(text: UTF8String, l: Int, w: Int): Array[Long] =
+    selectWithTables(text, l, w)._1
+
+  /** [[select]] plus the byte/offset table it hashed over, so callers
+    * that digest the selected grams afterwards ([[WinnowGrams]]) don't
+    * pay a second O(n) table build on the long-doc hot path */
+  private[functions] def selectWithTables(text: UTF8String, l: Int,
+      w: Int): (Array[Long], Array[Byte], Array[Int]) = {
     val nChars = text.numChars()
     val n = nChars - l + 1
-    if (n <= 0) return Array.empty[Long]
+    if (n <= 0) return (Array.empty[Long], Array.emptyByteArray, Array.empty[Int])
     val (bytes, offs) = byteOffsets(text)
     val digest = md.get()
     val h = new Array[Long](n)
@@ -192,7 +199,7 @@ object WinnowPositions {
     val it = selected.iterator()
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
-    out
+    (out, bytes, offs)
   }
 }
 
@@ -231,9 +238,8 @@ case class WinnowGrams(child: Expression, l: Int, w: Int)
 
 object WinnowGrams {
   def compute(text: UTF8String, l: Int, w: Int): ArrayData = {
-    val sel = WinnowPositions.select(text, l, w)
+    val (sel, bytes, offs) = WinnowPositions.selectWithTables(text, l, w)
     if (sel.isEmpty) return new GenericArrayData(Array.empty[Any])
-    val (bytes, offs) = WinnowPositions.byteOffsets(text)
     val digest = WinnowPositions.md.get()
     val out = new Array[Any](sel.length)
     var k = 0

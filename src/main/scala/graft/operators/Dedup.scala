@@ -2140,7 +2140,11 @@ object Dedup {
   }
 
   /** the winnow paths' island merge gap — ≡ L at the shipped w */
-  def winnowMergeGap: Int = math.max(SubstrL, WinnowW)
+  def winnowMergeGap: Int = winnowMergeGap(WinnowW)
+
+  /** merge gap for a caller-chosen window ([[writeWinnowIndex]]'s `w`
+    * dial): max(L, w), per the fragmentation analysis above */
+  def winnowMergeGap(w: Int): Int = math.max(SubstrL, w)
 
   /** the SQL island chain shared by every substring oracle: positions
     * CTE `d(doc_id, pos)` → merged spans CTE `spans` */
@@ -2669,59 +2673,75 @@ object Dedup {
     * only — the scan-stage front of the winnowed index/incremental
     * path. Selection is per-doc local (the native expression); the
     * full hash is computed only at the ~2/(w+1) selected positions. */
-  private def winnowGramsOf(docs: DataFrame): DataFrame = {
+  private def winnowGramsOf(docs: DataFrame, w: Int = WinnowW): DataFrame = {
     graft.functions.TextExpressions.register(docs.sparkSession)
     docs
       .where(length(col("text")) >= SubstrL)
       .select(col("doc_id"), explode(graft.functions.TextExpressions
-        .winnowGrams(col("text"), SubstrL, WinnowW)).as("g"))
+        .winnowGrams(col("text"), SubstrL, w)).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
   }
 
   /** The 100 TB at-rest form: persist only the corpus split's
-    * WINNOW-SELECTED gram hashes — ~2/(w+1) of the exact index's rows
-    * (w=50 in production → ~25× smaller), at the same ≥ L+w−1 run
-    * guarantee the batch winnow pass carries. Same layout and append/
-    * compact story as [[writeSubstrIndex]] (left-semi membership probe:
-    * duplicate rows are free, no caps needed). */
-  def writeWinnowIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
+    * WINNOW-SELECTED gram hashes — ~2/(w+1) of the exact index's rows,
+    * at a ≥ L+w−1 shared-run guarantee. Same layout and append/compact
+    * story as [[writeSubstrIndex]] (left-semi membership probe:
+    * duplicate rows are free, no caps needed).
+    *
+    * `w` is THE scale dial, and it is a build-time property of the
+    * index: it is persisted in meta/ and every append/probe replays the
+    * build's selection from there (like the SimHash bucket cap), so a
+    * binary with a different default cannot silently mix selection
+    * regimes. The trade as w grows: index and probe shuffle shrink
+    * ~(w+1)/2× (tools.LongDocWinnow measured w=50 at 31× cheaper than
+    * exact on 16.8M-char docs at 0.9999 char recall), while (a) only
+    * shared runs ≥ L+w−1 chars are guaranteed detected — short
+    * duplicates fade below the radar — and (b) spans bridge islands at
+    * gap max(L, w) ([[winnowMergeGap]]), absorbing ≤ w−L
+    * possibly-clean chars between close runs. The shipped default w=5
+    * keeps the batch queries' exact-subset property (w ≤ L); w=50 is
+    * the documented production setting for corpus-scale indexes. */
+  def writeWinnowIndex(s: SparkSession, dir: String, indexPath: String,
+      w: Int = WinnowW): Unit = {
     winnowGramsOf(t(s, dir, "documents")
         .where(col("doc_id") % IncrementalMod =!= IncrementalRem)
-        .select("doc_id", "text"))
+        .select("doc_id", "text"), w)
       .select("h").distinct()
       .repartition(col("h"))
       .write.mode("overwrite").parquet(s"$indexPath/hashes")
     // winnow_w is part of the index's identity: the ≥ L+w−1 guarantee
     // only holds when at-rest and probe sides select under the SAME w
     writeIndexMetaAll(s, indexPath,
-      Seq("substr_l" -> SubstrL.toLong, "winnow_w" -> WinnowW.toLong))
+      Seq("substr_l" -> SubstrL.toLong, "winnow_w" -> w.toLong))
   }
 
-  /** O(batch) append — identical contract to [[appendSubstrIndex]],
-    * plus the winnow_w guard (appending grams selected under a
-    * different w would mix selection regimes inside one index) */
+  /** O(batch) append — identical contract to [[appendSubstrIndex]];
+    * the batch winnows under the INDEX's persisted w (mixing selection
+    * regimes inside one index would void the run guarantee) */
   def appendWinnowIndex(s: SparkSession, indexPath: String,
       docs: DataFrame): Unit = {
     requireIndexMeta(docs.sparkSession, indexPath, "substr_l", SubstrL.toLong)
-    requireIndexMeta(docs.sparkSession, indexPath, "winnow_w", WinnowW.toLong)
-    winnowGramsOf(docs).select("h").distinct()
+    val w = readIndexMeta(docs.sparkSession, indexPath,
+      "winnow_w", WinnowW.toLong).toInt
+    winnowGramsOf(docs, w).select("h").distinct()
       .repartition(col("h"))
       .write.mode("append").parquet(s"$indexPath/hashes")
   }
 
-  /** Probe: the batch winnows ITSELF map-side, then only its selected
-    * positions join the selected-hash set — both sides of the shuffle
-    * shrink by ~2/(w+1). A shared run ≥ L+w−1 selects the same minimal
-    * gram on both sides (selection depends on the gram hashes of the
-    * run's interior, not on absolute position), so the hit survives. */
+  /** Probe: the batch winnows ITSELF map-side — under the index's
+    * persisted w — then only its selected positions join the
+    * selected-hash set, so both sides of the shuffle shrink by
+    * ~2/(w+1). A shared run ≥ L+w−1 selects the same minimal gram on
+    * both sides (selection depends on the gram hashes of the run's
+    * interior, not on absolute position), so the hit survives. */
   def probeWinnowIndex(s: SparkSession, docs: DataFrame,
       indexPath: String): DataFrame = {
     requireIndexMeta(s, indexPath, "substr_l", SubstrL.toLong)
-    requireIndexMeta(s, indexPath, "winnow_w", WinnowW.toLong)
+    val w = readIndexMeta(s, indexPath, "winnow_w", WinnowW.toLong).toInt
     substringSpansOf(
-      winnowGramsOf(docs)
+      winnowGramsOf(docs, w)
         .join(s.read.parquet(s"$indexPath/hashes"), Seq("h"), "left_semi")
-        .select("doc_id", "pos"), winnowMergeGap)
+        .select("doc_id", "pos"), winnowMergeGap(w))
   }
 
   private val winnowIndexCache =

@@ -213,22 +213,22 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(nWin < nEx, s"winnow index not smaller: $nWin vs $nEx")
   }
 
-  test("winnow index: probe and append refuse a winnow_w/substr_l mismatch") {
+  test("winnow index: probe and append refuse a substr_l mismatch") {
     import spark.implicits._
     val idx = Files.createTempDirectory("graft_win_idx_meta").toString
     operators.Dedup.writeWinnowIndex(spark, fixtureDir, idx)
     val probeDf = util.t(spark, fixtureDir, "documents").select("doc_id", "text")
     // sanity: matching meta passes
     operators.Dedup.probeWinnowIndex(spark, probeDf, idx).count()
-    // corrupt the persisted w (simulates an index built by a binary with
-    // a different WinnowW) — probe and append must fail fast, not
-    // silently mix selection regimes
-    Seq(("substr_l", operators.Dedup.SubstrL.toLong), ("winnow_w", 999L))
+    // corrupt the persisted gram length: L is an engine constant (not a
+    // replayed dial like winnow_w) — probe and append must fail fast,
+    // not silently hash different-length grams
+    Seq(("substr_l", 999L), ("winnow_w", operators.Dedup.WinnowW.toLong))
       .toDF("key", "value").write.mode("overwrite").parquet(s"$idx/meta")
     val eProbe = intercept[IllegalArgumentException] {
       operators.Dedup.probeWinnowIndex(spark, probeDf, idx)
     }
-    assert(eProbe.getMessage.contains("winnow_w"))
+    assert(eProbe.getMessage.contains("substr_l"))
     intercept[IllegalArgumentException] {
       operators.Dedup.appendWinnowIndex(spark, idx, probeDf)
     }
@@ -244,6 +244,36 @@ class SubstringDedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       operators.Dedup.appendSubstrIndex(spark, sIdx, probeDf)
     }
+  }
+
+  test("winnow index: the w dial — build at w=50 persists, probe and append replay it") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_win_idx_w").toString
+    operators.Dedup.writeWinnowIndex(spark, fixtureDir, idx, w = 50)
+    // meta round-trip: the APPLIED w is the index's source of truth,
+    // not the running binary's default
+    val meta = spark.read.parquet(s"$idx/meta")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(meta("winnow_w") === 50L)
+    assert(meta("substr_l") === operators.Dedup.SubstrL.toLong)
+    // a probe doc sharing doc10's full 80 chars clears the w=50
+    // guarantee threshold L + w - 1 = 79: the hit must survive under
+    // the REPLAYED w (the binary default w=5 would select different
+    // grams and this span could silently vanish)
+    val probe = Seq((99L, doc10)).toDF("doc_id", "text")
+    val got = operators.Dedup.probeWinnowIndex(spark, probe, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.exists(_._1 == 99L),
+      s"w=50 probe missed a >= L+w-1 shared run: $got")
+    // append replays the same selection: a copy of an APPENDED doc hits
+    val newDoc = "appended-doc-head=" + S + S + "=appended-doc-tail"
+    operators.Dedup.appendWinnowIndex(spark, idx,
+      Seq((200L, newDoc)).toDF("doc_id", "text"))
+    val got2 = operators.Dedup.probeWinnowIndex(spark,
+      Seq((201L, newDoc)).toDF("doc_id", "text"), idx)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got2.contains(201L),
+      "copy of an appended doc not caught under the replayed w")
   }
 
   test("span merge gap: islands bridge at <= mergeGap and split above it") {
