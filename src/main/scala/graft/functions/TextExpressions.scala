@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native text-shingling expression (SURVEY.md §4.2 ladder step b).
@@ -516,6 +516,140 @@ object UnicodeNormalize {
   }
 }
 
+/** All nine Gopher repetition metrics (Rae et al. 2021 §A1.1) in ONE
+  * map-side pass per document:
+  * `struct<top_char_frac_2..4: double, dup_char_frac_5..10: double>`.
+  *
+  * The metrics are per-doc local, so the right 100 TB shape is a
+  * per-doc kernel, not a corpus-wide shuffle: the DataFrame chain this
+  * replaces posexploded every token, shuffled them all into a
+  * doc-partitioned window for 18 lead columns, exploded 9 gram structs
+  * per position, and ran two more shuffling aggregations — the
+  * steepest intrinsic scaler in the suite. This expression computes
+  * the identical numbers from the token array in one JVM loop; the
+  * only remaining shuffle in the operator is the output orderBy.
+  *
+  * Semantics are bit-for-bit the replaced chain's (pinned by the
+  * legacy-parity spec):
+  *   - char offsets: cs(p) = Σ_{j<p}(numChars(tok_j)+1), ce = cs+len;
+  *     gram (p,n) spans [cs(p), ce(p+n−1)) — so gram char length
+  *     counts concat_ws(" ") separators;
+  *   - top (n=2..4): winner = max count, ties to the binary-smallest
+  *     gram; frac = r4f(count·gramChars/docChars), per-occurrence
+  *     (overlap NOT deduplicated — can exceed 1.0);
+  *   - dup (n=5..10): interval union of all occurrences of duplicated
+  *     grams ("not counting characters twice"): scan positions in
+  *     order, add = max(0, ce − max(prevDupCe, cs)) on dup rows;
+  *     frac = r4f(Σadd/docChars); 0.0 when grams exist but none
+  *     repeat, null when the doc has no n-gram of that n. */
+case class GopherRepetition(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"gopher_repetition expects (array<string>, int), got (${l.simpleString}, ${r.simpleString})")
+  }
+  override def dataType: DataType = GopherRepetition.Schema
+  override def prettyName: String = "gopher_repetition"
+
+  override def nullSafeEval(toks: Any, dl: Any): Any =
+    GopherRepetition.compute(toks.asInstanceOf[ArrayData], dl.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GopherRepetition.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object GopherRepetition {
+  val Schema: StructType = StructType(
+    (2 to 4).map(n => StructField(s"top_char_frac_$n", DoubleType)) ++
+    (5 to 10).map(n => StructField(s"dup_char_frac_$n", DoubleType)))
+
+  private val Sep = UTF8String.fromString(" ")
+
+  /** util.r4f's JVM twin: floor(x·10⁴+0.5)/10⁴ — plain IEEE arithmetic,
+    * identical in Spark, DuckDB, and here */
+  private def r4f(x: Double): Double = math.floor(x * 10000d + 0.5d) / 10000d
+
+  /** one JVM pass per row; called from both eval and generated code */
+  def compute(toks: ArrayData, dl: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val t = toks.numElements()
+    val tok = new Array[UTF8String](t)
+    val cs = new Array[Long](t)
+    val ce = new Array[Long](t)
+    var i = 0
+    var off = 0L
+    while (i < t) {
+      val u = toks.getUTF8String(i)
+      tok(i) = if (u == null) UTF8String.EMPTY_UTF8 else u
+      cs(i) = off
+      ce(i) = off + tok(i).numChars()
+      off = ce(i) + 1 // the single-space separator
+      i += 1
+    }
+    val out = new Array[Any](9)
+    var n = 2
+    while (n <= 10) {
+      val m = t - n + 1
+      if (m > 0) {
+        // gram strings + counts for this n
+        val grams = new Array[UTF8String](m)
+        val counts = new java.util.HashMap[UTF8String, Int](m * 2)
+        var p = 0
+        while (p < m) {
+          val parts = new Array[UTF8String](n)
+          var j = 0
+          while (j < n) { parts(j) = tok(p + j); j += 1 }
+          val g = UTF8String.concatWs(Sep, parts: _*)
+          grams(p) = g
+          counts.put(g, counts.getOrDefault(g, 0) + 1)
+          p += 1
+        }
+        if (n <= 4) {
+          // top family: max count, ties to the binary-smallest gram
+          var bestCnt = 0
+          var bestGram: UTF8String = null
+          var bestLen = 0L
+          p = 0
+          while (p < m) {
+            val c = counts.get(grams(p))
+            if (c > bestCnt ||
+                (c == bestCnt && grams(p).binaryCompare(bestGram) < 0)) {
+              bestCnt = c
+              bestGram = grams(p)
+              bestLen = ce(p + n - 1) - cs(p)
+            }
+            p += 1
+          }
+          out(n - 2) = r4f(bestCnt.toLong * bestLen / dl.toDouble)
+        } else {
+          // dup family: overlap-deduplicated interval union of all
+          // occurrences of duplicated grams, in position order
+          var covered = 0L
+          var prevDupCe = 0L // ≡ coalesce(max preceding dup ce, 0)
+          p = 0
+          while (p < m) {
+            if (counts.get(grams(p)) >= 2) {
+              val end = ce(p + n - 1)
+              val start = math.max(prevDupCe, cs(p))
+              if (end > start) covered += end - start
+              if (end > prevDupCe) prevDupCe = end
+            }
+            p += 1
+          }
+          out(n - 2) = r4f(covered.toDouble / dl.toDouble)
+        }
+      } // else: no n-gram of this n → null
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+}
+
 object TextExpressions {
   /** register once per session; idempotent */
   def register(s: SparkSession): Unit = {
@@ -547,6 +681,9 @@ object TextExpressions {
       "bpe_merge_step", exprs => BpeMergeStep(exprs(0),
         exprs(1).eval(null).asInstanceOf[UTF8String].toString,
         exprs(2).eval(null).asInstanceOf[UTF8String].toString), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gopher_repetition", exprs => GopherRepetition(exprs(0), exprs(1)),
+      "built-in")
   }
 
   /** word_ngrams(toks, n) as a Column (requires register first) */
@@ -591,4 +728,8 @@ object TextExpressions {
     call_function("bpe_merge_step", toks,
       org.apache.spark.sql.functions.lit(a),
       org.apache.spark.sql.functions.lit(b))
+
+  /** gopher_repetition(toks, docChars) as a Column (requires register first) */
+  def gopherRepetition(toks: Column, docChars: Column): Column =
+    call_function("gopher_repetition", toks, docChars)
 }

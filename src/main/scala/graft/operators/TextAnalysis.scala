@@ -657,16 +657,16 @@ object TextAnalysis {
     * fractions — are `q_dedup_paragraph`'s concern.) Docs with no n-gram
     * of a given n get NULL for that n's column.
     *
-    * Shape at scale: ONE window pass per doc (partitioned on doc_id —
-    * the scaling key; docs are bounded at the 40 960-char ingest cap)
-    * computes character offsets via a running sum plus the 9 lead
-    * tokens/ends, so gram strings come from lead columns — the token
-    * ARRAY never rides a shuffle and there is no per-row O(len²)
-    * offset recomputation. The 9 gram streams then unpivot through one
-    * explode of 9 tiny struct refs per position; counting is a
-    * map-side-combined groupBy on (doc_id, n, gram) for the top family
-    * and a count-over window for the dup family; the interval union is
-    * a running-max window over only the duplicated rows. */
+    * Shape at scale: the metrics are per-doc LOCAL (docs are bounded at
+    * the 40 960-char ingest cap), so all nine compute map-side in one
+    * JVM pass per document ([[graft.functions.GopherRepetition]]) — no
+    * token row ever rides a shuffle. The window-and-explode chain this
+    * replaced (posexplode every token → doc-partitioned window with 18
+    * lead columns → 9-way gram unpivot → two shuffling aggregations)
+    * shuffled the whole tokenized corpus three times and was the
+    * suite's steepest intrinsic scaler; it survives verbatim as the
+    * parity reference in TextAnalysisSpec. The only shuffle left is
+    * the output orderBy. */
   def repetitionGopher(s: SparkSession, dir: String): DataFrame =
     repetitionGopherOf(t(s, dir, "documents"))
 
@@ -683,68 +683,14 @@ object TextAnalysis {
       .where(conv(substring(md5(col("doc_id").cast(StringType)), 1, 8), 16, 10)
         .cast(LongType) % 10 < 1))
 
-  private def repetitionGopherOf(documents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wp = Window.partitionBy("doc_id").orderBy("pos")
-    val offs = documents
-      .select(col("doc_id"), length(col("text")).as("dl"),
-        posexplode(toks).as(Seq("pos", "tok")))
-      .withColumn("cs", coalesce(sum(length(col("tok")) + 1)
-        .over(wp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("ce", col("cs") + length(col("tok")))
-    val withLeads = (1 to 9).foldLeft(offs) { (df, j) =>
-      df.withColumn(s"l$j", lead(col("tok"), j).over(wp))
-        .withColumn(s"e${j + 1}", lead(col("ce"), j).over(wp))
-    }
-    val withGrams = (2 to 10).foldLeft(withLeads) { (df, n) =>
-      val parts = Seq(col("tok")) ++ (1 until n).map(j => col(s"l$j"))
-      // concat_ws SKIPS nulls, which would silently shorten grams at the
-      // doc tail — the isNotNull guard nulls the gram instead
-      df.withColumn(s"g$n",
-        when(col(s"l${n - 1}").isNotNull, concat_ws(" ", parts: _*)))
-    }
-    val stacked = withGrams
-      .select(col("doc_id"), col("dl"), col("pos"), col("cs"),
-        explode(array((2 to 10).map(n =>
-          struct(lit(n).as("n"), col(s"g$n").as("g"), col(s"e$n").as("ce"))): _*)).as("x"))
-      .where(col("x.g").isNotNull)
-      .select(col("doc_id"), col("dl"), col("pos"), col("cs"),
-        col("x.n").as("n"), col("x.g").as("g"), col("x.ce").as("ce"))
-    val top = stacked.where(col("n").between(2, 4))
-      .groupBy("doc_id", "n", "g")
-      .agg(count(lit(1)).as("cnt"), max(col("dl")).as("dl"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id", "n").orderBy(col("cnt").desc, col("g").asc)))
-      .where(col("rn") === 1)
-      .select(col("doc_id"), col("n"),
-        r4f(col("cnt") * length(col("g")) / col("dl")).as("frac"),
-        lit("top").as("kind"))
-    // the interval-union window runs over ALL gram rows with duplicated
-    // rows masked in (pm tracks only dup ends, add is 0 on unique rows),
-    // so a (doc, n) group with grams but NO duplicates aggregates to an
-    // explicit 0.0 — NULL is reserved for "no n-gram of this n exists"
-    val dup = stacked.where(col("n").between(5, 10))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("doc_id", "n", "g")))
-      .withColumn("pm", max(when(col("cnt") >= 2, col("ce"))).over(
-        Window.partitionBy("doc_id", "n").orderBy("pos")
-          .rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("add", when(col("cnt") >= 2, greatest(lit(0L),
-        col("ce") - greatest(coalesce(col("pm"), lit(0L)), col("cs"))))
-        .otherwise(lit(0L)))
-      .groupBy("doc_id", "n")
-      .agg(r4f(sum(col("add")) / max(col("dl"))).as("frac"))
-      .withColumn("kind", lit("dup"))
-      .select("doc_id", "n", "frac", "kind")
-    def pick(kind: String, n: Int, name: String) =
-      max(when(col("kind") === kind && col("n") === n, col("frac"))).as(name)
-    val metrics = top.unionByName(dup).groupBy("doc_id").agg(
-      pick("top", 2, "top_char_frac_2"), pick("top", 3, "top_char_frac_3"),
-      pick("top", 4, "top_char_frac_4"),
-      pick("dup", 5, "dup_char_frac_5"), pick("dup", 6, "dup_char_frac_6"),
-      pick("dup", 7, "dup_char_frac_7"), pick("dup", 8, "dup_char_frac_8"),
-      pick("dup", 9, "dup_char_frac_9"), pick("dup", 10, "dup_char_frac_10"))
-    documents.select(col("doc_id"))
-      .join(metrics, Seq("doc_id"), "left")
+  private[graft] def repetitionGopherOf(documents: DataFrame): DataFrame = {
+    graft.functions.TextExpressions.register(documents.sparkSession)
+    val fields = (2 to 4).map(n => s"top_char_frac_$n") ++
+      (5 to 10).map(n => s"dup_char_frac_$n")
+    documents
+      .select(col("doc_id"), graft.functions.TextExpressions
+        .gopherRepetition(toks, length(col("text"))).as("m"))
+      .select(col("doc_id") +: fields.map(f => col(s"m.$f").as(f)): _*)
       .orderBy("doc_id")
   }
 

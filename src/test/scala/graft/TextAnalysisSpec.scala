@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Hand-computed fixtures for the text-quality operators (the DuckDB
@@ -76,6 +77,93 @@ class TextAnalysisSpec extends AnyFunSuite {
         Some(1.0), Some(1.0), Some(1.0), Some(1.0), Some(0.0)),
       2L -> row(Some(0.2727), Some(0.4545), Some(0.6364), Some(0.0),
         Some(0.0), None, None, None, None)))
+  }
+
+  /** the window-and-explode Gopher chain the gopher_repetition kernel
+    * replaced, verbatim — the parity reference (r14 convention: every
+    * fused expression is pinned against the form it replaced) */
+  private def legacyGopherOf(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.util.r4f
+    val toks = split(col("text"), " ")
+    val wp = Window.partitionBy("doc_id").orderBy("pos")
+    val offs = documents
+      .select(col("doc_id"), length(col("text")).as("dl"),
+        posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("cs", coalesce(sum(length(col("tok")) + 1)
+        .over(wp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("ce", col("cs") + length(col("tok")))
+    val withLeads = (1 to 9).foldLeft(offs) { (df, j) =>
+      df.withColumn(s"l$j", lead(col("tok"), j).over(wp))
+        .withColumn(s"e${j + 1}", lead(col("ce"), j).over(wp))
+    }
+    val withGrams = (2 to 10).foldLeft(withLeads) { (df, n) =>
+      val parts = Seq(col("tok")) ++ (1 until n).map(j => col(s"l$j"))
+      df.withColumn(s"g$n",
+        when(col(s"l${n - 1}").isNotNull, concat_ws(" ", parts: _*)))
+    }
+    val stacked = withGrams
+      .select(col("doc_id"), col("dl"), col("pos"), col("cs"),
+        explode(array((2 to 10).map(n =>
+          struct(lit(n).as("n"), col(s"g$n").as("g"), col(s"e$n").as("ce"))): _*)).as("x"))
+      .where(col("x.g").isNotNull)
+      .select(col("doc_id"), col("dl"), col("pos"), col("cs"),
+        col("x.n").as("n"), col("x.g").as("g"), col("x.ce").as("ce"))
+    val top = stacked.where(col("n").between(2, 4))
+      .groupBy("doc_id", "n", "g")
+      .agg(count(lit(1)).as("cnt"), max(col("dl")).as("dl"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id", "n").orderBy(col("cnt").desc, col("g").asc)))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("n"),
+        r4f(col("cnt") * length(col("g")) / col("dl")).as("frac"),
+        lit("top").as("kind"))
+    val dup = stacked.where(col("n").between(5, 10))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("doc_id", "n", "g")))
+      .withColumn("pm", max(when(col("cnt") >= 2, col("ce"))).over(
+        Window.partitionBy("doc_id", "n").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("add", when(col("cnt") >= 2, greatest(lit(0L),
+        col("ce") - greatest(coalesce(col("pm"), lit(0L)), col("cs"))))
+        .otherwise(lit(0L)))
+      .groupBy("doc_id", "n")
+      .agg(r4f(sum(col("add")) / max(col("dl"))).as("frac"))
+      .withColumn("kind", lit("dup"))
+      .select("doc_id", "n", "frac", "kind")
+    def pick(kind: String, n: Int, name: String) =
+      max(when(col("kind") === kind && col("n") === n, col("frac"))).as(name)
+    val metrics = top.unionByName(dup).groupBy("doc_id").agg(
+      pick("top", 2, "top_char_frac_2"), pick("top", 3, "top_char_frac_3"),
+      pick("top", 4, "top_char_frac_4"),
+      pick("dup", 5, "dup_char_frac_5"), pick("dup", 6, "dup_char_frac_6"),
+      pick("dup", 7, "dup_char_frac_7"), pick("dup", 8, "dup_char_frac_8"),
+      pick("dup", 9, "dup_char_frac_9"), pick("dup", 10, "dup_char_frac_10"))
+    documents.select(col("doc_id"))
+      .join(metrics, Seq("doc_id"), "left")
+      .orderBy("doc_id")
+  }
+
+  test("gopher_repetition kernel: exact parity with the window-and-explode chain it replaced") {
+    // real corpus (every doc at sf0.001) + adversarial shapes: repeated
+    // blocks, unicode, empty text, single token, pure separator runs
+    val real = graft.util.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    import spark.implicits._
+    val planted = Seq(
+      (900001L, "a b a b a b a b a b a b"),
+      (900002L, "κόσμος λόγος κόσμος λόγος κόσμος λόγος κόσμος"),
+      (900003L, ""),
+      (900004L, "loner"),
+      (900005L, "x  x  x  x  x  x"), // empty tokens between double spaces
+      (900006L, ("p q r s t u v w " * 4).trim))
+      .toDF("doc_id", "text")
+    val docs = real.unionByName(planted)
+    val kernel = operators.TextAnalysis.repetitionGopherOf(docs).collect()
+    val legacy = legacyGopherOf(docs).collect()
+    assert(kernel.length === legacy.length)
+    kernel.zip(legacy).foreach { case (k, l) =>
+      assert(k === l, s"kernel row $k != legacy row $l")
+    }
   }
 
   test("q_pii_scrub: planted email/IP/phone are redacted and counted; clean text untouched") {
