@@ -650,6 +650,89 @@ object GopherRepetition {
   }
 }
 
+/** The count-weighted repetition-filter inputs (q_repetition_ratio's
+  * seven columns) in ONE map-side pass per document:
+  * `struct<top_share_1, dup_frac_2, top_share_2, dup_frac_3,
+  * top_share_3, dup_frac_4, top_share_4>` — [[GopherRepetition]]'s
+  * count-weighted sibling, replacing the explode-over-4·len chain
+  * (which shuffled every (doc, n, gram) row through two groupBys) for
+  * the same per-doc-local reason. For each n = 1..4 over the doc's
+  * grams: dup_frac_n = r4f(1 − distinct/total), top_share_n =
+  * r4f(maxCount/total); null when the doc has no n-gram of that n. */
+case class RepetitionRatio(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"repetition_ratio expects array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = RepetitionRatio.Schema
+  override def prettyName: String = "repetition_ratio"
+
+  override def nullSafeEval(toks: Any): Any =
+    RepetitionRatio.compute(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.RepetitionRatio.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionRatio {
+  val Schema: StructType = StructType(Seq(
+    StructField("top_share_1", DoubleType), StructField("dup_frac_2", DoubleType),
+    StructField("top_share_2", DoubleType), StructField("dup_frac_3", DoubleType),
+    StructField("top_share_3", DoubleType), StructField("dup_frac_4", DoubleType),
+    StructField("top_share_4", DoubleType)))
+
+  private val Sep = UTF8String.fromString(" ")
+
+  private def r4f(x: Double): Double = math.floor(x * 10000d + 0.5d) / 10000d
+
+  /** one JVM pass per row; called from both eval and generated code */
+  def compute(toks: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val t = toks.numElements()
+    val tok = new Array[UTF8String](t)
+    var i = 0
+    while (i < t) {
+      val u = toks.getUTF8String(i)
+      tok(i) = if (u == null) UTF8String.EMPTY_UTF8 else u
+      i += 1
+    }
+    val out = new Array[Any](7)
+    var n = 1
+    while (n <= 4) {
+      val m = t - n + 1
+      if (m > 0) {
+        val counts = new java.util.HashMap[UTF8String, Int](m * 2)
+        var topc = 0
+        var p = 0
+        while (p < m) {
+          val g = if (n == 1) tok(p) else {
+            val parts = new Array[UTF8String](n)
+            var j = 0
+            while (j < n) { parts(j) = tok(p + j); j += 1 }
+            UTF8String.concatWs(Sep, parts: _*)
+          }
+          val c = counts.getOrDefault(g, 0) + 1
+          counts.put(g, c)
+          if (c > topc) topc = c
+          p += 1
+        }
+        val total = m.toDouble
+        val dist = counts.size.toDouble
+        if (n >= 2) out(2 * n - 3) = r4f(1d - dist / total)
+        out(2 * (n - 1)) = r4f(topc / total)
+      }
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+}
+
 object TextExpressions {
   /** register once per session; idempotent */
   def register(s: SparkSession): Unit = {
@@ -684,6 +767,8 @@ object TextExpressions {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "gopher_repetition", exprs => GopherRepetition(exprs(0), exprs(1)),
       "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "repetition_ratio", exprs => RepetitionRatio(exprs(0)), "built-in")
   }
 
   /** word_ngrams(toks, n) as a Column (requires register first) */
@@ -732,4 +817,8 @@ object TextExpressions {
   /** gopher_repetition(toks, docChars) as a Column (requires register first) */
   def gopherRepetition(toks: Column, docChars: Column): Column =
     call_function("gopher_repetition", toks, docChars)
+
+  /** repetition_ratio(toks) as a Column (requires register first) */
+  def repetitionRatio(toks: Column): Column =
+    call_function("repetition_ratio", toks)
 }

@@ -572,41 +572,27 @@ object TextAnalysis {
     * n = 2..4 for top-gram / n = 5..10 for duplicate-gram; these columns
     * are COUNT-weighted over n = 1..4 / 2..4, so the paper's published
     * thresholds do not transfer — calibrate cutoffs on these columns.
-    * Shape at scale: grams are NEVER materialized as per-row arrays —
-    * one explode over a 4·len int index sequence (n = i mod 4 + 1,
-    * pos = i div 4 + 1), the gram string built AFTER the explode inside
-    * the same codegen stage via slice(tk, pos, n), so transient row
-    * memory is one int array instead of four struct arrays holding every
-    * gram string (~10× text size for a 40 KB doc). The first shuffle is
-    * the map-side-combined groupBy on the scaling key (doc_id, n, gram);
-    * the token array never leaves the scan stage. Then one more groupBy
-    * on (doc_id, n); the final per-doc pivot sees at most 4 rows per
-    * doc. Docs shorter than n words get NULL for that n's columns (no
-    * n-grams exist) — both engines agree. */
-  def repetitionRatio(s: SparkSession, dir: String): DataFrame = {
-    val perN = t(s, dir, "documents")
-      .select(col("doc_id"), toks.as("tk"))
-      .where(size(col("tk")) >= 1)
-      .select(col("doc_id"), col("tk"),
-        explode(expr("sequence(0, 4 * size(tk) - 1)")).as("i"))
-      // gram exists iff pos + n - 1 <= len  ⟺  i div 4 + i % 4 + 1 <= len
-      .where(expr("i div 4 + i % 4 + 1 <= size(tk)"))
-      .select(col("doc_id"), expr("i % 4 + 1").as("n"),
-        expr("concat_ws(' ', slice(tk, i div 4 + 1, i % 4 + 1))").as("g"))
-      .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id", "n")
-      .agg(sum(col("cnt")).cast(DoubleType).as("total"),
-        count(lit(1)).cast(DoubleType).as("dist"),
-        max(col("cnt")).cast(DoubleType).as("topc"))
-    def dupFrac(n: Int) =
-      max(when(col("n") === n, r4f(lit(1d) - col("dist") / col("total"))))
-        .as(s"dup_frac_$n")
-    def topShare(n: Int) =
-      max(when(col("n") === n, r4f(col("topc") / col("total"))))
-        .as(s"top_share_$n")
-    perN.groupBy("doc_id")
-      .agg(topShare(1), dupFrac(2), topShare(2), dupFrac(3), topShare(3),
-        dupFrac(4), topShare(4))
+    * Shape at scale: all seven columns are per-doc LOCAL, so they
+    * compute map-side in one JVM pass per document
+    * ([[graft.functions.RepetitionRatio]]) — no gram row ever rides a
+    * shuffle; the only shuffle is the output orderBy. The
+    * explode-over-4·len chain this replaced (gram built post-explode,
+    * two shuffling groupBys on (doc_id, n, gram) / (doc_id, n), per-doc
+    * pivot) survives verbatim as the spec's parity reference. Docs
+    * shorter than n words get NULL for that n's columns (no n-grams
+    * exist) — both engines agree. */
+  def repetitionRatio(s: SparkSession, dir: String): DataFrame =
+    repetitionRatioOf(t(s, dir, "documents"))
+
+  private[graft] def repetitionRatioOf(documents: DataFrame): DataFrame = {
+    graft.functions.TextExpressions.register(documents.sparkSession)
+    val fields = Seq("top_share_1", "dup_frac_2", "top_share_2",
+      "dup_frac_3", "top_share_3", "dup_frac_4", "top_share_4")
+    documents
+      .where(size(toks) >= 1)
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.repetitionRatio(toks).as("m"))
+      .select(col("doc_id") +: fields.map(f => col(s"m.$f").as(f)): _*)
       .orderBy("doc_id")
   }
 

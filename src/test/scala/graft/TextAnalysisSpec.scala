@@ -143,6 +143,57 @@ class TextAnalysisSpec extends AnyFunSuite {
       .orderBy("doc_id")
   }
 
+  /** the explode-over-4·len repetition-ratio chain the repetition_ratio
+    * kernel replaced, verbatim — the parity reference */
+  private def legacyRepetitionRatioOf(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.util.r4f
+    import org.apache.spark.sql.types.DoubleType
+    val toks = split(col("text"), " ")
+    val perN = documents
+      .select(col("doc_id"), toks.as("tk"))
+      .where(size(col("tk")) >= 1)
+      .select(col("doc_id"), col("tk"),
+        explode(expr("sequence(0, 4 * size(tk) - 1)")).as("i"))
+      .where(expr("i div 4 + i % 4 + 1 <= size(tk)"))
+      .select(col("doc_id"), expr("i % 4 + 1").as("n"),
+        expr("concat_ws(' ', slice(tk, i div 4 + 1, i % 4 + 1))").as("g"))
+      .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "n")
+      .agg(sum(col("cnt")).cast(DoubleType).as("total"),
+        count(lit(1)).cast(DoubleType).as("dist"),
+        max(col("cnt")).cast(DoubleType).as("topc"))
+    def dupFrac(n: Int) =
+      max(when(col("n") === n, r4f(lit(1d) - col("dist") / col("total"))))
+        .as(s"dup_frac_$n")
+    def topShare(n: Int) =
+      max(when(col("n") === n, r4f(col("topc") / col("total"))))
+        .as(s"top_share_$n")
+    perN.groupBy("doc_id")
+      .agg(topShare(1), dupFrac(2), topShare(2), dupFrac(3), topShare(3),
+        dupFrac(4), topShare(4))
+      .orderBy("doc_id")
+  }
+
+  test("repetition_ratio kernel: exact parity with the explode chain it replaced") {
+    val real = graft.util.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    import spark.implicits._
+    val planted = Seq(
+      (910001L, "a b a b a b a b"),
+      (910002L, "κόσμος λόγος κόσμος λόγος κόσμος"),
+      (910003L, ""),
+      (910004L, "loner"),
+      (910005L, "x  x  x  x"))
+      .toDF("doc_id", "text")
+    val docs = real.unionByName(planted)
+    val kernel = operators.TextAnalysis.repetitionRatioOf(docs).collect()
+    val legacy = legacyRepetitionRatioOf(docs).collect()
+    assert(kernel.length === legacy.length)
+    kernel.zip(legacy).foreach { case (k, l) =>
+      assert(k === l, s"kernel row $k != legacy row $l")
+    }
+  }
+
   test("gopher_repetition kernel: exact parity with the window-and-explode chain it replaced") {
     // real corpus (every doc at sf0.001) + adversarial shapes: repeated
     // blocks, unicode, empty text, single token, pure separator runs
