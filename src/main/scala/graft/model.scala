@@ -78,6 +78,10 @@ object model {
   // extraction for both RFC shapes, with the topics parse preserved as
   // the fallback for MikroTik-style lines. Pure column expressions.
 
+  /** U+FEFF — RFC 5424 §6.4's UTF-8 MSG marker (as an escape so the
+    * source carries no invisible characters) */
+  val Bom: String = "\uFEFF"
+
   /** `<PRI>VERSION TS HOST APP PROCID MSGID REST` — REST is structured
     * data + optional message, split downstream */
   val rfc5424Re: String =
@@ -126,10 +130,15 @@ object model {
     val ts5 = nullif(regexp_extract(raw, rfc5424Re, 3), lit(""))
     val rest = regexp_extract(raw, rfc5424Re, 8)
     val sdBr = regexp_extract(rest, rfc5424SdRe, 1)
-    val msg5 = when(rest === "-", lit(""))
+    // RFC 5424 §6.4: a UTF-8 MSG MUST start with the BOM — it marks the
+    // encoding, it isn't content. Strip exactly one leading U+FEFF after
+    // the SD/NIL split (the decode is already UTF-8 end to end).
+    val msg5raw = when(rest === "-", lit(""))
       .when(rest.startsWith("- "), substring(rest, 3, Int.MaxValue))
       .when(sdBr =!= "", ltrim(substring(rest, length(sdBr) + 1, lit(Int.MaxValue))))
       .otherwise(rest)
+    val msg5 = when(msg5raw.startsWith(Bom),
+      substring(msg5raw, 2, Int.MaxValue)).otherwise(msg5raw)
     val sd5 = when(rest === "-" || rest.startsWith("- "), lit("-"))
       .when(sdBr =!= "", sdBr)
       .otherwise(lit(null).cast(StringType))
@@ -317,7 +326,12 @@ object model {
     (22, "<165>1 2003-10-11T22:14:15.003Z h app - - [esc@9 path=\"C:\\\\logs\\\\app\" msg=\"say \\\"hi\\] now\\\" ok\" re=\"\\d+\"] escaped values", "10.0.1.9:514", "2024-02-01 01:35:00"),
     // §6.3.2's own repeated-PARAM-NAME example: both occurrences
     // survive the flat view; the map API keeps the last
-    (23, "<165>1 2003-10-11T22:14:15.003Z h app - - [origin ip=\"192.0.2.1\" ip=\"192.0.2.129\"] dup param", "10.0.1.9:514", "2024-02-01 01:40:00"))
+    (23, "<165>1 2003-10-11T22:14:15.003Z h app - - [origin ip=\"192.0.2.1\" ip=\"192.0.2.129\"] dup param", "10.0.1.9:514", "2024-02-01 01:40:00"),
+    // §6.4: UTF-8 MSG starts with the BOM (RFC example 1's shape) —
+    // the marker is stripped, message content starts after it
+    (24, "<34>1 2003-10-11T22:14:15.003Z mymachine.example.com su - ID47 - " + Bom + "'su root' failed for lonvick on /dev/pts/8", "10.0.1.2:514", "2024-02-01 01:45:00"),
+    // §6.4 BOM after an SD block — same strip post-SD-split
+    (25, "<165>1 2003-10-11T22:14:15.003Z h app - - [x@1 k=\"v\"] " + Bom + "bom after sd", "10.0.1.9:514", "2024-02-01 01:50:00"))
 
   def rfcLines(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -385,10 +399,11 @@ object model {
        |    CASE WHEN rest = '-' OR rest LIKE '- %' THEN '-'
        |         WHEN sdbr <> '' THEN sdbr END END AS sd,
        |  CASE WHEN is5424 THEN
+       |         regexp_replace(
        |         CASE WHEN rest = '-' THEN ''
        |              WHEN rest LIKE '- %' THEN substr(rest, 3)
        |              WHEN sdbr <> '' THEN ltrim(substr(rest, len(sdbr) + 1))
-       |              ELSE rest END
+       |              ELSE rest END, '^$Bom', '')
        |       WHEN is3164 THEN regexp_extract(raw, '${rfc3164Re}', 4)
        |       WHEN ispri THEN regexp_replace(raw, '^<\\d{1,3}>', '')
        |       WHEN ntop < 2 THEN raw ELSE tmsg END AS message

@@ -293,6 +293,21 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
+  test("rfc 5424 §6.4: leading BOM in MSG is an encoding marker, stripped from message") {
+    val bom = model.Bom
+    val rows = parseRfc(Seq(
+      s"<34>1 2003-10-11T22:14:15.003Z h su - ID47 - ${bom}'su root' failed",
+      s"<165>1 2003-10-11T22:14:15.003Z h app - - [x@1 k=\"v\"] ${bom}after sd",
+      // BOM mid-message is CONTENT, not a marker — untouched
+      s"<34>1 2003-10-11T22:14:15.003Z h su - ID47 - keep ${bom} inside",
+      // a doubled BOM strips only the marker copy
+      s"<34>1 2003-10-11T22:14:15.003Z h su - ID47 - $bom${bom}doubled"))
+    assert(rows(0).getString(12) === "'su root' failed")
+    assert(rows(1).getString(12) === "after sd")
+    assert(rows(2).getString(12) === s"keep $bom inside")
+    assert(rows(3).getString(12) === s"${bom}doubled")
+  }
+
   test("sd params: repeated PARAM-NAME (§6.3.2 origin example) — map keeps last, flat view keeps all") {
     val blob = """[origin ip="192.0.2.1" ip="192.0.2.129"][x@2 a="1"]"""
     val m = Seq(blob).toDF("sd")
