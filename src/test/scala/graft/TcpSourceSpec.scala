@@ -290,6 +290,27 @@ class TcpSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("provider options: tlsNeedClientAuth requires tlsTruststore; tls requires tlsKeystore") {
+    def table(opts: (String, String)*) = {
+      val props = new java.util.HashMap[String, String]()
+      opts.foreach { case (k, v) => props.put(k, v) }
+      new sources.TcpSyslogSourceProvider().getTable(
+        sources.TcpSyslogSourceProvider.Schema, Array.empty, props)
+    }
+    val eKs = intercept[IllegalArgumentException] { table("tls" -> "true") }
+    assert(eKs.getMessage.contains("tlsKeystore"))
+    val eTs = intercept[IllegalArgumentException] {
+      table("tls" -> "true", "tlsKeystore" -> "/tmp/k.p12",
+        "tlsNeedClientAuth" -> "true")
+    }
+    assert(eTs.getMessage.contains("tlsTruststore"))
+    // fully-specified mTLS options parse into a tls-mode table
+    val t = table("tls" -> "true", "tlsKeystore" -> "/tmp/k.p12",
+      "tlsNeedClientAuth" -> "true", "tlsTruststore" -> "/tmp/t.p12",
+      "port" -> "6514")
+    assert(t.name().startsWith("tcp+tls"))
+  }
+
   test("conflicting TLS rebind on a bound port throws instead of silently downgrading") {
     val port = freePort()
     sources.TcpSyslogSourceProvider.receiver(port) // bound plaintext
