@@ -136,9 +136,9 @@ object Similarity {
     * smallest (md5(vec_id), vec_id) — the k-means seeding step, a
     * hash-sample with the trained codebook's shape (broadcast-small,
     * fixed size at any N) that DuckDB can reproduce exactly */
-  private def ivfCodebook(e: DataFrame): DataFrame =
+  private def ivfCodebook(e: DataFrame, k: Int = IvfK): DataFrame =
     e.orderBy(md5(col("vec_id").cast(StringType)), col("vec_id"))
-      .limit(IvfK)
+      .limit(k)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
 
   /** one Lloyd update: assign every vector to its nearest centroid (the
@@ -195,8 +195,9 @@ object Similarity {
   /** md5 seed + [[IvfIters]] Lloyd updates over an arbitrary embedding
     * frame — the uncached training core shared by the full-corpus
     * memoized book and the corpus-split semantic index */
-  private def trainCodebook(s: SparkSession, e: DataFrame): DataFrame =
-    (1 to IvfIters).foldLeft(ivfCodebook(e))((b, _) => lloydStep(s, e, b))
+  private[graft] def trainCodebook(s: SparkSession, e: DataFrame,
+      k: Int = IvfK): DataFrame =
+    (1 to IvfIters).foldLeft(ivfCodebook(e, k))((b, _) => lloydStep(s, e, b))
 
   private def trainedCodebook(s: SparkSession, dir: String): DataFrame =
     codebookCache.synchronized {
@@ -703,10 +704,17 @@ object Similarity {
     * unchanged. A pathologically hot cluster is a data-quality signal
     * (see `q_embed_cluster_stats`) and splits under AQE skew-join
     * handling since Spark 3.2. */
-  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    semanticVerdicts(s, t(s, dir, "embeddings"), trainedCodebook(s, dir))
+
+  /** the plan core behind [[dedupSemantic]], parameterized on the
+    * embeddings frame and trained codebook so the K-scaling evidence
+    * tool (`tools/SemanticKScale`) can run the IDENTICAL shape with K
+    * grown alongside N — the declared query always passes the memoized
+    * [[IvfK]]-book, so oracles are untouched */
+  private[graft] def semanticVerdicts(s: SparkSession, e: DataFrame,
+      book: DataFrame): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    val e = t(s, dir, "embeddings")
-    val book = trainedCodebook(s, dir)
     val bookArr = book.agg(collect_list(struct(col("cid"), col("ce"))).as("cents"))
     val assigned = e.crossJoin(broadcast(bookArr))
       .select(col("vec_id"), col("embedding"),
