@@ -470,6 +470,100 @@ object BpeMergeStep {
   }
 }
 
+/** Adjacent-pair count DELTAS of one BPE merge round: the difference
+  * between the row's bigram counts AFTER and BEFORE a greedy
+  * [[BpeMergeStep]] application of (a, b), as array<struct<t1, t2, d>>
+  * with only the changed pairs (empty-token pairs excluded, matching
+  * the trainer's count universe). Rows that contain no adjacent (a, b)
+  * short-circuit to an empty array without building the count maps —
+  * the common case, which is why the incremental trainer's per-round
+  * shuffle carries only O(occurrences-of-merged-pair) delta rows
+  * instead of every bigram in the corpus (the fast-BPE-trainer
+  * counterpart of Sennrich 2016's full recount; same argmax by
+  * construction — the running count frame stays exactly
+  * pairCounts(corpus-after-merges), spec-pinned against a driver-side
+  * reference trainer). */
+case class BpePairDeltas(child: Expression, a: String, b: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private lazy val aU8 = UTF8String.fromString(a)
+  private lazy val bU8 = UTF8String.fromString(b)
+  private lazy val joinedU8 = UTF8String.fromString(a + " " + b)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_pair_deltas expects array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("t1", StringType, nullable = false),
+    StructField("t2", StringType, nullable = false),
+    StructField("d", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "bpe_pair_deltas"
+
+  override def nullSafeEval(input: Any): Any =
+    BpePairDeltas.compute(input.asInstanceOf[ArrayData], aU8, bU8, joinedU8)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[UTF8String].getName
+    val aRef = ctx.addReferenceObj("bpeDeltaA", aU8, cls)
+    val bRef = ctx.addReferenceObj("bpeDeltaB", bU8, cls)
+    val jRef = ctx.addReferenceObj("bpeDeltaJoined", joinedU8, cls)
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.BpePairDeltas.compute($x, $aRef, $bRef, $jRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpePairDeltas {
+  private val Empty = new GenericArrayData(Array.empty[Any])
+
+  def compute(arr: ArrayData, a: UTF8String, b: UTF8String,
+      joined: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    // fast path: no adjacent (a, b) in the row ⇒ the merge is a no-op
+    // here and every delta is zero
+    var has = false
+    var i = 0
+    while (i + 1 < n && !has) {
+      if (a.equals(arr.getUTF8String(i)) && b.equals(arr.getUTF8String(i + 1)))
+        has = true
+      i += 1
+    }
+    if (!has) return Empty
+    val merged = BpeMergeStep.compute(arr, a, b, joined)
+    val d = new java.util.HashMap[(UTF8String, UTF8String), Int]()
+    def accumulate(xs: ArrayData, sign: Int): Unit = {
+      val m = xs.numElements()
+      var j = 0
+      while (j + 1 < m) {
+        val t1 = xs.getUTF8String(j)
+        val t2 = xs.getUTF8String(j + 1)
+        if (t1.numBytes() > 0 && t2.numBytes() > 0) {
+          val k = (t1, t2)
+          val cur = d.getOrDefault(k, 0) + sign
+          if (cur == 0) d.remove(k) else d.put(k, cur)
+        }
+        j += 1
+      }
+    }
+    accumulate(merged, 1)
+    accumulate(arr, -1)
+    val out = new Array[Any](d.size())
+    var k = 0
+    val it = d.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(
+        e.getKey._1, e.getKey._2, e.getValue)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Native Unicode normalization (NFC/NFD/NFKC/NFKD via
   * `java.text.Normalizer`) — the curation-pipeline hygiene step Spark has
   * no built-in for (mixed composed/decomposed sources hash and dedup as
@@ -765,6 +859,10 @@ object TextExpressions {
         exprs(1).eval(null).asInstanceOf[UTF8String].toString,
         exprs(2).eval(null).asInstanceOf[UTF8String].toString), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_pair_deltas", exprs => BpePairDeltas(exprs(0),
+        exprs(1).eval(null).asInstanceOf[UTF8String].toString,
+        exprs(2).eval(null).asInstanceOf[UTF8String].toString), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "gopher_repetition", exprs => GopherRepetition(exprs(0), exprs(1)),
       "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -811,6 +909,12 @@ object TextExpressions {
   /** bpe_merge_step(toks, a, b) as a Column (requires register first) */
   def bpeMergeStep(toks: Column, a: String, b: String): Column =
     call_function("bpe_merge_step", toks,
+      org.apache.spark.sql.functions.lit(a),
+      org.apache.spark.sql.functions.lit(b))
+
+  /** bpe_pair_deltas(toks, a, b) as a Column (requires register first) */
+  def bpePairDeltas(toks: Column, a: String, b: String): Column =
+    call_function("bpe_pair_deltas", toks,
       org.apache.spark.sql.functions.lit(a),
       org.apache.spark.sql.functions.lit(b))
 

@@ -110,17 +110,30 @@ object TextAnalysis {
     * round). Output: one row per round (rank, t1, t2, cnt) — the merge
     * table a tokenizer ships.
     *
-    * Scale design: the driver sees exactly ONE row per round (the
-    * argmax — merge-decision metadata, the same O(1)-per-action class
-    * as the IVF codebook probe planning); corpus token arrays never
-    * leave their partitions, and each round's remap is lineage-
-    * truncated with a lazy localCheckpoint exactly like the label-
-    * propagation loop (without it the typed-map tree doubles per
-    * round). Rounds are the serial dimension, as in every production
-    * BPE trainer — per-round cost is one aggregation over (t1, t2).
+    * Scale design — the fast-trainer form: the full bigram count is
+    * paid ONCE (round 0); every later round updates it INCREMENTALLY
+    * from `bpe_pair_deltas`, which emits only the pairs a row's merge
+    * occurrences actually changed (rows without the winning pair
+    * short-circuit to nothing), so the per-round shuffle carries
+    * O(occurrences-of-merged-pair) delta rows instead of every bigram
+    * in the corpus. The running count frame is maintained exactly
+    * equal to pairCounts(corpus-after-merges) — same argmax, same
+    * tie-break, by construction. The corpus token arrays are
+    * checkpointed ONCE (the old loop materialized a fresh remapped
+    * corpus every round; peak storage drops from two corpus copies to
+    * one) and each round re-derives the current symbol stream
+    * map-side by folding the accepted merges — O(r) cheap JVM array
+    * rewrites inside one projection, no corpus shuffle anywhere. The
+    * driver sees exactly ONE row per round (the argmax —
+    * merge-decision metadata, the allowlisted O(1)-per-action class);
+    * the per-round lazy localCheckpoint discipline now guards the
+    * SMALL (distinct-bigram) count frame, not the corpus. Rounds are
+    * the serial dimension, as in every production BPE trainer.
     * Verified by BpeSpec: hand-computed merge sequence on a fixture
-    * corpus (including the tie-break and the phrase-remerge case) and
-    * round-1 ≡ the declared [[bpePairs]] argmax on real data. */
+    * corpus (including the tie-break and the phrase-remerge case),
+    * round-1 ≡ the declared [[bpePairs]] argmax on real data, and
+    * full-sequence equality against a driver-side reference trainer
+    * on randomized corpora. */
   def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -139,43 +152,60 @@ object TextAnalysis {
       ds.queryExecution.analyzed.collectFirst {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }
-    var toks = docs.select(split(lower(col("text")), " ").as("tk"))
+    // ONE corpus materialization for the whole run; each round folds
+    // the accepted merges onto it map-side (BpeMergeStep ≡ applyMerge,
+    // BpeSpec-pinned) instead of checkpointing a remapped copy
+    val tk0 = docs.select(split(lower(col("text")), " ").as("tk"))
+      .localCheckpoint(false)
+    val tk0Ckpt = ckptRdd(tk0)
+    def foldedTk(ms: Seq[(String, String)]): Column =
+      ms.foldLeft(col("tk")) { case (c, (x, y)) =>
+        graft.functions.TextExpressions.bpeMergeStep(c, x, y)
+      }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     // two-slot checkpoint tracking (the propagateMinLabelTracked
-    // discipline): `pending` = the current round's lazy checkpoint,
-    // materialized by the NEXT argmax action; `live` = the previous,
-    // already-materialized one that `pending` was computed from —
-    // unpersistable only once pending materializes. Peak storage stays
-    // at two corpus copies however many rounds run.
+    // discipline), now over the SMALL running count frame: `pending` =
+    // the current round's lazy checkpoint, materialized by the NEXT
+    // argmax action; `live` = the previous, already-materialized one
+    // that `pending` was computed from — unpersistable only once
+    // pending materializes.
+    var counts = pairCounts(tk0).localCheckpoint(false)
     var live: Option[org.apache.spark.rdd.RDD[_]] = None
-    var pending: Option[org.apache.spark.rdd.RDD[_]] = None
+    var pending: Option[org.apache.spark.rdd.RDD[_]] = ckptRdd(counts)
     var r = 1
     var dry = false
     while (r <= nMerges && !dry) {
-      val top = pairCounts(toks)
+      val top = counts
         .orderBy(col("cnt").desc, col("t1").asc, col("t2").asc)
         .limit(1).collect()
-      // the argmax materialized `pending` (it scanned toks) — its input
-      // checkpoint is now superseded
+      // the argmax materialized `pending` — its input checkpoint is now
+      // superseded
       live.foreach(rd => try rd.unpersist(false) catch { case _: Throwable => })
       live = pending
       pending = None
       if (top.isEmpty) dry = true
       else {
         val (a, b, n) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        val prev = merges.map(m => (m._2, m._3)).toSeq
         merges += ((r, a, b, n))
-        // per-round remap as a codegen'd expression (BpeMergeStep ≡
-        // applyMerge, BpeSpec-pinned) — the old Dataset.map paid a full
-        // encoder round-trip over the corpus every round
-        toks = toks.select(graft.functions.TextExpressions
-          .bpeMergeStep(col("tk"), a, b).as("tk")).localCheckpoint(false)
-        pending = ckptRdd(toks)
+        // incremental count maintenance: only the pairs this merge's
+        // occurrences changed shuffle — the running frame stays exactly
+        // pairCounts(corpus-after-merges)
+        val deltas = tk0.select(explode(graft.functions.TextExpressions
+            .bpePairDeltas(foldedTk(prev), a, b)).as("p"))
+          .select(col("p.t1").as("t1"), col("p.t2").as("t2"),
+            col("p.d").cast(LongType).as("cnt"))
+        counts = counts.union(deltas)
+          .groupBy("t1", "t2").agg(sum(col("cnt")).as("cnt"))
+          .where(col("cnt") > 0)
+          .localCheckpoint(false)
+        pending = ckptRdd(counts)
       }
       r += 1
     }
     // the merge table is driver-side rows — every surviving checkpoint
     // is dead at return
-    (live.toSeq ++ pending.toSeq)
+    (live.toSeq ++ pending.toSeq ++ tk0Ckpt.toSeq)
       .foreach(rd => try rd.unpersist(false) catch { case _: Throwable => })
     merges.toSeq
   }

@@ -105,6 +105,50 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental trainer ≡ driver-side full-recount reference on randomized corpora") {
+    // the distributed trainer maintains its bigram counts INCREMENTALLY
+    // (bpe_pair_deltas); this re-derives every round's counts from
+    // scratch on the driver with the same universe (empty-token pairs
+    // excluded) and the same (cnt DESC, t1, t2) argmax — full merge
+    // sequences must agree, including counts
+    def referenceTrain(texts: Seq[String], nMerges: Int): Seq[(Int, String, String, Long)] = {
+      var corpus = texts.map(_.toLowerCase.split(" ", -1).toSeq)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var r = 1
+      var dry = false
+      while (r <= nMerges && !dry) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        corpus.foreach { toks =>
+          toks.zip(toks.drop(1)).foreach { case p @ (t1, t2) =>
+            if (t1.nonEmpty && t2.nonEmpty) counts(p) = counts.getOrElse(p, 0L) + 1L
+          }
+        }
+        if (counts.isEmpty) dry = true
+        else {
+          val ((a, b), n) = counts.toSeq.minBy { case ((t1, t2), c) => (-c, t1, t2) }
+          out += ((r, a, b, n))
+          corpus = corpus.map(t => TextAnalysis.applyMerge(t, a, b, a + " " + b))
+        }
+        r += 1
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("a", "b", "c")
+    (1 to 6).foreach { trial =>
+      val texts = (0 until 8).map { _ =>
+        (0 until rnd.nextInt(9)).map { _ =>
+          // occasional double space ⇒ empty token, exercising the
+          // excluded-pair universe
+          if (rnd.nextInt(12) == 0) "" else vocab(rnd.nextInt(vocab.size))
+        }.mkString(" ")
+      }
+      val got = TextAnalysis.bpeTrainMerges(docs(texts: _*), 4)
+      assert(got === referenceTrain(texts, 4),
+        s"trial $trial diverged on corpus ${texts.mkString("|")}")
+    }
+  }
+
   test("round-1 merge equals the declared q_bpe_pairs argmax on real data") {
     val dir = "/root/testdata/sf0.001"
     val top = TextAnalysis.bpePairs(spark, dir).collect().head
