@@ -443,11 +443,15 @@ object model {
   }
 
   /** the same fixture as a DuckDB VALUES relation `f(id, raw, device, ts)` */
-  def rawLinesValuesSql: String =
+  def rawLinesValuesSql: String = rawLinesValuesSql("f")
+
+  /** same VALUES relation under a caller-chosen alias (for oracles that
+    * join the fixture against itself — no string surgery on the SQL) */
+  def rawLinesValuesSql(alias: String): String =
     syslogFixture.map { case (id, raw, dev, ts) =>
       val esc = raw.replace("'", "''")
       s"($id, '$esc', '$dev', TIMESTAMP '$ts')"
-    }.mkString("(VALUES ", ", ", ") f(id, raw, device, ts)")
+    }.mkString("(VALUES ", ", ", s") $alias(id, raw, device, ts)")
 
   /** DuckDB twin of parseSyslog over `$rel` (a relation with id/raw/...):
     * produces id, severity TINYINT, categories VARCHAR[], message. */

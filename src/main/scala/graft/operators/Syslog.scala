@@ -24,7 +24,7 @@ object Syslog {
   val flagshipSql: String =
     s"""SELECT date_trunc('hour', ts) AS hour, severity, count(*) AS n
        |FROM (${model.parseSyslogOracleSql(model.rawLinesValuesSql)} ) parsed
-       |JOIN ${model.rawLinesValuesSql.replace(" f(", " g(")} ON parsed.id = g.id
+       |JOIN ${model.rawLinesValuesSql("g")} ON parsed.id = g.id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** categories stays an array inside the pipeline; the FINAL projection
