@@ -412,6 +412,119 @@ object CorpusOps {
       |  count(*) AS n_docs
       |FROM j GROUP BY 1 ORDER BY status""".stripMargin
 
+  // ---- source-level content-overlap matrix ------------------------------
+  /** Which crawls/dumps duplicate each other at the CONTENT level — the
+    * acquisition-planning twin of `q_dedup_cross_source`: that query
+    * aggregates the near-dup PAIR list (doc-level evidence, thresholded),
+    * while this one compares whole sources as distinct-3-gram SETS, so
+    * partial mirroring that never clears a per-document pair threshold
+    * still shows up as shared gram mass. For every unordered source pair:
+    * shared distinct grams, both set sizes, Jaccard (resemblance) and
+    * overlap = shared/min (containment — "is the smaller source inside
+    * the bigger one?").
+    *
+    * Shape at scale: the corpus collapses to distinct (source, gh) rows
+    * map-side (gh = the family's 60-bit md5-prefix key) — ONE shuffle.
+    * Per-gram source lists are bounded by the SOURCE CATALOG (a
+    * dimension, like a partition key — thousands at most), not the
+    * corpus, and pair rows hash-aggregate map-side into ≤|S|² matrix
+    * cells, so the second shuffle carries ≤|S|² rows per partition
+    * regardless of corpus size. No per-doc pair generation anywhere. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.register(s)
+    val sg = t(s, dir, "documents")
+      .select(col("source"),
+        explode(graft.functions.TextExpressions.wordNgrams(toks, 3)).as("gram"))
+      .select(col("source"),
+        graft.functions.TextExpressions.md5Prefix64(col("gram"), 15).as("gh"))
+      .distinct()
+    val sizes = sg.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairRows = sg.groupBy("gh")
+      .agg(sort_array(collect_list(col("source"))).as("ss"))
+      .where(size(col("ss")) >= 2)
+      .select(col("ss"), posexplode(col("ss")).as(Seq("i", "s1")))
+      .select(col("s1"), col("i"), posexplode(col("ss")).as(Seq("j", "s2")))
+      .where(col("j") > col("i"))
+      .select("s1", "s2")
+    pairRows.groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("source").as("s1"), col("n").as("n1")), "s1")
+      .join(sizes.select(col("source").as("s2"), col("n").as("n2")), "s2")
+      .select(col("s1"), col("s2"), col("shared"), col("n1"), col("n2"),
+        r4(col("shared").cast(DoubleType) / (col("n1") + col("n2") - col("shared"))).as("jaccard"),
+        r4(col("shared").cast(DoubleType) / least(col("n1"), col("n2"))).as("overlap"))
+      .orderBy("s1", "s2")
+  }
+
+  val sourceOverlapSql: String =
+    """WITH toks AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+      |sg AS (
+      |  SELECT DISTINCT source, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM (
+      |    SELECT source, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+      |    FROM toks JOIN generate_series(1, 100000) g(i) ON i <= len(tk) - 2
+      |    WHERE len(tk) >= 3
+      |    UNION ALL
+      |    SELECT source, array_to_string(tk, ' ') AS gram FROM toks WHERE len(tk) < 3) x),
+      |sizes AS (SELECT source, count(*) AS n FROM sg GROUP BY 1),
+      |shr AS (SELECT a.source AS s1, b.source AS s2, count(*) AS shared
+      |  FROM sg a JOIN sg b ON a.gh = b.gh AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT s1, s2, shared, n1.n AS n1, n2.n AS n2,
+      |  CAST(round(shared::DOUBLE / (n1.n + n2.n - shared), 4) AS DOUBLE) AS jaccard,
+      |  CAST(round(shared::DOUBLE / least(n1.n, n2.n), 4) AS DOUBLE) AS overlap
+      |FROM shr JOIN sizes n1 ON shr.s1 = n1.source
+      |         JOIN sizes n2 ON shr.s2 = n2.source
+      |ORDER BY s1, s2""".stripMargin
+
+  // ---- corpus novelty (diminishing-returns instrument) ------------------
+  /** Per-document novel-gram fraction in ingestion (doc_id) order — the
+    * "is more of this corpus still worth ingesting?" curve: a gram is
+    * novel for the FIRST doc that carries it, so a corpus whose tail
+    * documents trend toward novelty 0 is re-crawling content it already
+    * has. Emits per doc: distinct-gram count, novel-gram count, and the
+    * novelty fraction.
+    *
+    * Shape at scale: ONE gram-hash shuffle computing min(doc_id) per gh
+    * (partial-aggregated map-side), then a doc-keyed count — both
+    * map-side combinable, no windows, no sort until the final
+    * presentation orderBy. Same 60-bit gh key as the dedup family. */
+  def corpusNovelty(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.register(s)
+    val shingles = t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.wordNgrams(toks, 3).as("grams"))
+    val pairs = shingles
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.md5Prefix64(col("gram"), 15).as("gh"))
+    val novel = pairs.groupBy("gh").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    shingles.select(col("doc_id"),
+        size(col("grams")).cast(LongType).as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        r4(col("n_novel").cast(DoubleType) / col("n_grams")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val corpusNoveltySql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |grams AS (
+      |  SELECT doc_id, gram FROM (
+      |    SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+      |    FROM toks JOIN generate_series(1, 100000) g(i) ON i <= len(tk) - 2
+      |    WHERE len(tk) >= 3
+      |    UNION
+      |    SELECT doc_id, array_to_string(tk, ' ') AS gram FROM toks WHERE len(tk) < 3)),
+      |gh AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh FROM grams),
+      |novel AS (SELECT doc_id, count(*) AS n_novel FROM (
+      |    SELECT gh, min(doc_id) AS doc_id FROM gh GROUP BY 1) f GROUP BY 1),
+      |sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1)
+      |SELECT s.doc_id, s.n_grams, coalesce(n.n_novel, 0) AS n_novel,
+      |  CAST(round(coalesce(n.n_novel, 0)::DOUBLE / s.n_grams, 4) AS DOUBLE) AS novelty
+      |FROM sizes s LEFT JOIN novel n ON s.doc_id = n.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
   // ---- composed dataset-assembly pipeline ------------------------------
   /** The assembly twin of `q_curate_e2e` — the WHOLE path from curated
     * corpus to training stream as one declarative frame:
@@ -542,6 +655,8 @@ object CorpusOps {
     "q_dedup_paragraph" -> dedupParagraph _,
     "q_token_histogram" -> tokenHistogram _,
     "q_corpus_diff" -> corpusDiff _,
+    "q_source_overlap" -> sourceOverlap _,
+    "q_corpus_novelty" -> corpusNovelty _,
     "q_assemble_e2e" -> assembleE2e _)
 
   val oracle: Map[String, String] = Map(
@@ -554,5 +669,7 @@ object CorpusOps {
     "q_dedup_paragraph" -> dedupParagraphSql,
     "q_token_histogram" -> tokenHistogramSql,
     "q_corpus_diff" -> corpusDiffSql,
+    "q_source_overlap" -> sourceOverlapSql,
+    "q_corpus_novelty" -> corpusNoveltySql,
     "q_assemble_e2e" -> assembleE2eSql)
 }

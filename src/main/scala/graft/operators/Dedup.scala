@@ -214,18 +214,26 @@ object Dedup {
   // ---- exact n-gram Jaccard similarity join ---------------------------
   val JaccardMaxDf = 50   // stop-gram pruning bound
   val JaccardThreshold = 0.5
+  /** gram-containment threshold on shared/min(n1,n2): a small doc pasted
+    * inside a much larger one scores ~1 here while its union-normalized
+    * Jaccard can sit below any usable near-dup threshold */
+  val ContainmentThreshold = 0.8
 
-  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // inverted-index similarity join: ONE shuffle groups doc ids per gram;
-    // stop-gram pruning (df > maxDf dropped) bounds the per-gram doc list,
-    // so in-place pair generation is O(maxDf²) worst case per gram — no
-    // big×big self-join, no window sort, no skew blowup at scale.
-    // The gram key that shuffles is the 60-bit md5-prefix BIGINT (the
-    // cross-engine family of dedupMinhashBands / commonSpanRatio,
-    // mirrored in the oracle CTE) — fixed 8 bytes instead of ~20-byte
-    // 3-gram strings, cutting the inverted-index shuffle ~2-3×. A
-    // within-doc 60-bit collision could emit a degenerate self-pair;
-    // the d1 < d2 guard (also in the oracle's join condition) drops it.
+  /** Shared front of the exact pairwise scorers ([[dedupNgramJaccard]],
+    * [[dedupContainment]]): (d1, d2, shared, n1, n2) — shared distinct
+    * 3-gram count per candidate pair plus both docs' distinct-gram sizes.
+    *
+    * Inverted-index similarity join: ONE shuffle groups doc ids per gram;
+    * stop-gram pruning (df > maxDf dropped) bounds the per-gram doc list,
+    * so in-place pair generation is O(maxDf²) worst case per gram — no
+    * big×big self-join, no window sort, no skew blowup at scale.
+    * The gram key that shuffles is the 60-bit md5-prefix BIGINT (the
+    * cross-engine family of dedupMinhashBands / commonSpanRatio,
+    * mirrored in the oracle CTE) — fixed 8 bytes instead of ~20-byte
+    * 3-gram strings, cutting the inverted-index shuffle ~2-3×. A
+    * within-doc 60-bit collision could emit a degenerate self-pair;
+    * the d1 < d2 guard (also in the oracle's join condition) drops it. */
+  private def sharedGramCounts(s: SparkSession, dir: String): DataFrame = {
     val byGram = shingled(s, dir)
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .select(col("doc_id"),
@@ -245,15 +253,41 @@ object Dedup {
     shared
       .join(docSizes.select(col("doc_id").as("d1"), col("n_grams").as("n1")), "d1")
       .join(docSizes.select(col("doc_id").as("d2"), col("n_grams").as("n2")), "d2")
+  }
+
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    sharedGramCounts(s, dir)
       .select(col("d1"), col("d2"),
         r4(col("shared").cast(DoubleType) / (col("n1") + col("n2") - col("shared"))).as("jaccard"))
       .where(col("jaccard") >= JaccardThreshold)
       .orderBy("d1", "d2")
-  }
 
-  /** shared CTE chain ending in `pairs(d1, d2, jaccard)` — the oracle
-    * core reused by dedupNgramJaccardSql and dedupClustersSql */
-  private val jaccardPairsCte =
+  /** Directional containment dedup — the near-dup class Jaccard
+    * structurally misses: a quote, a syndicated article, or a whole small
+    * doc pasted inside a larger one shares nearly all of the SMALL doc's
+    * grams, but the union in Jaccard's denominator is dominated by the
+    * large doc, so shared/union never clears the pair threshold. Scoring
+    * shared/min(n1,n2) instead makes the score 1.0 for perfect subset
+    * pairs regardless of the size ratio (Broder 1997's containment
+    * coefficient, the resemblance/containment split). Emits the score
+    * plus `contained` — the doc id of the smaller gram set, i.e. which
+    * side a keep-the-superset policy would drop.
+    *
+    * Scale: identical plan shape to [[dedupNgramJaccard]] (the shared
+    * inverted-index front is literally shared — [[sharedGramCounts]]),
+    * so the same stop-gram-pruned single-shuffle bound applies. */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    sharedGramCounts(s, dir)
+      .select(col("d1"), col("d2"),
+        r4(col("shared").cast(DoubleType) / least(col("n1"), col("n2"))).as("containment"),
+        when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2")).as("contained"))
+      .where(col("containment") >= ContainmentThreshold)
+      .orderBy("d1", "d2")
+
+  /** CTE chain ending in `shared(d1, d2, shared)` + `sizes` — the oracle
+    * twin of [[sharedGramCounts]], reused by the Jaccard and containment
+    * scorers */
+  private val sharedGramCountsCte =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |grams AS (
        |  SELECT doc_id, gram FROM (
@@ -269,7 +303,12 @@ object Dedup {
        |  WHERE df <= $JaccardMaxDf),
        |shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
        |  FROM pruned a JOIN pruned b ON a.gh = b.gh AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** shared CTE chain ending in `pairs(d1, d2, jaccard)` — the oracle
+    * core reused by dedupNgramJaccardSql and dedupClustersSql */
+  private val jaccardPairsCte =
+    s"""$sharedGramCountsCte,
        |pairs AS (SELECT d1, d2, jaccard FROM (
        |  SELECT d1, d2, CAST(round(shared::DOUBLE / (n1.n_grams + n2.n_grams - shared), 4) AS DOUBLE) AS jaccard
        |  FROM shared JOIN sizes n1 ON shared.d1 = n1.doc_id
@@ -279,6 +318,17 @@ object Dedup {
   val dedupNgramJaccardSql =
     s"""WITH $jaccardPairsCte
        |SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2""".stripMargin
+
+  val dedupContainmentSql =
+    s"""WITH $sharedGramCountsCte
+       |SELECT d1, d2, containment, contained FROM (
+       |  SELECT d1, d2,
+       |    CAST(round(shared::DOUBLE / least(n1.n_grams, n2.n_grams), 4) AS DOUBLE) AS containment,
+       |    CASE WHEN n1.n_grams <= n2.n_grams THEN d1 ELSE d2 END AS contained
+       |  FROM shared JOIN sizes n1 ON shared.d1 = n1.doc_id
+       |              JOIN sizes n2 ON shared.d2 = n2.doc_id) c
+       |WHERE containment >= $ContainmentThreshold
+       |ORDER BY d1, d2""".stripMargin
 
   // ---- LSH candidate-quality evaluation -------------------------------
   /** Recall/precision of the LSH band-collision candidate set against the
@@ -2930,6 +2980,7 @@ object Dedup {
     "q_dedup_minhash_bands" -> dedupMinhashBands _,
     "q_dedup_eval" -> dedupEval _,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "q_dedup_containment" -> dedupContainment _,
     "q_dedup_clusters" -> dedupClusters _,
     "q_dedup_apply" -> dedupApply _,
     "q_dedup_minhash_clusters" -> dedupMinhashClusters _,
@@ -2963,6 +3014,7 @@ object Dedup {
     "q_dedup_minhash_bands" -> dedupMinhashBandsSql,
     "q_dedup_eval" -> dedupEvalSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "q_dedup_containment" -> dedupContainmentSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_apply" -> dedupApplySql,
     "q_dedup_simhash_chunks" -> dedupSimhashChunksSql,

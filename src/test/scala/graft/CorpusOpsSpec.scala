@@ -148,6 +148,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got === Map("added" -> 2L, "removed" -> 2L, "changed" -> 1L, "same" -> 5L))
   }
 
+  test("q_source_overlap: hand-computed gram-set resemblance and containment per source pair") {
+    val dir = writeDocs(Seq(
+      (1L, "a b c d", "en", "src0"),   // grams {abc, bcd}           n=2
+      (2L, "a b c d e", "en", "src1"), // grams {abc, bcd, cde}      n=3
+      (3L, "x y z w", "en", "src2")))  // grams {xyz, yzw}, disjoint
+    val got = operators.CorpusOps.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    // only the pair with shared mass appears; src2 shares nothing
+    assert(got.toSeq === Seq(("src0", "src1", 2L, 2L, 3L, 0.6667, 1.0)),
+      "shared=2 of sizes 2/3: jaccard 2/3, overlap 2/min(2,3)=1")
+  }
+
+  test("q_corpus_novelty: first carrier gets the credit, copies score zero, partial overlap fractions") {
+    val dir = writeDocs(Seq(
+      (1L, "a b c d", "en", "src"), // {abc, bcd} both first-seen → 1.0
+      (2L, "a b c d", "en", "src"), // exact copy → 0.0
+      (3L, "b c d e", "en", "src"))) // {bcd, cde}: bcd seen, cde new → 0.5
+    val got = operators.CorpusOps.corpusNovelty(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0), (3L, 2L, 1L, 0.5)))
+  }
+
   test("q_dedup_paragraph: keep-first block survivorship across and within docs") {
     val A = (0 until 32).map(i => s"a$i").mkString(" ")
     val B = (0 until 32).map(i => s"b$i").mkString(" ")

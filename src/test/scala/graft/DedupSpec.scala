@@ -104,6 +104,30 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)), "planted dup pair 1-2 lost to the bucket guard")
   }
 
+  test("q_dedup_containment: subset doc scores 1.0 where Jaccard misses; direction names the smaller side") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_contain").toString
+    // doc 1 = the first 12 words of doc 2 (60 distinct words): every one
+    // of doc 1's ten 3-grams is inside doc 2, but the union denominator
+    // makes jaccard 10/58 — far below the 0.5 pair threshold
+    val words = (1 to 60).map(i => s"w$i")
+    val big = words.mkString(" ")
+    val small = words.take(12).mkString(" ")
+    val far = "completely unrelated terms about shuffle partitions and broadcast joins"
+    Seq(
+      (1L, small, "en", "src0", small.length.toLong),
+      (2L, big, "en", "src1", big.length.toLong),
+      (3L, far, "en", "src2", far.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Dedup.dedupContainment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 2L, 1.0, 1L)),
+      "perfect subset pair at containment 1.0, contained = the smaller doc")
+    val jac = operators.Dedup.dedupNgramJaccard(spark, dir).collect()
+    assert(jac.isEmpty, "jaccard at 0.5 must miss the 10/58 subset pair")
+  }
+
   test("q_dedup_apply: keepers and never-duplicated docs survive, non-keepers drop") {
     val kept = operators.Dedup.dedupApply(spark, fixtureDir)
       .collect().map(_.getLong(0)).toSet
