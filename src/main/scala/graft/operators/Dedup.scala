@@ -1762,6 +1762,18 @@ object Dedup {
     * dedup shape). One equi-join on gh + one pair groupBy + two 1:1
     * size joins; everything keys on gh or doc id (scaling keys). */
   def probeGramIndex(s: SparkSession, docs: DataFrame,
+      indexPath: String): DataFrame =
+    probeGramShared(s, docs, indexPath)
+      .select(col("new_id"), col("dup_of"),
+        r4(col("shared").cast(DoubleType) / (col("n_new") + col("n_old") - col("shared")))
+          .as("jaccard"))
+      .where(col("jaccard") >= JaccardThreshold)
+
+  /** the probes' common front: (new_id, dup_of, shared, n_new, n_old)
+    * against the persisted index — the at-rest twin of
+    * [[sharedGramCounts]], scored by [[probeGramIndex]] (Jaccard) and
+    * [[probeGramIndexContainment]] */
+  private def probeGramShared(s: SparkSession, docs: DataFrame,
       indexPath: String): DataFrame = {
     graft.functions.TextExpressions.register(s)
     val batchSh = docs
@@ -1781,11 +1793,26 @@ object Dedup {
       .join(batchSh.select(col("doc_id").as("new_id"),
         size(col("grams")).cast(LongType).as("n_new")), "new_id")
       .join(sizes.select(col("doc_id").as("dup_of"), col("n_grams").as("n_old")), "dup_of")
-      .select(col("new_id"), col("dup_of"),
-        r4(col("shared").cast(DoubleType) / (col("n_new") + col("n_old") - col("shared")))
-          .as("jaccard"))
-      .where(col("jaccard") >= JaccardThreshold)
   }
+
+  /** Containment-scored probe of the SAME persisted gram index — the
+    * incremental/serving twin of [[dedupContainment]]: an arriving doc
+    * that is (mostly) a subset of an indexed doc — or that swallows a
+    * small indexed doc whole — scores ~1 on shared/min even when the
+    * Jaccard probe's shared/union stays below its threshold. Same single
+    * gh equi-join + pair groupBy + two 1:1 size joins; `contained` names
+    * the smaller gram set's doc id. One honesty note shared with the
+    * Jaccard probe: `shared` counts INDEXED grams only, so corpus-wide
+    * stop-grams (df > max_df, pruned at build) don't inflate scores. */
+  def probeGramIndexContainment(s: SparkSession, docs: DataFrame,
+      indexPath: String): DataFrame =
+    probeGramShared(s, docs, indexPath)
+      .select(col("new_id"), col("dup_of"),
+        r4(col("shared").cast(DoubleType) / least(col("n_new"), col("n_old")))
+          .as("containment"),
+        when(col("n_new") <= col("n_old"), col("new_id")).otherwise(col("dup_of"))
+          .as("contained"))
+      .where(col("containment") >= ContainmentThreshold)
 
   // Sorted here, not in the probe — see dedupSimhashIncremental.
   def dedupIncrementalAgainst(s: SparkSession, dir: String,
@@ -1805,8 +1832,20 @@ object Dedup {
   def ensureGramIndex(s: SparkSession, dir: String): String =
     gramIndexPath(s, dir)
 
-  val dedupIncrementalSql =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  // Sorted here, not in the probe — the dedupSimhashIncremental discipline.
+  def dedupContainmentIncremental(s: SparkSession, dir: String): DataFrame =
+    probeGramIndexContainment(s,
+      t(s, dir, "documents")
+        .where(col("doc_id") % IncrementalMod === IncrementalRem)
+        .select("doc_id", "text"),
+      gramIndexPath(s, dir))
+      .orderBy("new_id", "dup_of")
+
+  /** CTE chain ending in `shared(new_id, dup_of, shared)` + `sizes` —
+    * the oracle twin of [[probeGramShared]] on the deterministic split,
+    * reused by both incremental-probe oracles */
+  private val incrementalSharedCte =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |grams AS (
        |  SELECT doc_id, gram FROM (
        |    SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
@@ -1822,13 +1861,26 @@ object Dedup {
        |        WHERE df <= $JaccardMaxDf),
        |batch AS (SELECT * FROM gh WHERE doc_id % $IncrementalMod = $IncrementalRem),
        |shared AS (SELECT b.doc_id AS new_id, i.doc_id AS dup_of, count(*) AS shared
-       |           FROM batch b JOIN idx i USING (gh) GROUP BY 1, 2)
+       |           FROM batch b JOIN idx i USING (gh) GROUP BY 1, 2)""".stripMargin
+
+  val dedupIncrementalSql =
+    s"""WITH $incrementalSharedCte
        |SELECT new_id, dup_of, jaccard FROM (
        |  SELECT new_id, dup_of,
        |    CAST(round(shared::DOUBLE / (ns.n + no.n - shared), 4) AS DOUBLE) AS jaccard
        |  FROM shared JOIN sizes ns ON shared.new_id = ns.doc_id
        |              JOIN sizes no ON shared.dup_of = no.doc_id) j
        |WHERE jaccard >= $JaccardThreshold ORDER BY new_id, dup_of""".stripMargin
+
+  val dedupContainmentIncrementalSql =
+    s"""WITH $incrementalSharedCte
+       |SELECT new_id, dup_of, containment, contained FROM (
+       |  SELECT new_id, dup_of,
+       |    CAST(round(shared::DOUBLE / least(ns.n, no.n), 4) AS DOUBLE) AS containment,
+       |    CASE WHEN ns.n <= no.n THEN new_id ELSE dup_of END AS contained
+       |  FROM shared JOIN sizes ns ON shared.new_id = ns.doc_id
+       |              JOIN sizes no ON shared.dup_of = no.doc_id) c
+       |WHERE containment >= $ContainmentThreshold ORDER BY new_id, dup_of""".stripMargin
 
   // ---- incremental MinHash dedup against a persisted band index --------
   /** The MinHash family's at-rest/incremental story — with this, EVERY
@@ -2991,6 +3043,7 @@ object Dedup {
     "q_decontaminate" -> decontaminate _,
     "q_decontaminate_bloom" -> decontaminateBloom _,
     "q_dedup_incremental" -> dedupIncremental _,
+    "q_dedup_containment_incremental" -> dedupContainmentIncremental _,
     "q_dedup_simhash_incremental" -> dedupSimhashIncremental _,
     "q_dedup_minhash_incremental" -> dedupMinhashIncremental _,
     "q_dedup_simhash_incr_recall" -> dedupSimhashIncrRecall _,
@@ -3022,6 +3075,7 @@ object Dedup {
     "q_dedup_simhash_eval" -> dedupSimhashEvalSql,
     "q_decontaminate" -> decontaminateSql,
     "q_dedup_incremental" -> dedupIncrementalSql,
+    "q_dedup_containment_incremental" -> dedupContainmentIncrementalSql,
     "q_dedup_simhash_incremental" -> dedupSimhashIncrementalSql,
     "q_dedup_minhash_incremental" -> dedupMinhashIncrementalSql,
     "q_dedup_simhash_incr_recall" -> dedupSimhashIncrRecallSql,

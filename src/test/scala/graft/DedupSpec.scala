@@ -128,6 +128,31 @@ class DedupSpec extends AnyFunSuite {
     assert(jac.isEmpty, "jaccard at 0.5 must miss the 10/58 subset pair")
   }
 
+  test("q_dedup_containment_incremental: probe flags a batch doc swallowed by an indexed doc") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_contain_incr").toString
+    // id 17 ≡ 7 (mod 10) → the probe batch; 2 and 3 build the index.
+    // Batch doc 17 = the first 12 words of corpus doc 2 → containment
+    // 1.0 against it, while the jaccard probe (shared/union = 10/58)
+    // stays silent.
+    val words = (1 to 60).map(i => s"w$i")
+    val big = words.mkString(" ")
+    val small = words.take(12).mkString(" ")
+    val far = "completely unrelated terms about shuffle partitions and broadcast joins"
+    Seq(
+      (17L, small, "en", "src0", small.length.toLong),
+      (2L, big, "en", "src1", big.length.toLong),
+      (3L, far, "en", "src2", far.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Dedup.dedupContainmentIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq === Seq((17L, 2L, 1.0, 17L)),
+      "batch doc is a perfect subset of the indexed doc; contained = the batch doc")
+    val jac = operators.Dedup.dedupIncremental(spark, dir).collect()
+    assert(jac.isEmpty, "the jaccard probe at 0.5 must miss the 10/58 subset pair")
+  }
+
   test("q_dedup_apply: keepers and never-duplicated docs survive, non-keepers drop") {
     val kept = operators.Dedup.dedupApply(spark, fixtureDir)
       .collect().map(_.getLong(0)).toSet
