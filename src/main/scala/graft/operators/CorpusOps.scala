@@ -475,6 +475,75 @@ object CorpusOps {
       |         JOIN sizes n2 ON shr.s2 = n2.source
       |ORDER BY s1, s2""".stripMargin
 
+  // ---- split leakage (release-gate contamination of the held-out sets) --
+  /** Near-verbatim leakage from train into the ACTUAL held-out splits —
+    * the release gate `q_decontaminate` approximates with its synthetic
+    * mod-97 slice: a hash split is independent of content, so two
+    * near-identical docs routinely land on opposite sides, and the
+    * held-out loss silently turns into training-set recall. For every
+    * doc [[splitOf]] assigns to val/test: the fraction of its distinct
+    * 3-grams that appear in ANY train-assigned doc. The row set uses the
+    * SAME md5 coin as `q_split_assign`/`streamSplitRoute`, so the
+    * numbers price the split that actually ships.
+    *
+    * Shape at scale (the decontaminate shape): distinct train grams
+    * build once (one shuffle on the 60-bit gh), held-out grams left-semi
+    * join it (second gh shuffle) — never doc×doc; per-doc counts
+    * map-side combine. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.register(s)
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.wordNgrams(toks, 3).as("grams"),
+        splitOf(col("doc_id")).as("split"))
+    val held = sh.where(col("split") =!= "train")
+    val heldG = held
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.md5Prefix64(col("gram"), 15).as("gh"))
+    val trainG = sh.where(col("split") === "train")
+      .select(explode(col("grams")).as("gram"))
+      .select(graft.functions.TextExpressions.md5Prefix64(col("gram"), 15).as("gh"))
+      .distinct()
+    val hits = heldG.join(trainG, Seq("gh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    held.select(col("doc_id"), col("split"),
+        size(col("grams")).cast(LongType).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        r4f(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / col("n_grams"))
+          .as("leakage"))
+      .orderBy("doc_id")
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |grams AS (
+       |  SELECT doc_id, gram FROM (
+       |    SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+       |    FROM toks JOIN generate_series(1, 100000) g(i) ON i <= len(tk) - 2
+       |    WHERE len(tk) >= 3
+       |    UNION
+       |    SELECT doc_id, array_to_string(tk, ' ') AS gram FROM toks WHERE len(tk) < 3)),
+       |lab AS (SELECT doc_id,
+       |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 < $SplitTestPerMille THEN 'test'
+       |         WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 < $SplitValPerMille THEN 'val'
+       |         ELSE 'train' END AS split
+       |  FROM documents),
+       |gh AS (SELECT g.doc_id, l.split,
+       |    ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+       |  FROM grams g JOIN lab l ON g.doc_id = l.doc_id),
+       |train AS (SELECT DISTINCT gh FROM gh WHERE split = 'train'),
+       |sizes AS (SELECT doc_id, split, count(*) AS n_grams FROM gh
+       |          WHERE split <> 'train' GROUP BY 1, 2),
+       |hits AS (SELECT e.doc_id, count(*) AS n_hit
+       |         FROM gh e JOIN train t USING (gh)
+       |         WHERE e.split <> 'train' GROUP BY 1)
+       |SELECT s.doc_id, s.split, s.n_grams, coalesce(h.n_hit, 0) AS n_hit,
+       |  floor(coalesce(h.n_hit, 0)::DOUBLE / s.n_grams * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS leakage
+       |FROM sizes s LEFT JOIN hits h USING (doc_id) ORDER BY s.doc_id""".stripMargin
+
   // ---- corpus novelty (diminishing-returns instrument) ------------------
   /** Per-document novel-gram fraction in ingestion (doc_id) order — the
     * "is more of this corpus still worth ingesting?" curve: a gram is
@@ -657,6 +726,7 @@ object CorpusOps {
     "q_corpus_diff" -> corpusDiff _,
     "q_source_overlap" -> sourceOverlap _,
     "q_corpus_novelty" -> corpusNovelty _,
+    "q_split_leakage" -> splitLeakage _,
     "q_assemble_e2e" -> assembleE2e _)
 
   val oracle: Map[String, String] = Map(
@@ -671,5 +741,6 @@ object CorpusOps {
     "q_corpus_diff" -> corpusDiffSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_corpus_novelty" -> corpusNoveltySql,
+    "q_split_leakage" -> splitLeakageSql,
     "q_assemble_e2e" -> assembleE2eSql)
 }

@@ -564,6 +564,32 @@ object Pipeline {
       }
       .start()
 
+  /** LIVE containment gate — [[streamDedupIncremental]]'s scoring twin
+    * over the SAME persisted gram index: each micro-batch probes via
+    * `Dedup.probeGramIndexContainment` and emits (new_id, dup_of,
+    * containment, contained) — the subset-duplication class (a doc
+    * mostly inside an indexed one, or swallowing a small indexed one)
+    * that the Jaccard gate's shared/union threshold never fires on.
+    * Identical code path to the batch `q_dedup_containment_incremental`,
+    * so stream ≡ batch by construction. Stateless foreachBatch;
+    * exactly-once per-batch_id partition overwrite. */
+  def streamContainmentDedup(docs: DataFrame, indexPath: String,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.probeGramIndexContainment(batch.sparkSession, batch, indexPath)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .start()
+
   /** LIVE SimHash near-dup gate — [[streamDedupIncremental]]'s twin over
     * the persisted SimHash band index (`Dedup.writeSimhashIndex`): each
     * micro-batch of (doc_id, text) signatures map-side and probes the

@@ -172,6 +172,29 @@ class CorpusOpsSpec extends AnyFunSuite {
       (1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0), (3L, 2L, 1L, 0.5)))
   }
 
+  test("q_split_leakage: a held-out doc cloned from train leaks 1.0; unique held-out text 0.0") {
+    // pick ids by replaying the split coin locally so the fixture is
+    // robust to the per-mille constants
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 1000
+    val held = (1L to 2000L).filter(bucket(_) < operators.CorpusOps.SplitValPerMille)
+    val train = (1L to 2000L).filter(bucket(_) >= operators.CorpusOps.SplitValPerMille)
+    val (leakyId, cleanId, trainId) = (held(0), held(1), train(0))
+    val dir = writeDocs(Seq(
+      (trainId, "a b c d e", "en", "src"),   // train content
+      (leakyId, "a b c d e", "en", "src"),   // held-out clone of train → 1.0
+      (cleanId, "p q r s t", "en", "src")))  // held-out unique → 0.0
+    val got = operators.CorpusOps.splitLeakage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+      .sortBy(_._1)
+    assert(got === Seq((leakyId, 3L, 3L, 1.0), (cleanId, 3L, 0L, 0.0)).sortBy(_._1),
+      "three 3-grams each; the clone hits all of them, the unique doc none")
+    // the split labels are the coin's, not positional
+    val labels = operators.CorpusOps.splitLeakage(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!labels.contains(trainId), "train docs carry no leakage row")
+  }
+
   test("q_dedup_paragraph: keep-first block survivorship across and within docs") {
     val A = (0 until 32).map(i => s"a$i").mkString(" ")
     val B = (0 until 32).map(i => s"b$i").mkString(" ")

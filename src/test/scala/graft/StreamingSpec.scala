@@ -288,6 +288,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "expected cross-split near-dup pairs at sf0.01")
   }
 
+  test("streamContainmentDedup: per-batch containment probes reproduce the batch incremental form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val indexPath = graft.operators.Dedup.ensureGramIndex(spark, dir)
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 10 === 7)
+      .select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val (firstHalf, secondHalf) = batchDocs.splitAt(batchDocs.size / 2)
+    val ms = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("graft_scd_out").toString
+    val ckpt = Files.createTempDirectory("graft_scd_ckpt").toString
+    // add BEFORE start — the AvailableNow snapshot race (see above)
+    ms.addData(firstHalf)
+    ms.addData(secondHalf)
+    val q = Pipeline.streamContainmentDedup(
+      ms.toDF().toDF("doc_id", "text"), indexPath, out, ckpt,
+      Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(out)
+      .select("new_id", "dup_of", "containment", "contained")
+      .orderBy("new_id", "dup_of")
+      .collect().toSeq
+    val batch = graft.operators.Dedup.dedupContainmentIncremental(spark, dir)
+      .collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "expected cross-split containment pairs at sf0.01")
+  }
+
   test("streamIngestDedup: batch N+1 near-dups against batch N via the absorbed index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
