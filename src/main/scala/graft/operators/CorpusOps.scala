@@ -264,6 +264,60 @@ object CorpusOps {
       |SELECT doc_id, n_toks, rarity, (rarity // n_toks)::BIGINT AS mean_rarity
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  // ---- bigram-LM coherence scoring ---------------------------------------
+  /** The word-ORDER half of the LM-perplexity filter that
+    * [[qualityUnigram]]'s bag-of-words rarity cannot see: a scrambled
+    * permutation of a clean doc has the IDENTICAL unigram profile but
+    * lands in rare bigram cells, so its inverse-conditional surprisal
+    * Σ tf(a,b) · ⌊cnt(a·) / cnt(a,b)⌋ blows up (cnt(a·) = occurrences
+    * of `a` with a successor, so ⌊cnt(a·)/cnt(a,b)⌋ is the integer
+    * inverse of P(b|a) under the corpus's own bigram model — a real LM
+    * swaps in its own table). High mean = incoherent word order
+    * (gibberish, shuffled scrapes), low = boilerplate; both tails get
+    * cut, same as the unigram rule. Integer-exact end to end — the
+    * q_tfidf_top no-ln() determinism rule.
+    *
+    * Shape at scale: per-doc bigram tf and the corpus bigram table are
+    * both map-side-combined groupBys; context counts aggregate the
+    * BIGRAM table (vocab-sized, not corpus-sized); the tf⋈cnt2⋈cnt1
+    * equi-joins have one row per key on the build side (no fan-out). */
+  def qualityBigram(s: SparkSession, dir: String): DataFrame = {
+    val tf2 = t(s, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
+          "(a, b) -> concat(a, ' ', b))")).as("big"))
+      .groupBy("doc_id", "big").agg(count(lit(1)).as("tf"))
+    val cnt2 = tf2.groupBy("big").agg(sum(col("tf")).as("cnt2"))
+      .withColumn("ctx", expr("substring_index(big, ' ', 1)"))
+    val cnt1 = cnt2.groupBy("ctx").agg(sum(col("cnt2")).as("cnt1"))
+    tf2.join(cnt2, "big").join(cnt1, "ctx")
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * expr("cnt1 div cnt2")).as("surprisal"),
+        sum(col("tf")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("surprisal"),
+        expr("surprisal div n_bigrams").as("mean_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  val qualityBigramSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+      |tf AS (
+      |  SELECT doc_id, big, count(*) AS tf FROM (
+      |    SELECT doc_id, tk[i] || ' ' || tk[i+1] AS big
+      |    FROM toks JOIN generate_series(1, 100000) g(i) ON i <= len(tk) - 1) x
+      |  GROUP BY 1, 2),
+      |cnt2 AS (SELECT big, split_part(big, ' ', 1) AS ctx, sum(tf)::BIGINT AS cnt2
+      |         FROM tf GROUP BY 1, 2),
+      |cnt1 AS (SELECT ctx, sum(cnt2)::BIGINT AS cnt1 FROM cnt2 GROUP BY 1),
+      |sc AS (SELECT t.doc_id,
+      |         sum(t.tf * (c1.cnt1 // c2.cnt2))::BIGINT AS surprisal,
+      |         sum(t.tf)::BIGINT AS n_bigrams
+      |       FROM tf t JOIN cnt2 c2 USING (big) JOIN cnt1 c1 ON c2.ctx = c1.ctx
+      |       GROUP BY 1)
+      |SELECT doc_id, n_bigrams, surprisal, (surprisal // n_bigrams)::BIGINT AS mean_surprisal
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   // ---- sub-document keep-first block dedup ------------------------------
   /** Paragraph-granularity exact dedup (the C4 "three-sentence span" /
     * RefinedWeb paragraph rule, restated for this corpus's flat token
@@ -721,6 +775,7 @@ object CorpusOps {
     "q_vocab_coverage" -> vocabCoverage _,
     "q_shuffle_shard" -> shuffleShard _,
     "q_quality_unigram" -> qualityUnigram _,
+    "q_quality_bigram" -> qualityBigram _,
     "q_dedup_paragraph" -> dedupParagraph _,
     "q_token_histogram" -> tokenHistogram _,
     "q_corpus_diff" -> corpusDiff _,
@@ -736,6 +791,7 @@ object CorpusOps {
     "q_vocab_coverage" -> vocabCoverageSql,
     "q_shuffle_shard" -> shuffleShardSql,
     "q_quality_unigram" -> qualityUnigramSql,
+    "q_quality_bigram" -> qualityBigramSql,
     "q_dedup_paragraph" -> dedupParagraphSql,
     "q_token_histogram" -> tokenHistogramSql,
     "q_corpus_diff" -> corpusDiffSql,

@@ -195,6 +195,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!labels.contains(trainId), "train docs carry no leakage row")
   }
 
+  test("q_quality_bigram: scrambled doc scores high where unigram rarity is blind") {
+    // both docs = the SAME token multiset (identical unigram profile);
+    // doc 2 is a fixed scramble that lands in rare bigram cells
+    val clean = Seq.fill(6)("the cat sat on the mat").mkString(" ")
+    val scram = (Seq.fill(3)("cat the mat sat the on") ++
+      Seq.fill(3)("on mat the sat cat the")).mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, clean, "en", "src"),
+      (2L, scram, "en", "src")))
+    val got = operators.CorpusOps.qualityBigram(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(got(1L)._1 === 35L && got(2L)._1 === 35L, "same bigram count both docs")
+    assert(got(2L)._2 > got(1L)._2,
+      s"scramble must out-surprise the clean doc: ${got(2L)._2} vs ${got(1L)._2}")
+    // unigram rarity is blind to the scramble: identical token bags
+    val uni = operators.CorpusOps.qualityUnigram(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(uni(1L) === uni(2L), "unigram mean_rarity must tie on the same bag")
+  }
+
   test("q_dedup_paragraph: keep-first block survivorship across and within docs") {
     val A = (0 until 32).map(i => s"a$i").mkString(" ")
     val B = (0 until 32).map(i => s"b$i").mkString(" ")
