@@ -20,7 +20,9 @@ q_dedup_eval q_dedup_incremental q_dedup_keep_best q_dedup_minhash_incr_recall \
 q_dedup_minhash_incremental q_dedup_simhash_incr_recall q_dedup_simhash_incremental \
 q_dedup_substring q_merge_upsert q_normalize_text q_repetition_gopher \
 q_repetition_ratio q_scd2 q_scrub_spans q_sim_eval_pq q_unpivot \
-q_win_range_frame_bucketed"
+q_win_range_frame_bucketed \
+q_dedup_containment q_dedup_containment_incremental q_source_overlap \
+q_corpus_novelty q_split_leakage"
 
 if [[ "${1:-}" == "--full" ]]; then
   SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=$SF1 \
