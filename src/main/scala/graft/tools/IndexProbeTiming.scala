@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * measured run; production pays the build once per corpus snapshot and
   * the probe per batch. This prints both, separately, as one JSON line:
   * build_sec, first probe (plan + shuffle warmup) and min of 3 warm
-  * probes. Usage: IndexProbeTiming <sfDir> [substr|simhash] — simhash
-  * times the band index under its density-derived default cap (the
-  * round-13 accepted bench cost is the COLD contract's build+probe;
-  * this prices what production, which builds once per snapshot,
-  * actually pays per batch).
+  * probes. Usage: IndexProbeTiming <sfDir> [substr|simhash|gram|
+  * containment] — simhash times the band index under its
+  * density-derived default cap; gram/containment time the pruned
+  * inverted gram index under its two scorers (same build, different
+  * probe projection). The round-13 accepted bench cost is the COLD
+  * contract's build+probe; this prices what production, which builds
+  * once per snapshot, actually pays per batch.
   */
 object IndexProbeTiming {
   def main(args: Array[String]): Unit = {
@@ -47,6 +49,7 @@ object IndexProbeTiming {
     val idx = java.nio.file.Files.createTempDirectory("graft_probe_timing").toString
     val build = secs(family match {
       case "simhash" => graft.operators.Dedup.writeSimhashIndex(spark, sfDir, idx)
+      case "gram" | "containment" => graft.operators.Dedup.writeGramIndex(spark, sfDir, idx)
       case _ => graft.operators.Dedup.writeSubstrIndex(spark, sfDir, idx)
     })
     val batch = graft.util.t(spark, sfDir, "documents")
@@ -55,6 +58,9 @@ object IndexProbeTiming {
       .select("doc_id", "text")
     def probeOnce(): Unit = (family match {
       case "simhash" => graft.operators.Dedup.probeSimhashIndex(spark, batch, idx)
+      case "gram" => graft.operators.Dedup.probeGramIndex(spark, batch, idx)
+      case "containment" =>
+        graft.operators.Dedup.probeGramIndexContainment(spark, batch, idx)
       case _ => graft.operators.Dedup.probeSubstrIndex(spark, batch, idx)
     }).write.mode("overwrite").format("noop").save()
     val first = secs(probeOnce())
