@@ -284,6 +284,25 @@ object Dedup {
       .where(col("containment") >= ContainmentThreshold)
       .orderBy("d1", "d2")
 
+  /** The keep-the-superset policy APPLIED: the corpus minus every doc
+    * flagged as the `contained` side of a ≥-threshold pair — the
+    * actionable face of [[dedupContainment]], the way [[dedupApply]]
+    * acts on the Jaccard clusters. Chains resolve consistently without
+    * label propagation: in a ⊂ b ⊂ c every non-maximal element is the
+    * `contained` side of at least one pair, so one anti-join keeps
+    * exactly the maximal docs — no connected components needed (the
+    * relation is directional, unlike near-dup similarity).
+    *
+    * Scale: the pair frame's cost (bounded by the shared inverted-index
+    * front) + ONE left-anti equi-join on doc_id. */
+  def dedupContainmentApply(s: SparkSession, dir: String): DataFrame = {
+    val drops = dedupContainment(s, dir).select(col("contained").as("doc_id"))
+    t(s, dir, "documents")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** CTE chain ending in `shared(d1, d2, shared)` + `sizes` — the oracle
     * twin of [[sharedGramCounts]], reused by the Jaccard and containment
     * scorers */
@@ -319,16 +338,30 @@ object Dedup {
     s"""WITH $jaccardPairsCte
        |SELECT d1, d2, jaccard FROM pairs ORDER BY d1, d2""".stripMargin
 
+  /** CTE `cdrops(doc_id)` = docs flagged as the contained side — shared
+    * by the containment pair and apply oracles */
+  private val containmentDropsCte =
+    s"""cpairs AS (
+       |  SELECT d1, d2, containment, contained FROM (
+       |    SELECT d1, d2,
+       |      CAST(round(shared::DOUBLE / least(n1.n_grams, n2.n_grams), 4) AS DOUBLE) AS containment,
+       |      CASE WHEN n1.n_grams <= n2.n_grams THEN d1 ELSE d2 END AS contained
+       |    FROM shared JOIN sizes n1 ON shared.d1 = n1.doc_id
+       |                JOIN sizes n2 ON shared.d2 = n2.doc_id) c
+       |  WHERE containment >= $ContainmentThreshold)""".stripMargin
+
   val dedupContainmentSql =
-    s"""WITH $sharedGramCountsCte
-       |SELECT d1, d2, containment, contained FROM (
-       |  SELECT d1, d2,
-       |    CAST(round(shared::DOUBLE / least(n1.n_grams, n2.n_grams), 4) AS DOUBLE) AS containment,
-       |    CASE WHEN n1.n_grams <= n2.n_grams THEN d1 ELSE d2 END AS contained
-       |  FROM shared JOIN sizes n1 ON shared.d1 = n1.doc_id
-       |              JOIN sizes n2 ON shared.d2 = n2.doc_id) c
-       |WHERE containment >= $ContainmentThreshold
+    s"""WITH $sharedGramCountsCte,
+       |$containmentDropsCte
+       |SELECT d1, d2, containment, contained FROM cpairs
        |ORDER BY d1, d2""".stripMargin
+
+  val dedupContainmentApplySql =
+    s"""WITH $sharedGramCountsCte,
+       |$containmentDropsCte
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (SELECT contained FROM cpairs)
+       |ORDER BY doc_id""".stripMargin
 
   // ---- LSH candidate-quality evaluation -------------------------------
   /** Recall/precision of the LSH band-collision candidate set against the
@@ -3033,6 +3066,7 @@ object Dedup {
     "q_dedup_eval" -> dedupEval _,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "q_dedup_containment" -> dedupContainment _,
+    "q_dedup_containment_apply" -> dedupContainmentApply _,
     "q_dedup_clusters" -> dedupClusters _,
     "q_dedup_apply" -> dedupApply _,
     "q_dedup_minhash_clusters" -> dedupMinhashClusters _,
@@ -3068,6 +3102,7 @@ object Dedup {
     "q_dedup_eval" -> dedupEvalSql,
     "q_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "q_dedup_containment" -> dedupContainmentSql,
+    "q_dedup_containment_apply" -> dedupContainmentApplySql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_apply" -> dedupApplySql,
     "q_dedup_simhash_chunks" -> dedupSimhashChunksSql,

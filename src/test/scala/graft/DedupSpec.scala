@@ -128,6 +128,24 @@ class DedupSpec extends AnyFunSuite {
     assert(jac.isEmpty, "jaccard at 0.5 must miss the 10/58 subset pair")
   }
 
+  test("q_dedup_containment_apply: a subset chain keeps exactly the maximal doc, one anti-join") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_contain_apply").toString
+    // 1 ⊂ 2 ⊂ 3: every non-maximal doc is the contained side of ≥1 pair
+    val words = (1 to 60).map(i => s"w$i")
+    val far = "completely unrelated terms about shuffle partitions and broadcast joins"
+    Seq(
+      (1L, words.take(12).mkString(" "), "en", "src0", 1L),
+      (2L, words.take(30).mkString(" "), "en", "src0", 2L),
+      (3L, words.mkString(" "), "en", "src1", 3L),
+      (4L, far, "en", "src2", far.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = operators.Dedup.dedupContainmentApply(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(3L, 4L), "only the maximal doc and the unrelated doc survive")
+  }
+
   test("q_dedup_containment_incremental: probe flags a batch doc swallowed by an indexed doc") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_contain_incr").toString
