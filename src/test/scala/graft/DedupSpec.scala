@@ -128,6 +128,30 @@ class DedupSpec extends AnyFunSuite {
     assert(jac.isEmpty, "jaccard at 0.5 must miss the 10/58 subset pair")
   }
 
+  test("containment covers the LSH blind spot: a subset pair MinHash banding cannot see") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lsh_blind").toString
+    // the same subset geometry as the containment spec: jaccard 10/58 ≈
+    // 0.17, so banded MinHash (which estimates RESEMBLANCE — per-band
+    // collision probability ≈ j^rows) is structurally blind to it, while
+    // the directional containment scorer reads 1.0. This pins WHY the
+    // exact containment path exists next to the LSH pipeline rather
+    // than being folded into it.
+    val words = (1 to 60).map(i => s"w$i")
+    Seq(
+      (1L, words.take(12).mkString(" "), "en", "src0", 1L),
+      (2L, words.mkString(" "), "en", "src1", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val lsh = operators.Dedup.dedupMinhash(spark, dir).collect()
+    assert(!lsh.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "banded MinHash must not surface the low-resemblance subset pair")
+    val cont = operators.Dedup.dedupContainment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq === Seq((1L, 2L, 1.0)),
+      "the containment scorer must surface it at 1.0")
+  }
+
   test("q_dedup_containment_apply: a subset chain keeps exactly the maximal doc, one anti-join") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_contain_apply").toString
