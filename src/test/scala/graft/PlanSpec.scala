@@ -161,6 +161,37 @@ class PlanSpec extends AnyFunSuite {
       s"narrow-range input should produce zero ghosts, got $taggedNarrow vs $n rows")
   }
 
+  test("q_corpus_novelty hash-shuffles only on gh and doc_id (the scaling keys)") {
+    val p = plan("q_corpus_novelty")
+    val keys = exchangeKeys(p)
+    assert(keys.nonEmpty && keys.subsetOf(Set("gh", "doc_id")),
+      s"expected every hash exchange keyed on gh/doc_id only, got $keys:\n$p")
+  }
+
+  test("q_source_overlap hash-shuffles only on gram hash and source keys") {
+    val p = plan("q_source_overlap")
+    val keys = exchangeKeys(p)
+    assert(keys.nonEmpty && keys.subsetOf(Set("gh", "source", "s1", "s2")),
+      s"expected exchanges keyed on gh/source/s1/s2 only, got $keys:\n$p")
+    assert(!p.contains("CartesianProduct"), s"matrix path degenerated:\n$p")
+  }
+
+  test("q_split_leakage builds a semi-join gram gate (no cartesian, no NL join)") {
+    val p = plan("q_split_leakage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"leakage gate degenerated:\n$p")
+    val keys = exchangeKeys(p)
+    assert(keys.nonEmpty && keys.subsetOf(Set("gh", "doc_id")),
+      s"expected exchanges keyed on gh/doc_id only, got $keys:\n$p")
+  }
+
+  test("q_quality_bigram: every hash exchange keys on big/ctx/doc_id (no token fan-out)") {
+    val p = plan("q_quality_bigram")
+    val keys = exchangeKeys(p)
+    assert(keys.nonEmpty && keys.subsetOf(Set("big", "ctx", "doc_id")),
+      s"expected exchanges keyed on big/ctx/doc_id only, got $keys:\n$p")
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange on either side") {
     // the 100 TB pattern for repeated big-big joins: pre-bucket both sides
     // on the join key; the sort-merge join then reads buckets directly
