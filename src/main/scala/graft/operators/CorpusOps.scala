@@ -598,6 +598,31 @@ object CorpusOps {
        |  floor(coalesce(h.n_hit, 0)::DOUBLE / s.n_grams * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS leakage
        |FROM sizes s LEFT JOIN hits h USING (doc_id) ORDER BY s.doc_id""".stripMargin
 
+  /** Bloom twin of [[splitLeakage]] — the fixed-state path for when the
+    * distinct train-gram set outgrows memory (at 100 TB the train split
+    * is ~97% of the corpus, so its gram set is the largest state in the
+    * release gate). Same schema; n_hit/leakage can only be INFLATED
+    * (Bloom filters have no false negatives), so a release gate keyed on
+    * a leakage CEILING stays sound. Build + probe ride
+    * `Dedup.bloomGramHits` — the identical word-table fold and broadcast
+    * probe the decontamination bloom uses, so the m/64-row shuffle bound
+    * and the spec'd false-positive ceiling carry over. */
+  def splitLeakageBloom(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.register(s)
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.wordNgrams(toks, 3).as("grams"),
+        splitOf(col("doc_id")).as("split"))
+    val held = sh.where(col("split") =!= "train")
+    Dedup.bloomGramHits(
+        sh.where(col("split") === "train").select(explode(col("grams")).as("gram")),
+        held.select("doc_id", "grams"))
+      .join(held.select(col("doc_id"), col("split")), Seq("doc_id"))
+      .select(col("doc_id"), col("split"), col("n_grams"), col("n_hit"),
+        r4f(col("n_hit").cast(DoubleType) / col("n_grams")).as("leakage"))
+      .orderBy("doc_id")
+  }
+
   // ---- corpus novelty (diminishing-returns instrument) ------------------
   /** Per-document novel-gram fraction in ingestion (doc_id) order — the
     * "is more of this corpus still worth ingesting?" curve: a gram is
@@ -782,6 +807,7 @@ object CorpusOps {
     "q_source_overlap" -> sourceOverlap _,
     "q_corpus_novelty" -> corpusNovelty _,
     "q_split_leakage" -> splitLeakage _,
+    "q_split_leakage_bloom" -> splitLeakageBloom _,
     "q_assemble_e2e" -> assembleE2e _)
 
   val oracle: Map[String, String] = Map(

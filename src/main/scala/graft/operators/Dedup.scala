@@ -847,17 +847,20 @@ object Dedup {
   def decontaminateBloom(s: SparkSession, dir: String): DataFrame =
     decontaminateBloomMod(s, dir, DecontamEvalMod)
 
-  def decontaminateBloomMod(s: SparkSession, dir: String, mod: Int): DataFrame = {
-    val sh = shingled(s, dir)
+  /** The frame-parameterized Bloom gate core shared by
+    * [[decontaminateBloomMod]] and `CorpusOps.splitLeakageBloom`:
+    * `trainGrams` = one `gram` column (duplicates fine — the bit_or
+    * absorbs them), `evalDocs` = (doc_id, grams) with per-doc distinct
+    * gram arrays. Returns (doc_id, n_grams, n_hit) where n_hit ≥ the
+    * exact semi-join count (no false negatives, bounded inflation). */
+  private[operators] def bloomGramHits(trainGrams: DataFrame,
+      evalDocs: DataFrame): DataFrame = {
     // build: train grams → bit positions → 64-bit words (one groupBy,
     // map-side combined; ≤ m/64 result rows by construction)
-    val words = explodeBloomPositions(
-        sh.where(col("doc_id") % mod =!= 0).select(explode(col("grams")).as("gram")),
-        keep = Seq.empty)
+    val words = explodeBloomPositions(trainGrams.select(col("gram")), keep = Seq.empty)
       .groupBy(expr("pos div 64").as("widx"))
       .agg(expr("bit_or(shiftleft(1L, cast(pmod(pos, 64) AS INT)))").as("word"))
     // probe: a gram is (maybe) in train iff ALL k probed bits are set
-    val evalDocs = sh.where(col("doc_id") % mod === 0)
     val probed = explodeBloomPositions(
         evalDocs.select(col("doc_id"), explode(col("grams")).as("gram")),
         keep = Seq("doc_id", "gram"))
@@ -872,8 +875,16 @@ object Dedup {
     evalDocs.select(col("doc_id"), size(col("grams")).cast(LongType).as("n_grams"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        r4f(coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / col("n_grams")).as("contamination"))
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+  }
+
+  def decontaminateBloomMod(s: SparkSession, dir: String, mod: Int): DataFrame = {
+    val sh = shingled(s, dir)
+    bloomGramHits(
+        sh.where(col("doc_id") % mod =!= 0).select(explode(col("grams")).as("gram")),
+        sh.where(col("doc_id") % mod === 0))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        r4f(col("n_hit").cast(DoubleType) / col("n_grams")).as("contamination"))
       .orderBy("doc_id")
   }
 

@@ -195,6 +195,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!labels.contains(trainId), "train docs carry no leakage row")
   }
 
+  test("q_split_leakage_bloom: superset of exact hits, bounded inflation, real-split rows") {
+    val dir = TestSpark.sfDir
+    def byDoc(df: org.apache.spark.sql.DataFrame): Map[Long, (String, Long, Long)] =
+      df.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val exact = byDoc(operators.CorpusOps.splitLeakage(spark, dir))
+    val bloom = byDoc(operators.CorpusOps.splitLeakageBloom(spark, dir))
+    assert(bloom.keySet === exact.keySet && exact.nonEmpty, "held-out row set differs")
+    exact.foreach { case (id, (split, nGrams, nHit)) =>
+      assert(bloom(id)._1 === split && bloom(id)._2 === nGrams, s"doc $id label/size differs")
+      // no false negatives: every exact train hit survives the filter
+      assert(bloom(id)._3 >= nHit, s"doc $id: bloom lost hits ($nHit -> ${bloom(id)._3})")
+    }
+    val fps = exact.map { case (id, (_, _, nHit)) => bloom(id)._3 - nHit }.sum.toDouble
+    val negatives = exact.values.map { case (_, ng, nh) => ng - nh }.sum.toDouble
+    assert(negatives == 0 || fps / negatives <= 0.01,
+      s"false-positive inflation ${fps / negatives} over $negatives true negatives")
+  }
+
   test("q_quality_bigram: scrambled doc scores high where unigram rarity is blind") {
     // both docs = the SAME token multiset (identical unigram profile);
     // doc 2 is a fixed scramble that lands in rare bigram cells
