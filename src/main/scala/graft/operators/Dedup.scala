@@ -854,13 +854,15 @@ object Dedup {
     * gram arrays. Returns (doc_id, n_grams, n_hit) where n_hit ≥ the
     * exact semi-join count (no false negatives, bounded inflation). */
   private[operators] def bloomGramHits(trainGrams: DataFrame,
-      evalDocs: DataFrame): DataFrame = {
+      evalDocs: DataFrame): DataFrame =
     // build: train grams → bit positions → 64-bit words (one groupBy,
     // map-side combined; ≤ m/64 result rows by construction)
-    val words = explodeBloomPositions(trainGrams.select(col("gram")), keep = Seq.empty)
-      .groupBy(expr("pos div 64").as("widx"))
-      .agg(expr("bit_or(shiftleft(1L, cast(pmod(pos, 64) AS INT)))").as("word"))
-    // probe: a gram is (maybe) in train iff ALL k probed bits are set
+    bloomProbeHits(bloomWordsOf(trainGrams), evalDocs)
+
+  /** probe half: a gram is (maybe) in train iff ALL k probed bits are
+    * set in the (broadcast) word table. Shared by the self-contained
+    * gates and the persisted-index probe. */
+  private def bloomProbeHits(words: DataFrame, evalDocs: DataFrame): DataFrame = {
     val probed = explodeBloomPositions(
         evalDocs.select(col("doc_id"), explode(col("grams")).as("gram")),
         keep = Seq("doc_id", "gram"))
@@ -886,6 +888,77 @@ object Dedup {
       .select(col("doc_id"), col("n_grams"), col("n_hit"),
         r4f(col("n_hit").cast(DoubleType) / col("n_grams")).as("contamination"))
       .orderBy("doc_id")
+  }
+
+  // ---- persisted Bloom index (at-rest decontamination gate) -------------
+  /** Persist the train-gram Bloom word table — the LAST gate family to
+    * get an at-rest story (gram/SimHash/MinHash/substring/semantic all
+    * have one): `words/` is ≤ m/64 (widx, word) rows = ~1 MiB at the
+    * shipped m, whatever the corpus size, so the live decontamination
+    * gate never re-shingles the train corpus per batch. Appends are the
+    * cheapest of any index family: a Bloom filter is a pure OR-monoid,
+    * so `append` just writes MORE word rows and every reader bit_or-
+    * merges per widx on load — existing bytes never rewrite, no df
+    * sidecar, no cap drift. meta/ pins (m_bits, k); a probe against an
+    * index built under different dials throws rather than silently
+    * hashing into the wrong bit space. */
+  def writeBloomIndex(s: SparkSession, dir: String, indexPath: String,
+      mod: Int = DecontamEvalMod): Unit = {
+    val train = shingled(s, dir)
+      .where(col("doc_id") % mod =!= 0).select(explode(col("grams")).as("gram"))
+    bloomWordsOf(train)
+      .write.mode("overwrite").parquet(s"$indexPath/words")
+    writeIndexMetaAll(s, indexPath,
+      Seq("m_bits" -> BloomBits, "k" -> BloomHashes.toLong))
+  }
+
+  /** word-table fold shared by build and append */
+  private def bloomWordsOf(trainGrams: DataFrame): DataFrame =
+    explodeBloomPositions(trainGrams.select(col("gram")), keep = Seq.empty)
+      .groupBy(expr("pos div 64").as("widx"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pmod(pos, 64) AS INT)))").as("word"))
+
+  /** OR a new batch's grams into the filter: append-only word rows;
+    * readers merge per widx. Caller contract matches the other index
+    * appends: `docs` = (doc_id, text) rows newly admitted to train. */
+  def appendBloomIndex(s: SparkSession, indexPath: String,
+      docs: DataFrame): Unit = {
+    graft.functions.TextExpressions.register(s)
+    requireBloomDials(s, indexPath)
+    val grams = docs
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(graft.functions.TextExpressions.wordNgrams(col("toks"), 3))
+        .as("gram"))
+    bloomWordsOf(grams).write.mode("append").parquet(s"$indexPath/words")
+  }
+
+  private def requireBloomDials(s: SparkSession, indexPath: String): Unit = {
+    val m = readIndexMeta(s, indexPath, "m_bits", BloomBits)
+    val k = readIndexMeta(s, indexPath, "k", BloomHashes.toLong)
+    if (m != BloomBits || k != BloomHashes.toLong)
+      throw new IllegalStateException(
+        s"bloom index at $indexPath built with m_bits=$m k=$k; this build " +
+          s"hashes with m_bits=$BloomBits k=$BloomHashes — rebuild the index")
+  }
+
+  /** Probe ARBITRARY documents (doc_id, text) against the persisted
+    * filter — same output schema as [[decontaminateBloom]]; the word
+    * table loads with one per-widx bit_or merge (absorbing appends) and
+    * broadcasts, so a probe's only corpus-sized work is its OWN batch's
+    * shingling. Feeds `Pipeline.streamDecontaminate` per micro-batch. */
+  def probeBloomIndex(s: SparkSession, docs: DataFrame,
+      indexPath: String): DataFrame = {
+    graft.functions.TextExpressions.register(s)
+    requireBloomDials(s, indexPath)
+    val words = s.read.parquet(s"$indexPath/words")
+      .groupBy("widx").agg(expr("bit_or(word)").as("word"))
+    val evalDocs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.wordNgrams(col("toks"), 3).as("grams"))
+    bloomProbeHits(words, evalDocs)
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        r4f(col("n_hit").cast(DoubleType) / col("n_grams")).as("contamination"))
   }
 
   // ---- SimHash --------------------------------------------------------

@@ -590,6 +590,32 @@ object Pipeline {
       }
       .start()
 
+  /** LIVE decontamination gate — each micro-batch of (doc_id, text)
+    * probes the PERSISTED train-gram Bloom word table
+    * (`Dedup.writeBloomIndex`, ~1 MiB broadcast whatever the train
+    * corpus size) and emits per-doc contamination — the ingest-time
+    * "is this eval/benchmark content leaking into train?" screen.
+    * Contamination can only be INFLATED (Bloom: no false negatives),
+    * so gating on a ceiling stays sound live. Same code path as the
+    * batch probe (`Dedup.probeBloomIndex`); stateless foreachBatch;
+    * exactly-once per-batch_id partition overwrite. */
+  def streamDecontaminate(docs: DataFrame, indexPath: String,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.probeBloomIndex(batch.sparkSession, batch, indexPath)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .start()
+
   /** LIVE SimHash near-dup gate — [[streamDedupIncremental]]'s twin over
     * the persisted SimHash band index (`Dedup.writeSimhashIndex`): each
     * micro-batch of (doc_id, text) signatures map-side and probes the

@@ -489,6 +489,39 @@ class DedupSpec extends AnyFunSuite {
       s"false-positive inflation ${fps / negatives} over $negatives true negatives")
   }
 
+  test("bloom index: persisted probe ≡ self-contained gate; append absorbs; dial guard throws") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.sfDir
+    val idx = Files.createTempDirectory("graft_bloom_idx").toString
+    operators.Dedup.writeBloomIndex(spark, dir, idx, mod = 3)
+    val evalDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 3 === 0).select("doc_id", "text")
+    val probed = operators.Dedup.probeBloomIndex(spark, evalDocs, idx)
+      .orderBy("doc_id").collect().toSeq
+    val direct = operators.Dedup.decontaminateBloomMod(spark, dir, 3)
+      .collect().toSeq
+    assert(probed === direct, "persisted word table diverged from the self-contained gate")
+
+    // append: a doc whose grams are nowhere in train probes ~0 before
+    // and exactly 1.0 after its own text is OR'd in
+    val novel = Seq((999983L, "zq1 zq2 zq3 zq4 zq5 zq6")).toDF("doc_id", "text")
+    val before = operators.Dedup.probeBloomIndex(spark, novel, idx)
+      .collect().head.getDouble(3)
+    assert(before <= 0.25, s"novel doc pre-append contamination $before (fp noise bound)")
+    operators.Dedup.appendBloomIndex(spark, idx, novel)
+    val after = operators.Dedup.probeBloomIndex(spark, novel, idx)
+      .collect().head.getDouble(3)
+    assert(after === 1.0, "appended doc's own grams must all hit")
+
+    // dial guard: an index recorded under different (m, k) must refuse
+    Seq(("m_bits", 1024L), ("k", 8L)).toDF("key", "value")
+      .write.mode("overwrite").parquet(s"$idx/meta")
+    intercept[IllegalStateException] {
+      operators.Dedup.probeBloomIndex(spark, novel, idx)
+    }
+  }
+
   test("q_dedup_incremental: persisted gram index round-trips — pairs match the direct computation") {
     import org.apache.spark.sql.functions._
     // sf0.01: the declared split has real cross-split near-dup pairs (6 at

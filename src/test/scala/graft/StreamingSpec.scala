@@ -319,6 +319,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "expected cross-split containment pairs at sf0.01")
   }
 
+  test("streamDecontaminate: per-batch bloom probes reproduce the batch probe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.01"
+    val indexPath = Files.createTempDirectory("graft_bloom_stream_idx").toString
+    graft.operators.Dedup.writeBloomIndex(spark, dir, indexPath)
+    val evalDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % graft.operators.Dedup.DecontamEvalMod === 0)
+      .select("doc_id", "text")
+    val rows = evalDocs.as[(Long, String)].collect().toSeq
+    val (firstHalf, secondHalf) = rows.splitAt(rows.size / 2)
+    val ms = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("graft_sdc_out").toString
+    val ckpt = Files.createTempDirectory("graft_sdc_ckpt").toString
+    ms.addData(firstHalf)
+    ms.addData(secondHalf)
+    val q = Pipeline.streamDecontaminate(
+      ms.toDF().toDF("doc_id", "text"), indexPath, out, ckpt,
+      Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_grams", "n_hit", "contamination")
+      .orderBy("doc_id").collect().toSeq
+    val batch = graft.operators.Dedup.probeBloomIndex(spark, evalDocs, indexPath)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "expected eval docs at sf0.01")
+  }
+
   test("streamIngestDedup: batch N+1 near-dups against batch N via the absorbed index") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
