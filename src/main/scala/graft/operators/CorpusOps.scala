@@ -623,6 +623,42 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Sketch form of [[sourceOverlap]] — the fixed-state scale path: the
+    * exact matrix shuffles the corpus's full distinct (source, gram) set,
+    * state that grows with the corpus; this one folds each source's gram
+    * stream into ONE theta sketch (map-side combined, ~KB at rest) and
+    * answers every pair cell by sketch algebra (intersection + estimate)
+    * over a |S|-row self-join — no gram ever shuffles twice, and the
+    * matrix cost is independent of corpus size. Exactness contract
+    * (the `q_agg_theta_ops` rule): sketches stay exact below the nominal
+    * 4096 entries, so the sf0.001 spec pins cell-for-cell equality with
+    * the exact query; above it the estimate error is the spec-pinned
+    * theta bound. */
+  def sourceOverlapTheta(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextExpressions.register(s)
+    graft.functions.ThetaSketch.register(s)
+    import graft.functions.ThetaSketch._
+    val sk = t(s, dir, "documents")
+      .select(col("source"),
+        explode(graft.functions.TextExpressions.wordNgrams(toks, 3)).as("gram"))
+      .groupBy("source").agg(thetaAgg(col("gram")).as("sk"))
+    val a = sk.select(col("source").as("s1"), col("sk").as("sk1"))
+    val b = sk.select(col("source").as("s2"), col("sk").as("sk2"))
+    a.join(broadcast(b), col("s1") < col("s2"))
+      .select(col("s1"), col("s2"),
+        round(thetaEstimate(thetaIntersect(col("sk1"), col("sk2")))).cast(LongType)
+          .as("shared_est"),
+        round(thetaEstimate(col("sk1"))).cast(LongType).as("n1_est"),
+        round(thetaEstimate(col("sk2"))).cast(LongType).as("n2_est"))
+      .where(col("shared_est") > 0)
+      .select(col("s1"), col("s2"), col("shared_est"), col("n1_est"), col("n2_est"),
+        r4(col("shared_est").cast(DoubleType) /
+          (col("n1_est") + col("n2_est") - col("shared_est"))).as("jaccard_est"),
+        r4(col("shared_est").cast(DoubleType) / least(col("n1_est"), col("n2_est")))
+          .as("overlap_est"))
+      .orderBy("s1", "s2")
+  }
+
   // ---- corpus novelty (diminishing-returns instrument) ------------------
   /** Per-document novel-gram fraction in ingestion (doc_id) order — the
     * "is more of this corpus still worth ingesting?" curve: a gram is
@@ -805,6 +841,7 @@ object CorpusOps {
     "q_token_histogram" -> tokenHistogram _,
     "q_corpus_diff" -> corpusDiff _,
     "q_source_overlap" -> sourceOverlap _,
+    "q_source_overlap_theta" -> sourceOverlapTheta _,
     "q_corpus_novelty" -> corpusNovelty _,
     "q_split_leakage" -> splitLeakage _,
     "q_split_leakage_bloom" -> splitLeakageBloom _,

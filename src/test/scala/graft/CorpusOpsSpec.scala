@@ -161,6 +161,29 @@ class CorpusOpsSpec extends AnyFunSuite {
       "shared=2 of sizes 2/3: jaccard 2/3, overlap 2/min(2,3)=1")
   }
 
+  test("q_source_overlap_theta: exact-mode equality at sf0.001; estimate agreement at sf0.01") {
+    // below the 4096-entry nominal bound the sketches are exact, so the
+    // matrix must match the exact query cell for cell
+    def cells(df: org.apache.spark.sql.DataFrame): Map[(String, String), (Long, Long, Long, Double, Double)] =
+      df.collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val exactSmall = cells(operators.CorpusOps.sourceOverlap(spark, TestSpark.sfDir))
+    val thetaSmall = cells(operators.CorpusOps.sourceOverlapTheta(spark, TestSpark.sfDir))
+    assert(thetaSmall === exactSmall, "exact-mode sketches must reproduce the exact matrix")
+
+    // sf0.01 pushes per-source gram sets past nominal → estimation mode;
+    // theta relative std error at 4096 entries is ~1.6%/sketch, so 0.1
+    // absolute on the ratio cells is a generous-but-breakage-catching bound
+    val exactBig = cells(operators.CorpusOps.sourceOverlap(spark, "/root/testdata/sf0.01"))
+    val thetaBig = cells(operators.CorpusOps.sourceOverlapTheta(spark, "/root/testdata/sf0.01"))
+    assert(thetaBig.keySet === exactBig.keySet, "estimation mode lost/invented matrix cells")
+    exactBig.foreach { case (k, (_, _, _, jac, ov)) =>
+      val (_, _, _, jacE, ovE) = thetaBig(k)
+      assert(math.abs(jacE - jac) <= 0.1, s"$k jaccard_est $jacE vs exact $jac")
+      assert(math.abs(ovE - ov) <= 0.1, s"$k overlap_est $ovE vs exact $ov")
+    }
+  }
+
   test("q_corpus_novelty: first carrier gets the credit, copies score zero, partial overlap fractions") {
     val dir = writeDocs(Seq(
       (1L, "a b c d", "en", "src"), // {abc, bcd} both first-seen → 1.0
