@@ -631,9 +631,13 @@ object CorpusOps {
     * over a |S|-row self-join — no gram ever shuffles twice, and the
     * matrix cost is independent of corpus size. Exactness contract
     * (the `q_agg_theta_ops` rule): sketches stay exact below the nominal
-    * 4096 entries, so the sf0.001 spec pins cell-for-cell equality with
-    * the exact query; above it the estimate error is the spec-pinned
-    * theta bound. */
+    * 4096 entries, so the sf0.001 spec pins the shared_est>0 cells
+    * cell-for-cell equal to the exact query; above it the estimate error
+    * is the spec-pinned theta bound. Unlike the exact twin (which only
+    * emits pairs with shared grams), EVERY unordered source pair gets a
+    * row here: in estimation mode an overlapping pair can estimate to 0,
+    * and suppressing those cells would make "estimated 0" and "absent"
+    * indistinguishable to a caller thresholding the matrix. */
   def sourceOverlapTheta(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TextExpressions.register(s)
     graft.functions.ThetaSketch.register(s)
@@ -650,12 +654,18 @@ object CorpusOps {
           .as("shared_est"),
         round(thetaEstimate(col("sk1"))).cast(LongType).as("n1_est"),
         round(thetaEstimate(col("sk2"))).cast(LongType).as("n2_est"))
-      .where(col("shared_est") > 0)
+      // every unordered pair stays in the matrix — including shared_est=0
+      // cells. In estimation mode a genuinely-overlapping pair can retain
+      // no shared hash (all its shared grams hashed above theta) and
+      // estimate 0; filtering on the estimate would silently DROP that
+      // cell where the exact matrix keeps it, so thresholding is the
+      // caller's call, not this query's.
       .select(col("s1"), col("s2"), col("shared_est"), col("n1_est"), col("n2_est"),
         r4(col("shared_est").cast(DoubleType) /
-          (col("n1_est") + col("n2_est") - col("shared_est"))).as("jaccard_est"),
-        r4(col("shared_est").cast(DoubleType) / least(col("n1_est"), col("n2_est")))
-          .as("overlap_est"))
+          greatest(col("n1_est") + col("n2_est") - col("shared_est"), lit(1L)))
+          .as("jaccard_est"),
+        r4(col("shared_est").cast(DoubleType) /
+          greatest(least(col("n1_est"), col("n2_est")), lit(1L))).as("overlap_est"))
       .orderBy("s1", "s2")
   }
 

@@ -291,7 +291,13 @@ object Dedup {
     * label propagation: in a ⊂ b ⊂ c every non-maximal element is the
     * `contained` side of at least one pair, so one anti-join keeps
     * exactly the maximal docs — no connected components needed (the
-    * relation is directional, unlike near-dup similarity).
+    * relation is directional, unlike near-dup similarity). Caveat, as
+    * for probeGramIndexContainment's scores: the chain guarantee is up
+    * to stop-gram pruning — a contained doc whose shared grams are ALL
+    * corpus-frequent (df > [[JaccardMaxDf]]) forms no pair and
+    * survives. Consistent across engine and oracle (both prune on the
+    * same df), but "every non-maximal element drops" holds only for
+    * overlap carried by non-stop grams.
     *
     * Scale: the pair frame's cost (bounded by the shared inverted-index
     * front) + ONE left-anti equi-join on doc_id. */
@@ -906,10 +912,14 @@ object Dedup {
       mod: Int = DecontamEvalMod): Unit = {
     val train = shingled(s, dir)
       .where(col("doc_id") % mod =!= 0).select(explode(col("grams")).as("gram"))
-    bloomWordsOf(train)
-      .write.mode("overwrite").parquet(s"$indexPath/words")
+    // meta BEFORE words: a crash mid-build then leaves meta-without-words
+    // (probe fails loudly on the missing words/ path) instead of
+    // words-without-meta (which requireBloomDials refuses but can't
+    // distinguish from a foreign directory)
     writeIndexMetaAll(s, indexPath,
       Seq("m_bits" -> BloomBits, "k" -> BloomHashes.toLong))
+    bloomWordsOf(train)
+      .write.mode("overwrite").parquet(s"$indexPath/words")
   }
 
   /** word-table fold shared by build and append */
@@ -920,7 +930,14 @@ object Dedup {
 
   /** OR a new batch's grams into the filter: append-only word rows;
     * readers merge per widx. Caller contract matches the other index
-    * appends: `docs` = (doc_id, text) rows newly admitted to train. */
+    * appends: `docs` = (doc_id, text) rows newly admitted to train.
+    * Each append adds files (the logical table stays capped at m/64
+    * rows but the PHYSICAL row/file count grows per batch), so a
+    * high-frequency ingest loop should run
+    * [[IndexMaintenance.compactBloomIndex]] on the same cadence as the
+    * other families — it bit_or-folds words/ back to one row per widx,
+    * which is exactly the merge every reader performs, so probe bits
+    * are identical by construction. */
   def appendBloomIndex(s: SparkSession, indexPath: String,
       docs: DataFrame): Unit = {
     graft.functions.TextExpressions.register(s)
@@ -932,7 +949,17 @@ object Dedup {
     bloomWordsOf(grams).write.mode("append").parquet(s"$indexPath/words")
   }
 
+  /** Unlike the other families' guards, absent meta/ here is an ERROR,
+    * not a legacy default: the Bloom family has written meta/ since its
+    * first release, so a path without it is a partially written or
+    * foreign directory — probing it under assumed dials would hash into
+    * an arbitrary bit space and return confident garbage. */
   private def requireBloomDials(s: SparkSession, indexPath: String): Unit = {
+    if (!new java.io.File(s"$indexPath/meta").exists)
+      throw new IllegalStateException(
+        s"bloom index at $indexPath has no meta/ sidecar — every Bloom index " +
+          "build writes one, so this path is partially written or not a Bloom " +
+          "index; refusing to probe/append under assumed dials")
     val m = readIndexMeta(s, indexPath, "m_bits", BloomBits)
     val k = readIndexMeta(s, indexPath, "k", BloomHashes.toLong)
     if (m != BloomBits || k != BloomHashes.toLong)

@@ -141,4 +141,15 @@ object IndexMaintenance {
     * partitioning; `codebook/` and `pq/` (training state) untouched */
   def compactIvfPqIndex(s: SparkSession, indexPath: String): Unit =
     compactIvfIndex(s, indexPath)
+
+  /** Bloom decontamination filter: `words/` bit_or-folded back to one
+    * row per widx. This is the one family where compaction shrinks the
+    * ROW count, not just the file count — appends write fresh word rows
+    * per batch (`Dedup.appendBloomIndex`) and every reader merges them
+    * per widx on load, so folding the log into the merged m/64 rows is
+    * semantics-identical by the reader's own definition. `meta/` (the
+    * m_bits/k dials) untouched. */
+  def compactBloomIndex(s: SparkSession, indexPath: String): Unit =
+    compactDir(s, s"$indexPath/words", Seq("widx"),
+      transform = _.groupBy("widx").agg(expr("bit_or(word)").as("word")))
 }

@@ -167,16 +167,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     def cells(df: org.apache.spark.sql.DataFrame): Map[(String, String), (Long, Long, Long, Double, Double)] =
       df.collect().map(r => (r.getString(0), r.getString(1)) ->
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // the theta matrix carries EVERY unordered source pair (zero cells
+    // included — estimation mode can estimate a real overlap to 0, and a
+    // suppressed cell would be indistinguishable from an absent pair);
+    // the exact twin only emits pairs with shared grams, so the equality
+    // is on theta's shared_est>0 cells and the zero cells must be
+    // exactly the pairs the exact matrix omits
     val exactSmall = cells(operators.CorpusOps.sourceOverlap(spark, TestSpark.sfDir))
     val thetaSmall = cells(operators.CorpusOps.sourceOverlapTheta(spark, TestSpark.sfDir))
-    assert(thetaSmall === exactSmall, "exact-mode sketches must reproduce the exact matrix")
+    assert(thetaSmall.filter(_._2._1 > 0) === exactSmall,
+      "exact-mode sketches must reproduce the exact matrix on nonzero cells")
+    assert(thetaSmall.keySet.filterNot(thetaSmall(_)._1 > 0)
+        .intersect(exactSmall.keySet).isEmpty,
+      "exact-mode zero cells must be pairs the exact matrix omits")
 
     // sf0.01 pushes per-source gram sets past nominal → estimation mode;
     // theta relative std error at 4096 entries is ~1.6%/sketch, so 0.1
     // absolute on the ratio cells is a generous-but-breakage-catching bound
     val exactBig = cells(operators.CorpusOps.sourceOverlap(spark, "/root/testdata/sf0.01"))
     val thetaBig = cells(operators.CorpusOps.sourceOverlapTheta(spark, "/root/testdata/sf0.01"))
-    assert(thetaBig.keySet === exactBig.keySet, "estimation mode lost/invented matrix cells")
+    assert(exactBig.keySet.subsetOf(thetaBig.keySet),
+      "estimation mode lost matrix cells")
+    val invented = thetaBig.filter(_._2._1 > 0).keySet -- exactBig.keySet
+    assert(invented.isEmpty, s"nonzero estimates for pairs with no shared grams: $invented")
     exactBig.foreach { case (k, (_, _, _, jac, ov)) =>
       val (_, _, _, jacE, ovE) = thetaBig(k)
       assert(math.abs(jacE - jac) <= 0.1, s"$k jaccard_est $jacE vs exact $jac")

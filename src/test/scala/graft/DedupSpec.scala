@@ -520,6 +520,18 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       operators.Dedup.probeBloomIndex(spark, novel, idx)
     }
+
+    // absent meta/ is refused too (not defaulted): the Bloom family has
+    // always written a sidecar, so words-without-meta is a partially
+    // written or foreign path, not a legacy index
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmr)
+      f.delete(); ()
+    }
+    rmr(new java.io.File(s"$idx/meta"))
+    intercept[IllegalStateException] {
+      operators.Dedup.probeBloomIndex(spark, novel, idx)
+    }
   }
 
   test("q_dedup_incremental: persisted gram index round-trips — pairs match the direct computation") {

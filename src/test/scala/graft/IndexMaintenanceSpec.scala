@@ -192,6 +192,36 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       === bookBefore.view.mapValues(_.toSeq).toMap, "codebook rewritten")
   }
 
+  test("compactBloomIndex: word log folds to one row per widx, probe contamination identical") {
+    val idx = Files.createTempDirectory("graft_cmp_bl").toString
+    operators.Dedup.writeBloomIndex(spark, dir, idx)
+    val srcText = util.t(spark, dir, "documents")
+      .orderBy("doc_id").select("text").limit(1).collect().head.getString(0)
+    (0 until 3).foreach(b =>
+      operators.Dedup.appendBloomIndex(spark, idx,
+        batchDocs(820000 + b * 10 until 820000 + b * 10 + 3, srcText + s" b$b")))
+    val filesBefore = operators.IndexMaintenance.dataFileCount(spark, s"$idx/words")
+    val metaBefore = sidecarBytes(s"$idx/meta")
+    val probe = batchDocs(900003 to 900003, srcText + " b1")
+    val before = operators.Dedup.probeBloomIndex(spark, probe, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+
+    operators.IndexMaintenance.compactBloomIndex(spark, idx)
+
+    assert(operators.IndexMaintenance.dataFileCount(spark, s"$idx/words") < filesBefore,
+      "compaction did not shrink words")
+    // the one family whose compaction shrinks ROWS: the append log must
+    // fold to the merged form readers compute — exactly one row per widx
+    val multi = spark.read.parquet(s"$idx/words")
+      .groupBy("widx").count().where(col("count") > 1).count()
+    assert(multi === 0L, "words must hold one row per widx after folding")
+    val after = operators.Dedup.probeBloomIndex(spark, probe, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(after === before, "probe verdicts changed across compaction")
+    assert(sidecarBytes(s"$idx/meta").view.mapValues(_.toSeq).toMap
+      === metaBefore.view.mapValues(_.toSeq).toMap, "meta sidecar rewritten")
+  }
+
   test("crashed mid-swap state is refused: the __old rollback copy is never deleted") {
     val idx = Files.createTempDirectory("graft_cmp_crash").toString
     operators.Dedup.writeSimhashIndex(spark, dir, idx)
