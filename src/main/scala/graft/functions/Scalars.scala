@@ -30,21 +30,36 @@ object Scalars {
       |concat(p_brand, '#', p_type) AS cat, substr(p_type, 1, 5) AS type5
       |FROM part ORDER BY p_partkey""".stripMargin
 
-  /** splitByChar + element access; the device ip:port normalization from
-    * SURVEY.md §1.2 exercised on syslog fixture devices */
-  def strSplitIndex(s: SparkSession, dir: String): DataFrame =
-    graft.model.rawLines(s).select(
-        col("id"),
-        substring_index(col("device"), ":", 1).as("ip"),
-        element_at(split(col("device"), ":"), 2).as("port"),
-        element_at(split(substring_index(col("device"), ":", 1), "\\."), 4).as("last_octet"))
+  /** Device endpoint normalization (SURVEY.md §1.2) over BOTH address
+    * families: the syslog fixture's v4:port stamps unioned with
+    * [[graft.model.deviceFormFixture]]'s v6/bare forms, split by the
+    * shared [[graft.model.deviceIp]]/[[graft.model.devicePort]] pair —
+    * the v6-safe replacement for the bare `substring_index(device,':',1)`
+    * idiom (which reads "[2001" out of a bracketed v6 stamp). last_octet
+    * only has meaning for dotted-quad addresses and is null for v6. */
+  def strSplitIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val devices = graft.model.rawLines(s).select(col("id"), col("device"))
+      .union(graft.model.deviceFormFixture.toDF("id", "device"))
+    val ip = graft.model.deviceIp(col("device"))
+    devices.select(
+        col("id"), col("device"), ip.as("ip"),
+        graft.model.devicePort(col("device")).as("port"),
+        ip.contains(":").as("is_v6"),
+        when(!ip.contains(":"), element_at(split(ip, "\\."), 4)).as("last_octet"))
       .orderBy("id")
+  }
 
   val strSplitIndexSql =
-    s"""SELECT id, split_part(device, ':', 1) AS ip,
-       |string_split(device, ':')[2] AS port,
-       |string_split(split_part(device, ':', 1), '.')[4] AS last_octet
-       |FROM ${graft.model.rawLinesValuesSql} ORDER BY id""".stripMargin
+    s"""WITH d AS (
+       |  SELECT id, device FROM ${graft.model.rawLinesValuesSql}
+       |  UNION ALL SELECT id, device FROM ${graft.model.deviceFormsValuesSql}),
+       |x AS (SELECT id, device,
+       |  ${graft.model.deviceIpSqlExpr("device")} AS ip,
+       |  ${graft.model.devicePortSqlExpr("device")} AS port FROM d)
+       |SELECT id, device, ip, port, contains(ip, ':') AS is_v6,
+       |  CASE WHEN NOT contains(ip, ':') THEN string_split(ip, '.')[4] END AS last_octet
+       |FROM x ORDER BY id""".stripMargin
 
   def strMatch(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part")
@@ -293,7 +308,7 @@ object Scalars {
     * pure arithmetic, no inet builtins needed, oracle-portable; runs on the
     * syslog fixture's device ip:port values */
   def ipFuncs(s: SparkSession, dir: String): DataFrame = {
-    val ip = substring_index(col("device"), ":", 1)
+    val ip = graft.model.deviceIp(col("device")) // v6-safe split (all-v4 fixture)
     val oct = (i: Int) => element_at(split(ip, "\\."), i).cast(LongType)
     val ipNum = oct(1) * 16777216L + oct(2) * 65536L + oct(3) * 256L + oct(4)
     graft.model.rawLines(s).select(
@@ -309,7 +324,7 @@ object Scalars {
 
   val ipFuncsSql = {
     val rel = graft.model.rawLinesValuesSql
-    s"""WITH b AS (SELECT id, split_part(device, ':', 1) AS ip FROM $rel),
+    s"""WITH b AS (SELECT id, ${graft.model.deviceIpSqlExpr("device")} AS ip FROM $rel),
        |n AS (SELECT id, ip,
        |  string_split(ip, '.')[1]::BIGINT * 16777216 + string_split(ip, '.')[2]::BIGINT * 65536
        |  + string_split(ip, '.')[3]::BIGINT * 256 + string_split(ip, '.')[4]::BIGINT AS ip_num
@@ -318,6 +333,79 @@ object Scalars {
        |  concat_ws('.', (ip_num // 16777216)::VARCHAR, ((ip_num // 65536) % 256)::VARCHAR,
        |    ((ip_num // 256) % 256)::VARCHAR, (ip_num % 256)::VARCHAR) AS roundtrip,
        |  (ip_num & 4294901760) = 167772160 AS in_10_0
+       |FROM n ORDER BY id""".stripMargin
+  }
+
+  /** IPv6 text ↔ 128-bit arithmetic (ClickHouse IPv6StringToNum/
+    * NumToString analog), the 128-bit value carried as two BIGINTs
+    * (hi = groups 1-4 as a signed 64-bit word, lo = groups 5-8): `::`
+    * decompression is pure column algebra — split on '::', count the
+    * explicit groups each side, group i comes from the left slice, the
+    * right slice, or the implied zero run — then each hex group converts
+    * via `conv`. Emits the canonical FULL form (8 lpad'd lowercase
+    * groups — the unambiguous at-rest key form), the /64 network, and a
+    * 2001:db8::/32 prefix test computed from the top two groups (no
+    * unsigned-shift portability trap). Embedded dotted-quad tails are
+    * out of scope ([[graft.model.ip6Fixture]]). */
+  def ip6Funcs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val df = graft.model.ip6Fixture.toDF("id", "ip")
+    val ipl = lower(col("ip"))
+    val parts = split(ipl, "::") // limit -1: "1::" keeps its trailing ""
+    val leftS = element_at(parts, 1)
+    val rightS = when(size(parts) < 2, lit("")).otherwise(element_at(parts, 2))
+    val left = split(leftS, ":")
+    val right = split(rightS, ":")
+    val nl = when(leftS === "", 0).otherwise(size(left))
+    val nr = when(rightS === "", 0).otherwise(size(right))
+    def gHex(i: Int) =
+      when(lit(i) <= nl, element_at(left, i))
+        .when(lit(i) > lit(8) - nr, element_at(right, lit(i) - (lit(8) - nr)))
+        .otherwise(lit("0"))
+    def gNum(i: Int) = conv(gHex(i), 16, 10).cast(LongType)
+    def word(a: Int, b: Int, c: Int, d: Int) =
+      shiftleft(gNum(a), 48).bitwiseOR(shiftleft(gNum(b), 32))
+        .bitwiseOR(shiftleft(gNum(c), 16)).bitwiseOR(gNum(d))
+    val norm = concat_ws(":", (1 to 8).map(i => lpad(gHex(i), 4, "0")): _*)
+    val net64 = concat(
+      concat_ws(":", (1 to 4).map(i => lpad(gHex(i), 4, "0")): _*),
+      lit(":0000:0000:0000:0000"))
+    df.select(col("id"), col("ip"),
+        word(1, 2, 3, 4).as("hi"), word(5, 6, 7, 8).as("lo"),
+        norm.as("norm"), net64.as("net64"),
+        (gNum(1) * 65536L + gNum(2) === lit(0x20010db8L)).as("in_doc32"))
+      .orderBy("id")
+  }
+
+  val ip6FuncsSql = {
+    val hs = (1 to 8).map(i =>
+      s"CASE WHEN $i <= nl THEN ll[$i] WHEN $i > 8 - nr THEN rl[$i - (8 - nr)] ELSE '0' END AS h$i")
+      .mkString(",\n|  ")
+    val gs = (1 to 8).map(i => s"('0x' || h$i)::BIGINT AS g$i").mkString(", ")
+    def word(a: Int, b: Int, c: Int, d: Int) =
+      s"(CASE WHEN g$a >= 32768 THEN g$a - 65536 ELSE g$a END) * 281474976710656" +
+        s" + g$b * 4294967296 + g$c * 65536 + g$d"
+    val pads = (1 to 8).map(i => s"lpad(h$i, 4, '0')").mkString(", ")
+    val pads4 = (1 to 4).map(i => s"lpad(h$i, 4, '0')").mkString(", ")
+    s"""WITH d AS (SELECT id, ip FROM ${graft.model.ip6ValuesSql}),
+       |sp AS (SELECT id, ip, string_split(lower(ip), '::') AS parts FROM d),
+       |lr AS (SELECT id, ip,
+       |  string_split(parts[1], ':') AS ll,
+       |  CASE WHEN parts[1] = '' THEN 0 ELSE len(string_split(parts[1], ':')) END AS nl,
+       |  string_split(CASE WHEN len(parts) < 2 THEN '' ELSE parts[2] END, ':') AS rl,
+       |  CASE WHEN len(parts) < 2 OR parts[2] = '' THEN 0
+       |       ELSE len(string_split(parts[2], ':')) END AS nr
+       |  FROM sp),
+       |h AS (SELECT id, ip,
+       |  $hs
+       |  FROM lr),
+       |n AS (SELECT id, ip, h1, h2, h3, h4, h5, h6, h7, h8, $gs FROM h)
+       |SELECT id, ip,
+       |  ${word(1, 2, 3, 4)} AS hi,
+       |  ${word(5, 6, 7, 8)} AS lo,
+       |  concat_ws(':', $pads) AS norm,
+       |  concat(concat_ws(':', $pads4), ':0000:0000:0000:0000') AS net64,
+       |  g1 * 65536 + g2 = 536939960 AS in_doc32
        |FROM n ORDER BY id""".stripMargin
   }
 
@@ -339,6 +427,7 @@ object Scalars {
 
   val queries: Map[String, Q] = Map(
     "q_ip_funcs" -> ipFuncs _,
+    "q_ip6_funcs" -> ip6Funcs _,
     "q_encode_funcs" -> encodeFuncs _,
     "q_str_distance" -> strDistance _,
     "q_map_funcs" -> mapFuncs _,
@@ -360,6 +449,7 @@ object Scalars {
 
   val oracle: Map[String, String] = Map(
     "q_ip_funcs" -> ipFuncsSql,
+    "q_ip6_funcs" -> ip6FuncsSql,
     "q_encode_funcs" -> encodeFuncsSql,
     "q_str_distance" -> strDistanceSql,
     "q_map_funcs" -> mapFuncsSql,

@@ -453,6 +453,89 @@ object model {
       s"($id, '$esc', '$dev', TIMESTAMP '$ts')"
     }.mkString("(VALUES ", ", ", s") $alias(id, raw, device, ts)")
 
+  // ---- device endpoint normalization (IPv4 + IPv6) -----------------------
+  /** The address half of a device stamp. The reference only ever stamps
+    * v4 "ip:port" (lib/lopParse.go:36 under a v4-only bind, main.go:32-35)
+    * so `substring_index(device, ':', 1)` was the documented idiom — but
+    * it returns garbage ("[2001") the moment a dual-stack listener stamps
+    * a v6 sender. This is the one reading twin of `sources.Ingest
+    * .deviceOf`, shared by every query that splits a device:
+    *   - "[v6]:port" (RFC 3986 host literal, the stamp `deviceOf` writes)
+    *     → the text inside the brackets;
+    *   - bare v6 — 2+ colons, no brackets (operator-configured names,
+    *     zone ids like "fe80::1%eth0" stay attached) → the whole string;
+    *   - "v4:port" / bare v4 / hostname → text before the first colon
+    *     (the reference idiom, unchanged).
+    * Malformed "[..." with no closing bracket yields ''. */
+  def deviceIp(device: Column): Column =
+    when(device.startsWith("["),
+        regexp_extract(device, "^\\[([^\\]]*)\\]", 1))
+      .when(size(split(device, ":")) > 2, device)
+      .otherwise(substring_index(device, ":", 1))
+
+  /** the port half: bracketed-v6 and v4 stamps carry one; bare addresses
+    * (no port recorded) are null */
+  def devicePort(device: Column): Column =
+    when(device.startsWith("["),
+        when(regexp_extract(device, "\\]:([0-9]+)$", 1) === "", lit(null))
+          .otherwise(regexp_extract(device, "\\]:([0-9]+)$", 1))
+          .cast(IntegerType))
+      .when(device.rlike("^[^:]+:[0-9]+$"),
+        element_at(split(device, ":"), 2).cast(IntegerType))
+      .otherwise(lit(null).cast(IntegerType))
+
+  /** DuckDB twin of [[deviceIp]] over a column named `d` */
+  def deviceIpSqlExpr(d: String): String =
+    s"""CASE WHEN $d LIKE '[%' THEN coalesce(regexp_extract($d, '^\\[([^\\]]*)\\]', 1), '')
+       |     WHEN len(string_split($d, ':')) > 2 THEN $d
+       |     ELSE split_part($d, ':', 1) END""".stripMargin
+
+  /** DuckDB twin of [[devicePort]] over a column named `d` */
+  def devicePortSqlExpr(d: String): String =
+    s"""CASE WHEN $d LIKE '[%' THEN try_cast(nullif(regexp_extract($d, '\\]:([0-9]+)$$', 1), '') AS INT)
+       |     WHEN regexp_matches($d, '^[^:]+:[0-9]+$$') THEN split_part($d, ':', 2)::INT
+       |     ELSE NULL END""".stripMargin
+
+  /** Device endpoint forms beyond the syslog fixture's plain v4:port —
+    * the shapes a dual-stack listener stamps (bracketed v6 with port)
+    * plus the bare/operator-written forms `deviceIp` must not mangle.
+    * ids start at 101 so unions with [[syslogFixture]] stay disjoint. */
+  val deviceFormFixture: Seq[(Int, String)] = Seq(
+    (101, "[2001:db8::1]:514"),     // bracketed v6 + port — the deviceOf stamp
+    (102, "[::1]:51514"),           // v6 loopback + port
+    (103, "2001:db8:0:0:1::2"),     // bare v6, no port
+    (104, "fe80::1%eth0"),          // link-local with zone id (zone stays attached)
+    (105, "192.168.7.9"),           // bare v4, no port
+    (106, "[2001:DB8::CAFE]:6514"), // uppercase hex inside brackets
+    (107, "::"),                    // all-zeros v6
+    (108, "10.0.0.99:514"))         // the reference's own v4:port shape
+
+  /** [[deviceFormFixture]] as a DuckDB VALUES relation `g(id, device)` */
+  def deviceFormsValuesSql: String =
+    deviceFormFixture.map { case (id, d) => s"($id, '$d')" }
+      .mkString("(VALUES ", ", ", ") g(id, device)")
+
+  /** IPv6 literals for the 128-bit arithmetic family (`q_ip6_funcs`):
+    * compression at every position, uppercase, zero-run ties, negative-
+    * high-bits prefixes. Embedded-dotted-quad forms (::ffff:1.2.3.4) are
+    * out of scope — the parse assumes hex groups throughout. */
+  val ip6Fixture: Seq[(Int, String)] = Seq(
+    (1, "2001:db8::1"),
+    (2, "2001:db8:0:0:8d3::"),                      // explicit zeros then tail compression
+    (3, "::1"),
+    (4, "::"),
+    (5, "fe80::204:61ff:fe9d:f156"),                // top bit set → negative hi
+    (6, "2001:0DB8:0000:CD30:0000:0000:0000:0101"), // full form, uppercase, leading zeros
+    (7, "ff02::2"),                                 // multicast
+    (8, "1:2:3:4:5:6:7:8"),                         // no compression, no padding
+    (9, "64:ff9b::101"),
+    (10, "2001:db8:85a3::8a2e:370:7334"))
+
+  /** [[ip6Fixture]] as a DuckDB VALUES relation `v6(id, ip)` */
+  def ip6ValuesSql: String =
+    ip6Fixture.map { case (id, ip) => s"($id, '$ip')" }
+      .mkString("(VALUES ", ", ", ") v6(id, ip)")
+
   /** DuckDB twin of parseSyslog over `$rel` (a relation with id/raw/...):
     * produces id, severity TINYINT, categories VARCHAR[], message. */
   def parseSyslogOracleSql(rel: String): String = {

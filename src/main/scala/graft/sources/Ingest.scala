@@ -27,6 +27,66 @@ object Ingest {
 
   /** reference's bounded channel (main.go:21) */
   val BufferLimit = 10000
+
+  // ---- dual-stack binding + sender stamping -----------------------------
+  /** Bind a UDP listener dual-stack: the IPv6 wildcard "::" accepts both
+    * v6 senders and v4 senders (as v4-mapped addresses, which Java hands
+    * back as Inet4Address) on a default Linux stack (bindv6only=0). The
+    * reference binds the v4 wildcard only (main.go:32-35) and cannot hear
+    * a v6 sender at all; hosts with IPv6 disabled fall back to exactly
+    * that v4-wildcard shape. */
+  def bindUdp(port: Int): java.net.DatagramSocket =
+    try new java.net.DatagramSocket(port, java.net.InetAddress.getByName("::"))
+    catch { case _: java.net.SocketException =>
+      new java.net.DatagramSocket(port, java.net.InetAddress.getByName("0.0.0.0")) }
+
+  /** same dual-stack-with-fallback discipline for a (plain or SSL)
+    * server socket — bind is the only address-family-aware step the TCP
+    * listeners have */
+  def bindServer(s: java.net.ServerSocket, port: Int): Unit =
+    try s.bind(new java.net.InetSocketAddress(
+      java.net.InetAddress.getByName("::"), port), 64)
+    catch { case _: java.net.SocketException =>
+      s.bind(new java.net.InetSocketAddress("0.0.0.0", port), 64) }
+
+  /** The sender stamp (reference: "ip:port", lib/lopParse.go:36),
+    * extended for IPv6: v6 senders render in RFC 5952 canonical form
+    * inside brackets — "[::1]:514" — so the ip/port split stays
+    * unambiguous for every downstream consumer (`graft.model.deviceIp`
+    * is the reading twin). v4 senders keep the reference's bare
+    * dotted-quad:port, including v4 arriving on the dual-stack socket
+    * (Java normalizes v4-mapped to Inet4Address). */
+  def deviceOf(addr: java.net.InetAddress, port: Int): String = addr match {
+    case v6: java.net.Inet6Address => s"[${canonicalV6(v6)}]:$port"
+    case v4 => s"${v4.getHostAddress}:$port"
+  }
+
+  /** RFC 5952 text of an IPv6 address: lowercase hex groups, the single
+    * longest zero run compressed to "::" (leftmost wins ties; a lone
+    * zero group is never compressed), zone id preserved. Java's
+    * getHostAddress prints the full 8-group form ("0:0:0:0:0:0:0:1"),
+    * which no operator config or RFC example writes. */
+  def canonicalV6(a: java.net.Inet6Address): String = {
+    val b = a.getAddress
+    val g = Array.tabulate(8)(i => ((b(2 * i) & 0xff) << 8) | (b(2 * i + 1) & 0xff))
+    var bestStart = -1; var bestLen = 0; var i = 0
+    while (i < 8) {
+      if (g(i) == 0) {
+        var j = i
+        while (j < 8 && g(j) == 0) j += 1
+        if (j - i > bestLen) { bestStart = i; bestLen = j - i }
+        i = j
+      } else i += 1
+    }
+    val hex = g.map(Integer.toHexString)
+    val body =
+      if (bestLen >= 2)
+        hex.take(bestStart).mkString(":") + "::" +
+          hex.drop(bestStart + bestLen).mkString(":")
+      else hex.mkString(":")
+    val zone = a.getHostAddress.dropWhile(_ != '%') // "" or "%<zone>"
+    body + zone
+  }
 }
 
 /** Index-ordered bounded row log, one per listener: offset n = "first n

@@ -107,7 +107,7 @@ case class TlsServerConfig(keystorePath: String, keystorePassword: String,
     val s = ctx.getServerSocketFactory.createServerSocket()
       .asInstanceOf[javax.net.ssl.SSLServerSocket]
     if (needClientAuth) s.setNeedClientAuth(true)
-    s.bind(new InetSocketAddress("0.0.0.0", port), 64)
+    Ingest.bindServer(s, port) // dual-stack "::", v4 fallback
     s
   }
 }
@@ -126,7 +126,7 @@ final class TcpReceiver(port: Int, tls: Option[TlsServerConfig] = None)
     case Some(cfg) => cfg.serverSocket(port)
     case None =>
       val s = new ServerSocket()
-      s.bind(new InetSocketAddress("0.0.0.0", port), 64)
+      Ingest.bindServer(s, port) // dual-stack "::", v4 fallback
       s
   }
   val boundPort: Int = server.getLocalPort
@@ -159,7 +159,7 @@ final class TcpReceiver(port: Int, tls: Option[TlsServerConfig] = None)
   }
 
   private def handle(sock: Socket): Unit = {
-    val device = s"${sock.getInetAddress.getHostAddress}:${sock.getPort}"
+    val device = Ingest.deviceOf(sock.getInetAddress, sock.getPort)
     try {
       val in = new BufferedInputStream(sock.getInputStream)
       var b = in.read()

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.net.{DatagramPacket, DatagramSocket, InetAddress}
+import java.net.DatagramPacket
 import java.util
 import java.util.concurrent.ConcurrentHashMap
 
@@ -18,7 +18,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Reference semantics preserved:
   *   - one row per datagram, payload capped at 40 960 bytes (the
   *     reference's receive buffer, main.go:38 — longer datagrams truncate);
-  *   - `device` = "ip:port" of the sender (lopParse.go:36);
+  *   - `device` = "ip:port" of the sender (lopParse.go:36); IPv6 senders
+  *     (the socket binds dual-stack "::", unlike the reference's v4-only
+  *     wildcard) stamp RFC 5952 canonical form in brackets, "[::1]:514";
   *   - `ts` = receive time (lopParse.go:38) — ingest-time semantics;
   *   - bounded buffer of 10 000 datagrams (main.go:21): when full the
   *     receiver thread blocks, pushing drop decisions down to the kernel's
@@ -70,7 +72,7 @@ object UdpSourceProvider {
 /** background receive loop ≡ the reference's main.go:78-88 */
 final class UdpReceiver(port: Int) extends Thread(s"graft-udp-$port") {
   setDaemon(true)
-  private val socket = new DatagramSocket(port, InetAddress.getByName("0.0.0.0"))
+  private val socket = Ingest.bindUdp(port) // dual-stack "::", v4 fallback
   val boundPort: Int = socket.getLocalPort
   val log = new BoundedRowLog(UdpSourceProvider.BufferLimit)
 
@@ -83,7 +85,7 @@ final class UdpReceiver(port: Int) extends Thread(s"graft-udp-$port") {
         val pkt = new DatagramPacket(buf, buf.length)
         socket.receive(pkt) // blocking, like ReadFromUDP
         val raw = new String(pkt.getData, 0, pkt.getLength, "UTF-8")
-        val device = s"${pkt.getAddress.getHostAddress}:${pkt.getPort}"
+        val device = Ingest.deviceOf(pkt.getAddress, pkt.getPort)
         val ts = System.currentTimeMillis() * 1000L // µs
         // bounded buffer: block ingest (kernel drops overflow) — the
         // reference's full-channel behavior (main.go:87)

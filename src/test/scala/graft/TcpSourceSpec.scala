@@ -57,6 +57,40 @@ class TcpSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("IPv6 client on the dual-stack listener stamps a bracketed device; v4 client unchanged") {
+    val v6 = try {
+      val s = new ServerSocket(0, 1, InetAddress.getByName("::1")); s.close(); true
+    } catch { case _: Throwable => false }
+    assume(v6, "IPv6 loopback unavailable on this host")
+
+    val rx = new sources.TcpReceiver(0)
+    rx.start()
+    val sock6 = new Socket(InetAddress.getByName("::1"), rx.boundPort)
+    val sock4 = new Socket(InetAddress.getByName("127.0.0.1"), rx.boundPort)
+    try {
+      sock6.getOutputStream.write(octet("firewall,info v6 frame"))
+      sock6.getOutputStream.flush()
+      var dl = System.currentTimeMillis() + 20000
+      while (rx.latest < 1L && System.currentTimeMillis() < dl) Thread.sleep(50)
+      assert(rx.latest >= 1L, "v6 frame never reached the dual-stack listener")
+      val (raw6, dev6, _) = rx.log.slice(0, 1).head
+      assert(raw6 === "firewall,info v6 frame")
+      assert(dev6 === s"[::1]:${sock6.getLocalPort}",
+        s"v6 client must stamp bracketed canonical form, got $dev6")
+
+      sock4.getOutputStream.write(octet("firewall,info v4 frame"))
+      sock4.getOutputStream.flush()
+      dl = System.currentTimeMillis() + 20000
+      while (rx.latest < 2L && System.currentTimeMillis() < dl) Thread.sleep(50)
+      assert(rx.latest >= 2L, "v4 frame lost on the dual-stack listener")
+      val dev4 = rx.log.slice(1, 2).head._2
+      assert(dev4 === s"127.0.0.1:${sock4.getLocalPort}",
+        s"v4 client must keep the reference stamp, got $dev4")
+    } finally {
+      sock6.close(); sock4.close(); rx.shutdown()
+    }
+  }
+
   test("framing: oversize octet frame truncates but stays in sync") {
     val rx = new sources.TcpReceiver(0)
     rx.start()

@@ -12,6 +12,62 @@ import org.scalatest.funsuite.AnyFunSuite
 class UdpSourceSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("IPv6 sender on the dual-stack socket stamps a bracketed RFC 5952 device") {
+    // real bytes over the v6 loopback, not a mocked address: this is the
+    // end-to-end proof the "::" bind + deviceOf stamp work together
+    val v6 = try {
+      val s = new DatagramSocket(0, InetAddress.getByName("::1")); s.close(); true
+    } catch { case _: Throwable => false }
+    assume(v6, "IPv6 loopback unavailable on this host")
+
+    val rx = new sources.UdpReceiver(0)
+    rx.start()
+    val sender6 = new DatagramSocket(0, InetAddress.getByName("::1"))
+    val sender4 = new DatagramSocket()
+    try {
+      val b6 = "firewall,info v6 datagram".getBytes("UTF-8")
+      sender6.send(new DatagramPacket(b6, b6.length,
+        InetAddress.getByName("::1"), rx.boundPort))
+      var dl = System.currentTimeMillis() + 20000
+      while (rx.latest < 1L && System.currentTimeMillis() < dl) Thread.sleep(50)
+      assert(rx.latest >= 1L, "v6 datagram never reached the dual-stack socket")
+      val (raw6, dev6, _) = rx.log.slice(0, 1).head
+      assert(raw6 === "firewall,info v6 datagram")
+      assert(dev6 === s"[::1]:${sender6.getLocalPort}",
+        s"v6 sender must stamp bracketed canonical form, got $dev6")
+
+      // a v4 sender on the SAME socket still stamps the reference's
+      // bare dotted-quad:port (Java normalizes v4-mapped to Inet4Address)
+      val b4 = "firewall,info v4 datagram".getBytes("UTF-8")
+      sender4.send(new DatagramPacket(b4, b4.length,
+        InetAddress.getByName("127.0.0.1"), rx.boundPort))
+      dl = System.currentTimeMillis() + 20000
+      while (rx.latest < 2L && System.currentTimeMillis() < dl) Thread.sleep(50)
+      assert(rx.latest >= 2L, "v4 datagram lost on the dual-stack socket")
+      val dev4 = rx.log.slice(1, 2).head._2
+      assert(dev4 === s"127.0.0.1:${sender4.getLocalPort}",
+        s"v4 sender must keep the reference stamp, got $dev4")
+    } finally {
+      sender6.close(); sender4.close(); rx.shutdown()
+    }
+  }
+
+  test("canonicalV6: RFC 5952 compression rules") {
+    def c(s: String): String = sources.Ingest.canonicalV6(
+      InetAddress.getByName(s).asInstanceOf[java.net.Inet6Address])
+    assert(c("0:0:0:0:0:0:0:1") === "::1")
+    assert(c("0:0:0:0:0:0:0:0") === "::")
+    assert(c("2001:db8:0:0:0:0:2:1") === "2001:db8::2:1")
+    // tie between two runs: leftmost wins
+    assert(c("2001:db8:0:0:1:0:0:1") === "2001:db8::1:0:0:1")
+    // a single zero group is never compressed
+    assert(c("2001:db8:0:1:1:1:1:1") === "2001:db8:0:1:1:1:1:1")
+    // uppercase input renders lowercase
+    assert(c("2001:DB8:0:0:0:0:CAFE:1") === "2001:db8::cafe:1")
+    // no compression when no zero run
+    assert(c("1:2:3:4:5:6:7:8") === "1:2:3:4:5:6:7:8")
+  }
+
   test("UDP datagrams flow source → parse → parquet sink") {
     // bind an OS-assigned free port first, hand it to the source
     val probe = new DatagramSocket(0)
