@@ -638,14 +638,29 @@ object CorpusOps {
     * row here: in estimation mode an overlapping pair can estimate to 0,
     * and suppressing those cells would make "estimated 0" and "absent"
     * indistinguishable to a caller thresholding the matrix. */
-  def sourceOverlapTheta(s: SparkSession, dir: String): DataFrame = {
+  def sourceOverlapTheta(s: SparkSession, dir: String): DataFrame =
+    overlapMatrixOfSketches(sourceGramSketches(s, dir))
+
+  /** one row per source: its theta sketch over the distinct-3-gram
+    * stream — the ~KB fixed state the theta matrix is computed from */
+  def sourceGramSketches(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TextExpressions.register(s)
     graft.functions.ThetaSketch.register(s)
     import graft.functions.ThetaSketch._
-    val sk = t(s, dir, "documents")
+    t(s, dir, "documents")
       .select(col("source"),
         explode(graft.functions.TextExpressions.wordNgrams(toks, 3)).as("gram"))
       .groupBy("source").agg(thetaAgg(col("gram")).as("sk"))
+  }
+
+  /** the pair matrix by sketch algebra over ANY (source, sk) frame —
+    * the in-flight fold and the persisted table produce identical cells
+    * (theta state is a deterministic function of the input set, not of
+    * fold order), which is exactly what lets the at-rest form answer
+    * for the corpus-scale one */
+  private def overlapMatrixOfSketches(sk: DataFrame): DataFrame = {
+    graft.functions.ThetaSketch.register(sk.sparkSession)
+    import graft.functions.ThetaSketch._
     val a = sk.select(col("source").as("s1"), col("sk").as("sk1"))
     val b = sk.select(col("source").as("s2"), col("sk").as("sk2"))
     a.join(broadcast(b), col("s1") < col("s2"))
@@ -668,6 +683,190 @@ object CorpusOps {
           greatest(least(col("n1_est"), col("n2_est")), lit(1L))).as("overlap_est"))
       .orderBy("s1", "s2")
   }
+
+  /** persist the per-source gram sketches as an at-rest table (the
+    * `q_sketch_rollup` pattern): one parquet row per source, ~KB each,
+    * total size = the SOURCE CATALOG's, whatever the corpus size */
+  def writeSourceGramSketches(s: SparkSession, dir: String, path: String): Unit =
+    sourceGramSketches(s, dir).write.mode("overwrite").parquet(path)
+
+  /** memoized sketch table per (session, dir), staleness-guarded on the
+    * documents fingerprint; Bench clears it so the declared query pays
+    * its build honestly under the cold-cache rule */
+  private val sourceSketchCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+
+  def clearSourceSketchCache(): Unit = sourceSketchCache.synchronized {
+    sourceSketchCache.forEach((_, v) => deleteRecursively(v._2))
+    sourceSketchCache.clear()
+  }
+
+  private def sourceSketchTable(s: SparkSession, dir: String): String =
+    sourceSketchCache.synchronized {
+      val key = (s, dir)
+      val fp = inputFingerprint(dir, "documents.parquet")
+      val c = sourceSketchCache.get(key)
+      if (c != null && c._1 == fp) c._2
+      else {
+        if (c != null) deleteRecursively(c._2)
+        val path = java.nio.file.Files.createTempDirectory("graft_src_sketches").toString
+        writeSourceGramSketches(s, dir, path)
+        sourceSketchCache.put(key, (fp, path))
+        path
+      }
+    }
+
+  /** `q_source_overlap_theta` answered from PERSISTED states only — the
+    * matrix every acquisition dashboard re-asks, without refolding the
+    * corpus per call: the corpus is read once per snapshot (the table
+    * build), and every later matrix is |S|-row sketch algebra over the
+    * parquet states. Cell-for-cell identical to the in-flight fold
+    * (CorpusOpsSpec pins it, plus a plan pin that only the sketch table
+    * is scanned). */
+  def sourceOverlapPersisted(s: SparkSession, dir: String): DataFrame =
+    overlapMatrixOfSketches(s.read.parquet(sourceSketchTable(s, dir)))
+
+  // ---- URL / domain hygiene ---------------------------------------------
+  /** URL pattern for extraction — restricted (like the `q_pii_scrub`
+    * family) to syntax Java regex and RE2 read identically: scheme,
+    * host char class, optional path/query. */
+  val UrlRe = """https?://[A-Za-z0-9.-]+(/[A-Za-z0-9._/?=&-]*)?"""
+
+  /** host part of one URL */
+  private val HostRe = """^https?://([A-Za-z0-9.-]+)"""
+
+  /** Deterministic URL injection: this synthetic corpus carries no URLs
+    * (the same gap `q_normalize_text` has with non-ASCII), so the
+    * declared queries manufacture them IN-PLAN — doc_id picks hosts from
+    * a 7-entry catalog spanning two-level and multi-part-TLD shapes;
+    * doc_id%5==0 docs carry none, doc_id%3==0 docs carry a second URL on
+    * an independently-chosen host. In production the crawler's raw text
+    * plays this role and the extraction below runs unchanged. */
+  private def urlified(s: SparkSession, dir: String): DataFrame = {
+    val hostCat = Seq("www.example.com", "blog.example.com", "example.org",
+      "docs.example.org", "news.site.io", "a.b.example.co.uk", "shop.example.co.uk")
+    val hosts = array(hostCat.map(lit): _*)
+    val h1 = element_at(hosts, pmod(col("doc_id"), lit(7)).cast(IntegerType) + 1)
+    val h2 = element_at(hosts, pmod(col("doc_id") * 3 + 1, lit(7)).cast(IntegerType) + 1)
+    val id = col("doc_id").cast(StringType)
+    t(s, dir, "documents").select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(5)) === 0, col("text"))
+        .when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" see https://"), h1, lit("/p/"), id,
+            lit(" and http://"), h2, lit("/q?id="), id))
+        .otherwise(concat(col("text"), lit(" see https://"), h1, lit("/p/"), id))
+        .as("text"))
+  }
+
+  /** the urlified corpus as a DuckDB CTE `u(doc_id, text)` */
+  private val urlifiedCte = {
+    val cat = Seq("www.example.com", "blog.example.com", "example.org",
+      "docs.example.org", "news.site.io", "a.b.example.co.uk", "shop.example.co.uk")
+      .map(h => s"'$h'").mkString("[", ", ", "]")
+    s"""hostcat AS (SELECT $cat AS hs),
+       |u AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 5 = 0 THEN text
+       |       WHEN doc_id % 3 = 0 THEN text || ' see https://' || hs[(doc_id % 7)::INT + 1] ||
+       |         '/p/' || doc_id::VARCHAR || ' and http://' || hs[((doc_id * 3 + 1) % 7)::INT + 1] ||
+       |         '/q?id=' || doc_id::VARCHAR
+       |       ELSE text || ' see https://' || hs[(doc_id % 7)::INT + 1] ||
+       |         '/p/' || doc_id::VARCHAR END AS text
+       |  FROM documents, hostcat)""".stripMargin
+  }
+
+  /** registrable domain of a host: last two labels, or last three under
+    * a multi-part public suffix. The suffix list here is the one entry
+    * the host catalog needs (`co.uk`) — a production deployment swaps in
+    * the full public-suffix list as a broadcast map without changing the
+    * shape (still one per-row expression, no shuffle). */
+  private def regDomain(host: Column): Column = {
+    val ls = split(host, "\\.")
+    when(size(ls) >= 3 &&
+        element_at(ls, -2) === "co" && element_at(ls, -1) === "uk",
+      concat_ws(".", element_at(ls, -3), element_at(ls, -2), element_at(ls, -1)))
+      .otherwise(concat_ws(".", element_at(ls, -2), element_at(ls, -1)))
+  }
+
+  /** DuckDB twin of [[regDomain]] over an expression `h` */
+  private def regDomainSqlExpr(h: String): String =
+    s"""CASE WHEN len(string_split($h, '.')) >= 3
+       |       AND string_split($h, '.')[-2] = 'co' AND string_split($h, '.')[-1] = 'uk'
+       |  THEN string_split($h, '.')[-3] || '.' || string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1]
+       |  ELSE string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1] END""".stripMargin
+
+  /** URL/host/registrable-domain extraction over web-ish text — the
+    * hygiene pass every crawl pipeline runs before per-domain policies
+    * (caps, blocklists, licensing tiers) can exist. Pure per-row regex
+    * work in the `q_pii_scrub` discipline: zero shuffles until the
+    * presentation orderBy, trivially parallel at 100 TB. Emits match
+    * counts, hosts in match order, and the distinct sorted registrable
+    * domains per document. */
+  def urlExtract(s: SparkSession, dir: String): DataFrame = {
+    val urls = regexp_extract_all(col("text"), lit(UrlRe), lit(0))
+    val hostsOf = transform(urls, u => regexp_extract(u, HostRe, 1))
+    urlified(s, dir).select(
+        col("doc_id"),
+        size(urls).cast(LongType).as("n_urls"),
+        // ','-joined (not arrays): the driver comparator hashes flat
+        // columns only; ',' cannot occur in a host
+        concat_ws(",", hostsOf).as("hosts"),
+        concat_ws(",",
+          array_sort(array_distinct(transform(hostsOf, regDomain(_))))).as("domains"))
+      .orderBy("doc_id")
+  }
+
+  val urlExtractSql: String =
+    s"""WITH $urlifiedCte,
+       |x AS (SELECT doc_id, regexp_extract_all(text, '$UrlRe', 0) AS urls FROM u),
+       |h AS (SELECT doc_id, urls,
+       |  list_transform(urls, s -> regexp_extract(s, '$HostRe', 1)) AS hosts FROM x)
+       |SELECT doc_id, len(urls)::BIGINT AS n_urls,
+       |  coalesce(array_to_string(hosts, ','), '') AS hosts,
+       |  coalesce(array_to_string(list_sort(list_distinct(list_transform(hosts,
+       |    h -> ${regDomainSqlExpr("h").replace("\n", " ")}))), ','), '') AS domains
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  /** per-domain doc cap for `q_sample_per_domain` */
+  val PerDomainCap = 100
+
+  /** Per-registrable-domain document caps — the anti-boilerplate
+    * sampling step (C4/FineWeb keep at most N pages per domain so one
+    * mirror farm can't dominate the mix): each doc keyed by its FIRST
+    * URL's registrable domain ('(none)' when it carries no URL), the
+    * [[PerDomainCap]] lowest-doc_id docs kept per domain.
+    *
+    * Scale shape: the cap rides the bounded KnnTopK aggregate (the ANN
+    * family's per-group top-k) keyed on -doc_id, so per-domain state is
+    * O(cap) and partially aggregated map-side — no corpus-wide window
+    * sort, no skew hazard when one domain owns half the crawl. The
+    * -doc_id double key is monotone (rounding preserves order) with the
+    * aggregator's id-ASC tie-break, so selection is exact even past
+    * 2^53. */
+  def samplePerDomain(s: SparkSession, dir: String): DataFrame = {
+    val firstUrl = regexp_extract(col("text"), UrlRe, 0)
+    val keyed = urlified(s, dir).select(
+      when(firstUrl === "", "(none)")
+        .otherwise(regDomain(regexp_extract(firstUrl, HostRe, 1))).as("domain"),
+      col("doc_id"))
+    keyed.groupBy("domain")
+      .agg(graft.functions.KnnTopK.knnTopk(
+        negate(col("doc_id").cast(DoubleType)), col("doc_id"), PerDomainCap).as("hits"))
+      .select(col("domain"), explode(col("hits.vec_id")).as("doc_id"))
+      .orderBy("domain", "doc_id")
+  }
+
+  val samplePerDomainSql: String =
+    s"""WITH $urlifiedCte,
+       |f AS (SELECT doc_id,
+       |  coalesce(regexp_extract(text, '$UrlRe', 0), '') AS first_url FROM u),
+       |k AS (SELECT doc_id,
+       |  CASE WHEN first_url = '' THEN '(none)'
+       |       ELSE ${regDomainSqlExpr(s"regexp_extract(first_url, '$HostRe', 1)").replace("\n", " ")} END AS domain
+       |  FROM f),
+       |r AS (SELECT domain, doc_id,
+       |  row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk FROM k)
+       |SELECT domain, doc_id FROM r WHERE rk <= $PerDomainCap
+       |ORDER BY domain, doc_id""".stripMargin
 
   // ---- corpus novelty (diminishing-returns instrument) ------------------
   /** Per-document novel-gram fraction in ingestion (doc_id) order — the
@@ -852,7 +1051,10 @@ object CorpusOps {
     "q_corpus_diff" -> corpusDiff _,
     "q_source_overlap" -> sourceOverlap _,
     "q_source_overlap_theta" -> sourceOverlapTheta _,
+    "q_source_overlap_persisted" -> sourceOverlapPersisted _,
     "q_corpus_novelty" -> corpusNovelty _,
+    "q_url_extract" -> urlExtract _,
+    "q_sample_per_domain" -> samplePerDomain _,
     "q_split_leakage" -> splitLeakage _,
     "q_split_leakage_bloom" -> splitLeakageBloom _,
     "q_assemble_e2e" -> assembleE2e _)
@@ -870,6 +1072,8 @@ object CorpusOps {
     "q_corpus_diff" -> corpusDiffSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_corpus_novelty" -> corpusNoveltySql,
+    "q_url_extract" -> urlExtractSql,
+    "q_sample_per_domain" -> samplePerDomainSql,
     "q_split_leakage" -> splitLeakageSql,
     "q_assemble_e2e" -> assembleE2eSql)
 }

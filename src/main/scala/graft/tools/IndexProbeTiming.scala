@@ -12,12 +12,17 @@ import org.apache.spark.sql.functions._
   * the probe per batch. This prints both, separately, as one JSON line:
   * build_sec, first probe (plan + shuffle warmup) and min of 3 warm
   * probes. Usage: IndexProbeTiming <sfDir> [substr|simhash|gram|
-  * containment] — simhash times the band index under its
-  * density-derived default cap; gram/containment time the pruned
-  * inverted gram index under its two scorers (same build, different
-  * probe projection). The round-13 accepted bench cost is the COLD
-  * contract's build+probe; this prices what production, which builds
-  * once per snapshot, actually pays per batch.
+  * containment|minhash|winnow|bloom|semantic] — simhash times the band
+  * index under its density-derived default cap; gram/containment time
+  * the pruned inverted gram index under its two scorers (same build,
+  * different probe projection); minhash the band+sig layout; winnow the
+  * w-selected hash set; bloom the decontamination word table; semantic
+  * the IVF corpus index over embeddings (its batch is the SemIncMod
+  * vec split, the others use the text-side IncrementalMod doc split;
+  * bloom uses its own DecontamEvalMod). The round-13 accepted bench cost
+  * is the COLD contract's build+probe; this prices what production,
+  * which builds once per snapshot, actually pays per batch — every
+  * incremental family now has a priced warm-probe number (PERF.md).
   */
 object IndexProbeTiming {
   def main(args: Array[String]): Unit = {
@@ -50,17 +55,35 @@ object IndexProbeTiming {
     val build = secs(family match {
       case "simhash" => graft.operators.Dedup.writeSimhashIndex(spark, sfDir, idx)
       case "gram" | "containment" => graft.operators.Dedup.writeGramIndex(spark, sfDir, idx)
+      case "minhash" => graft.operators.Dedup.writeMinhashIndex(spark, sfDir, idx)
+      case "winnow" => graft.operators.Dedup.writeWinnowIndex(spark, sfDir, idx)
+      case "bloom" => graft.operators.Dedup.writeBloomIndex(spark, sfDir, idx)
+      case "semantic" => graft.operators.Similarity.writeSemanticIndex(spark, sfDir, idx)
       case _ => graft.operators.Dedup.writeSubstrIndex(spark, sfDir, idx)
     })
-    val batch = graft.util.t(spark, sfDir, "documents")
-      .where(col("doc_id") % graft.operators.Dedup.IncrementalMod
-        === graft.operators.Dedup.IncrementalRem)
-      .select("doc_id", "text")
+    // each family probes the batch its incremental contract declares
+    val batch = family match {
+      case "semantic" => graft.util.t(spark, sfDir, "embeddings")
+        .where(col("vec_id") % graft.operators.Similarity.SemIncMod
+          === graft.operators.Similarity.SemIncRem)
+        .select("vec_id", "embedding")
+      case "bloom" => graft.util.t(spark, sfDir, "documents")
+        .where(col("doc_id") % graft.operators.Dedup.DecontamEvalMod === 0)
+        .select("doc_id", "text")
+      case _ => graft.util.t(spark, sfDir, "documents")
+        .where(col("doc_id") % graft.operators.Dedup.IncrementalMod
+          === graft.operators.Dedup.IncrementalRem)
+        .select("doc_id", "text")
+    }
     def probeOnce(): Unit = (family match {
       case "simhash" => graft.operators.Dedup.probeSimhashIndex(spark, batch, idx)
       case "gram" => graft.operators.Dedup.probeGramIndex(spark, batch, idx)
       case "containment" =>
         graft.operators.Dedup.probeGramIndexContainment(spark, batch, idx)
+      case "minhash" => graft.operators.Dedup.probeMinhashIndex(spark, batch, idx)
+      case "winnow" => graft.operators.Dedup.probeWinnowIndex(spark, batch, idx)
+      case "bloom" => graft.operators.Dedup.probeBloomIndex(spark, batch, idx)
+      case "semantic" => graft.operators.Similarity.probeSemanticIndex(spark, batch, idx)
       case _ => graft.operators.Dedup.probeSubstrIndex(spark, batch, idx)
     }).write.mode("overwrite").format("noop").save()
     val first = secs(probeOnce())

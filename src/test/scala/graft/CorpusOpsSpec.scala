@@ -197,6 +197,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_source_overlap_persisted: cell-identical to the in-flight fold; plan scans only the sketch table") {
+    // theta state is a deterministic function of the input SET (not fold
+    // order), so at-rest and in-flight must agree exactly — in estimation
+    // mode too, hence sf0.01
+    val dir = "/root/testdata/sf0.01"
+    val direct = operators.CorpusOps.sourceOverlapTheta(spark, dir).collect().toSeq
+    val persisted = operators.CorpusOps.sourceOverlapPersisted(spark, dir)
+    assert(persisted.collect().toSeq === direct,
+      "persisted sketch table diverged from the in-flight fold")
+    // fixed-state contract: the matrix plan reads the sketch parquet and
+    // NEVER rescans the corpus
+    val plan = persisted.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_src_sketches"),
+      s"plan must scan the persisted sketch table:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"matrix plan must not rescan the corpus:\n$plan")
+  }
+
   test("q_corpus_novelty: first carrier gets the credit, copies score zero, partial overlap fractions") {
     val dir = writeDocs(Seq(
       (1L, "a b c d", "en", "src"), // {abc, bcd} both first-seen → 1.0

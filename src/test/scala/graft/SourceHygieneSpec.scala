@@ -33,12 +33,29 @@ class SourceHygieneSpec extends AnyFunSuite {
     // TextAnalysis.bpeTrain: ONE argmax row per merge round — the
     // merge-decision metadata every BPE trainer serializes on; corpus
     // token arrays never reach the driver (documented in the scaladoc)
-    "TextAnalysis.scala" -> 1)
+    "TextAnalysis.scala" -> 1,
+    // tools/: driver-side measurement INSTRUMENTS (sweep mains that
+    // print JSON lines), not operators — their collects gather sweep
+    // summary rows by design. Counted anyway so an instrument can't
+    // quietly grow a data-sized collect.
+    "CapSweep.scala" -> 1,
+    "LongDocWinnow.scala" -> 2,
+    "ScaleTestdata.scala" -> 1,
+    "SemanticKScale.scala" -> 1,
+    "WinnowSweep.scala" -> 3)
 
   test("no .collect() in main operator/function/source/streaming code outside the allowlist") {
-    val roots = Seq("operators", "functions", "sources", "streaming", "")
-      .map(d => Paths.get("src/main/scala/graft", d))
-    val counts = roots.filter(Files.isDirectory(_))
+    val base = Paths.get("src/main/scala/graft")
+    val rootNames = Seq("operators", "functions", "sources", "streaming", "tools", "")
+    // the scan roots are asserted against the LIVE directory listing, so
+    // a new source directory cannot silently sit outside the contract
+    // (the round-15 gap: tools/ existed but was never scanned)
+    val liveDirs = Files.list(base).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSet
+    assert(liveDirs === rootNames.filter(_.nonEmpty).toSet,
+      s"source directories drifted from the scan roots — update rootNames AND " +
+        s"triage any collects in the new directory (live: $liveDirs)")
+    val counts = rootNames.map(d => base.resolve(d)).filter(Files.isDirectory(_))
       .flatMap(r => Files.list(r).iterator().asScala)
       .filter(_.toString.endsWith(".scala"))
       .map(p => p.getFileName.toString ->
