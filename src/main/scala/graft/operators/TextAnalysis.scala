@@ -264,6 +264,68 @@ object TextAnalysis {
       size(tk).cast(LongType).as("n_toks"))
   }
 
+  // ---- BPE release artifact (persisted merge table) --------------------
+  /** artifact layout version — bump on any layout or semantics change
+    * (tokenization contract, merge application order) so a fleet can
+    * never replay an artifact under different encode semantics */
+  val BpeArtifactVersion = 1L
+
+  /** the tokenization contract the merge table was trained under and
+    * encode must replay — part of the artifact's identity, like the
+    * winnow index's persisted `w` */
+  val BpeTokenizer = "lower_whitespace"
+
+  /** Persist a trained merge table as a versioned RELEASE artifact —
+    * until now the trained merges lived only in-session (the memoized
+    * [[ensureBpeMerges]]), so a tokenizer trained on one snapshot could
+    * not ship to the fleet that encodes with it. Layout: `merges/`
+    * parquet (rank, t1, t2) under `Sinks.writeManifest` integrity
+    * (row digest + schema + count), `meta/` (key, value) rows pinning
+    * the artifact version and the tokenization contract. */
+  def writeBpeArtifact(s: SparkSession, path: String,
+      merges: Seq[(String, String)]): Unit = {
+    import s.implicits._
+    merges.zipWithIndex.map { case ((a, b), i) => (i + 1, a, b) }
+      .toDF("rank", "t1", "t2")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    Seq(("version", BpeArtifactVersion.toString),
+        ("tokenizer", BpeTokenizer),
+        ("n_merges", merges.size.toString))
+      .toDF("key", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    graft.sources.Sinks.writeManifest(s, s"$path/merges")
+  }
+
+  /** Load a persisted merge table for encode: refuses a failed manifest
+    * check (any changed/added/dropped merge row flips the digest), a
+    * different artifact version, or a different tokenization contract —
+    * a silently drifted tokenizer corrupts every downstream token count.
+    * The collect is O(nMerges) MODEL metadata (the merge table is
+    * per-round decision rows, the same class bpeTrain's argmax is). */
+  def loadBpeArtifact(s: SparkSession, path: String): Seq[(String, String)] = {
+    // drop any cached file index for the path: a replaced-on-disk merge
+    // file must reach the digest check, not trip a stale-length read
+    s.catalog.refreshByPath(s"$path/merges")
+    require(graft.sources.Sinks.verifyManifest(s, s"$path/merges"),
+      s"BPE artifact at $path fails its manifest integrity check — " +
+        "the merge table was modified, partially written, or never finalized")
+    val meta = s.read.parquet(s"$path/meta").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(meta.get("version").contains(BpeArtifactVersion.toString),
+      s"BPE artifact at $path is version ${meta.getOrElse("version", "?")}; " +
+        s"this build reads version $BpeArtifactVersion")
+    require(meta.get("tokenizer").contains(BpeTokenizer),
+      s"BPE artifact at $path was trained under tokenizer " +
+        s"${meta.getOrElse("tokenizer", "?")}; this build encodes with $BpeTokenizer")
+    s.read.parquet(s"$path/merges").orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
+  /** encode ARBITRARY (doc_id, text) rows under a persisted artifact —
+    * the fleet-side replay of a shipped tokenizer */
+  def bpeEncodeFrom(s: SparkSession, docs: DataFrame, path: String): DataFrame =
+    bpeEncode(docs, loadBpeArtifact(s, path))
+
   /** Declared query: per-doc encoding compression under the corpus's own
     * 8-merge table — n_toks → n_syms and the ratio, the tokenizer-fit
     * metric a data pipeline tracks per source/snapshot. No SQL oracle
@@ -1177,7 +1239,10 @@ object TextAnalysis {
     * artifact. A production model swaps ONE expression: weight =
     * element_at(broadcast_weights, hash mod D). Plumbing, batch shape and
     * the keep/drop contract are the real thing; only the numbers inside
-    * the weight vector are fake.
+    * the weight vector are fake. The swap is PROVIDED, not just
+    * promised: [[qualityModelWeighted]] scores under an explicit weight
+    * vector or (dim, w_milli) frame, and TextAnalysisSpec proves the
+    * stand-in and a table encoding the same function score identically.
     *
     * Exactness: integer milli-weights summed by an in-order HOF aggregate
     * (no float summation-order hazard); the mean is one double division,
@@ -1197,6 +1262,46 @@ object TextAnalysis {
           / (size(col("tk")).cast(LongType) * 1000L).cast(DoubleType)).as("score"),
         when(col("wsum") >= QualityModelBiasMilli, 1).otherwise(0).as("keep"))
       .orderBy("doc_id")
+  }
+
+  /** The trained-model path the stand-in's scaladoc promises, actually
+    * provided: score (doc_id, text) rows under an EXPLICIT D-bucket
+    * milli-weight vector — weight = element_at(weights, (h mod D) + 1) —
+    * with everything else (hashing, in-order integer sum, exact-integer
+    * verdict) identical to [[qualityModel]]. The weight vector rides the
+    * plan as ONE array literal (`typedLit`, not a D-child expression
+    * tree), so the corpus still never shuffles and scoring stays one
+    * map-side pass whatever D is. */
+  def qualityModelWeighted(docs: DataFrame, weightsMilli: Seq[Long],
+      biasMilli: Long = QualityModelBiasMilli): DataFrame = {
+    require(weightsMilli.nonEmpty, "weight table must have at least one bucket")
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    val d = weightsMilli.size.toLong
+    val w = typedLit(weightsMilli)
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+      .withColumn("hs",
+        graft.functions.TextExpressions.wordNgramMd5p64(col("tk"), 1, 15))
+      .withColumn("wsum", aggregate(col("hs"), lit(0L),
+        (a, x) => a + element_at(w, (x % lit(d)).cast(IntegerType) + 1)))
+      .select(col("doc_id"), size(col("tk")).cast(LongType).as("n_tok"),
+        r4(col("wsum").cast(DoubleType)
+          / (size(col("tk")).cast(LongType) * 1000L).cast(DoubleType)).as("score"),
+        when(col("wsum") >= biasMilli, 1).otherwise(0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** weights-FRAME form — (dim, w_milli) rows, the shape a trained
+    * artifact lands in: one documented O(D) model-metadata collect (the
+    * IVF-codebook pattern; D is a model constant, not data) converts it
+    * to the vector form. Dims must be the contiguous 0..D-1 buckets. */
+  def qualityModelWeighted(docs: DataFrame, weights: DataFrame,
+      biasMilli: Long): DataFrame = {
+    val rows = weights.orderBy("dim").select("dim", "w_milli").collect()
+    require(rows.nonEmpty && rows.zipWithIndex.forall {
+        case (r, i) => r.getInt(0) == i },
+      "weights frame must carry contiguous dims 0..D-1")
+    qualityModelWeighted(docs, rows.map(_.getLong(1)).toSeq, biasMilli)
   }
 
   val qualityModelSql =

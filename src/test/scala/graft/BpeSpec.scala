@@ -75,6 +75,54 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE release artifact: train → persist → load → encode ≡ in-session; tamper and contract drift refused") {
+    import spark.implicits._
+    val dir = TestSpark.sfDir
+    val corpus = graft.util.t(spark, dir, "documents").select("doc_id", "text")
+    val merges = TextAnalysis.bpeTrainMerges(corpus.select("text"), 8)
+      .sortBy(_._1).map(m => (m._2, m._3))
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe_art").toString
+
+    TextAnalysis.writeBpeArtifact(spark, path, merges)
+    assert(TextAnalysis.loadBpeArtifact(spark, path) === merges,
+      "merge table did not round-trip")
+    // fleet-side replay: encode under the loaded artifact must be
+    // row-identical to the in-session encode
+    val direct = TextAnalysis.bpeEncode(corpus, merges)
+      .orderBy("doc_id").collect().toSeq
+    val viaArtifact = TextAnalysis.bpeEncodeFrom(spark, corpus, path)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaArtifact === direct, "artifact replay diverged from in-session encode")
+
+    // integrity: any mutation of the merge table flips the manifest digest
+    spark.read.parquet(s"$path/merges")
+      .withColumn("t2", concat(col("t2"), lit("x")))
+      .write.mode("overwrite").parquet(s"$path/merges_tampered")
+    val fs = new java.io.File(s"$path/merges_tampered").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val victim = new java.io.File(s"$path/merges").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    java.nio.file.Files.copy(fs.head.toPath, victim.head.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the local-FS CRC sidecar so the byte swap reaches the
+    // MANIFEST digest check (an attacker rewrites both; Hadoop's
+    // transport checksum is not the integrity gate under test)
+    new java.io.File(s"$path/merges/.${victim.head.getName}.crc").delete()
+    intercept[IllegalArgumentException] {
+      TextAnalysis.loadBpeArtifact(spark, path)
+    }
+
+    // contract drift: a rewritten-clean artifact under a foreign
+    // tokenizer id is refused even with a valid manifest
+    TextAnalysis.writeBpeArtifact(spark, path, merges)
+    Seq(("version", "1"), ("tokenizer", "cased_bytes"), ("n_merges", "8"))
+      .toDF("key", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.loadBpeArtifact(spark, path)
+    }
+  }
+
   test("q_bpe_encode: flatten-reconstruction and compression bounds on real data") {
     val dir = "/root/testdata/sf0.001"
     val merges = TextAnalysis.ensureBpeMerges(spark, dir)

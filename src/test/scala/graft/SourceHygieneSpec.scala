@@ -32,8 +32,12 @@ class SourceHygieneSpec extends AnyFunSuite {
     "Dedup.scala" -> 1,
     // TextAnalysis.bpeTrain: ONE argmax row per merge round — the
     // merge-decision metadata every BPE trainer serializes on; corpus
-    // token arrays never reach the driver (documented in the scaladoc)
-    "TextAnalysis.scala" -> 1,
+    // token arrays never reach the driver (documented in the scaladoc).
+    // TextAnalysis.qualityModelWeighted(frame form): O(D) model-weight
+    // rows — model metadata (D is a model constant), the codebook pattern.
+    // TextAnalysis.loadBpeArtifact: O(nMerges) merge rows + O(3) meta
+    // rows — the shipped tokenizer's decision metadata, same class
+    "TextAnalysis.scala" -> 4,
     // tools/: driver-side measurement INSTRUMENTS (sweep mains that
     // print JSON lines), not operators — their collects gather sweep
     // summary rows by design. Counted anyway so an instrument can't

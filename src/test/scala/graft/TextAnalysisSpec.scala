@@ -10,6 +10,36 @@ import org.scalatest.funsuite.AnyFunSuite
 class TextAnalysisSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("qualityModelWeighted: an explicit table encoding the stand-in function scores identically; a different model diverges") {
+    import spark.implicits._
+    val dir = TestSpark.sfDir
+    val docs = util.t(spark, dir, "documents").select("doc_id", "text")
+    val standIn = operators.TextAnalysis.qualityModel(spark, dir).collect().toSeq
+
+    // W[b] = b - 1000 IS the stand-in ((h mod 2001) - 1000) as a table —
+    // the declared query and the external-weights path must be
+    // row-identical when the table encodes the same function
+    val w = (0 until 2001).map(i => i.toLong - 1000L)
+    assert(operators.TextAnalysis.qualityModelWeighted(docs, w).collect().toSeq
+      === standIn, "vector form diverged from the hash stand-in")
+
+    // the (dim, w_milli) frame form — the shape a trained artifact lands
+    // in — routes to the same scoring
+    val wf = w.zipWithIndex.map { case (wi, i) => (i, wi) }.toDF("dim", "w_milli")
+    assert(operators.TextAnalysis.qualityModelWeighted(docs, wf, 0L).collect().toSeq
+      === standIn, "frame form diverged from the vector form")
+
+    // the table is live, not decorative: negating every weight flips sums
+    assert(operators.TextAnalysis.qualityModelWeighted(docs, w.map(-_))
+      .collect().toSeq !== standIn, "a different model must change scores")
+
+    // non-contiguous dims are refused, not silently misindexed
+    intercept[IllegalArgumentException] {
+      operators.TextAnalysis.qualityModelWeighted(docs,
+        Seq((0, 5L), (2, 7L)).toDF("dim", "w_milli"), 0L)
+    }
+  }
+
   test("q_repetition_ratio: Gopher 2-4-gram dup fractions and 1-4-gram top shares, hand-checked") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_rep").toString
