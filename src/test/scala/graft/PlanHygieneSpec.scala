@@ -60,6 +60,7 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_dedup_semantic_apply", // same codebook broadcast inside the embedded verdict frame
       "q_dedup_semantic_incremental", // broadcast K-row index codebook for probe assignment
       "q_source_overlap_theta", // |S|-row sketch self-join (source catalog, bounded)
+      "q_source_overlap_persisted", // same |S|-row self-join over the at-rest sketch table
       "q_tfidf_top",        // broadcast one-row corpus count N
       "q_sample_temperature", // broadcast one-row corpus doc count
       "q_assemble_e2e",     // same one-row train-population count, composed
