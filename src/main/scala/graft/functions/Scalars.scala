@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.util._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -307,10 +307,15 @@ object Scalars {
   /** IPv4 dotted-quad ↔ uint32 (ClickHouse IPv4StringToNum/NumToString) —
     * pure arithmetic, no inet builtins needed, oracle-portable; runs on the
     * syslog fixture's device ip:port values */
+  /** dotted-quad text → uint32-as-long, shared by the v4 family */
+  private def ip4Num(ip: Column): Column = {
+    val oct = (i: Int) => element_at(split(ip, "\\."), i).cast(LongType)
+    oct(1) * 16777216L + oct(2) * 65536L + oct(3) * 256L + oct(4)
+  }
+
   def ipFuncs(s: SparkSession, dir: String): DataFrame = {
     val ip = graft.model.deviceIp(col("device")) // v6-safe split (all-v4 fixture)
-    val oct = (i: Int) => element_at(split(ip, "\\."), i).cast(LongType)
-    val ipNum = oct(1) * 16777216L + oct(2) * 65536L + oct(3) * 256L + oct(4)
+    val ipNum = ip4Num(ip)
     graft.model.rawLines(s).select(
         col("id"), ip.as("ip"), ipNum.as("ip_num"),
         concat_ws(".",
@@ -334,6 +339,72 @@ object Scalars {
        |    ((ip_num // 256) % 256)::VARCHAR, (ip_num % 256)::VARCHAR) AS roundtrip,
        |  (ip_num & 4294901760) = 167772160 AS in_10_0
        |FROM n ORDER BY id""".stripMargin
+  }
+
+  // ---- longest-prefix-match subnet enrichment ---------------------------
+  /** CIDR → zone catalog for the LPM join: nested prefixes (8/28/29 over
+    * the fixture's 10.0.0.x devices) so longest-match is observable, a
+    * sibling /16, and the /0 default route so every ip classifies. */
+  val CidrCatalog: Seq[(String, String)] = Seq(
+    ("10.0.0.0/8", "corp"),
+    ("10.0.0.0/28", "corp-core"),   // .0-.15: fixture devices .5-.7
+    ("10.0.0.8/29", "corp-infra"),  // .8-.15: fixture devices .8-.12
+    ("192.168.0.0/16", "lab"),
+    ("0.0.0.0/0", "default"))
+
+  private def maskOf(len: Int): Long =
+    if (len == 0) 0L else (0xFFFFFFFFL << (32 - len)) & 0xFFFFFFFFL
+
+  private def dottedToLong(s: String): Long =
+    s.split("\\.").map(_.toLong).reduceLeft(_ * 256L + _)
+
+  /** Longest-prefix-match enrichment of device IPs against a CIDR → zone
+    * catalog (the ClickHouse ip_trie-dictionary analog) in ITS scalable
+    * join shape: instead of a range/cross join, each ip expands to one
+    * masked candidate PER DISTINCT PREFIX LENGTH IN THE CATALOG (a
+    * catalog property, ≤ 33, here 5) and equi-joins (net, mlen) against
+    * the broadcast prefix table; LPM is then a max_by per ip. Works
+    * unchanged with a million-entry prefix table — the fan-out is bounded
+    * by mask-length diversity, never by table size, and the join stays a
+    * hash join on scaling keys. */
+  def ipLpmJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lens = CidrCatalog.map(_._1.split("/")(1).toInt).distinct.sorted
+    val prefixes = CidrCatalog.map { case (cidr, zone) =>
+      val Array(net, len) = cidr.split("/")
+      (dottedToLong(net), len.toInt, zone)
+    }.toDF("net", "mlen", "zone")
+    val base = graft.model.rawLines(s).select(
+      col("id"), graft.model.deviceIp(col("device")).as("ip"))
+      .withColumn("ip_num", ip4Num(col("ip")))
+    base.select(col("id"), col("ip"),
+        explode(array(lens.map(l => struct(lit(l).as("mlen"),
+          col("ip_num").bitwiseAND(lit(maskOf(l))).as("net"))): _*)).as("c"))
+      .select(col("id"), col("ip"), col("c.mlen").as("mlen"), col("c.net").as("net"))
+      .join(broadcast(prefixes), Seq("net", "mlen"))
+      .groupBy("id", "ip")
+      .agg(max_by(col("zone"), col("mlen")).as("zone"),
+        max(col("mlen")).as("masklen"))
+      .orderBy("id")
+  }
+
+  val ipLpmJoinSql: String = {
+    val pfx = CidrCatalog.map { case (cidr, zone) =>
+      val Array(net, len) = cidr.split("/")
+      s"(${dottedToLong(net)}, ${len.toInt}, '$zone')"
+    }.mkString(", ")
+    val rel = graft.model.rawLinesValuesSql
+    s"""WITH d AS (SELECT id, ${graft.model.deviceIpSqlExpr("device")} AS ip FROM $rel),
+       |n AS (SELECT id, ip,
+       |  string_split(ip, '.')[1]::BIGINT * 16777216 + string_split(ip, '.')[2]::BIGINT * 65536
+       |  + string_split(ip, '.')[3]::BIGINT * 256 + string_split(ip, '.')[4]::BIGINT AS ip_num
+       |  FROM d),
+       |pfx(net, mlen, zone) AS (VALUES $pfx),
+       |hits AS (SELECT n.id, n.ip, p.mlen, p.zone
+       |  FROM n JOIN pfx p
+       |    ON (n.ip_num & (4294967296 - (1::BIGINT << (32 - p.mlen)))) = p.net)
+       |SELECT id, ip, max_by(zone, mlen) AS zone, max(mlen)::INT AS masklen
+       |FROM hits GROUP BY id, ip ORDER BY id""".stripMargin
   }
 
   /** IPv6 text ↔ 128-bit arithmetic (ClickHouse IPv6StringToNum/
@@ -428,6 +499,7 @@ object Scalars {
   val queries: Map[String, Q] = Map(
     "q_ip_funcs" -> ipFuncs _,
     "q_ip6_funcs" -> ip6Funcs _,
+    "q_ip_lpm_join" -> ipLpmJoin _,
     "q_encode_funcs" -> encodeFuncs _,
     "q_str_distance" -> strDistance _,
     "q_map_funcs" -> mapFuncs _,
@@ -450,6 +522,7 @@ object Scalars {
   val oracle: Map[String, String] = Map(
     "q_ip_funcs" -> ipFuncsSql,
     "q_ip6_funcs" -> ip6FuncsSql,
+    "q_ip_lpm_join" -> ipLpmJoinSql,
     "q_encode_funcs" -> encodeFuncsSql,
     "q_str_distance" -> strDistanceSql,
     "q_map_funcs" -> mapFuncsSql,
