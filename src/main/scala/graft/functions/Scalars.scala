@@ -418,10 +418,9 @@ object Scalars {
     * 2001:db8::/32 prefix test computed from the top two groups (no
     * unsigned-shift portability trap). Embedded dotted-quad tails are
     * out of scope ([[graft.model.ip6Fixture]]). */
-  def ip6Funcs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val df = graft.model.ip6Fixture.toDF("id", "ip")
-    val ipl = lower(col("ip"))
+  /** hex group i (1-8) of a lowercase v6 literal after `::` decompression
+    * — shared by the arithmetic family and the v6 LPM join */
+  private def ip6GHex(ipl: Column)(i: Int): Column = {
     val parts = split(ipl, "::") // limit -1: "1::" keeps its trailing ""
     val leftS = element_at(parts, 1)
     val rightS = when(size(parts) < 2, lit("")).otherwise(element_at(parts, 2))
@@ -429,14 +428,25 @@ object Scalars {
     val right = split(rightS, ":")
     val nl = when(leftS === "", 0).otherwise(size(left))
     val nr = when(rightS === "", 0).otherwise(size(right))
-    def gHex(i: Int) =
-      when(lit(i) <= nl, element_at(left, i))
-        .when(lit(i) > lit(8) - nr, element_at(right, lit(i) - (lit(8) - nr)))
-        .otherwise(lit("0"))
+    when(lit(i) <= nl, element_at(left, i))
+      .when(lit(i) > lit(8) - nr, element_at(right, lit(i) - (lit(8) - nr)))
+      .otherwise(lit("0"))
+  }
+
+  /** one signed-64 word from four 16-bit groups */
+  private def ip6Word(ipl: Column, a: Int, b: Int, c: Int, d: Int): Column = {
+    def g(i: Int) = conv(ip6GHex(ipl)(i), 16, 10).cast(LongType)
+    shiftleft(g(a), 48).bitwiseOR(shiftleft(g(b), 32))
+      .bitwiseOR(shiftleft(g(c), 16)).bitwiseOR(g(d))
+  }
+
+  def ip6Funcs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val df = graft.model.ip6Fixture.toDF("id", "ip")
+    val ipl = lower(col("ip"))
+    def gHex(i: Int) = ip6GHex(ipl)(i)
     def gNum(i: Int) = conv(gHex(i), 16, 10).cast(LongType)
-    def word(a: Int, b: Int, c: Int, d: Int) =
-      shiftleft(gNum(a), 48).bitwiseOR(shiftleft(gNum(b), 32))
-        .bitwiseOR(shiftleft(gNum(c), 16)).bitwiseOR(gNum(d))
+    def word(a: Int, b: Int, c: Int, d: Int) = ip6Word(ipl, a, b, c, d)
     val norm = concat_ws(":", (1 to 8).map(i => lpad(gHex(i), 4, "0")): _*)
     val net64 = concat(
       concat_ws(":", (1 to 4).map(i => lpad(gHex(i), 4, "0")): _*),
@@ -480,6 +490,102 @@ object Scalars {
        |FROM n ORDER BY id""".stripMargin
   }
 
+  /** v6 CIDR → zone catalog: nested 32/48/60 under the doc prefix, the
+    * link-local and multicast blocks, and ::/0 so every address
+    * classifies. Parsed driver-side into (hi, lo, len) — the catalog is
+    * a literal, like its v4 twin. */
+  val Cidr6Catalog: Seq[(String, String)] = Seq(
+    ("2001:db8::/32", "doc"),
+    ("2001:db8:85a3::/48", "doc-site"),
+    ("2001:db8:0:cd30::/60", "doc-lab"),
+    ("fe80::/10", "link-local"),
+    ("ff00::/8", "multicast"),
+    ("::/0", "default"))
+
+  /** /len masks over the (hi, lo) two-word form */
+  private def mask6Hi(len: Int): Long =
+    if (len == 0) 0L else if (len >= 64) -1L else -1L << (64 - len)
+  private def mask6Lo(len: Int): Long =
+    if (len <= 64) 0L else -1L << (128 - len)
+
+  /** driver-side v6 text → (hi, lo) for catalog literals */
+  private def ip6ToWords(s: String): (Long, Long) = {
+    val b = java.net.InetAddress.getByName(s).getAddress
+    require(b.length == 16, s"not a v6 literal: $s")
+    def w(off: Int) = (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (b(off + i) & 0xffL))
+    (w(0), w(8))
+  }
+
+  /** [[ipLpmJoin]]'s IPv6 twin over the [[graft.model.ip6Fixture]]
+    * addresses: identical scalable shape — one masked (hi, lo) candidate
+    * per distinct prefix length in the catalog, equi-join (net_hi,
+    * net_lo, mlen) against the broadcast table, max_by per ip — with the
+    * 128-bit masks precomputed per catalog length as two signed-64
+    * literals, so neither engine shifts at runtime. */
+  def ip6LpmJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lens = Cidr6Catalog.map(_._1.split("/")(1).toInt).distinct.sorted
+    val prefixes = Cidr6Catalog.map { case (cidr, zone) =>
+      val Array(net, len) = cidr.split("/")
+      val (hi, lo) = ip6ToWords(net)
+      val l = len.toInt
+      (hi & mask6Hi(l), lo & mask6Lo(l), l, zone)
+    }.toDF("net_hi", "net_lo", "mlen", "zone")
+    val ipl = lower(col("ip"))
+    val base = graft.model.ip6Fixture.toDF("id", "ip")
+      .withColumn("hi", ip6Word(ipl, 1, 2, 3, 4))
+      .withColumn("lo", ip6Word(ipl, 5, 6, 7, 8))
+    base.select(col("id"), col("ip"),
+        explode(array(lens.map(l => struct(lit(l).as("mlen"),
+          col("hi").bitwiseAND(lit(mask6Hi(l))).as("net_hi"),
+          col("lo").bitwiseAND(lit(mask6Lo(l))).as("net_lo"))): _*)).as("c"))
+      .select(col("id"), col("ip"), col("c.mlen").as("mlen"),
+        col("c.net_hi").as("net_hi"), col("c.net_lo").as("net_lo"))
+      .join(broadcast(prefixes), Seq("net_hi", "net_lo", "mlen"))
+      .groupBy("id", "ip")
+      .agg(max_by(col("zone"), col("mlen")).as("zone"),
+        max(col("mlen")).as("masklen"))
+      .orderBy("id")
+  }
+
+  val ip6LpmJoinSql: String = {
+    val pfx = Cidr6Catalog.map { case (cidr, zone) =>
+      val Array(net, len) = cidr.split("/")
+      val (hi, lo) = ip6ToWords(net)
+      val l = len.toInt
+      s"(${hi & mask6Hi(l)}, ${lo & mask6Lo(l)}, $l, ${mask6Hi(l)}, ${mask6Lo(l)}, '$zone')"
+    }.mkString(", ")
+    val hs = (1 to 8).map(i =>
+      s"CASE WHEN $i <= nl THEN ll[$i] WHEN $i > 8 - nr THEN rl[$i - (8 - nr)] ELSE '0' END AS h$i")
+      .mkString(",\n|  ")
+    val gs = (1 to 8).map(i => s"('0x' || h$i)::BIGINT AS g$i").mkString(", ")
+    def word(a: Int, b: Int, c: Int, d: Int) =
+      s"(CASE WHEN g$a >= 32768 THEN g$a - 65536 ELSE g$a END) * 281474976710656" +
+        s" + g$b * 4294967296 + g$c * 65536 + g$d"
+    s"""WITH d AS (SELECT id, ip FROM ${graft.model.ip6ValuesSql}),
+       |sp AS (SELECT id, ip, string_split(lower(ip), '::') AS parts FROM d),
+       |lr AS (SELECT id, ip,
+       |  string_split(parts[1], ':') AS ll,
+       |  CASE WHEN parts[1] = '' THEN 0 ELSE len(string_split(parts[1], ':')) END AS nl,
+       |  string_split(CASE WHEN len(parts) < 2 THEN '' ELSE parts[2] END, ':') AS rl,
+       |  CASE WHEN len(parts) < 2 OR parts[2] = '' THEN 0
+       |       ELSE len(string_split(parts[2], ':')) END AS nr
+       |  FROM sp),
+       |h AS (SELECT id, ip,
+       |  $hs
+       |  FROM lr),
+       |g AS (SELECT id, ip, $gs FROM h),
+       |n AS (SELECT id, ip,
+       |  ${word(1, 2, 3, 4)} AS hi,
+       |  ${word(5, 6, 7, 8)} AS lo FROM g),
+       |pfx(net_hi, net_lo, mlen, mask_hi, mask_lo, zone) AS (VALUES $pfx),
+       |hits AS (SELECT n.id, n.ip, p.mlen, p.zone
+       |  FROM n JOIN pfx p
+       |    ON (n.hi & p.mask_hi) = p.net_hi AND (n.lo & p.mask_lo) = p.net_lo)
+       |SELECT id, ip, max_by(zone, mlen) AS zone, max(mlen)::INT AS masklen
+       |FROM hits GROUP BY id, ip ORDER BY id""".stripMargin
+  }
+
   /** base64 / hex encode-decode round trips */
   def encodeFuncs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "part")
@@ -500,6 +606,7 @@ object Scalars {
     "q_ip_funcs" -> ipFuncs _,
     "q_ip6_funcs" -> ip6Funcs _,
     "q_ip_lpm_join" -> ipLpmJoin _,
+    "q_ip6_lpm_join" -> ip6LpmJoin _,
     "q_encode_funcs" -> encodeFuncs _,
     "q_str_distance" -> strDistance _,
     "q_map_funcs" -> mapFuncs _,
@@ -523,6 +630,7 @@ object Scalars {
     "q_ip_funcs" -> ipFuncsSql,
     "q_ip6_funcs" -> ip6FuncsSql,
     "q_ip_lpm_join" -> ipLpmJoinSql,
+    "q_ip6_lpm_join" -> ip6LpmJoinSql,
     "q_encode_funcs" -> encodeFuncsSql,
     "q_str_distance" -> strDistanceSql,
     "q_map_funcs" -> mapFuncsSql,
