@@ -643,11 +643,17 @@ object CorpusOps {
 
   /** one row per source: its theta sketch over the distinct-3-gram
     * stream — the ~KB fixed state the theta matrix is computed from */
-  def sourceGramSketches(s: SparkSession, dir: String): DataFrame = {
+  def sourceGramSketches(s: SparkSession, dir: String): DataFrame =
+    sketchRowsOf(t(s, dir, "documents").select("source", "text"))
+
+  /** per-source theta fold of ANY (source, text) frame — shared by the
+    * full-corpus build and batch appends */
+  private def sketchRowsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     graft.functions.TextExpressions.register(s)
     graft.functions.ThetaSketch.register(s)
     import graft.functions.ThetaSketch._
-    t(s, dir, "documents")
+    docs
       .select(col("source"),
         explode(graft.functions.TextExpressions.wordNgrams(toks, 3)).as("gram"))
       .groupBy("source").agg(thetaAgg(col("gram")).as("sk"))
@@ -724,7 +730,35 @@ object CorpusOps {
     * (CorpusOpsSpec pins it, plus a plan pin that only the sketch table
     * is scanned). */
   def sourceOverlapPersisted(s: SparkSession, dir: String): DataFrame =
-    overlapMatrixOfSketches(s.read.parquet(sourceSketchTable(s, dir)))
+    overlapMatrixOfSketches(readSourceGramSketches(s, sourceSketchTable(s, dir)))
+
+  /** Append a batch's per-source sketches as EXTRA rows — theta states
+    * form a union monoid (the Bloom family's OR-log story), so appends
+    * never rewrite existing bytes; readers merge per source on load.
+    * In the exact regime (< nominal entries) the merged state is
+    * bit-identical to a one-pass fold over the union; in estimation
+    * the union is a valid theta sketch of the same set (same error
+    * bounds) whose retained subset may differ from a one-pass fold's.
+    * `docs` = (source, text) rows newly ingested; creates the table on
+    * first append. High-frequency appenders compact via
+    * [[IndexMaintenance.compactSketchTable]]. */
+  def appendSourceGramSketches(s: SparkSession, path: String,
+      docs: DataFrame): Unit =
+    sketchRowsOf(docs).write.mode("append").parquet(path)
+
+  /** merge-on-read: one theta union per source over a catalog-sized
+    * frame — absorbs any number of appended row generations */
+  def readSourceGramSketches(s: SparkSession, path: String): DataFrame = {
+    graft.functions.ThetaSketch.register(s)
+    s.read.parquet(path).groupBy("source")
+      .agg(graft.functions.ThetaSketch.thetaMerge(col("sk")).as("sk"))
+  }
+
+  /** the overlap matrix straight off a persisted (possibly appended)
+    * sketch table path — the fleet-side form of
+    * [[sourceOverlapPersisted]] for tables maintained by ingest */
+  def sourceOverlapFrom(s: SparkSession, path: String): DataFrame =
+    overlapMatrixOfSketches(readSourceGramSketches(s, path))
 
   // ---- URL / domain hygiene ---------------------------------------------
   /** URL pattern for extraction — restricted (like the `q_pii_scrub`

@@ -152,4 +152,15 @@ object IndexMaintenance {
   def compactBloomIndex(s: SparkSession, indexPath: String): Unit =
     compactDir(s, s"$indexPath/words", Seq("widx"),
       transform = _.groupBy("widx").agg(expr("bit_or(word)").as("word")))
+
+  /** per-source theta sketch table (`CorpusOps.appendSourceGramSketches`
+    * grows one row generation per batch): fold back to one merged row
+    * per source — theta union is the readers' own merge, so matrix
+    * cells are identical by construction */
+  def compactSketchTable(s: SparkSession, path: String): Unit = {
+    graft.functions.ThetaSketch.register(s)
+    compactDir(s, path, Seq("source"),
+      transform = _.groupBy("source")
+        .agg(graft.functions.ThetaSketch.thetaMerge(col("sk")).as("sk")))
+  }
 }

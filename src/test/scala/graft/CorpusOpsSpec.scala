@@ -215,6 +215,35 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"matrix plan must not rescan the corpus:\n$plan")
   }
 
+  test("sketch-table appends absorb (exact regime) and compaction folds to one row per source") {
+    // theta states are a union monoid: built-in-two-appends must equal
+    // the one-pass fold BIT-IDENTICALLY below the nominal bound (sf0.001
+    // keeps every per-source gram set exact), so the matrix off the
+    // appended table equals the in-flight theta matrix
+    import org.apache.spark.sql.functions.col
+    val dir = TestSpark.sfDir
+    val docs = graft.util.t(spark, dir, "documents").select("source", "text", "doc_id")
+    val path = java.nio.file.Files.createTempDirectory("graft_sk_append").toString
+    operators.CorpusOps.appendSourceGramSketches(spark, path,
+      docs.where(col("doc_id") % 3 =!= 0).select("source", "text"))
+    operators.CorpusOps.appendSourceGramSketches(spark, path,
+      docs.where(col("doc_id") % 3 === 0).select("source", "text"))
+    val direct = operators.CorpusOps.sourceOverlapTheta(spark, dir).collect().toSeq
+    val appended = operators.CorpusOps.sourceOverlapFrom(spark, path).collect().toSeq
+    assert(appended === direct, "appended table's matrix diverged from the one-pass fold")
+
+    // compaction = the readers' own merge, folded at rest
+    val filesBefore = operators.IndexMaintenance.dataFileCount(spark, path)
+    operators.IndexMaintenance.compactSketchTable(spark, path)
+    assert(operators.IndexMaintenance.dataFileCount(spark, path) < filesBefore,
+      "compaction did not shrink the sketch table")
+    val perSource = spark.read.parquet(path).groupBy("source").count()
+      .where(col("count") > 1).count()
+    assert(perSource === 0L, "one merged row per source after compaction")
+    assert(operators.CorpusOps.sourceOverlapFrom(spark, path).collect().toSeq === direct,
+      "matrix changed across compaction")
+  }
+
   test("q_corpus_novelty: first carrier gets the credit, copies score zero, partial overlap fractions") {
     val dir = writeDocs(Seq(
       (1L, "a b c d", "en", "src"), // {abc, bcd} both first-seen → 1.0
