@@ -367,7 +367,13 @@ object Scalars {
     * unchanged with a million-entry prefix table — the fan-out is bounded
     * by mask-length diversity, never by table size, and the join stays a
     * hash join on scaling keys. */
-  def ipLpmJoin(s: SparkSession, dir: String): DataFrame = {
+  def ipLpmJoin(s: SparkSession, dir: String): DataFrame =
+    deviceZones(s).orderBy("id")
+
+  /** the unordered LPM core — (id, ip, zone, masklen) per fixture line;
+    * composed by `Syslog.zoneSeverityHourly` without the presentation
+    * sort */
+  def deviceZones(s: SparkSession): DataFrame = {
     import s.implicits._
     val lens = CidrCatalog.map(_._1.split("/")(1).toInt).distinct.sorted
     val prefixes = CidrCatalog.map { case (cidr, zone) =>
@@ -385,7 +391,6 @@ object Scalars {
       .groupBy("id", "ip")
       .agg(max_by(col("zone"), col("mlen")).as("zone"),
         max(col("mlen")).as("masklen"))
-      .orderBy("id")
   }
 
   val ipLpmJoinSql: String = {

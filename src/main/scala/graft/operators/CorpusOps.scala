@@ -860,6 +860,46 @@ object CorpusOps {
        |    h -> ${regDomainSqlExpr("h").replace("\n", " ")}))), ','), '') AS domains
        |FROM h ORDER BY doc_id""".stripMargin
 
+  /** Canonical URL form for frontier dedup: lowercase, query/fragment
+    * stripped, scheme dropped (http ≡ https for content identity),
+    * trailing slash removed — the normalization a crawler applies
+    * before its seen-set test. */
+  private def canonUrl(u: Column): Column =
+    regexp_replace(
+      regexp_replace(regexp_replace(lower(u), "[?#].*$", ""), "^https?://", ""),
+      "/$", "")
+
+  private def canonUrlSqlExpr(u: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace(lower($u), '[?#].*$$', ''), '^https?://', ''), '/$$', '')"
+
+  /** URL-frontier dedup (the crawler's seen-set, built as a batch
+    * operator): every extracted URL canonicalized, then one row per
+    * DISTINCT canonical URL with its occurrence count and first-carrier
+    * doc — exactly the state a recrawl scheduler consults, and the
+    * URL-level dedup that runs BEFORE content dedup ever pays a
+    * shingle. The manufactured '?id=' query URLs collapse under
+    * canonicalization, so the collapse is observable on this corpus.
+    *
+    * Scale: explode → map-side canon projection → ONE groupBy on the
+    * canonical key (min/count partial-aggregate map-side). The frontier
+    * is the output, never driver state. */
+  def urlFrontier(s: SparkSession, dir: String): DataFrame =
+    urlified(s, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("url"))
+      .select(col("doc_id"), canonUrl(col("url")).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_occurrences"), min(col("doc_id")).as("first_doc"))
+      .orderBy("canon_url")
+
+  val urlFrontierSql: String =
+    s"""WITH $urlifiedCte,
+       |x AS (SELECT doc_id, unnest(regexp_extract_all(text, '$UrlRe', 0)) AS url FROM u),
+       |c AS (SELECT doc_id, ${canonUrlSqlExpr("url")} AS canon_url FROM x)
+       |SELECT canon_url, count(*)::BIGINT AS n_occurrences,
+       |  min(doc_id) AS first_doc
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** per-domain doc cap for `q_sample_per_domain` */
   val PerDomainCap = 100
 
@@ -1088,6 +1128,7 @@ object CorpusOps {
     "q_source_overlap_persisted" -> sourceOverlapPersisted _,
     "q_corpus_novelty" -> corpusNovelty _,
     "q_url_extract" -> urlExtract _,
+    "q_url_frontier" -> urlFrontier _,
     "q_sample_per_domain" -> samplePerDomain _,
     "q_split_leakage" -> splitLeakage _,
     "q_split_leakage_bloom" -> splitLeakageBloom _,
@@ -1107,6 +1148,7 @@ object CorpusOps {
     "q_source_overlap" -> sourceOverlapSql,
     "q_corpus_novelty" -> corpusNoveltySql,
     "q_url_extract" -> urlExtractSql,
+    "q_url_frontier" -> urlFrontierSql,
     "q_sample_per_domain" -> samplePerDomainSql,
     "q_split_leakage" -> splitLeakageSql,
     "q_assemble_e2e" -> assembleE2eSql)

@@ -27,6 +27,33 @@ object Syslog {
        |JOIN ${model.rawLinesValuesSql("g")} ON parsed.id = g.id
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** The flagship rolled up by NETWORK ZONE instead of raw device — the
+    * composed form a NOC actually pages on ("critical spike in
+    * corp-infra"), proving the parse, the LPM subnet enrichment
+    * ([[graft.functions.Scalars.deviceZones]]), and the hourly rollup
+    * chain without shape conflicts: parse is per-row, the zone join is
+    * the LPM's bounded broadcast equi-join keyed on id, the rollup is
+    * one map-side-combinable groupBy on (zone, hour). n_hi counts
+    * severity ≤ 3 (err and worse). */
+  def zoneSeverityHourly(s: SparkSession, dir: String): DataFrame =
+    model.rawLines(s)
+      .withColumn("sev", model.parseSyslog(col("raw")).getField("severity"))
+      .join(graft.functions.Scalars.deviceZones(s).select("id", "zone"), Seq("id"))
+      .groupBy(col("zone"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("sev") <= 3, 1L).otherwise(0L)).as("n_hi"))
+      .orderBy("zone", "hour")
+
+  val zoneSeverityHourlySql: String =
+    s"""WITH parsed AS (${model.parseSyslogOracleSql(model.rawLinesValuesSql)}),
+       |zones AS (SELECT id, zone FROM (${graft.functions.Scalars.ipLpmJoinSql}) z)
+       |SELECT zone, date_trunc('hour', g.ts) AS hour, count(*) AS n,
+       |  sum(CASE WHEN parsed.severity <= 3 THEN 1 ELSE 0 END)::BIGINT AS n_hi
+       |FROM ${model.rawLinesValuesSql("g")}
+       |JOIN parsed ON parsed.id = g.id
+       |JOIN zones ON zones.id = g.id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** categories stays an array inside the pipeline; the FINAL projection
     * flattens it to a '|'-joined string so the result is hashable by any
     * downstream comparator (array cells are not) — same op, same semantics. */
@@ -193,6 +220,7 @@ object Syslog {
 
   val queries: Map[String, Q] = Map(
     "q_severity_hourly" -> flagship _,
+    "q_zone_severity_hourly" -> zoneSeverityHourly _,
     "q_parse_syslog" -> parseSyslogQ _,
     "q_parse_rfc5424" -> parseRfc5424Q _,
     "q_parse_sd_params" -> parseSdParamsQ _,
@@ -203,6 +231,7 @@ object Syslog {
 
   val oracle: Map[String, String] = Map(
     "q_severity_hourly" -> flagshipSql,
+    "q_zone_severity_hourly" -> zoneSeverityHourlySql,
     "q_parse_syslog" -> parseSyslogSql,
     "q_parse_rfc5424" -> parseRfc5424Sql,
     "q_parse_sd_params" -> parseSdParamsSql,
