@@ -59,6 +59,7 @@ object Bench {
       graft.operators.Relational.clearTextFormatsCache()
       graft.operators.SketchTable.clearTableCache()
       graft.operators.CorpusOps.clearSourceSketchCache()
+      graft.operators.CorpusOps.clearFrontierCache()
       val t0 = System.nanoTime()
       // noop-sink write, NOT .count(): count(1) lets Catalyst prune every
       // column the count doesn't need, so projection-only queries (e.g.

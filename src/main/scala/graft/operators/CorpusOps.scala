@@ -900,6 +900,96 @@ object CorpusOps {
        |  min(doc_id) AS first_doc
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** canonical-URL hashes of ANY (doc_id, text) frame — the frontier's
+    * state rows (16 B/url, the substring-index discipline: a left-anti
+    * membership probe needs no counts, no caps) */
+  private def frontierHashesOf(docs: DataFrame): DataFrame = {
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    docs
+      .select(explode(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("url"))
+      .select(graft.functions.TextExpressions
+        .md5Prefix64(canonUrl(col("url")), 15).as("h"))
+      .distinct()
+  }
+
+  /** Persist the corpus split's URL frontier — the crawl scheduler's
+    * seen-set at rest: distinct canonical-URL hashes, `hashes/`
+    * clustered by h. Appends are O(batch) with NO read of the existing
+    * set (left-anti membership is idempotent under duplicate rows —
+    * the `appendSubstrIndex` contract); compaction dedups the bytes. */
+  def writeUrlFrontier(s: SparkSession, dir: String, path: String): Unit =
+    frontierHashesOf(urlified(s, dir)
+        .where(col("doc_id") % Dedup.IncrementalMod =!= Dedup.IncrementalRem))
+      .repartition(col("h"))
+      .write.mode("overwrite").parquet(s"$path/hashes")
+
+  /** admit a crawled batch's URLs into the frontier (post-probe) */
+  def appendUrlFrontier(s: SparkSession, path: String, docs: DataFrame): Unit =
+    frontierHashesOf(docs).write.mode("append").parquet(s"$path/hashes")
+
+  /** Probe ARBITRARY (doc_id, text) rows against the persisted frontier:
+    * emits each batch canonical URL NOT yet seen, with its first carrier
+    * in the batch — the scheduler's "actually new work" list. One
+    * left-anti equi-join on h; batch-sized work only. */
+  def probeUrlFrontier(s: SparkSession, docs: DataFrame, path: String): DataFrame = {
+    graft.functions.TextExpressions.register(s)
+    docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("url"))
+      .select(col("doc_id"), canonUrl(col("url")).as("canon_url"))
+      .withColumn("h", graft.functions.TextExpressions.md5Prefix64(col("canon_url"), 15))
+      .join(s.read.parquet(s"$path/hashes"), Seq("h"), "left_anti")
+      .groupBy("canon_url").agg(min(col("doc_id")).as("first_doc"))
+  }
+
+  /** frontier memoized per (session, dir) on the documents fingerprint;
+    * Bench clears it so the declared query pays its build honestly */
+  private val frontierCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
+
+  def clearFrontierCache(): Unit = frontierCache.synchronized {
+    frontierCache.forEach((_, v) => deleteRecursively(v._2))
+    frontierCache.clear()
+  }
+
+  private def frontierPath(s: SparkSession, dir: String): String =
+    frontierCache.synchronized {
+      val key = (s, dir)
+      val fp = inputFingerprint(dir, "documents.parquet")
+      val c = frontierCache.get(key)
+      if (c != null && c._1 == fp) c._2
+      else {
+        if (c != null) deleteRecursively(c._2)
+        val path = java.nio.file.Files.createTempDirectory("graft_frontier").toString
+        writeUrlFrontier(s, dir, path)
+        frontierCache.put(key, (fp, path))
+        path
+      }
+    }
+
+  /** Declared incremental form: the batch split's URLs probed against
+    * the corpus split's persisted frontier — ingest-time URL dedup
+    * without re-extracting the corpus per batch (the `q_dedup_*_
+    * incremental` contract on the crawl-scheduling side). */
+  def urlFrontierIncremental(s: SparkSession, dir: String): DataFrame =
+    probeUrlFrontier(s,
+        urlified(s, dir)
+          .where(col("doc_id") % Dedup.IncrementalMod === Dedup.IncrementalRem),
+        frontierPath(s, dir))
+      .orderBy("canon_url")
+
+  val urlFrontierIncrementalSql: String =
+    s"""WITH $urlifiedCte,
+       |x AS (SELECT doc_id, unnest(regexp_extract_all(text, '$UrlRe', 0)) AS url FROM u),
+       |c AS (SELECT doc_id, ${canonUrlSqlExpr("url")} AS canon_url FROM x),
+       |seen AS (SELECT DISTINCT canon_url FROM c
+       |  WHERE doc_id % ${Dedup.IncrementalMod} <> ${Dedup.IncrementalRem}),
+       |batch AS (SELECT * FROM c
+       |  WHERE doc_id % ${Dedup.IncrementalMod} = ${Dedup.IncrementalRem})
+       |SELECT canon_url, min(doc_id) AS first_doc FROM batch b
+       |WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.canon_url = b.canon_url)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** per-domain doc cap for `q_sample_per_domain` */
   val PerDomainCap = 100
 
@@ -1129,6 +1219,7 @@ object CorpusOps {
     "q_corpus_novelty" -> corpusNovelty _,
     "q_url_extract" -> urlExtract _,
     "q_url_frontier" -> urlFrontier _,
+    "q_url_frontier_incremental" -> urlFrontierIncremental _,
     "q_sample_per_domain" -> samplePerDomain _,
     "q_split_leakage" -> splitLeakage _,
     "q_split_leakage_bloom" -> splitLeakageBloom _,
@@ -1149,6 +1240,7 @@ object CorpusOps {
     "q_corpus_novelty" -> corpusNoveltySql,
     "q_url_extract" -> urlExtractSql,
     "q_url_frontier" -> urlFrontierSql,
+    "q_url_frontier_incremental" -> urlFrontierIncrementalSql,
     "q_sample_per_domain" -> samplePerDomainSql,
     "q_split_leakage" -> splitLeakageSql,
     "q_assemble_e2e" -> assembleE2eSql)

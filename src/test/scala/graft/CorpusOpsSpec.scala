@@ -244,6 +244,31 @@ class CorpusOpsSpec extends AnyFunSuite {
       "matrix changed across compaction")
   }
 
+  test("url frontier: canonicalization dedups the probe, appends absorb, seen urls stay quiet") {
+    import spark.implicits._
+    val dir = TestSpark.sfDir
+    val path = java.nio.file.Files.createTempDirectory("graft_frontier_t").toString
+    operators.CorpusOps.writeUrlFrontier(spark, dir, path)
+
+    // corpus doc 14 (14 % 10 ≠ 7 → corpus split, 14 % 7 = 0 → host
+    // www.example.com) put https://www.example.com/p/14 in the frontier;
+    // scheme/case/query variants of it must probe as SEEN, while a novel
+    // host is NEW with canon collapse inside the batch (min doc wins)
+    val batch = Seq(
+      (999001L, "x https://new.example.net/a?z=1 y"),
+      (999002L, "z https://new.example.net/a#frag w HTTP://www.Example.com/p/14?utm=x v"))
+      .toDF("doc_id", "text")
+    val out = operators.CorpusOps.probeUrlFrontier(spark, batch, path)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === Seq(("new.example.net/a", 999001L)),
+      s"probe must emit exactly the novel canonical url, got $out")
+
+    // admit the batch; the novel url stops being new
+    operators.CorpusOps.appendUrlFrontier(spark, path, batch)
+    assert(operators.CorpusOps.probeUrlFrontier(spark, batch, path).count() === 0L,
+      "appended urls must stop probing as new")
+  }
+
   test("q_corpus_novelty: first carrier gets the credit, copies score zero, partial overlap fractions") {
     val dir = writeDocs(Seq(
       (1L, "a b c d", "en", "src"), // {abc, bcd} both first-seen → 1.0
