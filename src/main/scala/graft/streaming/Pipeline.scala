@@ -749,6 +749,19 @@ object Pipeline {
         graft.operators.Dedup.appendMinhashIndex)(
       docs, indexPath, outDir, checkpointDir, trigger)
 
+  /** [[streamIngestDedup]]'s URL-frontier twin — the live crawl-scheduler
+    * gate: each micro-batch's output is exactly its genuinely-NEW
+    * canonical URLs (+ first in-batch carrier); probe precedes append,
+    * so a batch never matches itself, and the batch's URLs join the
+    * at-rest frontier for batch N+1. Append is O(batch) with no read of
+    * the existing set (`CorpusOps.appendUrlFrontier`). */
+  def streamIngestUrlFrontier(docs: DataFrame, indexPath: String,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    ingestLoop(graft.operators.CorpusOps.probeUrlFrontier,
+        graft.operators.CorpusOps.appendUrlFrontier)(
+      docs, indexPath, outDir, checkpointDir, trigger)
+
   /** [[streamIngestDedup]]'s substring twin — probe the gram-hash set,
     * absorb the batch (append is O(batch): no read of the existing
     * index; see `Dedup.appendSubstrIndex`). */

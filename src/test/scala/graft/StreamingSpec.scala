@@ -394,6 +394,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(new java.io.File(s"$indexPath/appended").list().nonEmpty)
   }
 
+  test("streamIngestUrlFrontier: batch N+1's repeat urls are silent, novel ones emit with first carrier") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val indexPath = Files.createTempDirectory("graft_fr_idx").toString
+    graft.operators.CorpusOps.writeUrlFrontier(spark, dir, indexPath)
+
+    val ms = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("graft_fr_out").toString
+    val ckpt = Files.createTempDirectory("graft_fr_ckpt").toString
+    // batch 1: a url the CORPUS frontier already holds (doc 14 → host
+    // www.example.com, scheme/case/query varied) + a novel one; batch 2:
+    // the batch-1 novel url again + a second novel one
+    ms.addData(Seq(
+      (900001L, "seen HTTP://www.Example.com/p/14?utm=z end"),
+      (900002L, "fresh https://crawl.example.net/x one")))
+    val q1 = Pipeline.streamIngestUrlFrontier(
+      ms.toDF().toDF("doc_id", "text"), indexPath, out, ckpt,
+      Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    ms.addData(Seq(
+      (900003L, "again https://crawl.example.net/x two https://crawl.example.net/y")))
+    val q2 = Pipeline.streamIngestUrlFrontier(
+      ms.toDF().toDF("doc_id", "text"), indexPath, out, ckpt,
+      Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+
+    val rows = spark.read.parquet(out)
+      .select(col("batch_id").cast("long"), col("canon_url"), col("first_doc"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.contains((0L, "crawl.example.net/x", 900002L)),
+      s"batch-1 novel url missing: $rows")
+    assert(!rows.exists(_._2 == "www.example.com/p/14"),
+      s"corpus-seen url must be silent: $rows")
+    assert(rows.contains((1L, "crawl.example.net/y", 900003L)),
+      s"batch-2 novel url missing: $rows")
+    assert(!rows.exists(r => r._1 == 1L && r._2 == "crawl.example.net/x"),
+      s"batch-1 url re-emitted in batch 2 — frontier absorption failed: $rows")
+  }
+
   test("streamIngestSimhashDedup: cross-batch absorption through the band family") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
