@@ -370,6 +370,27 @@ object Scalars {
   def ipLpmJoin(s: SparkSession, dir: String): DataFrame =
     deviceZones(s).orderBy("id")
 
+  /** LPM zone as ONE when-chain expression over [[CidrCatalog]] sorted
+    * mask-desc (first match IS the longest match) — the pure-projection
+    * form for STREAMS and NOC-sized catalogs, where a per-row join
+    * would add a stateful stage for a constant table; [[deviceZones]]'
+    * candidate/equi-join form is the million-entry path. v6 or
+    * unparseable devices fall through to 'unzoned' (the catalog is a
+    * v4 table; the ::/0-style default belongs in the catalog itself,
+    * and is — 0.0.0.0/0 matches every parsed v4). */
+  def zoneOfDevice(device: Column): Column = {
+    val ipNum = ip4Num(graft.model.deviceIp(device))
+    val sorted = CidrCatalog.map { case (cidr, zone) =>
+      val Array(net, len) = cidr.split("/")
+      (dottedToLong(net), len.toInt, zone)
+    }.sortBy(-_._2)
+    coalesce(
+      sorted.foldLeft(lit(null).cast(StringType)) { case (acc, (net, len, zone)) =>
+        coalesce(acc, when(ipNum.bitwiseAND(lit(maskOf(len))) === lit(net), zone))
+      },
+      lit("unzoned"))
+  }
+
   /** the unordered LPM core — (id, ip, zone, masklen) per fixture line;
     * composed by `Syslog.zoneSeverityHourly` without the presentation
     * sort */

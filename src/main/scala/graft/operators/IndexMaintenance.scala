@@ -153,6 +153,14 @@ object IndexMaintenance {
     compactDir(s, s"$indexPath/words", Seq("widx"),
       transform = _.groupBy("widx").agg(expr("bit_or(word)").as("word")))
 
+  /** URL frontier (`CorpusOps.appendUrlFrontier` appends without
+    * dedup): `hashes/` re-clustered by h with cross-append duplicates
+    * dropped — semantics-preserving because the probe is a left-anti
+    * membership join (the substring-index contract) */
+  def compactUrlFrontier(s: SparkSession, indexPath: String): Unit =
+    compactDir(s, s"$indexPath/hashes", Seq("h"),
+      transform = _.distinct())
+
   /** per-source theta sketch table (`CorpusOps.appendSourceGramSketches`
     * grows one row generation per batch): fold back to one merged row
     * per source — theta union is the readers' own merge, so matrix

@@ -276,6 +276,22 @@ object Pipeline {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("severity"), col("n"))
 
+  /** Streaming twin of the batch `q_zone_severity_hourly`: the parsed
+    * stream enriched per row with its LPM network zone
+    * ([[graft.functions.Scalars.zoneOfDevice]] — the when-chain
+    * projection form, so zone costs NO join and NO extra stateful
+    * stage) and rolled into hourly (zone, n, n_hi) windows; n_hi counts
+    * severity ≤ 3. The one stateful op is the windowed aggregate. */
+  def zoneSeverityCounts(logs: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    logs
+      .withColumn("zone", graft.functions.Scalars.zoneOfDevice(col("device")))
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), "1 hour"), col("zone"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("severity") <= 3, 1L).otherwise(0L)).as("n_hi"))
+      .select(col("window.start").as("hour"), col("zone"), col("n"), col("n_hi"))
+
   /** stateful dedup on an id column within the watermark (stream_dedup) */
   def dedupWithinWatermark(events: DataFrame, idCol: String = "event_id",
       watermark: String = "10 minutes"): DataFrame =

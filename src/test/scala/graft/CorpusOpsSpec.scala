@@ -267,6 +267,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     operators.CorpusOps.appendUrlFrontier(spark, path, batch)
     assert(operators.CorpusOps.probeUrlFrontier(spark, batch, path).count() === 0L,
       "appended urls must stop probing as new")
+
+    // compaction: duplicate hash rows collapse, probe verdicts identical
+    operators.CorpusOps.appendUrlFrontier(spark, path, batch) // duplicate generation
+    val filesBefore = operators.IndexMaintenance.dataFileCount(spark, s"$path/hashes")
+    operators.IndexMaintenance.compactUrlFrontier(spark, path)
+    assert(operators.IndexMaintenance.dataFileCount(spark, s"$path/hashes") < filesBefore)
+    val h = spark.read.parquet(s"$path/hashes")
+    assert(h.count() === h.distinct().count(), "compaction must dedup hash rows")
+    assert(operators.CorpusOps.probeUrlFrontier(spark, batch, path).count() === 0L,
+      "probe verdicts changed across compaction")
   }
 
   test("q_corpus_novelty: first carrier gets the credit, copies score zero, partial overlap fractions") {

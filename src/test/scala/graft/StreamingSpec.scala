@@ -77,6 +77,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.filter(_.getString(2) == "rfc5424").forall(!_.isNullAt(3)))
   }
 
+  test("zoneSeverityCounts: streaming the fixture reproduces q_zone_severity_hourly exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the when-chain zone expression and the batch LPM join must agree
+    // cell for cell: feed the whole fixture as one stream, compare to
+    // the declared batch query
+    val ms = MemoryStream[RawLine]
+    graft.model.syslogFixture.foreach { case (_, raw, dev, t) =>
+      ms.addData(RawLine(raw, dev, java.sql.Timestamp.valueOf(t)))
+    }
+    val q = Pipeline.zoneSeverityCounts(Pipeline.parseToLog(ms.toDF()))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("zone_sev").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("zone_sev")
+      .select("zone", "hour", "n", "n_hi")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._2.getTime)).toSeq
+    val batch = graft.operators.Syslog.zoneSeverityHourly(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(streamed === batch, "streaming zone rollup diverged from the batch twin")
+  }
+
   test("stream_watermark_late: rows behind the watermark are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
