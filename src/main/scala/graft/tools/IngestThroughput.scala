@@ -1,0 +1,91 @@
+package graft.tools
+
+/** Dev instrument (not shipped surface): measure the socket sources'
+  * single-listener ingest throughput against the reference's implied
+  * design envelope — its size trigger fires at a steady ≥500 msg/s
+  * (1000-row flush / 2 s ticker, main.go:19-20; BASELINE.md) and its
+  * burst ceiling is the 10 000-message channel. No Spark session: this
+  * times the receiver thread + bounded row log in isolation, which is
+  * the component the reference's numbers describe (its channel consumer
+  * is the ClickHouse writer, ours is micro-batch planning — both
+  * drain-side, not receive-side).
+  *
+  * UDP measures RECEIVED msg/s (loopback sends above the receive rate
+  * overflow the kernel buffer — the at-most-once contract; the log's
+  * `latest` counts admissions). TCP is lossless by construction, so its
+  * number is end-to-end for all N frames. Usage:
+  *   IngestThroughput [udp|tcp] [nMessages] [payloadBytes]
+  * Prints one JSON line: family, sent, received, secs, msgs_per_sec.
+  */
+object IngestThroughput {
+  def main(args: Array[String]): Unit = {
+    val family = args.headOption.getOrElse("udp")
+    val n = args.drop(1).headOption.map(_.toInt).getOrElse(200000)
+    val payloadBytes = args.drop(2).headOption.map(_.toInt).getOrElse(64)
+    val payload = ("firewall,info " + "x" * payloadBytes).take(payloadBytes max 14)
+
+    val (sent, received, secs) = family match {
+      case "tcp" =>
+        val rx = new graft.sources.TcpReceiver(0)
+        rx.start()
+        val sock = new java.net.Socket(
+          java.net.InetAddress.getByName("127.0.0.1"), rx.boundPort)
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
+        val frame = {
+          val b = payload.getBytes("UTF-8")
+          (s"${b.length} ".getBytes("UTF-8").toSeq ++ b.toSeq).toArray
+        }
+        val t0 = System.nanoTime()
+        var i = 0
+        val drainer = new Thread(() => { // keep the bounded log from blocking the reader
+          var last = 0L
+          while (last < n) {
+            val now = rx.latest
+            if (now > last) { rx.log.trim(now); last = now }
+            else Thread.sleep(1)
+          }
+        })
+        drainer.setDaemon(true)
+        drainer.start()
+        while (i < n) { out.write(frame); i += 1 }
+        out.flush()
+        val dl = System.currentTimeMillis() + 120000
+        while (rx.latest < n && System.currentTimeMillis() < dl) Thread.sleep(5)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val got = rx.latest
+        sock.close(); rx.shutdown()
+        (n.toLong, got, dt)
+      case _ =>
+        val rx = new graft.sources.UdpReceiver(0)
+        rx.start()
+        val sender = new java.net.DatagramSocket()
+        val b = payload.getBytes("UTF-8")
+        val pkt = new java.net.DatagramPacket(b, b.length,
+          java.net.InetAddress.getByName("127.0.0.1"), rx.boundPort)
+        val drainer = new Thread(() => {
+          while (true) { val now = rx.latest; rx.log.trim(now); Thread.sleep(1) }
+        })
+        drainer.setDaemon(true)
+        drainer.start()
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < n) { sender.send(pkt); i += 1 }
+        // give the receive loop a moment to drain the kernel buffer
+        var settled = rx.latest
+        var same = 0
+        while (same < 20) {
+          Thread.sleep(10)
+          val now = rx.latest
+          if (now == settled) same += 1 else { settled = now; same = 0 }
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        sender.close(); rx.shutdown()
+        (n.toLong, settled, dt)
+    }
+    def r1(d: Double): Double = math.floor(d * 10 + 0.5) / 10
+    println(s"""{"tool":"IngestThroughput","family":"$family","sent":$sent,""" +
+      s""""received":$received,"secs":${r1(secs * 10) / 10},""" +
+      s""""msgs_per_sec":${r1(received / secs)},""" +
+      s""""reference_envelope_msgs_per_sec":500}""")
+  }
+}
