@@ -370,16 +370,24 @@ object Scalars {
   def ipLpmJoin(s: SparkSession, dir: String): DataFrame =
     deviceZones(s).orderBy("id")
 
-  /** LPM zone as ONE when-chain expression over [[CidrCatalog]] sorted
-    * mask-desc (first match IS the longest match) — the pure-projection
-    * form for STREAMS and NOC-sized catalogs, where a per-row join
-    * would add a stateful stage for a constant table; [[deviceZones]]'
-    * candidate/equi-join form is the million-entry path. v6 or
-    * unparseable devices fall through to 'unzoned' (the catalog is a
-    * v4 table; the ::/0-style default belongs in the catalog itself,
-    * and is — 0.0.0.0/0 matches every parsed v4). */
+  /** LPM zone as ONE when-chain expression, DUAL-STACK: v4 devices match
+    * [[CidrCatalog]], v6 devices (any stamp form `model.deviceIp`
+    * splits) match [[Cidr6Catalog]] over the (hi, lo) words — each
+    * catalog sorted mask-desc, so first match IS the longest match.
+    * This is the pure-projection form for STREAMS and NOC-sized
+    * catalogs, where a per-row join would add a stateful stage for a
+    * constant table; [[deviceZones]]' candidate/equi-join form is the
+    * million-entry path. Unparseable devices fall through to 'unzoned'
+    * (both catalogs carry their own /0 default, so parsed addresses
+    * always classify); v6 zone ids are stripped before the group parse. */
   def zoneOfDevice(device: Column): Column = {
-    val ipNum = ip4Num(graft.model.deviceIp(device))
+    val ip = graft.model.deviceIp(device)
+    when(ip.contains(":"), zone6OfIp(regexp_replace(lower(ip), "%.*$", "")))
+      .otherwise(zone4OfIp(ip))
+  }
+
+  private def zone4OfIp(ip: Column): Column = {
+    val ipNum = ip4Num(ip)
     val sorted = CidrCatalog.map { case (cidr, zone) =>
       val Array(net, len) = cidr.split("/")
       (dottedToLong(net), len.toInt, zone)
@@ -387,6 +395,25 @@ object Scalars {
     coalesce(
       sorted.foldLeft(lit(null).cast(StringType)) { case (acc, (net, len, zone)) =>
         coalesce(acc, when(ipNum.bitwiseAND(lit(maskOf(len))) === lit(net), zone))
+      },
+      lit("unzoned"))
+  }
+
+  private def zone6OfIp(ipl: Column): Column = {
+    val hi = ip6Word(ipl, 1, 2, 3, 4)
+    val lo = ip6Word(ipl, 5, 6, 7, 8)
+    val sorted = Cidr6Catalog.map { case (cidr, zone) =>
+      val Array(net, len) = cidr.split("/")
+      val (nHi, nLo) = ip6ToWords(net)
+      val l = len.toInt
+      (nHi & mask6Hi(l), nLo & mask6Lo(l), l, zone)
+    }.sortBy(-_._3)
+    coalesce(
+      sorted.foldLeft(lit(null).cast(StringType)) {
+        case (acc, (nHi, nLo, l, zone)) =>
+          coalesce(acc, when(
+            hi.bitwiseAND(lit(mask6Hi(l))) === lit(nHi) &&
+              lo.bitwiseAND(lit(mask6Lo(l))) === lit(nLo), zone))
       },
       lit("unzoned"))
   }

@@ -100,6 +100,25 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3)))
       .toSeq
     assert(streamed === batch, "streaming zone rollup diverged from the batch twin")
+
+    // dual-stack: v6 senders (every stamp form deviceIp splits) classify
+    // against the v6 catalog in the same stream
+    val ms6 = MemoryStream[RawLine]
+    val t6 = java.sql.Timestamp.valueOf("2024-02-01 00:10:00")
+    ms6.addData(
+      RawLine("fw,info a", "[2001:db8:85a3::1]:514", t6),   // doc-site /48
+      RawLine("fw,error b", "[fe80::9%eth0]:1", t6),        // link-local /10, zone id
+      RawLine("fw,info c", "2001:db8::5", t6),              // bare v6 → doc /32
+      RawLine("fw,info d", "[64:ff9b::1]:2", t6))           // → ::/0 default
+    val q6 = Pipeline.zoneSeverityCounts(Pipeline.parseToLog(ms6.toDF()))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("zone_sev6").start()
+    q6.processAllAvailable()
+    q6.stop()
+    val zones6 = spark.table("zone_sev6")
+      .select("zone", "n").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(zones6 === Set(("doc-site", 1L), ("link-local", 1L), ("doc", 1L), ("default", 1L)),
+      s"v6 zone classification wrong: $zones6")
   }
 
   test("stream_watermark_late: rows behind the watermark are dropped") {
