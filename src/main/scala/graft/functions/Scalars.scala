@@ -486,6 +486,12 @@ object Scalars {
       .otherwise(lit("0"))
   }
 
+  /** canonical FULL form (8 lpad'd lowercase groups) of a lowercase v6
+    * literal — the at-rest key rendering; exposed for the randomized
+    * round-trip property in UdpSourceSpec */
+  def ip6Norm(ipl: Column): Column =
+    concat_ws(":", (1 to 8).map(i => lpad(ip6GHex(ipl)(i), 4, "0")): _*)
+
   /** one signed-64 word from four 16-bit groups */
   private def ip6Word(ipl: Column, a: Int, b: Int, c: Int, d: Int): Column = {
     def g(i: Int) = conv(ip6GHex(ipl)(i), 16, 10).cast(LongType)

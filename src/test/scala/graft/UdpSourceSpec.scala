@@ -52,6 +52,41 @@ class UdpSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalV6 round-trips 500 random addresses through the JDK parser and the column decompressor") {
+    import org.apache.spark.sql.functions.{col, lower}
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(46)
+    // bias toward zero-heavy addresses so compression paths dominate
+    val addrs = (1 to 500).map { _ =>
+      val b = new Array[Byte](16)
+      rnd.nextBytes(b)
+      (0 until 16).foreach(i => if (rnd.nextInt(3) > 0) b(i) = 0)
+      java.net.InetAddress.getByAddress(b).asInstanceOf[java.net.Inet6Address]
+    }
+    // JDK round-trip: the canonical text must parse back to the same bytes
+    addrs.foreach { a =>
+      val c = sources.Ingest.canonicalV6(a)
+      val back = java.net.InetAddress.getByName(c)
+      assert(java.util.Arrays.equals(back.getAddress, a.getAddress),
+        s"canonical form $c does not parse back to ${a.getHostAddress}")
+      assert(!c.contains(":::") && c.count(_ == '%') == 0)
+    }
+    // column-side round-trip: the q_ip6_funcs decompressor's norm of the
+    // canonical form must equal the full lpad'd 8-group rendering
+    def fullForm(a: java.net.Inet6Address): String = {
+      val b = a.getAddress
+      (0 until 8).map(i => f"${((b(2 * i) & 0xff) << 8) | (b(2 * i + 1) & 0xff)}%04x")
+        .mkString(":")
+    }
+    val df = addrs.map(a => (sources.Ingest.canonicalV6(a), fullForm(a)))
+      .toDF("ip", "expected")
+    val mismatches = df
+      .where(graft.functions.Scalars.ip6Norm(lower(col("ip"))) =!= col("expected"))
+      .count()
+    assert(mismatches === 0L, "column decompressor disagreed with the JDK on canonical forms")
+  }
+
   test("canonicalV6: RFC 5952 compression rules") {
     def c(s: String): String = sources.Ingest.canonicalV6(
       InetAddress.getByName(s).asInstanceOf[java.net.Inet6Address])
