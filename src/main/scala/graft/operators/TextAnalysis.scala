@@ -1034,6 +1034,51 @@ object TextAnalysis {
       |  CAST(floor(n_tokens::DOUBLE / tot * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS token_share
       |FROM per, tot ORDER BY lang, source""".stripMargin
 
+  // ---- mixture planning --------------------------------------------------
+  /** The PLAN on top of [[corpusMix]]'s measurement — the arithmetic a
+    * Pile/Dolma/DoReMi-style mixing table drives before a training run:
+    * per source, natural token share vs a TARGET share (a weight
+    * catalog; here derived deterministically from the source name the
+    * way a deployment's config file would carry it), the sampling rate
+    * that realizes the target at a one-total-token budget, the epochs of
+    * that source the budget consumes, and the over-epoch flag (epochs >
+    * 1 = the target repeats data — the DoReMi warning sign). Exactness:
+    * integer token counts and weights; each double output is the same
+    * op sequence in both engines, r4-rounded. One groupBy + a 1-row
+    * broadcast total — corpusMix's scale shape. */
+  def mixPlan(s: SparkSession, dir: String): DataFrame = {
+    val w = (substring(col("source"), 4, 10).cast(IntegerType) % 4 + 1)
+      .cast(LongType).as("w")
+    val per = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(sum(size(toks)).cast(LongType).as("n_tokens"))
+      .select(col("source"), col("n_tokens"), w)
+    val tot = per.agg(sum(col("n_tokens")).cast(DoubleType).as("tot"),
+      sum(col("w")).cast(DoubleType).as("wtot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("w"),
+        r4f(col("n_tokens").cast(DoubleType) / col("tot")).as("natural_share"),
+        r4f(col("w").cast(DoubleType) / col("wtot")).as("target_share"),
+        r4f(col("w").cast(DoubleType) * col("tot")
+          / (col("wtot") * col("n_tokens").cast(DoubleType))).as("epochs"),
+        (col("w").cast(DoubleType) * col("tot")
+          > col("wtot") * col("n_tokens").cast(DoubleType)).as("repeats_data"))
+      .orderBy("source")
+  }
+
+  val mixPlanSql: String =
+    """WITH per AS (
+      |  SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+      |    (substr(source, 4)::INT % 4 + 1)::BIGINT AS w
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT sum(n_tokens)::DOUBLE AS tot, sum(w)::DOUBLE AS wtot FROM per)
+      |SELECT source, n_tokens, w,
+      |  CAST(floor(n_tokens::DOUBLE / tot * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS natural_share,
+      |  CAST(floor(w::DOUBLE / wtot * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS target_share,
+      |  CAST(floor(w::DOUBLE * tot / (wtot * n_tokens::DOUBLE) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS epochs,
+      |  w::DOUBLE * tot > wtot * n_tokens::DOUBLE AS repeats_data
+      |FROM per, tot ORDER BY source""".stripMargin
+
   // ---- common-span scrubbing (duplicated-text REMOVAL) -----------------
   /** The removal twin of [[commonSpanRatio]] (RefinedWeb/CCNet duplicated
     * text is REMOVED, not only measured): every token covered by any
@@ -1376,7 +1421,8 @@ object TextAnalysis {
     "q_common_span_ratio" -> commonSpanRatio _,
     "q_scrub_spans" -> scrubSpans _,
     "q_quality_model" -> qualityModel _,
-    "q_corpus_mix" -> corpusMix _)
+    "q_corpus_mix" -> corpusMix _,
+    "q_mix_plan" -> mixPlan _)
 
   val oracle: Map[String, String] = Map(
     "q_tfidf_top" -> tfidfTopSql,
@@ -1402,5 +1448,6 @@ object TextAnalysis {
     "q_common_span_ratio" -> commonSpanRatioSql,
     "q_scrub_spans" -> scrubSpansSql,
     "q_quality_model" -> qualityModelSql,
-    "q_corpus_mix" -> corpusMixSql)
+    "q_corpus_mix" -> corpusMixSql,
+    "q_mix_plan" -> mixPlanSql)
 }
