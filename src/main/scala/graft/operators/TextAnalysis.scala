@@ -1046,7 +1046,9 @@ object TextAnalysis {
     * integer token counts and weights; each double output is the same
     * op sequence in both engines, r4-rounded. One groupBy + a 1-row
     * broadcast total — corpusMix's scale shape. */
-  def mixPlan(s: SparkSession, dir: String): DataFrame = {
+  /** per-source (source, n_tokens, w, tot, wtot) frame shared by the
+    * plan and its apply */
+  private def mixFrame(s: SparkSession, dir: String): DataFrame = {
     val w = (substring(col("source"), 4, 10).cast(IntegerType) % 4 + 1)
       .cast(LongType).as("w")
     val per = t(s, dir, "documents")
@@ -1056,6 +1058,10 @@ object TextAnalysis {
     val tot = per.agg(sum(col("n_tokens")).cast(DoubleType).as("tot"),
       sum(col("w")).cast(DoubleType).as("wtot"))
     per.crossJoin(broadcast(tot))
+  }
+
+  def mixPlan(s: SparkSession, dir: String): DataFrame =
+    mixFrame(s, dir)
       .select(col("source"), col("n_tokens"), col("w"),
         r4f(col("n_tokens").cast(DoubleType) / col("tot")).as("natural_share"),
         r4f(col("w").cast(DoubleType) / col("wtot")).as("target_share"),
@@ -1064,7 +1070,6 @@ object TextAnalysis {
         (col("w").cast(DoubleType) * col("tot")
           > col("wtot") * col("n_tokens").cast(DoubleType)).as("repeats_data"))
       .orderBy("source")
-  }
 
   val mixPlanSql: String =
     """WITH per AS (
@@ -1078,6 +1083,49 @@ object TextAnalysis {
       |  CAST(floor(w::DOUBLE * tot / (wtot * n_tokens::DOUBLE) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS DOUBLE) AS epochs,
       |  w::DOUBLE * tot > wtot * n_tokens::DOUBLE AS repeats_data
       |FROM per, tot ORDER BY source""".stripMargin
+
+  /** The mixing table EXECUTED: each doc emits `n_copies` = ⌊epochs⌋ of
+    * its source plus one more when its md5 coin lands under the
+    * fractional part — so summed over a source, expected token mass is
+    * exactly the target share of the one-total-token budget, with
+    * up-weighted sources repeating data (the `repeats_data` epochs > 1
+    * case) and down-weighted ones subsampling. The coin is the shared
+    * `CorpusOps.coin` (pure function of doc_id), so the realized sample
+    * is reproducible anywhere; the fractional threshold scales by 2^32
+    * (exact) to compare against the integer coin — no double-boundary
+    * flakiness beyond the plan's own spec'd determinism. Docs drawing 0
+    * copies drop out. */
+  def mixPlanApply(s: SparkSession, dir: String): DataFrame = {
+    val e = col("w").cast(DoubleType) * col("tot") /
+      (col("wtot") * col("n_tokens").cast(DoubleType))
+    val plan = mixFrame(s, dir).select(col("source"), e.as("epochs"))
+    t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(broadcast(plan), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        (floor(col("epochs")).cast(LongType) +
+          when(graft.operators.CorpusOps.coin(col("doc_id")).cast(DoubleType)
+            < (col("epochs") - floor(col("epochs"))) * lit(4294967296.0), 1L)
+            .otherwise(0L)).as("n_copies"))
+      .where(col("n_copies") > 0)
+      .orderBy("doc_id")
+  }
+
+  val mixPlanApplySql: String =
+    """WITH per AS (
+      |  SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+      |    (substr(source, 4)::INT % 4 + 1)::BIGINT AS w
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT sum(n_tokens)::DOUBLE AS tot, sum(w)::DOUBLE AS wtot FROM per),
+      |plan AS (SELECT source, w::DOUBLE * tot / (wtot * n_tokens::DOUBLE) AS epochs
+      |  FROM per, tot),
+      |j AS (SELECT d.doc_id, d.source,
+      |  floor(p.epochs)::BIGINT +
+      |    CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+      |              < (p.epochs - floor(p.epochs)) * 4294967296::DOUBLE
+      |         THEN 1 ELSE 0 END AS n_copies
+      |  FROM documents d JOIN plan p ON d.source = p.source)
+      |SELECT doc_id, source, n_copies FROM j WHERE n_copies > 0
+      |ORDER BY doc_id""".stripMargin
 
   // ---- common-span scrubbing (duplicated-text REMOVAL) -----------------
   /** The removal twin of [[commonSpanRatio]] (RefinedWeb/CCNet duplicated
@@ -1422,7 +1470,8 @@ object TextAnalysis {
     "q_scrub_spans" -> scrubSpans _,
     "q_quality_model" -> qualityModel _,
     "q_corpus_mix" -> corpusMix _,
-    "q_mix_plan" -> mixPlan _)
+    "q_mix_plan" -> mixPlan _,
+    "q_mix_plan_apply" -> mixPlanApply _)
 
   val oracle: Map[String, String] = Map(
     "q_tfidf_top" -> tfidfTopSql,
@@ -1449,5 +1498,6 @@ object TextAnalysis {
     "q_scrub_spans" -> scrubSpansSql,
     "q_quality_model" -> qualityModelSql,
     "q_corpus_mix" -> corpusMixSql,
-    "q_mix_plan" -> mixPlanSql)
+    "q_mix_plan" -> mixPlanSql,
+    "q_mix_plan_apply" -> mixPlanApplySql)
 }
