@@ -68,6 +68,8 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_quality_unigram",  // broadcast one-row corpus occurrence total
       "q_quality_filter",   // broadcast one-row p25 threshold
       "q_corpus_mix",       // broadcast one-row global token total
+      "q_mix_plan",         // same one-row (tot, wtot) totals frame
+      "q_mix_plan_apply",   // same totals frame inside the plan side
       "q_curate_e2e",       // same one-row p25 threshold inside the composed pipeline
       "q_curate_funnel",    // same one-row p25 threshold, funnel accounting stages
       "q_dedup_eval",       // three 1-row metric aggregates broadcast-crossed
