@@ -776,7 +776,7 @@ object CorpusOps {
     * doc_id%5==0 docs carry none, doc_id%3==0 docs carry a second URL on
     * an independently-chosen host. In production the crawler's raw text
     * plays this role and the extraction below runs unchanged. */
-  private def urlified(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def urlified(s: SparkSession, dir: String): DataFrame = {
     val hostCat = Seq("www.example.com", "blog.example.com", "example.org",
       "docs.example.org", "news.site.io", "a.b.example.co.uk", "shop.example.co.uk")
     val hosts = array(hostCat.map(lit): _*)

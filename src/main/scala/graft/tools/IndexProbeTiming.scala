@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * the probe per batch. This prints both, separately, as one JSON line:
   * build_sec, first probe (plan + shuffle warmup) and min of 3 warm
   * probes. Usage: IndexProbeTiming <sfDir> [substr|simhash|gram|
-  * containment|minhash|winnow|bloom|semantic] — simhash times the band
+  * containment|minhash|winnow|bloom|semantic|frontier] — simhash times the band
   * index under its density-derived default cap; gram/containment time
   * the pruned inverted gram index under its two scorers (same build,
   * different probe projection); minhash the band+sig layout; winnow the
@@ -59,6 +59,7 @@ object IndexProbeTiming {
       case "winnow" => graft.operators.Dedup.writeWinnowIndex(spark, sfDir, idx)
       case "bloom" => graft.operators.Dedup.writeBloomIndex(spark, sfDir, idx)
       case "semantic" => graft.operators.Similarity.writeSemanticIndex(spark, sfDir, idx)
+      case "frontier" => graft.operators.CorpusOps.writeUrlFrontier(spark, sfDir, idx)
       case _ => graft.operators.Dedup.writeSubstrIndex(spark, sfDir, idx)
     })
     // each family probes the batch its incremental contract declares
@@ -70,6 +71,9 @@ object IndexProbeTiming {
       case "bloom" => graft.util.t(spark, sfDir, "documents")
         .where(col("doc_id") % graft.operators.Dedup.DecontamEvalMod === 0)
         .select("doc_id", "text")
+      case "frontier" => graft.operators.CorpusOps.urlified(spark, sfDir)
+        .where(col("doc_id") % graft.operators.Dedup.IncrementalMod
+          === graft.operators.Dedup.IncrementalRem)
       case _ => graft.util.t(spark, sfDir, "documents")
         .where(col("doc_id") % graft.operators.Dedup.IncrementalMod
           === graft.operators.Dedup.IncrementalRem)
@@ -84,6 +88,7 @@ object IndexProbeTiming {
       case "winnow" => graft.operators.Dedup.probeWinnowIndex(spark, batch, idx)
       case "bloom" => graft.operators.Dedup.probeBloomIndex(spark, batch, idx)
       case "semantic" => graft.operators.Similarity.probeSemanticIndex(spark, batch, idx)
+      case "frontier" => graft.operators.CorpusOps.probeUrlFrontier(spark, batch, idx)
       case _ => graft.operators.Dedup.probeSubstrIndex(spark, batch, idx)
     }).write.mode("overwrite").format("noop").save()
     val first = secs(probeOnce())
