@@ -1049,8 +1049,10 @@ object TextAnalysis {
   /** per-source (source, n_tokens, w, tot, wtot) frame shared by the
     * plan and its apply */
   private def mixFrame(s: SparkSession, dir: String): DataFrame = {
-    val w = (substring(col("source"), 4, 10).cast(IntegerType) % 4 + 1)
-      .cast(LongType).as("w")
+    // weight catalog stand-in: the shared md5 coin of the source NAME —
+    // total for any name (a substring-cast of 'srcN' would throw under
+    // ANSI on a foreign catalog), deterministic, oracle-replayable
+    val w = (graft.operators.CorpusOps.coin(col("source")) % 4 + 1).as("w")
     val per = t(s, dir, "documents")
       .groupBy("source")
       .agg(sum(size(toks)).cast(LongType).as("n_tokens"))
@@ -1074,7 +1076,7 @@ object TextAnalysis {
   val mixPlanSql: String =
     """WITH per AS (
       |  SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
-      |    (substr(source, 4)::INT % 4 + 1)::BIGINT AS w
+      |    (('0x' || substr(md5(source), 1, 8))::BIGINT % 4 + 1) AS w
       |  FROM documents GROUP BY source),
       |tot AS (SELECT sum(n_tokens)::DOUBLE AS tot, sum(w)::DOUBLE AS wtot FROM per)
       |SELECT source, n_tokens, w,
@@ -1113,7 +1115,7 @@ object TextAnalysis {
   val mixPlanApplySql: String =
     """WITH per AS (
       |  SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
-      |    (substr(source, 4)::INT % 4 + 1)::BIGINT AS w
+      |    (('0x' || substr(md5(source), 1, 8))::BIGINT % 4 + 1) AS w
       |  FROM documents GROUP BY source),
       |tot AS (SELECT sum(n_tokens)::DOUBLE AS tot, sum(w)::DOUBLE AS wtot FROM per),
       |plan AS (SELECT source, w::DOUBLE * tot / (wtot * n_tokens::DOUBLE) AS epochs
