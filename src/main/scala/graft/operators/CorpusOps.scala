@@ -818,7 +818,11 @@ object CorpusOps {
     when(size(ls) >= 3 &&
         element_at(ls, -2) === "co" && element_at(ls, -1) === "uk",
       concat_ws(".", element_at(ls, -3), element_at(ls, -2), element_at(ls, -1)))
-      .otherwise(concat_ws(".", element_at(ls, -2), element_at(ls, -1)))
+      // dotless hosts (localhost, a bare tld) are their own registrable
+      // domain — without the size guard, ANSI element_at(-2) on a
+      // 1-label host throws while DuckDB's list[-2] nulls (both wrong)
+      .when(size(ls) >= 2, concat_ws(".", element_at(ls, -2), element_at(ls, -1)))
+      .otherwise(host)
   }
 
   /** DuckDB twin of [[regDomain]] over an expression `h` */
@@ -826,7 +830,9 @@ object CorpusOps {
     s"""CASE WHEN len(string_split($h, '.')) >= 3
        |       AND string_split($h, '.')[-2] = 'co' AND string_split($h, '.')[-1] = 'uk'
        |  THEN string_split($h, '.')[-3] || '.' || string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1]
-       |  ELSE string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1] END""".stripMargin
+       |  WHEN len(string_split($h, '.')) >= 2
+       |  THEN string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1]
+       |  ELSE $h END""".stripMargin
 
   /** URL/host/registrable-domain extraction over web-ish text — the
     * hygiene pass every crawl pipeline runs before per-domain policies
