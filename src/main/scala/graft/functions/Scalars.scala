@@ -383,7 +383,12 @@ object Scalars {
   def zoneOfDevice(device: Column): Column = {
     val ip = graft.model.deviceIp(device)
     when(ip.contains(":"), zone6OfIp(regexp_replace(lower(ip), "%.*$", "")))
-      .otherwise(zone4OfIp(ip))
+      // dotted-quad shape gate before the v4 arithmetic: a hostname or a
+      // malformed stamp would otherwise hit an ANSI cast error inside
+      // ip4Num — streams carry whatever senders stamp, so the expression
+      // must be TOTAL
+      .when(ip.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$"), zone4OfIp(ip))
+      .otherwise(lit("unzoned"))
   }
 
   private def zone4OfIp(ip: Column): Column = {

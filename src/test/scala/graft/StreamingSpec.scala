@@ -109,7 +109,9 @@ class StreamingSpec extends AnyFunSuite {
       RawLine("fw,info a", "[2001:db8:85a3::1]:514", t6),   // doc-site /48
       RawLine("fw,error b", "[fe80::9%eth0]:1", t6),        // link-local /10, zone id
       RawLine("fw,info c", "2001:db8::5", t6),              // bare v6 → doc /32
-      RawLine("fw,info d", "[64:ff9b::1]:2", t6))           // → ::/0 default
+      RawLine("fw,info d", "[64:ff9b::1]:2", t6),           // → ::/0 default
+      RawLine("fw,info e", "myrouter.lan:514", t6),         // hostname → unzoned, not a crash
+      RawLine("fw,info f", "[garbage", t6))                 // malformed stamp → unzoned
     val q6 = Pipeline.zoneSeverityCounts(Pipeline.parseToLog(ms6.toDF()))
       .writeStream.outputMode(OutputMode.Complete())
       .format("memory").queryName("zone_sev6").start()
@@ -117,8 +119,9 @@ class StreamingSpec extends AnyFunSuite {
     q6.stop()
     val zones6 = spark.table("zone_sev6")
       .select("zone", "n").collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    assert(zones6 === Set(("doc-site", 1L), ("link-local", 1L), ("doc", 1L), ("default", 1L)),
-      s"v6 zone classification wrong: $zones6")
+    assert(zones6 === Set(("doc-site", 1L), ("link-local", 1L), ("doc", 1L),
+        ("default", 1L), ("unzoned", 2L)),
+      s"v6/malformed zone classification wrong: $zones6")
   }
 
   test("stream_watermark_late: rows behind the watermark are dropped") {
