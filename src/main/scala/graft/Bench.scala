@@ -91,12 +91,27 @@ object Bench {
     // files whose methods differ (a noop-sink number against a count()
     // number, or a 4-core run against a 32-core one, is not a diff)
     val method = s"noop-sink/cold-caches/min-of-2-interleaved/local[$cpus]"
-    val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}"""
     // cpus is quoted: SPARK_GRAFT_CPUS=* is a valid master setting
     // (local[*]) and a bare * would make the line unparseable JSON
     val localJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"$method","cpus":"$cpus","queries":${jmap(results)},"variance":${jmap(spread)},"sf":"$sfDir"}"""
+    // The driver's artifact keeps only the last 2000 chars of stdout, so
+    // the full-precision named map (~5.3 KB at 216 queries) lost its head
+    // three rounds running. Per-query times therefore print as a VALUES
+    // ARRAY in sorted-key order at centisecond precision (~1.3 KB —
+    // whole-line survivable): keys are sorted(SparkEntry.queries.keys),
+    // pinned by qk_md5 = md5 of the '\n'-joined sorted key list, the same
+    // list BENCH_LOCAL.json (full 3-decimal map, the authoritative
+    // artifact) and Verify carry.
+    def r2s(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val sortedKeys = results.keys.toSeq.sorted
+    val qkMd5 = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(sortedKeys.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+    }
+    val qvLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"$method","cpus":"$cpus","n_queries":${results.size},"qk_md5":"$qkMd5","qv":${sortedKeys.map(k => r2s(results(k))).mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // a compact summary with no per-query map: short enough that a bounded
     // log-tail parser always sees the whole line — printed LAST
     val shortLine =
@@ -111,7 +126,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] WARN: could not write $outPath: $e — file may be stale")
     }
-    println(line)
+    println(qvLine)
     // sentinel-prefixed copy: sbt wraps stdout lines in "[info] " and the
     // driver's tail parser has missed the bare JSON line three rounds
     // running — a greppable `GRAFT_BENCH ` prefix survives any wrapping.

@@ -5,11 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // args: <sfDir> <outDir> [keySubstring] — the optional filter is a
-    // local-iteration convenience; the driver always passes two args
-    val (sfDir, outDir, filter) = args match {
-      case Array(a, b)    => (a, b, None)
-      case Array(a, b, f) => (a, b, Some(f))
+    // args: <sfDir> <outDir> [keySubstring...] — optional any-match
+    // filters are a local-iteration convenience (Bench's contract); the
+    // driver always passes exactly two args
+    val (sfDir, outDir, filters) = args.toSeq match {
+      case Seq(a, b, rest @ _*) => (a, b, rest)
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [keySubstring...]")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -24,7 +25,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => filter.forall(name.contains) }
+      .filter { case (name, _) => filters.isEmpty || filters.exists(name.contains) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

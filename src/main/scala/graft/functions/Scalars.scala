@@ -382,14 +382,28 @@ object Scalars {
     * always classify); v6 zone ids are stripped before the group parse. */
   def zoneOfDevice(device: Column): Column = {
     val ip = graft.model.deviceIp(device)
-    when(ip.contains(":"), zone6OfIp(regexp_replace(lower(ip), "%.*$", "")))
+    val ipl = lower(ip)
+    // a v4-MAPPED literal (::ffff:a.b.c.d) is a v4 SENDER seen through a
+    // dual-stack socket — it classifies under the v4 catalog, like the
+    // dotted-quad stamp the same sender produces on a v4 bind
+    when(ipl.rlike("^::ffff:" + DottedQuadRe.substring(1)),
+        zone4OfIp(regexp_extract(ipl, "^::ffff:(.*)$", 1)))
+      .when(ip.contains(":"), zone6OfIp(regexp_replace(ipl, "%.*$", "")))
       // dotted-quad shape gate before the v4 arithmetic: a hostname or a
       // malformed stamp would otherwise hit an ANSI cast error inside
       // ip4Num — streams carry whatever senders stamp, so the expression
-      // must be TOTAL
-      .when(ip.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$"), zone4OfIp(ip))
+      // must be TOTAL; octets are BOUNDED (≤ 255) so an out-of-range quad
+      // like 266.0.0.5 classifies 'unzoned' instead of wrapping mod 2^32
+      // into a real zone
+      .when(ip.rlike(DottedQuadRe), zone4OfIp(ip))
       .otherwise(lit("unzoned"))
   }
+
+  /** anchored octet-bounded dotted-quad gate, shared by the streaming
+    * classifier and the batch LPM join so both are total under the same
+    * definition of "parseable v4" */
+  private[graft] val DottedQuadRe =
+    "^(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}$"
 
   private def zone4OfIp(ip: Column): Column = {
     val ipNum = ip4Num(ip)
@@ -426,17 +440,28 @@ object Scalars {
   /** the unordered LPM core — (id, ip, zone, masklen) per fixture line;
     * composed by `Syslog.zoneSeverityHourly` without the presentation
     * sort */
-  def deviceZones(s: SparkSession): DataFrame = {
+  def deviceZones(s: SparkSession): DataFrame =
+    deviceZonesOf(s, graft.model.rawLines(s).select(
+      col("id"), graft.model.deviceIp(col("device")).as("ip")))
+
+  /** the LPM core over ANY (id, ip) frame — total (see the gate below);
+    * factored so the totality contract is testable off-fixture */
+  def deviceZonesOf(s: SparkSession, base: DataFrame): DataFrame = {
     import s.implicits._
     val lens = CidrCatalog.map(_._1.split("/")(1).toInt).distinct.sorted
     val prefixes = CidrCatalog.map { case (cidr, zone) =>
       val Array(net, len) = cidr.split("/")
       (dottedToLong(net), len.toInt, zone)
     }.toDF("net", "mlen", "zone")
-    val base = graft.model.rawLines(s).select(
-      col("id"), graft.model.deviceIp(col("device")).as("ip"))
+    // the shared dotted-quad gate keeps the batch LPM TOTAL like its
+    // streaming twin zoneOfDevice: a hostname or malformed stamp in real
+    // data classifies 'unzoned' instead of throwing an ANSI cast inside
+    // ip4Num and failing the whole job. Both branches are one filtered
+    // pass over the same scan (filters push down; the union is append,
+    // not a shuffle).
+    val zoned = base.where(col("ip").rlike(DottedQuadRe))
       .withColumn("ip_num", ip4Num(col("ip")))
-    base.select(col("id"), col("ip"),
+      .select(col("id"), col("ip"),
         explode(array(lens.map(l => struct(lit(l).as("mlen"),
           col("ip_num").bitwiseAND(lit(maskOf(l))).as("net"))): _*)).as("c"))
       .select(col("id"), col("ip"), col("c.mlen").as("mlen"), col("c.net").as("net"))
@@ -444,6 +469,10 @@ object Scalars {
       .groupBy("id", "ip")
       .agg(max_by(col("zone"), col("mlen")).as("zone"),
         max(col("mlen")).as("masklen"))
+    val unzoned = base.where(!col("ip").rlike(DottedQuadRe))
+      .select(col("id"), col("ip"), lit("unzoned").as("zone"),
+        lit(null).cast(IntegerType).as("masklen"))
+    zoned.unionByName(unzoned)
   }
 
   val ipLpmJoinSql: String = {
@@ -456,13 +485,17 @@ object Scalars {
        |n AS (SELECT id, ip,
        |  string_split(ip, '.')[1]::BIGINT * 16777216 + string_split(ip, '.')[2]::BIGINT * 65536
        |  + string_split(ip, '.')[3]::BIGINT * 256 + string_split(ip, '.')[4]::BIGINT AS ip_num
-       |  FROM d),
+       |  FROM d WHERE regexp_matches(ip, '$DottedQuadRe')),
        |pfx(net, mlen, zone) AS (VALUES $pfx),
        |hits AS (SELECT n.id, n.ip, p.mlen, p.zone
        |  FROM n JOIN pfx p
        |    ON (n.ip_num & (4294967296 - (1::BIGINT << (32 - p.mlen)))) = p.net)
        |SELECT id, ip, max_by(zone, mlen) AS zone, max(mlen)::INT AS masklen
-       |FROM hits GROUP BY id, ip ORDER BY id""".stripMargin
+       |FROM hits GROUP BY id, ip
+       |UNION ALL
+       |SELECT id, ip, 'unzoned' AS zone, NULL::INT AS masklen
+       |FROM d WHERE NOT regexp_matches(ip, '$DottedQuadRe')
+       |ORDER BY id""".stripMargin
   }
 
   /** IPv6 text ↔ 128-bit arithmetic (ClickHouse IPv6StringToNum/
@@ -474,11 +507,55 @@ object Scalars {
     * via `conv`. Emits the canonical FULL form (8 lpad'd lowercase
     * groups — the unambiguous at-rest key form), the /64 network, and a
     * 2001:db8::/32 prefix test computed from the top two groups (no
-    * unsigned-shift portability trap). Embedded dotted-quad tails are
-    * out of scope ([[graft.model.ip6Fixture]]). */
-  /** hex group i (1-8) of a lowercase v6 literal after `::` decompression
-    * — shared by the arithmetic family and the v6 LPM join */
-  private def ip6GHex(ipl: Column)(i: Int): Column = {
+    * unsigned-shift portability trap). Embedded dotted-quad tails
+    * (`::ffff:192.0.2.1` — the one v6 text form a dual-stack fleet emits
+    * for v4 senders — and any RFC 4291 §2.2 mixed-notation literal such
+    * as the NAT64 64:ff9b::a.b.c.d) pre-normalize into their two hex
+    * groups via [[ip6HexTail]] before decompression. */
+  /** the embedded dotted-quad tail regex — end-anchored AND
+    * start-delimited (`(^|:)`, group 1), octet-bounded (group 2 = the
+    * quad) so a malformed quad (octet > 255) falls through WHOLE to the
+    * hex parse rather than partially matching its own suffix
+    * (`266.0.0.5` must not rewrite as `2` + hex("66.0.0.5")) or
+    * silently wrapping mod 2^32 */
+  private val QuadTailRe =
+    "(^|:)((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3})$"
+
+  /** rewrite an embedded dotted-quad tail into its two hex groups
+    * (`::ffff:192.0.2.1` → `::ffff:c000:201`) so the group decompressor
+    * sees pure hex — total (literals without a quad tail pass through
+    * untouched), pure column algebra, shared with the DuckDB twin via
+    * [[ip6HexTailSqlExpr]] */
+  private def ip6HexTail(ipl: Column): Column = {
+    val quad = regexp_extract(ipl, QuadTailRe, 2)
+    def oct(i: Int) = element_at(split(quad, "\\."), i).cast(LongType)
+    def hx(n: Column) = lower(conv(n.cast(StringType), 10, 16))
+    // the $1 backreference keeps the delimiting colon the match consumed
+    when(quad === "", ipl)
+      .otherwise(concat(regexp_replace(ipl, QuadTailRe, "$1"),
+        hx(oct(1) * 256L + oct(2)), lit(":"), hx(oct(3) * 256L + oct(4))))
+  }
+
+  /** DuckDB twin of [[ip6HexTail]] over an expression `e` — same anchored
+    * octet-bounded tail regex, same `prefix || hex(o1*256+o2) || ':' ||
+    * hex(o3*256+o4)` rebuild, so both engines decompress the identical
+    * canonical form */
+  private def ip6HexTailSqlExpr(e: String): String = {
+    val re = QuadTailRe // the same RE2 text verbatim in both engines
+    def oct(i: Int) =
+      s"string_split(regexp_extract($e, '$re', 2), '.')[$i]::BIGINT"
+    s"""CASE WHEN regexp_matches($e, '$re')
+       |  THEN regexp_replace($e, '$re', '\\1') ||
+       |    printf('%x', ${oct(1)} * 256 + ${oct(2)}) || ':' ||
+       |    printf('%x', ${oct(3)} * 256 + ${oct(4)})
+       |  ELSE $e END""".stripMargin
+  }
+
+  /** hex group i (1-8) of a lowercase v6 literal after quad-tail
+    * normalization and `::` decompression — shared by the arithmetic
+    * family and the v6 LPM join */
+  private def ip6GHex(ipl0: Column)(i: Int): Column = {
+    val ipl = ip6HexTail(ipl0)
     val parts = split(ipl, "::") // limit -1: "1::" keeps its trailing ""
     val leftS = element_at(parts, 1)
     val rightS = when(size(parts) < 2, lit("")).otherwise(element_at(parts, 2))
@@ -533,7 +610,8 @@ object Scalars {
     val pads = (1 to 8).map(i => s"lpad(h$i, 4, '0')").mkString(", ")
     val pads4 = (1 to 4).map(i => s"lpad(h$i, 4, '0')").mkString(", ")
     s"""WITH d AS (SELECT id, ip FROM ${graft.model.ip6ValuesSql}),
-       |sp AS (SELECT id, ip, string_split(lower(ip), '::') AS parts FROM d),
+       |pn AS (SELECT id, ip, ${ip6HexTailSqlExpr("lower(ip)").replace("\n", " ")} AS ipn FROM d),
+       |sp AS (SELECT id, ip, string_split(ipn, '::') AS parts FROM pn),
        |lr AS (SELECT id, ip,
        |  string_split(parts[1], ':') AS ll,
        |  CASE WHEN parts[1] = '' THEN 0 ELSE len(string_split(parts[1], ':')) END AS nl,
@@ -627,7 +705,8 @@ object Scalars {
       s"(CASE WHEN g$a >= 32768 THEN g$a - 65536 ELSE g$a END) * 281474976710656" +
         s" + g$b * 4294967296 + g$c * 65536 + g$d"
     s"""WITH d AS (SELECT id, ip FROM ${graft.model.ip6ValuesSql}),
-       |sp AS (SELECT id, ip, string_split(lower(ip), '::') AS parts FROM d),
+       |pn AS (SELECT id, ip, ${ip6HexTailSqlExpr("lower(ip)").replace("\n", " ")} AS ipn FROM d),
+       |sp AS (SELECT id, ip, string_split(ipn, '::') AS parts FROM pn),
        |lr AS (SELECT id, ip,
        |  string_split(parts[1], ':') AS ll,
        |  CASE WHEN parts[1] = '' THEN 0 ELSE len(string_split(parts[1], ':')) END AS nl,

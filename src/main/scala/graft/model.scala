@@ -517,8 +517,10 @@ object model {
 
   /** IPv6 literals for the 128-bit arithmetic family (`q_ip6_funcs`):
     * compression at every position, uppercase, zero-run ties, negative-
-    * high-bits prefixes. Embedded-dotted-quad forms (::ffff:1.2.3.4) are
-    * out of scope — the parse assumes hex groups throughout. */
+    * high-bits prefixes, and embedded-dotted-quad tails (::ffff:1.2.3.4
+    * — the v4-mapped form a dual-stack fleet emits for v4 senders, plus
+    * the NAT64 mixed notation) which pre-normalize into two hex groups
+    * before the hex-group decompression. */
   val ip6Fixture: Seq[(Int, String)] = Seq(
     (1, "2001:db8::1"),
     (2, "2001:db8:0:0:8d3::"),                      // explicit zeros then tail compression
@@ -529,7 +531,10 @@ object model {
     (7, "ff02::2"),                                 // multicast
     (8, "1:2:3:4:5:6:7:8"),                         // no compression, no padding
     (9, "64:ff9b::101"),
-    (10, "2001:db8:85a3::8a2e:370:7334"))
+    (10, "2001:db8:85a3::8a2e:370:7334"),
+    (11, "::ffff:192.0.2.1"),                       // v4-mapped, canonical lowercase
+    (12, "::FFFF:10.0.0.5"),                        // v4-mapped, uppercase hex
+    (13, "64:ff9b::192.0.2.33"))                    // NAT64 mixed notation (RFC 6052)
 
   /** [[ip6Fixture]] as a DuckDB VALUES relation `v6(id, ip)` */
   def ip6ValuesSql: String =

@@ -808,31 +808,110 @@ object CorpusOps {
        |  FROM documents, hostcat)""".stripMargin
   }
 
-  /** registrable domain of a host: last two labels, or last three under
-    * a multi-part public suffix. The suffix list here is the one entry
-    * the host catalog needs (`co.uk`) — a production deployment swaps in
-    * the full public-suffix list as a broadcast map without changing the
-    * shape (still one per-row expression, no shuffle). */
-  private def regDomain(host: Column): Column = {
+  // ---- public-suffix catalog (registrable domains) ----------------------
+  /** Default public-suffix catalog for [[regDomain]]: the multi-level
+    * ICANN suffixes the host fixtures exercise plus representative
+    * entries of each class a crawl corpus hits (country-code
+    * second-level registries, a private-registry suffix à la
+    * `github.io`). Production loads the FULL public-suffix list through
+    * [[loadPslArtifact]] — same expression shape at 10k entries. */
+  val DefaultPslCatalog: Seq[String] =
+    Seq("co.uk", "org.uk", "com.au", "co.jp", "github.io")
+
+  /** Registrable domain of a host under a public-suffix catalog:
+    * longest-matching suffix plus one more label; no suffix match → last
+    * two labels; dotless hosts (localhost, a bare tld) and hosts that ARE
+    * a listed suffix are their own registrable domain.
+    *
+    * Scale shape: the catalog folds into ONE per-row when-chain — per
+    * DISTINCT SUFFIX LABEL COUNT in the catalog (a catalog property, ≤ 5
+    * for the real PSL) one membership test, which Catalyst rewrites to a
+    * hashed `InSet` above 10 entries — so a 10k-entry PSL is O(label
+    * counts) probes per row, zero shuffles, no join. The size guards keep
+    * ANSI `element_at` total: without them a 1-label host throws where
+    * DuckDB's list[-2] nulls (both wrong). */
+  private[graft] def regDomainWith(host: Column, suffixes: Seq[String]): Column = {
     val ls = split(host, "\\.")
-    when(size(ls) >= 3 &&
-        element_at(ls, -2) === "co" && element_at(ls, -1) === "uk",
-      concat_ws(".", element_at(ls, -3), element_at(ls, -2), element_at(ls, -1)))
-      // dotless hosts (localhost, a bare tld) are their own registrable
-      // domain — without the size guard, ANSI element_at(-2) on a
-      // 1-label host throws while DuckDB's list[-2] nulls (both wrong)
-      .when(size(ls) >= 2, concat_ws(".", element_at(ls, -2), element_at(ls, -1)))
-      .otherwise(host)
+    def lastLabels(k: Int): Column =
+      concat_ws(".", (k to 1 by -1).map(i => element_at(ls, -i)): _*)
+    val byK = suffixes.distinct.groupBy(_.split("\\.").length)
+      .toSeq.sortBy(-_._1) // longest suffixes first = longest match wins
+    val chain = byK.foldLeft(lit(null).cast(StringType)) {
+      case (acc, (k, sfx)) =>
+        coalesce(acc, when(size(ls) >= k + 1 &&
+          lastLabels(k).isin(sfx.sorted: _*), lastLabels(k + 1)))
+    }
+    coalesce(chain, when(size(ls) >= 2, lastLabels(2)).otherwise(host))
   }
 
-  /** DuckDB twin of [[regDomain]] over an expression `h` */
-  private def regDomainSqlExpr(h: String): String =
-    s"""CASE WHEN len(string_split($h, '.')) >= 3
-       |       AND string_split($h, '.')[-2] = 'co' AND string_split($h, '.')[-1] = 'uk'
-       |  THEN string_split($h, '.')[-3] || '.' || string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1]
-       |  WHEN len(string_split($h, '.')) >= 2
-       |  THEN string_split($h, '.')[-2] || '.' || string_split($h, '.')[-1]
+  private def regDomain(host: Column): Column =
+    regDomainWith(host, DefaultPslCatalog)
+
+  /** DuckDB twin of [[regDomainWith]] over an expression `h` — generated
+    * from the SAME catalog, so the oracle replays the engine's suffix
+    * table verbatim */
+  private[graft] def regDomainSqlExprWith(h: String, suffixes: Seq[String]): String = {
+    def lastLabels(k: Int): String =
+      (k to 1 by -1).map(i => s"string_split($h, '.')[-$i]").mkString(" || '.' || ")
+    val byK = suffixes.distinct.groupBy(_.split("\\.").length)
+      .toSeq.sortBy(-_._1)
+    val whens = byK.map { case (k, sfx) =>
+      val inList = sfx.sorted.map(x => s"'$x'").mkString(", ")
+      s"WHEN len(string_split($h, '.')) >= ${k + 1} AND ${lastLabels(k)} IN ($inList) THEN ${lastLabels(k + 1)}"
+    }.mkString("\n|  ")
+    s"""CASE $whens
+       |  WHEN len(string_split($h, '.')) >= 2 THEN ${lastLabels(2)}
        |  ELSE $h END""".stripMargin
+  }
+
+  private def regDomainSqlExpr(h: String): String =
+    regDomainSqlExprWith(h, DefaultPslCatalog)
+
+  /** PSL artifact layout version — bump on any layout or semantics change
+    * (suffix-match rule, label normalization) so a fleet can never bucket
+    * domains under drifted suffix semantics */
+  val PslArtifactVersion = 1L
+
+  /** Persist a public-suffix catalog as a versioned release artifact —
+    * the [[graft.operators.TextAnalysis.writeBpeArtifact]] discipline:
+    * `suffixes/` parquet under `Sinks.writeManifest` integrity (row
+    * digest + schema + count), `meta/` (key, value) rows pinning the
+    * artifact version, so every fleet member buckets domains under the
+    * SAME suffix table or refuses to run. */
+  def writePslArtifact(s: SparkSession, path: String,
+      suffixes: Seq[String]): Unit = {
+    import s.implicits._
+    val distinct = suffixes.distinct.sorted
+    distinct.toDF("suffix")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/suffixes")
+    Seq(("version", PslArtifactVersion.toString),
+        ("n_suffixes", distinct.size.toString))
+      .toDF("key", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    graft.sources.Sinks.writeManifest(s, s"$path/suffixes")
+  }
+
+  /** Load a persisted suffix catalog: refuses a failed manifest check
+    * (any changed/added/dropped suffix row flips the digest) or a
+    * different artifact version — a silently drifted suffix table
+    * re-buckets every per-domain cap and blocklist downstream. The
+    * collect is O(catalog) MODEL metadata (the real PSL is ~10k rows,
+    * a constant of the internet, not of the corpus — the BPE-merge /
+    * IVF-codebook class), and the catalog rides query plans as InSet
+    * literals, never as a join side. */
+  def loadPslArtifact(s: SparkSession, path: String): Seq[String] = {
+    s.catalog.refreshByPath(s"$path/suffixes")
+    require(graft.sources.Sinks.verifyManifest(s, s"$path/suffixes"),
+      s"PSL artifact at $path fails its manifest integrity check — " +
+        "the suffix table was modified, partially written, or never finalized")
+    val meta = s.read.parquet(s"$path/meta").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(meta.get("version").contains(PslArtifactVersion.toString),
+      s"PSL artifact at $path is version ${meta.getOrElse("version", "?")}; " +
+        s"this build reads version $PslArtifactVersion")
+    s.read.parquet(s"$path/suffixes").orderBy("suffix").collect()
+      .map(_.getString(0)).toSeq
+  }
 
   /** URL/host/registrable-domain extraction over web-ish text — the
     * hygiene pass every crawl pipeline runs before per-domain policies
@@ -841,7 +920,15 @@ object CorpusOps {
     * presentation orderBy, trivially parallel at 100 TB. Emits match
     * counts, hosts in match order, and the distinct sorted registrable
     * domains per document. */
-  def urlExtract(s: SparkSession, dir: String): DataFrame = {
+  def urlExtract(s: SparkSession, dir: String): DataFrame =
+    urlExtractWith(s, dir, DefaultPslCatalog)
+
+  /** [[urlExtract]] under an EXPLICIT suffix catalog (the
+    * [[loadPslArtifact]] path) — the declared query IS this with the
+    * default catalog, so the loaded-PSL path exercises the exact plan
+    * the oracle checks. */
+  def urlExtractWith(s: SparkSession, dir: String,
+      suffixes: Seq[String]): DataFrame = {
     val urls = regexp_extract_all(col("text"), lit(UrlRe), lit(0))
     val hostsOf = transform(urls, u => regexp_extract(u, HostRe, 1))
     urlified(s, dir).select(
@@ -851,7 +938,8 @@ object CorpusOps {
         // columns only; ',' cannot occur in a host
         concat_ws(",", hostsOf).as("hosts"),
         concat_ws(",",
-          array_sort(array_distinct(transform(hostsOf, regDomain(_))))).as("domains"))
+          array_sort(array_distinct(transform(hostsOf,
+            regDomainWith(_, suffixes))))).as("domains"))
       .orderBy("doc_id")
   }
 
@@ -1012,11 +1100,18 @@ object CorpusOps {
     * -doc_id double key is monotone (rounding preserves order) with the
     * aggregator's id-ASC tie-break, so selection is exact even past
     * 2^53. */
-  def samplePerDomain(s: SparkSession, dir: String): DataFrame = {
+  def samplePerDomain(s: SparkSession, dir: String): DataFrame =
+    samplePerDomainWith(s, dir, DefaultPslCatalog)
+
+  /** [[samplePerDomain]] under an explicit suffix catalog — per-domain
+    * caps keyed by the loaded PSL's registrable domains */
+  def samplePerDomainWith(s: SparkSession, dir: String,
+      suffixes: Seq[String]): DataFrame = {
     val firstUrl = regexp_extract(col("text"), UrlRe, 0)
     val keyed = urlified(s, dir).select(
       when(firstUrl === "", "(none)")
-        .otherwise(regDomain(regexp_extract(firstUrl, HostRe, 1))).as("domain"),
+        .otherwise(regDomainWith(regexp_extract(firstUrl, HostRe, 1), suffixes))
+        .as("domain"),
       col("doc_id"))
     keyed.groupBy("domain")
       .agg(graft.functions.KnnTopK.knnTopk(

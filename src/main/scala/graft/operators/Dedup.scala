@@ -2512,10 +2512,21 @@ object Dedup {
     * collected (offset, segment) structs — no ordered string_agg needed,
     * no window over raw text). Docs without spans pass through via the
     * left join. */
-  def dedupSubstringApply(s: SparkSession, dir: String): DataFrame = {
+  def dedupSubstringApply(s: SparkSession, dir: String): DataFrame =
+    cutSpans(t(s, dir, "documents").select(col("doc_id"), col("text")),
+        corpusSubstringSpans(s, dir))
+      .select(col("doc_id"),
+        length(col("text")).cast(LongType).as("orig_len"),
+        length(col("ct")).cast(LongType).as("clean_len"),
+        col("ct").as("clean_text"))
+      .orderBy("doc_id")
+
+  /** the apply CORE over ANY (doc_id, text) frame: cut merged spans out,
+    * kept segments re-joined in order, docs without spans pass through —
+    * returns (doc_id, text = original, ct = cleaned). Shared by the
+    * declared apply and [[dedupSubstringToConvergence]]'s passes. */
+  private def cutSpans(docs: DataFrame, sp: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val sp = corpusSubstringSpans(s, dir)
     val wd = Window.partitionBy("doc_id").orderBy("span_start")
     // kept segments: [prev span_end, span_start) per span (head default
     // 1), plus the tail [max span_end, len + 1)
@@ -2535,11 +2546,66 @@ object Dedup {
         array_sort(collect_list(struct(col("ks"), col("seg")))),
         x => x.getField("seg"))).as("ct"))
     docs.join(cleaned, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        length(col("text")).cast(LongType).as("orig_len"),
-        length(coalesce(col("ct"), col("text"))).cast(LongType).as("clean_len"),
-        coalesce(col("ct"), col("text")).as("clean_text"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("ct"), col("text")).as("ct"))
+  }
+
+  /** Iterate the exact-substring cut to a FIXED POINT. One apply pass
+    * removes every non-canonical occurrence of every ORIGINAL duplicated
+    * gram (keep-first is exhaustive over the input), but cutting a span
+    * makes its flanks adjacent, and the ≤ L−1 JUNCTION grams so created
+    * can collide with surviving text — the reason Lee et al. 2022 (§4.1,
+    * "we repeat this process") re-run the pass until nothing is removed.
+    * `q_dedup_substring_residual` PRICES that leftover; this is the loop
+    * that spends it: re-derive duplicated spans on the cleaned text and
+    * re-cut until residual duplicated chars ≤ `epsChars` or `maxPasses`
+    * passes ran. Convergence argument: each pass strictly removes all
+    * currently-duplicated non-canonical mass, and the only new
+    * duplicated mass it can mint is junction grams — bounded by
+    * (spans cut) × (L−1) chars, a geometric collapse on real text, so
+    * two passes settle ordinary corpora (the spec pins a planted
+    * junction-collision corpus converging in exactly 2).
+    *
+    * Scale: each pass is the same bounded pipeline as the declared apply
+    * (one gram-hash shuffle + one doc-keyed rebuild); the inter-pass
+    * `localCheckpoint` truncates lineage so pass N's plan does not
+    * re-derive passes 1..N−1, and the per-pass residual read is ONE
+    * 1-row aggregate — the loop keeps no driver state beyond counters.
+    * Returns (cleaned (doc_id, text), passes run, residual dup chars). */
+  def dedupSubstringToConvergence(docs: DataFrame, maxPasses: Int = 3,
+      epsChars: Long = 0L): (DataFrame, Int, Long) = {
+    require(maxPasses >= 1, "need at least one pass")
+    var cur = docs.select(col("doc_id"), col("text"))
+    var curRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    var passes = 0
+    var residual = Long.MaxValue
+    def drop(r: Option[org.apache.spark.rdd.RDD[_]]): Unit =
+      r.foreach(x => try x.unpersist(false) catch { case _: Throwable => })
+    while (passes < maxPasses && residual > epsChars) {
+      val spans = substringSpansOf(dupSubstrPositionsOf(cur))
+        .localCheckpoint(true)
+      residual = spans
+        .agg(coalesce(sum(col("span_end") - col("span_start")), lit(0L)))
+        .first().getLong(0)
+      if (residual > epsChars) {
+        val next = cutSpans(cur, spans)
+          .select(col("doc_id"), col("ct").as("text"))
+          .localCheckpoint(true) // eager: safe to release the inputs below
+        drop(checkpointRdd(spans))
+        drop(curRdd)
+        curRdd = checkpointRdd(next)
+        cur = next
+        passes += 1
+      } else drop(checkpointRdd(spans))
+    }
+    // the post-loop residual of the LAST cut (0 when the loop exited on
+    // a clean measure; re-measured when it exited on maxPasses)
+    if (residual > epsChars) {
+      residual = substringSpansOf(dupSubstrPositionsOf(cur))
+        .agg(coalesce(sum(col("span_end") - col("span_start")), lit(0L)))
+        .first().getLong(0)
+    }
+    (cur, passes, residual)
   }
 
   val dedupSubstringApplySql: String =

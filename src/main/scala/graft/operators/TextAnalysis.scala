@@ -1051,7 +1051,8 @@ object TextAnalysis {
   private def mixFrame(s: SparkSession, dir: String): DataFrame = {
     // weight catalog stand-in: the shared md5 coin of the source NAME —
     // total for any name (a substring-cast of 'srcN' would throw under
-    // ANSI on a foreign catalog), deterministic, oracle-replayable
+    // ANSI on a foreign catalog), deterministic, oracle-replayable; the
+    // REAL-table path is mixFrameFrom (mixPlanFrom / mixPlanApplyFrom)
     val w = (graft.operators.CorpusOps.coin(col("source")) % 4 + 1).as("w")
     val per = t(s, dir, "documents")
       .groupBy("source")
@@ -1062,8 +1063,32 @@ object TextAnalysis {
     per.crossJoin(broadcast(tot))
   }
 
-  def mixPlan(s: SparkSession, dir: String): DataFrame =
-    mixFrame(s, dir)
+  /** [[mixFrame]] under an EXPLICIT (source, w) mixing table — the real
+    * weight-catalog path the md5-coin stand-in's scaladoc points at,
+    * provided the way [[qualityModelWeighted]] provides the quality
+    * model's: same arithmetic, the weight column joined in from a frame
+    * instead of derived from the name. The table is mixing-run CONFIG
+    * (tens of rows — one per source), so it broadcasts; sources absent
+    * from the table are EXCLUDED from the plan (a mixing table defines
+    * the mix — an unlisted source contributes neither weight mass nor
+    * output rows), which the inner join makes explicit. Integer weights
+    * keep the exactness contract (scale any rational table to
+    * milli-weights). */
+  private def mixFrameFrom(s: SparkSession, dir: String,
+      targets: DataFrame): DataFrame = {
+    val per = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(sum(size(toks)).cast(LongType).as("n_tokens"))
+      .join(broadcast(targets.select(col("source"),
+        col("w").cast(LongType).as("w"))), Seq("source"))
+    val tot = per.agg(sum(col("n_tokens")).cast(DoubleType).as("tot"),
+      sum(col("w")).cast(DoubleType).as("wtot"))
+    per.crossJoin(broadcast(tot))
+  }
+
+  /** the plan projection over either weighting form */
+  private def mixPlanOf(frame: DataFrame): DataFrame =
+    frame
       .select(col("source"), col("n_tokens"), col("w"),
         r4f(col("n_tokens").cast(DoubleType) / col("tot")).as("natural_share"),
         r4f(col("w").cast(DoubleType) / col("wtot")).as("target_share"),
@@ -1072,6 +1097,13 @@ object TextAnalysis {
         (col("w").cast(DoubleType) * col("tot")
           > col("wtot") * col("n_tokens").cast(DoubleType)).as("repeats_data"))
       .orderBy("source")
+
+  def mixPlan(s: SparkSession, dir: String): DataFrame =
+    mixPlanOf(mixFrame(s, dir))
+
+  /** [[mixPlan]] driven by a real (source, w) mixing table */
+  def mixPlanFrom(s: SparkSession, dir: String, targets: DataFrame): DataFrame =
+    mixPlanOf(mixFrameFrom(s, dir, targets))
 
   val mixPlanSql: String =
     """WITH per AS (
@@ -1097,10 +1129,21 @@ object TextAnalysis {
     * (exact) to compare against the integer coin — no double-boundary
     * flakiness beyond the plan's own spec'd determinism. Docs drawing 0
     * copies drop out. */
-  def mixPlanApply(s: SparkSession, dir: String): DataFrame = {
+  def mixPlanApply(s: SparkSession, dir: String): DataFrame =
+    mixPlanApplyOf(s, dir, mixFrame(s, dir))
+
+  /** [[mixPlanApply]] driven by a real (source, w) mixing table — docs
+    * of unlisted sources draw no copies (the [[mixFrameFrom]] exclusion
+    * contract carried through the inner join) */
+  def mixPlanApplyFrom(s: SparkSession, dir: String,
+      targets: DataFrame): DataFrame =
+    mixPlanApplyOf(s, dir, mixFrameFrom(s, dir, targets))
+
+  private def mixPlanApplyOf(s: SparkSession, dir: String,
+      frame: DataFrame): DataFrame = {
     val e = col("w").cast(DoubleType) * col("tot") /
       (col("wtot") * col("n_tokens").cast(DoubleType))
-    val plan = mixFrame(s, dir).select(col("source"), e.as("epochs"))
+    val plan = frame.select(col("source"), e.as("epochs"))
     t(s, dir, "documents").select(col("doc_id"), col("source"))
       .join(broadcast(plan), Seq("source"))
       .select(col("doc_id"), col("source"),

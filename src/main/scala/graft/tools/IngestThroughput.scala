@@ -70,15 +70,21 @@ object IngestThroughput {
         val t0 = System.nanoTime()
         var i = 0
         while (i < n) { sender.send(pkt); i += 1 }
-        // give the receive loop a moment to drain the kernel buffer
+        // give the receive loop a moment to drain the kernel buffer —
+        // and time-stamp the LAST observed admission, so the settle
+        // window itself (20 × 10 ms of unchanged reads) never inflates
+        // the elapsed time the rate divides by (it biased small-n rates
+        // low by the fixed ~200 ms tail)
         var settled = rx.latest
+        var tLast = System.nanoTime()
         var same = 0
         while (same < 20) {
           Thread.sleep(10)
           val now = rx.latest
-          if (now == settled) same += 1 else { settled = now; same = 0 }
+          if (now == settled) same += 1
+          else { settled = now; tLast = System.nanoTime(); same = 0 }
         }
-        val dt = (System.nanoTime() - t0) / 1e9
+        val dt = (tLast - t0) / 1e9
         sender.close(); rx.shutdown()
         (n.toLong, settled, dt)
     }

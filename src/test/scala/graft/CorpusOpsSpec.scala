@@ -397,4 +397,107 @@ class CorpusOpsSpec extends AnyFunSuite {
     val rebuilt = c4.head ++ c4.tail.flatMap(_.drop(16))
     assert(rebuilt === tok(160).split(" ").toSeq, "chunks must cover the doc exactly")
   }
+
+  // ---- public-suffix catalog (regDomain / PSL artifact) ------------------
+
+  private def regDom(host: String, cat: Seq[String]): String = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    Seq(host).toDF("h")
+      .select(operators.CorpusOps.regDomainWith(col("h"), cat).as("d"))
+      .collect().head.getString(0)
+  }
+
+  test("regDomainWith: longest-suffix-wins over multi-level and private-registry suffixes") {
+    val cat = operators.CorpusOps.DefaultPslCatalog
+    // plain two-label fallthrough
+    assert(regDom("www.example.com", cat) === "example.com")
+    assert(regDom("example.org", cat) === "example.org")
+    // ccSLD multi-level suffixes: suffix + ONE more label
+    assert(regDom("a.b.example.co.uk", cat) === "example.co.uk")
+    assert(regDom("shop.example.com.au", cat) === "example.com.au")
+    assert(regDom("x.y.z.co.jp", cat) === "z.co.jp")
+    // private-registry suffix (the github.io class): each user site is
+    // its own registrable domain — the whole point of loading a real PSL
+    assert(regDom("user1.github.io", cat) === "user1.github.io")
+    assert(regDom("deep.page.user1.github.io", cat) === "user1.github.io")
+    // a host that IS a suffix, and dotless hosts, are their own domain
+    assert(regDom("co.uk", cat) === "co.uk")
+    assert(regDom("localhost", cat) === "localhost")
+    // longest match wins when catalogs nest: with both 'uk'-level and
+    // 'co.uk' listed, co.uk (3 labels kept? no — suffix+1) dominates
+    val nested = Seq("uk", "co.uk")
+    assert(regDom("a.example.co.uk", nested) === "example.co.uk")
+    assert(regDom("example.ac.uk", nested) === "ac.uk")
+  }
+
+  test("PSL artifact round-trip: load replays the written catalog; tamper and version drift refuse") {
+    val path = Files.createTempDirectory("graft_psl").toString
+    val cat = Seq("co.uk", "com.au", "github.io", "co.uk") // dup collapses
+    operators.CorpusOps.writePslArtifact(spark, path, cat)
+    val loaded = operators.CorpusOps.loadPslArtifact(spark, path)
+    assert(loaded === Seq("co.uk", "com.au", "github.io"))
+
+    // the loaded catalog drives the SAME expression the declared queries
+    // use — multi-level bucketing works under it
+    assert(regDom("shop.example.com.au", loaded) === "example.com.au")
+    assert(regDom("user1.github.io", loaded) === "user1.github.io")
+
+    // tamper: rewrite the suffix table in place → manifest digest flips
+    import spark.implicits._
+    val files = new java.io.File(s"$path/suffixes").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    Seq("co.uk", "com.au", "evil.example").toDF("suffix")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/suffixes_tmp")
+    val repl = new java.io.File(s"$path/suffixes_tmp").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(repl.toPath, files.head.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the local-FS checksum sidecar so the read reaches the
+    // manifest digest (production object stores have no .crc files)
+    new java.io.File(s"$path/suffixes/.${files.head.getName}.crc").delete()
+    val e1 = intercept[IllegalArgumentException] {
+      operators.CorpusOps.loadPslArtifact(spark, path)
+    }
+    assert(e1.getMessage.contains("manifest"))
+
+    // version drift: a valid artifact whose meta pins a future version
+    val path2 = Files.createTempDirectory("graft_psl_v").toString
+    operators.CorpusOps.writePslArtifact(spark, path2, Seq("co.uk"))
+    Seq(("version", "999"), ("n_suffixes", "1")).toDF("key", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path2/meta")
+    val e2 = intercept[IllegalArgumentException] {
+      operators.CorpusOps.loadPslArtifact(spark, path2)
+    }
+    assert(e2.getMessage.contains("version"))
+  }
+
+  test("q_url_extract under a loaded PSL: com.au/github.io hosts re-bucket; default catalog unchanged") {
+    import spark.implicits._
+    // q_url_extract's host catalog only exercises co.uk among the
+    // multi-level suffixes, so default-catalog results equal the shipped
+    // oracle; a corpus carrying com.au/github.io URLs needs the loaded
+    // catalog to bucket correctly. Build such a corpus and check both.
+    val dir = writeDocs(Seq(
+      (1L, "pre https://shop.example.com.au/p/1 post", "en", "src"),
+      (2L, "pre https://user1.github.io/p/2 and https://a.b.example.co.uk/q post", "en", "src"),
+      (3L, "no urls at all", "en", "src")))
+    val path = Files.createTempDirectory("graft_psl_url").toString
+    operators.CorpusOps.writePslArtifact(spark, path,
+      operators.CorpusOps.DefaultPslCatalog)
+    val loaded = operators.CorpusOps.loadPslArtifact(spark, path)
+    val got = operators.CorpusOps.urlExtractWith(spark, dir, loaded)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSeq
+    // urlified() appends manufactured URLs per doc_id; the PLANTED hosts
+    // must still bucket under their multi-level suffixes
+    assert(got.find(_._1 == 1L).get._3.contains("example.com.au"))
+    assert(got.find(_._1 == 2L).get._3.contains("user1.github.io"))
+    assert(got.find(_._1 == 2L).get._3.contains("example.co.uk"))
+    // under a BARE two-label catalog the same hosts mis-bucket — the
+    // difference the PSL loader exists to remove
+    val bare = operators.CorpusOps.urlExtractWith(spark, dir, Seq.empty)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(bare.find(_._1 == 1L).get._2.contains("com.au"))
+    assert(!bare.find(_._1 == 1L).get._2.contains("example.com.au"))
+  }
 }

@@ -38,6 +38,11 @@ class SourceHygieneSpec extends AnyFunSuite {
     // TextAnalysis.loadBpeArtifact: O(nMerges) merge rows + O(3) meta
     // rows — the shipped tokenizer's decision metadata, same class
     "TextAnalysis.scala" -> 4,
+    // CorpusOps.loadPslArtifact: O(catalog) suffix rows + O(2) meta rows
+    // — the public-suffix list is ~10k rows, a constant of the internet
+    // (model-metadata class, the BPE/codebook pattern); the catalog then
+    // rides plans as InSet literals, never as a join side
+    "CorpusOps.scala" -> 2,
     // tools/: driver-side measurement INSTRUMENTS (sweep mains that
     // print JSON lines), not operators — their collects gather sweep
     // summary rows by design. Counted anyway so an instrument can't

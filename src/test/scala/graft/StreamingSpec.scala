@@ -111,7 +111,10 @@ class StreamingSpec extends AnyFunSuite {
       RawLine("fw,info c", "2001:db8::5", t6),              // bare v6 → doc /32
       RawLine("fw,info d", "[64:ff9b::1]:2", t6),           // → ::/0 default
       RawLine("fw,info e", "myrouter.lan:514", t6),         // hostname → unzoned, not a crash
-      RawLine("fw,info f", "[garbage", t6))                 // malformed stamp → unzoned
+      RawLine("fw,info f", "[garbage", t6),                 // malformed stamp → unzoned
+      RawLine("fw,info g", "266.0.0.5:514", t6),            // octet > 255 → unzoned, never wraps into a zone
+      RawLine("fw,info h", "[::ffff:10.0.0.9]:514", t6),    // v4-MAPPED = v4 sender → v4 catalog (/29)
+      RawLine("fw,info i", "::ffff:192.168.7.1", t6))       // bare mapped → v4 catalog (/16)
     val q6 = Pipeline.zoneSeverityCounts(Pipeline.parseToLog(ms6.toDF()))
       .writeStream.outputMode(OutputMode.Complete())
       .format("memory").queryName("zone_sev6").start()
@@ -120,7 +123,7 @@ class StreamingSpec extends AnyFunSuite {
     val zones6 = spark.table("zone_sev6")
       .select("zone", "n").collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(zones6 === Set(("doc-site", 1L), ("link-local", 1L), ("doc", 1L),
-        ("default", 1L), ("unzoned", 2L)),
+        ("default", 1L), ("unzoned", 3L), ("corp-infra", 1L), ("lab", 1L)),
       s"v6/malformed zone classification wrong: $zones6")
   }
 

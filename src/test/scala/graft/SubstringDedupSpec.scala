@@ -492,4 +492,44 @@ class SubstringDedupSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("convergence loop: a planted junction collision needs exactly 2 passes; one pass provably doesn't finish") {
+    import spark.implicits._
+    // J is split 20+20 around a duplicated run D inside doc 3: pre-cut,
+    // doc 3 shares no 30-gram with doc 1 (each J fragment < L); cutting
+    // D makes the fragments ADJACENT, minting the full J at the junction
+    // — the Lee et al. §4.1 iteration case q_dedup_substring_residual
+    // prices. Pass 1 cuts D, pass 2 cuts the junction-born J, pass 3
+    // measures zero.
+    val J = "The-quick-brown-fox-jumps-over-lazyXdog"
+      .padTo(40, 'Z').take(40)
+    val D = "D-run:ABCDEFGHIJKLMNOPQRSTUVWXYZ-987654".padTo(40, 'Y').take(40)
+    assert(J.length === 40 && D.length === 40)
+    val doc1 = "uno-head-!!!" + J + "???uno-tail"
+    val doc2 = "dos-head-===" + D + "+++dos-tail"
+    val doc3 = "tres-head-^^" + J.take(20) + D + J.drop(20) + "||tres-tail"
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+
+    // one pass is NOT a fixed point: it cuts D but leaves the newly
+    // minted J duplicated (residual = |J| = 40 junction chars)
+    val (_, p1, r1) = operators.Dedup.dedupSubstringToConvergence(docs, maxPasses = 1)
+    assert(p1 === 1 && r1 === J.length.toLong,
+      s"after one pass the junction J must remain: passes=$p1 residual=$r1")
+
+    // the loop converges in exactly 2 passes to residual 0, canonical
+    // copies intact and doc 3 reduced to its unique flanks
+    val (cleaned, passes, residual) =
+      operators.Dedup.dedupSubstringToConvergence(docs, maxPasses = 5)
+    assert(passes === 2, s"expected convergence in exactly 2 passes, got $passes")
+    assert(residual === 0L)
+    val out = cleaned.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === doc1, "the canonical J carrier must be untouched")
+    assert(out(2L) === doc2, "the canonical D carrier must be untouched")
+    assert(out(3L) === "tres-head-^^" + "||tres-tail",
+      s"doc 3 must reduce to its unique flanks, got '${out(3L)}'")
+
+    // idempotence at the fixed point: converging again is a 0-pass no-op
+    val (_, p0, r0) = operators.Dedup.dedupSubstringToConvergence(cleaned, maxPasses = 3)
+    assert(p0 === 0 && r0 === 0L, "the fixed point must be stable")
+  }
 }

@@ -40,6 +40,54 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("mixPlanFrom: a frame encoding the md5 coin equals the stand-in; a real table re-plans; unlisted sources drop") {
+    import spark.implicits._
+    val dir = TestSpark.sfDir
+    val sources = util.t(spark, dir, "documents")
+      .select("source").distinct().as[String].collect().sorted.toSeq
+    assert(sources.size >= 2, "fixture needs ≥ 2 sources for a mix test")
+
+    // the stand-in's own weights as a TABLE — plan and apply must be
+    // row-identical (the qualityModelWeighted ≡ contract for the mix)
+    def coinW(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 4 + 1
+    }
+    val coinTable = sources.map(s => (s, coinW(s))).toDF("source", "w")
+    assert(operators.TextAnalysis.mixPlanFrom(spark, dir, coinTable)
+        .collect().toSeq
+      === operators.TextAnalysis.mixPlan(spark, dir).collect().toSeq,
+      "coin-encoding frame diverged from the stand-in plan")
+    assert(operators.TextAnalysis.mixPlanApplyFrom(spark, dir, coinTable)
+        .collect().toSeq
+      === operators.TextAnalysis.mixPlanApply(spark, dir).collect().toSeq,
+      "coin-encoding frame diverged from the stand-in apply")
+
+    // a REAL mixing table: equal weights → equal target shares, epochs =
+    // tot / (nSources * n_tokens) — and it must differ from the stand-in
+    // whenever the coin weights aren't all equal
+    val flat = sources.map(s => (s, 1L)).toDF("source", "w")
+    val plan = operators.TextAnalysis.mixPlanFrom(spark, dir, flat).collect()
+    assert(plan.length === sources.size)
+    val shares = plan.map(_.getDouble(4)).toSet // target_share, r4-rounded
+    assert(shares.size === 1, s"equal weights must mean equal shares: $shares")
+    if (sources.map(coinW).toSet.size > 1)
+      assert(plan.toSeq !==
+        operators.TextAnalysis.mixPlan(spark, dir).collect().toSeq,
+        "a different mixing table must change the plan")
+
+    // an unlisted source is OUT of the mix: no plan row, no applied docs
+    val partial = sources.tail.map(s => (s, 2L)).toDF("source", "w")
+    val pl2 = operators.TextAnalysis.mixPlanFrom(spark, dir, partial)
+      .select("source").as[String].collect().toSeq
+    assert(pl2 === sources.tail, "plan must cover exactly the listed sources")
+    val applied = operators.TextAnalysis.mixPlanApplyFrom(spark, dir, partial)
+      .select("source").distinct().as[String].collect().sorted.toSeq
+    assert(!applied.contains(sources.head),
+      "docs of an unlisted source must draw no copies")
+  }
+
   test("q_repetition_ratio: Gopher 2-4-gram dup fractions and 1-4-gram top shares, hand-checked") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_rep").toString

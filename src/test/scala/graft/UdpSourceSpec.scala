@@ -79,7 +79,16 @@ class UdpSourceSpec extends AnyFunSuite {
       (0 until 8).map(i => f"${((b(2 * i) & 0xff) << 8) | (b(2 * i + 1) & 0xff)}%04x")
         .mkString(":")
     }
-    val df = addrs.map(a => (sources.Ingest.canonicalV6(a), fullForm(a)))
+    // v4-MAPPED text forms (::ffff:a.b.c.d — the JDK parses these to
+    // Inet4Address, so the expected bytes are constructed directly): the
+    // decompressor's quad-tail rewrite must land every random quad on the
+    // canonical 0:0:0:0:0:ffff:hi:lo rendering
+    val mapped = (1 to 200).map { _ =>
+      val o = Array.fill(4)(rnd.nextInt(256))
+      (s"::ffff:${o(0)}.${o(1)}.${o(2)}.${o(3)}",
+        f"0000:0000:0000:0000:0000:ffff:${o(0) * 256 + o(1)}%04x:${o(2) * 256 + o(3)}%04x")
+    }
+    val df = (addrs.map(a => (sources.Ingest.canonicalV6(a), fullForm(a))) ++ mapped)
       .toDF("ip", "expected")
     val mismatches = df
       .where(graft.functions.Scalars.ip6Norm(lower(col("ip"))) =!= col("expected"))

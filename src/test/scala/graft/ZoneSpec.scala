@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Totality + dual-stack contract of the zone classifiers
+  * (functions/Scalars.scala): the streaming `zoneOfDevice` when-chain and
+  * the batch `deviceZonesOf` LPM join must BOTH classify every
+  * sender-controlled stamp — parseable v4 into the v4 catalog, v6 into
+  * the v6 catalog, v4-MAPPED literals (::ffff:a.b.c.d — a v4 sender seen
+  * through a dual-stack socket) into the v4 catalog, and everything
+  * malformed (hostnames, out-of-range octets, truncated brackets) into
+  * 'unzoned' — never an ANSI cast error, never a mod-2^32 wrap into a
+  * real zone. */
+class ZoneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def zoneOf(device: String): String = {
+    import spark.implicits._
+    Seq(device).toDF("device")
+      .select(functions.Scalars.zoneOfDevice(col("device")).as("zone"))
+      .collect().head.getString(0)
+  }
+
+  test("zoneOfDevice: v4 / v6 / mapped / malformed stamps all classify, totally") {
+    // v4 catalog: 10.0.0.0/8 corp, 10.0.0.0/28 corp-core, 10.0.0.8/29
+    // corp-infra, 192.168/16 lab, 0/0 default
+    assert(zoneOf("10.0.0.5:514") === "corp-core")
+    assert(zoneOf("10.0.0.9:514") === "corp-infra")
+    assert(zoneOf("10.9.9.9") === "corp")
+    assert(zoneOf("8.8.8.8:53") === "default")
+    // v6 catalog via the bracketed stamp
+    assert(zoneOf("[2001:db8:85a3::1]:514") === "doc-site")
+    assert(zoneOf("fe80::1%eth0") === "link-local")
+    // v4-mapped = a v4 sender: classifies under the v4 catalog, exactly
+    // like the dotted-quad stamp the same sender produces on a v4 bind
+    assert(zoneOf("[::ffff:10.0.0.9]:514") === "corp-infra")
+    assert(zoneOf("::ffff:192.168.7.1") === "lab")
+    assert(zoneOf("::FFFF:10.0.0.5") === "corp-core")
+    // malformed: hostnames, out-of-range octets (266 & 0xFF = 10 — the
+    // wrap that used to land in corp-core), truncated brackets
+    assert(zoneOf("myrouter.lan:514") === "unzoned")
+    assert(zoneOf("266.0.0.5:514") === "unzoned")
+    assert(zoneOf("1.2.3.999") === "unzoned")
+    assert(zoneOf("[garbage") === "unzoned")
+    assert(zoneOf("") === "unzoned")
+    // a mapped literal with an out-of-range quad fails the mapped
+    // branch's octet bound and the tail rewrite's (the quad must match
+    // WHOLE — '266.0.0.5' never partially rewrites as '2'+hex('66…')),
+    // so it reaches the v6 hex parse as-is: garbage text, but TOTAL —
+    // it may only land in the v6 catch-all, never in a v4 zone
+    assert(Set("default", "unzoned").contains(zoneOf("::ffff:266.0.0.5")))
+  }
+
+  test("deviceZonesOf: the batch LPM is total like its streaming twin") {
+    import spark.implicits._
+    val base = Seq(
+      (1, "10.0.0.5"),        // corp-core
+      (2, "10.0.0.9"),        // corp-infra
+      (3, "192.168.1.1"),     // lab
+      (4, "8.8.8.8"),         // default
+      (5, "myrouter.lan"),    // hostname → unzoned (used to throw)
+      (6, "266.0.0.5"),       // out-of-range octet → unzoned (used to wrap)
+      (7, "")).toDF("id", "ip")
+    val out = functions.Scalars.deviceZonesOf(spark, base)
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3)))
+      .toSeq
+    assert(out === Seq(
+      (1, "corp-core", 28), (2, "corp-infra", 29), (3, "lab", 16),
+      (4, "default", 0), (5, "unzoned", -1), (6, "unzoned", -1),
+      (7, "unzoned", -1)))
+  }
+
+  test("batch LPM and streaming classifier agree on every fixture device") {
+    import spark.implicits._
+    val batch = functions.Scalars.deviceZones(spark)
+      .select(col("id"), col("zone")).as[(Int, String)].collect().toMap
+    val stream = graft.model.rawLines(spark)
+      .select(col("id"), functions.Scalars.zoneOfDevice(col("device")).as("zone"))
+      .as[(Int, String)].collect().toMap
+    assert(batch === stream, "the two LPM forms diverged on the fixture")
+  }
+}
