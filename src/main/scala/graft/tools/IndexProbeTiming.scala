@@ -23,11 +23,18 @@ import org.apache.spark.sql.functions._
   * is the COLD contract's build+probe; this prices what production,
   * which builds once per snapshot, actually pays per batch — every
   * incremental family now has a priced warm-probe number (PERF.md).
+  * The winnow family takes an optional third arg `w` (default: the
+  * shipped WinnowW=5) so the documented production dial (w=50) can be
+  * priced through the SAME probe/append code the declared incremental
+  * path runs — the persisted winnow_w meta routes both; winnow also
+  * reports append_sec (the O(batch) admission write).
   */
 object IndexProbeTiming {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val family = args.drop(1).headOption.getOrElse("substr")
+    val winnowW = args.drop(2).headOption.map(_.toInt)
+      .getOrElse(graft.operators.Dedup.WinnowW)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -56,7 +63,7 @@ object IndexProbeTiming {
       case "simhash" => graft.operators.Dedup.writeSimhashIndex(spark, sfDir, idx)
       case "gram" | "containment" => graft.operators.Dedup.writeGramIndex(spark, sfDir, idx)
       case "minhash" => graft.operators.Dedup.writeMinhashIndex(spark, sfDir, idx)
-      case "winnow" => graft.operators.Dedup.writeWinnowIndex(spark, sfDir, idx)
+      case "winnow" => graft.operators.Dedup.writeWinnowIndex(spark, sfDir, idx, winnowW)
       case "bloom" => graft.operators.Dedup.writeBloomIndex(spark, sfDir, idx)
       case "semantic" => graft.operators.Similarity.writeSemanticIndex(spark, sfDir, idx)
       case "frontier" => graft.operators.CorpusOps.writeUrlFrontier(spark, sfDir, idx)
@@ -93,9 +100,17 @@ object IndexProbeTiming {
     }).write.mode("overwrite").format("noop").save()
     val first = secs(probeOnce())
     val warm = (1 to 3).map(_ => secs(probeOnce())).min
+    // winnow: also price the O(batch) admission append (post-probe, the
+    // incremental contract's write half), the at-rest hash-row mass the
+    // w dial is spent on, and the dial used
+    val extra = if (family == "winnow") {
+      val app = secs(graft.operators.Dedup.appendWinnowIndex(spark, idx, batch))
+      val rows = spark.read.parquet(s"$idx/hashes").count()
+      s""","append_sec":${r3(app)},"index_rows":$rows,"winnow_w":$winnowW"""
+    } else ""
     println(s"""{"tool":"IndexProbeTiming","family":"$family","sf":"$sfDir",""" +
       s""""build_sec":${r3(build)},""" +
-      s""""first_probe_sec":${r3(first)},"warm_probe_sec":${r3(warm)}}""")
+      s""""first_probe_sec":${r3(first)},"warm_probe_sec":${r3(warm)}$extra}""")
     graft.util.deleteRecursively(idx)
     spark.stop()
   }
