@@ -816,30 +816,66 @@ object CorpusOps {
     * `github.io`). Production loads the FULL public-suffix list through
     * [[loadPslArtifact]] — same expression shape at 10k entries. */
   val DefaultPslCatalog: Seq[String] =
-    Seq("co.uk", "org.uk", "com.au", "co.jp", "github.io")
+    Seq("co.uk", "org.uk", "com.au", "co.jp", "github.io",
+      // one wildcard + exception pair so every oracle replay also
+      // exercises the full PSL rule grammar (no fixture host matches
+      // them, so declared values are unchanged)
+      "*.ck", "!www.ck")
 
-  /** Registrable domain of a host under a public-suffix catalog:
-    * longest-matching suffix plus one more label; no suffix match → last
-    * two labels; dotless hosts (localhost, a bare tld) and hosts that ARE
-    * a listed suffix are their own registrable domain.
+  /** the three PSL rule classes, parsed from the catalog's entry text:
+    * plain suffixes, `*.tail` wildcards (any label + tail is a public
+    * suffix), `!name` exceptions (name is NOT a public suffix despite a
+    * wildcard covering it — publicsuffix.org's www.ck carve-out) */
+  private case class PslRules(plainByK: Seq[(Int, Seq[String])],
+      wildTailsByM: Seq[(Int, Seq[String])], exByN: Seq[(Int, Seq[String])])
+
+  private def parsePsl(suffixes: Seq[String]): PslRules = {
+    val d = suffixes.distinct
+    val ex = d.filter(_.startsWith("!")).map(_.drop(1))
+    val wild = d.filter(_.startsWith("*.")).map(_.drop(2))
+    val plain = d.filterNot(s => s.startsWith("!") || s.startsWith("*."))
+    def byLabels(xs: Seq[String]) =
+      xs.groupBy(_.split("\\.").length).toSeq.sortBy(-_._1)
+    PslRules(byLabels(plain), byLabels(wild), byLabels(ex))
+  }
+
+  /** Registrable domain of a host under a public-suffix catalog — the
+    * publicsuffix.org algorithm: among matching rules an EXCEPTION wins
+    * outright (the matching name IS the registrable domain), else the
+    * longest suffix wins (wildcard `*.tail` counts its `*` as a label)
+    * and the registrable domain is suffix + one label; no rule match →
+    * last two labels (the implicit `*` default rule); dotless hosts and
+    * hosts that ARE a listed suffix are their own registrable domain.
     *
     * Scale shape: the catalog folds into ONE per-row when-chain — per
-    * DISTINCT SUFFIX LABEL COUNT in the catalog (a catalog property, ≤ 5
-    * for the real PSL) one membership test, which Catalyst rewrites to a
-    * hashed `InSet` above 10 entries — so a 10k-entry PSL is O(label
-    * counts) probes per row, zero shuffles, no join. The size guards keep
-    * ANSI `element_at` total: without them a 1-label host throws where
-    * DuckDB's list[-2] nulls (both wrong). */
+    * DISTINCT RULE LABEL COUNT and class (a catalog property: the real
+    * PSL spans ≤ 5 levels, 3 classes) one membership test, which
+    * Catalyst rewrites to a hashed `InSet` above 10 entries — so a
+    * 10k-entry PSL is O(levels) probes per row, zero shuffles, no join.
+    * The size guards keep ANSI `element_at` total: without them a
+    * 1-label host throws where DuckDB's list[-2] nulls (both wrong). */
   private[graft] def regDomainWith(host: Column, suffixes: Seq[String]): Column = {
     val ls = split(host, "\\.")
     def lastLabels(k: Int): Column =
       concat_ws(".", (k to 1 by -1).map(i => element_at(ls, -i)): _*)
-    val byK = suffixes.distinct.groupBy(_.split("\\.").length)
-      .toSeq.sortBy(-_._1) // longest suffixes first = longest match wins
-    val chain = byK.foldLeft(lit(null).cast(StringType)) {
-      case (acc, (k, sfx)) =>
-        coalesce(acc, when(size(ls) >= k + 1 &&
-          lastLabels(k).isin(sfx.sorted: _*), lastLabels(k + 1)))
+    val rules = parsePsl(suffixes)
+    // exceptions first: the matched name is its own registrable domain
+    val exChain = rules.exByN.foldLeft(lit(null).cast(StringType)) {
+      case (acc, (n, names)) =>
+        coalesce(acc, when(size(ls) >= n &&
+          lastLabels(n).isin(names.sorted: _*), lastLabels(n)))
+    }
+    // plain level k and wildcard tail m share an effective suffix label
+    // count (k, m+1) — merge both rule classes per level, longest first
+    val levels = (rules.plainByK.map { case (k, s) => (k, s, true) } ++
+        rules.wildTailsByM.map { case (m, t) => (m + 1, t, false) })
+      .sortBy(-_._1)
+    val chain = levels.foldLeft(exChain) {
+      case (acc, (k, entries, isPlain)) =>
+        val hit =
+          if (isPlain) lastLabels(k).isin(entries.sorted: _*)
+          else lastLabels(k - 1).isin(entries.sorted: _*) // `*` label is free
+        coalesce(acc, when(size(ls) >= k + 1 && hit, lastLabels(k + 1)))
     }
     coalesce(chain, when(size(ls) >= 2, lastLabels(2)).otherwise(host))
   }
@@ -848,17 +884,28 @@ object CorpusOps {
     regDomainWith(host, DefaultPslCatalog)
 
   /** DuckDB twin of [[regDomainWith]] over an expression `h` — generated
-    * from the SAME catalog, so the oracle replays the engine's suffix
-    * table verbatim */
+    * from the SAME catalog (all three rule classes, same precedence), so
+    * the oracle replays the engine's suffix table verbatim */
   private[graft] def regDomainSqlExprWith(h: String, suffixes: Seq[String]): String = {
     def lastLabels(k: Int): String =
       (k to 1 by -1).map(i => s"string_split($h, '.')[-$i]").mkString(" || '.' || ")
-    val byK = suffixes.distinct.groupBy(_.split("\\.").length)
-      .toSeq.sortBy(-_._1)
-    val whens = byK.map { case (k, sfx) =>
-      val inList = sfx.sorted.map(x => s"'$x'").mkString(", ")
-      s"WHEN len(string_split($h, '.')) >= ${k + 1} AND ${lastLabels(k)} IN ($inList) THEN ${lastLabels(k + 1)}"
-    }.mkString("\n|  ")
+    val rules = parsePsl(suffixes)
+    def w(cond: String, res: String) = s"WHEN $cond THEN $res"
+    def inList(xs: Seq[String]) = xs.sorted.map(x => s"'$x'").mkString(", ")
+    val exWhens = rules.exByN.map { case (n, names) =>
+      w(s"len(string_split($h, '.')) >= $n AND ${lastLabels(n)} IN (${inList(names)})",
+        lastLabels(n))
+    }
+    val levels = (rules.plainByK.map { case (k, s) => (k, s, true) } ++
+        rules.wildTailsByM.map { case (m, t) => (m + 1, t, false) })
+      .sortBy(-_._1)
+    val lvlWhens = levels.map { case (k, entries, isPlain) =>
+      val hit =
+        if (isPlain) s"${lastLabels(k)} IN (${inList(entries)})"
+        else s"${lastLabels(k - 1)} IN (${inList(entries)})"
+      w(s"len(string_split($h, '.')) >= ${k + 1} AND $hit", lastLabels(k + 1))
+    }
+    val whens = (exWhens ++ lvlWhens).mkString("\n|  ")
     s"""CASE $whens
        |  WHEN len(string_split($h, '.')) >= 2 THEN ${lastLabels(2)}
        |  ELSE $h END""".stripMargin
@@ -877,7 +924,9 @@ object CorpusOps {
     * `suffixes/` parquet under `Sinks.writeManifest` integrity (row
     * digest + schema + count), `meta/` (key, value) rows pinning the
     * artifact version, so every fleet member buckets domains under the
-    * SAME suffix table or refuses to run. */
+    * SAME suffix table or refuses to run. Entries carry the PSL rule
+    * grammar verbatim (`suffix`, `*.tail`, `!name`) — the load returns
+    * the text and [[regDomainWith]] parses the classes. */
   def writePslArtifact(s: SparkSession, path: String,
       suffixes: Seq[String]): Unit = {
     import s.implicits._

@@ -431,6 +431,53 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(regDom("example.ac.uk", nested) === "ac.uk")
   }
 
+  test("regDomainWith: PSL wildcard and exception rules (the publicsuffix.org *.ck/!www.ck carve-out)") {
+    val cat = operators.CorpusOps.DefaultPslCatalog // carries *.ck and !www.ck
+    // wildcard: ANY label + ck is a public suffix → suffix + 1 label
+    assert(regDom("shop.random.ck", cat) === "shop.random.ck")
+    assert(regDom("deep.shop.random.ck", cat) === "shop.random.ck")
+    // exception: www.ck is NOT a public suffix despite *.ck — it is the
+    // registrable domain itself, at any depth
+    assert(regDom("www.ck", cat) === "www.ck")
+    assert(regDom("foo.www.ck", cat) === "www.ck")
+    assert(regDom("a.b.foo.www.ck", cat) === "www.ck")
+    // a host that IS a wildcard-matched suffix is its own domain
+    assert(regDom("random.ck", cat) === "random.ck")
+    // bare ck: dotless → own domain
+    assert(regDom("ck", cat) === "ck")
+    // plain rules are untouched by the wildcard machinery
+    assert(regDom("a.b.example.co.uk", cat) === "example.co.uk")
+  }
+
+  test("regDomain at PSL scale: a 10k-suffix catalog stays a zero-shuffle projection") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // a synthetic full-PSL-sized catalog: 9990 plain two-level suffixes,
+    // a 3-level slice, wildcards and exceptions — the real list's shape
+    val big = (1 to 9990).map(i => s"s$i.tld") ++
+      (1 to 50).map(i => s"t$i.s1.tld") ++ Seq("*.wild", "!keep.wild")
+    // parquet-backed input: a purely local frame constant-folds into a
+    // LocalRelation and there would be no plan left to assert on
+    val hostsDir = Files.createTempDirectory("graft_psl_scale").toString
+    Seq("a.b.s7.tld", "x.t3.s1.tld", "y.anything.wild", "z.keep.wild")
+      .toDF("h").write.mode("overwrite").parquet(hostsDir)
+    val df = spark.read.parquet(hostsDir)
+      .select(operators.CorpusOps.regDomainWith(col("h"), big).as("d"))
+    // semantics at scale (set compare: no presentation sort, so the
+    // plan below stays pure projection)
+    assert(df.collect().map(_.getString(0)).toSet ===
+      Set("b.s7.tld", "x.t3.s1.tld", "y.anything.wild", "keep.wild"))
+    // plan shape: one Project over the scan — no Join, no Exchange; the
+    // catalog rides as hashed InSet literals, never as a join side
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"a catalog-sized regDomain must stay a projection:\n$plan")
+    // and the membership tests actually optimized to InSet (not a
+    // 10k-child In chain): the optimized expression prints INSET
+    assert(df.queryExecution.optimizedPlan.toString.contains("INSET"),
+      "expected the catalog probe to optimize to a hashed InSet")
+  }
+
   test("PSL artifact round-trip: load replays the written catalog; tamper and version drift refuse") {
     val path = Files.createTempDirectory("graft_psl").toString
     val cat = Seq("co.uk", "com.au", "github.io", "co.uk") // dup collapses
