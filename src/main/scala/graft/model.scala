@@ -508,7 +508,9 @@ object model {
     (105, "192.168.7.9"),           // bare v4, no port
     (106, "[2001:DB8::CAFE]:6514"), // uppercase hex inside brackets
     (107, "::"),                    // all-zeros v6
-    (108, "10.0.0.99:514"))         // the reference's own v4:port shape
+    (108, "10.0.0.99:514"),         // the reference's own v4:port shape
+    (109, "[::ffff:10.0.0.9]:514"), // v4-MAPPED in brackets + port
+    (110, "::ffff:192.0.2.1"))      // bare v4-mapped, no port
 
   /** [[deviceFormFixture]] as a DuckDB VALUES relation `g(id, device)` */
   def deviceFormsValuesSql: String =
