@@ -386,7 +386,7 @@ object Scalars {
     // a v4-MAPPED literal (::ffff:a.b.c.d) is a v4 SENDER seen through a
     // dual-stack socket — it classifies under the v4 catalog, like the
     // dotted-quad stamp the same sender produces on a v4 bind
-    when(ipl.rlike("^::ffff:" + DottedQuadRe.substring(1)),
+    when(ipl.rlike(MappedV4Re),
         zone4OfIp(regexp_extract(ipl, "^::ffff:(.*)$", 1)))
       .when(ip.contains(":"), zone6OfIp(regexp_replace(ipl, "%.*$", "")))
       // dotted-quad shape gate before the v4 arithmetic: a hostname or a
@@ -444,23 +444,36 @@ object Scalars {
     deviceZonesOf(s, graft.model.rawLines(s).select(
       col("id"), graft.model.deviceIp(col("device")).as("ip")))
 
-  /** the LPM core over ANY (id, ip) frame — total (see the gate below);
-    * factored so the totality contract is testable off-fixture */
+  /** the mapped-v4 gate shared by the streaming classifier and the batch
+    * LPM: a `::ffff:a.b.c.d` literal IS a v4 sender */
+  private[graft] val MappedV4Re = "^::ffff:" + DottedQuadRe.substring(1)
+
+  /** The LPM core over ANY (id, ip) frame — DUAL-STACK and TOTAL, the
+    * batch twin of [[zoneOfDevice]] branch for branch: plain dotted
+    * quads and v4-MAPPED literals route through the v4 catalog's
+    * candidate/equi-join; v6 literals (zone ids stripped) through the
+    * v6 catalog's; everything else — hostnames, malformed stamps,
+    * out-of-range octets, unparseable hex — lands 'unzoned' instead of
+    * throwing. All three branches are filtered passes over the same
+    * scan (filters push down; the union is append, not a shuffle), and
+    * both join sides stay bounded-fan-out broadcast equi-joins at any
+    * catalog size. Zone parity with the streaming classifier is
+    * spec-pinned (ZoneSpec); masklen is the batch form's extra. */
   def deviceZonesOf(s: SparkSession, base: DataFrame): DataFrame = {
     import s.implicits._
+    val ipl = lower(col("ip"))
+    val isV4 = col("ip").rlike(DottedQuadRe)
+    val isMapped = ipl.rlike(MappedV4Re)
+
+    // ---- v4 side (plain + mapped) ----
     val lens = CidrCatalog.map(_._1.split("/")(1).toInt).distinct.sorted
     val prefixes = CidrCatalog.map { case (cidr, zone) =>
       val Array(net, len) = cidr.split("/")
       (dottedToLong(net), len.toInt, zone)
     }.toDF("net", "mlen", "zone")
-    // the shared dotted-quad gate keeps the batch LPM TOTAL like its
-    // streaming twin zoneOfDevice: a hostname or malformed stamp in real
-    // data classifies 'unzoned' instead of throwing an ANSI cast inside
-    // ip4Num and failing the whole job. Both branches are one filtered
-    // pass over the same scan (filters push down; the union is append,
-    // not a shuffle).
-    val zoned = base.where(col("ip").rlike(DottedQuadRe))
-      .withColumn("ip_num", ip4Num(col("ip")))
+    val zoned4 = base.where(isV4 || isMapped)
+      .withColumn("ip_num", ip4Num(
+        when(isV4, col("ip")).otherwise(regexp_extract(ipl, "^::ffff:(.*)$", 1))))
       .select(col("id"), col("ip"),
         explode(array(lens.map(l => struct(lit(l).as("mlen"),
           col("ip_num").bitwiseAND(lit(maskOf(l))).as("net"))): _*)).as("c"))
@@ -469,10 +482,35 @@ object Scalars {
       .groupBy("id", "ip")
       .agg(max_by(col("zone"), col("mlen")).as("zone"),
         max(col("mlen")).as("masklen"))
-    val unzoned = base.where(!col("ip").rlike(DottedQuadRe))
+
+    // ---- v6 side ----
+    val stripped = regexp_replace(ipl, "%.*$", "")
+    val hiE = ip6Word(stripped, 1, 2, 3, 4)
+    val loE = ip6Word(stripped, 5, 6, 7, 8)
+    val lens6 = cidr6Lens
+    val prefixes6 = cidr6PrefixFrame(s)
+    // unparseable-hex words null out → those rows fall to 'unzoned'
+    // below, exactly where the streaming when-chain's null conditions
+    // land them; parseable ones always match ::/0
+    val zoned6 = base.where(!isV4 && !isMapped && col("ip").contains(":") &&
+        hiE.isNotNull && loE.isNotNull)
+      .withColumn("hi", hiE).withColumn("lo", loE)
+      .select(col("id"), col("ip"),
+        explode(array(lens6.map(l => struct(lit(l).as("mlen"),
+          col("hi").bitwiseAND(lit(mask6Hi(l))).as("net_hi"),
+          col("lo").bitwiseAND(lit(mask6Lo(l))).as("net_lo"))): _*)).as("c"))
+      .select(col("id"), col("ip"), col("c.mlen").as("mlen"),
+        col("c.net_hi").as("net_hi"), col("c.net_lo").as("net_lo"))
+      .join(broadcast(prefixes6), Seq("net_hi", "net_lo", "mlen"))
+      .groupBy("id", "ip")
+      .agg(max_by(col("zone"), col("mlen")).as("zone"),
+        max(col("mlen")).as("masklen"))
+
+    val unzoned = base.where(!isV4 && !isMapped &&
+        (!col("ip").contains(":") || hiE.isNull || loE.isNull))
       .select(col("id"), col("ip"), lit("unzoned").as("zone"),
         lit(null).cast(IntegerType).as("masklen"))
-    zoned.unionByName(unzoned)
+    zoned4.unionByName(zoned6).unionByName(unzoned)
   }
 
   val ipLpmJoinSql: String = {
@@ -664,15 +702,25 @@ object Scalars {
     * net_lo, mlen) against the broadcast table, max_by per ip — with the
     * 128-bit masks precomputed per catalog length as two signed-64
     * literals, so neither engine shifts at runtime. */
-  def ip6LpmJoin(s: SparkSession, dir: String): DataFrame = {
+  /** the v6 catalog's distinct prefix lengths / broadcast prefix frame —
+    * shared by [[ip6LpmJoin]] and the dual-stack [[deviceZonesOf]] */
+  private def cidr6Lens: Seq[Int] =
+    Cidr6Catalog.map(_._1.split("/")(1).toInt).distinct.sorted
+
+  private def cidr6PrefixFrame(s: SparkSession): DataFrame = {
     import s.implicits._
-    val lens = Cidr6Catalog.map(_._1.split("/")(1).toInt).distinct.sorted
-    val prefixes = Cidr6Catalog.map { case (cidr, zone) =>
+    Cidr6Catalog.map { case (cidr, zone) =>
       val Array(net, len) = cidr.split("/")
       val (hi, lo) = ip6ToWords(net)
       val l = len.toInt
       (hi & mask6Hi(l), lo & mask6Lo(l), l, zone)
     }.toDF("net_hi", "net_lo", "mlen", "zone")
+  }
+
+  def ip6LpmJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lens = cidr6Lens
+    val prefixes = cidr6PrefixFrame(s)
     val ipl = lower(col("ip"))
     val base = graft.model.ip6Fixture.toDF("id", "ip")
       .withColumn("hi", ip6Word(ipl, 1, 2, 3, 4))

@@ -74,6 +74,33 @@ class ZoneSpec extends AnyFunSuite {
       (7, "unzoned", -1)))
   }
 
+  test("deviceZonesOf is dual-stack: v6 and mapped literals classify like the streaming twin") {
+    import spark.implicits._
+    val base = Seq(
+      (1, "2001:db8:85a3::1"),     // doc-site /48
+      (2, "fe80::1%eth0"),         // link-local /10 (zone id stripped)
+      (3, "2001:db8::5"),          // doc /32
+      (4, "64:ff9b::1"),           // ::/0 default
+      (5, "::ffff:10.0.0.9"),      // v4-MAPPED → v4 catalog /29
+      (6, "10.0.0.5"),             // plain v4 /28
+      (7, "ff02::2"),              // multicast /8
+      (8, "myhost.lan")).toDF("id", "ip")
+    val out = functions.Scalars.deviceZonesOf(spark, base)
+      .orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3))).toSeq
+    assert(out === Seq(
+      (1, "doc-site", 48), (2, "link-local", 10), (3, "doc", 32),
+      (4, "default", 0), (5, "corp-infra", 29), (6, "corp-core", 28),
+      (7, "multicast", 8), (8, "unzoned", -1)))
+    // zone parity with the streaming classifier on the same frame
+    val stream = base
+      .select(col("id"), functions.Scalars.zoneOfDevice(col("ip")).as("zone"))
+      .as[(Int, String)].collect().toMap
+    assert(out.map(r => r._1 -> r._2).toMap === stream,
+      "batch dual-stack LPM diverged from the streaming classifier")
+  }
+
   test("batch LPM and streaming classifier agree on every fixture device") {
     import spark.implicits._
     val batch = functions.Scalars.deviceZones(spark)
