@@ -105,6 +105,31 @@ object Pipeline {
   private[graft] def gateStatsCacheSize: Int =
     gateStatsCache.synchronized(gateStatsCache.size)
 
+  /** Transport adapter for Kafka-fronted fleets: map the Spark Kafka
+    * source's FIXED record schema (key/value BINARY, topic STRING,
+    * partition INT, offset LONG, timestamp TIMESTAMP — what
+    * `.readStream.format("kafka")` emits once the spark-sql-kafka
+    * connector jar is on the classpath) onto the (raw, device, ts)
+    * shape every parse/admission/dedup gate here consumes. The gates
+    * are transport-agnostic by design, so Kafka ingest is this ONE
+    * projection — no second pipeline:
+    *   - raw    = value decoded UTF-8 (the syslog line producers wrote);
+    *   - device = the record KEY when present (fleets key by sender so
+    *     per-host ordering survives partitioning) else
+    *     "topic/partition" — a stable per-lane stamp, the multi-port
+    *     UDP analog;
+    *   - ts     = the broker/producer record timestamp.
+    * Compose with [[parseToLog]] / [[parseToRfcLog]] unchanged
+    * (StreamingSpec pins kafka-shaped ≡ UDP-shaped parse results on
+    * the same payloads). No broker is required to test the contract:
+    * the schema is the connector's public, versioned output. */
+  def fromKafkaRecords(records: DataFrame): DataFrame =
+    records.select(
+      col("value").cast("string").as("raw"),
+      coalesce(col("key").cast("string"),
+        concat_ws("/", col("topic"), col("partition"))).as("device"),
+      col("timestamp").as("ts"))
+
   /** parse projection shared by batch and streaming: (raw, device, ts) →
     * canonical log schema (SURVEY.md §1.1) */
   def parseToLog(lines: DataFrame): DataFrame =

@@ -12,6 +12,10 @@ import org.scalatest.funsuite.AnyFunSuite
 case class RawLine(raw: String, device: String, ts: Timestamp)
 case class Ev(event_id: Long, timestamp: Timestamp, user_id: Long)
 case class LogRow(device: String, severity: Byte)
+// the Spark Kafka connector's fixed record shape (what
+// `.readStream.format("kafka")` emits — public, versioned schema)
+case class KafkaRecord(key: Array[Byte], value: Array[Byte], topic: String,
+  partition: Int, offset: Long, timestamp: Timestamp, timestampType: Int)
 
 /** SURVEY.md §2 B.9 stream_* rows: the e2e reference pipeline, watermark
   * late-data drop, stateful dedup, and running state — all on
@@ -125,6 +129,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(zones6 === Set(("doc-site", 1L), ("link-local", 1L), ("doc", 1L),
         ("default", 1L), ("unzoned", 3L), ("corp-infra", 1L), ("lab", 1L)),
       s"v6/malformed zone classification wrong: $zones6")
+  }
+
+  test("stream_source_kafka_adapter: kafka-shaped records parse identically to UDP-shaped lines") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the UdpSourceSpec mixed fleet, as Kafka records: keyed by sender
+    // (the per-host-ordering convention), one unkeyed record to pin the
+    // topic/partition device fallback
+    val t0 = ts("2024-03-01 10:00:00")
+    val payloads = Seq(
+      ("10.0.0.5:514", "<34>1 2003-10-11T22:14:15.003Z mymachine.example.com su - ID47 - auth failure"),
+      ("10.0.0.6:514", "<13>Oct 11 22:14:15 mymachine su: session opened"),
+      ("10.0.0.7:514", "firewall,info forward: in:ether1 out:ether2"))
+    val kafkaRows = payloads.zipWithIndex.map { case ((dev, raw), i) =>
+      KafkaRecord(dev.getBytes("UTF-8"), raw.getBytes("UTF-8"),
+        "syslog", 0, i.toLong, t0, 0)
+    } :+ KafkaRecord(null, "nospacetoken".getBytes("UTF-8"), "syslog", 3, 9L, t0, 0)
+    val msK = MemoryStream[KafkaRecord]
+    msK.addData(kafkaRows)
+    val qK = Pipeline.parseToRfcLog(Pipeline.fromKafkaRecords(msK.toDF()))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("kafka_rfc").start()
+    qK.processAllAvailable(); qK.stop()
+
+    // the same payloads through the UDP-shaped path
+    val msU = MemoryStream[RawLine]
+    msU.addData(payloads.map { case (dev, raw) => RawLine(raw, dev, t0) }
+      :+ RawLine("nospacetoken", "syslog/3", t0))
+    val qU = Pipeline.parseToRfcLog(msU.toDF())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("udp_rfc_twin").start()
+    qU.processAllAvailable(); qU.stop()
+
+    def rows(t: String) = spark.table(t)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows("kafka_rfc") === rows("udp_rfc_twin"),
+      "kafka-shaped ingest diverged from the UDP-shaped parse")
+    // the unkeyed record stamped the per-lane fallback device
+    assert(spark.table("kafka_rfc")
+      .where(col("message") === "nospacetoken" ||
+        col("device") === "syslog/3").count() >= 1)
   }
 
   test("stream_watermark_late: rows behind the watermark are dropped") {
