@@ -33,4 +33,32 @@ class EmptyInputSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty, s"queries crashing on empty input:\n${failures.mkString("\n")}")
   }
+
+  test("round-17 API surface runs on empty input: convergence loop, dual-stack LPM, PSL paths, mix tables") {
+    import spark.implicits._
+    // convergence on zero docs: zero passes, zero residual, empty result
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val (cleaned, passes, residual) =
+      operators.Dedup.dedupSubstringToConvergence(noDocs, maxPasses = 3)
+    assert(passes === 0 && residual === 0L && cleaned.count() === 0L)
+    // dual-stack batch LPM on an empty frame
+    assert(functions.Scalars.deviceZonesOf(spark,
+      Seq.empty[(Int, String)].toDF("id", "ip")).count() === 0L)
+    // PSL-parameterized URL queries over the empty corpus
+    assert(operators.CorpusOps.urlExtractWith(spark, emptyDir,
+      operators.CorpusOps.DefaultPslCatalog).count() === 0L)
+    assert(operators.CorpusOps.samplePerDomainWith(spark, emptyDir,
+      operators.CorpusOps.DefaultPslCatalog).count() === 0L)
+    // mix-from-table over the empty corpus and over an empty table
+    val t1 = Seq(("src0", 1L)).toDF("source", "w")
+    assert(operators.TextAnalysis.mixPlanFrom(spark, emptyDir, t1).count() === 0L)
+    assert(operators.TextAnalysis.mixPlanApplyFrom(spark, emptyDir, t1).count() === 0L)
+    val t0 = Seq.empty[(String, Long)].toDF("source", "w")
+    assert(operators.TextAnalysis.mixPlanFrom(spark, TestSpark.sfDir, t0).count() === 0L)
+    // kafka adapter on an empty kafka-shaped frame
+    val k0 = Seq.empty[(Array[Byte], Array[Byte], String, Int, Long, java.sql.Timestamp, Int)]
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    assert(streaming.Pipeline.parseToRfcLog(
+      streaming.Pipeline.fromKafkaRecords(k0)).count() === 0L)
+  }
 }
