@@ -119,8 +119,16 @@ object Bench {
     // stop FIRST so the JSON lines are the last stdout of the run, with no
     // shutdown logging after them; persist the full data for post-hoc use
     try spark.stop() catch { case _: Throwable => }
+    // default artifact = BENCH_LAST_RUN.json, NOT BENCH_LOCAL.json: the
+    // committed baseline (BENCH_LOCAL) is refreshed only through the
+    // bench gate (precommit --bench passes SPARK_GRAFT_BENCH_OUT
+    // explicitly after benchdiff passes); an un-gated run — e.g. the
+    // driver's round-end bench on whatever box state it gets — archives
+    // its full per-query map here instead of silently clobbering the
+    // curated lineage (which is exactly how r16's loaded-box numbers
+    // overwrote the idle-box baseline)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      new java.io.File("BENCH_LOCAL.json").getAbsolutePath)
+      new java.io.File("BENCH_LAST_RUN.json").getAbsolutePath)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (localJson + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
@@ -130,7 +138,7 @@ object Bench {
     // sentinel-prefixed copy: sbt wraps stdout lines in "[info] " and the
     // driver's tail parser has missed the bare JSON line three rounds
     // running — a greppable `GRAFT_BENCH ` prefix survives any wrapping.
-    // BENCH_LOCAL.json (written above) stays the authoritative artifact.
+    // The JSON file written above stays the authoritative artifact.
     println("GRAFT_BENCH " + shortLine)
     // bare compact JSON stays the LAST line for parsers that strip the
     // sbt prefix and json-parse the final line

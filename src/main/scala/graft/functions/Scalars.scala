@@ -464,53 +464,75 @@ object Scalars {
     val ipl = lower(col("ip"))
     val isV4 = col("ip").rlike(DottedQuadRe)
     val isMapped = ipl.rlike(MappedV4Re)
-
-    // ---- v4 side (plain + mapped) ----
-    val lens = CidrCatalog.map(_._1.split("/")(1).toInt).distinct.sorted
-    val prefixes = CidrCatalog.map { case (cidr, zone) =>
-      val Array(net, len) = cidr.split("/")
-      (dottedToLong(net), len.toInt, zone)
-    }.toDF("net", "mlen", "zone")
-    val zoned4 = base.where(isV4 || isMapped)
-      .withColumn("ip_num", ip4Num(
-        when(isV4, col("ip")).otherwise(regexp_extract(ipl, "^::ffff:(.*)$", 1))))
-      .select(col("id"), col("ip"),
-        explode(array(lens.map(l => struct(lit(l).as("mlen"),
-          col("ip_num").bitwiseAND(lit(maskOf(l))).as("net"))): _*)).as("c"))
-      .select(col("id"), col("ip"), col("c.mlen").as("mlen"), col("c.net").as("net"))
-      .join(broadcast(prefixes), Seq("net", "mlen"))
-      .groupBy("id", "ip")
-      .agg(max_by(col("zone"), col("mlen")).as("zone"),
-        max(col("mlen")).as("masklen"))
-
-    // ---- v6 side ----
     val stripped = regexp_replace(ipl, "%.*$", "")
-    val hiE = ip6Word(stripped, 1, 2, 3, 4)
-    val loE = ip6Word(stripped, 5, 6, 7, 8)
-    val lens6 = cidr6Lens
-    val prefixes6 = cidr6PrefixFrame(s)
-    // unparseable-hex words null out → those rows fall to 'unzoned'
-    // below, exactly where the streaming when-chain's null conditions
-    // land them; parseable ones always match ::/0
-    val zoned6 = base.where(!isV4 && !isMapped && col("ip").contains(":") &&
-        hiE.isNotNull && loE.isNotNull)
-      .withColumn("hi", hiE).withColumn("lo", loE)
-      .select(col("id"), col("ip"),
-        explode(array(lens6.map(l => struct(lit(l).as("mlen"),
-          col("hi").bitwiseAND(lit(mask6Hi(l))).as("net_hi"),
-          col("lo").bitwiseAND(lit(mask6Lo(l))).as("net_lo"))): _*)).as("c"))
-      .select(col("id"), col("ip"), col("c.mlen").as("mlen"),
-        col("c.net_hi").as("net_hi"), col("c.net_lo").as("net_lo"))
-      .join(broadcast(prefixes6), Seq("net_hi", "net_lo", "mlen"))
-      .groupBy("id", "ip")
-      .agg(max_by(col("zone"), col("mlen")).as("zone"),
-        max(col("mlen")).as("masklen"))
 
-    val unzoned = base.where(!isV4 && !isMapped &&
-        (!col("ip").contains(":") || hiE.isNull || loE.isNull))
-      .select(col("id"), col("ip"), lit("unzoned").as("zone"),
-        lit(null).cast(IntegerType).as("masklen"))
-    zoned4.unionByName(zoned6).unionByName(unzoned)
+    // ONE family-tagged broadcast prefix table (v4 nets ride net_hi,
+    // net_lo = 0) — dual-stack costs no extra join or scan pass: the
+    // same single explode → broadcast LEFT join → max_by as the v4-only
+    // form (a 3-branch union form measured 5x the fixture latency and
+    // would scan the base three times at scale)
+    val prefixes = (CidrCatalog.map { case (cidr, zone) =>
+        val Array(net, len) = cidr.split("/")
+        (4, dottedToLong(net), 0L, len.toInt, zone)
+      } ++ Cidr6Catalog.map { case (cidr, zone) =>
+        val Array(net, len) = cidr.split("/")
+        val (hi, lo) = ip6ToWords(net)
+        val l = len.toInt
+        (6, hi & mask6Hi(l), lo & mask6Lo(l), l, zone)
+      }).toDF("family", "net_hi", "net_lo", "mlen", "zone")
+
+    // Materialize the parsed address in STAGED projections before the
+    // candidate fan-out — this bounds the expression tree, which is a
+    // DRIVER-scaling concern, not a row one: embedding the word trees in
+    // every per-length struct multiplied the plan ~20x (10 MiB task
+    // binaries), and even one flat projection re-deriving the quad-tail
+    // rewrite per hex group cost ~1 s of Catalyst analysis per
+    // invocation. Stage 1 normalizes the literal once; stage 2 derives
+    // the two words from that single column; candidates then reference
+    // plain attributes. (Catalyst's CollapseProject keeps multi-use
+    // non-cheap projections staged, so the shape survives optimization.)
+    val v4num = ip4Num(
+      when(isV4, col("ip")).otherwise(regexp_extract(ipl, "^::ffff:(.*)$", 1)))
+    val pre = base.select(col("id"), col("ip"),
+      when(isV4 || isMapped, v4num).as("ip4num"),
+      when(!isV4 && !isMapped && col("ip").contains(":"),
+        ip6HexTail(stripped)).as("ip6n"))
+    // words are guarded on the normalized literal: a NULL ip6n would
+    // otherwise decompose into all-"0" groups (the missing-group
+    // default) and wrongly match ::/0 — non-v6 rows and unparseable hex
+    // must land 'unzoned' like the streaming when-chain sends them
+    val enriched = pre.select(col("id"), col("ip"), col("ip4num"),
+      when(col("ip6n").isNotNull,
+        ip6WordRaw(col("ip6n"), 1, 2, 3, 4)).as("hi6"),
+      when(col("ip6n").isNotNull,
+        ip6WordRaw(col("ip6n"), 5, 6, 7, 8)).as("lo6"))
+
+    val v4Cands = array(CidrCatalog.map(_._1.split("/")(1).toInt).distinct.sorted
+      .map(l => struct(lit(4).as("family"),
+        col("ip4num").bitwiseAND(lit(maskOf(l))).as("net_hi"),
+        lit(0L).as("net_lo"), lit(l).as("mlen"))): _*)
+    val v6Cands = array(cidr6Lens.map(l => struct(lit(6).as("family"),
+      col("hi6").bitwiseAND(lit(mask6Hi(l))).as("net_hi"),
+      col("lo6").bitwiseAND(lit(mask6Lo(l))).as("net_lo"), lit(l).as("mlen"))): _*)
+    // malformed stamps (no family; unparseable hex words null out, the
+    // same rows the streaming when-chain's null conditions reject) get a
+    // NULL candidate array: explode_outer keeps the row, the left join
+    // misses, and the coalesce lands it 'unzoned' — total, one pass
+    val cands = when(col("ip4num").isNotNull, v4Cands)
+      .when(col("hi6").isNotNull && col("lo6").isNotNull, v6Cands)
+
+    enriched.select(col("id"), col("ip"), explode_outer(cands).as("c"))
+      .select(col("id"), col("ip"), col("c.family").as("family"),
+        col("c.net_hi").as("net_hi"), col("c.net_lo").as("net_lo"),
+        col("c.mlen").as("mlen"))
+      .join(broadcast(prefixes), Seq("family", "net_hi", "net_lo", "mlen"), "left")
+      .groupBy("id", "ip")
+      // unmatched candidate rows carry a null zone: key max_by off them
+      // (null ordering values are ignored) so a missed /29 candidate
+      // can't shadow the matched /28 underneath it
+      .agg(coalesce(max_by(col("zone"),
+          when(col("zone").isNotNull, col("mlen"))), lit("unzoned")).as("zone"),
+        max(when(col("zone").isNotNull, col("mlen"))).as("masklen"))
   }
 
   val ipLpmJoinSql: String = {
@@ -592,8 +614,15 @@ object Scalars {
   /** hex group i (1-8) of a lowercase v6 literal after quad-tail
     * normalization and `::` decompression — shared by the arithmetic
     * family and the v6 LPM join */
-  private def ip6GHex(ipl0: Column)(i: Int): Column = {
-    val ipl = ip6HexTail(ipl0)
+  private def ip6GHex(ipl0: Column)(i: Int): Column =
+    ip6GHexRaw(ip6HexTail(ipl0))(i)
+
+  /** [[ip6GHex]] WITHOUT the quad-tail rewrite — for callers that
+    * pre-normalize the literal once into its own projected column
+    * (deviceZonesOf): embedding the rewrite in all 8 group extractions
+    * multiplies the expression tree ~8x, which shows up as per-query
+    * Catalyst analysis/optimization time, not row work */
+  private def ip6GHexRaw(ipl: Column)(i: Int): Column = {
     val parts = split(ipl, "::") // limit -1: "1::" keeps its trailing ""
     val leftS = element_at(parts, 1)
     val rightS = when(size(parts) < 2, lit("")).otherwise(element_at(parts, 2))
@@ -615,6 +644,14 @@ object Scalars {
   /** one signed-64 word from four 16-bit groups */
   private def ip6Word(ipl: Column, a: Int, b: Int, c: Int, d: Int): Column = {
     def g(i: Int) = conv(ip6GHex(ipl)(i), 16, 10).cast(LongType)
+    shiftleft(g(a), 48).bitwiseOR(shiftleft(g(b), 32))
+      .bitwiseOR(shiftleft(g(c), 16)).bitwiseOR(g(d))
+  }
+
+  /** [[ip6Word]] over an ALREADY tail-normalized literal (see
+    * [[ip6GHexRaw]]) */
+  private def ip6WordRaw(ipl: Column, a: Int, b: Int, c: Int, d: Int): Column = {
+    def g(i: Int) = conv(ip6GHexRaw(ipl)(i), 16, 10).cast(LongType)
     shiftleft(g(a), 48).bitwiseOR(shiftleft(g(b), 32))
       .bitwiseOR(shiftleft(g(c), 16)).bitwiseOR(g(d))
   }
