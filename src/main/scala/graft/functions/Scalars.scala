@@ -383,12 +383,23 @@ object Scalars {
   def zoneOfDevice(device: Column): Column = {
     val ip = graft.model.deviceIp(device)
     val ipl = lower(ip)
+    val stripped = regexp_replace(ipl, "%.*$", "")
     // a v4-MAPPED literal (::ffff:a.b.c.d) is a v4 SENDER seen through a
     // dual-stack socket — it classifies under the v4 catalog, like the
-    // dotted-quad stamp the same sender produces on a v4 bind
-    when(ipl.rlike(MappedV4Re),
-        zone4OfIp(regexp_extract(ipl, "^::ffff:(.*)$", 1)))
-      .when(ip.contains(":"), zone6OfIp(regexp_replace(ipl, "%.*$", "")))
+    // dotted-quad stamp the same sender produces on a v4 bind. The gate
+    // runs on the ZONE-STRIPPED literal so '::ffff:10.0.0.9%eth0'
+    // classifies like its unsuffixed spelling; the non-canonical mapped
+    // spellings ('0:0:0:0:0:ffff:a.b.c.d', '::ffff:a00:9') route through
+    // the v6 branch, whose NUMERIC mapped check (hi == 0, lo >> 32 ==
+    // 0xffff) reroutes them to the same v4 catalog — text-form-blind.
+    when(stripped.rlike(MappedV4Re),
+        zone4OfIp(regexp_extract(stripped, "^::ffff:(.*)$", 1)))
+      // v6 shape gate before the word derivation: Spark's conv() parses
+      // the leading valid-digit prefix of garbage (conv('foo',16,10) →
+      // 15, non-null), so ungated colon-bearing junk would derive real
+      // words and classify ::/0 'default' instead of 'unzoned'
+      .when(ip.contains(":") && stripped.rlike(V6ShapeRe) &&
+          size(split(stripped, ":")) <= 9, zone6OfIp(stripped))
       // dotted-quad shape gate before the v4 arithmetic: a hostname or a
       // malformed stamp would otherwise hit an ANSI cast error inside
       // ip4Num — streams carry whatever senders stamp, so the expression
@@ -399,14 +410,35 @@ object Scalars {
       .otherwise(lit("unzoned"))
   }
 
+  /** one bounded octet, leading zeros FORBIDDEN ('10.01.2.3' is ambiguous
+    * — octal per inet_aton, decimal per most parsers — so the shared gate
+    * rejects the whole class instead of picking a reading) */
+  private val OctetRe = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+
   /** anchored octet-bounded dotted-quad gate, shared by the streaming
     * classifier and the batch LPM join so both are total under the same
     * definition of "parseable v4" */
-  private[graft] val DottedQuadRe =
-    "^(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}$"
+  private[graft] val DottedQuadRe = s"^$OctetRe(\\.$OctetRe){3}$$"
 
-  private def zone4OfIp(ip: Column): Column = {
-    val ipNum = ip4Num(ip)
+  /** shape gate for the v6 branch of both classifiers: hex groups (1-4
+    * digits) in full, compressed, or RFC 4291 §2.2 mixed (dotted-quad
+    * tail) notation. Applied to the lowercase zone-stripped literal
+    * BEFORE the quad-tail rewrite; paired with a group-count bound
+    * (split-on-':' length ≤ 9) since the per-side {0,6} repetitions
+    * can't see across the '::'. Junk that fails either lands 'unzoned'
+    * — conv()'s prefix-parsing never sees it. */
+  private[graft] val V6ShapeRe = {
+    val h = "[0-9a-f]{1,4}"
+    val q = s"$OctetRe(\\.$OctetRe){3}"
+    s"^($h(:$h){7}" + // full form, 8 hex groups
+      s"|$h(:$h){5}:$q" + // full form, 6 hex groups + quad tail
+      s"|($h(:$h){0,6})?::($h(:$h){0,6})?" + // compressed
+      s"|($h(:$h){0,4})?::($h(:$h){0,4}:)?$q)$$" // compressed + quad tail
+  }
+
+  private def zone4OfIp(ip: Column): Column = zone4OfNum(ip4Num(ip))
+
+  private def zone4OfNum(ipNum: Column): Column = {
     val sorted = CidrCatalog.map { case (cidr, zone) =>
       val Array(net, len) = cidr.split("/")
       (dottedToLong(net), len.toInt, zone)
@@ -427,14 +459,19 @@ object Scalars {
       val l = len.toInt
       (nHi & mask6Hi(l), nLo & mask6Lo(l), l, zone)
     }.sortBy(-_._3)
-    coalesce(
-      sorted.foldLeft(lit(null).cast(StringType)) {
-        case (acc, (nHi, nLo, l, zone)) =>
-          coalesce(acc, when(
-            hi.bitwiseAND(lit(mask6Hi(l))) === lit(nHi) &&
-              lo.bitwiseAND(lit(mask6Lo(l))) === lit(nLo), zone))
-      },
-      lit("unzoned"))
+    // numeric v4-mapped check AFTER the word parse: any spelling of
+    // ::ffff:a.b.c.d/128 — uncompressed, hex-tail, mixed case — is a v4
+    // sender and reroutes to the v4 catalog, matching the batch LPM
+    when(hi === lit(0L) && shiftrightunsigned(lo, 32) === lit(0xffffL),
+        zone4OfNum(lo.bitwiseAND(lit(0xffffffffL))))
+      .otherwise(coalesce(
+        sorted.foldLeft(lit(null).cast(StringType)) {
+          case (acc, (nHi, nLo, l, zone)) =>
+            coalesce(acc, when(
+              hi.bitwiseAND(lit(mask6Hi(l))) === lit(nHi) &&
+                lo.bitwiseAND(lit(mask6Lo(l))) === lit(nLo), zone))
+        },
+        lit("unzoned")))
   }
 
   /** the unordered LPM core — (id, ip, zone, masklen) per fixture line;
@@ -462,9 +499,16 @@ object Scalars {
   def deviceZonesOf(s: SparkSession, base: DataFrame): DataFrame = {
     import s.implicits._
     val ipl = lower(col("ip"))
-    val isV4 = col("ip").rlike(DottedQuadRe)
-    val isMapped = ipl.rlike(MappedV4Re)
     val stripped = regexp_replace(ipl, "%.*$", "")
+    val isV4 = col("ip").rlike(DottedQuadRe)
+    // zone-stripped like the streaming gate: '::ffff:10.0.0.9%eth0' is
+    // the same v4 sender as its unsuffixed spelling
+    val isMapped = stripped.rlike(MappedV4Re)
+    // the v6 shape gate (see V6ShapeRe): colon-bearing junk must null
+    // out BEFORE word derivation — conv() would otherwise parse the
+    // leading valid-digit prefix of garbage into non-null words that
+    // match ::/0 instead of landing 'unzoned'
+    val isV6Shape = stripped.rlike(V6ShapeRe) && size(split(stripped, ":")) <= 9
 
     // ONE family-tagged broadcast prefix table (v4 nets ride net_hi,
     // net_lo = 0) — dual-stack costs no extra join or scan pass: the
@@ -492,20 +536,31 @@ object Scalars {
     // plain attributes. (Catalyst's CollapseProject keeps multi-use
     // non-cheap projections staged, so the shape survives optimization.)
     val v4num = ip4Num(
-      when(isV4, col("ip")).otherwise(regexp_extract(ipl, "^::ffff:(.*)$", 1)))
+      when(isV4, col("ip")).otherwise(regexp_extract(stripped, "^::ffff:(.*)$", 1)))
     val pre = base.select(col("id"), col("ip"),
-      when(isV4 || isMapped, v4num).as("ip4num"),
-      when(!isV4 && !isMapped && col("ip").contains(":"),
+      when(isV4 || isMapped, v4num).as("ip4num0"),
+      when(!isV4 && !isMapped && col("ip").contains(":") && isV6Shape,
         ip6HexTail(stripped)).as("ip6n"))
-    // words are guarded on the normalized literal: a NULL ip6n would
-    // otherwise decompose into all-"0" groups (the missing-group
-    // default) and wrongly match ::/0 — non-v6 rows and unparseable hex
-    // must land 'unzoned' like the streaming when-chain sends them
-    val enriched = pre.select(col("id"), col("ip"), col("ip4num"),
+    // words are guarded on the normalized literal: a NULL ip6n (non-v6
+    // rows, shape-gate rejects) would otherwise decompose into all-"0"
+    // groups (the missing-group default) and wrongly match ::/0 —
+    // malformed stamps must land 'unzoned' like the streaming when-chain
+    // sends them
+    val enriched = pre.select(col("id"), col("ip"), col("ip4num0"),
       when(col("ip6n").isNotNull,
         ip6WordRaw(col("ip6n"), 1, 2, 3, 4)).as("hi6"),
       when(col("ip6n").isNotNull,
         ip6WordRaw(col("ip6n"), 5, 6, 7, 8)).as("lo6"))
+    // numeric v4-mapped reroute, matching the streaming classifier: any
+    // spelling of ::ffff:a.b.c.d that reached the v6 word parse
+    // (uncompressed, hex-tail, zone-suffixed) carries hi == 0 and
+    // lo >> 32 == 0xffff — it is a v4 SENDER and joins the v4 catalog
+    val routed = enriched.select(col("id"), col("ip"),
+      coalesce(col("ip4num0"),
+        when(col("hi6") === lit(0L) &&
+            shiftrightunsigned(col("lo6"), 32) === lit(0xffffL),
+          col("lo6").bitwiseAND(lit(0xffffffffL)))).as("ip4num"),
+      col("hi6"), col("lo6"))
 
     val v4Cands = array(CidrCatalog.map(_._1.split("/")(1).toInt).distinct.sorted
       .map(l => struct(lit(4).as("family"),
@@ -514,14 +569,16 @@ object Scalars {
     val v6Cands = array(cidr6Lens.map(l => struct(lit(6).as("family"),
       col("hi6").bitwiseAND(lit(mask6Hi(l))).as("net_hi"),
       col("lo6").bitwiseAND(lit(mask6Lo(l))).as("net_lo"), lit(l).as("mlen"))): _*)
-    // malformed stamps (no family; unparseable hex words null out, the
-    // same rows the streaming when-chain's null conditions reject) get a
+    // malformed stamps (no family: shape-gated out before word
+    // derivation, the same rows the streaming when-chain rejects) get a
     // NULL candidate array: explode_outer keeps the row, the left join
-    // misses, and the coalesce lands it 'unzoned' — total, one pass
+    // misses, and the coalesce lands it 'unzoned' — total, one pass.
+    // ip4num-first means numerically-rerouted mapped rows take the v4
+    // candidates even though their v6 words are non-null.
     val cands = when(col("ip4num").isNotNull, v4Cands)
       .when(col("hi6").isNotNull && col("lo6").isNotNull, v6Cands)
 
-    enriched.select(col("id"), col("ip"), explode_outer(cands).as("c"))
+    routed.select(col("id"), col("ip"), explode_outer(cands).as("c"))
       .select(col("id"), col("ip"), col("c.family").as("family"),
         col("c.net_hi").as("net_hi"), col("c.net_lo").as("net_lo"),
         col("c.mlen").as("mlen"))
@@ -578,8 +635,7 @@ object Scalars {
     * hex parse rather than partially matching its own suffix
     * (`266.0.0.5` must not rewrite as `2` + hex("66.0.0.5")) or
     * silently wrapping mod 2^32 */
-  private val QuadTailRe =
-    "(^|:)((25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3})$"
+  private val QuadTailRe = s"(^|:)($OctetRe(\\.$OctetRe){3})$$"
 
   /** rewrite an embedded dotted-quad tail into its two hex groups
     * (`::ffff:192.0.2.1` → `::ffff:c000:201`) so the group decompressor

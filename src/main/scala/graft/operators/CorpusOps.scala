@@ -883,6 +883,17 @@ object CorpusOps {
   private def regDomain(host: Column): Column =
     regDomainWith(host, DefaultPslCatalog)
 
+  /** [[regDomainWith]] under a SECTIONED catalog restricted to the given
+    * sections — the ICANN-vs-PRIVATE policy dial the real list carries:
+    * per-domain caps usually bucket by ICANN-registrable domain (one
+    * budget per tenant SERVICE — capping github.io as a whole), while
+    * blocklists and per-tenant policies respect private registries (each
+    * `user.github.io` is its own domain). Same expression shape — the
+    * filter is driver-side catalog prep, not plan work. */
+  def regDomainSectioned(host: Column, entries: Seq[(String, String)],
+      sections: Set[String]): Column =
+    regDomainWith(host, pslSuffixes(entries, sections))
+
   /** DuckDB twin of [[regDomainWith]] over an expression `h` — generated
     * from the SAME catalog (all three rule classes, same precedence), so
     * the oracle replays the engine's suffix table verbatim */
@@ -891,7 +902,12 @@ object CorpusOps {
       (k to 1 by -1).map(i => s"string_split($h, '.')[-$i]").mkString(" || '.' || ")
     val rules = parsePsl(suffixes)
     def w(cond: String, res: String) = s"WHEN $cond THEN $res"
-    def inList(xs: Seq[String]) = xs.sorted.map(x => s"'$x'").mkString(", ")
+    // entries are interpolated into SQL string literals: escape quotes so
+    // a loaded-artifact entry can never break (or inject into) the
+    // generated oracle SQL and silently diverge the twins — real PSL
+    // entries never carry quotes, but loadPslArtifact accepts any text
+    def inList(xs: Seq[String]) =
+      xs.sorted.map(x => s"'${x.replace("'", "''")}'").mkString(", ")
     val exWhens = rules.exByN.map { case (n, names) =>
       w(s"len(string_split($h, '.')) >= $n AND ${lastLabels(n)} IN (${inList(names)})",
         lastLabels(n))
@@ -916,8 +932,65 @@ object CorpusOps {
 
   /** PSL artifact layout version — bump on any layout or semantics change
     * (suffix-match rule, label normalization) so a fleet can never bucket
-    * domains under drifted suffix semantics */
-  val PslArtifactVersion = 1L
+    * domains under drifted suffix semantics. v2 adds the `section`
+    * column (icann | private) carrying the list's
+    * ===BEGIN ICANN/PRIVATE DOMAINS=== provenance per rule. */
+  val PslArtifactVersion = 2L
+
+  /** the two publicsuffix.org list sections: ICANN = registry-operated
+    * TLD policy (the registrable-domain notion per-domain CAPS want);
+    * PRIVATE = operator-submitted registry-LIKE services (github.io,
+    * s3 website buckets — the notion BLOCKLISTS and per-tenant policies
+    * want, where each user site is its own domain) */
+  val PslSectionIcann = "icann"
+  val PslSectionPrivate = "private"
+
+  /** Parse publicsuffix.org's `public_suffix_list.dat` text into
+    * (rule, section) rows — the official grammar
+    * (https://publicsuffix.org/list/): one rule per line, text up to the
+    * first whitespace; `//` lines are comments, with the
+    * `===BEGIN/END ICANN|PRIVATE DOMAINS===` comment markers fencing the
+    * two sections; rules carry `suffix`, `*.tail`, and `!name` forms
+    * verbatim (regDomainWith parses the classes). Rules are lowercased
+    * (the list ships lowercase; defensive) and IDN rules stay in their
+    * published unicode form — hosts must be NFC-lowercased the same way
+    * before bucketing, which is exactly what urlExtract's HostRe yields
+    * for the ASCII hosts the fixtures carry. */
+  def parsePslDat(lines: Iterator[String]): Seq[(String, String)] = {
+    var section = PslSectionIcann
+    val out = Seq.newBuilder[(String, String)]
+    for (raw <- lines) {
+      val line = raw.trim
+      if (line.startsWith("//")) {
+        if (line.contains("===BEGIN PRIVATE DOMAINS===")) section = PslSectionPrivate
+        else if (line.contains("===BEGIN ICANN DOMAINS===")) section = PslSectionIcann
+      } else if (line.nonEmpty) {
+        out += ((line.split("\\s+")(0).toLowerCase(java.util.Locale.ROOT), section))
+      }
+    }
+    out.result()
+  }
+
+  /** The REAL publicsuffix.org list (MPL-2.0, header kept verbatim in
+    * the bundled file), shipped as a library resource so "PSL-correct"
+    * needs no egress at run time: ~9.5k rules, both sections, all three
+    * rule classes. Parsed once per JVM — the catalog is a constant of
+    * the internet, not of the corpus. */
+  lazy val BundledPsl: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    require(in != null, "bundled public_suffix_list.dat missing from the classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try parsePslDat(src.getLines()) finally src.close()
+  }
+
+  /** the rule texts of a sectioned catalog restricted to `sections` —
+    * the [[regDomainWith]] input for section-scoped bucketing:
+    * ICANN-only treats private registries (github.io) as ordinary
+    * domains (one cap bucket per tenant SERVICE), the full list gives
+    * every tenant site its own domain (one bucket per tenant) */
+  def pslSuffixes(entries: Seq[(String, String)],
+      sections: Set[String] = Set(PslSectionIcann, PslSectionPrivate)): Seq[String] =
+    entries.collect { case (s, sec) if sections(sec) => s }
 
   /** Persist a public-suffix catalog as a versioned release artifact —
     * the [[graft.operators.TextAnalysis.writeBpeArtifact]] discipline:
@@ -928,10 +1001,16 @@ object CorpusOps {
     * grammar verbatim (`suffix`, `*.tail`, `!name`) — the load returns
     * the text and [[regDomainWith]] parses the classes. */
   def writePslArtifact(s: SparkSession, path: String,
-      suffixes: Seq[String]): Unit = {
+      suffixes: Seq[String]): Unit =
+    writePslArtifactSectioned(s, path, suffixes.map((_, PslSectionIcann)))
+
+  /** [[writePslArtifact]] with per-rule section provenance — the form
+    * [[BundledPsl]] ships in */
+  def writePslArtifactSectioned(s: SparkSession, path: String,
+      entries: Seq[(String, String)]): Unit = {
     import s.implicits._
-    val distinct = suffixes.distinct.sorted
-    distinct.toDF("suffix")
+    val distinct = entries.distinct.sortBy(_._1)
+    distinct.toDF("suffix", "section")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/suffixes")
     Seq(("version", PslArtifactVersion.toString),
         ("n_suffixes", distinct.size.toString))
@@ -948,7 +1027,16 @@ object CorpusOps {
     * a constant of the internet, not of the corpus — the BPE-merge /
     * IVF-codebook class), and the catalog rides query plans as InSet
     * literals, never as a join side. */
-  def loadPslArtifact(s: SparkSession, path: String): Seq[String] = {
+  def loadPslArtifact(s: SparkSession, path: String): Seq[String] =
+    loadPslArtifactSectioned(s, path).map(_._1)
+
+  /** [[loadPslArtifact]] keeping each rule's section. Loaded rule text
+    * is VALIDATED (no quotes / whitespace / control chars — IDN rules
+    * are fine): these strings ride both engines' generated SQL as
+    * string literals, and though [[regDomainSqlExprWith]] escapes
+    * quotes, an artifact row that couldn't have come from a real list
+    * is better refused than silently bucketed. */
+  def loadPslArtifactSectioned(s: SparkSession, path: String): Seq[(String, String)] = {
     s.catalog.refreshByPath(s"$path/suffixes")
     require(graft.sources.Sinks.verifyManifest(s, s"$path/suffixes"),
       s"PSL artifact at $path fails its manifest integrity check — " +
@@ -958,8 +1046,17 @@ object CorpusOps {
     require(meta.get("version").contains(PslArtifactVersion.toString),
       s"PSL artifact at $path is version ${meta.getOrElse("version", "?")}; " +
         s"this build reads version $PslArtifactVersion")
-    s.read.parquet(s"$path/suffixes").orderBy("suffix").collect()
-      .map(_.getString(0)).toSeq
+    val rows = s.read.parquet(s"$path/suffixes")
+      .select("suffix", "section").orderBy("suffix").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    rows.foreach { case (suf, sec) =>
+      require(suf.nonEmpty &&
+          !suf.exists(c => c == '\'' || c == '"' || c.isWhitespace || c.isControl),
+        s"PSL artifact at $path carries a malformed rule '${suf.take(40)}'")
+      require(sec == PslSectionIcann || sec == PslSectionPrivate,
+        s"PSL artifact at $path carries an unknown section '$sec'")
+    }
+    rows
   }
 
   /** URL/host/registrable-domain extraction over web-ish text — the

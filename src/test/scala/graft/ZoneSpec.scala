@@ -37,6 +37,14 @@ class ZoneSpec extends AnyFunSuite {
     assert(zoneOf("[::ffff:10.0.0.9]:514") === "corp-infra")
     assert(zoneOf("::ffff:192.168.7.1") === "lab")
     assert(zoneOf("::FFFF:10.0.0.5") === "corp-core")
+    // ... in EVERY spelling, not just the canonical compressed one: the
+    // zone-suffixed, uncompressed, and hex-tail forms of the same v4
+    // sender route through the v6 branch, whose NUMERIC mapped check
+    // (hi == 0, lo >> 32 == 0xffff) reroutes them to the v4 catalog
+    assert(zoneOf("::ffff:10.0.0.9%eth0") === "corp-infra")
+    assert(zoneOf("0:0:0:0:0:ffff:10.0.0.9") === "corp-infra")
+    assert(zoneOf("::ffff:a00:9") === "corp-infra")
+    assert(zoneOf("0:0:0:0:0:ffff:c0a8:701") === "lab")
     // malformed: hostnames, out-of-range octets (266 & 0xFF = 10 — the
     // wrap that used to land in corp-core), truncated brackets
     assert(zoneOf("myrouter.lan:514") === "unzoned")
@@ -44,12 +52,22 @@ class ZoneSpec extends AnyFunSuite {
     assert(zoneOf("1.2.3.999") === "unzoned")
     assert(zoneOf("[garbage") === "unzoned")
     assert(zoneOf("") === "unzoned")
+    // leading-zero octets are octal-ambiguous (inet_aton reads 011 as 9,
+    // most parsers as 11) — the shared gate rejects the whole class
+    // instead of picking a reading
+    assert(zoneOf("10.01.2.3") === "unzoned")
+    assert(zoneOf("10.001.2.3") === "unzoned")
+    // colon-bearing junk fails the v6 SHAPE gate and lands 'unzoned':
+    // without the gate, conv()'s prefix-parsing ('foo' → 15) would
+    // derive non-null words and classify the v6 ::/0 default
+    assert(zoneOf("foo:bar:baz") === "unzoned")
+    assert(zoneOf("dead:beef") === "unzoned") // 2 valid hex groups ≠ a v6 literal
+    assert(zoneOf("1:2:3:4:5:6:7:8:9") === "unzoned") // 9 groups, no '::'
     // a mapped literal with an out-of-range quad fails the mapped
-    // branch's octet bound and the tail rewrite's (the quad must match
-    // WHOLE — '266.0.0.5' never partially rewrites as '2'+hex('66…')),
-    // so it reaches the v6 hex parse as-is: garbage text, but TOTAL —
-    // it may only land in the v6 catch-all, never in a v4 zone
-    assert(Set("default", "unzoned").contains(zoneOf("::ffff:266.0.0.5")))
+    // branch's octet bound, the tail rewrite's, AND the shape gate's
+    // (the quad must match WHOLE — '266.0.0.5' never partially rewrites
+    // as '2'+hex('66…')): deterministically unzoned
+    assert(zoneOf("::ffff:266.0.0.5") === "unzoned")
   }
 
   test("deviceZonesOf: the batch LPM is total like its streaming twin") {
@@ -84,7 +102,12 @@ class ZoneSpec extends AnyFunSuite {
       (5, "::ffff:10.0.0.9"),      // v4-MAPPED → v4 catalog /29
       (6, "10.0.0.5"),             // plain v4 /28
       (7, "ff02::2"),              // multicast /8
-      (8, "myhost.lan")).toDF("id", "ip")
+      (8, "myhost.lan"),
+      (9, "0:0:0:0:0:ffff:10.0.0.9"), // uncompressed mapped → v4 /29
+      (10, "::ffff:a00:9"),        // hex-tail mapped → v4 /29
+      (11, "::ffff:10.0.0.9%eth0"), // zone-suffixed mapped → v4 /29
+      (12, "foo:bar:baz")          // colon junk → shape-gated unzoned
+    ).toDF("id", "ip")
     val out = functions.Scalars.deviceZonesOf(spark, base)
       .orderBy("id").collect()
       .map(r => (r.getInt(0), r.getString(2),
@@ -92,7 +115,9 @@ class ZoneSpec extends AnyFunSuite {
     assert(out === Seq(
       (1, "doc-site", 48), (2, "link-local", 10), (3, "doc", 32),
       (4, "default", 0), (5, "corp-infra", 29), (6, "corp-core", 28),
-      (7, "multicast", 8), (8, "unzoned", -1)))
+      (7, "multicast", 8), (8, "unzoned", -1),
+      (9, "corp-infra", 29), (10, "corp-infra", 29),
+      (11, "corp-infra", 29), (12, "unzoned", -1)))
     // zone parity with the streaming classifier on the same frame
     val stream = base
       .select(col("id"), functions.Scalars.zoneOfDevice(col("ip")).as("zone"))
