@@ -23,6 +23,17 @@ object Bench {
     // warm up JVM/codegen/parquet-reader paths so the first measured query
     // doesn't absorb session startup cost
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // ... and the MEASURED execution path itself: entry() is a count(),
+    // which skips the noop-sink write path and whole-stage-codegen
+    // compilation the loop below exercises, so the first measured keys
+    // still carried multi-x JIT warm-up spreads (q_severity_hourly hit
+    // 20x min-of-2 in r17's driver artifact). Throwaway unmeasured runs
+    // of the first ordered key plus the historical variance offender
+    // through the SAME noop sink clean the variance head.
+    for (name <- (SparkEntry.queries.keys.toSeq.sorted.take(1) ++
+        Seq("q_severity_hourly")).distinct; fn <- SparkEntry.queries.get(name))
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => }
     // min of 2 runs per query, with the rounds INTERLEAVED (all queries
     // once, then all again) rather than back-to-back: consecutive runs of
     // the same query land in the same GC/JIT epoch, so a transient stall
