@@ -2573,6 +2573,19 @@ object Dedup {
     * 1-row aggregate — the loop keeps no driver state beyond counters.
     * Returns (cleaned (doc_id, text), passes run, residual dup chars). */
   def dedupSubstringToConvergence(docs: DataFrame, maxPasses: Int = 3,
+      epsChars: Long = 0L): (DataFrame, Int, Long) =
+    dedupSubstringToConvergenceWith(docs,
+      d => substringSpansOf(dupSubstrPositionsOf(d)), maxPasses, epsChars)
+
+  /** [[dedupSubstringToConvergence]] under a CALLER-CHOSEN span
+    * derivation — the winnow production dial's apply path: pass
+    * `d => substringSpansOf(winnowDupPositionsOf(d, w), winnowMergeGap(w))`
+    * to iterate the ~2/(w+1)-row winnowed cut to ITS fixed point (the
+    * residual then measures what winnow selection can still see, the
+    * honest convergence notion for the dial — runs below L+w−1 are
+    * out of scope by contract, not leftover). */
+  def dedupSubstringToConvergenceWith(docs: DataFrame,
+      spansOf: DataFrame => DataFrame, maxPasses: Int = 3,
       epsChars: Long = 0L): (DataFrame, Int, Long) = {
     require(maxPasses >= 1, "need at least one pass")
     var cur = docs.select(col("doc_id"), col("text"))
@@ -2582,7 +2595,7 @@ object Dedup {
     def drop(r: Option[org.apache.spark.rdd.RDD[_]]): Unit =
       r.foreach(x => try x.unpersist(false) catch { case _: Throwable => })
     while (passes < maxPasses && residual > epsChars) {
-      val spans = substringSpansOf(dupSubstrPositionsOf(cur))
+      val spans = spansOf(cur)
         .localCheckpoint(true)
       residual = spans
         .agg(coalesce(sum(col("span_end") - col("span_start")), lit(0L)))
@@ -2601,7 +2614,7 @@ object Dedup {
     // the post-loop residual of the LAST cut (0 when the loop exited on
     // a clean measure; re-measured when it exited on maxPasses)
     if (residual > epsChars) {
-      residual = substringSpansOf(dupSubstrPositionsOf(cur))
+      residual = spansOf(cur)
         .agg(coalesce(sum(col("span_end") - col("span_start")), lit(0L)))
         .first().getLong(0)
     }
@@ -2833,14 +2846,15 @@ object Dedup {
     * twins' arithmetic encoding. The full 16-byte md5 is emitted ONLY
     * at selected positions, so 40-bit selection collisions cost
     * selection quality, never verdicts. */
-  def winnowDupPositionsOf(docs: DataFrame): DataFrame = {
+  def winnowDupPositionsOf(docs: DataFrame): DataFrame =
+    winnowDupPositionsOf(docs, WinnowW)
+
+  /** [[winnowDupPositionsOf]] under an EXPLICIT dial `w` — the form the
+    * production apply path (w=50) composes with
+    * [[dedupSubstringToConvergenceWith]] */
+  def winnowDupPositionsOf(docs: DataFrame, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.TextExpressions.register(docs.sparkSession)
-    docs
-      .where(length(col("text")) >= SubstrL)
-      .select(col("doc_id"), explode(graft.functions.TextExpressions
-        .winnowGrams(col("text"), SubstrL, WinnowW)).as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    winnowGramsOf(docs, w)
       .withColumn("rn", row_number().over(
         Window.partitionBy("h").orderBy("doc_id", "pos")))
       .where(col("rn") >= 2)

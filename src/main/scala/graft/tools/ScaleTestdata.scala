@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   * Replication semantics (copy k of K, ids offset by k·OFF with OFF a
   * multiple of 10 so every `% 10` split keeps its per-copy fraction):
   * - `documents.text`: copy k > 0 is rewritten by a per-copy
-  *   SUBSTITUTION CIPHER (a-z, A-Z, 0-9 each rotated by k) — an
+  *   SUBSTITUTION CIPHER (a-z, A-Z, 0-9 each rotated by k, composed
+  *   with a seeded per-class permutation once k exceeds the class's
+  *   cycle length — see `cipher` below — so factors beyond 26 stay
+  *   collision-free) — an
   *   injective per-CHARACTER relabeling, so every within-copy statistic
   *   is preserved EXACTLY at both the token level (tokens remap 1:1,
   *   lengths unchanged) and the character level (L-gram equality is
@@ -97,12 +100,41 @@ object ScaleTestdata {
       val n = s.length; val r = ((k % n) + n) % n
       s.substring(r) + s.substring(0, r)
     }
+    // Beyond the alphabet's cycle length the rotation cipher REPEATS
+    // (k and k+26 share the letter mapping; k and k+10 the digit one),
+    // so a factor-100 build would plant 4-way cross-copy char-gram
+    // collisions — exactly the testdata artifact the cipher exists to
+    // prevent. Each class therefore composes its rotation (k mod cycle)
+    // with a Fisher-Yates permutation seeded by k / cycle: k below the
+    // cycle length reproduces the historical pure-rotation copies
+    // (seed 0 = identity), higher k gets a distinct class-preserving
+    // bijection — still an injective per-character relabeling, so every
+    // within-copy statistic is preserved exactly.
+    def perm(s: String, seed: Int): String = {
+      if (seed == 0) s
+      else {
+        val arr = s.toCharArray
+        var state = (seed * 2654435761L + 0x9e3779b9L) & 0x7fffffffL
+        def next(n: Int): Int = {
+          state = (state * 48271) % 2147483647L
+          (state % n).toInt
+        }
+        var i = arr.length - 1
+        while (i >= 1) {
+          val j = next(i + 1)
+          val t = arr(i); arr(i) = arr(j); arr(j) = t
+          i -= 1
+        }
+        new String(arr)
+      }
+    }
+    def cipher(s: String, k: Int): String = perm(rot(s, k % s.length), k / s.length)
     replicate("documents", Seq("doc_id"), { (df, k) =>
       val relabeled =
         if (k == 0) df
         else df.withColumn("text",
           translate(col("text"), lower + upper + digits,
-            rot(lower, k) + rot(upper, k) + rot(digits, k)))
+            cipher(lower, k) + cipher(upper, k) + cipher(digits, k)))
       // longruns: 1-in-7 docs get a long boilerplate passage appended
       // AFTER the per-copy relabeling (identical across copies → genuine
       // corpus-wide duplicated runs ≥ L+w−1 for w up to ~hundreds);
