@@ -1089,7 +1089,14 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
-  val urlExtractSql: String =
+  val urlExtractSql: String = urlExtractSqlWith(DefaultPslCatalog)
+
+  /** [[urlExtractSql]] under an explicit catalog — generated from the
+    * SAME rule set as the Spark side, so `q_url_extract_psl` replays
+    * the full bundled publicsuffix.org list through DuckDB verbatim
+    * (~9.5k rules fold into one CASE with a few IN lists; constant
+    * plan-time, the PslScaleTiming curve) */
+  def urlExtractSqlWith(suffixes: Seq[String]): String =
     s"""WITH $urlifiedCte,
        |x AS (SELECT doc_id, regexp_extract_all(text, '$UrlRe', 0) AS urls FROM u),
        |h AS (SELECT doc_id, urls,
@@ -1097,8 +1104,21 @@ object CorpusOps {
        |SELECT doc_id, len(urls)::BIGINT AS n_urls,
        |  coalesce(array_to_string(hosts, ','), '') AS hosts,
        |  coalesce(array_to_string(list_sort(list_distinct(list_transform(hosts,
-       |    h -> ${regDomainSqlExpr("h").replace("\n", " ")}))), ','), '') AS domains
+       |    h -> ${regDomainSqlExprWith("h", suffixes).replace("\n", " ")}))), ','), '') AS domains
        |FROM h ORDER BY doc_id""".stripMargin
+
+  /** Declared query: [[urlExtract]] under the REAL bundled
+    * publicsuffix.org list (both sections) — the production
+    * registrable-domain pass, oracle-checked: the DuckDB twin's suffix
+    * CASE is generated from the same ~9.5k-rule catalog, so the full
+    * rule grammar (plain/wildcard/exception at every level the real
+    * list uses) is hash-compared, not just spec-pinned. Same plan shape
+    * as the default-catalog form — the catalog only widens the InSet
+    * literals. */
+  def urlExtractPsl(s: SparkSession, dir: String): DataFrame =
+    urlExtractWith(s, dir, pslSuffixes(BundledPsl))
+
+  lazy val urlExtractPslSql: String = urlExtractSqlWith(pslSuffixes(BundledPsl))
 
   /** Canonical URL form for frontier dedup: lowercase, query/fragment
     * stripped, scheme dropped (http ≡ https for content identity),
@@ -1266,18 +1286,34 @@ object CorpusOps {
       .orderBy("domain", "doc_id")
   }
 
-  val samplePerDomainSql: String =
+  val samplePerDomainSql: String = samplePerDomainSqlWith(DefaultPslCatalog)
+
+  /** [[samplePerDomainSql]] under an explicit catalog (see
+    * [[urlExtractSqlWith]]) */
+  def samplePerDomainSqlWith(suffixes: Seq[String]): String =
     s"""WITH $urlifiedCte,
        |f AS (SELECT doc_id,
        |  coalesce(regexp_extract(text, '$UrlRe', 0), '') AS first_url FROM u),
        |k AS (SELECT doc_id,
        |  CASE WHEN first_url = '' THEN '(none)'
-       |       ELSE ${regDomainSqlExpr(s"regexp_extract(first_url, '$HostRe', 1)").replace("\n", " ")} END AS domain
+       |       ELSE ${regDomainSqlExprWith(s"regexp_extract(first_url, '$HostRe', 1)", suffixes).replace("\n", " ")} END AS domain
        |  FROM f),
        |r AS (SELECT domain, doc_id,
        |  row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rk FROM k)
        |SELECT domain, doc_id FROM r WHERE rk <= $PerDomainCap
        |ORDER BY domain, doc_id""".stripMargin
+
+  /** Declared query: [[samplePerDomain]]'s per-domain cap bucketed under
+    * the REAL bundled publicsuffix.org list — the production cap pass,
+    * oracle-checked like [[urlExtractPsl]]. ICANN-vs-PRIVATE policy note:
+    * this keys by the FULL list (each private-registry tenant is its own
+    * cap bucket); `regDomainSectioned` gives the ICANN-only bucketing
+    * when one budget per tenant SERVICE is wanted. */
+  def samplePerDomainPsl(s: SparkSession, dir: String): DataFrame =
+    samplePerDomainWith(s, dir, pslSuffixes(BundledPsl))
+
+  lazy val samplePerDomainPslSql: String =
+    samplePerDomainSqlWith(pslSuffixes(BundledPsl))
 
   // ---- corpus novelty (diminishing-returns instrument) ------------------
   /** Per-document novel-gram fraction in ingestion (doc_id) order — the
@@ -1465,6 +1501,8 @@ object CorpusOps {
     "q_source_overlap_persisted" -> sourceOverlapPersisted _,
     "q_corpus_novelty" -> corpusNovelty _,
     "q_url_extract" -> urlExtract _,
+    "q_url_extract_psl" -> urlExtractPsl _,
+    "q_sample_per_domain_psl" -> samplePerDomainPsl _,
     "q_url_frontier" -> urlFrontier _,
     "q_url_frontier_incremental" -> urlFrontierIncremental _,
     "q_sample_per_domain" -> samplePerDomain _,
@@ -1486,6 +1524,8 @@ object CorpusOps {
     "q_source_overlap" -> sourceOverlapSql,
     "q_corpus_novelty" -> corpusNoveltySql,
     "q_url_extract" -> urlExtractSql,
+    "q_url_extract_psl" -> urlExtractPslSql,
+    "q_sample_per_domain_psl" -> samplePerDomainPslSql,
     "q_url_frontier" -> urlFrontierSql,
     "q_url_frontier_incremental" -> urlFrontierIncrementalSql,
     "q_sample_per_domain" -> samplePerDomainSql,
