@@ -26,6 +26,7 @@ object SparkEntry {
     operators.TextAnalysis.queries ++
     operators.CorpusOps.queries ++
     operators.Curate.queries ++
+    operators.Resolve.queries ++
     operators.Profiling.queries ++
     operators.SketchTable.queries ++
     functions.Multimodal.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
     operators.TextAnalysis.oracle ++
     operators.CorpusOps.oracle ++
     operators.Curate.oracle ++
+    operators.Resolve.oracle ++
     operators.Profiling.oracle ++
     operators.SketchTable.oracle ++
     functions.Multimodal.oracle ++

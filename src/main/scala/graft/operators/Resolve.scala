@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.util._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fuzzy matching + entity resolution — the record-linkage half of a
+  * training-data pipeline (the reference's NOC/SIEM positioning,
+  * README.md:42-50, implies exactly this class of device/hostname
+  * reconciliation; the engine generalizes it to the standard ER stack).
+  *
+  * The scale problem: edit-distance predicates don't equi-join, and the
+  * naive form is a cross join — O(|L|·|R|) comparisons, dead at 100 TB.
+  * The fix used everywhere here is SYMSPELL-STYLE DELETION-NEIGHBORHOOD
+  * BLOCKING: for Levenshtein distance ≤ 1, two strings always share a
+  * member of their deletion neighborhoods (the string itself plus every
+  * single-character deletion) —
+  *   - equal strings share the string itself;
+  *   - a substitution at position i: deleting i from both sides yields
+  *     the same string;
+  *   - an insertion/deletion: deleting the inserted character from the
+  *     longer side yields the shorter side, which is in its own
+  *     neighborhood.
+  * So `explode(deletion_neighborhood) → equi-join on the variant` is a
+  * LOSSLESS candidate generator for the dist ≤ 1 predicate (a superset:
+  * variant collisions at distance 2 exist, e.g. "ab"/"ba" share "a"),
+  * and one `levenshtein ≤ 1` verify on the candidates restores exactness.
+  * Blocking cost is a ×(len+1) row multiplier into an equi-join on a
+  * scaling key with bounded per-key fan-out — a shuffle that partitions,
+  * never a cross join. Property-pinned in ResolveSpec (random dist ≤ 1
+  * pairs always share a variant).
+  *
+  * All joins here are equi-joins; the only actions are inside
+  * [[Dedup.propagateMinLabel]]'s convergence loop (one scalar count per
+  * round over a metadata-sized label frame).
+  */
+object Resolve {
+
+  /** Deletion neighborhood of a string column: the string itself plus
+    * every single-character deletion, distinct. Pure per-row array
+    * construction — ×(len+1) rows after explode, zero shuffles. */
+  private[graft] def delNeighborhood(c: Column): Column =
+    array_distinct(concat(
+      array(c),
+      transform(sequence(lit(1), length(c)),
+        i => concat(substr(c, lit(1), i - 1), substr(c, i + 1, length(c))))))
+
+  // ---- fuzzy join ------------------------------------------------------
+
+  /** Cross-system id linkage: the numeric suffixes of customer names
+    * fuzzy-joined to the numeric suffixes of supplier names at edit
+    * distance ≤ 1 — the "same entity, one typo apart in two systems"
+    * join. Both sides distinct-project first (map-side combine), then
+    * deletion-variant explode → variant equi-join → pair distinct →
+    * levenshtein verify. No cross join anywhere; the variant join's key
+    * cardinality scales with the data and per-key fan-out is bounded by
+    * the alphabet (≤ 10 digit substitutions per position). */
+  def joinFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "customer")
+      .select(regexp_extract(col("c_name"), "[0-9]+$", 0).as("name_a")).distinct()
+    val b = t(s, dir, "supplier")
+      .select(regexp_extract(col("s_name"), "[0-9]+$", 0).as("name_b")).distinct()
+    val av = a.select(col("name_a"), explode(delNeighborhood(col("name_a"))).as("v"))
+    val bv = b.select(col("name_b"), explode(delNeighborhood(col("name_b"))).as("v"))
+    av.join(bv, "v")
+      .select("name_a", "name_b").distinct()
+      .where(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast(LongType).as("dist"))
+      .orderBy("name_a", "name_b")
+  }
+
+  val joinFuzzySql: String =
+    """WITH a AS (SELECT DISTINCT regexp_extract(c_name, '[0-9]+$', 0) AS name_a FROM customer),
+      |b AS (SELECT DISTINCT regexp_extract(s_name, '[0-9]+$', 0) AS name_b FROM supplier)
+      |SELECT name_a, name_b, levenshtein(name_a, name_b)::BIGINT AS dist
+      |FROM a, b WHERE levenshtein(name_a, name_b) <= 1
+      |ORDER BY name_a, name_b""".stripMargin
+
+  // ---- entity resolution ----------------------------------------------
+
+  /** Candidate pairs within the nation block at name distance ≤ 1, with
+    * the per-evidence columns the scorer reads. Blocking key =
+    * (nationkey, deletion variant): standard ER practice — a cheap exact
+    * attribute narrows the block, the neighborhood join handles the
+    * fuzzy attribute inside it. */
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val v = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"), col("c_acctbal"))
+      .select(col("c_nationkey").as("nat"), col("c_custkey"), col("c_name"),
+        col("c_mktsegment"), col("c_acctbal"),
+        explode(delNeighborhood(col("c_name"))).as("v"))
+    val a = v.select(col("nat"), col("v"), col("c_custkey").as("key_a"),
+      col("c_name").as("name_a"), col("c_mktsegment").as("seg_a"),
+      col("c_acctbal").as("bal_a"))
+    val b = v.select(col("nat"), col("v"), col("c_custkey").as("key_b"),
+      col("c_name").as("name_b"), col("c_mktsegment").as("seg_b"),
+      col("c_acctbal").as("bal_b"))
+    a.join(b, Seq("nat", "v"))
+      .where(col("key_a") < col("key_b"))
+      .select("key_a", "key_b", "name_a", "name_b", "seg_a", "seg_b", "bal_a", "bal_b")
+      .distinct()
+      .where(levenshtein(col("name_a"), col("name_b")) <= 1)
+  }
+
+  /** Pairwise match scoring — Fellegi-Sunter-shaped integer evidence
+    * weights (name 60/30 by distance, segment agreement 25, account
+    * balance within 1000.0 adds 15), integer-exact so the oracle hash is
+    * bit-stable. A pair at distance 1 needs segment agreement to reach
+    * the [[MatchThreshold]]; balance proximity alone can't promote. */
+  def entityResolve(s: SparkSession, dir: String): DataFrame = {
+    val nd = levenshtein(col("name_a"), col("name_b"))
+    candidatePairs(s, dir)
+      .select(col("key_a"), col("key_b"),
+        nd.cast(LongType).as("name_dist"),
+        (col("seg_a") === col("seg_b")).cast(LongType).as("same_seg"),
+        (abs(col("bal_a") - col("bal_b")) <= 1000.0).cast(LongType).as("bal_close"))
+      .select(col("key_a"), col("key_b"), col("name_dist"), col("same_seg"),
+        col("bal_close"),
+        (when(col("name_dist") === 0, 60).otherwise(30)
+          + col("same_seg") * 25 + col("bal_close") * 15).cast(LongType).as("score"))
+      .orderBy("key_a", "key_b")
+  }
+
+  /** pairs scoring at or above this are merge edges */
+  val MatchThreshold = 55
+
+  /** shared CTE: the scored-pair derivation, verbatim in both cluster
+    * oracles so the Spark and DuckDB edge sets can never drift */
+  private val scoredPairsCte: String =
+    """scored AS (
+      |  SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+      |    levenshtein(a.c_name, b.c_name)::BIGINT AS name_dist,
+      |    (a.c_mktsegment = b.c_mktsegment)::BIGINT AS same_seg,
+      |    (abs(a.c_acctbal - b.c_acctbal) <= 1000.0)::BIGINT AS bal_close
+      |  FROM customer a JOIN customer b
+      |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+      |pairs AS (
+      |  SELECT key_a, key_b, name_dist, same_seg, bal_close,
+      |    (CASE WHEN name_dist = 0 THEN 60 ELSE 30 END
+      |     + same_seg * 25 + bal_close * 15)::BIGINT AS score
+      |  FROM scored)""".stripMargin
+
+  val entityResolveSql: String =
+    s"""WITH $scoredPairsCte
+       |SELECT * FROM pairs ORDER BY key_a, key_b""".stripMargin
+
+  /** Every customer labeled with its entity id = the min custkey of its
+    * match-graph connected component (singletons label themselves) — the
+    * canonical ER output, golden-record selection's input. Components
+    * come from [[Dedup.propagateMinLabel]]'s pointer-doubling min-label
+    * loop (equi-joins on scaling keys, exact for any diameter, converges
+    * in O(log d) rounds); the oracle replays the same components as a
+    * recursive-CTE transitive closure. */
+  def entityResolveClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = entityResolve(s, dir)
+      .where(col("score") >= MatchThreshold)
+      .select(col("key_a").as("d1"), col("key_b").as("d2"))
+    val labels = Dedup.propagateMinLabel(edges)
+      .select(col("doc_id").as("c_custkey"), col("cluster_id"))
+    t(s, dir, "customer").select(col("c_custkey"))
+      .join(labels, Seq("c_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("cluster_id"), col("c_custkey")).as("entity_id"))
+      .orderBy("c_custkey")
+  }
+
+  val entityResolveClustersSql: String =
+    s"""WITH RECURSIVE $scoredPairsCte,
+       |e AS (SELECT key_a AS x, key_b AS y FROM pairs WHERE score >= $MatchThreshold
+       |      UNION SELECT key_b, key_a FROM pairs WHERE score >= $MatchThreshold),
+       |reach(a, b) AS (
+       |  SELECT x, y FROM e
+       |  UNION
+       |  SELECT reach.a, e.y FROM reach JOIN e ON reach.b = e.x),
+       |lab AS (SELECT a AS node, least(a, min(b)) AS entity_id FROM reach GROUP BY a)
+       |SELECT c.c_custkey, coalesce(lab.entity_id, c.c_custkey) AS entity_id
+       |FROM customer c LEFT JOIN lab ON lab.node = c.c_custkey
+       |ORDER BY c.c_custkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_join_fuzzy" -> joinFuzzy _,
+    "q_entity_resolve" -> entityResolve _,
+    "q_entity_resolve_clusters" -> entityResolveClusters _)
+
+  val oracle: Map[String, String] = Map(
+    "q_join_fuzzy" -> joinFuzzySql,
+    "q_entity_resolve" -> entityResolveSql,
+    "q_entity_resolve_clusters" -> entityResolveClustersSql)
+}

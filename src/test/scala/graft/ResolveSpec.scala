@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Resolve
+
+/** Entity resolution / fuzzy join: the deletion-neighborhood blocking
+  * must be LOSSLESS for the dist ≤ 1 predicate (the whole point — a
+  * blocked join that silently drops matches is worse than a slow one),
+  * and the blocked operators must equal their brute-force cross-join
+  * forms exactly. */
+class ResolveSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sfDir
+  import spark.implicits._
+
+  /** random dist ≤ 1 pairs always share a deletion variant (SymSpell
+    * property) — exercised through the PRODUCTION Column, not a model */
+  test("deletion neighborhoods of any dist<=1 pair intersect") {
+    val rnd = new scala.util.Random(42)
+    val alpha = "ab01"
+    def randStr(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val pairs = (1 to 300).map { _ =>
+      val s = randStr(3 + rnd.nextInt(10))
+      val i = rnd.nextInt(s.length)
+      val t = rnd.nextInt(3) match {
+        case 0 => s.updated(i, alpha(rnd.nextInt(alpha.length)))          // substitution
+        case 1 => s.substring(0, i) + alpha(rnd.nextInt(alpha.length)) + s.substring(i) // insertion
+        case _ => s.substring(0, i) + s.substring(i + 1)                   // deletion
+      }
+      (s, t)
+    }
+    val df = pairs.toDF("s", "t").select(
+      col("s"), col("t"),
+      levenshtein(col("s"), col("t")).as("d"),
+      arrays_overlap(Resolve.delNeighborhood(col("s")),
+        Resolve.delNeighborhood(col("t"))).as("share"))
+    val missed = df.where(col("d") <= 1 && !col("share")).count()
+    assert(missed === 0L, "deletion blocking dropped a dist<=1 pair")
+    // sanity: the generator actually produced dist<=1 pairs
+    assert(df.where(col("d") <= 1).count() >= 250L)
+  }
+
+  test("q_join_fuzzy equals the brute-force cross join") {
+    val blocked = operators.Resolve.joinFuzzy(spark, dir)
+    val a = util.t(spark, dir, "customer")
+      .select(regexp_extract(col("c_name"), "[0-9]+$", 0).as("name_a")).distinct()
+    val b = util.t(spark, dir, "supplier")
+      .select(regexp_extract(col("s_name"), "[0-9]+$", 0).as("name_b")).distinct()
+    val brute = a.crossJoin(b)
+      .where(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+    assert(blocked.count() > 0L)
+    assert(blocked.exceptAll(brute).count() === 0L)
+    assert(brute.exceptAll(blocked).count() === 0L)
+  }
+
+  test("q_entity_resolve_clusters equals union-find over brute-force edges") {
+    val labels = operators.Resolve.entityResolveClusters(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    // brute-force edge set: same nation, lev<=1, score>=threshold
+    val c = util.t(spark, dir, "customer")
+    val edges = c.as("a").join(c.as("b"),
+        col("a.c_nationkey") === col("b.c_nationkey")
+          && col("a.c_custkey") < col("b.c_custkey"))
+      .where(levenshtein(col("a.c_name"), col("b.c_name")) <= 1)
+      .select(col("a.c_custkey").as("x"), col("b.c_custkey").as("y"),
+        (when(levenshtein(col("a.c_name"), col("b.c_name")) === 0, 60).otherwise(30)
+          + (col("a.c_mktsegment") === col("b.c_mktsegment")).cast("long") * 25
+          + (abs(col("a.c_acctbal") - col("b.c_acctbal")) <= 1000.0).cast("long") * 15
+          ).as("score"))
+      .where(col("score") >= Resolve.MatchThreshold)
+      .select("x", "y").as[(Long, Long)].collect()
+    // union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    val keys = c.select("c_custkey").as[Long].collect()
+    val expected = keys.map(k => k -> find(k)).toMap
+    assert(labels === expected)
+    // non-degenerate fixture: at least one real merge happened
+    assert(expected.exists { case (k, e) => k != e })
+  }
+
+  test("q_mv_incremental equals the single-pass full recompute") {
+    val merged = operators.Relational.mvIncremental(spark, dir)
+    val full = {
+      val o = util.t(spark, dir, "orders")
+        .select(col("o_orderpriority"),
+          year(col("o_orderdate")).cast("long").as("o_year"), col("o_totalprice"))
+      o.groupBy("o_orderpriority", "o_year")
+        .agg(count(lit(1)).as("n"),
+          sum(util.d2(col("o_totalprice"))).as("total_d"),
+          min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+        .select(col("o_orderpriority"), col("o_year"), col("n"),
+          util.r4(col("total_d")).as("total"),
+          util.r4(col("mn")).as("min_price"), util.r4(col("mx")).as("max_price"),
+          util.r4f(col("total_d").cast("double") / col("n")).as("avg_price"))
+    }
+    assert(merged.count() > 0L)
+    assert(merged.exceptAll(full).count() === 0L)
+    assert(full.exceptAll(merged).count() === 0L)
+  }
+}
