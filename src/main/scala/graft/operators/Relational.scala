@@ -737,6 +737,50 @@ object Relational {
       .orderBy("o_orderpriority", "o_year")
   }
 
+  /** Partial refresh — the MV-maintenance pattern for HOLISTIC measures
+    * (here count(DISTINCT o_custkey)) that no partial-state merge can
+    * maintain: distinct counts don't add across batches. The refresh
+    * instead (1) derives the TOUCHED group keys from the delta (a
+    * group-count-bounded frame, broadcast), (2) serves every untouched
+    * group straight from the stored view (anti join — zero recompute),
+    * and (3) recomputes ONLY the touched groups from the full history
+    * restricted by a semi join. At 100 TB with the base table
+    * partitioned by the group key (e.g. date), step 3's semi join is
+    * partition pruning: a day's delta re-reads a day, not the table —
+    * the standard lambda-architecture refresh. The oracle is the full
+    * recompute; hash equality proves the stitched view is exact. */
+  def mvPartialRefresh(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"),
+        col("o_orderdate"), col("o_custkey"), col("o_totalprice"))
+    def viewOf(df: DataFrame): DataFrame =
+      df.groupBy("o_orderpriority", "o_year")
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("o_custkey")).as("n_cust"),
+          sum(d2(col("o_totalprice"))).as("total_d"))
+    val cut = lit("2000-01-01").cast(DateType)
+    val storedMv = viewOf(o.where(col("o_orderdate") < cut))
+    val touched = o.where(col("o_orderdate") >= cut)
+      .select("o_orderpriority", "o_year").distinct()
+    val untouched = storedMv
+      .join(broadcast(touched), Seq("o_orderpriority", "o_year"), "left_anti")
+    val recomputed = viewOf(
+      o.join(broadcast(touched), Seq("o_orderpriority", "o_year"), "left_semi"))
+    untouched.unionByName(recomputed)
+      .select(col("o_orderpriority"), col("o_year"), col("n"), col("n_cust"),
+        r4(col("total_d")).as("total"))
+      .orderBy("o_orderpriority", "o_year")
+  }
+
+  /** full recompute with the holistic measure — the stitched view must
+    * hash-match this */
+  val mvPartialRefreshSql: String =
+    """SELECT o_orderpriority, year(o_orderdate)::BIGINT AS o_year,
+      |  count(*) AS n, count(DISTINCT o_custkey) AS n_cust,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** full recompute — the incremental path must hash-match this */
   val mvIncrementalSql: String =
     """SELECT o_orderpriority, year(o_orderdate)::BIGINT AS o_year,
@@ -753,6 +797,7 @@ object Relational {
     "q_unpivot" -> unpivotMeasures _,
     "q_merge_upsert" -> mergeUpsert _,
     "q_mv_incremental" -> mvIncremental _,
+    "q_mv_partial_refresh" -> mvPartialRefresh _,
     "q_scalar_subquery" -> scalarSubquery _,
     "q_scan_parquet" -> scanParquet _,
     "q_scan_pruned" -> scanPruned _,
@@ -787,6 +832,7 @@ object Relational {
     "q_unpivot" -> unpivotMeasuresSql,
     "q_merge_upsert" -> mergeUpsertSql,
     "q_mv_incremental" -> mvIncrementalSql,
+    "q_mv_partial_refresh" -> mvPartialRefreshSql,
     "q_scalar_subquery" -> scalarSubquerySql,
     "q_scan_parquet" -> scanParquetSql,
     "q_scan_pruned" -> scanPrunedSql,

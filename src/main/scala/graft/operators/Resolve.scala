@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.util._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -56,11 +57,18 @@ object Resolve {
     * levenshtein verify. No cross join anywhere; the variant join's key
     * cardinality scales with the data and per-key fan-out is bounded by
     * the alphabet (≤ 10 digit substitutions per position). */
-  def joinFuzzy(s: SparkSession, dir: String): DataFrame = {
-    val a = t(s, dir, "customer")
-      .select(regexp_extract(col("c_name"), "[0-9]+$", 0).as("name_a")).distinct()
-    val b = t(s, dir, "supplier")
-      .select(regexp_extract(col("s_name"), "[0-9]+$", 0).as("name_b")).distinct()
+  def joinFuzzy(s: SparkSession, dir: String): DataFrame =
+    joinFuzzyFrom(
+      t(s, dir, "customer")
+        .select(regexp_extract(col("c_name"), "[0-9]+$", 0).as("name_a")).distinct(),
+      t(s, dir, "supplier")
+        .select(regexp_extract(col("s_name"), "[0-9]+$", 0).as("name_b")).distinct())
+
+  /** [[joinFuzzy]] over explicit name frames (`name_a` / `name_b`
+    * columns) — the declared query IS this over the fixture tables;
+    * the scale instrument (tools/ResolveScaleTiming) feeds replicated
+    * frames through the same plan. */
+  def joinFuzzyFrom(a: DataFrame, b: DataFrame): DataFrame = {
     val av = a.select(col("name_a"), explode(delNeighborhood(col("name_a"))).as("v"))
     val bv = b.select(col("name_b"), explode(delNeighborhood(col("name_b"))).as("v"))
     av.join(bv, "v")
@@ -85,8 +93,8 @@ object Resolve {
     * (nationkey, deletion variant): standard ER practice — a cheap exact
     * attribute narrows the block, the neighborhood join handles the
     * fuzzy attribute inside it. */
-  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val v = t(s, dir, "customer")
+  private def candidatePairs(cust: DataFrame): DataFrame = {
+    val v = cust
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_mktsegment"), col("c_acctbal"))
       .select(col("c_nationkey").as("nat"), col("c_custkey"), col("c_name"),
@@ -110,9 +118,14 @@ object Resolve {
     * balance within 1000.0 adds 15), integer-exact so the oracle hash is
     * bit-stable. A pair at distance 1 needs segment agreement to reach
     * the [[MatchThreshold]]; balance proximity alone can't promote. */
-  def entityResolve(s: SparkSession, dir: String): DataFrame = {
+  def entityResolve(s: SparkSession, dir: String): DataFrame =
+    scoredPairsFrom(t(s, dir, "customer")).orderBy("key_a", "key_b")
+
+  /** the scored-pair derivation over an explicit customer-shaped frame
+    * (unordered — callers sort or aggregate) */
+  def scoredPairsFrom(cust: DataFrame): DataFrame = {
     val nd = levenshtein(col("name_a"), col("name_b"))
-    candidatePairs(s, dir)
+    candidatePairs(cust)
       .select(col("key_a"), col("key_b"),
         nd.cast(LongType).as("name_dist"),
         (col("seg_a") === col("seg_b")).cast(LongType).as("same_seg"),
@@ -121,7 +134,6 @@ object Resolve {
         col("bal_close"),
         (when(col("name_dist") === 0, 60).otherwise(30)
           + col("same_seg") * 25 + col("bal_close") * 15).cast(LongType).as("score"))
-      .orderBy("key_a", "key_b")
   }
 
   /** pairs scoring at or above this are merge edges */
@@ -155,17 +167,21 @@ object Resolve {
     * loop (equi-joins on scaling keys, exact for any diameter, converges
     * in O(log d) rounds); the oracle replays the same components as a
     * recursive-CTE transitive closure. */
-  def entityResolveClusters(s: SparkSession, dir: String): DataFrame = {
-    val edges = entityResolve(s, dir)
+  def entityResolveClusters(s: SparkSession, dir: String): DataFrame =
+    clusterLabelsFrom(t(s, dir, "customer")).orderBy("c_custkey")
+
+  /** (c_custkey, entity_id) labels over an explicit customer-shaped
+    * frame, unordered */
+  def clusterLabelsFrom(cust: DataFrame): DataFrame = {
+    val edges = scoredPairsFrom(cust)
       .where(col("score") >= MatchThreshold)
       .select(col("key_a").as("d1"), col("key_b").as("d2"))
     val labels = Dedup.propagateMinLabel(edges)
       .select(col("doc_id").as("c_custkey"), col("cluster_id"))
-    t(s, dir, "customer").select(col("c_custkey"))
+    cust.select(col("c_custkey"))
       .join(labels, Seq("c_custkey"), "left")
       .select(col("c_custkey"),
         coalesce(col("cluster_id"), col("c_custkey")).as("entity_id"))
-      .orderBy("c_custkey")
   }
 
   val entityResolveClustersSql: String =
@@ -181,13 +197,70 @@ object Resolve {
        |FROM customer c LEFT JOIN lab ON lab.node = c.c_custkey
        |ORDER BY c.c_custkey""".stripMargin
 
+  /** Golden-record selection — the survivorship stage that makes ER
+    * useful: per entity, ONE canonical row (highest account balance,
+    * ties to the lowest custkey — a deterministic total order, so the
+    * oracle hash is stable) plus the member count and the exact decimal
+    * balance total the merged entity carries. The pick is a row_number
+    * window PARTITIONED BY entity_id — a data-scaling key with
+    * component-bounded group sizes, never a global window — and the
+    * group stats ride the same shuffle partitioning. */
+  def entityGolden(s: SparkSession, dir: String): DataFrame = {
+    val labeled = clusterLabelsFrom(t(s, dir, "customer"))
+      .join(t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal"), Seq("c_custkey"))
+    val w = Window.partitionBy("entity_id")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val golden = labeled
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("entity_id"), col("c_custkey").as("golden_custkey"),
+        col("c_name").as("golden_name"), r4(col("c_acctbal")).as("golden_bal"))
+    val stats = labeled.groupBy("entity_id")
+      .agg(count(lit(1)).as("n_members"),
+        r4(sum(d2(col("c_acctbal")))).as("total_bal"))
+    stats.join(golden, Seq("entity_id"))
+      .select("entity_id", "n_members", "golden_custkey", "golden_name",
+        "golden_bal", "total_bal")
+      .orderBy("entity_id")
+  }
+
+  val entityGoldenSql: String =
+    s"""WITH RECURSIVE $scoredPairsCte,
+       |e AS (SELECT key_a AS x, key_b AS y FROM pairs WHERE score >= $MatchThreshold
+       |      UNION SELECT key_b, key_a FROM pairs WHERE score >= $MatchThreshold),
+       |reach(a, b) AS (
+       |  SELECT x, y FROM e
+       |  UNION
+       |  SELECT reach.a, e.y FROM reach JOIN e ON reach.b = e.x),
+       |lab AS (SELECT a AS node, least(a, min(b)) AS entity_id FROM reach GROUP BY a),
+       |labeled AS (
+       |  SELECT c.c_custkey, coalesce(lab.entity_id, c.c_custkey) AS entity_id,
+       |    c.c_name, c.c_acctbal
+       |  FROM customer c LEFT JOIN lab ON lab.node = c.c_custkey),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY entity_id ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+       |  FROM labeled),
+       |stats AS (
+       |  SELECT entity_id, count(*) AS n_members,
+       |    CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 4) AS DOUBLE) AS total_bal
+       |  FROM labeled GROUP BY 1)
+       |SELECT s.entity_id, s.n_members, r.c_custkey AS golden_custkey,
+       |  r.c_name AS golden_name,
+       |  CAST(round(r.c_acctbal, 4) AS DOUBLE) AS golden_bal, s.total_bal
+       |FROM stats s JOIN ranked r ON r.entity_id = s.entity_id AND r.rn = 1
+       |ORDER BY s.entity_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_join_fuzzy" -> joinFuzzy _,
     "q_entity_resolve" -> entityResolve _,
-    "q_entity_resolve_clusters" -> entityResolveClusters _)
+    "q_entity_resolve_clusters" -> entityResolveClusters _,
+    "q_entity_golden" -> entityGolden _)
 
   val oracle: Map[String, String] = Map(
     "q_join_fuzzy" -> joinFuzzySql,
     "q_entity_resolve" -> entityResolveSql,
-    "q_entity_resolve_clusters" -> entityResolveClustersSql)
+    "q_entity_resolve_clusters" -> entityResolveClustersSql,
+    "q_entity_golden" -> entityGoldenSql)
 }

@@ -90,6 +90,47 @@ class ResolveSpec extends AnyFunSuite {
     assert(expected.exists { case (k, e) => k != e })
   }
 
+  test("q_entity_golden picks max-balance/min-custkey per entity and exact totals") {
+    val golden = operators.Resolve.entityGolden(spark, dir)
+      .select("entity_id", "golden_custkey", "n_members")
+      .as[(Long, Long, Long)].collect()
+    val labels = operators.Resolve.entityResolveClusters(spark, dir)
+      .as[(Long, Long)].collect()
+    val attrs = util.t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .as[(Long, Double)].collect().toMap
+    val byEntity = labels.groupBy(_._2)
+    assert(golden.length === byEntity.size)
+    golden.foreach { case (eid, gk, n) =>
+      val members = byEntity(eid).map(_._1)
+      assert(n === members.length.toLong)
+      val expected = members.minBy(k => (-attrs(k), k))
+      assert(gk === expected, s"entity $eid: golden $gk != expected $expected")
+    }
+  }
+
+  test("q_mv_partial_refresh: untouched groups served from the view, holistic measure exact") {
+    val stitched = operators.Relational.mvPartialRefresh(spark, dir)
+    val full = {
+      val o = util.t(spark, dir, "orders")
+        .select(col("o_orderpriority"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          col("o_custkey"), col("o_totalprice"))
+      o.groupBy("o_orderpriority", "o_year")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          util.r4(sum(util.d2(col("o_totalprice")))).as("total"))
+        .select("o_orderpriority", "o_year", "n", "n_cust", "total")
+    }
+    assert(stitched.count() > 0L)
+    assert(stitched.exceptAll(full).count() === 0L)
+    assert(full.exceptAll(stitched).count() === 0L)
+    // the fixture actually exercises BOTH paths: some groups untouched
+    // by the delta (pre-2000 years), some recomputed (2000+)
+    val years = stitched.select("o_year").distinct().as[Long].collect()
+    assert(years.exists(_ < 2000L) && years.exists(_ >= 2000L))
+  }
+
   test("q_mv_incremental equals the single-pass full recompute") {
     val merged = operators.Relational.mvIncremental(spark, dir)
     val full = {

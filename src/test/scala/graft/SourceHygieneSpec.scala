@@ -51,6 +51,7 @@ class SourceHygieneSpec extends AnyFunSuite {
     "LongDocWinnow.scala" -> 2,
     "ScaleTestdata.scala" -> 1,
     "SemanticKScale.scala" -> 1,
+    "ResolveScaleTiming.scala" -> 2, // two 1-row aggregates (cross-pair total, entity count)
     "WinnowApplyTiming.scala" -> 2, // two 1-row char-total aggregates
     "WinnowSweep.scala" -> 3)
 
