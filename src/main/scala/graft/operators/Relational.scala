@@ -709,32 +709,54 @@ object Relational {
     * the FULL RECOMPUTE over all orders — hash equality IS the proof
     * that the incremental path loses nothing. The same split runs at
     * any batch cadence: cost per refresh is O(delta + groups). */
-  def mvIncremental(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
+  /** re-aggregable partial states of the orders rollup over any
+    * orders-shaped slice (o_orderpriority, o_orderdate, o_totalprice) —
+    * shared by the declared incremental query, the streaming
+    * maintenance twin ([[graft.streaming.Pipeline.streamMvMaintain]]),
+    * and the at-rest reader [[readMv]], so the three can never drift */
+  def mvPartialStates(slice: DataFrame): DataFrame =
+    slice
       .select(col("o_orderpriority"),
         year(col("o_orderdate")).cast(LongType).as("o_year"),
-        col("o_orderdate"), col("o_totalprice"))
-    def partials(df: DataFrame): DataFrame =
-      df.groupBy("o_orderpriority", "o_year")
-        .agg(count(lit(1)).as("n"),
-          sum(d2(col("o_totalprice"))).as("total"),
-          min(col("o_totalprice")).as("min_price"),
-          max(col("o_totalprice")).as("max_price"))
-    val cut = lit("2000-01-01").cast(DateType)
-    val baseMv = partials(o.where(col("o_orderdate") < cut))   // the stored view
-    val delta = partials(o.where(col("o_orderdate") >= cut))   // the arriving batch
-    baseMv.unionByName(delta)
+        col("o_totalprice"))
       .groupBy("o_orderpriority", "o_year")
+      .agg(count(lit(1)).as("n"),
+        sum(d2(col("o_totalprice"))).as("total"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+
+  /** merge any number of partial-state rows per group back into one */
+  def mvMergeStates(states: DataFrame): DataFrame =
+    states.groupBy("o_orderpriority", "o_year")
       .agg(sum(col("n")).as("n"),
         sum(col("total")).as("total"),
         min(col("min_price")).as("min_price"),
         max(col("max_price")).as("max_price"))
-      .select(col("o_orderpriority"), col("o_year"), col("n"),
+
+  /** read-time presentation: derived measures (avg) from merged states */
+  def mvPresent(merged: DataFrame): DataFrame =
+    merged.select(col("o_orderpriority"), col("o_year"), col("n"),
         r4(col("total")).as("total"),
         r4(col("min_price")).as("min_price"),
         r4(col("max_price")).as("max_price"),
         r4f(col("total").cast(DoubleType) / col("n")).as("avg_price"))
       .orderBy("o_orderpriority", "o_year")
+
+  /** the MV AT REST: merge + present the partial-state log a
+    * [[graft.streaming.Pipeline.streamMvMaintain]] stream appends —
+    * O(batches × groups) rows in, O(groups) out */
+  def readMv(s: SparkSession, mvDir: String): DataFrame =
+    mvPresent(mvMergeStates(
+      s.read.parquet(mvDir)
+        .select("o_orderpriority", "o_year", "n", "total", "min_price", "max_price")))
+
+  def mvIncremental(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderdate"), col("o_totalprice"))
+    val cut = lit("2000-01-01").cast(DateType)
+    val baseMv = mvPartialStates(o.where(col("o_orderdate") < cut)) // the stored view
+    val delta = mvPartialStates(o.where(col("o_orderdate") >= cut)) // the arriving batch
+    mvPresent(mvMergeStates(baseMv.unionByName(delta)))
   }
 
   /** Partial refresh — the MV-maintenance pattern for HOLISTIC measures

@@ -252,15 +252,117 @@ object Resolve {
        |FROM stats s JOIN ranked r ON r.entity_id = s.entity_id AND r.rn = 1
        |ORDER BY s.entity_id""".stripMargin
 
+  // ---- incremental / persisted-index serving -------------------------
+
+  /** Best-match verdicts for a probe batch against an index population —
+    * the serving half of entity resolution: a new record arrives, does
+    * it match a known entity? Candidates via the same (nationkey,
+    * deletion-variant) blocking as the batch pass, scored identically,
+    * then ONE best match per probe (max score, ties to the lowest index
+    * key — deterministic) with the match threshold applied; unmatched
+    * probes survive with null verdicts (they'd mint a new entity on
+    * absorb). The row_number window partitions by probe key — a
+    * data-scaling key. */
+  def probeMatches(index: DataFrame, probes: DataFrame): DataFrame =
+    probeMatchesExploded(sided(index, "i"), probes)
+
+  /** one exploded row per (deletion variant, record) — the join side of
+    * the (nat, v) candidate equi-join, and the index's at-rest schema */
+  private def sided(df: DataFrame, side: String): DataFrame =
+    df.select(col("c_nationkey").as("nat"), col("c_custkey"), col("c_name"),
+      col("c_mktsegment"), col("c_acctbal"),
+      explode(delNeighborhood(col("c_name"))).as("v"))
+      .select(col("nat"), col("v"), col("c_custkey").as(s"key_$side"),
+        col("c_name").as(s"name_$side"), col("c_mktsegment").as(s"seg_$side"),
+        col("c_acctbal").as(s"bal_$side"))
+
+  /** [[probeMatches]] over an ALREADY-exploded index side (the persisted
+    * layout) — the probe batch explodes fresh, the index never does */
+  def probeMatchesExploded(idxExploded: DataFrame, probes: DataFrame): DataFrame = {
+    val cand = sided(probes, "p").join(idxExploded, Seq("nat", "v"))
+      .select("key_p", "key_i", "name_p", "name_i", "seg_p", "seg_i", "bal_p", "bal_i")
+      .distinct()
+      .where(levenshtein(col("name_p"), col("name_i")) <= 1)
+    val scored = cand.select(col("key_p"), col("key_i"),
+        (when(levenshtein(col("name_p"), col("name_i")) === 0, 60).otherwise(30)
+          + (col("seg_p") === col("seg_i")).cast(LongType) * 25
+          + (abs(col("bal_p") - col("bal_i")) <= 1000.0).cast(LongType) * 15
+          ).as("score"))
+      .where(col("score") >= MatchThreshold)
+    val w = Window.partitionBy("key_p")
+      .orderBy(col("score").desc, col("key_i").asc)
+    val best = scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("key_p"), col("key_i").as("matched_key"),
+        col("score").cast(LongType).as("best_score"))
+    probes.select(col("c_custkey").as("probe_key"))
+      .join(best.withColumnRenamed("key_p", "probe_key"), Seq("probe_key"), "left")
+  }
+
+  /** Declared incremental form: the 80% of customers with
+    * `c_custkey % 10 < 8` ARE the entity index; the other 20% arrive as
+    * the probe batch — O(batch × bounded-fanout) work against the
+    * at-rest population, never a rescan of it. */
+  def entityResolveIncremental(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    probeMatches(c.where(col("c_custkey") % 10 < 8),
+        c.where(col("c_custkey") % 10 >= 8))
+      .orderBy("probe_key")
+  }
+
+  val entityResolveIncrementalSql: String =
+    s"""WITH idx AS (SELECT * FROM customer WHERE c_custkey % 10 < 8),
+       |pr AS (SELECT * FROM customer WHERE c_custkey % 10 >= 8),
+       |scored AS (
+       |  SELECT p.c_custkey AS key_p, i.c_custkey AS key_i,
+       |    (CASE WHEN levenshtein(p.c_name, i.c_name) = 0 THEN 60 ELSE 30 END
+       |     + (p.c_mktsegment = i.c_mktsegment)::BIGINT * 25
+       |     + (abs(p.c_acctbal - i.c_acctbal) <= 1000.0)::BIGINT * 15) AS score
+       |  FROM pr p JOIN idx i ON p.c_nationkey = i.c_nationkey
+       |  WHERE levenshtein(p.c_name, i.c_name) <= 1),
+       |best AS (
+       |  SELECT key_p, key_i, score, row_number() OVER (
+       |    PARTITION BY key_p ORDER BY score DESC, key_i ASC) AS rn
+       |  FROM scored WHERE score >= $MatchThreshold)
+       |SELECT p.c_custkey AS probe_key, b.key_i AS matched_key,
+       |  b.score::BIGINT AS best_score
+       |FROM pr p LEFT JOIN best b ON b.key_p = p.c_custkey AND b.rn = 1
+       |ORDER BY probe_key""".stripMargin
+
+  // ---- the entity index AT REST ---------------------------------------
+
+  /** Persist the deletion-variant index of a customer population — the
+    * at-rest structure [[probeEntityIndex]] serves and
+    * [[appendEntityIndex]] grows in O(batch): one exploded row per
+    * (variant, record), the join side of the probe's (nat, v) equi-join.
+    * Laid out by hash of the variant so a probe shuffle aligns. */
+  def writeEntityIndex(cust: DataFrame, path: String): Unit =
+    sided(cust, "i")
+      .repartition(col("nat"), col("v"))
+      .write.mode("overwrite").parquet(path)
+
+  /** probe a batch against the persisted index — identical verdict frame
+    * to [[probeMatches]] (pinned in ResolveSpec), O(batch) work: the
+    * index side is served as-stored, never re-exploded or rescanned
+    * beyond the join */
+  def probeEntityIndex(s: SparkSession, probes: DataFrame, path: String): DataFrame =
+    probeMatchesExploded(s.read.parquet(path), probes)
+
+  /** absorb a batch: append its variant rows — O(batch), no rewrite */
+  def appendEntityIndex(batch: DataFrame, path: String): Unit =
+    sided(batch, "i").write.mode("append").parquet(path)
+
   val queries: Map[String, Q] = Map(
     "q_join_fuzzy" -> joinFuzzy _,
     "q_entity_resolve" -> entityResolve _,
     "q_entity_resolve_clusters" -> entityResolveClusters _,
-    "q_entity_golden" -> entityGolden _)
+    "q_entity_golden" -> entityGolden _,
+    "q_entity_resolve_incremental" -> entityResolveIncremental _)
 
   val oracle: Map[String, String] = Map(
     "q_join_fuzzy" -> joinFuzzySql,
     "q_entity_resolve" -> entityResolveSql,
     "q_entity_resolve_clusters" -> entityResolveClustersSql,
-    "q_entity_golden" -> entityGoldenSql)
+    "q_entity_golden" -> entityGoldenSql,
+    "q_entity_resolve_incremental" -> entityResolveIncrementalSql)
 }

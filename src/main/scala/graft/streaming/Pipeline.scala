@@ -547,6 +547,68 @@ object Pipeline {
       }
   }
 
+  /** LIVE materialized-view maintenance — the streaming face of
+    * `q_mv_incremental`, and THE ClickHouse idiom the reference's users
+    * build over `mikrotik_logs` (README.md:132-137 positions the table
+    * as "query-friendly storage" precisely so MVs/rollups can serve the
+    * dashboards): each micro-batch of order-shaped rows reduces to its
+    * RE-AGGREGABLE partial states (`Relational.mvPartialStates` — the
+    * same aggregation the declared batch query runs, so stream ≡ batch
+    * by construction) and lands under its own `batch_id=N` partition.
+    * Deliberately NO read-modify-write merge into a single stored row
+    * set: count/sum states would DOUBLE on a replayed batch, while the
+    * per-partition dynamic overwrite keeps replays exactly-once — the
+    * reader (`Relational.readMv`) merges across batch partitions in
+    * O(batches × groups) rows, and a maintenance pass can compact the
+    * log back to one partition whenever batches accumulate (same
+    * discipline as `Sinks.compactDay`). Stateless foreachBatch: partial
+    * states are complete within the arriving rows; streaming-agg state
+    * would be pure overhead. */
+  def streamMvMaintain(orders: DataFrame, mvDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    orders.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Relational.mvPartialStates(batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(mvDir)
+      }
+      .start()
+
+  /** LIVE entity resolution — the streaming face of
+    * `q_entity_resolve_incremental`: each micro-batch of customer-shaped
+    * records probes the PERSISTED deletion-variant entity index
+    * (`Resolve.writeEntityIndex`) and emits one best-match verdict per
+    * arriving record (matched key + score, or nulls → would mint a new
+    * entity on absorb). The batch function IS `Resolve.probeEntityIndex`
+    * — the same code the declared batch query runs, so stream ≡ batch by
+    * construction (pinned in ResolveSpec). Stateless foreachBatch (a
+    * record's variants are complete within its own row); exactly-once
+    * per-batch_id partition overwrite on replay. Absorption is a
+    * separate `Resolve.appendEntityIndex` maintenance call, same
+    * probe→absorb discipline as every other persisted index family. */
+  def streamEntityResolve(cust: DataFrame, indexPath: String,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    cust.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Resolve.probeEntityIndex(batch.sparkSession, batch, indexPath)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .start()
+
   /** LIVE sketch-table maintenance — the streaming face of
     * `SketchTable.writeSketchDailies`: each micro-batch of events
     * reduces to its own (event_type, day) sketch-state rows (the SAME

@@ -131,6 +131,59 @@ class ResolveSpec extends AnyFunSuite {
     assert(years.exists(_ < 2000L) && years.exists(_ >= 2000L))
   }
 
+  test("q_entity_resolve_incremental: every match verdict is the brute-force best") {
+    val verdicts = operators.Resolve.entityResolveIncremental(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    val c = util.t(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+      .as[(Long, String, Int, String, Double)].collect()
+    val idx = c.filter(_._1 % 10 < 8)
+    val probes = c.filter(_._1 % 10 >= 8)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = probes.map { p =>
+      val best = idx.filter(i => i._3 == p._3 && lev(i._2, p._2) <= 1)
+        .map { i =>
+          val s = (if (lev(i._2, p._2) == 0) 60L else 30L) +
+            (if (i._4 == p._4) 25L else 0L) + (if (math.abs(i._5 - p._5) <= 1000.0) 15L else 0L)
+          (i._1, s)
+        }
+        .filter(_._2 >= operators.Resolve.MatchThreshold)
+        .sortBy { case (k, s) => (-s, k) }.headOption
+      (p._1, best.map(_._1), best.map(_._2))
+    }.sortBy(_._1).toSeq
+    assert(verdicts === expected)
+    assert(expected.exists(_._2.isDefined) && expected.exists(_._2.isEmpty),
+      "fixture must exercise both matched and unmatched probes")
+  }
+
+  test("persisted entity index: probe == direct form, append == rebuilt index") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_entidx").toString
+    val c = util.t(spark, dir, "customer")
+    val idxPop = c.where(col("c_custkey") % 10 < 8)
+    val probes = c.where(col("c_custkey") % 10 >= 8)
+    operators.Resolve.writeEntityIndex(idxPop, tmp)
+    val viaIndex = operators.Resolve.probeEntityIndex(spark, probes, tmp)
+      .orderBy("probe_key")
+    val direct = operators.Resolve.probeMatches(idxPop, probes).orderBy("probe_key")
+    assert(viaIndex.collect() === direct.collect())
+    // absorb half the probes; the grown index must answer like a rebuild
+    val (absorbed, rest) =
+      (probes.where(col("c_custkey") % 2 === 0), probes.where(col("c_custkey") % 2 =!= 0))
+    operators.Resolve.appendEntityIndex(absorbed, tmp)
+    val grown = operators.Resolve.probeEntityIndex(spark, rest, tmp).orderBy("probe_key")
+    val rebuilt = operators.Resolve.probeMatches(
+      idxPop.unionByName(absorbed), rest).orderBy("probe_key")
+    assert(grown.collect() === rebuilt.collect())
+  }
+
   test("q_mv_incremental equals the single-pass full recompute") {
     val merged = operators.Relational.mvIncremental(spark, dir)
     val full = {

@@ -348,6 +348,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "no view→purchase pairs at sf0.001")
   }
 
+  test("streamEntityResolve: live probes against the persisted entity index match the batch form") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val cust = util.t(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val indexPath = Files.createTempDirectory("graft_entidx_s").toString
+    graft.operators.Resolve.writeEntityIndex(
+      cust.where(col("c_custkey") % 10 < 8), indexPath)
+    val probeRows = cust.where(col("c_custkey") % 10 >= 8)
+      .as[(Long, String, Int, String, Double)].collect().toSeq
+    val (firstHalf, secondHalf) = probeRows.splitAt(probeRows.size / 2)
+    val ms = MemoryStream[(Long, String, Int, String, Double)]
+    val out = Files.createTempDirectory("graft_ser_out").toString
+    val ckpt = Files.createTempDirectory("graft_ser_ckpt").toString
+    ms.addData(firstHalf)
+    ms.addData(secondHalf)
+    val q = Pipeline.streamEntityResolve(
+      ms.toDF().toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"),
+      indexPath, out, ckpt, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(out)
+      .select("probe_key", "matched_key", "best_score")
+      .orderBy("probe_key")
+      .collect().toSeq
+    val batch = graft.operators.Resolve.entityResolveIncremental(spark, dir)
+      .collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streamDedupIncremental: per-batch index probes reproduce the batch incremental dedup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -594,6 +626,43 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
     assert(rows.get(820002L).exists { case (d, v) => d == 820001L && v == 1 },
       s"batch-2 near-clone not flagged against the absorbed batch-1 vector: $rows")
+  }
+
+  test("streamMvMaintain: per-batch partial states read back as the batch MV, exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val rows = util.t(spark, dir, "orders")
+      .select("o_orderpriority", "o_orderdate", "o_totalprice")
+      .as[(String, Timestamp, Double)].collect().toSeq
+    // split mid-stream so (priority, year) cells SPAN batches — the
+    // reader must merge partial states across batch partitions
+    val (firstHalf, secondHalf) = rows.splitAt(rows.size / 2)
+    val ms = MemoryStream[(String, Timestamp, Double)]
+    val mvDir = Files.createTempDirectory("graft_mv_out").toString
+    val ckpt = Files.createTempDirectory("graft_mv_ckpt").toString
+    // two separate AvailableNow runs over the same checkpoint: the
+    // second half lands as its own batch_id, like a later trigger would
+    ms.addData(firstHalf)
+    val q1 = Pipeline.streamMvMaintain(
+      ms.toDF().toDF("o_orderpriority", "o_orderdate", "o_totalprice"),
+      mvDir, ckpt, Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    ms.addData(secondHalf)
+    val q2 = Pipeline.streamMvMaintain(
+      ms.toDF().toDF("o_orderpriority", "o_orderdate", "o_totalprice"),
+      mvDir, ckpt, Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+
+    // the log carries >1 batch partition for at least one group
+    val perGroup = spark.read.parquet(mvDir)
+      .groupBy("o_orderpriority", "o_year").count()
+    assert(perGroup.where(col("count") > 1).count() > 0L,
+      "expected at least one group's states split across batches")
+    val streamed = operators.Relational.readMv(spark, mvDir).collect().toSeq
+    val batch = operators.Relational.mvIncremental(spark, dir).collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
   }
 
   test("streamSketchDailies: per-batch state rows roll up to the batch sketch table's answers") {
