@@ -93,7 +93,9 @@ object Resolve {
     * (nationkey, deletion variant): standard ER practice — a cheap exact
     * attribute narrows the block, the neighborhood join handles the
     * fuzzy attribute inside it. */
-  private def candidatePairs(cust: DataFrame): DataFrame = {
+  /** the blocked candidate front BEFORE the levenshtein verify — the
+    * frame the blocking-eval instrument counts */
+  private def rawCandidates(cust: DataFrame): DataFrame = {
     val v = cust
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_mktsegment"), col("c_acctbal"))
@@ -110,8 +112,11 @@ object Resolve {
       .where(col("key_a") < col("key_b"))
       .select("key_a", "key_b", "name_a", "name_b", "seg_a", "seg_b", "bal_a", "bal_b")
       .distinct()
-      .where(levenshtein(col("name_a"), col("name_b")) <= 1)
   }
+
+  private def candidatePairs(cust: DataFrame): DataFrame =
+    rawCandidates(cust)
+      .where(levenshtein(col("name_a"), col("name_b")) <= 1)
 
   /** Pairwise match scoring — Fellegi-Sunter-shaped integer evidence
     * weights (name 60/30 by distance, segment agreement 25, account
@@ -252,6 +257,71 @@ object Resolve {
        |FROM stats s JOIN ranked r ON r.entity_id = s.entity_id AND r.rn = 1
        |ORDER BY s.entity_id""".stripMargin
 
+  /** Blocking-quality instrument — the three numbers a blocking scheme
+    * is judged by (Christen's ER evaluation triple): REDUCTION RATIO
+    * (how much of the quadratic comparison space the blocking removed —
+    * the cross count is arithmetic from per-nation sizes, the quadratic
+    * join never executes), VERIFY YIELD (what fraction of blocked
+    * candidates survive the levenshtein verify — the wasted-work dial),
+    * and PAIRS COMPLETENESS (did the blocking lose a true match). The
+    * Spark side derives n_truth from the blocked-then-verified front;
+    * the DuckDB twin derives it from the INDEPENDENT within-nation
+    * cross join — so the driver's hash compare IS the completeness
+    * proof at the verified scale, not a self-check. The one quadratic
+    * piece (the oracle's cross join) lives only in DuckDB; the engine
+    * side stays blocked. A diagnostics instrument in the q_dedup_eval
+    * discipline: run it on a sample at 100 TB, not the corpus. */
+  def entityBlockingEval(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val cross = c.groupBy("c_nationkey").count()
+      .agg(coalesce(sum(col("count") * (col("count") - 1) / 2), lit(0))
+        .cast(LongType).as("n_cross"))
+    val counts = rawCandidates(c).agg(
+      count(lit(1)).as("n_candidates"),
+      count(when(levenshtein(col("name_a"), col("name_b")) <= 1, 1)).as("n_verified"))
+    cross.crossJoin(broadcast(counts))
+      .select(col("n_cross"), col("n_candidates"), col("n_verified"),
+        col("n_verified").as("n_truth"),
+        when(col("n_verified") > 0, lit(1.0d).cast(DoubleType)).as("pairs_completeness"),
+        when(col("n_cross") > 0,
+          r4(lit(1.0d) - col("n_candidates").cast(DoubleType) / col("n_cross")))
+          .as("reduction_ratio"),
+        when(col("n_candidates") > 0,
+          r4(col("n_verified").cast(DoubleType) / col("n_candidates")))
+          .as("verify_yield"))
+  }
+
+  val entityBlockingEvalSql: String =
+    """WITH v AS (
+      |  SELECT c_custkey, c_nationkey, c_name,
+      |    unnest(list_distinct(list_append(
+      |      list_transform(range(1, length(c_name)+1),
+      |        i -> substr(c_name, 1, i-1) || substr(c_name, i+1, length(c_name))),
+      |      c_name))) AS var
+      |  FROM customer),
+      |cand AS (
+      |  SELECT DISTINCT a.c_custkey AS key_a, b.c_custkey AS key_b,
+      |    a.c_name AS name_a, b.c_name AS name_b
+      |  FROM v a JOIN v b ON a.c_nationkey = b.c_nationkey AND a.var = b.var
+      |  WHERE a.c_custkey < b.c_custkey),
+      |cr AS (SELECT coalesce(sum(n*(n-1)/2), 0)::BIGINT AS n_cross FROM
+      |  (SELECT count(*) AS n FROM customer GROUP BY c_nationkey)),
+      |m AS (SELECT
+      |  (SELECT n_cross FROM cr) AS n_cross,
+      |  (SELECT count(*) FROM cand) AS n_candidates,
+      |  (SELECT count(*) FROM cand WHERE levenshtein(name_a, name_b) <= 1) AS n_verified,
+      |  (SELECT count(*) FROM customer a JOIN customer b
+      |     ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      |   WHERE levenshtein(a.c_name, b.c_name) <= 1) AS n_truth)
+      |SELECT n_cross, n_candidates, n_verified, n_truth,
+      |  CASE WHEN n_truth > 0
+      |    THEN CAST(round(n_verified::DOUBLE / n_truth, 4) AS DOUBLE) END AS pairs_completeness,
+      |  CASE WHEN n_cross > 0
+      |    THEN CAST(round(1.0 - n_candidates::DOUBLE / n_cross, 4) AS DOUBLE) END AS reduction_ratio,
+      |  CASE WHEN n_candidates > 0
+      |    THEN CAST(round(n_verified::DOUBLE / n_candidates, 4) AS DOUBLE) END AS verify_yield
+      |FROM m""".stripMargin
+
   // ---- incremental / persisted-index serving -------------------------
 
   /** Best-match verdicts for a probe batch against an index population —
@@ -357,12 +427,14 @@ object Resolve {
     "q_entity_resolve" -> entityResolve _,
     "q_entity_resolve_clusters" -> entityResolveClusters _,
     "q_entity_golden" -> entityGolden _,
-    "q_entity_resolve_incremental" -> entityResolveIncremental _)
+    "q_entity_resolve_incremental" -> entityResolveIncremental _,
+    "q_entity_blocking_eval" -> entityBlockingEval _)
 
   val oracle: Map[String, String] = Map(
     "q_join_fuzzy" -> joinFuzzySql,
     "q_entity_resolve" -> entityResolveSql,
     "q_entity_resolve_clusters" -> entityResolveClustersSql,
     "q_entity_golden" -> entityGoldenSql,
-    "q_entity_resolve_incremental" -> entityResolveIncrementalSql)
+    "q_entity_resolve_incremental" -> entityResolveIncrementalSql,
+    "q_entity_blocking_eval" -> entityBlockingEvalSql)
 }

@@ -73,6 +73,7 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_curate_e2e",       // same one-row p25 threshold inside the composed pipeline
       "q_curate_funnel",    // same one-row p25 threshold, funnel accounting stages
       "q_dedup_eval",       // three 1-row metric aggregates broadcast-crossed
+      "q_entity_blocking_eval", // two 1-row metric aggregates broadcast-crossed
       "q_dedup_simhash_eval", // three 1-row metric aggregates broadcast-crossed
       "q_dedup_minhash_incr_recall", // two 1-row metric aggregates broadcast-crossed
       "q_dedup_simhash_incr_recall", // two 1-row metric aggregates broadcast-crossed

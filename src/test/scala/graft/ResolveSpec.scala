@@ -184,6 +184,21 @@ class ResolveSpec extends AnyFunSuite {
     assert(grown.collect() === rebuilt.collect())
   }
 
+  test("q_entity_blocking_eval: counts match brute force, completeness 1.0") {
+    val row = operators.Resolve.entityBlockingEval(spark, dir).collect()(0)
+    val c = util.t(spark, dir, "customer")
+    val brute = c.as("a").join(c.as("b"),
+        col("a.c_nationkey") === col("b.c_nationkey")
+          && col("a.c_custkey") < col("b.c_custkey"))
+      .where(levenshtein(col("a.c_name"), col("b.c_name")) <= 1)
+      .count()
+    assert(row.getAs[Long]("n_truth") === brute)
+    assert(row.getAs[Long]("n_verified") === brute)
+    assert(row.getAs[Double]("pairs_completeness") === 1.0)
+    assert(row.getAs[Long]("n_candidates") >= brute)
+    assert(row.getAs[Long]("n_cross") > row.getAs[Long]("n_candidates"))
+  }
+
   test("q_mv_incremental equals the single-pass full recompute") {
     val merged = operators.Relational.mvIncremental(spark, dir)
     val full = {
