@@ -47,6 +47,21 @@ object Resolve {
       transform(sequence(lit(1), length(c)),
         i => concat(substr(c, lit(1), i - 1), substr(c, i + 1, length(c))))))
 
+  /** Depth-2 deletion neighborhood D≤2(s) — [[delNeighborhood]] composed
+    * with itself (each depth-1 variant contributes its own neighborhood;
+    * the self-elements make the union cover depths 0, 1 and 2). Lossless
+    * for the dist ≤ 2 predicate by the same SymSpell argument applied
+    * edit-by-edit: each of the ≤ 2 edits is cancelled by deleting ≤ 1
+    * character from each side (substitution: the position from both;
+    * indel: the inserted character from the longer side), so two strings
+    * within distance 2 share a member of their depth-2 neighborhoods —
+    * property-pinned in ResolveSpec over random 2-edit pairs. Row
+    * multiplier ~(len+1)²/2 after dedup: the candidate join stays an
+    * equi-join on a scaling key, the quadratic form never runs. */
+  private[graft] def delNeighborhood2(c: Column): Column =
+    array_distinct(flatten(transform(delNeighborhood(c),
+      v => delNeighborhood(v))))
+
   // ---- fuzzy join ------------------------------------------------------
 
   /** Cross-system id linkage: the numeric suffixes of customer names
@@ -68,16 +83,43 @@ object Resolve {
     * columns) — the declared query IS this over the fixture tables;
     * the scale instrument (tools/ResolveScaleTiming) feeds replicated
     * frames through the same plan. */
-  def joinFuzzyFrom(a: DataFrame, b: DataFrame): DataFrame = {
-    val av = a.select(col("name_a"), explode(delNeighborhood(col("name_a"))).as("v"))
-    val bv = b.select(col("name_b"), explode(delNeighborhood(col("name_b"))).as("v"))
+  def joinFuzzyFrom(a: DataFrame, b: DataFrame): DataFrame =
+    fuzzyJoinWith(a, b, maxDist = 1)
+
+  /** the shared blocked-join plan at either distance dial: depth-d
+    * neighborhoods → variant equi-join → distinct → levenshtein ≤ d */
+  private def fuzzyJoinWith(a: DataFrame, b: DataFrame, maxDist: Int): DataFrame = {
+    val nb: Column => Column =
+      if (maxDist <= 1) delNeighborhood else delNeighborhood2
+    val av = a.select(col("name_a"), explode(nb(col("name_a"))).as("v"))
+    val bv = b.select(col("name_b"), explode(nb(col("name_b"))).as("v"))
     av.join(bv, "v")
       .select("name_a", "name_b").distinct()
-      .where(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .where(levenshtein(col("name_a"), col("name_b")) <= maxDist)
       .select(col("name_a"), col("name_b"),
         levenshtein(col("name_a"), col("name_b")).cast(LongType).as("dist"))
       .orderBy("name_a", "name_b")
   }
+
+  /** the distance-2 dial — real-world linkage tolerates two typos; the
+    * candidate multiplier grows to ~(len+1)²/2 per side but the plan
+    * shape is IDENTICAL to the dist-1 form (one variant equi-join, no
+    * cross join), which is the point of the SymSpell family: the
+    * tolerance dial moves row counts, never the join algorithm */
+  def joinFuzzy2(s: SparkSession, dir: String): DataFrame =
+    fuzzyJoinWith(
+      t(s, dir, "customer")
+        .select(regexp_extract(col("c_name"), "[0-9]+$", 0).as("name_a")).distinct(),
+      t(s, dir, "supplier")
+        .select(regexp_extract(col("s_name"), "[0-9]+$", 0).as("name_b")).distinct(),
+      maxDist = 2)
+
+  val joinFuzzy2Sql: String =
+    """WITH a AS (SELECT DISTINCT regexp_extract(c_name, '[0-9]+$', 0) AS name_a FROM customer),
+      |b AS (SELECT DISTINCT regexp_extract(s_name, '[0-9]+$', 0) AS name_b FROM supplier)
+      |SELECT name_a, name_b, levenshtein(name_a, name_b)::BIGINT AS dist
+      |FROM a, b WHERE levenshtein(name_a, name_b) <= 2
+      |ORDER BY name_a, name_b""".stripMargin
 
   val joinFuzzySql: String =
     """WITH a AS (SELECT DISTINCT regexp_extract(c_name, '[0-9]+$', 0) AS name_a FROM customer),
@@ -424,6 +466,7 @@ object Resolve {
 
   val queries: Map[String, Q] = Map(
     "q_join_fuzzy" -> joinFuzzy _,
+    "q_join_fuzzy2" -> joinFuzzy2 _,
     "q_entity_resolve" -> entityResolve _,
     "q_entity_resolve_clusters" -> entityResolveClusters _,
     "q_entity_golden" -> entityGolden _,
@@ -432,6 +475,7 @@ object Resolve {
 
   val oracle: Map[String, String] = Map(
     "q_join_fuzzy" -> joinFuzzySql,
+    "q_join_fuzzy2" -> joinFuzzy2Sql,
     "q_entity_resolve" -> entityResolveSql,
     "q_entity_resolve_clusters" -> entityResolveClustersSql,
     "q_entity_golden" -> entityGoldenSql,

@@ -42,6 +42,46 @@ class ResolveSpec extends AnyFunSuite {
     assert(df.where(col("d") <= 1).count() >= 250L)
   }
 
+  test("depth-2 deletion neighborhoods of any dist<=2 pair intersect") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "ab01"
+    def randStr(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def edit(s: String): String = {
+      val i = rnd.nextInt(s.length)
+      rnd.nextInt(3) match {
+        case 0 => s.updated(i, alpha(rnd.nextInt(alpha.length)))
+        case 1 => s.substring(0, i) + alpha(rnd.nextInt(alpha.length)) + s.substring(i)
+        case _ if s.length > 1 => s.substring(0, i) + s.substring(i + 1)
+        case _ => s
+      }
+    }
+    val pairs = (1 to 400).map { _ =>
+      val s = randStr(4 + rnd.nextInt(10)); (s, edit(edit(s)))
+    }
+    val df = pairs.toDF("s", "t").select(
+      levenshtein(col("s"), col("t")).as("d"),
+      arrays_overlap(Resolve.delNeighborhood2(col("s")),
+        Resolve.delNeighborhood2(col("t"))).as("share"))
+    assert(df.where(col("d") <= 2 && !col("share")).count() === 0L,
+      "depth-2 deletion blocking dropped a dist<=2 pair")
+    assert(df.where(col("d") === 2).count() >= 150L, "generator sanity")
+  }
+
+  test("q_join_fuzzy2 equals the brute-force cross join at dist<=2") {
+    val blocked = operators.Resolve.joinFuzzy2(spark, dir)
+    val a = util.t(spark, dir, "customer")
+      .select(regexp_extract(col("c_name"), "[0-9]+$", 0).as("name_a")).distinct()
+    val b = util.t(spark, dir, "supplier")
+      .select(regexp_extract(col("s_name"), "[0-9]+$", 0).as("name_b")).distinct()
+    val brute = a.crossJoin(b)
+      .where(levenshtein(col("name_a"), col("name_b")) <= 2)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+    assert(blocked.where(col("dist") === 2).count() > 0L)
+    assert(blocked.exceptAll(brute).count() === 0L)
+    assert(brute.exceptAll(blocked).count() === 0L)
+  }
+
   test("q_join_fuzzy equals the brute-force cross join") {
     val blocked = operators.Resolve.joinFuzzy(spark, dir)
     val a = util.t(spark, dir, "customer")
