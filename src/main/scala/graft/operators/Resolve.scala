@@ -93,11 +93,13 @@ object Resolve {
       if (maxDist <= 1) delNeighborhood else delNeighborhood2
     val av = a.select(col("name_a"), explode(nb(col("name_a"))).as("v"))
     val bv = b.select(col("name_b"), explode(nb(col("name_b"))).as("v"))
+    // dist is projected BEFORE the filter so levenshtein runs once per
+    // candidate (filter-then-project would evaluate it twice in codegen)
     av.join(bv, "v")
       .select("name_a", "name_b").distinct()
-      .where(levenshtein(col("name_a"), col("name_b")) <= maxDist)
       .select(col("name_a"), col("name_b"),
         levenshtein(col("name_a"), col("name_b")).cast(LongType).as("dist"))
+      .where(col("dist") <= maxDist)
       .orderBy("name_a", "name_b")
   }
 
@@ -156,9 +158,13 @@ object Resolve {
       .distinct()
   }
 
+  /** verified candidates, carrying `name_dist` so the scorer never
+    * recomputes the levenshtein the verify already paid for */
   private def candidatePairs(cust: DataFrame): DataFrame =
     rawCandidates(cust)
-      .where(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .withColumn("name_dist",
+        levenshtein(col("name_a"), col("name_b")).cast(LongType))
+      .where(col("name_dist") <= 1)
 
   /** Pairwise match scoring — Fellegi-Sunter-shaped integer evidence
     * weights (name 60/30 by distance, segment agreement 25, account
@@ -171,10 +177,9 @@ object Resolve {
   /** the scored-pair derivation over an explicit customer-shaped frame
     * (unordered — callers sort or aggregate) */
   def scoredPairsFrom(cust: DataFrame): DataFrame = {
-    val nd = levenshtein(col("name_a"), col("name_b"))
     candidatePairs(cust)
       .select(col("key_a"), col("key_b"),
-        nd.cast(LongType).as("name_dist"),
+        col("name_dist"),
         (col("seg_a") === col("seg_b")).cast(LongType).as("same_seg"),
         (abs(col("bal_a") - col("bal_b")) <= 1000.0).cast(LongType).as("bal_close"))
       .select(col("key_a"), col("key_b"), col("name_dist"), col("same_seg"),
@@ -394,9 +399,11 @@ object Resolve {
     val cand = sided(probes, "p").join(idxExploded, Seq("nat", "v"))
       .select("key_p", "key_i", "name_p", "name_i", "seg_p", "seg_i", "bal_p", "bal_i")
       .distinct()
-      .where(levenshtein(col("name_p"), col("name_i")) <= 1)
+      .withColumn("name_dist",
+        levenshtein(col("name_p"), col("name_i")).cast(LongType))
+      .where(col("name_dist") <= 1)
     val scored = cand.select(col("key_p"), col("key_i"),
-        (when(levenshtein(col("name_p"), col("name_i")) === 0, 60).otherwise(30)
+        (when(col("name_dist") === 0, 60).otherwise(30)
           + (col("seg_p") === col("seg_i")).cast(LongType) * 25
           + (abs(col("bal_p") - col("bal_i")) <= 1000.0).cast(LongType) * 15
           ).as("score"))
