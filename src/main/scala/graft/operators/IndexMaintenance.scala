@@ -161,6 +161,33 @@ object IndexMaintenance {
     compactDir(s, s"$indexPath/hashes", Seq("h"),
       transform = _.distinct())
 
+  /** Materialized-view partial-state log
+    * (`Pipeline.streamMvMaintain` appends one `batch_id=N` partition per
+    * micro-batch; `Relational.readMv` merges the whole log on every
+    * read): fold the log back to ONE partial-state row per group under
+    * the reserved `batch_id = -1` partition. Semantics-identical by the
+    * reader's own definition — readMv merges per group across all rows,
+    * and the partial states are re-aggregable (sum/sum/min/max), so k
+    * rows and their merge are indistinguishable to any read; pinned in
+    * IndexMaintenanceSpec (compacted readMv ≡ uncompacted, then more
+    * stream batches land on top and it still equals the batch twin).
+    * The -1 id is safe against the stream's exactly-once discipline:
+    * checkpointed batch ids are monotone non-negative, so a later
+    * batch's dynamic partition overwrite can never clobber the
+    * compacted row. Run it between stream generations (after a clean
+    * stop): replaying an already-folded batch would re-add its rows —
+    * the same quiesce discipline every marker-guarded append family
+    * documents. Without compaction the log is O(batches × groups) and
+    * grows without bound under a 2-second trigger; after, O(groups) +
+    * the tail written since. */
+  def compactMvLog(s: SparkSession, mvDir: String): Unit =
+    compactDir(s, mvDir, Seq("o_orderpriority", "o_year"),
+      partitionCols = Seq("batch_id"),
+      transform = df => Relational.mvMergeStates(
+          df.select("o_orderpriority", "o_year", "n", "total",
+            "min_price", "max_price"))
+        .withColumn("batch_id", lit(-1L)))
+
   /** per-source theta sketch table (`CorpusOps.appendSourceGramSketches`
     * grows one row generation per batch): fold back to one merged row
     * per source — theta union is the readers' own merge, so matrix

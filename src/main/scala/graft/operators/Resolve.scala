@@ -62,6 +62,30 @@ object Resolve {
     array_distinct(flatten(transform(delNeighborhood(c),
       v => delNeighborhood(v))))
 
+  /** The SymSpell prefix-truncation dial, anchored at the string's TAIL:
+    * the depth-2 deletion neighborhood of only the LAST `window` chars
+    * (the whole string when shorter). Bounds the ×(len+1)²/2 variant
+    * multiplier at ×(window+1)²/2 whatever the key length.
+    *
+    * LOSSLESS for the dist ≤ 2 predicate at ANY window ≥ 1: take an
+    * optimal alignment of a and b; each edit op leaves at most one
+    * unmatched character in each side's window (a substitution: the
+    * edited position on both sides; an indel: the inserted character on
+    * one side plus, via the alignment shift, at most one matched partner
+    * pushed out of the other side's window), so ≤ 2 deletions per side
+    * reach a common string — the windows share a depth-2 deletion
+    * variant. Property-pinned in ResolveSpec over random 2-edit pairs.
+    * The dial trades variant count against block selectivity: the
+    * blocking key carries only the window's characters, so collisions
+    * grow where the tail is non-discriminative. The tail anchor (vs
+    * SymSpell's head anchor) is deliberate: zero-padded sequential ids —
+    * the declared fixture's key shape and the common one in the wild —
+    * carry ALL their entropy in the suffix; a head window of such a key
+    * is constant zeros and would collapse the block. */
+  private[graft] def delNeighborhood2Window(c: Column, window: Int): Column =
+    delNeighborhood2(
+      substr(c, greatest(lit(1), length(c) - lit(window - 1)), lit(window)))
+
   // ---- fuzzy join ------------------------------------------------------
 
   /** Cross-system id linkage: the numeric suffixes of customer names
@@ -87,34 +111,61 @@ object Resolve {
     fuzzyJoinWith(a, b, maxDist = 1)
 
   /** the shared blocked-join plan at either distance dial: depth-d
-    * neighborhoods → variant equi-join → distinct → levenshtein ≤ d */
-  private def fuzzyJoinWith(a: DataFrame, b: DataFrame, maxDist: Int): DataFrame = {
+    * neighborhoods → variant equi-join → distinct → levenshtein ≤ d.
+    * `window > 0` turns on the tail-window truncation dial at dist 2
+    * ([[delNeighborhood2Window]] — fewer variants per key, verify
+    * unchanged, so the result is bit-identical at any window). */
+  private def fuzzyJoinWith(a: DataFrame, b: DataFrame, maxDist: Int,
+      window: Int = 0): DataFrame = {
     val nb: Column => Column =
-      if (maxDist <= 1) delNeighborhood else delNeighborhood2
+      if (maxDist <= 1) delNeighborhood
+      else if (window > 0) delNeighborhood2Window(_, window)
+      else delNeighborhood2
     val av = a.select(col("name_a"), explode(nb(col("name_a"))).as("v"))
     val bv = b.select(col("name_b"), explode(nb(col("name_b"))).as("v"))
-    // dist is projected BEFORE the filter so levenshtein runs once per
-    // candidate (filter-then-project would evaluate it twice in codegen)
+    // dist is projected and then filtered; Catalyst inlines the alias
+    // when pushing the filter, so whether levenshtein evaluates once or
+    // twice per candidate is up to codegen subexpression elimination —
+    // not a guarantee this plan shape provides. Semantics are unaffected
+    // either way, and the verify is a small fraction of the join cost.
+    //
+    // The repartition before the final sort is a MATERIALIZATION
+    // BARRIER, not a distribution need: a global orderBy samples its
+    // child twice (range-boundary pass + shuffle pass), and with the
+    // small-dimension side broadcast there is no materialized exchange
+    // between the tiny name frames and the sort — so the sampling pass
+    // would RE-EXECUTE the whole amplified explode → join → distinct →
+    // verify stage (measured 2.0x the query wall at sf0.1). Shuffling
+    // just the verified matches (the smallest frame in the plan) lets
+    // the sampling read shuffle files instead.
     av.join(bv, "v")
       .select("name_a", "name_b").distinct()
       .select(col("name_a"), col("name_b"),
         levenshtein(col("name_a"), col("name_b")).cast(LongType).as("dist"))
       .where(col("dist") <= maxDist)
+      .repartition(a.sparkSession.sparkContext.defaultParallelism,
+        col("name_a"), col("name_b"))
       .orderBy("name_a", "name_b")
   }
 
   /** the distance-2 dial — real-world linkage tolerates two typos; the
-    * candidate multiplier grows to ~(len+1)²/2 per side but the plan
-    * shape is IDENTICAL to the dist-1 form (one variant equi-join, no
-    * cross join), which is the point of the SymSpell family: the
-    * tolerance dial moves row counts, never the join algorithm */
+    * candidate multiplier grows with depth but the plan shape is
+    * IDENTICAL to the dist-1 form (one variant equi-join, no cross
+    * join), which is the point of the SymSpell family: the tolerance
+    * dial moves row counts, never the join algorithm. Runs under the
+    * tail-window truncation dial at window 7 ([[delNeighborhood2Window]]
+    * — lossless at any window, pinned in ResolveSpec): the 9-digit keys'
+    * two leading characters are zero padding at every shipped sf, so a
+    * 7-char tail window cuts the per-key variant count 46 → 29 (−37%
+    * exploded rows into the shuffle) without widening the candidate
+    * front. */
   def joinFuzzy2(s: SparkSession, dir: String): DataFrame =
     fuzzyJoinWith(
       t(s, dir, "customer")
         .select(regexp_extract(col("c_name"), "[0-9]+$", 0).as("name_a")).distinct(),
       t(s, dir, "supplier")
         .select(regexp_extract(col("s_name"), "[0-9]+$", 0).as("name_b")).distinct(),
-      maxDist = 2)
+      maxDist = 2, window = 7)
 
   val joinFuzzy2Sql: String =
     """WITH a AS (SELECT DISTINCT regexp_extract(c_name, '[0-9]+$', 0) AS name_a FROM customer),
@@ -128,6 +179,116 @@ object Resolve {
       |b AS (SELECT DISTINCT regexp_extract(s_name, '[0-9]+$', 0) AS name_b FROM supplier)
       |SELECT name_a, name_b, levenshtein(name_a, name_b)::BIGINT AS dist
       |FROM a, b WHERE levenshtein(name_a, name_b) <= 1
+      |ORDER BY name_a, name_b""".stripMargin
+
+  // ---- token-level fuzzy join -----------------------------------------
+
+  /** per-side document frequency above which a token is a STOP TOKEN for
+    * blocking: it can't discriminate, and blocking on it would make the
+    * candidate front quadratic in that token's carrier count. Bounds
+    * per-variant candidate work at ≤ cap² pairs, so the front is linear
+    * in exploded rows × cap. A recall dial in principle — but the
+    * declared query's oracle is the full cross join with the full
+    * scoring formula, so the driver's hash compare proves no qualifying
+    * pair was lost at the verified scale (the q_entity_blocking_eval
+    * discipline). */
+  val TokenDfCap = 16L
+
+  /** Token-level fuzzy join over multi-token TEXT names — the form an
+    * actual cross-system linkage user hits first: free-text names
+    * ("united states customer 000000123") where whole-string edit
+    * distance is useless (one differing token swamps it) and the right
+    * semantics are TOKEN-SET scoring with per-token typo tolerance.
+    *
+    * Scoring: coverage Dice — cov_a = |{ta ∈ A : ∃ tb ∈ B,
+    * lev(ta,tb) ≤ 1}|, cov_b symmetric, score = (cov_a + cov_b) /
+    * (|A| + |B|); pairs at score ≥ 0.6 link. Deterministic (pure counts,
+    * no matching heuristics) and exactly replayable in SQL.
+    *
+    * Blocking: PER-TOKEN deletion neighborhoods — each side explodes
+    * (name, token) for tokens under the [[TokenDfCap]] df cap, then the
+    * dist ≤ 1 variant equi-join from [[joinFuzzy]] generates candidates
+    * that share a fuzzy RARE token; the full scoring formula then runs
+    * only on candidates. For the declared fixture the cap-blocking is
+    * exact, not just oracle-verified: a 0.6 score needs ≥ 2 covered
+    * tokens per 3-token side, the constant tokens ("customer" /
+    * "supplier") can never fuzzy-match each other, so every qualifying
+    * pair shares its digit token at dist ≤ 1 — df ≈ 1, always under the
+    * cap. The scale shape is the fuzzy-join family's: explode → variant
+    * equi-join on a scaling key with cap-bounded fan-out → verify. */
+  def joinFuzzyTokens(s: SparkSession, dir: String): DataFrame = {
+    val nat = t(s, dir, "nation")
+      .select(col("n_nationkey"), lower(col("n_name")).as("nt"))
+    val a = t(s, dir, "customer")
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(concat_ws(" ", col("nt"), lit("customer"),
+        regexp_extract(col("c_name"), "[0-9]+$", 0)).as("name_a")).distinct()
+    val b = t(s, dir, "supplier")
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select(concat_ws(" ", col("nt"), lit("supplier"),
+        regexp_extract(col("s_name"), "[0-9]+$", 0)).as("name_b")).distinct()
+    fuzzyTokenJoin(a, b, minScore = 0.6, dfCap = TokenDfCap)
+  }
+
+  /** the token-set fuzzy join over explicit name frames: df-capped
+    * per-token deletion blocking → candidate distinct → coverage-Dice
+    * scoring over the FULL token sets (the blocking only gates which
+    * pairs get scored, never what the score sees) */
+  def fuzzyTokenJoin(a: DataFrame, b: DataFrame,
+      minScore: Double, dfCap: Long): DataFrame = {
+    val at = a.select(col("name_a"),
+      array_distinct(split(col("name_a"), " ")).as("toks_a"))
+    val bt = b.select(col("name_b"),
+      array_distinct(split(col("name_b"), " ")).as("toks_b"))
+    def blockSide(t: DataFrame, name: String, toks: String): DataFrame = {
+      val e = t.select(col(name), explode(col(toks)).as("tok"))
+      // names are distinct and tokens distinct within a name, so the
+      // row count per token IS its document frequency on this side
+      val rare = e.groupBy("tok").agg(count(lit(1)).as("df"))
+        .where(col("df") <= dfCap).select("tok")
+      e.join(rare, Seq("tok"))
+        .select(col(name), explode(delNeighborhood(col("tok"))).as("v"))
+    }
+    val cand = blockSide(at, "name_a", "toks_a")
+      .join(blockSide(bt, "name_b", "toks_b"), Seq("v"))
+      .select("name_a", "name_b").distinct()
+    cand.join(at, Seq("name_a")).join(bt, Seq("name_b"))
+      .select(col("name_a"), col("name_b"),
+        size(filter(col("toks_a"),
+          ta => exists(col("toks_b"), tb => levenshtein(ta, tb) <= 1))).as("cov_a"),
+        size(filter(col("toks_b"),
+          tb => exists(col("toks_a"), ta => levenshtein(ta, tb) <= 1))).as("cov_b"),
+        size(col("toks_a")).as("na"), size(col("toks_b")).as("nb"))
+      .select(col("name_a"), col("name_b"),
+        r4f((col("cov_a") + col("cov_b")).cast(DoubleType)
+          / (col("na") + col("nb"))).as("score"))
+      .where(col("score") >= minScore)
+      // fuzzyJoinWith's materialization barrier: without it the sort's
+      // range-boundary sampling pass re-executes the HOF scoring join
+      .repartition(a.sparkSession.sparkContext.defaultParallelism,
+        col("name_a"), col("name_b"))
+      .orderBy("name_a", "name_b")
+  }
+
+  /** the honest twin: FULL cross join + the full scoring formula — no
+    * blocking at all, so a blocked-side recall loss hash-mismatches */
+  val joinFuzzyTokensSql: String =
+    """WITH nat AS (SELECT n_nationkey, lower(n_name) AS nt FROM nation),
+      |a AS (SELECT DISTINCT nt || ' customer ' || regexp_extract(c_name, '[0-9]+$', 0) AS name_a
+      |      FROM customer c JOIN nat ON c.c_nationkey = nat.n_nationkey),
+      |b AS (SELECT DISTINCT nt || ' supplier ' || regexp_extract(s_name, '[0-9]+$', 0) AS name_b
+      |      FROM supplier s JOIN nat ON s.s_nationkey = nat.n_nationkey),
+      |ta AS (SELECT name_a, list_distinct(string_split(name_a, ' ')) AS toks_a FROM a),
+      |tb AS (SELECT name_b, list_distinct(string_split(name_b, ' ')) AS toks_b FROM b),
+      |sc AS (SELECT name_a, name_b,
+      |    len(list_filter(toks_a, x -> len(list_filter(toks_b, y -> levenshtein(x, y) <= 1)) > 0)) AS cov_a,
+      |    len(list_filter(toks_b, y -> len(list_filter(toks_a, x -> levenshtein(x, y) <= 1)) > 0)) AS cov_b,
+      |    len(toks_a) AS na, len(toks_b) AS nb
+      |  FROM ta, tb)
+      |SELECT name_a, name_b,
+      |  floor((cov_a + cov_b)::DOUBLE / (na + nb) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS score
+      |FROM sc
+      |WHERE floor((cov_a + cov_b)::DOUBLE / (na + nb) * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE >= 0.6
       |ORDER BY name_a, name_b""".stripMargin
 
   // ---- entity resolution ----------------------------------------------
@@ -304,6 +465,89 @@ object Resolve {
        |FROM stats s JOIN ranked r ON r.entity_id = s.entity_id AND r.rn = 1
        |ORDER BY s.entity_id""".stripMargin
 
+  /** Attribute-level survivorship — the golden record real MDM systems
+    * build: instead of electing ONE member row ([[entityGolden]]), each
+    * attribute survives independently by its own rule:
+    *   - surv_name:    the name of the LOWEST custkey member (oldest-id
+    *                    rule; custkey is unique, so min_by is
+    *                    deterministic with no tie clause),
+    *   - surv_bal:     the MAX account balance across members,
+    *   - surv_bal_key: the member holding that balance (ties to the
+    *                    lowest custkey — an explicit row_number total
+    *                    order, because max_by/arg_max leave ties
+    *                    unspecified in BOTH engines),
+    *   - surv_segment: the MOST FREQUENT segment (ties to the
+    *                    lexicographically smallest — a deterministic
+    *                    mode built from groupBy count + row_number;
+    *                    the builtin mode() leaves ties unspecified),
+    *   - total_bal:    the exact decimal balance total.
+    * All three derivations partition by entity_id — a data-scaling key
+    * with component-bounded group sizes — so they ride one shuffle
+    * partitioning; no global windows, no collects. */
+  def entityGoldenAttrs(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val labeled = clusterLabelsFrom(cust)
+      .join(cust.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"),
+        Seq("c_custkey"))
+    val base = labeled.groupBy("entity_id").agg(
+      count(lit(1)).as("n_members"),
+      min_by(col("c_name"), col("c_custkey")).as("surv_name"),
+      r4(max(col("c_acctbal"))).as("surv_bal"),
+      r4(sum(d2(col("c_acctbal")))).as("total_bal"))
+    val wBal = Window.partitionBy("entity_id")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val balKey = labeled.withColumn("rn", row_number().over(wBal))
+      .where(col("rn") === 1)
+      .select(col("entity_id"), col("c_custkey").as("surv_bal_key"))
+    val wSeg = Window.partitionBy("entity_id")
+      .orderBy(col("cnt").desc, col("c_mktsegment").asc)
+    val segMode = labeled.groupBy("entity_id", "c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wSeg))
+      .where(col("rn") === 1)
+      .select(col("entity_id"), col("c_mktsegment").as("surv_segment"))
+    base.join(balKey, Seq("entity_id")).join(segMode, Seq("entity_id"))
+      .select("entity_id", "n_members", "surv_name", "surv_bal_key",
+        "surv_bal", "surv_segment", "total_bal")
+      .orderBy("entity_id")
+  }
+
+  val entityGoldenAttrsSql: String =
+    s"""WITH RECURSIVE $scoredPairsCte,
+       |e AS (SELECT key_a AS x, key_b AS y FROM pairs WHERE score >= $MatchThreshold
+       |      UNION SELECT key_b, key_a FROM pairs WHERE score >= $MatchThreshold),
+       |reach(a, b) AS (
+       |  SELECT x, y FROM e
+       |  UNION
+       |  SELECT reach.a, e.y FROM reach JOIN e ON reach.b = e.x),
+       |lab AS (SELECT a AS node, least(a, min(b)) AS entity_id FROM reach GROUP BY a),
+       |labeled AS (
+       |  SELECT c.c_custkey, coalesce(lab.entity_id, c.c_custkey) AS entity_id,
+       |    c.c_name, c.c_mktsegment, c.c_acctbal
+       |  FROM customer c LEFT JOIN lab ON lab.node = c.c_custkey),
+       |base AS (
+       |  SELECT entity_id, count(*) AS n_members,
+       |    arg_min(c_name, c_custkey) AS surv_name,
+       |    CAST(round(max(c_acctbal), 4) AS DOUBLE) AS surv_bal,
+       |    CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 4) AS DOUBLE) AS total_bal
+       |  FROM labeled GROUP BY 1),
+       |balkey AS (
+       |  SELECT entity_id, c_custkey AS surv_bal_key FROM (
+       |    SELECT entity_id, c_custkey, row_number() OVER (
+       |      PARTITION BY entity_id ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+       |    FROM labeled) WHERE rn = 1),
+       |segmode AS (
+       |  SELECT entity_id, c_mktsegment AS surv_segment FROM (
+       |    SELECT entity_id, c_mktsegment, row_number() OVER (
+       |      PARTITION BY entity_id ORDER BY cnt DESC, c_mktsegment ASC) AS rn
+       |    FROM (SELECT entity_id, c_mktsegment, count(*) AS cnt
+       |          FROM labeled GROUP BY 1, 2)) WHERE rn = 1)
+       |SELECT b.entity_id, b.n_members, b.surv_name, k.surv_bal_key,
+       |  b.surv_bal, m.surv_segment, b.total_bal
+       |FROM base b JOIN balkey k ON k.entity_id = b.entity_id
+       |JOIN segmode m ON m.entity_id = b.entity_id
+       |ORDER BY b.entity_id""".stripMargin
+
   /** Blocking-quality instrument — the three numbers a blocking scheme
     * is judged by (Christen's ER evaluation triple): REDUCTION RATIO
     * (how much of the quadratic comparison space the blocking removed —
@@ -316,8 +560,23 @@ object Resolve {
     * cross join — so the driver's hash compare IS the completeness
     * proof at the verified scale, not a self-check. The one quadratic
     * piece (the oracle's cross join) lives only in DuckDB; the engine
-    * side stays blocked. A diagnostics instrument in the q_dedup_eval
-    * discipline: run it on a sample at 100 TB, not the corpus. */
+    * side stays blocked.
+    *
+    * Output-schema caveat (what each column measures when the
+    * instrument runs STANDALONE, e.g. on a 100 TB sample where no
+    * oracle runs): `n_cross`, `n_candidates`, `n_verified`,
+    * `reduction_ratio` and `verify_yield` are engine measurements;
+    * `n_truth` and `pairs_completeness` are ORACLE-BACKED CLAIMS — the
+    * engine aliases n_verified as n_truth and asserts completeness 1.0
+    * (the SymSpell losslessness property, pinned in ResolveSpec), and
+    * only the DuckDB twin's independent cross join can falsify them.
+    * Standalone, the instrument structurally cannot report a blocking
+    * loss; a deployment that needs an engine-side completeness
+    * measurement should cross-join a small record SAMPLE independently
+    * and compare, which is exactly what running this declared query
+    * under the driver's oracle does. A diagnostics instrument in the
+    * q_dedup_eval discipline: run it on a sample at 100 TB, not the
+    * corpus. */
   def entityBlockingEval(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val cross = c.groupBy("c_nationkey").count()
@@ -448,13 +707,83 @@ object Resolve {
        |FROM pr p LEFT JOIN best b ON b.key_p = p.c_custkey AND b.rn = 1
        |ORDER BY probe_key""".stripMargin
 
+  /** The absorb step that closes the ER serving loop: probe verdicts
+    * become ENTITY ASSIGNMENTS — matched probes join their matched
+    * entity, unmatched probes MINT a new entity under their own key
+    * (`coalesce(matched_key, probe_key)`: the min-key discipline the
+    * batch clusters use, so the id assignment is hash-stable and needs
+    * no sequence generator — a driver-side counter would serialize at
+    * 100 TB, a record's own key never does). The declared query then
+    * RE-PROBES the same batch against the absorbed population
+    * (index ∪ batch) and shows the loop closed: every probe re-matches
+    * (at minimum itself, at score 100 — identical name, segment and
+    * balance), so `rematched_key` is never null. The at-rest twin —
+    * writeEntityIndex → probeEntityIndex → appendEntityIndex(batch) →
+    * re-probe — is pinned against this relational form in ResolveSpec
+    * (probe → absorb → re-probe idempotence). */
+  def entityAbsorb(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val idx = c.where(col("c_custkey") % 10 < 8)
+    val batch = c.where(col("c_custkey") % 10 >= 8)
+    val assigned = probeMatches(idx, batch)
+      .select(col("probe_key"),
+        coalesce(col("matched_key"), col("probe_key")).as("entity_id"),
+        col("matched_key").isNull.cast(LongType).as("minted"))
+    val re = probeMatches(idx.unionByName(batch), batch)
+      .select(col("probe_key"), col("matched_key").as("rematched_key"),
+        col("best_score").as("rematch_score"))
+    assigned.join(re, Seq("probe_key")).orderBy("probe_key")
+  }
+
+  val entityAbsorbSql: String =
+    s"""WITH idx AS (SELECT * FROM customer WHERE c_custkey % 10 < 8),
+       |pr AS (SELECT * FROM customer WHERE c_custkey % 10 >= 8),
+       |scored1 AS (
+       |  SELECT p.c_custkey AS key_p, i.c_custkey AS key_i,
+       |    (CASE WHEN levenshtein(p.c_name, i.c_name) = 0 THEN 60 ELSE 30 END
+       |     + (p.c_mktsegment = i.c_mktsegment)::BIGINT * 25
+       |     + (abs(p.c_acctbal - i.c_acctbal) <= 1000.0)::BIGINT * 15) AS score
+       |  FROM pr p JOIN idx i ON p.c_nationkey = i.c_nationkey
+       |  WHERE levenshtein(p.c_name, i.c_name) <= 1),
+       |best1 AS (
+       |  SELECT key_p, key_i, score, row_number() OVER (
+       |    PARTITION BY key_p ORDER BY score DESC, key_i ASC) AS rn
+       |  FROM scored1 WHERE score >= $MatchThreshold),
+       |grown AS (SELECT * FROM idx UNION ALL SELECT * FROM pr),
+       |scored2 AS (
+       |  SELECT p.c_custkey AS key_p, i.c_custkey AS key_i,
+       |    (CASE WHEN levenshtein(p.c_name, i.c_name) = 0 THEN 60 ELSE 30 END
+       |     + (p.c_mktsegment = i.c_mktsegment)::BIGINT * 25
+       |     + (abs(p.c_acctbal - i.c_acctbal) <= 1000.0)::BIGINT * 15) AS score
+       |  FROM pr p JOIN grown i ON p.c_nationkey = i.c_nationkey
+       |  WHERE levenshtein(p.c_name, i.c_name) <= 1),
+       |best2 AS (
+       |  SELECT key_p, key_i, score, row_number() OVER (
+       |    PARTITION BY key_p ORDER BY score DESC, key_i ASC) AS rn
+       |  FROM scored2 WHERE score >= $MatchThreshold)
+       |SELECT p.c_custkey AS probe_key,
+       |  coalesce(b1.key_i, p.c_custkey) AS entity_id,
+       |  (b1.key_i IS NULL)::BIGINT AS minted,
+       |  b2.key_i AS rematched_key, b2.score::BIGINT AS rematch_score
+       |FROM pr p
+       |LEFT JOIN best1 b1 ON b1.key_p = p.c_custkey AND b1.rn = 1
+       |LEFT JOIN best2 b2 ON b2.key_p = p.c_custkey AND b2.rn = 1
+       |ORDER BY probe_key""".stripMargin
+
   // ---- the entity index AT REST ---------------------------------------
 
   /** Persist the deletion-variant index of a customer population — the
     * at-rest structure [[probeEntityIndex]] serves and
     * [[appendEntityIndex]] grows in O(batch): one exploded row per
     * (variant, record), the join side of the probe's (nat, v) equi-join.
-    * Laid out by hash of the variant so a probe shuffle aligns. */
+    * The pre-write repartition only clusters rows into O(shuffle
+    * partitions) well-sized files — a plain parquet write persists no
+    * partitioning/bucketing metadata, so a probe join still shuffles
+    * both sides and scans the index. If read-side alignment or pruning
+    * mattered at a given deployment scale, the layout to reach for is
+    * `partitionBy(nat)` (probe batches prune to their nations) or a
+    * bucketed table on (nat, v); behavior is identical either way
+    * (probe == direct pinned in ResolveSpec). */
   def writeEntityIndex(cust: DataFrame, path: String): Unit =
     sided(cust, "i")
       .repartition(col("nat"), col("v"))
@@ -474,18 +803,24 @@ object Resolve {
   val queries: Map[String, Q] = Map(
     "q_join_fuzzy" -> joinFuzzy _,
     "q_join_fuzzy2" -> joinFuzzy2 _,
+    "q_join_fuzzy_tokens" -> joinFuzzyTokens _,
     "q_entity_resolve" -> entityResolve _,
     "q_entity_resolve_clusters" -> entityResolveClusters _,
     "q_entity_golden" -> entityGolden _,
+    "q_entity_golden_attrs" -> entityGoldenAttrs _,
     "q_entity_resolve_incremental" -> entityResolveIncremental _,
+    "q_entity_absorb" -> entityAbsorb _,
     "q_entity_blocking_eval" -> entityBlockingEval _)
 
   val oracle: Map[String, String] = Map(
     "q_join_fuzzy" -> joinFuzzySql,
     "q_join_fuzzy2" -> joinFuzzy2Sql,
+    "q_join_fuzzy_tokens" -> joinFuzzyTokensSql,
     "q_entity_resolve" -> entityResolveSql,
     "q_entity_resolve_clusters" -> entityResolveClustersSql,
     "q_entity_golden" -> entityGoldenSql,
+    "q_entity_golden_attrs" -> entityGoldenAttrsSql,
     "q_entity_resolve_incremental" -> entityResolveIncrementalSql,
+    "q_entity_absorb" -> entityAbsorbSql,
     "q_entity_blocking_eval" -> entityBlockingEvalSql)
 }

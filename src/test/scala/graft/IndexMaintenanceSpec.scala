@@ -222,6 +222,42 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       === metaBefore.view.mapValues(_.toSeq).toMap, "meta sidecar rewritten")
   }
 
+  test("compactMvLog: batch log folds to one row per group, readMv identical, later batches still merge") {
+    val mvDir = Files.createTempDirectory("graft_cmp_mv").toString + "/mv"
+    val o = util.t(spark, dir, "orders")
+    // simulate three committed stream batches over 3 of 4 order slices
+    // (the shape streamMvMaintain writes: one batch_id partition each)
+    for (k <- 0 until 3)
+      operators.Relational.mvPartialStates(o.where(col("o_orderkey") % 4 === k))
+        .withColumn("batch_id", lit(k.toLong))
+        .write.mode("append").partitionBy("batch_id").parquet(mvDir)
+    val before = operators.Relational.readMv(spark, mvDir).collect()
+    val filesBefore = operators.IndexMaintenance.dataFileCount(spark, mvDir)
+    operators.IndexMaintenance.compactMvLog(spark, mvDir)
+    // identical view, fewer files, exactly one state row per group, all
+    // under the reserved batch_id = -1 (monotone stream ids never collide)
+    assert(operators.Relational.readMv(spark, mvDir).collect() === before)
+    assert(operators.IndexMaintenance.dataFileCount(spark, mvDir) < filesBefore)
+    val log = spark.read.parquet(mvDir)
+    assert(log.groupBy("o_orderpriority", "o_year").count()
+      .where(col("count") > 1).count() === 0L)
+    assert(log.select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(-1L))
+    // a later stream batch lands on top of the compacted log and readMv
+    // still equals the single-pass batch MV over ALL orders
+    operators.Relational.mvPartialStates(o.where(col("o_orderkey") % 4 === 3))
+      .withColumn("batch_id", lit(3L))
+      .write.mode("append").partitionBy("batch_id").parquet(mvDir)
+    val streamed = operators.Relational.readMv(spark, mvDir)
+    val batchTwin = operators.Relational.mvPresent(
+      operators.Relational.mvMergeStates(operators.Relational.mvPartialStates(o)))
+    assert(streamed.collect() === batchTwin.collect())
+    // compaction is idempotent: folding the folded log is a fixed point
+    operators.IndexMaintenance.compactMvLog(spark, mvDir)
+    assert(operators.Relational.readMv(spark, mvDir).collect()
+      === batchTwin.collect())
+  }
+
   test("crashed mid-swap state is refused: the __old rollback copy is never deleted") {
     val idx = Files.createTempDirectory("graft_cmp_crash").toString
     operators.Dedup.writeSimhashIndex(spark, dir, idx)

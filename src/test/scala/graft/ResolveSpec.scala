@@ -67,6 +67,35 @@ class ResolveSpec extends AnyFunSuite {
     assert(df.where(col("d") === 2).count() >= 150L, "generator sanity")
   }
 
+  /** the tail-window truncation dial must stay lossless: random 2-edit
+    * pairs still collide when only the LAST 4 chars feed the depth-2
+    * neighborhoods — the SymSpell window argument, empirically pinned
+    * through the production Column */
+  test("windowed depth-2 neighborhoods of any dist<=2 pair intersect") {
+    val rnd = new scala.util.Random(11)
+    val alpha = "ab01"
+    def randStr(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def edit(s: String): String = {
+      val i = rnd.nextInt(s.length)
+      rnd.nextInt(3) match {
+        case 0 => s.updated(i, alpha(rnd.nextInt(alpha.length)))
+        case 1 => s.substring(0, i) + alpha(rnd.nextInt(alpha.length)) + s.substring(i)
+        case _ if s.length > 1 => s.substring(0, i) + s.substring(i + 1)
+        case _ => s
+      }
+    }
+    val pairs = (1 to 400).map { _ =>
+      val s = randStr(4 + rnd.nextInt(10)); (s, edit(edit(s)))
+    }
+    val df = pairs.toDF("s", "t").select(
+      levenshtein(col("s"), col("t")).as("d"),
+      arrays_overlap(Resolve.delNeighborhood2Window(col("s"), 4),
+        Resolve.delNeighborhood2Window(col("t"), 4)).as("share"))
+    assert(df.where(col("d") <= 2 && !col("share")).count() === 0L,
+      "window-4 depth-2 deletion blocking dropped a dist<=2 pair")
+    assert(df.where(col("d") === 2).count() >= 150L, "generator sanity")
+  }
+
   test("q_join_fuzzy2 equals the brute-force cross join at dist<=2") {
     val blocked = operators.Resolve.joinFuzzy2(spark, dir)
     val a = util.t(spark, dir, "customer")
@@ -222,6 +251,108 @@ class ResolveSpec extends AnyFunSuite {
     val rebuilt = operators.Resolve.probeMatches(
       idxPop.unionByName(absorbed), rest).orderBy("probe_key")
     assert(grown.collect() === rebuilt.collect())
+  }
+
+  test("q_entity_absorb: probe -> absorb -> re-probe closes the serving loop") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_absorb").toString
+    val c = util.t(spark, dir, "customer")
+    val idx = c.where(col("c_custkey") % 10 < 8)
+    val batch = c.where(col("c_custkey") % 10 >= 8)
+    val declared = operators.Resolve.entityAbsorb(spark, dir).collect()
+    // mint discipline: matched probes adopt the matched entity, unmatched
+    // probes mint under their own key — and the fixture exercises both
+    declared.foreach { r =>
+      val (pk, eid, minted) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (minted == 1L) assert(eid === pk, s"minted probe $pk must self-id")
+      else assert(eid % 10 < 8, s"matched probe $pk must point at an index key")
+      assert(!r.isNullAt(3), s"probe $pk did not re-match after absorb")
+      assert(r.getLong(4) >= operators.Resolve.MatchThreshold.toLong)
+    }
+    assert(declared.exists(_.getLong(2) == 1L), "fixture needs a minted probe")
+    assert(declared.exists(_.getLong(2) == 0L), "fixture needs a matched probe")
+    // the same loop through the PERSISTED index: probe, absorb the whole
+    // batch (matched evidence AND minted entities), re-probe
+    operators.Resolve.writeEntityIndex(idx, tmp)
+    val v1 = operators.Resolve.probeEntityIndex(spark, batch, tmp)
+      .orderBy("probe_key").collect()
+    // pre-absorb verdicts agree with the declared assignment
+    assert(v1.map(r => (r.getLong(0),
+        if (r.isNullAt(1)) r.getLong(0) else r.getLong(1))).toSeq
+      === declared.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    operators.Resolve.appendEntityIndex(batch, tmp)
+    val v2 = operators.Resolve.probeEntityIndex(spark, batch, tmp)
+      .orderBy("probe_key").collect()
+    assert(v2.forall(!_.isNullAt(1)), "re-probe after absorb must match 100%")
+    // re-probe verdicts equal the declared query's rematch columns
+    assert(v2.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === declared.map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq)
+    // idempotence: probing again without new absorbs is a fixed point
+    val v3 = operators.Resolve.probeEntityIndex(spark, batch, tmp)
+      .orderBy("probe_key").collect()
+    assert(v3 === v2)
+  }
+
+  test("q_join_fuzzy_tokens equals the unblocked cross-join scoring") {
+    val nat = util.t(spark, dir, "nation")
+      .select(col("n_nationkey"), lower(col("n_name")).as("nt"))
+    val a = util.t(spark, dir, "customer")
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(concat_ws(" ", col("nt"), lit("customer"),
+        regexp_extract(col("c_name"), "[0-9]+$", 0)).as("name_a")).distinct()
+    val b = util.t(spark, dir, "supplier")
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select(concat_ws(" ", col("nt"), lit("supplier"),
+        regexp_extract(col("s_name"), "[0-9]+$", 0)).as("name_b")).distinct()
+    val at = a.select(col("name_a"),
+      array_distinct(split(col("name_a"), " ")).as("toks_a"))
+    val bt = b.select(col("name_b"),
+      array_distinct(split(col("name_b"), " ")).as("toks_b"))
+    val brute = at.crossJoin(bt)
+      .select(col("name_a"), col("name_b"),
+        util.r4f((size(filter(col("toks_a"), ta =>
+            exists(col("toks_b"), tb => levenshtein(ta, tb) <= 1)))
+          + size(filter(col("toks_b"), tb =>
+            exists(col("toks_a"), ta => levenshtein(ta, tb) <= 1))))
+          .cast("double")
+          / (size(col("toks_a")) + size(col("toks_b")))).as("score"))
+      .where(col("score") >= 0.6)
+    val blocked = operators.Resolve.joinFuzzyTokens(spark, dir)
+    assert(blocked.count() > 0L)
+    assert(blocked.exceptAll(brute).count() === 0L)
+    assert(brute.exceptAll(blocked).count() === 0L)
+    // the fixture exercises genuinely FUZZY token links (digit tokens one
+    // edit apart), not just exact-token overlap
+    val fuzzyLinks = blocked.where(
+      element_at(split(col("name_a"), " "), -1)
+        =!= element_at(split(col("name_b"), " "), -1)).count()
+    assert(fuzzyLinks > 0L, "no dist-1 token links in the fixture")
+  }
+
+  test("q_entity_golden_attrs survivorship rules match per-entity brute force") {
+    val got = operators.Resolve.entityGoldenAttrs(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4), r.getString(5)))).toMap
+    val labels = operators.Resolve.entityResolveClusters(spark, dir)
+      .as[(Long, Long)].collect()
+    val attrs = util.t(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      .as[(Long, String, String, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    val byEntity = labels.groupBy(_._2)
+    assert(got.size === byEntity.size)
+    byEntity.foreach { case (eid, members) =>
+      val ks = members.map(_._1)
+      val (n, survName, survBalKey, survBal, survSeg) = got(eid)
+      assert(n === ks.length.toLong)
+      assert(survName === attrs(ks.min)._1, s"entity $eid surv_name")
+      assert(survBal === math.round(ks.map(attrs(_)._3).max * 10000) / 10000.0)
+      assert(survBalKey === ks.minBy(k => (-attrs(k)._3, k)), s"entity $eid bal key")
+      val segCounts = ks.groupBy(attrs(_)._2).map { case (s, g) => (s, g.length) }
+      assert(survSeg === segCounts.toSeq.minBy { case (s, c) => (-c, s) }._1,
+        s"entity $eid segment mode")
+    }
+    // multi-member entities exist, so the rules actually arbitrate
+    assert(byEntity.values.exists(_.length > 1))
   }
 
   test("q_entity_blocking_eval: counts match brute force, completeness 1.0") {
