@@ -446,14 +446,19 @@ object Dedup {
   // ---- dedup clustering (pairs → connected components) ----------------
   /** Safety cap on propagation rounds. Rounds use pointer-doubling
     * (label-of-label alongside the neighbour min), so reach grows as
-    * 2^(k+1)−1: the cap covers component diameters past 100 000 — far
-    * beyond any near-dup graph — and the loop EXITS EARLY the first
-    * round no label changes (one scalar count per round). Hitting the
-    * cap without converging therefore indicates a malformed edge list
-    * and raises IllegalStateException rather than silently emitting
-    * non-minimal labels (the round-6 hazard: a fixed 16 plain rounds
-    * mislabeled components of diameter > 17 with no error). */
-  val ClusterIters = 16
+    * 2^(k+1)−1: the cap covers component diameters past 2 million, and
+    * the loop EXITS EARLY the first round no label changes (one scalar
+    * count per round) — a larger cap costs converged runs NOTHING.
+    * Hitting the cap without converging raises IllegalStateException
+    * rather than silently emitting non-minimal labels (the round-6
+    * hazard: a fixed 16 plain rounds mislabeled components of diameter
+    * > 17 with no error). Raised 16 → 20 in round 19: a 1.5M-node ER
+    * scaling experiment produced a REAL (testdata-artifact-induced, but
+    * structurally legitimate) near-critical chained component past the
+    * old 131k-diameter reach — single-linkage chaining at 100 TB is a
+    * data property, not only a malformed-input symptom, so the guard
+    * should reject it later than the first plausible giant chain. */
+  val ClusterIters = 20
 
   /** The step the pair generators feed at scale: near-dup PAIRS →
     * duplicate CLUSTERS (connected components), one keeper per cluster.

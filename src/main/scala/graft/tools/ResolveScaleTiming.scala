@@ -8,14 +8,30 @@ import org.apache.spark.sql.functions._
   * driving the SAME frame-parameterized operators the declared queries
   * use (Resolve.scoredPairsFrom / clusterLabelsFrom / joinFuzzyFrom).
   *
-  * Replication is measure-preserving and collision-free across copies:
-  * copy k offsets custkey by k·1,111,110 and reformats the name from the
-  * new key ("Customer#%09d"), so cross-copy name pairs differ in ≥ 6
-  * digit positions (no Levenshtein-1 edges between copies barring
-  * carries) — each copy contributes an isomorphic within-copy ER
-  * problem, the right null hypothesis for a scaling measurement (the
-  * cross-copy-duplicate regime is a different dial: it grows edges
-  * quadratically in K by construction, not by plan behavior).
+  * Replication is measure-preserving and collision-free across copies
+  * AT ANY K: copy k keeps the base key's digit block verbatim
+  * ("%09d" of the ORIGINAL custkey, so every within-copy name pair is
+  * bit-identical to its base-copy twin) and replaces the constant
+  * "Customer#" head with a per-copy two-letter tag repeated ×3
+  * ("AAABBB#…"), so any cross-copy name pair differs in ≥ 3 positions —
+  * Levenshtein ≥ 3, beyond every dial this family ships (dist ≤ 2).
+  * Each copy therefore contributes an EXACTLY isomorphic within-copy ER
+  * problem and zero cross-copy edges: the right null hypothesis for a
+  * scaling measurement (the cross-copy-duplicate regime is a different
+  * dial: it grows edges quadratically in K by construction, not by plan
+  * behavior).
+  *
+  * History: through round 18 the replication offset custkey by
+  * k·1,111,110 and reformatted the name from the NEW key, arguing ≥ 6
+  * differing digits "barring carries". At K = 100 the carries arrived:
+  * offsets satisfying (k'−k)·1,111,110 + (r'−r) = d·10^p (e.g.
+  * k'−k = 9, r' = r+10 → exactly +10^7) produce genuine cross-copy
+  * dist-1 name pairs, and at 100 copies those edges percolated the
+  * union graph into a near-critical chained component whose diameter
+  * blew past propagateMinLabel's 2^17 reach — the convergence guard
+  * correctly REFUSED to label it (and prompted raising the engine cap
+  * to 2^21, Dedup.ClusterIters). The letter-tag scheme removes the
+  * artifact class entirely instead of betting on sparser arithmetic.
   *
   * Printed per K: wall seconds for the scored-pair front and the full
   * cluster labeling, plus candidate-pair and match-edge counts, and the
@@ -42,8 +58,15 @@ object ResolveScaleTiming {
 
     def replicated(k: Int): DataFrame =
       (0 until k).map { i =>
-        base.withColumn("c_custkey", col("c_custkey") + lit(i * 1111110L))
-          .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
+        // per-copy tag: two letters repeated x3 — cross-copy names differ
+        // in >= 3 positions, so no dist <= 2 edges can cross copies
+        val tag = ('A' + i / 26).toChar.toString * 3 +
+          ('A' + i % 26).toChar.toString * 3
+        base.select(
+          (col("c_custkey") + lit(i * 10000000L)).as("c_custkey"),
+          concat(lit(tag + "#"),
+            format_string("%09d", col("c_custkey"))).as("c_name"),
+          col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
       }.reduce(_ union _).repartition(32).cache()
 
     def time[A](f: => A): (A, Double) = {
