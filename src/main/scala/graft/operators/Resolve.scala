@@ -373,6 +373,37 @@ object Resolve {
     s"""WITH $scoredPairsCte
        |SELECT * FROM pairs ORDER BY key_a, key_b""".stripMargin
 
+  /** Fellegi-Sunter threshold-calibration instrument — the score
+    * HISTOGRAM of the blocked candidate front: one row per distinct
+    * score with its pair count and the evidence-pattern breakdown
+    * (exact-name / same-segment / balance-close counts), plus the
+    * verdict the shipped [[MatchThreshold]] assigns. THE artifact a
+    * linkage deployment reads to place (or move) its threshold: the
+    * match/non-match score populations and the mass a ±1-evidence
+    * shift would flip. One map-side-combinable groupBy over the same
+    * scored-pair front every other ER query derives — score
+    * cardinality is bounded by the evidence lattice (≤ 2·2·2·2 shapes
+    * here), so the result is catalog-sized whatever the corpus. */
+  def entityScoreDist(s: SparkSession, dir: String): DataFrame =
+    scoredPairsFrom(t(s, dir, "customer"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("same_seg")).as("n_same_seg"),
+        sum(col("bal_close")).as("n_bal_close"),
+        sum((col("name_dist") === 0).cast(LongType)).as("n_exact_name"))
+      .withColumn("is_match",
+        (col("score") >= MatchThreshold).cast(LongType))
+      .orderBy("score")
+
+  val entityScoreDistSql: String =
+    s"""WITH $scoredPairsCte
+       |SELECT score, count(*) AS n_pairs,
+       |  sum(same_seg)::BIGINT AS n_same_seg,
+       |  sum(bal_close)::BIGINT AS n_bal_close,
+       |  sum((name_dist = 0)::BIGINT)::BIGINT AS n_exact_name,
+       |  (score >= $MatchThreshold)::BIGINT AS is_match
+       |FROM pairs GROUP BY score ORDER BY score""".stripMargin
+
   /** Every customer labeled with its entity id = the min custkey of its
     * match-graph connected component (singletons label themselves) — the
     * canonical ER output, golden-record selection's input. Components
@@ -800,11 +831,24 @@ object Resolve {
   def appendEntityIndex(batch: DataFrame, path: String): Unit =
     sided(batch, "i").write.mode("append").parquet(path)
 
+  /** probe verdicts folded to entity ASSIGNMENTS — the per-record output
+    * of the live absorb loop ([[graft.streaming.Pipeline.streamEntityAbsorb]]):
+    * matched probes adopt the matched entity, unmatched probes MINT
+    * under their own key — [[entityAbsorb]]'s discipline, shared so the
+    * stream and the declared batch query can never drift */
+  def probeEntityAssign(s: SparkSession, batch: DataFrame, path: String): DataFrame =
+    probeEntityIndex(s, batch, path)
+      .select(col("probe_key"),
+        coalesce(col("matched_key"), col("probe_key")).as("entity_id"),
+        col("matched_key").isNull.cast(LongType).as("minted"),
+        col("best_score"))
+
   val queries: Map[String, Q] = Map(
     "q_join_fuzzy" -> joinFuzzy _,
     "q_join_fuzzy2" -> joinFuzzy2 _,
     "q_join_fuzzy_tokens" -> joinFuzzyTokens _,
     "q_entity_resolve" -> entityResolve _,
+    "q_entity_score_dist" -> entityScoreDist _,
     "q_entity_resolve_clusters" -> entityResolveClusters _,
     "q_entity_golden" -> entityGolden _,
     "q_entity_golden_attrs" -> entityGoldenAttrs _,
@@ -817,6 +861,7 @@ object Resolve {
     "q_join_fuzzy2" -> joinFuzzy2Sql,
     "q_join_fuzzy_tokens" -> joinFuzzyTokensSql,
     "q_entity_resolve" -> entityResolveSql,
+    "q_entity_score_dist" -> entityScoreDistSql,
     "q_entity_resolve_clusters" -> entityResolveClustersSql,
     "q_entity_golden" -> entityGoldenSql,
     "q_entity_golden_attrs" -> entityGoldenAttrsSql,

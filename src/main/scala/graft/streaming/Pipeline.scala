@@ -609,6 +609,30 @@ object Pipeline {
       }
       .start()
 
+  /** LIVE entity resolution WITH ABSORPTION — closes the loop
+    * [[streamEntityResolve]] leaves to a maintenance call, and the
+    * streaming face of `q_entity_absorb`: each micro-batch probes the
+    * persisted deletion-variant entity index and emits one entity
+    * ASSIGNMENT per record (`Resolve.probeEntityAssign` — matched
+    * probes adopt the matched entity, unmatched probes mint under
+    * their own key, hash-stable, no sequence generator), then ABSORBS
+    * the whole batch (matched evidence AND minted entities) via the
+    * O(batch) `Resolve.appendEntityIndex` — so a batch-N+1 record
+    * within one typo of a batch-N minted entity MATCHES it instead of
+    * minting a duplicate. Probe precedes append: a batch never matches
+    * itself (within-batch duplicates mint independently and reconcile
+    * on their next appearance — the standard streaming-ER trade
+    * against a quadratic within-batch pass). Verdicts are exactly-once
+    * per batch_id partition; appends are replay-guarded by the
+    * per-batch marker — the [[streamIngestDedup]] ingestLoop contract,
+    * now covering the ER family too. */
+  def streamEntityAbsorb(cust: DataFrame, indexPath: String,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    ingestLoop(graft.operators.Resolve.probeEntityAssign,
+        (s, path, b) => graft.operators.Resolve.appendEntityIndex(b, path))(
+      cust, indexPath, outDir, checkpointDir, trigger)
+
   /** LIVE sketch-table maintenance — the streaming face of
     * `SketchTable.writeSketchDailies`: each micro-batch of events
     * reduces to its own (event_type, day) sketch-state rows (the SAME

@@ -348,6 +348,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "no view→purchase pairs at sf0.001")
   }
 
+  test("streamEntityAbsorb: minted entities absorb and the next batch matches them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val cust = util.t(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val indexPath = Files.createTempDirectory("graft_entabs_idx").toString
+    val idxPop = cust.where(col("c_custkey") % 10 < 8)
+    graft.operators.Resolve.writeEntityIndex(idxPop, indexPath)
+    val batch1 = cust.where(col("c_custkey") % 10 >= 8)
+      .as[(Long, String, Int, String, Double)].collect().toSeq
+    // batch 2: exact clones of every batch-1 record under fresh keys —
+    // each must MATCH after batch 1 absorbs (at minimum its own clone
+    // scores 100), and clones of batch-1 MINTED records must adopt the
+    // minted entity
+    val batch2 = batch1.map(r => (r._1 + 10000000L, r._2, r._3, r._4, r._5))
+    val ms = MemoryStream[(Long, String, Int, String, Double)]
+    val out = Files.createTempDirectory("graft_entabs_out").toString
+    val ckpt = Files.createTempDirectory("graft_entabs_ckpt").toString
+    // two sequential AvailableNow runs over one checkpoint = two
+    // micro-batches (a single run would coalesce both addData blocks
+    // into one batch, and a batch never matches itself)
+    ms.addData(batch1)
+    val q1 = Pipeline.streamEntityAbsorb(
+      ms.toDF().toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"),
+      indexPath, out, ckpt, Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    ms.addData(batch2)
+    val q2 = Pipeline.streamEntityAbsorb(
+      ms.toDF().toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"),
+      indexPath, out, ckpt, Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(out)
+    def assigns(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_key", "entity_id", "minted", "best_score")
+      .orderBy("probe_key").collect().toSeq
+    // batch 1 ≡ the declared q_entity_absorb assignment (same 80/20
+    // split, same index) — stream ≡ batch by construction
+    val declared = graft.operators.Resolve.entityAbsorb(spark, dir)
+      .select("probe_key", "entity_id", "minted")
+      .orderBy("probe_key").collect().toSeq
+    assert(assigns(streamed.where(col("batch_id") === 0))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) === declared
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    // batch 2 ≡ the batch twin probing (index ∪ batch1), and 100% matched
+    val b1df = batch1.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val b2df = batch2.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val twin = graft.operators.Resolve.probeMatches(idxPop.unionByName(b1df), b2df)
+      .select(col("probe_key"),
+        coalesce(col("matched_key"), col("probe_key")).as("entity_id"),
+        col("matched_key").isNull.cast("long").as("minted"),
+        col("best_score"))
+      .orderBy("probe_key").collect().toSeq
+    val got2 = assigns(streamed.where(col("batch_id") === 1))
+    assert(got2 === twin)
+    assert(got2.forall(_.getLong(2) == 0L), "a batch-2 clone failed to match")
+    // clones of batch-1 MINTED records adopt the minted entity id
+    val minted1 = declared.filter(_.getLong(2) == 1L).map(_.getLong(0)).toSet
+    assert(minted1.nonEmpty, "fixture needs minted batch-1 records")
+    val got2ById = got2.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    minted1.foreach { k =>
+      assert(got2ById(k + 10000000L) === k,
+        s"clone of minted $k adopted ${got2ById(k + 10000000L)}")
+    }
+    // replay marker present for both absorbed batches
+    assert(new java.io.File(s"$indexPath/appended/0").exists())
+    assert(new java.io.File(s"$indexPath/appended/1").exists())
+  }
+
   test("streamEntityResolve: live probes against the persisted entity index match the batch form") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
