@@ -801,6 +801,121 @@ object Resolve {
        |LEFT JOIN best2 b2 ON b2.key_p = p.c_custkey AND b2.rn = 1
        |ORDER BY probe_key""".stripMargin
 
+  /** Incremental golden-record maintenance — MDM's golden-table UPSERT,
+    * composing the absorb loop with the MV partial-refresh discipline:
+    * the stored golden table holds RE-AGGREGABLE per-entity partial
+    * states over the index population (member count, min member key +
+    * its name, max balance, exact decimal total — every one mergeable
+    * by sum/min/min_by/max/sum), an arriving batch reduces to the same
+    * partial schema under its entity ASSIGNMENTS (matched records adopt
+    * their matched record's ENTITY via the index labels; unmatched mint
+    * under their own key), and the refresh touches ONLY assigned
+    * entities: untouched golden rows pass through an anti join with
+    * ZERO recompute, touched rows merge stored+delta states through one
+    * group-bounded re-aggregation. At 100 TB with the golden table
+    * partitioned by entity_id the semi join IS partition pruning — a
+    * batch's refresh reads the entities it touches, not the table. The
+    * oracle is the FULL recompute over (index ∪ assigned batch) with
+    * identical entity definitions — hash equality proves the
+    * stitched upsert loses nothing, including the `updated` flag
+    * (touched ≡ has a batch member). */
+  def entityGoldenIncremental(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val idx = c.where(col("c_custkey") % 10 < 8)
+    val batch = c.where(col("c_custkey") % 10 >= 8)
+    val labels = clusterLabelsFrom(idx) // (c_custkey, entity_id) of the index
+    def states(df: DataFrame): DataFrame =
+      df.groupBy("entity_id").agg(
+        count(lit(1)).as("n_members"),
+        min(col("c_custkey")).as("min_key"),
+        min_by(col("c_name"), col("c_custkey")).as("surv_name"),
+        max(col("c_acctbal")).as("max_bal"),
+        sum(d2(col("c_acctbal"))).as("total_bal_d"))
+    val stored = states(labels.join(idx, Seq("c_custkey"))) // the golden table
+    val assigned = probeMatches(idx, batch)
+      .join(labels.select(col("c_custkey").as("matched_key"),
+        col("entity_id").as("matched_entity")), Seq("matched_key"), "left")
+      .select(col("probe_key").as("c_custkey"),
+        coalesce(col("matched_entity"), col("probe_key")).as("entity_id"))
+      .join(batch, Seq("c_custkey"))
+    val delta = states(assigned)
+    val touched = delta.select("entity_id")
+    val untouched = stored
+      .join(broadcast(touched), Seq("entity_id"), "left_anti")
+      .withColumn("updated", lit(0L))
+    val merged = stored
+      .join(broadcast(touched), Seq("entity_id"), "left_semi")
+      .unionByName(delta)
+      .groupBy("entity_id").agg(
+        sum(col("n_members")).as("n_members"),
+        min_by(col("surv_name"), col("min_key")).as("surv_name"),
+        min(col("min_key")).as("min_key"),
+        max(col("max_bal")).as("max_bal"),
+        sum(col("total_bal_d")).as("total_bal_d"))
+      .withColumn("updated", lit(1L))
+    untouched.unionByName(merged, allowMissingColumns = false)
+      .select(col("entity_id"), col("n_members"), col("surv_name"),
+        r4(col("max_bal")).as("surv_bal"),
+        r4(col("total_bal_d")).as("total_bal"), col("updated"))
+      .orderBy("entity_id")
+  }
+
+  val entityGoldenIncrementalSql: String =
+    s"""WITH RECURSIVE
+       |idx AS (SELECT * FROM customer WHERE c_custkey % 10 < 8),
+       |pr AS (SELECT * FROM customer WHERE c_custkey % 10 >= 8),
+       |scored AS (
+       |  SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       |    levenshtein(a.c_name, b.c_name)::BIGINT AS name_dist,
+       |    (a.c_mktsegment = b.c_mktsegment)::BIGINT AS same_seg,
+       |    (abs(a.c_acctbal - b.c_acctbal) <= 1000.0)::BIGINT AS bal_close
+       |  FROM idx a JOIN idx b
+       |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+       |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+       |pairs AS (
+       |  SELECT key_a, key_b,
+       |    (CASE WHEN name_dist = 0 THEN 60 ELSE 30 END
+       |     + same_seg * 25 + bal_close * 15)::BIGINT AS score
+       |  FROM scored),
+       |e AS (SELECT key_a AS x, key_b AS y FROM pairs WHERE score >= $MatchThreshold
+       |      UNION SELECT key_b, key_a FROM pairs WHERE score >= $MatchThreshold),
+       |reach(a, b) AS (
+       |  SELECT x, y FROM e
+       |  UNION
+       |  SELECT reach.a, e.y FROM reach JOIN e ON reach.b = e.x),
+       |lab AS (SELECT a AS node, least(a, min(b)) AS entity_id FROM reach GROUP BY a),
+       |labeled AS (
+       |  SELECT i.c_custkey, coalesce(lab.entity_id, i.c_custkey) AS entity_id,
+       |    i.c_name, i.c_acctbal
+       |  FROM idx i LEFT JOIN lab ON lab.node = i.c_custkey),
+       |pscored AS (
+       |  SELECT p.c_custkey AS key_p, i.c_custkey AS key_i,
+       |    (CASE WHEN levenshtein(p.c_name, i.c_name) = 0 THEN 60 ELSE 30 END
+       |     + (p.c_mktsegment = i.c_mktsegment)::BIGINT * 25
+       |     + (abs(p.c_acctbal - i.c_acctbal) <= 1000.0)::BIGINT * 15) AS score
+       |  FROM pr p JOIN idx i ON p.c_nationkey = i.c_nationkey
+       |  WHERE levenshtein(p.c_name, i.c_name) <= 1),
+       |pbest AS (
+       |  SELECT key_p, key_i, row_number() OVER (
+       |    PARTITION BY key_p ORDER BY score DESC, key_i ASC) AS rn
+       |  FROM pscored WHERE score >= $MatchThreshold),
+       |assigned AS (
+       |  SELECT p.c_custkey, coalesce(l.entity_id, p.c_custkey) AS entity_id,
+       |    p.c_name, p.c_acctbal
+       |  FROM pr p
+       |  LEFT JOIN pbest b ON b.key_p = p.c_custkey AND b.rn = 1
+       |  LEFT JOIN labeled l ON l.c_custkey = b.key_i),
+       |allrows AS (
+       |  SELECT entity_id, c_custkey, c_name, c_acctbal, 0 AS from_batch FROM labeled
+       |  UNION ALL
+       |  SELECT entity_id, c_custkey, c_name, c_acctbal, 1 FROM assigned)
+       |SELECT entity_id, count(*) AS n_members,
+       |  arg_min(c_name, c_custkey) AS surv_name,
+       |  CAST(round(max(c_acctbal), 4) AS DOUBLE) AS surv_bal,
+       |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 4) AS DOUBLE) AS total_bal,
+       |  max(from_batch)::BIGINT AS updated
+       |FROM allrows GROUP BY entity_id ORDER BY entity_id""".stripMargin
+
   // ---- the entity index AT REST ---------------------------------------
 
   /** Persist the deletion-variant index of a customer population — the
@@ -852,6 +967,7 @@ object Resolve {
     "q_entity_resolve_clusters" -> entityResolveClusters _,
     "q_entity_golden" -> entityGolden _,
     "q_entity_golden_attrs" -> entityGoldenAttrs _,
+    "q_entity_golden_incremental" -> entityGoldenIncremental _,
     "q_entity_resolve_incremental" -> entityResolveIncremental _,
     "q_entity_absorb" -> entityAbsorb _,
     "q_entity_blocking_eval" -> entityBlockingEval _)
@@ -865,6 +981,7 @@ object Resolve {
     "q_entity_resolve_clusters" -> entityResolveClustersSql,
     "q_entity_golden" -> entityGoldenSql,
     "q_entity_golden_attrs" -> entityGoldenAttrsSql,
+    "q_entity_golden_incremental" -> entityGoldenIncrementalSql,
     "q_entity_resolve_incremental" -> entityResolveIncrementalSql,
     "q_entity_absorb" -> entityAbsorbSql,
     "q_entity_blocking_eval" -> entityBlockingEvalSql)

@@ -355,6 +355,44 @@ class ResolveSpec extends AnyFunSuite {
     assert(byEntity.values.exists(_.length > 1))
   }
 
+  test("q_entity_golden_incremental: stitched upsert equals the one-pass full recompute") {
+    val c = util.t(spark, dir, "customer")
+    val idx = c.where(col("c_custkey") % 10 < 8)
+    val batch = c.where(col("c_custkey") % 10 >= 8)
+    val labels = operators.Resolve.clusterLabelsFrom(idx)
+    // one-pass recompute over (labeled index ∪ assigned batch)
+    val assigned = operators.Resolve.probeMatches(idx, batch)
+      .join(labels.select(col("c_custkey").as("matched_key"),
+        col("entity_id").as("matched_entity")), Seq("matched_key"), "left")
+      .select(col("probe_key").as("c_custkey"),
+        coalesce(col("matched_entity"), col("probe_key")).as("entity_id"),
+        lit(1L).as("from_batch"))
+      .join(batch.select("c_custkey", "c_name", "c_acctbal"), Seq("c_custkey"))
+    val allRows = labels.join(idx.select("c_custkey", "c_name", "c_acctbal"), Seq("c_custkey"))
+      .withColumn("from_batch", lit(0L))
+      .unionByName(assigned.select("c_custkey", "entity_id", "from_batch", "c_name", "c_acctbal"))
+    val full = allRows.groupBy("entity_id").agg(
+        count(lit(1)).as("n_members"),
+        min_by(col("c_name"), col("c_custkey")).as("surv_name"),
+        util.r4(max(col("c_acctbal"))).as("surv_bal"),
+        util.r4(sum(util.d2(col("c_acctbal")))).as("total_bal"),
+        max(col("from_batch")).as("updated"))
+      .select("entity_id", "n_members", "surv_name", "surv_bal", "total_bal", "updated")
+    val inc = operators.Resolve.entityGoldenIncremental(spark, dir)
+    assert(inc.count() > 0L)
+    assert(inc.exceptAll(full).count() === 0L)
+    assert(full.exceptAll(inc).count() === 0L)
+    // the fixture exercises every path: untouched pass-through, touched
+    // merges, and minted entities absent from the stored table
+    val byFlag = inc.groupBy("updated").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byFlag.getOrElse(0L, 0L) > 0L, "no untouched golden rows")
+    assert(byFlag.getOrElse(1L, 0L) > 0L, "no touched golden rows")
+    val storedIds = labels.select("entity_id").distinct()
+    assert(inc.join(storedIds, Seq("entity_id"), "left_anti").count() > 0L,
+      "no minted entities in the fixture")
+  }
+
   test("q_entity_blocking_eval: counts match brute force, completeness 1.0") {
     val row = operators.Resolve.entityBlockingEval(spark, dir).collect()(0)
     val c = util.t(spark, dir, "customer")
