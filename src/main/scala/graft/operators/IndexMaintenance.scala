@@ -188,6 +188,18 @@ object IndexMaintenance {
             "min_price", "max_price"))
         .withColumn("batch_id", lit(-1L)))
 
+  /** Golden table (`Resolve.writeGoldenTable` / `upsertGoldenTable`):
+    * `states/` is a per-entity partial-state log (each upsert appends
+    * delta rows; readers merge per entity) — fold it to one row per
+    * entity via the reader's own merge; `members/` only re-clusters
+    * (rows are unique (key, entity) facts, never duplicated). Same
+    * read-equivalence argument as [[compactMvLog]]. */
+  def compactGoldenTable(s: SparkSession, path: String): Unit = {
+    compactDir(s, s"$path/states", Seq("entity_id"),
+      transform = df => Resolve.mergeGoldenStates(df))
+    compactDir(s, s"$path/members", Seq("entity_id"))
+  }
+
   /** per-source theta sketch table (`CorpusOps.appendSourceGramSketches`
     * grows one row generation per batch): fold back to one merged row
     * per source — theta union is the readers' own merge, so matrix

@@ -819,39 +819,50 @@ object Resolve {
     * identical entity definitions — hash equality proves the
     * stitched upsert loses nothing, including the `updated` flag
     * (touched ≡ has a batch member). */
+  /** the golden table's RE-AGGREGABLE per-entity partial states over any
+    * (entity_id, c_custkey, c_name, c_acctbal)-shaped member frame —
+    * every column mergeable (sum / min / min_by-on-unique-key / max /
+    * decimal sum), so k state rows per entity and their fold are
+    * indistinguishable to a reader: the q_mv_incremental discipline,
+    * shared by the declared incremental query and the at-rest table */
+  private[graft] def goldenStates(df: DataFrame): DataFrame =
+    df.groupBy("entity_id").agg(
+      count(lit(1)).as("n_members"),
+      min(col("c_custkey")).as("min_key"),
+      min_by(col("c_name"), col("c_custkey")).as("surv_name"),
+      max(col("c_acctbal")).as("max_bal"),
+      sum(d2(col("c_acctbal"))).as("total_bal_d"))
+
+  /** merge any number of partial-state rows per entity back into one —
+    * min_key is unique per source row, so the min_by tie never fires */
+  private[graft] def mergeGoldenStates(states: DataFrame): DataFrame =
+    states.groupBy("entity_id").agg(
+      sum(col("n_members")).as("n_members"),
+      min_by(col("surv_name"), col("min_key")).as("surv_name"),
+      min(col("min_key")).as("min_key"),
+      max(col("max_bal")).as("max_bal"),
+      sum(col("total_bal_d")).as("total_bal_d"))
+
   def entityGoldenIncremental(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val idx = c.where(col("c_custkey") % 10 < 8)
     val batch = c.where(col("c_custkey") % 10 >= 8)
     val labels = clusterLabelsFrom(idx) // (c_custkey, entity_id) of the index
-    def states(df: DataFrame): DataFrame =
-      df.groupBy("entity_id").agg(
-        count(lit(1)).as("n_members"),
-        min(col("c_custkey")).as("min_key"),
-        min_by(col("c_name"), col("c_custkey")).as("surv_name"),
-        max(col("c_acctbal")).as("max_bal"),
-        sum(d2(col("c_acctbal"))).as("total_bal_d"))
-    val stored = states(labels.join(idx, Seq("c_custkey"))) // the golden table
+    val stored = goldenStates(labels.join(idx, Seq("c_custkey"))) // the golden table
     val assigned = probeMatches(idx, batch)
       .join(labels.select(col("c_custkey").as("matched_key"),
         col("entity_id").as("matched_entity")), Seq("matched_key"), "left")
       .select(col("probe_key").as("c_custkey"),
         coalesce(col("matched_entity"), col("probe_key")).as("entity_id"))
       .join(batch, Seq("c_custkey"))
-    val delta = states(assigned)
+    val delta = goldenStates(assigned)
     val touched = delta.select("entity_id")
     val untouched = stored
       .join(broadcast(touched), Seq("entity_id"), "left_anti")
       .withColumn("updated", lit(0L))
-    val merged = stored
-      .join(broadcast(touched), Seq("entity_id"), "left_semi")
-      .unionByName(delta)
-      .groupBy("entity_id").agg(
-        sum(col("n_members")).as("n_members"),
-        min_by(col("surv_name"), col("min_key")).as("surv_name"),
-        min(col("min_key")).as("min_key"),
-        max(col("max_bal")).as("max_bal"),
-        sum(col("total_bal_d")).as("total_bal_d"))
+    val merged = mergeGoldenStates(stored
+        .join(broadcast(touched), Seq("entity_id"), "left_semi")
+        .unionByName(delta))
       .withColumn("updated", lit(1L))
     untouched.unionByName(merged, allowMissingColumns = false)
       .select(col("entity_id"), col("n_members"), col("surv_name"),
@@ -957,6 +968,61 @@ object Resolve {
         coalesce(col("matched_key"), col("probe_key")).as("entity_id"),
         col("matched_key").isNull.cast(LongType).as("minted"),
         col("best_score"))
+
+  // ---- the golden table AT REST ----------------------------------------
+
+  /** Persist the golden table of an index population — the MDM serving
+    * stack's second at-rest structure, next to the entity index:
+    * `members/` holds (c_custkey, entity_id) — the labels future
+    * upserts map matched records through; `states/` holds the
+    * re-aggregable per-entity partial states ([[goldenStates]]) as an
+    * APPEND-ONLY LOG in the `streamMvMaintain` discipline — readers
+    * merge per entity, so k state rows and their fold are
+    * indistinguishable, upserts never read or rewrite stored rows, and
+    * `IndexMaintenance.compactGoldenTable` folds the log at rest. */
+  def writeGoldenTable(idx: DataFrame, path: String): Unit = {
+    val labels = clusterLabelsFrom(idx)
+    labels.repartition(col("entity_id"))
+      .write.mode("overwrite").parquet(s"$path/members")
+    goldenStates(labels.join(idx, Seq("c_custkey")))
+      .repartition(col("entity_id"))
+      .write.mode("overwrite").parquet(s"$path/states")
+  }
+
+  /** the golden table as served: merge the state log per entity and
+    * present — O(states log) in, O(entities) out */
+  def readGoldenTable(s: SparkSession, path: String): DataFrame =
+    mergeGoldenStates(s.read.parquet(s"$path/states"))
+      .select(col("entity_id"), col("n_members"), col("surv_name"),
+        r4(col("max_bal")).as("surv_bal"),
+        r4(col("total_bal_d")).as("total_bal"))
+      .orderBy("entity_id")
+
+  /** UPSERT a batch into the at-rest golden table — O(batch), the
+    * persisted form of [[entityGoldenIncremental]]'s refresh: probe the
+    * entity index for verdicts, map matched records to their ENTITY via
+    * `members/` (covers index records AND previously absorbed batches),
+    * mint unmatched under their own key, then append the batch's delta
+    * states to the log and its own (key → entity) rows to `members/`.
+    * No stored golden row is read, re-aggregated or rewritten at upsert
+    * time — the merge happens at read, exactly like the MV log. Callers
+    * absorb the batch into the entity index ([[appendEntityIndex]])
+    * alongside, the same probe → absorb step the streaming loop runs;
+    * probe precedes absorb, so a batch never matches itself. */
+  def upsertGoldenTable(s: SparkSession, batch: DataFrame,
+      entityIndexPath: String, path: String): Unit = {
+    val members = s.read.parquet(s"$path/members")
+    val assigned = probeEntityIndex(s, batch, entityIndexPath)
+      .join(members.select(col("c_custkey").as("matched_key"),
+        col("entity_id").as("matched_entity")), Seq("matched_key"), "left")
+      .select(col("probe_key").as("c_custkey"),
+        coalesce(col("matched_entity"), col("probe_key")).as("entity_id"))
+      .join(batch, Seq("c_custkey"))
+      .localCheckpoint() // materialized once: feeds both appends below
+    goldenStates(assigned).write.mode("append").parquet(s"$path/states")
+    assigned.select("c_custkey", "entity_id")
+      .write.mode("append").parquet(s"$path/members")
+  }
 
   val queries: Map[String, Q] = Map(
     "q_join_fuzzy" -> joinFuzzy _,

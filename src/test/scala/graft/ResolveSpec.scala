@@ -393,6 +393,62 @@ class ResolveSpec extends AnyFunSuite {
       "no minted entities in the fixture")
   }
 
+  test("golden table at rest: write -> upsert x2 -> read equals the sequential recompute") {
+    val c = util.t(spark, dir, "customer")
+    val idx = c.where(col("c_custkey") % 10 < 8)
+    val b1 = c.where(col("c_custkey") % 10 === 8)
+    val b2 = c.where(col("c_custkey") % 10 === 9)
+    val ei = java.nio.file.Files.createTempDirectory("graft_gt_ei").toString
+    val gt = java.nio.file.Files.createTempDirectory("graft_gt").toString + "/golden"
+    operators.Resolve.writeEntityIndex(idx, ei)
+    operators.Resolve.writeGoldenTable(idx, gt)
+    // the fresh table reads back as the batch golden over the index alone
+    val labels0 = operators.Resolve.clusterLabelsFrom(idx)
+    def goldenOver(members: org.apache.spark.sql.DataFrame) = {
+      val all = members.join(c.select("c_custkey", "c_name", "c_acctbal"), Seq("c_custkey"))
+      all.groupBy("entity_id").agg(
+          count(lit(1)).as("n_members"),
+          min_by(col("c_name"), col("c_custkey")).as("surv_name"),
+          util.r4(max(col("c_acctbal"))).as("surv_bal"),
+          util.r4(sum(util.d2(col("c_acctbal")))).as("total_bal"))
+        .select("entity_id", "n_members", "surv_name", "surv_bal", "total_bal")
+        .orderBy("entity_id")
+    }
+    assert(operators.Resolve.readGoldenTable(spark, gt).collect()
+      === goldenOver(labels0).collect())
+    // upsert batch 1 (probe precedes absorb), then absorb into the index
+    operators.Resolve.upsertGoldenTable(spark, b1, ei, gt)
+    operators.Resolve.appendEntityIndex(b1, ei)
+    // sequential twin for batch 1's assignments
+    def assignTwin(pop: org.apache.spark.sql.DataFrame,
+        batch: org.apache.spark.sql.DataFrame,
+        mem: org.apache.spark.sql.DataFrame) =
+      operators.Resolve.probeMatches(pop, batch)
+        .join(mem.select(col("c_custkey").as("matched_key"),
+          col("entity_id").as("matched_entity")), Seq("matched_key"), "left")
+        .select(col("probe_key").as("c_custkey"),
+          coalesce(col("matched_entity"), col("probe_key")).as("entity_id"))
+    val a1 = assignTwin(idx, b1, labels0)
+    val mem1 = labels0.unionByName(a1)
+    assert(operators.Resolve.readGoldenTable(spark, gt).collect()
+      === goldenOver(mem1).collect())
+    // upsert batch 2 against the GROWN index — a b2 record matching an
+    // absorbed b1 record must resolve b1's assigned entity via members/
+    operators.Resolve.upsertGoldenTable(spark, b2, ei, gt)
+    operators.Resolve.appendEntityIndex(b2, ei)
+    val a2 = assignTwin(idx.unionByName(b1), b2, mem1)
+    val mem2 = mem1.unionByName(a2)
+    val expected = goldenOver(mem2).collect()
+    assert(operators.Resolve.readGoldenTable(spark, gt).collect() === expected)
+    // compaction folds the state log to one row per entity, read identical
+    val filesBefore = operators.IndexMaintenance.dataFileCount(spark, s"$gt/states")
+    operators.IndexMaintenance.compactGoldenTable(spark, gt)
+    assert(operators.Resolve.readGoldenTable(spark, gt).collect() === expected)
+    assert(operators.IndexMaintenance.dataFileCount(spark, s"$gt/states") < filesBefore)
+    val log = spark.read.parquet(s"$gt/states")
+    assert(log.groupBy("entity_id").count().where(col("count") > 1).count() === 0L)
+  }
+
   test("q_entity_blocking_eval: counts match brute force, completeness 1.0") {
     val row = operators.Resolve.entityBlockingEval(spark, dir).collect()(0)
     val c = util.t(spark, dir, "customer")
