@@ -633,6 +633,41 @@ object Pipeline {
         (s, path, b) => graft.operators.Resolve.appendEntityIndex(b, path))(
       cust, indexPath, outDir, checkpointDir, trigger)
 
+  /** LIVE golden-table maintenance — the streaming face of the at-rest
+    * MDM loop (`Resolve.upsertGoldenTable` + `appendEntityIndex`), and
+    * the serving stack's last piece: per micro-batch, matched records
+    * upsert their entity's partial-state log, unmatched records mint,
+    * and the batch absorbs into the entity index — so the NEXT batch
+    * probes a population that includes this one, and the golden table
+    * read (`Resolve.readGoldenTable`) always reflects every record
+    * seen. Both appends (state log + member rows + index variants) are
+    * NOT idempotent under batch replay, so the whole step is guarded by
+    * one per-batch marker under `goldenPath/appended/` — a crash
+    * between append and marker commit re-applies at most that one
+    * batch, the ingestLoop contract. Probe precedes absorb: a batch
+    * never matches itself. */
+  def streamGoldenUpsert(cust: DataFrame, entityIndexPath: String,
+      goldenPath: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    cust.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(s"$goldenPath/appended/$batchId")
+        val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          val b = batch.localCheckpoint() // one materialization, two appends
+          graft.operators.Resolve.upsertGoldenTable(s, b, entityIndexPath, goldenPath)
+          graft.operators.Resolve.appendEntityIndex(b, entityIndexPath)
+          fs.mkdirs(marker.getParent)
+          fs.createNewFile(marker)
+          ()
+        }
+      }
+      .start()
+
   /** LIVE sketch-table maintenance — the streaming face of
     * `SketchTable.writeSketchDailies`: each micro-batch of events
     * reduces to its own (event_type, day) sketch-state rows (the SAME

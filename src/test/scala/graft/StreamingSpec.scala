@@ -418,6 +418,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(new java.io.File(s"$indexPath/appended/1").exists())
   }
 
+  test("streamGoldenUpsert: the live golden table equals the sequential at-rest recompute") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val cust = util.t(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val idx = cust.where(col("c_custkey") % 10 < 8)
+    val b1rows = cust.where(col("c_custkey") % 10 === 8)
+      .as[(Long, String, Int, String, Double)].collect().toSeq
+    val b2rows = cust.where(col("c_custkey") % 10 === 9)
+      .as[(Long, String, Int, String, Double)].collect().toSeq
+    val ei = Files.createTempDirectory("graft_sgu_ei").toString
+    val gt = Files.createTempDirectory("graft_sgu").toString + "/golden"
+    graft.operators.Resolve.writeEntityIndex(idx, ei)
+    graft.operators.Resolve.writeGoldenTable(idx, gt)
+    val ms = MemoryStream[(Long, String, Int, String, Double)]
+    val ckpt = Files.createTempDirectory("graft_sgu_ckpt").toString
+    def drain(): Unit = {
+      val q = Pipeline.streamGoldenUpsert(
+        ms.toDF().toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"),
+        ei, gt, ckpt, Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    ms.addData(b1rows); drain()
+    ms.addData(b2rows); drain()
+    // twin: the at-rest sequence ResolveSpec pins, replayed in memory
+    val b1 = b1rows.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val b2 = b2rows.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val labels0 = graft.operators.Resolve.clusterLabelsFrom(idx)
+    def assignTwin(pop: org.apache.spark.sql.DataFrame,
+        batch: org.apache.spark.sql.DataFrame,
+        mem: org.apache.spark.sql.DataFrame) =
+      graft.operators.Resolve.probeMatches(pop, batch)
+        .join(mem.select(col("c_custkey").as("matched_key"),
+          col("entity_id").as("matched_entity")), Seq("matched_key"), "left")
+        .select(col("probe_key").as("c_custkey"),
+          coalesce(col("matched_entity"), col("probe_key")).as("entity_id"))
+    val mem1 = labels0.unionByName(assignTwin(idx, b1, labels0))
+    val mem2 = mem1.unionByName(assignTwin(idx.unionByName(b1), b2, mem1))
+    val expected = mem2
+      .join(cust.select("c_custkey", "c_name", "c_acctbal"), Seq("c_custkey"))
+      .groupBy("entity_id").agg(
+        count(lit(1)).as("n_members"),
+        min_by(col("c_name"), col("c_custkey")).as("surv_name"),
+        util.r4(max(col("c_acctbal"))).as("surv_bal"),
+        util.r4(sum(util.d2(col("c_acctbal")))).as("total_bal"))
+      .select("entity_id", "n_members", "surv_name", "surv_bal", "total_bal")
+      .orderBy("entity_id").collect()
+    assert(graft.operators.Resolve.readGoldenTable(spark, gt).collect() === expected)
+    assert(expected.nonEmpty)
+    // replay guard: both batches left their markers
+    assert(new java.io.File(s"$gt/appended/0").exists())
+    assert(new java.io.File(s"$gt/appended/1").exists())
+  }
+
   test("streamEntityResolve: live probes against the persisted entity index match the batch form") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
