@@ -65,6 +65,7 @@ object Bench {
       graft.operators.TextAnalysis.clearBpeMergeCache()
       graft.operators.Similarity.clearCodebookCache()
       graft.operators.Similarity.clearSemanticIndexCache()
+      graft.operators.Resolve.clearLabelsCache()
       graft.operators.Bucketing.clearTableCache()
       graft.operators.Relational.clearZOrderCache()
       graft.operators.Relational.clearTextFormatsCache()

@@ -210,12 +210,22 @@ object Resolve {
     * dist ≤ 1 variant equi-join from [[joinFuzzy]] generates candidates
     * that share a fuzzy RARE token; the full scoring formula then runs
     * only on candidates. For the declared fixture the cap-blocking is
-    * exact, not just oracle-verified: a 0.6 score needs ≥ 2 covered
-    * tokens per 3-token side, the constant tokens ("customer" /
-    * "supplier") can never fuzzy-match each other, so every qualifying
-    * pair shares its digit token at dist ≤ 1 — df ≈ 1, always under the
-    * cap. The scale shape is the fuzzy-join family's: explode → variant
-    * equi-join on a scaling key with cap-bounded fan-out → verify. */
+    * exact, not just oracle-verified, and the argument covers BOTH name
+    * shapes the fixture produces — 3-token ("canada customer 123") and
+    * 4-token multi-word-nation ("united states customer 123"): the
+    * constant tokens ("customer"/"supplier") can never fuzzy-match each
+    * other, and nation tokens never fuzzy-match digit tokens, so a
+    * pair's coverage comes only from nation-token and digit-token
+    * matches. Without the digit token covered, the best case is all
+    * nation tokens covered on both sides: (1+1)/(3+3) = 0.33 for 3v3,
+    * (2+2)/(4+4) = 0.5 for 4v4, (1+2)/(3+4) ≈ 0.43 for the 3v4
+    * cross-nation case sharing "united" — all below the 0.6 gate. So
+    * every qualifying pair covers its digit token at dist ≤ 1, and
+    * digit tokens have df ≈ 1, always under the cap
+    * (FuzzyTokensScaleCheck re-proves zero loss against the unblocked
+    * cross join at 10×). The scale shape is the fuzzy-join family's:
+    * explode → variant equi-join on a scaling key with cap-bounded
+    * fan-out → verify. */
   def joinFuzzyTokens(s: SparkSession, dir: String): DataFrame = {
     val nat = t(s, dir, "nation")
       .select(col("n_nationkey"), lower(col("n_name")).as("nt"))
@@ -412,7 +422,7 @@ object Resolve {
     * in O(log d) rounds); the oracle replays the same components as a
     * recursive-CTE transitive closure. */
   def entityResolveClusters(s: SparkSession, dir: String): DataFrame =
-    clusterLabelsFrom(t(s, dir, "customer")).orderBy("c_custkey")
+    clusterLabelsCached(s, dir, "full", identity).orderBy("c_custkey")
 
   /** (c_custkey, entity_id) labels over an explicit customer-shaped
     * frame, unordered */
@@ -426,6 +436,59 @@ object Resolve {
       .join(labels, Seq("c_custkey"), "left")
       .select(col("c_custkey"),
         coalesce(col("cluster_id"), col("c_custkey")).as("entity_id"))
+  }
+
+  /** Labels memoized per (session, dir, population variant) — the
+    * `Dedup.labelsCache` discipline applied to the ER family: the four
+    * cluster-consuming declared keys (clusters / golden / golden_attrs
+    * over the full population; golden_incremental over the %10<8 index
+    * split) were re-running `scoredPairsFrom` + the multi-round
+    * `propagateMinLabel` loop once EACH — ~4 of the suite's top-5 walls,
+    * paying the same propagation four times in one session. Now each
+    * population variant pays it once; the propagation rounds are already
+    * checkpoint-materialized, so reuse is a cheap scan + one equi-join.
+    * A rewritten customer input invalidates the entry (fingerprint), and
+    * Bench clears the cache before every measured run so committed
+    * numbers stay honest. At-rest users avoid even this via
+    * `writeEntityIndex`/`writeGoldenTable`; this is the in-session path. */
+  private val labelsCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String),
+      (String, DataFrame, Option[org.apache.spark.rdd.RDD[_]])]()
+
+  private[graft] def clusterLabelsCached(s: SparkSession, dir: String,
+      variant: String, pop: DataFrame => DataFrame): DataFrame =
+    labelsCache.synchronized {
+      val key = (s, dir, variant)
+      val fp = graft.util.inputFingerprint(dir, "customer.parquet")
+      val cached = labelsCache.get(key)
+      if (cached != null && cached._1 == fp) cached._2
+      else {
+        // a replaced entry's checkpoint blocks are unpersisted here and in
+        // clearLabelsCache (the Dedup discipline) — otherwise stale
+        // MEMORY_AND_DISK blocks linger until ContextCleaner GC
+        if (cached != null)
+          cached._3.foreach(r => try r.unpersist(false) catch { case _: Throwable => })
+        val cust = pop(t(s, dir, "customer"))
+        val edges = scoredPairsFrom(cust)
+          .where(col("score") >= MatchThreshold)
+          .select(col("key_a").as("d1"), col("key_b").as("d2"))
+        val (lbl, ckpt) = Dedup.propagateMinLabelTracked(edges)
+        val labels = cust.select(col("c_custkey"))
+          .join(lbl.select(col("doc_id").as("c_custkey"), col("cluster_id")),
+            Seq("c_custkey"), "left")
+          .select(col("c_custkey"),
+            coalesce(col("cluster_id"), col("c_custkey")).as("entity_id"))
+        labelsCache.put(key, (fp, labels, ckpt))
+        labels
+      }
+    }
+
+  def clearLabelsCache(): Unit = labelsCache.synchronized {
+    labelsCache.forEach { (_, v) =>
+      v._3.foreach(r => try r.unpersist(false) catch { case _: Throwable => })
+    }
+    labelsCache.clear()
   }
 
   val entityResolveClustersSql: String =
@@ -450,7 +513,7 @@ object Resolve {
     * component-bounded group sizes, never a global window — and the
     * group stats ride the same shuffle partitioning. */
   def entityGolden(s: SparkSession, dir: String): DataFrame = {
-    val labeled = clusterLabelsFrom(t(s, dir, "customer"))
+    val labeled = clusterLabelsCached(s, dir, "full", identity)
       .join(t(s, dir, "customer")
         .select("c_custkey", "c_name", "c_acctbal"), Seq("c_custkey"))
     val w = Window.partitionBy("entity_id")
@@ -517,7 +580,7 @@ object Resolve {
     * partitioning; no global windows, no collects. */
   def entityGoldenAttrs(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer")
-    val labeled = clusterLabelsFrom(cust)
+    val labeled = clusterLabelsCached(s, dir, "full", identity)
       .join(cust.select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"),
         Seq("c_custkey"))
     val base = labeled.groupBy("entity_id").agg(
@@ -847,7 +910,9 @@ object Resolve {
     val c = t(s, dir, "customer")
     val idx = c.where(col("c_custkey") % 10 < 8)
     val batch = c.where(col("c_custkey") % 10 >= 8)
-    val labels = clusterLabelsFrom(idx) // (c_custkey, entity_id) of the index
+    // (c_custkey, entity_id) of the index — memoized per population
+    val labels = clusterLabelsCached(s, dir, "idx8",
+      _.where(col("c_custkey") % 10 < 8))
     val stored = goldenStates(labels.join(idx, Seq("c_custkey"))) // the golden table
     val assigned = probeMatches(idx, batch)
       .join(labels.select(col("c_custkey").as("matched_key"),

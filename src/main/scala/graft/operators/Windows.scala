@@ -431,9 +431,16 @@ object Windows {
       |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)) x
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** The three anchors that have distributed twins SERVE the twins: a
+    * `ntile(4) OVER (ORDER BY …)` / one-task-per-status window is the
+    * canonical 100 TB scale-killer, and the bucketed forms are
+    * row-identical to the same oracle SQL by construction — so the
+    * declared keys get the plan a cluster would want, while the naive
+    * forms ([[winNtile]]/[[winDist]]/[[winRangeFrame]]) stay as
+    * spec-only parity references (PlanSpec pins naive ≡ distributed). */
   val queries: Map[String, Q] = Map(
     "q_win_time_range" -> winTimeRange _,
-    "q_win_dist" -> winDist _,
+    "q_win_dist" -> winDistBucketed _,
     "q_win_dist_bucketed" -> winDistBucketed _,
     "q_gap_fill" -> gapFill _,
     "q_win_first_last" -> winFirstLast _,
@@ -441,9 +448,9 @@ object Windows {
     "q_win_lag_lead" -> winLagLead _,
     "q_win_running" -> winRunning _,
     "q_win_moving_avg" -> winMovingAvg _,
-    "q_win_range_frame" -> winRangeFrame _,
+    "q_win_range_frame" -> winRangeFrameBucketed _,
     "q_win_range_frame_bucketed" -> winRangeFrameBucketed _,
-    "q_win_ntile" -> winNtile _,
+    "q_win_ntile" -> winNtileDist _,
     "q_win_ntile_dist" -> winNtileDist _,
     "q_window_tumbling" -> windowTumbling _,
     "q_window_sliding" -> windowSliding _,

@@ -622,10 +622,12 @@ object Pipeline {
     * minting a duplicate. Probe precedes append: a batch never matches
     * itself (within-batch duplicates mint independently and reconcile
     * on their next appearance — the standard streaming-ER trade
-    * against a quadratic within-batch pass). Verdicts are exactly-once
-    * per batch_id partition; appends are replay-guarded by the
-    * per-batch marker — the [[streamIngestDedup]] ingestLoop contract,
-    * now covering the ER family too. */
+    * against a quadratic within-batch pass). Verdicts AND append are
+    * replay-guarded together by the per-batch marker (a replayed batch
+    * whose append already committed would otherwise re-probe an index
+    * containing itself and overwrite every verdict with a self-match)
+    * — the [[streamIngestDedup]] ingestLoop contract, now covering the
+    * ER family too. */
   def streamEntityAbsorb(cust: DataFrame, indexPath: String,
       outDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
@@ -863,7 +865,18 @@ object Pipeline {
     * crash between append and marker commit re-appends at most that one
     * batch — duplicate index entries inflate shared counts only for
     * that batch's docs, the same one-sided drift class the append
-    * contract documents; a rebuild reclaims exactness. */
+    * contract documents; a rebuild reclaims exactness.
+    *
+    * The VERDICT write is guarded by the SAME marker: once a batch's
+    * append committed, the index contains the batch's own rows, so a
+    * replayed probe would see every record match ITSELF (an ER probe
+    * self-matches at score 100, a dedup probe at similarity 1.0) and
+    * the partition-overwrite would silently flip the original verdicts
+    * — minted 1→0, matched keys repointed to self. Marker present ⇒
+    * the prior attempt got past BOTH writes (probe precedes append
+    * precedes marker), so the whole batch body is skipped and the
+    * verdicts on disk stay the pre-absorb truth. Marker absent ⇒ the
+    * probe side is still batch-free and the rewrite is deterministic. */
   private def ingestLoop(
       probe: (org.apache.spark.sql.SparkSession, DataFrame, String) => DataFrame,
       append: (org.apache.spark.sql.SparkSession, String, DataFrame) => Unit)(
@@ -876,17 +889,17 @@ object Pipeline {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        // materialized once: consumed by the probe AND the append below
-        val b = batch.localCheckpoint()
-        probe(s, b, indexPath)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(outDir)
         val marker = new org.apache.hadoop.fs.Path(s"$indexPath/appended/$batchId")
         val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker)) {
+          // materialized once: consumed by the probe AND the append below
+          val b = batch.localCheckpoint()
+          probe(s, b, indexPath)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
           append(s, indexPath, b)
           fs.mkdirs(marker.getParent)
           fs.createNewFile(marker)

@@ -86,7 +86,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       "q_scalar_subquery",  // uncorrelated scalar compared per row
       "q_win_ntile_dist",          // broadcast one-row percentile bounds
       "q_win_dist_bucketed",       // broadcast one-row percentile bounds
-      "q_win_range_frame_bucketed") // broadcast one-row percentile bounds
+      "q_win_range_frame_bucketed", // broadcast one-row percentile bounds
+      "q_win_ntile",               // serves winNtileDist since r20 (same bounds broadcast)
+      "q_win_dist",                // serves winDistBucketed since r20
+      "q_win_range_frame")         // serves winRangeFrameBucketed since r20
     val offenders = plans.collect {
       case (n, p) if p.contains("BroadcastNestedLoopJoin") && !allowed(n) => n
     }
@@ -101,11 +104,15 @@ class PlanHygieneSpec extends AnyFunSuite {
     * through an aggregation operates on a bounded (group-count-sized)
     * relation, where a low-cardinality key is fine (e.g. the per-(status,
     * bkt) offset windows inside the bucketed twins, or per-group mode over
-    * two-phase counts). The four intentionally-naive pedagogical forms are
-    * allowlisted BY NAME — and the allowlist is checked both ways, so a
-    * fixed twin can't silently keep its exemption. */
-  private val declaredNaiveTwins =
-    Set("q_win_ntile", "q_win_dist", "q_win_range_frame", "q_pack_contexts")
+    * two-phase counts). Round 20: the three window anchors that used to be
+    * allowlisted here (q_win_ntile / q_win_dist / q_win_range_frame) now
+    * SERVE their distributed twins, so no declared key plans a naive
+    * window anymore — the naive forms survive only as direct-call parity
+    * references, pinned naive below. q_pack_contexts stays allowlisted BY
+    * NAME (its greedy packing is sequential by definition; the sharded
+    * twin is the scale path) — and the allowlist is checked both ways, so
+    * a fixed twin can't silently keep its exemption. */
+  private val declaredNaiveTwins = Set("q_pack_contexts")
 
   /** columns whose distinct count is a constant of the schema, not of the
     * data size: partitioning raw fact rows by only these pins whole-table
@@ -114,12 +121,16 @@ class PlanHygieneSpec extends AnyFunSuite {
     "o_orderstatus", "o_orderpriority", "l_returnflag", "l_linestatus",
     "lang", "event_type", "severity", "r_name", "n_name", "status")
 
-  private def naiveWindows(name: String): Seq[String] = {
+  private def naiveWindows(name: String): Seq[String] =
+    naiveWindowsOf(name, SparkEntry.queries(name)(spark, dir))
+
+  private def naiveWindowsOf(name: String,
+      df: org.apache.spark.sql.DataFrame): Seq[String] = {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
     // sparkPlan (pre-AQE) is a plain tree — executedPlan wraps everything
     // in AdaptiveSparkPlanExec, a leaf that collect() can't see through
-    val plan = SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
+    val plan = df.queryExecution.sparkPlan
     plan.collect {
       case w: WindowExec =>
         val refs = w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).distinct
@@ -147,6 +158,19 @@ class PlanHygieneSpec extends AnyFunSuite {
     val stale = declaredNaiveTwins.toSeq.sorted.filter(naiveWindows(_).isEmpty)
     assert(stale.isEmpty,
       s"allowlisted but no longer naive — remove from declaredNaiveTwins: $stale")
+  }
+
+  test("the direct-call naive window parity references are still naive (pins stay meaningful)") {
+    // PlanSpec pins each distributed twin row-identical to its naive form;
+    // those pins only mean something while the naive forms really do plan
+    // the single-task window they exist to demonstrate
+    val refs = Seq(
+      "winNtile" -> graft.operators.Windows.winNtile(spark, dir),
+      "winDist" -> graft.operators.Windows.winDist(spark, dir),
+      "winRangeFrame" -> graft.operators.Windows.winRangeFrame(spark, dir))
+    val fixed = refs.collect { case (n, df) if naiveWindowsOf(n, df).isEmpty => n }
+    assert(fixed.isEmpty,
+      s"naive parity references no longer plan a naive window: $fixed")
   }
 
   test("q_tfidf_top: df comes from an aggregate, never a tok-partitioned window") {

@@ -110,20 +110,30 @@ class PlanSpec extends AnyFunSuite {
       s"expected every hash exchange keyed on cid/pos only, got $keys:\n$p")
   }
 
+  // The three window anchors with distributed twins now SERVE the twins
+  // (the naive single-task forms stay as parity references, called
+  // directly here — they are deliberately NOT reachable through the
+  // declared keys anymore).
+
   test("q_win_ntile_dist: row-identical to the global-window ntile, without its bottleneck") {
-    val global = SparkEntry.queries("q_win_ntile")(spark, dir).collect().toSeq
+    val global = graft.operators.Windows.winNtile(spark, dir).collect().toSeq
     val dist = SparkEntry.queries("q_win_ntile_dist")(spark, dir).collect().toSeq
     assert(dist === global, "distributed ntile diverged from the global-window ntile")
     val p = plan("q_win_ntile_dist")
     // the ORDERS-side rank must run B-way parallel on the bucket key; the
     // only single-partition work is the bounded B-row offsets frame
     assert(p.contains("hashpartitioning(bkt"), s"per-bucket rank not parallel:\n$p")
-    val single = "Exchange SinglePartition".r.findAllIn(plan("q_win_ntile")).size
-    assert(single >= 1, "baseline q_win_ntile lost its expected global exchange (update this spec)")
+    val single = "Exchange SinglePartition".r.findAllIn(
+      graft.operators.Windows.winNtile(spark, dir)
+        .queryExecution.executedPlan.toString).size
+    assert(single >= 1, "naive winNtile lost its expected global exchange (update this spec)")
+    // the DECLARED q_win_ntile key now serves this same distributed form —
+    // PlanHygieneSpec's naive-window rule covers it (no longer allowlisted),
+    // so a regression back to the single-task global window fails there
   }
 
   test("q_win_dist_bucketed: row-identical to the per-status window, rank runs per (status, bkt)") {
-    val global = SparkEntry.queries("q_win_dist")(spark, dir).collect().toSeq
+    val global = graft.operators.Windows.winDist(spark, dir).collect().toSeq
     val dist = SparkEntry.queries("q_win_dist_bucketed")(spark, dir).collect().toSeq
     assert(dist === global, "bucketed percent_rank/cume_dist diverged from the window form")
     val keys = exchangeKeys(plan("q_win_dist_bucketed"))
@@ -132,7 +142,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q_win_range_frame_bucketed: halo replication reproduces the per-status range frame") {
-    val global = SparkEntry.queries("q_win_range_frame")(spark, dir).collect().toSeq
+    val global = graft.operators.Windows.winRangeFrame(spark, dir).collect().toSeq
     val dist = SparkEntry.queries("q_win_range_frame_bucketed")(spark, dir).collect().toSeq
     assert(dist === global, "halo-replicated range frame diverged from the window form")
     val keys = exchangeKeys(plan("q_win_range_frame_bucketed"))

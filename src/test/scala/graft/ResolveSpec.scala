@@ -159,6 +159,27 @@ class ResolveSpec extends AnyFunSuite {
     assert(expected.exists { case (k, e) => k != e })
   }
 
+  test("memoized cluster labels equal a fresh uncached derivation (both populations)") {
+    // the r20 labelsCache: the four cluster-consuming keys share one
+    // propagation per population variant — reuse must be invisible
+    Resolve.clearLabelsCache()
+    val c = util.t(spark, dir, "customer")
+    for ((variant, pop) <- Seq(
+        "full" -> identity[org.apache.spark.sql.DataFrame] _,
+        "idx8" -> ((d: org.apache.spark.sql.DataFrame) =>
+          d.where(col("c_custkey") % 10 < 8)))) {
+      val fresh = Resolve.clusterLabelsFrom(pop(c))
+        .orderBy("c_custkey").collect().toSeq
+      val memo1 = Resolve.clusterLabelsCached(spark, dir, variant, pop)
+        .orderBy("c_custkey").collect().toSeq
+      val memo2 = Resolve.clusterLabelsCached(spark, dir, variant, pop)
+        .orderBy("c_custkey").collect().toSeq
+      assert(memo1 === fresh, s"$variant: memoized labels diverged from fresh")
+      assert(memo2 === fresh, s"$variant: cache-hit labels diverged from fresh")
+    }
+    Resolve.clearLabelsCache()
+  }
+
   test("q_entity_golden picks max-balance/min-custkey per entity and exact totals") {
     val golden = operators.Resolve.entityGolden(spark, dir)
       .select("entity_id", "golden_custkey", "n_members")
