@@ -795,6 +795,119 @@ object Relational {
       .orderBy("o_orderpriority", "o_year")
   }
 
+  /** Retraction — the DELETE path of incremental-view maintenance, the
+    * CollapsingMergeTree analog (sign = ±1) a ClickHouse user of this
+    * idiom reaches for the first time a correction or a GDPR delete
+    * arrives. Two disciplines compose, one per measure class:
+    *   - RETRACTION-MERGEABLE measures (count, exact decimal sum):
+    *     deletes reduce to the SAME partial-state schema with sign −1
+    *     and merge by plain sum — `stored + inserts − deletes` over
+    *     O(groups) rows, never a history rescan; a group whose count
+    *     reaches 0 is dropped (fully retracted).
+    *   - NON-RETRACTABLE measures (min, max — removing the current min
+    *     can only be answered by history): only the TOUCHED groups
+    *     recompute, from history restricted by the broadcast semi join
+    *     — the `q_mv_partial_refresh` discipline; untouched groups keep
+    *     their stored values with zero recompute. At 100 TB with the
+    *     base partitioned on the group key the semi join IS partition
+    *     pruning.
+    * The declared fixture: base = orders before 2000-01-01, inserts =
+    * orders after, deletes = every 17th base order. The oracle is the
+    * FULL RECOMPUTE over base ∖ deletes ∪ inserts — hash equality
+    * proves the signed merge and the touched-group stitch lose nothing.
+    * MvRetractSpec additionally pins signed-merged n/total ≡ the
+    * recomputed n/total on touched groups (the merge IS exact, not just
+    * end-to-end-coincidentally). Live form: [[graft.streaming.Pipeline
+    * .streamMvRetract]] + [[readMvSigned]]. */
+  /** signed partial states of an orders-shaped slice: the retractable
+    * subset (count, exact decimal sum) weighted by ±1 */
+  def mvSignedStates(slice: DataFrame, sign: Int): DataFrame =
+    slice
+      .select(col("o_orderpriority"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"),
+        col("o_totalprice"))
+      .groupBy("o_orderpriority", "o_year")
+      .agg((count(lit(1)) * sign).cast(LongType).as("n"),
+        sum(d2(col("o_totalprice")) * sign).cast(DecimalType(28, 2)).as("total"))
+
+  /** merge signed state rows per group; groups retracted to n ≤ 0 drop */
+  def mvMergeSigned(states: DataFrame): DataFrame =
+    states.groupBy("o_orderpriority", "o_year")
+      .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+      .where(col("n") > 0)
+
+  def mvRetract(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"))
+    val cut = lit("2000-01-01").cast(DateType)
+    val base = o.where(col("o_orderdate") < cut)
+    val inserts = o.where(col("o_orderdate") >= cut)
+    val deletes = base.where(col("o_orderkey") % 17 === 0)
+    val keys = Seq("o_orderpriority", "o_year")
+    val stored = mvPartialStates(base) // the stored view (n, total, min, max)
+    val insD = mvSignedStates(inserts, 1)
+    val delD = mvSignedStates(deletes, -1)
+    val touched = insD.select(keys.map(col): _*)
+      .unionByName(delD.select(keys.map(col): _*)).distinct()
+    // retractable measures: one signed merge over O(groups) rows
+    val merged = mvMergeSigned(
+      stored.select(col("o_orderpriority"), col("o_year"), col("n"),
+          col("total").cast(DecimalType(28, 2)).as("total"))
+        .unionByName(insD).unionByName(delD))
+    // non-retractable measures: untouched groups keep stored min/max,
+    // touched groups recompute from post-change history via semi join
+    val hist = base.join(deletes.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(inserts)
+      .select(col("o_orderpriority"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"),
+        col("o_totalprice"))
+    val mmUntouched = stored
+      .join(broadcast(touched), keys, "left_anti")
+      .select(col("o_orderpriority"), col("o_year"),
+        col("min_price"), col("max_price"))
+    val mmTouched = hist
+      .join(broadcast(touched), keys, "left_semi")
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+    // inner join: a fully-retracted group has neither a merged row (n=0
+    // dropped) nor surviving history — it leaves the view entirely
+    mvPresent(merged.join(mmUntouched.unionByName(mmTouched), keys))
+  }
+
+  /** full recompute over base ∖ deletes ∪ inserts — the retraction path
+    * must hash-match this */
+  val mvRetractSql: String =
+    """WITH hist AS (
+      |  SELECT o_orderpriority, o_orderdate, o_totalprice FROM orders
+      |  WHERE (o_orderdate < DATE '2000-01-01' AND o_orderkey % 17 <> 0)
+      |     OR o_orderdate >= DATE '2000-01-01')
+      |SELECT o_orderpriority, year(o_orderdate)::BIGINT AS o_year,
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS total,
+      |  CAST(round(min(o_totalprice), 4) AS DOUBLE) AS min_price,
+      |  CAST(round(max(o_totalprice), 4) AS DOUBLE) AS max_price,
+      |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |        * 10000::DOUBLE + 0.5::DOUBLE) / 10000::DOUBLE AS avg_price
+      |FROM hist GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** The signed MV log AT REST: merge the ± state rows a
+    * [[graft.streaming.Pipeline.streamMvRetract]] stream appends and
+    * present the retractable measures (count, exact sum, derived avg).
+    * min/max are deliberately NOT served here — a signed log cannot
+    * answer "what is the min after removing the current min" without
+    * history; deployments that need them run the declared
+    * [[mvRetract]]'s touched-group recompute against the base table, or
+    * rebuild. O(batches × groups) in, O(groups) out. */
+  def readMvSigned(s: SparkSession, mvDir: String): DataFrame =
+    mvMergeSigned(
+      s.read.parquet(mvDir).select("o_orderpriority", "o_year", "n", "total"))
+      .select(col("o_orderpriority"), col("o_year"), col("n"),
+        r4(col("total")).as("total"),
+        r4f(col("total").cast(DoubleType) / col("n")).as("avg_price"))
+      .orderBy("o_orderpriority", "o_year")
+
   /** full recompute with the holistic measure — the stitched view must
     * hash-match this */
   val mvPartialRefreshSql: String =
@@ -820,6 +933,7 @@ object Relational {
     "q_merge_upsert" -> mergeUpsert _,
     "q_mv_incremental" -> mvIncremental _,
     "q_mv_partial_refresh" -> mvPartialRefresh _,
+    "q_mv_retract" -> mvRetract _,
     "q_scalar_subquery" -> scalarSubquery _,
     "q_scan_parquet" -> scanParquet _,
     "q_scan_pruned" -> scanPruned _,
@@ -855,6 +969,7 @@ object Relational {
     "q_merge_upsert" -> mergeUpsertSql,
     "q_mv_incremental" -> mvIncrementalSql,
     "q_mv_partial_refresh" -> mvPartialRefreshSql,
+    "q_mv_retract" -> mvRetractSql,
     "q_scalar_subquery" -> scalarSubquerySql,
     "q_scan_parquet" -> scanParquetSql,
     "q_scan_pruned" -> scanPrunedSql,

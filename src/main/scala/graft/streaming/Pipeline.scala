@@ -580,6 +580,49 @@ object Pipeline {
       }
       .start()
 
+  /** LIVE retractable-view maintenance — [[streamMvMaintain]]'s signed
+    * twin (the CollapsingMergeTree idiom): each micro-batch carries
+    * orders-shaped CHANGE rows with a `sign` column (+1 insert, −1
+    * delete/correction), reduces to its signed partial states
+    * (`Relational.mvSignedStates`-shaped: n = Σsign, total =
+    * Σ sign·price — the retraction-mergeable subset; min/max
+    * deliberately excluded, see `Relational.readMvSigned`) and lands
+    * under its own `batch_id=N` partition. Exactly-once under replay by
+    * the same per-partition dynamic overwrite: a REPLAYED RETRACTION
+    * rewrites its own partition rather than double-retracting — the
+    * property StreamingSpec pins by re-running a delete batch over the
+    * same checkpoint. Stateless foreachBatch; the reader merges signed
+    * rows per group and drops groups retracted to zero. */
+  def streamMvRetract(changes: DataFrame, mvDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    changes.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeMvSignedBatch(batch, batchId, mvDir)
+      }
+      .start()
+
+  /** one signed micro-batch of [[streamMvRetract]], exposed so the
+    * replay contract is testable directly: calling it twice with the
+    * same batchId rewrites the batch's own partition — a replayed
+    * retraction never double-retracts */
+  def writeMvSignedBatch(batch: DataFrame, batchId: Long, mvDir: String): Unit =
+    batch
+      .select(col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_totalprice"), col("sign"))
+      .groupBy("o_orderpriority", "o_year")
+      .agg(sum(col("sign")).cast("long").as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)") * col("sign"))
+          .cast("decimal(28,2)").as("total"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(mvDir)
+
   /** LIVE entity resolution — the streaming face of
     * `q_entity_resolve_incremental`: each micro-batch of customer-shaped
     * records probes the PERSISTED deletion-variant entity index

@@ -504,4 +504,58 @@ class ResolveSpec extends AnyFunSuite {
     assert(merged.exceptAll(full).count() === 0L)
     assert(full.exceptAll(merged).count() === 0L)
   }
+
+  test("q_mv_retract equals the full recompute over base minus deletes plus inserts") {
+    val stitched = operators.Relational.mvRetract(spark, dir)
+    val o = util.t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"))
+    val cut = lit("2000-01-01").cast("date")
+    val hist = o.where(col("o_orderdate") < cut && col("o_orderkey") % 17 =!= 0)
+      .unionByName(o.where(col("o_orderdate") >= cut))
+      .select(col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("o_year"), col("o_totalprice"))
+    val full = hist.groupBy("o_orderpriority", "o_year")
+      .agg(count(lit(1)).as("n"),
+        sum(util.d2(col("o_totalprice"))).as("total_d"),
+        min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+      .select(col("o_orderpriority"), col("o_year"), col("n"),
+        util.r4(col("total_d")).as("total"),
+        util.r4(col("mn")).as("min_price"), util.r4(col("mx")).as("max_price"),
+        util.r4f(col("total_d").cast("double") / col("n")).as("avg_price"))
+    assert(stitched.count() > 0L)
+    assert(stitched.exceptAll(full).count() === 0L)
+    assert(full.exceptAll(stitched).count() === 0L)
+    // the fixture actually retracts: some base rows are deleted
+    assert(o.where(col("o_orderdate") < cut && col("o_orderkey") % 17 === 0)
+      .count() > 0L, "degenerate fixture: no deletes")
+  }
+
+  test("signed-state merge is exact for the retractable measures (not just end-to-end)") {
+    // stored + inserts(+1) + deletes(-1) merged per group must equal the
+    // recomputed n/total over surviving history for EVERY group — the
+    // CollapsingMergeTree property q_mv_retract's count/sum path rides
+    val o = util.t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"))
+    val cut = lit("2000-01-01").cast("date")
+    val base = o.where(col("o_orderdate") < cut)
+    val inserts = o.where(col("o_orderdate") >= cut)
+    val deletes = base.where(col("o_orderkey") % 17 === 0)
+    val merged = operators.Relational.mvMergeSigned(
+      operators.Relational.mvSignedStates(base, 1)
+        .unionByName(operators.Relational.mvSignedStates(inserts, 1))
+        .unionByName(operators.Relational.mvSignedStates(deletes, -1)))
+      .select(col("o_orderpriority"), col("o_year"), col("n"),
+        util.r4(col("total")).as("total"))
+    val recomputed = base
+      .join(deletes.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(inserts)
+      .select(col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("o_year"), col("o_totalprice"))
+      .groupBy("o_orderpriority", "o_year")
+      .agg(count(lit(1)).as("n"), util.r4(sum(util.d2(col("o_totalprice")))).as("total"))
+    assert(merged.exceptAll(recomputed).count() === 0L)
+    assert(recomputed.exceptAll(merged).count() === 0L)
+  }
 }

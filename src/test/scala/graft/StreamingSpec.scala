@@ -790,6 +790,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamMvRetract: signed batches read back as the post-delete view; replay never double-retracts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val rows = util.t(spark, dir, "orders")
+      .select("o_orderpriority", "o_orderdate", "o_orderkey", "o_totalprice")
+      .as[(String, Timestamp, Long, Double)].collect().toSeq
+    val cutMs = java.sql.Timestamp.valueOf("2000-01-01 00:00:00").getTime
+    val base = rows.filter(_._2.getTime < cutMs)
+    val inserts = rows.filter(_._2.getTime >= cutMs)
+    val deletes = base.filter(_._3 % 17 == 0)
+    def signedRows(rs: Seq[(String, Timestamp, Long, Double)], sign: Int) =
+      rs.map(r => (r._1, r._2, r._4, sign))
+    val ms = MemoryStream[(String, Timestamp, Double, Int)]
+    val mvDir = Files.createTempDirectory("graft_mvr_out").toString
+    val ckpt = Files.createTempDirectory("graft_mvr_ckpt").toString
+    def run(data: Seq[(String, Timestamp, Double, Int)]): Unit = {
+      ms.addData(data)
+      val q = Pipeline.streamMvRetract(
+        ms.toDF().toDF("o_orderpriority", "o_orderdate", "o_totalprice", "sign"),
+        mvDir, ckpt, Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    run(signedRows(base, 1))      // batch 0: the stored view
+    run(signedRows(inserts, 1))   // batch 1: late-arriving inserts
+    run(signedRows(deletes, -1))  // batch 2: the retraction
+    def served = operators.Relational.readMvSigned(spark, mvDir).collect().toSeq
+    val expected = {
+      val o = util.t(spark, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"),
+          col("o_totalprice"))
+      val cut = lit("2000-01-01").cast("date")
+      o.where(col("o_orderdate") < cut && col("o_orderkey") % 17 =!= 0)
+        .unionByName(o.where(col("o_orderdate") >= cut))
+        .select(col("o_orderpriority"),
+          year(col("o_orderdate")).cast("long").as("o_year"), col("o_totalprice"))
+        .groupBy("o_orderpriority", "o_year")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total_d"))
+        .select(col("o_orderpriority"), col("o_year"), col("n"),
+          util.r4(col("total_d")).as("total"),
+          util.r4f(col("total_d").cast("double") / col("n")).as("avg_price"))
+        .orderBy("o_orderpriority", "o_year").collect().toSeq
+    }
+    val first = served
+    assert(first === expected,
+      "signed MV log read diverged from the post-delete batch recompute")
+    assert(first.nonEmpty)
+    // REPLAY the retraction batch (same batch_id): the dynamic partition
+    // overwrite must rewrite batch 2's own rows, never subtract again
+    val deleteFrame = spark.createDataFrame(signedRows(deletes, -1))
+      .toDF("o_orderpriority", "o_orderdate", "o_totalprice", "sign")
+    Pipeline.writeMvSignedBatch(deleteFrame, 2L, mvDir)
+    assert(served === expected, "replayed retraction double-retracted")
+  }
+
   test("streamSketchDailies: per-batch state rows roll up to the batch sketch table's answers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
