@@ -188,16 +188,56 @@ object IndexMaintenance {
             "min_price", "max_price"))
         .withColumn("batch_id", lit(-1L)))
 
-  /** Golden table (`Resolve.writeGoldenTable` / `upsertGoldenTable`):
-    * `states/` is a per-entity partial-state log (each upsert appends
-    * delta rows; readers merge per entity) — fold it to one row per
-    * entity via the reader's own merge; `members/` only re-clusters
-    * (rows are unique (key, entity) facts, never duplicated). Same
-    * read-equivalence argument as [[compactMvLog]]. */
+  /** Golden table (`Resolve.writeGoldenTable` / `upsertGoldenTable` /
+    * `deleteGoldenRecords`): `states/` is a per-entity partial-state
+    * log with rebuild/delta visibility (readers serve the latest
+    * rebuild plus later deltas) — fold it via the reader's OWN
+    * resolution to one REBUILD row per surviving entity, stamped with
+    * the entity's max visible seq so later monotone appends stay
+    * visible; fully-retracted entities drop from the log entirely (no
+    * row ≡ not served, and a later re-mint lands as a delta with no
+    * rebuild row — still visible by the reader's rule). `members/`
+    * folds through the same sign-netting its readers apply: net > 0
+    * facts survive as one +1 row at their max seq, netted-out (deleted)
+    * facts vanish. Read-equivalence by the readers' own definitions —
+    * the [[compactMvLog]] argument — and the same quiesce discipline:
+    * run between stream generations. */
   def compactGoldenTable(s: SparkSession, path: String): Unit = {
     compactDir(s, s"$path/states", Seq("entity_id"),
-      transform = df => Resolve.mergeGoldenStates(df))
-    compactDir(s, s"$path/members", Seq("entity_id"))
+      transform = df => {
+        val vis = Resolve.visibleGoldenStates(df)
+        val seqs = vis.groupBy("entity_id").agg(max(col("seq")).as("seq"))
+        Resolve.mergeGoldenStates(vis.drop("seq", "rebuild"))
+          .where(col("n_members") > 0)
+          .join(seqs, Seq("entity_id"))
+          .withColumn("rebuild", lit(true))
+          .select("entity_id", "n_members", "min_key", "surv_name",
+            "max_bal", "total_bal_d", "seq", "rebuild")
+      })
+    compactDir(s, s"$path/members", Seq("entity_id"),
+      transform = df =>
+        df.dropDuplicates("c_custkey", "entity_id", "seq", "sign")
+          .groupBy("c_custkey", "entity_id", "c_name", "c_acctbal")
+          .agg(sum(col("sign")).as("net"), max(col("seq")).as("seq"))
+          .where(col("net") > 0)
+          .withColumn("sign", lit(1))
+          .select("c_custkey", "entity_id", "c_name", "c_acctbal", "seq", "sign"))
+  }
+
+  /** Remove deleted records' blocking variants from the persisted
+    * entity index — the companion maintenance pass to
+    * `Resolve.deleteGoldenRecords`: an append-only parquet layout
+    * cannot subtract, so deletion is a filtered rewrite with the
+    * family's `__compact` swap discipline (probes keep working against
+    * the live index during the slow part). Until it runs, a probe can
+    * still match a deleted record; the golden upsert then finds no
+    * current member mapping and mints — degraded verdicts, never
+    * corrupt state. */
+  def deleteFromEntityIndex(s: SparkSession, delKeys: DataFrame,
+      indexPath: String): Unit = {
+    val keys = delKeys.select(col("c_custkey").as("key_i")).distinct()
+    compactDir(s, indexPath, Seq("nat", "v"),
+      transform = _.join(keys, Seq("key_i"), "left_anti"))
   }
 
   /** per-source theta sketch table (`CorpusOps.appendSourceGramSketches`

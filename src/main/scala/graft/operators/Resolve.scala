@@ -894,17 +894,22 @@ object Resolve {
       min(col("c_custkey")).as("min_key"),
       min_by(col("c_name"), col("c_custkey")).as("surv_name"),
       max(col("c_acctbal")).as("max_bal"),
-      sum(d2(col("c_acctbal"))).as("total_bal_d"))
+      // pinned to ONE decimal type: sum() widens per nesting level, and a
+      // state log mixing decimal(28,2) and decimal(38,2) files is
+      // unreadable (parquet physical-type mismatch across appends)
+      sum(d2(col("c_acctbal"))).cast(DecimalType(28, 2)).as("total_bal_d"))
 
   /** merge any number of partial-state rows per entity back into one —
-    * min_key is unique per source row, so the min_by tie never fires */
+    * min_key is unique per source row, so the min_by tie never fires;
+    * total stays in the canonical decimal(28,2) state type so a merged
+    * fold can land back in the same log its inputs came from */
   private[graft] def mergeGoldenStates(states: DataFrame): DataFrame =
     states.groupBy("entity_id").agg(
       sum(col("n_members")).as("n_members"),
       min_by(col("surv_name"), col("min_key")).as("surv_name"),
       min(col("min_key")).as("min_key"),
       max(col("max_bal")).as("max_bal"),
-      sum(col("total_bal_d")).as("total_bal_d"))
+      sum(col("total_bal_d")).cast(DecimalType(28, 2)).as("total_bal_d"))
 
   def entityGoldenIncremental(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
@@ -992,6 +997,118 @@ object Resolve {
        |  max(from_batch)::BIGINT AS updated
        |FROM allrows GROUP BY entity_id ORDER BY entity_id""".stripMargin
 
+  /** Golden-table RETRACTION — MDM record deletion, the relational twin
+    * of [[deleteGoldenRecords]] and the ER face of `q_mv_retract`'s
+    * split: the stored golden states cover (index ∪ absorbed batch);
+    * then every member record with `c_custkey % 7 = 3` is DELETED.
+    * Untouched entities (no deleted member) pass through the stored
+    * states with ZERO recompute via the broadcast anti join; touched
+    * entities recompute from their SURVIVING members — min_key/
+    * surv_name/max_bal are not retraction-mergeable (removing the
+    * current max can only be answered by history), so the rebuild
+    * discipline, not a signed merge, is the correct one for this state
+    * vector; entities whose every member is deleted leave the table
+    * (no rebuilt row ≡ the oracle's HAVING). Entity ids are STABLE
+    * under deletion (survivors keep their entity even when the deleted
+    * record was the min-key id source — re-clustering is a rebuild
+    * concern, the standard MDM behavior, and what makes the oracle's
+    * labels well-defined). The oracle is the full recompute over
+    * (index ∪ assigned batch) ∖ deletes with identical entity
+    * definitions, FILTER-aggregated in DuckDB — hash equality proves
+    * the passthrough/rebuild stitch loses nothing, including the
+    * per-entity `retracted` flag. */
+  def entityGoldenRetract(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val idx = c.where(col("c_custkey") % 10 < 8)
+    val batch = c.where(col("c_custkey") % 10 >= 8)
+    val labels = clusterLabelsCached(s, dir, "idx8",
+      _.where(col("c_custkey") % 10 < 8))
+    val assigned = probeMatches(idx, batch)
+      .join(labels.select(col("c_custkey").as("matched_key"),
+        col("entity_id").as("matched_entity")), Seq("matched_key"), "left")
+      .select(col("probe_key").as("c_custkey"),
+        coalesce(col("matched_entity"), col("probe_key")).as("entity_id"))
+      .join(batch, Seq("c_custkey"))
+    val members = labels.join(idx, Seq("c_custkey"))
+      .select("entity_id", "c_custkey", "c_name", "c_acctbal")
+      .unionByName(assigned.select("entity_id", "c_custkey", "c_name", "c_acctbal"))
+    val stored = goldenStates(members) // the golden table before the delete
+    val touched = members.where(col("c_custkey") % 7 === 3)
+      .select("entity_id").distinct()
+    val untouched = stored
+      .join(broadcast(touched), Seq("entity_id"), "left_anti")
+      .withColumn("retracted", lit(0L))
+    val rebuilt = goldenStates(members
+        .join(broadcast(touched), Seq("entity_id"), "left_semi")
+        .where(col("c_custkey") % 7 =!= 3))
+      .withColumn("retracted", lit(1L))
+    untouched.unionByName(rebuilt)
+      .select(col("entity_id"), col("n_members"), col("surv_name"),
+        r4(col("max_bal")).as("surv_bal"),
+        r4(col("total_bal_d")).as("total_bal"), col("retracted"))
+      .orderBy("entity_id")
+  }
+
+  val entityGoldenRetractSql: String =
+    s"""WITH RECURSIVE
+       |idx AS (SELECT * FROM customer WHERE c_custkey % 10 < 8),
+       |pr AS (SELECT * FROM customer WHERE c_custkey % 10 >= 8),
+       |scored AS (
+       |  SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       |    levenshtein(a.c_name, b.c_name)::BIGINT AS name_dist,
+       |    (a.c_mktsegment = b.c_mktsegment)::BIGINT AS same_seg,
+       |    (abs(a.c_acctbal - b.c_acctbal) <= 1000.0)::BIGINT AS bal_close
+       |  FROM idx a JOIN idx b
+       |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+       |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+       |pairs AS (
+       |  SELECT key_a, key_b,
+       |    (CASE WHEN name_dist = 0 THEN 60 ELSE 30 END
+       |     + same_seg * 25 + bal_close * 15)::BIGINT AS score
+       |  FROM scored),
+       |e AS (SELECT key_a AS x, key_b AS y FROM pairs WHERE score >= $MatchThreshold
+       |      UNION SELECT key_b, key_a FROM pairs WHERE score >= $MatchThreshold),
+       |reach(a, b) AS (
+       |  SELECT x, y FROM e
+       |  UNION
+       |  SELECT reach.a, e.y FROM reach JOIN e ON reach.b = e.x),
+       |lab AS (SELECT a AS node, least(a, min(b)) AS entity_id FROM reach GROUP BY a),
+       |labeled AS (
+       |  SELECT i.c_custkey, coalesce(lab.entity_id, i.c_custkey) AS entity_id,
+       |    i.c_name, i.c_acctbal
+       |  FROM idx i LEFT JOIN lab ON lab.node = i.c_custkey),
+       |pscored AS (
+       |  SELECT p.c_custkey AS key_p, i.c_custkey AS key_i,
+       |    (CASE WHEN levenshtein(p.c_name, i.c_name) = 0 THEN 60 ELSE 30 END
+       |     + (p.c_mktsegment = i.c_mktsegment)::BIGINT * 25
+       |     + (abs(p.c_acctbal - i.c_acctbal) <= 1000.0)::BIGINT * 15) AS score
+       |  FROM pr p JOIN idx i ON p.c_nationkey = i.c_nationkey
+       |  WHERE levenshtein(p.c_name, i.c_name) <= 1),
+       |pbest AS (
+       |  SELECT key_p, key_i, row_number() OVER (
+       |    PARTITION BY key_p ORDER BY score DESC, key_i ASC) AS rn
+       |  FROM pscored WHERE score >= $MatchThreshold),
+       |assigned AS (
+       |  SELECT p.c_custkey, coalesce(l.entity_id, p.c_custkey) AS entity_id,
+       |    p.c_name, p.c_acctbal
+       |  FROM pr p
+       |  LEFT JOIN pbest b ON b.key_p = p.c_custkey AND b.rn = 1
+       |  LEFT JOIN labeled l ON l.c_custkey = b.key_i),
+       |allrows AS (
+       |  SELECT entity_id, c_custkey, c_name, c_acctbal FROM labeled
+       |  UNION ALL
+       |  SELECT entity_id, c_custkey, c_name, c_acctbal FROM assigned)
+       |SELECT entity_id,
+       |  count(*) FILTER (WHERE c_custkey % 7 <> 3) AS n_members,
+       |  arg_min(c_name, c_custkey) FILTER (WHERE c_custkey % 7 <> 3) AS surv_name,
+       |  CAST(round(max(c_acctbal) FILTER (WHERE c_custkey % 7 <> 3), 4) AS DOUBLE) AS surv_bal,
+       |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+       |    FILTER (WHERE c_custkey % 7 <> 3), 4) AS DOUBLE) AS total_bal,
+       |  max((c_custkey % 7 = 3)::BIGINT)::BIGINT AS retracted
+       |FROM allrows GROUP BY entity_id
+       |HAVING count(*) FILTER (WHERE c_custkey % 7 <> 3) > 0
+       |ORDER BY entity_id""".stripMargin
+
   // ---- the entity index AT REST ---------------------------------------
 
   /** Persist the deletion-variant index of a customer population — the
@@ -1038,26 +1155,82 @@ object Resolve {
 
   /** Persist the golden table of an index population — the MDM serving
     * stack's second at-rest structure, next to the entity index:
-    * `members/` holds (c_custkey, entity_id) — the labels future
-    * upserts map matched records through; `states/` holds the
-    * re-aggregable per-entity partial states ([[goldenStates]]) as an
-    * APPEND-ONLY LOG in the `streamMvMaintain` discipline — readers
-    * merge per entity, so k state rows and their fold are
-    * indistinguishable, upserts never read or rewrite stored rows, and
-    * `IndexMaintenance.compactGoldenTable` folds the log at rest. */
+    *
+    * `members/` holds the per-record membership FACTS as a signed log
+    * (the CollapsingMergeTree idiom): (c_custkey, entity_id, c_name,
+    * c_acctbal, seq, sign) — sign +1 on absorb, −1 on delete; readers
+    * resolve current membership by netting signs ([[currentMembers]]).
+    * Attributes ride along so a delete can recompute touched entities'
+    * non-retractable states from `members/` alone, without the source.
+    *
+    * `states/` holds the re-aggregable per-entity partial states
+    * ([[goldenStates]]) as an APPEND-ONLY LOG in the `streamMvMaintain`
+    * discipline, with two bookkeeping columns:
+    *   - `seq`: the append's position in the table's MONOTONE sequence
+    *     (the streaming loop passes its batch_id; manual callers own
+    *     strictly-increasing seqs). At most one state row lands per
+    *     (entity, seq, rebuild), so a REPLAYED append duplicates rows
+    *     exactly and the reader's dropDuplicates restores the
+    *     single-append truth — appends are replay-IDEMPOTENT, a crash
+    *     between append and any marker can no longer corrupt served
+    *     values.
+    *   - `rebuild`: true marks a FULL per-entity state (the base write,
+    *     a delete's touched-entity recompute, a compaction fold); false
+    *     marks an upsert DELTA. Visibility: per entity, the latest
+    *     rebuild plus every delta after it ([[visibleGoldenStates]]) —
+    *     min/max/min_by states are not retraction-mergeable, so a
+    *     delete SUPERSEDES an entity's history instead of trying to
+    *     subtract from it.
+    * Upserts never read or rewrite stored state rows — the merge happens
+    * at read, exactly like the MV log — and
+    * `IndexMaintenance.compactGoldenTable` folds both logs at rest. */
   def writeGoldenTable(idx: DataFrame, path: String): Unit = {
     val labels = clusterLabelsFrom(idx)
-    labels.repartition(col("entity_id"))
+    val mem = labels
+      .join(idx.select("c_custkey", "c_name", "c_acctbal"), Seq("c_custkey"))
+    mem.select(col("c_custkey"), col("entity_id"), col("c_name"), col("c_acctbal"))
+      .withColumn("seq", lit(-1L)).withColumn("sign", lit(1))
+      .repartition(col("entity_id"))
       .write.mode("overwrite").parquet(s"$path/members")
-    goldenStates(labels.join(idx, Seq("c_custkey")))
+    goldenStates(mem)
+      .withColumn("seq", lit(-1L)).withColumn("rebuild", lit(true))
       .repartition(col("entity_id"))
       .write.mode("overwrite").parquet(s"$path/states")
   }
 
-  /** the golden table as served: merge the state log per entity and
-    * present — O(states log) in, O(entities) out */
+  /** resolve the signed member log to CURRENT membership: net sign > 0
+    * per (record, entity, attributes); the dropDuplicates first makes a
+    * replayed batch's duplicate rows count once (replay idempotency) */
+  private[graft] def currentMembers(members: DataFrame): DataFrame =
+    members
+      .dropDuplicates("c_custkey", "entity_id", "seq", "sign")
+      .groupBy("c_custkey", "entity_id", "c_name", "c_acctbal")
+      .agg(sum(col("sign")).as("net"))
+      .where(col("net") > 0)
+      .drop("net")
+
+  /** visibility over the state log: per entity, the LATEST rebuild row
+    * plus every delta appended after it (entities with no rebuild —
+    * minted by upserts — serve all their deltas); duplicate rows from a
+    * replayed append collapse first */
+  private[graft] def visibleGoldenStates(states: DataFrame): DataFrame = {
+    val dedup = states.dropDuplicates("entity_id", "seq", "rebuild")
+    val rb = dedup.where(col("rebuild"))
+      .groupBy("entity_id").agg(max(col("seq")).as("rb_seq"))
+    dedup.join(rb, Seq("entity_id"), "left")
+      .where((col("rebuild") && col("seq") === col("rb_seq")) ||
+        (!col("rebuild") && (col("rb_seq").isNull || col("seq") > col("rb_seq"))))
+      .drop("rb_seq")
+  }
+
+  /** the golden table as served: resolve visibility, merge the state
+    * log per entity, drop fully-retracted entities and present —
+    * O(states log) in, O(entities) out */
   def readGoldenTable(s: SparkSession, path: String): DataFrame =
-    mergeGoldenStates(s.read.parquet(s"$path/states"))
+    mergeGoldenStates(
+      visibleGoldenStates(s.read.parquet(s"$path/states"))
+        .drop("seq", "rebuild"))
+      .where(col("n_members") > 0)
       .select(col("entity_id"), col("n_members"), col("surv_name"),
         r4(col("max_bal")).as("surv_bal"),
         r4(col("total_bal_d")).as("total_bal"))
@@ -1066,26 +1239,85 @@ object Resolve {
   /** UPSERT a batch into the at-rest golden table — O(batch), the
     * persisted form of [[entityGoldenIncremental]]'s refresh: probe the
     * entity index for verdicts, map matched records to their ENTITY via
-    * `members/` (covers index records AND previously absorbed batches),
-    * mint unmatched under their own key, then append the batch's delta
-    * states to the log and its own (key → entity) rows to `members/`.
-    * No stored golden row is read, re-aggregated or rewritten at upsert
-    * time — the merge happens at read, exactly like the MV log. Callers
+    * the resolved `members/` view (covers index records AND previously
+    * absorbed batches, minus deleted ones), mint unmatched under their
+    * own key, then append the batch's delta states to the log and its
+    * own signed (+1) member facts. No stored golden row is read,
+    * re-aggregated or rewritten at upsert time — the merge happens at
+    * read, exactly like the MV log. `seq` must be strictly greater than
+    * every seq already in the table (the streaming loop passes its
+    * monotone batch_id); a replayed append with the same seq duplicates
+    * rows exactly and the readers dedup them — idempotent. Callers
     * absorb the batch into the entity index ([[appendEntityIndex]])
     * alongside, the same probe → absorb step the streaming loop runs;
     * probe precedes absorb, so a batch never matches itself. */
   def upsertGoldenTable(s: SparkSession, batch: DataFrame,
-      entityIndexPath: String, path: String): Unit = {
-    val members = s.read.parquet(s"$path/members")
+      entityIndexPath: String, path: String, seq: Long): Unit = {
+    val members = currentMembers(s.read.parquet(s"$path/members"))
     val assigned = probeEntityIndex(s, batch, entityIndexPath)
       .join(members.select(col("c_custkey").as("matched_key"),
-        col("entity_id").as("matched_entity")), Seq("matched_key"), "left")
+        col("entity_id").as("matched_entity")).distinct(), Seq("matched_key"), "left")
       .select(col("probe_key").as("c_custkey"),
         coalesce(col("matched_entity"), col("probe_key")).as("entity_id"))
       .join(batch, Seq("c_custkey"))
       .localCheckpoint() // materialized once: feeds both appends below
-    goldenStates(assigned).write.mode("append").parquet(s"$path/states")
-    assigned.select("c_custkey", "entity_id")
+    goldenStates(assigned)
+      .withColumn("seq", lit(seq)).withColumn("rebuild", lit(false))
+      .write.mode("append").parquet(s"$path/states")
+    assigned
+      .select(col("c_custkey"), col("entity_id"), col("c_name"), col("c_acctbal"))
+      .withColumn("seq", lit(seq)).withColumn("sign", lit(1))
+      .write.mode("append").parquet(s"$path/members")
+  }
+
+  /** DELETE records from the at-rest golden table — MDM record deletion
+    * (the GDPR/correction path), O(deleted records × their components),
+    * never a table rewrite: the two measure classes follow
+    * `q_mv_retract`'s split. Retraction-mergeable states COULD subtract
+    * by a signed merge, but min_key/surv_name/max_bal cannot (removing
+    * the current max can only be answered by history) — so every
+    * TOUCHED entity gets one REBUILD row recomputed from its surviving
+    * `members/` facts (which carry the attributes for exactly this),
+    * superseding its prior log history via the visibility rule; an
+    * entity whose last member is deleted gets a zero-member tombstone
+    * and leaves the served table. Untouched entities: zero reads, zero
+    * writes. The deleted member facts append as sign −1 rows, so future
+    * upserts stop routing matches through them. `seq` follows the same
+    * monotone contract as the upsert; replays dedup at read. The entity
+    * INDEX still carries the deleted records' blocking variants —
+    * callers that must stop future probes from matching the deleted
+    * records run `IndexMaintenance.deleteFromEntityIndex` alongside
+    * (a probe that does match a deleted record before that runs finds
+    * no current member mapping and mints — degraded, never corrupt).
+    * Entity ids are STABLE under deletion: survivors keep their entity
+    * even if the deleted record was the id's source (min-key) — the
+    * standard MDM discipline; re-clustering is a rebuild concern. */
+  def deleteGoldenRecords(s: SparkSession, delKeys: DataFrame,
+      path: String, seq: Long): Unit = {
+    val mem = currentMembers(s.read.parquet(s"$path/members"))
+    val keys = delKeys.select("c_custkey")
+    val victims = mem.join(keys, Seq("c_custkey"), "left_semi")
+      .localCheckpoint() // pinned BEFORE the appends below touch members/
+    val touched = victims.select("entity_id").distinct()
+    val remaining = mem
+      .join(broadcast(touched), Seq("entity_id"), "left_semi")
+      .join(keys, Seq("c_custkey"), "left_anti")
+      .localCheckpoint()
+    val rebuilt = goldenStates(remaining)
+    val tombstones = touched
+      .join(rebuilt.select("entity_id"), Seq("entity_id"), "left_anti")
+      .select(col("entity_id"),
+        lit(0L).as("n_members"),
+        lit(Long.MaxValue).as("min_key"),
+        lit(null).cast(StringType).as("surv_name"),
+        lit(null).cast(DoubleType).as("max_bal"),
+        lit(null).cast(DecimalType(28, 2)).as("total_bal_d"))
+    rebuilt.unionByName(tombstones)
+      .withColumn("seq", lit(seq)).withColumn("rebuild", lit(true))
+      .write.mode("append").parquet(s"$path/states")
+    victims
+      .select(col("c_custkey"), col("entity_id"), col("c_name"), col("c_acctbal"))
+      .withColumn("seq", lit(seq)).withColumn("sign", lit(-1))
       .write.mode("append").parquet(s"$path/members")
   }
 
@@ -1099,6 +1331,7 @@ object Resolve {
     "q_entity_golden" -> entityGolden _,
     "q_entity_golden_attrs" -> entityGoldenAttrs _,
     "q_entity_golden_incremental" -> entityGoldenIncremental _,
+    "q_entity_golden_retract" -> entityGoldenRetract _,
     "q_entity_resolve_incremental" -> entityResolveIncremental _,
     "q_entity_absorb" -> entityAbsorb _,
     "q_entity_blocking_eval" -> entityBlockingEval _)
@@ -1113,6 +1346,7 @@ object Resolve {
     "q_entity_golden" -> entityGoldenSql,
     "q_entity_golden_attrs" -> entityGoldenAttrsSql,
     "q_entity_golden_incremental" -> entityGoldenIncrementalSql,
+    "q_entity_golden_retract" -> entityGoldenRetractSql,
     "q_entity_resolve_incremental" -> entityResolveIncrementalSql,
     "q_entity_absorb" -> entityAbsorbSql,
     "q_entity_blocking_eval" -> entityBlockingEvalSql)

@@ -685,12 +685,18 @@ object Pipeline {
     * and the batch absorbs into the entity index — so the NEXT batch
     * probes a population that includes this one, and the golden table
     * read (`Resolve.readGoldenTable`) always reflects every record
-    * seen. Both appends (state log + member rows + index variants) are
-    * NOT idempotent under batch replay, so the whole step is guarded by
-    * one per-batch marker under `goldenPath/appended/` — a crash
-    * between append and marker commit re-applies at most that one
-    * batch, the ingestLoop contract. Probe precedes absorb: a batch
-    * never matches itself. */
+    * seen. The golden appends (state log + member facts) carry the
+    * batch_id as their `seq`, so a REPLAYED batch appends byte-identical
+    * rows the readers dedup per (entity, seq) / (record, entity, seq) —
+    * replay-idempotent BY READ, no recovery rebuild needed even when a
+    * crash lands between an append and the marker. The marker still
+    * guards the whole step: it spares a replay the work, keeps the
+    * entity-index append from double-writing variant rows (harmless to
+    * probe verdicts — candidates are `distinct` — but unbounded bloat
+    * under repeated crash-replay), and keeps the probe deterministic
+    * (a batch whose index-append committed must not re-probe itself —
+    * the ingestLoop contract). Probe precedes absorb: a batch never
+    * matches itself. */
   def streamGoldenUpsert(cust: DataFrame, entityIndexPath: String,
       goldenPath: String, checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
@@ -704,7 +710,8 @@ object Pipeline {
         val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker)) {
           val b = batch.localCheckpoint() // one materialization, two appends
-          graft.operators.Resolve.upsertGoldenTable(s, b, entityIndexPath, goldenPath)
+          graft.operators.Resolve.upsertGoldenTable(
+            s, b, entityIndexPath, goldenPath, seq = batchId)
           graft.operators.Resolve.appendEntityIndex(b, entityIndexPath)
           fs.mkdirs(marker.getParent)
           fs.createNewFile(marker)

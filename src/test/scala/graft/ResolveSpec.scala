@@ -438,7 +438,7 @@ class ResolveSpec extends AnyFunSuite {
     assert(operators.Resolve.readGoldenTable(spark, gt).collect()
       === goldenOver(labels0).collect())
     // upsert batch 1 (probe precedes absorb), then absorb into the index
-    operators.Resolve.upsertGoldenTable(spark, b1, ei, gt)
+    operators.Resolve.upsertGoldenTable(spark, b1, ei, gt, seq = 0L)
     operators.Resolve.appendEntityIndex(b1, ei)
     // sequential twin for batch 1's assignments
     def assignTwin(pop: org.apache.spark.sql.DataFrame,
@@ -455,7 +455,7 @@ class ResolveSpec extends AnyFunSuite {
       === goldenOver(mem1).collect())
     // upsert batch 2 against the GROWN index — a b2 record matching an
     // absorbed b1 record must resolve b1's assigned entity via members/
-    operators.Resolve.upsertGoldenTable(spark, b2, ei, gt)
+    operators.Resolve.upsertGoldenTable(spark, b2, ei, gt, seq = 1L)
     operators.Resolve.appendEntityIndex(b2, ei)
     val a2 = assignTwin(idx.unionByName(b1), b2, mem1)
     val mem2 = mem1.unionByName(a2)
@@ -468,6 +468,43 @@ class ResolveSpec extends AnyFunSuite {
     assert(operators.IndexMaintenance.dataFileCount(spark, s"$gt/states") < filesBefore)
     val log = spark.read.parquet(s"$gt/states")
     assert(log.groupBy("entity_id").count().where(col("count") > 1).count() === 0L)
+
+    // ---- retraction: delete records, read equals the recompute over
+    // the surviving members with the ORIGINAL (stable) entity ids
+    val delKeys = mem2.where(col("c_custkey") % 7 === 3).select("c_custkey")
+    assert(delKeys.count() > 0L, "degenerate fixture: nothing to delete")
+    operators.Resolve.deleteGoldenRecords(spark, delKeys, gt, seq = 2L)
+    val mem3 = mem2.join(delKeys, Seq("c_custkey"), "left_anti")
+    val afterDelete = goldenOver(mem3).collect()
+    assert(operators.Resolve.readGoldenTable(spark, gt).collect() === afterDelete)
+    // the fixture exercises FULL deletion: at least one entity whose every
+    // member was deleted left the served table entirely (tombstone path)
+    val idsBefore = expected.map(_.getLong(0)).toSet
+    val idsAfter = afterDelete.map(_.getLong(0)).toSet
+    assert((idsBefore -- idsAfter).nonEmpty, "no entity fully retracted")
+    // a REPLAYED delete (same seq) is read-idempotent
+    operators.Resolve.deleteGoldenRecords(spark, delKeys, gt, seq = 2L)
+    assert(operators.Resolve.readGoldenTable(spark, gt).collect() === afterDelete)
+    // a later upsert lands on the post-delete table and still reads exact:
+    // re-absorb the deleted records as a fresh batch (they re-probe the
+    // index, which still contains them — they match themselves at 100)
+    val b3 = c.join(delKeys, Seq("c_custkey"), "left_semi")
+    operators.Resolve.upsertGoldenTable(spark, b3, ei, gt, seq = 3L)
+    val a3 = assignTwin(idx.unionByName(b1).unionByName(b2), b3,
+      mem3.select("c_custkey", "entity_id"))
+    val mem4 = mem3.unionByName(a3)
+    val afterReabsorb = goldenOver(mem4).collect()
+    assert(operators.Resolve.readGoldenTable(spark, gt).collect() === afterReabsorb)
+    // a REPLAYED upsert (same seq) is read-idempotent too
+    operators.Resolve.upsertGoldenTable(spark, b3, ei, gt, seq = 3L)
+    assert(operators.Resolve.readGoldenTable(spark, gt).collect() === afterReabsorb)
+    // compaction after deletes still folds to one state row per entity
+    operators.IndexMaintenance.compactGoldenTable(spark, gt)
+    assert(operators.Resolve.readGoldenTable(spark, gt).collect() === afterReabsorb)
+    assert(spark.read.parquet(s"$gt/states")
+      .groupBy("entity_id").count().where(col("count") > 1).count() === 0L)
+    // and the member fold dropped the netted-out (deleted, un-reabsorbed) facts
+    assert(spark.read.parquet(s"$gt/members").where(col("sign") < 0).count() === 0L)
   }
 
   test("q_entity_blocking_eval: counts match brute force, completeness 1.0") {
