@@ -181,12 +181,64 @@ object IndexMaintenance {
     * grows without bound under a 2-second trigger; after, O(groups) +
     * the tail written since. */
   def compactMvLog(s: SparkSession, mvDir: String): Unit =
+    compactMvWith(s, mvDir, df => Relational.mvMergeStates(
+        df.select("o_orderpriority", "o_year", "n", "total",
+          "min_price", "max_price"))
+      .withColumn("batch_id", lit(-1L)))
+
+  /** signed-log twin ([[graft.streaming.Pipeline.streamMvRetract]]'s
+    * output): fold through the reader's own signed merge — groups
+    * netted to zero leave the log (a later re-insert lands as new
+    * batches, identical to the unfolded read by the netting itself) */
+  def compactMvSignedLog(s: SparkSession, mvDir: String): Unit =
+    compactMvWith(s, mvDir, df => Relational.mvMergeSigned(
+        df.select("o_orderpriority", "o_year", "n", "total"))
+      .withColumn("batch_id", lit(-1L)))
+
+  /** shared MV-log fold: record the FOLD CEILING (max live batch_id
+    * folded, `_compacted_through` sidecar) so the readers can DROP a
+    * replayed partition at or below it — the round-19 hazard where a
+    * stream whose checkpoint lagged the compaction replayed a batch the
+    * `batch_id = -1` row already contains and double-counted it. The
+    * ceiling is one 1-row maintenance-time aggregate (collect
+    * allowlisted); the sidecar is read before the swap (the swap
+    * replaces the directory) and re-written after with the running max,
+    * so repeated compactions never lower it. A crash between swap and
+    * sidecar write leaves the pre-existing one-batch-wide documented
+    * window; everything after the write is mechanically guarded. */
+  private def compactMvWith(s: SparkSession, mvDir: String,
+      fold: DataFrame => DataFrame): Unit = {
+    val prev = compactedThrough(s, mvDir).getOrElse(-1L)
+    // partition-directory values read back as int when they all fit —
+    // cast before the max so the ceiling is a stable long
+    val liveMaxRow = s.read.parquet(mvDir)
+      .where(col("batch_id") >= 0)
+      .agg(max(col("batch_id").cast("long"))).collect()(0)
+    val liveMax = if (liveMaxRow.isNullAt(0)) -1L else liveMaxRow.getLong(0)
     compactDir(s, mvDir, Seq("o_orderpriority", "o_year"),
-      partitionCols = Seq("batch_id"),
-      transform = df => Relational.mvMergeStates(
-          df.select("o_orderpriority", "o_year", "n", "total",
-            "min_price", "max_price"))
-        .withColumn("batch_id", lit(-1L)))
+      partitionCols = Seq("batch_id"), transform = fold)
+    writeCompactedThrough(s, mvDir, math.max(prev, liveMax))
+  }
+
+  /** the fold ceiling a prior MV-log compaction recorded: batches at or
+    * below it are already inside the folded `batch_id = -1` row; None if
+    * the log was never compacted */
+  def compactedThrough(s: SparkSession, dir: String): Option[Long] = {
+    val fs = hfs(s, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_compacted_through")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes, "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def writeCompactedThrough(s: SparkSession, dir: String, v: Long): Unit = {
+    val fs = hfs(s, dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_compacted_through"), true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
 
   /** Golden table (`Resolve.writeGoldenTable` / `upsertGoldenTable` /
     * `deleteGoldenRecords`): `states/` is a per-entity partial-state

@@ -725,11 +725,16 @@ object Relational {
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"))
 
-  /** merge any number of partial-state rows per group back into one */
+  /** merge any number of partial-state rows per group back into one —
+    * total stays in the canonical decimal(28,2) state type so a merged
+    * fold (compactMvLog) can land back in the same log its inputs came
+    * from: sum() widens precision per nesting level, and a log mixing
+    * decimal(28,2) and decimal(38,2) parquet files reads back as a
+    * physical-type mismatch */
   def mvMergeStates(states: DataFrame): DataFrame =
     states.groupBy("o_orderpriority", "o_year")
       .agg(sum(col("n")).as("n"),
-        sum(col("total")).as("total"),
+        sum(col("total")).cast(DecimalType(28, 2)).as("total"),
         min(col("min_price")).as("min_price"),
         max(col("max_price")).as("max_price"))
 
@@ -744,11 +749,27 @@ object Relational {
 
   /** the MV AT REST: merge + present the partial-state log a
     * [[graft.streaming.Pipeline.streamMvMaintain]] stream appends —
-    * O(batches × groups) rows in, O(groups) out */
+    * O(batches × groups) rows in, O(groups) out. Replay-guarded against
+    * compaction: partitions at or below the recorded fold ceiling
+    * ([[IndexMaintenance.compactedThrough]]) are DROPPED — a batch the
+    * compactor already folded into the `batch_id = -1` row that a
+    * restarted stream replays (checkpoint behind the fold) would
+    * otherwise double-count. */
   def readMv(s: SparkSession, mvDir: String): DataFrame =
     mvPresent(mvMergeStates(
-      s.read.parquet(mvDir)
+      mvLogGuarded(s, mvDir)
         .select("o_orderpriority", "o_year", "n", "total", "min_price", "max_price")))
+
+  /** the state log with the fold-ceiling guard applied (shared by
+    * [[readMv]] and [[readMvSigned]]) */
+  private def mvLogGuarded(s: SparkSession, mvDir: String): DataFrame = {
+    val df = s.read.parquet(mvDir)
+    IndexMaintenance.compactedThrough(s, mvDir) match {
+      case Some(through) =>
+        df.where(col("batch_id") < 0 || col("batch_id") > through)
+      case None => df
+    }
+  }
 
   def mvIncremental(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
@@ -830,10 +851,12 @@ object Relational {
       .agg((count(lit(1)) * sign).cast(LongType).as("n"),
         sum(d2(col("o_totalprice")) * sign).cast(DecimalType(28, 2)).as("total"))
 
-  /** merge signed state rows per group; groups retracted to n ≤ 0 drop */
+  /** merge signed state rows per group; groups retracted to n ≤ 0 drop;
+    * total pinned to the canonical decimal(28,2) (see [[mvMergeStates]]) */
   def mvMergeSigned(states: DataFrame): DataFrame =
     states.groupBy("o_orderpriority", "o_year")
-      .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("total")).cast(DecimalType(28, 2)).as("total"))
       .where(col("n") > 0)
 
   def mvRetract(s: SparkSession, dir: String): DataFrame = {
@@ -902,7 +925,7 @@ object Relational {
     * rebuild. O(batches × groups) in, O(groups) out. */
   def readMvSigned(s: SparkSession, mvDir: String): DataFrame =
     mvMergeSigned(
-      s.read.parquet(mvDir).select("o_orderpriority", "o_year", "n", "total"))
+      mvLogGuarded(s, mvDir).select("o_orderpriority", "o_year", "n", "total"))
       .select(col("o_orderpriority"), col("o_year"), col("n"),
         r4(col("total")).as("total"),
         r4f(col("total").cast(DoubleType) / col("n")).as("avg_price"))

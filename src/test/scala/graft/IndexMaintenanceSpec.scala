@@ -256,6 +256,46 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     operators.IndexMaintenance.compactMvLog(spark, mvDir)
     assert(operators.Relational.readMv(spark, mvDir).collect()
       === batchTwin.collect())
+    // REPLAY hazard (r19 ADVICE): a stream whose checkpoint lagged the
+    // compaction replays batch 3 — its partition reappears on disk, but
+    // the fold ceiling the compactor recorded makes readMv DROP it
+    // instead of double-counting against the folded -1 row
+    assert(operators.IndexMaintenance.compactedThrough(spark, mvDir) === Some(3L))
+    operators.Relational.mvPartialStates(o.where(col("o_orderkey") % 4 === 3))
+      .withColumn("batch_id", lit(3L))
+      .write.mode("append").partitionBy("batch_id").parquet(mvDir)
+    assert(operators.Relational.readMv(spark, mvDir).collect() === batchTwin.collect(),
+      "replayed folded batch double-counted — fold-ceiling guard broken")
+    // a genuinely NEW batch (id above the ceiling) still merges normally
+    operators.Relational.mvPartialStates(o.where(col("o_orderkey") % 4 === 3))
+      .withColumn("batch_id", lit(4L))
+      .write.mode("append").partitionBy("batch_id").parquet(mvDir)
+    val twin2 = operators.Relational.mvPresent(operators.Relational.mvMergeStates(
+      operators.Relational.mvPartialStates(o).unionByName(
+        operators.Relational.mvPartialStates(o.where(col("o_orderkey") % 4 === 3)))))
+    assert(operators.Relational.readMv(spark, mvDir).collect() === twin2.collect())
+  }
+
+  test("compactMvSignedLog: signed log folds through the netting merge, replayed retraction dropped") {
+    val mvDir = Files.createTempDirectory("graft_cmp_mvs").toString + "/mv"
+    val o = util.t(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice"))
+    def signedStates(df: org.apache.spark.sql.DataFrame, sign: Int, id: Long): Unit =
+      operators.Relational.mvSignedStates(df, sign)
+        .withColumn("batch_id", lit(id))
+        .write.mode("append").partitionBy("batch_id").parquet(mvDir)
+    signedStates(o, 1, 0L)                                  // batch 0: everything
+    signedStates(o.where(col("o_orderkey") % 5 === 0), -1, 1L) // batch 1: retraction
+    val before = operators.Relational.readMvSigned(spark, mvDir).collect()
+    operators.IndexMaintenance.compactMvSignedLog(spark, mvDir)
+    assert(operators.Relational.readMvSigned(spark, mvDir).collect() === before)
+    assert(spark.read.parquet(mvDir).groupBy("o_orderpriority", "o_year")
+      .count().where(col("count") > 1).count() === 0L)
+    // replaying the folded retraction must not double-retract
+    signedStates(o.where(col("o_orderkey") % 5 === 0), -1, 1L)
+    assert(operators.Relational.readMvSigned(spark, mvDir).collect() === before,
+      "replayed folded retraction double-retracted")
   }
 
   test("crashed mid-swap state is refused: the __old rollback copy is never deleted") {
