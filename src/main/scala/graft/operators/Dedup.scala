@@ -2673,8 +2673,22 @@ object Dedup {
     * quadratic in bucket size. */
   def dedupSubstringPairs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents").select("doc_id", "text")
     val wH = Window.partitionBy("h").orderBy("doc_id", "pos")
-    substrGramsOf(t(s, dir, "documents").select("doc_id", "text"))
+    substrGramsOf(docs)
+      // In-plan shuffle width for the gram-hash sort (r19 finding): the
+      // window's partition-local sort mass is ~1 gram row per text char
+      // (~80x the compressed scan bytes in shuffle form), so leaving the
+      // width to the session default put 12x/decade of pure sort/GC
+      // pressure on the committed 32-partition bench config while 64-256
+      // partitions sat at the family's 4.5x (tools.SubstrPairsSweep).
+      // One partition per 512 KB of scan bytes — a PLAN-TIME statistic,
+      // no job — keeps per-partition sorts bounded at any input scale;
+      // the session default stays the floor so small inputs are
+      // untouched, and the hash distribution (same key) means the window
+      // adds no second exchange. Row-identical: width affects only
+      // partition-local sort sizes, never the (h)-clustered semantics.
+      .repartition(substrPairsWidth(s, docs), col("h"))
       .withColumn("rn", row_number().over(wH))
       .withColumn("src", first(col("doc_id")).over(wH))
       .where(col("rn") >= 2 && col("doc_id") =!= col("src"))
@@ -2682,6 +2696,16 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_grams"))
       .where(col("n_shared_grams") >= SubstrPairMinGrams)
       .orderBy("d1", "d2")
+  }
+
+  /** gram-hash shuffle width from the scan's own plan-time size stat:
+    * clamp(scanBytes / 256 KB, session shuffle partitions, 65536) —
+    * ~20 MB of gram-row sort mass per partition */
+  private def substrPairsWidth(s: SparkSession, docs: DataFrame): Int = {
+    val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val session = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val target = (bytes / BigInt(256 * 1024)).min(BigInt(65536)).toInt
+    math.max(session, target)
   }
 
   val dedupSubstringPairsSql: String =
