@@ -395,7 +395,14 @@ object Resolve {
     * cardinality is bounded by the evidence lattice (≤ 2·2·2·2 shapes
     * here), so the result is catalog-sized whatever the corpus. */
   def entityScoreDist(s: SparkSession, dir: String): DataFrame =
-    scoredPairsFrom(t(s, dir, "customer"))
+    scoreHistogram(scoredPairsFrom(t(s, dir, "customer")))
+
+  /** the threshold-calibration histogram over ANY scored front carrying
+    * (score, name_dist, same_seg, bal_close) — shared by the batch
+    * instrument above and the live per-micro-batch twin
+    * ([[probeScoreDist]] / [[graft.streaming.Pipeline.streamEntityScoreDist]]) */
+  private[graft] def scoreHistogram(scored: DataFrame): DataFrame =
+    scored
       .groupBy("score")
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("same_seg")).as("n_same_seg"),
@@ -746,20 +753,30 @@ object Resolve {
         col("c_name").as(s"name_$side"), col("c_mktsegment").as(s"seg_$side"),
         col("c_acctbal").as(s"bal_$side"))
 
-  /** [[probeMatches]] over an ALREADY-exploded index side (the persisted
-    * layout) — the probe batch explodes fresh, the index never does */
-  def probeMatchesExploded(idxExploded: DataFrame, probes: DataFrame): DataFrame = {
-    val cand = sided(probes, "p").join(idxExploded, Seq("nat", "v"))
+  /** the scored probe-candidate front BEFORE thresholding — the frame
+    * both the verdict path ([[probeMatchesExploded]]) and the live
+    * threshold-drift instrument ([[probeScoreDist]]) derive from, so
+    * the served verdicts and the observability histogram can never
+    * disagree about what was scored */
+  private def probeScoredFront(idxExploded: DataFrame, probes: DataFrame): DataFrame =
+    sided(probes, "p").join(idxExploded, Seq("nat", "v"))
       .select("key_p", "key_i", "name_p", "name_i", "seg_p", "seg_i", "bal_p", "bal_i")
       .distinct()
       .withColumn("name_dist",
         levenshtein(col("name_p"), col("name_i")).cast(LongType))
       .where(col("name_dist") <= 1)
-    val scored = cand.select(col("key_p"), col("key_i"),
-        (when(col("name_dist") === 0, 60).otherwise(30)
-          + (col("seg_p") === col("seg_i")).cast(LongType) * 25
-          + (abs(col("bal_p") - col("bal_i")) <= 1000.0).cast(LongType) * 15
-          ).as("score"))
+      .select(col("key_p"), col("key_i"), col("name_dist"),
+        (col("seg_p") === col("seg_i")).cast(LongType).as("same_seg"),
+        (abs(col("bal_p") - col("bal_i")) <= 1000.0).cast(LongType).as("bal_close"))
+      .withColumn("score",
+        when(col("name_dist") === 0, 60).otherwise(30)
+          + col("same_seg") * 25 + col("bal_close") * 15)
+
+  /** [[probeMatches]] over an ALREADY-exploded index side (the persisted
+    * layout) — the probe batch explodes fresh, the index never does */
+  def probeMatchesExploded(idxExploded: DataFrame, probes: DataFrame): DataFrame = {
+    val scored = probeScoredFront(idxExploded, probes)
+      .select(col("key_p"), col("key_i"), col("score"))
       .where(col("score") >= MatchThreshold)
     val w = Window.partitionBy("key_p")
       .orderBy(col("score").desc, col("key_i").asc)
@@ -1138,6 +1155,19 @@ object Resolve {
   /** absorb a batch: append its variant rows — O(batch), no rewrite */
   def appendEntityIndex(batch: DataFrame, path: String): Unit =
     sided(batch, "i").write.mode("append").parquet(path)
+
+  /** per-batch Fellegi-Sunter score histogram of a probe batch against
+    * the persisted index — the serving loop's THRESHOLD-DRIFT
+    * instrument: `q_entity_score_dist` prices the threshold once over
+    * the at-rest population, but the live absorb loop keeps shifting
+    * the score distribution as batches land; this is the same histogram
+    * over each micro-batch's scored candidate front (pre-threshold, the
+    * exact frame the verdicts derive from), so drift in the
+    * match/non-match populations is observable while serving. Pair
+    * candidates partition by probe, so per-batch histograms SUM to the
+    * all-probes histogram over a fixed index (StreamingSpec pin). */
+  def probeScoreDist(s: SparkSession, probes: DataFrame, path: String): DataFrame =
+    scoreHistogram(probeScoredFront(s.read.parquet(path), probes))
 
   /** probe verdicts folded to entity ASSIGNMENTS — the per-record output
     * of the live absorb loop ([[graft.streaming.Pipeline.streamEntityAbsorb]]):

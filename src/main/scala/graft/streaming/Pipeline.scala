@@ -678,6 +678,38 @@ object Pipeline {
         (s, path, b) => graft.operators.Resolve.appendEntityIndex(b, path))(
       cust, indexPath, outDir, checkpointDir, trigger)
 
+  /** LIVE threshold-drift observability for the ER serving loop — the
+    * streaming face of `q_entity_score_dist`: each micro-batch of
+    * customer-shaped records probes the persisted entity index and
+    * emits its Fellegi-Sunter score HISTOGRAM (per distinct score: pair
+    * count, evidence-pattern counts, the verdict the shipped threshold
+    * assigns) under its own `batch_id=N` partition — the artifact a
+    * linkage deployment watches to notice the match/non-match score
+    * populations drifting as absorbed batches shift the index. The
+    * histogram derives from the SAME pre-threshold scored front the
+    * verdicts use (`Resolve.probeScoreDist`), so observability and
+    * serving can never disagree; candidates partition by probe, so the
+    * per-batch histograms sum to the all-probes histogram over a fixed
+    * index (StreamingSpec pin). Stateless; exactly-once per batch_id
+    * partition overwrite; histogram rows are evidence-lattice-bounded
+    * (≤ a dozen) whatever the batch size. */
+  def streamEntityScoreDist(cust: DataFrame, indexPath: String,
+      outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    cust.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Resolve.probeScoreDist(batch.sparkSession, batch, indexPath)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .start()
+
   /** LIVE golden-table maintenance — the streaming face of the at-rest
     * MDM loop (`Resolve.upsertGoldenTable` + `appendEntityIndex`), and
     * the serving stack's last piece: per micro-batch, matched records

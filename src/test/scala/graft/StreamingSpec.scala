@@ -505,6 +505,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamEntityScoreDist: per-batch score histograms sum to the all-probes histogram") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val cust = util.t(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val indexPath = Files.createTempDirectory("graft_esd_idx").toString
+    graft.operators.Resolve.writeEntityIndex(
+      cust.where(col("c_custkey") % 10 < 8), indexPath)
+    val probes = cust.where(col("c_custkey") % 10 >= 8)
+    val probeRows = probes.as[(Long, String, Int, String, Double)].collect().toSeq
+    val (firstHalf, secondHalf) = probeRows.splitAt(probeRows.size / 2)
+    val ms = MemoryStream[(Long, String, Int, String, Double)]
+    val out = Files.createTempDirectory("graft_esd_out").toString
+    val ckpt = Files.createTempDirectory("graft_esd_ckpt").toString
+    ms.addData(firstHalf)
+    ms.addData(secondHalf)
+    val q = Pipeline.streamEntityScoreDist(
+      ms.toDF().toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"),
+      indexPath, out, ckpt, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    // candidates partition by probe, so summing the per-batch histograms
+    // must reproduce the one-shot histogram over all probes exactly
+    val summed = spark.read.parquet(out)
+      .groupBy("score", "is_match")
+      .agg(sum(col("n_pairs")).as("n_pairs"),
+        sum(col("n_same_seg")).as("n_same_seg"),
+        sum(col("n_bal_close")).as("n_bal_close"),
+        sum(col("n_exact_name")).as("n_exact_name"))
+      .select("score", "n_pairs", "n_same_seg", "n_bal_close", "n_exact_name", "is_match")
+      .orderBy("score").collect().toSeq
+    val batch = graft.operators.Resolve.probeScoreDist(spark, probes, indexPath)
+      .select("score", "n_pairs", "n_same_seg", "n_bal_close", "n_exact_name", "is_match")
+      .orderBy("score").collect().toSeq
+    assert(summed === batch,
+      "summed per-batch score histograms diverged from the all-probes histogram")
+    assert(batch.nonEmpty, "degenerate fixture: no scored candidates")
+    // the drift signal is real: both match and non-match mass present
+    assert(batch.map(_.getLong(5)).toSet === Set(0L, 1L),
+      "fixture lacks scores on both sides of the threshold")
+  }
+
   test("streamDedupIncremental: per-batch index probes reproduce the batch incremental dedup") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
