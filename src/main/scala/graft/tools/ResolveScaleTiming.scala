@@ -95,6 +95,44 @@ object ResolveScaleTiming {
       println(f"""{"k":$k,"rows":$n,"cross_pairs_avoided":${crossPairs.toLong},""" +
         f""""candidate_pairs":$pairs,"match_edges":$edges,"entities":$nEntities,""" +
         f""""sec_pairs":$tPairs%.2f,"sec_edges":$tEdges%.2f,"sec_clusters":$tClusters%.2f}""")
+
+      // ---- the SERVING LOOP at the same K ladder (r19 verdict ask #6):
+      // index/golden built over the K-scaled population minus a
+      // FIXED-SIZE batch (the base copy's %10>=8 slice, constant rows at
+      // every K), then the per-batch path is timed: probe→assign,
+      // golden upsert (both appends), record deletion. The O(batch)
+      // claim predicts near-flat walls as K grows — the only K-term
+      // left is the index/members SCAN (a plain parquet layout carries
+      // no pruning metadata; the at-rest scaladoc names partitionBy(nat)
+      // as the pruning layout at deployment scale).
+      val root = java.nio.file.Files.createTempDirectory(s"graft_rst_serve_$k").toString
+      val ei = s"$root/ei"
+      val gt = s"$root/golden"
+      val batch = cust.where(col("c_custkey") < 10000000L && col("c_custkey") % 10 >= 8)
+      val idxPop = cust.join(batch.select("c_custkey"), Seq("c_custkey"), "left_anti")
+      val nBatch = batch.count()
+      val (_, tBuildIdx) = time { graft.operators.Resolve.writeEntityIndex(idxPop, ei) }
+      val (_, tBuildGt) = time { graft.operators.Resolve.writeGoldenTable(idxPop, gt) }
+      val (_, tAssign) = time {
+        graft.operators.Resolve.probeEntityAssign(spark, batch, ei)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val (_, tUpsert) = time {
+        graft.operators.Resolve.upsertGoldenTable(spark, batch, ei, gt, seq = 0L)
+        graft.operators.Resolve.appendEntityIndex(batch, ei)
+      }
+      val delKeys = batch.select("c_custkey").limit(500)
+      val (_, tDelete) = time {
+        graft.operators.Resolve.deleteGoldenRecords(spark, delKeys, gt, seq = 1L)
+      }
+      val (nGolden, tRead) = time {
+        graft.operators.Resolve.readGoldenTable(spark, gt).count()
+      }
+      println(f"""{"k":$k,"batch_rows":$nBatch,"golden_entities":$nGolden,""" +
+        f""""sec_build_index":$tBuildIdx%.2f,"sec_build_golden":$tBuildGt%.2f,""" +
+        f""""sec_probe_assign":$tAssign%.2f,"sec_golden_upsert":$tUpsert%.2f,""" +
+        f""""sec_delete":$tDelete%.2f,"sec_read":$tRead%.2f}""")
+      graft.util.deleteRecursively(root)
       cust.unpersist()
     }
     spark.stop()
