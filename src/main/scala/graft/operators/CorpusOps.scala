@@ -1163,7 +1163,7 @@ object CorpusOps {
   /** canonical-URL hashes of ANY (doc_id, text) frame — the frontier's
     * state rows (16 B/url, the substring-index discipline: a left-anti
     * membership probe needs no counts, no caps) */
-  private def frontierHashesOf(docs: DataFrame): DataFrame = {
+  private[graft] def frontierHashesOf(docs: DataFrame): DataFrame = {
     graft.functions.TextExpressions.register(docs.sparkSession)
     docs
       .select(explode(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("url"))

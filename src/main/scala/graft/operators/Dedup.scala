@@ -1875,6 +1875,21 @@ object Dedup {
       .write.mode("append").parquet(s"$indexPath/dfs")
   }
 
+  /** per-gh occurrence counts of a (doc_id, text) batch under the SAME
+    * shingle derivation the build and append use — the frame
+    * `IndexMaintenance.deleteFromGramIndex` negates into the `dfs/`
+    * delta log so deletion subtracts exactly what build/append added */
+  private[graft] def batchGramDf(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.TextExpressions.register(s)
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("grams",
+        graft.functions.TextExpressions.wordNgrams(col("toks"), 3))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(graft.functions.TextExpressions.md5Prefix64(col("gram"), 15).as("gh"))
+      .groupBy("gh").agg(count(lit(1)).as("df"))
+  }
+
   /** index path memoized per (session, dir, input fingerprint) — same
     * staleness guard as the label cache; the index is files on disk, so
     * invalidation just writes a fresh directory */

@@ -292,6 +292,102 @@ object IndexMaintenance {
       transform = _.join(keys, Seq("key_i"), "left_anti"))
   }
 
+  // ---- record deletion across the dedup/ANN index families -------------
+  //
+  // The GDPR/correction path for the persisted indexes, completing the
+  // r20 retraction story (MV signed log, golden-table delete, entity
+  // index): each family's postings for the deleted records leave via a
+  // filtered rewrite under the swap discipline, and side-state follows
+  // its own algebra. One-sided cap note shared with the append families:
+  // deletion frees df/bucket headroom, but entries the caps TRUNCATED at
+  // build/append time are not resurrected — the same bounded drift class
+  // the appends document; a rebuild reclaims both.
+  //
+  // NOT deletable in place (rebuild-only, by math not by layout):
+  //   - the Bloom decontamination filter (bit_or folds are irreversible),
+  //   - the substring/winnow gram-hash SETS (membership rows carry no doc
+  //     attribution — a hash may be shared by surviving docs),
+  //   - the per-source theta sketch table (a sketch cannot unabsorb a
+  //     row; theta a_not_b is a set operation between sketches, not a
+  //     retraction of one).
+
+  /** Delete documents from the pruned inverted gram index. `docs` must
+    * carry (doc_id, text) — the TEXT is required because the `dfs/`
+    * admission sidecar counts gram OCCURRENCES, and the postings alone
+    * (df-capped, distinct) cannot reconstruct them: the deletion appends
+    * NEGATIVE df deltas derived by the same shingle pipeline the
+    * build/append use, so future appends admit against true
+    * post-deletion totals (a gram whose surviving df re-enters the cap
+    * admits NEW postings again; its truncated history stays absent —
+    * the one-sided drift note above). `grams/` and `sizes/` rewrite
+    * filtered; `dfs/` stays append-only. */
+  def deleteFromGramIndex(s: SparkSession, docs: DataFrame,
+      indexPath: String): Unit = {
+    val keys = docs.select("doc_id").distinct().localCheckpoint()
+    Dedup.batchGramDf(s, docs)
+      .select(col("gh"), (-col("df")).as("df"))
+      .write.mode("append").parquet(s"$indexPath/dfs")
+    compactDir(s, s"$indexPath/grams", Seq("gh"),
+      transform = _.join(keys, Seq("doc_id"), "left_anti"))
+    compactDir(s, s"$indexPath/sizes", Seq("doc_id"),
+      transform = _.join(keys, Seq("doc_id"), "left_anti"))
+  }
+
+  /** Delete documents from the MinHash band index: postings leave
+    * `bands/`, signatures leave `sigs/` (verification would otherwise
+    * still resolve a deleted doc as dup_of). Bucket-cap headroom the
+    * deletion frees is NOT backfilled (one-sided, rebuild reclaims). */
+  def deleteFromMinhashIndex(s: SparkSession, delIds: DataFrame,
+      indexPath: String): Unit = {
+    val keys = delIds.select("doc_id").distinct().localCheckpoint()
+    compactDir(s, s"$indexPath/bands", Seq("band", "bh"),
+      transform = _.join(keys, Seq("doc_id"), "left_anti"))
+    compactDir(s, s"$indexPath/sigs", Seq("doc_id"),
+      transform = _.join(keys, Seq("doc_id"), "left_anti"))
+  }
+
+  /** Delete documents from the SimHash band index (single `bands/`
+    * directory; same cap note as MinHash). */
+  def deleteFromSimhashIndex(s: SparkSession, delIds: DataFrame,
+      indexPath: String): Unit = {
+    val keys = delIds.select("doc_id").distinct().localCheckpoint()
+    compactDir(s, s"$indexPath/bands", Seq("chunk", "cv"),
+      transform = _.join(keys, Seq("doc_id"), "left_anti"))
+  }
+
+  /** Delete vectors from an IVF-family index (`lists/` partitioned by
+    * cid — IVF, semantic, and IVF+PQ share the layout; the trained
+    * codebook/pq geometry is untouched, exactly like add-after-train:
+    * FAISS's remove_ids). Probes over the surviving population are
+    * IDENTICAL to an index built by appending the survivors onto the
+    * same codebook (spec-pinned) — deletion never changes geometry, so
+    * recall properties measured at train time still hold. */
+  def deleteFromIvfIndex(s: SparkSession, delIds: DataFrame,
+      indexPath: String): Unit = {
+    val keys = delIds.select("vec_id").distinct().localCheckpoint()
+    compactDir(s, s"$indexPath/lists", Seq("cid"), partitionCols = Seq("cid"),
+      transform = _.join(keys, Seq("vec_id"), "left_anti"))
+  }
+
+  def deleteFromSemanticIndex(s: SparkSession, delIds: DataFrame,
+      indexPath: String): Unit =
+    deleteFromIvfIndex(s, delIds, indexPath)
+
+  def deleteFromIvfPqIndex(s: SparkSession, delIds: DataFrame,
+      indexPath: String): Unit =
+    deleteFromIvfIndex(s, delIds, indexPath)
+
+  /** Delete URLs from the frontier (re-admit for crawling — the
+    * frontier's probe is a left-anti membership join, so absence IS
+    * re-admission). `docs` is any (doc_id, text) frame carrying the
+    * URLs to forget; hashing is the frontier's own derivation. */
+  def deleteFromUrlFrontier(s: SparkSession, docs: DataFrame,
+      indexPath: String): Unit = {
+    val keys = CorpusOps.frontierHashesOf(docs).localCheckpoint()
+    compactDir(s, s"$indexPath/hashes", Seq("h"),
+      transform = _.join(keys, Seq("h"), "left_anti"))
+  }
+
   /** per-source theta sketch table (`CorpusOps.appendSourceGramSketches`
     * grows one row generation per batch): fold back to one merged row
     * per source — theta union is the readers' own merge, so matrix

@@ -298,6 +298,106 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       "replayed folded retraction double-retracted")
   }
 
+  test("deleteFromGramIndex: deleted docs' pairs vanish exactly, dfs subtraction is exact") {
+    val idx = Files.createTempDirectory("graft_del_gram").toString
+    operators.Dedup.writeGramIndex(spark, dir, idx)
+    val docs = util.t(spark, dir, "documents").select("doc_id", "text")
+    val probes = docs.where(col("doc_id") % 10 === 7)
+    val before = operators.Dedup.probeGramIndex(spark, probes, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // delete a corpus slice (doc_id % 9 == 1, never a probe doc)
+    val deleted = docs.where(col("doc_id") % 10 =!= 7 && col("doc_id") % 9 === 2)
+    val delIds = deleted.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(delIds.nonEmpty, "degenerate fixture: nothing to delete")
+    operators.IndexMaintenance.deleteFromGramIndex(spark, deleted, idx)
+    // pair scores are independent per (new, old): deletion removes
+    // EXACTLY the pairs whose dup_of was deleted, nothing else moves
+    val after = operators.Dedup.probeGramIndex(spark, probes, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after === before.filterNot(p => delIds(p._2)),
+      "deletion moved pairs beyond the deleted docs' own")
+    assert(before.exists(p => delIds(p._2)),
+      "degenerate fixture: no probe pair involved a deleted doc")
+    // the dfs sidecar subtraction is EXACT: summed deltas per gh equal
+    // the df of the surviving corpus under the same derivation
+    val survivors = docs.where(col("doc_id") % 10 =!= 7 && col("doc_id") % 9 =!= 2)
+    val expectedDf = operators.Dedup.batchGramDf(spark, survivors)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val storedDf = spark.read.parquet(s"$idx/dfs")
+      .groupBy("gh").agg(sum(col("df")).as("df"))
+      .where(col("df") =!= 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(storedDf === expectedDf, "dfs subtraction diverged from the surviving corpus df")
+    // compaction after deletion folds the +/- log and reads identical
+    operators.IndexMaintenance.compactGramIndex(spark, idx)
+    val afterCompact = operators.Dedup.probeGramIndex(spark, probes, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(afterCompact === after)
+  }
+
+  test("deleteFromMinhashIndex / deleteFromSimhashIndex: deleted docs' verdicts vanish exactly") {
+    val docs = util.t(spark, dir, "documents").select("doc_id", "text")
+    val probes = docs.where(col("doc_id") % 10 === 7)
+    val delIdsDf = docs.where(col("doc_id") % 10 =!= 7 && col("doc_id") % 9 === 2)
+      .select("doc_id")
+    val delIds = delIdsDf.collect().map(_.getLong(0)).toSet
+    for ((name, write, del, probe) <- Seq[(String,
+        String => Unit, String => Unit,
+        String => Set[(Long, Long)])](
+      ("minhash",
+        p => operators.Dedup.writeMinhashIndex(spark, dir, p),
+        p => operators.IndexMaintenance.deleteFromMinhashIndex(spark, delIdsDf, p),
+        p => operators.Dedup.probeMinhashIndex(spark, probes, p)
+          .select("new_id", "dup_of").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet),
+      ("simhash",
+        p => operators.Dedup.writeSimhashIndex(spark, dir, p),
+        p => operators.IndexMaintenance.deleteFromSimhashIndex(spark, delIdsDf, p),
+        p => operators.Dedup.probeSimhashIndex(spark, probes, p)
+          .select("new_id", "dup_of").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet))) {
+      val idx = Files.createTempDirectory(s"graft_del_$name").toString
+      write(idx)
+      val before = probe(idx)
+      del(idx)
+      val after = probe(idx)
+      assert(after === before.filterNot(p => delIds(p._2)),
+        s"$name: deletion moved verdicts beyond the deleted docs' own")
+      assert(before.exists(p => delIds(p._2)),
+        s"$name: degenerate fixture — no verdict involved a deleted doc")
+    }
+  }
+
+  test("deleteFromIvfIndex: probes equal an index of the survivors on the same codebook") {
+    import spark.implicits._
+    val idxA = Files.createTempDirectory("graft_del_ivf_a").toString
+    operators.Similarity.writeIvfIndex(spark, dir, idxA)
+    val emb = util.t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val delIdsDf = emb.where(col("vec_id") % 7 === 2).select("vec_id")
+    val delIds = delIdsDf.collect().map(_.getLong(0)).toSet
+    assert(delIds.nonEmpty)
+    // twin index: SAME codebook (deletion never retrains), survivors
+    // appended onto empty lists — the exact population deletion promises
+    val idxB = Files.createTempDirectory("graft_del_ivf_b").toString
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$idxA/codebook"),
+      fs, new org.apache.hadoop.fs.Path(s"$idxB/codebook"),
+      false, spark.sparkContext.hadoopConfiguration)
+    operators.Similarity.appendIvfIndex(spark, idxB,
+      emb.join(delIdsDf, Seq("vec_id"), "left_anti"))
+    operators.IndexMaintenance.deleteFromIvfIndex(spark, delIdsDf, idxA)
+    val probes = emb.where(col("vec_id") % 11 === 3)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    def top(p: String) = operators.Similarity.annQueryIndexBatch(spark, p, probes, k = 5)
+      .select("pid", "rank", "vec_id", "cos").orderBy("pid", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val a = top(idxA)
+    assert(a === top(idxB), "deleted index diverged from the survivors-on-same-codebook twin")
+    assert(a.nonEmpty && a.forall(r => !delIds(r._3)),
+      "a deleted vector survived in the probe results")
+  }
+
   test("crashed mid-swap state is refused: the __old rollback copy is never deleted") {
     val idx = Files.createTempDirectory("graft_cmp_crash").toString
     operators.Dedup.writeSimhashIndex(spark, dir, idx)
