@@ -720,15 +720,20 @@ object Pipeline {
     * seen. The golden appends (state log + member facts) carry the
     * batch_id as their `seq`, so a REPLAYED batch appends byte-identical
     * rows the readers dedup per (entity, seq) / (record, entity, seq) —
-    * replay-idempotent BY READ, no recovery rebuild needed even when a
-    * crash lands between an append and the marker. The marker still
-    * guards the whole step: it spares a replay the work, keeps the
+    * replay-idempotent BY READ for every crash window EXCEPT the last
+    * one: the index append runs last, so a crash anywhere before it
+    * replays into a batch-free index — the re-probe is deterministic
+    * and the duplicate golden rows dedup at read. The residual window
+    * is index-append-committed-but-marker-missing: a replay would
+    * re-probe an index containing the batch (self-matches can repoint
+    * an assignment through a same-name twin), so that ONE batch's
+    * assignments may drift from the original — bounded, and recovery
+    * is the writeGoldenTable/writeEntityIndex rebuild, not replay. The
+    * marker otherwise spares replays the work and keeps the
     * entity-index append from double-writing variant rows (harmless to
     * probe verdicts — candidates are `distinct` — but unbounded bloat
-    * under repeated crash-replay), and keeps the probe deterministic
-    * (a batch whose index-append committed must not re-probe itself —
-    * the ingestLoop contract). Probe precedes absorb: a batch never
-    * matches itself. */
+    * under repeated crash-replay). Probe precedes absorb: a batch
+    * never matches itself. */
   def streamGoldenUpsert(cust: DataFrame, entityIndexPath: String,
       goldenPath: String, checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
@@ -745,6 +750,52 @@ object Pipeline {
           graft.operators.Resolve.upsertGoldenTable(
             s, b, entityIndexPath, goldenPath, seq = batchId)
           graft.operators.Resolve.appendEntityIndex(b, entityIndexPath)
+          fs.mkdirs(marker.getParent)
+          fs.createNewFile(marker)
+          ()
+        }
+      }
+      .start()
+
+  /** LIVE CDC apply — the full change-data-capture loop over the MDM
+    * serving stack, composing [[streamGoldenUpsert]] with the r20
+    * delete path: ONE stream of customer-shaped change rows carrying an
+    * `op` column (`"upsert"` inserts/absorbs the record, `"delete"`
+    * retracts the record by key — only `c_custkey` is read on deletes),
+    * applied per micro-batch under one batch_id = one `seq`, so the
+    * golden table's monotone-seq contract holds with a single writer.
+    * WITHIN a batch, upserts apply before deletes (a batch's deletes
+    * see its upserts — standard CDC apply order; a record both
+    * upserted and deleted in one batch is absorbed into the entity
+    * index but absent from the served golden table, the documented
+    * degraded-probe state until `deleteFromEntityIndex` runs). The
+    * upsert's delta states land at seq = batch_id and a delete-touched
+    * entity's rebuild row lands at the SAME seq — the visibility rule
+    * serves the rebuild (which already includes the batch's own
+    * members) and the untouched entities' deltas, exactly the
+    * sequential semantics. Replay behavior and the residual
+    * index-append window are [[streamGoldenUpsert]]'s, verbatim:
+    * golden appends dedup by read; the index append runs LAST. */
+  def streamGoldenApply(changes: DataFrame, entityIndexPath: String,
+      goldenPath: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
+    changes.writeStream
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val marker = new org.apache.hadoop.fs.Path(s"$goldenPath/appended/$batchId")
+        val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker)) {
+          val b = batch.localCheckpoint()
+          val ups = b.where(col("op") === "upsert").drop("op")
+          val dels = b.where(col("op") === "delete").select("c_custkey")
+          graft.operators.Resolve.upsertGoldenTable(
+            s, ups, entityIndexPath, goldenPath, seq = batchId)
+          graft.operators.Resolve.deleteGoldenRecords(
+            s, dels, goldenPath, seq = batchId)
+          graft.operators.Resolve.appendEntityIndex(ups, entityIndexPath)
           fs.mkdirs(marker.getParent)
           fs.createNewFile(marker)
           ()

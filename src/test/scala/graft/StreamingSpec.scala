@@ -473,6 +473,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(new java.io.File(s"$gt/appended/1").exists())
   }
 
+  test("streamGoldenApply: one CDC stream of upserts+deletes equals the sequential recompute") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val cust = util.t(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal")
+    val idx = cust.where(col("c_custkey") % 10 < 8)
+    val b1 = cust.where(col("c_custkey") % 10 === 8)
+    val b2 = cust.where(col("c_custkey") % 10 === 9)
+    val ei = Files.createTempDirectory("graft_sga_ei").toString
+    val gt = Files.createTempDirectory("graft_sga").toString + "/golden"
+    graft.operators.Resolve.writeEntityIndex(idx, ei)
+    graft.operators.Resolve.writeGoldenTable(idx, gt)
+    def rowsOf(df: org.apache.spark.sql.DataFrame, op: String) =
+      df.as[(Long, String, Int, String, Double)].collect().toSeq.map(r =>
+        (r._1, r._2, r._3, r._4, r._5, op))
+    // batch 1 is MIXED: b2 upserts plus deletes of base AND batch-0 records
+    val delKeys = idx.unionByName(b1).where(col("c_custkey") % 7 === 3)
+      .select("c_custkey")
+    val ms = MemoryStream[(Long, String, Int, String, Double, String)]
+    val ckpt = Files.createTempDirectory("graft_sga_ckpt").toString
+    def drain(): Unit = {
+      val q = Pipeline.streamGoldenApply(
+        ms.toDF().toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+          "c_acctbal", "op"),
+        ei, gt, ckpt, Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    ms.addData(rowsOf(b1, "upsert")); drain()
+    ms.addData(rowsOf(cust.join(delKeys, Seq("c_custkey"), "left_semi"), "delete")
+      ++ rowsOf(b2, "upsert")); drain()
+    // sequential twin: upserts apply before deletes within the batch
+    val labels0 = graft.operators.Resolve.clusterLabelsFrom(idx)
+    def assignTwin(pop: org.apache.spark.sql.DataFrame,
+        batch: org.apache.spark.sql.DataFrame,
+        mem: org.apache.spark.sql.DataFrame) =
+      graft.operators.Resolve.probeMatches(pop, batch)
+        .join(mem.select(col("c_custkey").as("matched_key"),
+          col("entity_id").as("matched_entity")), Seq("matched_key"), "left")
+        .select(col("probe_key").as("c_custkey"),
+          coalesce(col("matched_entity"), col("probe_key")).as("entity_id"))
+    val mem1 = labels0.unionByName(assignTwin(idx, b1, labels0))
+    val mem2 = mem1.unionByName(assignTwin(idx.unionByName(b1), b2, mem1))
+    val mem3 = mem2.join(delKeys, Seq("c_custkey"), "left_anti")
+    val expected = mem3
+      .join(cust.select("c_custkey", "c_name", "c_acctbal"), Seq("c_custkey"))
+      .groupBy("entity_id").agg(
+        count(lit(1)).as("n_members"),
+        min_by(col("c_name"), col("c_custkey")).as("surv_name"),
+        util.r4(max(col("c_acctbal"))).as("surv_bal"),
+        util.r4(sum(util.d2(col("c_acctbal")))).as("total_bal"))
+      .select("entity_id", "n_members", "surv_name", "surv_bal", "total_bal")
+      .orderBy("entity_id").collect()
+    assert(graft.operators.Resolve.readGoldenTable(spark, gt).collect() === expected)
+    assert(expected.nonEmpty)
+    // the mixed batch really deleted something that was served before it
+    assert(delKeys.count() > 0L)
+    assert(new java.io.File(s"$gt/appended/0").exists())
+    assert(new java.io.File(s"$gt/appended/1").exists())
+  }
+
   test("streamEntityResolve: live probes against the persisted entity index match the batch form") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
