@@ -320,17 +320,39 @@ object IndexMaintenance {
     * post-deletion totals (a gram whose surviving df re-enters the cap
     * admits NEW postings again; its truncated history stays absent —
     * the one-sided drift note above). `grams/` and `sizes/` rewrite
-    * filtered; `dfs/` stays append-only. */
+    * filtered; `dfs/` stays append-only.
+    *
+    * Retry discipline: the rewrites are idempotent (re-filtering removed
+    * rows is a no-op) but the df append is NOT (re-running would
+    * double-subtract and over-admit future appends), so the pass runs
+    * rewrites first, appends the deltas LAST, and commits a marker under
+    * `deleted/` keyed by the delete batch's content hash — a re-run of
+    * the SAME batch redoes only the no-op rewrites. The residual window
+    * is deltas-committed-but-marker-missing (one batch wide, the
+    * ingestLoop class); a rebuild reclaims exactness. */
   def deleteFromGramIndex(s: SparkSession, docs: DataFrame,
       indexPath: String): Unit = {
     val keys = docs.select("doc_id").distinct().localCheckpoint()
-    Dedup.batchGramDf(s, docs)
-      .select(col("gh"), (-col("df")).as("df"))
-      .write.mode("append").parquet(s"$indexPath/dfs")
     compactDir(s, s"$indexPath/grams", Seq("gh"),
       transform = _.join(keys, Seq("doc_id"), "left_anti"))
     compactDir(s, s"$indexPath/sizes", Seq("doc_id"),
       transform = _.join(keys, Seq("doc_id"), "left_anti"))
+    // content hash of the delete batch: order-free xor over key hashes —
+    // one 1-row maintenance aggregate (collect allowlisted)
+    val fpRow = keys
+      .agg(expr("conv(abs(coalesce(bit_xor(xxhash64(doc_id)), 0)) % 1152921504606846976, 10, 16)")
+        .as("fp"), count(lit(1)).as("n")).collect()(0)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$indexPath/deleted/${fpRow.getString(0)}_${fpRow.getLong(1)}")
+    val fs = hfs(s, indexPath)
+    if (!fs.exists(marker)) {
+      Dedup.batchGramDf(s, docs)
+        .select(col("gh"), (-col("df")).as("df"))
+        .write.mode("append").parquet(s"$indexPath/dfs")
+      fs.mkdirs(marker.getParent)
+      fs.createNewFile(marker)
+      ()
+    }
   }
 
   /** Delete documents from the MinHash band index: postings leave

@@ -328,6 +328,15 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       .where(col("df") =!= 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(storedDf === expectedDf, "dfs subtraction diverged from the surviving corpus df")
+    // a RETRIED deletion of the same batch must not double-subtract df:
+    // the rewrites are no-ops and the content-hash marker skips the
+    // delta append
+    operators.IndexMaintenance.deleteFromGramIndex(spark, deleted, idx)
+    val storedDf2 = spark.read.parquet(s"$idx/dfs")
+      .groupBy("gh").agg(sum(col("df")).as("df"))
+      .where(col("df") =!= 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(storedDf2 === expectedDf, "retried deletion double-subtracted df")
     // compaction after deletion folds the +/- log and reads identical
     operators.IndexMaintenance.compactGramIndex(spark, idx)
     val afterCompact = operators.Dedup.probeGramIndex(spark, probes, idx)

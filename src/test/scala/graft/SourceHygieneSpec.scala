@@ -44,9 +44,11 @@ class SourceHygieneSpec extends AnyFunSuite {
     // rides plans as InSet literals, never as a join side
     "CorpusOps.scala" -> 2,
     // IndexMaintenance.compactMvWith: ONE 1-row max(batch_id) aggregate
-    // at maintenance (compaction) time — the fold ceiling recorded in the
-    // _compacted_through sidecar so readers drop replayed folded batches
-    "IndexMaintenance.scala" -> 1,
+    // (the fold ceiling recorded in the _compacted_through sidecar);
+    // deleteFromGramIndex: ONE 1-row content-hash aggregate (the retry
+    // marker key guarding the non-idempotent df-delta append) — both
+    // maintenance-time metadata
+    "IndexMaintenance.scala" -> 2,
     // tools/: driver-side measurement INSTRUMENTS (sweep mains that
     // print JSON lines), not operators — their collects gather sweep
     // summary rows by design. Counted anyway so an instrument can't
