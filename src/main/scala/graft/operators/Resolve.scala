@@ -1126,6 +1126,134 @@ object Resolve {
        |HAVING count(*) FILTER (WHERE c_custkey % 7 <> 3) > 0
        |ORDER BY entity_id""".stripMargin
 
+  /** Golden-table generation DIFF — the MDM AUDIT artifact: which
+    * entities changed between the stored golden generation (the index
+    * population's) and the next one (after the batch absorbed and the
+    * `c_custkey % 7 = 3` records were deleted — the same fixture
+    * `q_entity_golden_retract` maintains incrementally). One row per
+    * CHANGED entity, classified `added` (minted by the batch) /
+    * `removed` (fully retracted) / `updated` (membership or survivor
+    * values moved), carrying both generations' values — the review feed
+    * a data steward reads after every CDC window, and the regression
+    * gate a deployment diffs before promoting a golden snapshot.
+    * Unchanged entities are filtered OUT (the audit is
+    * changed-rows-sized, not table-sized); comparisons run on the
+    * rounded presentation values so the classification is
+    * hash-stable. One full outer join on entity_id — a data-scaling
+    * key — over two group-bounded aggregations. */
+  def entityGoldenDiff(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val idx = c.where(col("c_custkey") % 10 < 8)
+    val batch = c.where(col("c_custkey") % 10 >= 8)
+    val labels = clusterLabelsCached(s, dir, "idx8",
+      _.where(col("c_custkey") % 10 < 8))
+    val assigned = probeMatches(idx, batch)
+      .join(labels.select(col("c_custkey").as("matched_key"),
+        col("entity_id").as("matched_entity")), Seq("matched_key"), "left")
+      .select(col("probe_key").as("c_custkey"),
+        coalesce(col("matched_entity"), col("probe_key")).as("entity_id"))
+      .join(batch, Seq("c_custkey"))
+    val oldMembers = labels.join(idx, Seq("c_custkey"))
+      .select("entity_id", "c_custkey", "c_name", "c_acctbal")
+    val newMembers = oldMembers
+      .unionByName(assigned.select("entity_id", "c_custkey", "c_name", "c_acctbal"))
+      .where(col("c_custkey") % 7 =!= 3)
+    def gen(members: DataFrame, tag: String): DataFrame =
+      goldenStates(members).select(col("entity_id"),
+        col("n_members").as(s"${tag}_members"),
+        col("surv_name").as(s"${tag}_name"),
+        r4(col("max_bal")).as(s"${tag}_bal"),
+        r4(col("total_bal_d")).as(s"${tag}_total"))
+    gen(oldMembers, "old").join(gen(newMembers, "new"), Seq("entity_id"), "full_outer")
+      .withColumn("change",
+        when(col("old_members").isNull, "added")
+          .when(col("new_members").isNull, "removed")
+          .when(col("old_members") =!= col("new_members")
+            || col("old_name") =!= col("new_name")
+            || col("old_bal") =!= col("new_bal")
+            || col("old_total") =!= col("new_total"), "updated")
+          .otherwise("unchanged"))
+      .where(col("change") =!= "unchanged")
+      .select("entity_id", "change", "old_members", "new_members",
+        "old_name", "new_name", "old_bal", "new_bal", "old_total", "new_total")
+      .orderBy("entity_id")
+  }
+
+  val entityGoldenDiffSql: String =
+    s"""WITH RECURSIVE
+       |idx AS (SELECT * FROM customer WHERE c_custkey % 10 < 8),
+       |pr AS (SELECT * FROM customer WHERE c_custkey % 10 >= 8),
+       |scored AS (
+       |  SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       |    levenshtein(a.c_name, b.c_name)::BIGINT AS name_dist,
+       |    (a.c_mktsegment = b.c_mktsegment)::BIGINT AS same_seg,
+       |    (abs(a.c_acctbal - b.c_acctbal) <= 1000.0)::BIGINT AS bal_close
+       |  FROM idx a JOIN idx b
+       |    ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+       |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+       |pairs AS (
+       |  SELECT key_a, key_b,
+       |    (CASE WHEN name_dist = 0 THEN 60 ELSE 30 END
+       |     + same_seg * 25 + bal_close * 15)::BIGINT AS score
+       |  FROM scored),
+       |e AS (SELECT key_a AS x, key_b AS y FROM pairs WHERE score >= $MatchThreshold
+       |      UNION SELECT key_b, key_a FROM pairs WHERE score >= $MatchThreshold),
+       |reach(a, b) AS (
+       |  SELECT x, y FROM e
+       |  UNION
+       |  SELECT reach.a, e.y FROM reach JOIN e ON reach.b = e.x),
+       |lab AS (SELECT a AS node, least(a, min(b)) AS entity_id FROM reach GROUP BY a),
+       |labeled AS (
+       |  SELECT i.c_custkey, coalesce(lab.entity_id, i.c_custkey) AS entity_id,
+       |    i.c_name, i.c_acctbal
+       |  FROM idx i LEFT JOIN lab ON lab.node = i.c_custkey),
+       |pscored AS (
+       |  SELECT p.c_custkey AS key_p, i.c_custkey AS key_i,
+       |    (CASE WHEN levenshtein(p.c_name, i.c_name) = 0 THEN 60 ELSE 30 END
+       |     + (p.c_mktsegment = i.c_mktsegment)::BIGINT * 25
+       |     + (abs(p.c_acctbal - i.c_acctbal) <= 1000.0)::BIGINT * 15) AS score
+       |  FROM pr p JOIN idx i ON p.c_nationkey = i.c_nationkey
+       |  WHERE levenshtein(p.c_name, i.c_name) <= 1),
+       |pbest AS (
+       |  SELECT key_p, key_i, row_number() OVER (
+       |    PARTITION BY key_p ORDER BY score DESC, key_i ASC) AS rn
+       |  FROM pscored WHERE score >= $MatchThreshold),
+       |assigned AS (
+       |  SELECT p.c_custkey, coalesce(l.entity_id, p.c_custkey) AS entity_id,
+       |    p.c_name, p.c_acctbal
+       |  FROM pr p
+       |  LEFT JOIN pbest b ON b.key_p = p.c_custkey AND b.rn = 1
+       |  LEFT JOIN labeled l ON l.c_custkey = b.key_i),
+       |oldg AS (
+       |  SELECT entity_id, count(*) AS old_members,
+       |    arg_min(c_name, c_custkey) AS old_name,
+       |    CAST(round(max(c_acctbal), 4) AS DOUBLE) AS old_bal,
+       |    CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 4) AS DOUBLE) AS old_total
+       |  FROM labeled GROUP BY 1),
+       |newrows AS (
+       |  SELECT entity_id, c_custkey, c_name, c_acctbal FROM labeled
+       |  UNION ALL
+       |  SELECT entity_id, c_custkey, c_name, c_acctbal FROM assigned),
+       |newg AS (
+       |  SELECT entity_id, count(*) AS new_members,
+       |    arg_min(c_name, c_custkey) AS new_name,
+       |    CAST(round(max(c_acctbal), 4) AS DOUBLE) AS new_bal,
+       |    CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 4) AS DOUBLE) AS new_total
+       |  FROM newrows WHERE c_custkey % 7 <> 3 GROUP BY 1),
+       |diff AS (
+       |  SELECT coalesce(o.entity_id, n.entity_id) AS entity_id,
+       |    CASE WHEN o.entity_id IS NULL THEN 'added'
+       |         WHEN n.entity_id IS NULL THEN 'removed'
+       |         WHEN o.old_members <> n.new_members OR o.old_name <> n.new_name
+       |           OR o.old_bal <> n.new_bal OR o.old_total <> n.new_total
+       |         THEN 'updated' ELSE 'unchanged' END AS change,
+       |    o.old_members, n.new_members, o.old_name, n.new_name,
+       |    o.old_bal, n.new_bal, o.old_total, n.new_total
+       |  FROM oldg o FULL OUTER JOIN newg n ON o.entity_id = n.entity_id)
+       |SELECT entity_id, change, old_members, new_members, old_name, new_name,
+       |  old_bal, new_bal, old_total, new_total
+       |FROM diff WHERE change <> 'unchanged' ORDER BY entity_id""".stripMargin
+
   // ---- the entity index AT REST ---------------------------------------
 
   /** Persist the deletion-variant index of a customer population — the
@@ -1362,6 +1490,7 @@ object Resolve {
     "q_entity_golden_attrs" -> entityGoldenAttrs _,
     "q_entity_golden_incremental" -> entityGoldenIncremental _,
     "q_entity_golden_retract" -> entityGoldenRetract _,
+    "q_entity_golden_diff" -> entityGoldenDiff _,
     "q_entity_resolve_incremental" -> entityResolveIncremental _,
     "q_entity_absorb" -> entityAbsorb _,
     "q_entity_blocking_eval" -> entityBlockingEval _)
@@ -1377,6 +1506,7 @@ object Resolve {
     "q_entity_golden_attrs" -> entityGoldenAttrsSql,
     "q_entity_golden_incremental" -> entityGoldenIncrementalSql,
     "q_entity_golden_retract" -> entityGoldenRetractSql,
+    "q_entity_golden_diff" -> entityGoldenDiffSql,
     "q_entity_resolve_incremental" -> entityResolveIncrementalSql,
     "q_entity_absorb" -> entityAbsorbSql,
     "q_entity_blocking_eval" -> entityBlockingEvalSql)
