@@ -2697,7 +2697,7 @@ object Dedup {
       // width to the session default put 12x/decade of pure sort/GC
       // pressure on the committed 32-partition bench config while 64-256
       // partitions sat at the family's 4.5x (tools.SubstrPairsSweep).
-      // One partition per 512 KB of scan bytes — a PLAN-TIME statistic,
+      // One partition per 256 KB of scan bytes — a PLAN-TIME statistic,
       // no job — keeps per-partition sorts bounded at any input scale;
       // the session default stays the floor so small inputs are
       // untouched, and the hash distribution (same key) means the window

@@ -187,12 +187,18 @@ object IndexMaintenance {
       .withColumn("batch_id", lit(-1L)))
 
   /** signed-log twin ([[graft.streaming.Pipeline.streamMvRetract]]'s
-    * output): fold through the reader's own signed merge — groups
-    * netted to zero leave the log (a later re-insert lands as new
-    * batches, identical to the unfolded read by the netting itself) */
+    * output): fold to one NET row per group. Deliberately NOT the
+    * reader's n > 0 filter: a group currently netted ≤ 0 (a retraction
+    * that out-ran its insert in an out-of-order CDC source) must keep
+    * its negative residual in the log, or the late-arriving insert
+    * would read back unretracted — readers apply the visibility filter
+    * at read time, the fold only collapses rows. */
   def compactMvSignedLog(s: SparkSession, mvDir: String): Unit =
-    compactMvWith(s, mvDir, df => Relational.mvMergeSigned(
-        df.select("o_orderpriority", "o_year", "n", "total"))
+    compactMvWith(s, mvDir, df => df
+      .select("o_orderpriority", "o_year", "n", "total")
+      .groupBy("o_orderpriority", "o_year")
+      .agg(sum(col("n")).as("n"),
+        sum(col("total")).cast(org.apache.spark.sql.types.DecimalType(28, 2)).as("total"))
       .withColumn("batch_id", lit(-1L)))
 
   /** shared MV-log fold: record the FOLD CEILING (max live batch_id
@@ -200,23 +206,30 @@ object IndexMaintenance {
     * replayed partition at or below it — the round-19 hazard where a
     * stream whose checkpoint lagged the compaction replayed a batch the
     * `batch_id = -1` row already contains and double-counted it. The
-    * ceiling is one 1-row maintenance-time aggregate (collect
-    * allowlisted); the sidecar is read before the swap (the swap
-    * replaces the directory) and re-written after with the running max,
-    * so repeated compactions never lower it. A crash between swap and
-    * sidecar write leaves the pre-existing one-batch-wide documented
-    * window; everything after the write is mechanically guarded. */
+    * fold itself applies the SAME ceiling filter the readers do: a
+    * replayed partition at or below the previous ceiling that
+    * reappeared on disk must not be summed into the new `-1` row, or a
+    * second compaction would double-count what the first already
+    * folded. The ceiling is one 1-row maintenance-time aggregate
+    * (collect allowlisted); the sidecar is read before the swap (the
+    * swap replaces the directory) and re-written after with the running
+    * max, so repeated compactions never lower it. A crash between swap
+    * and sidecar write leaves the pre-existing one-batch-wide
+    * documented window; everything after the write is mechanically
+    * guarded. */
   private def compactMvWith(s: SparkSession, mvDir: String,
       fold: DataFrame => DataFrame): Unit = {
     val prev = compactedThrough(s, mvDir).getOrElse(-1L)
     // partition-directory values read back as int when they all fit —
     // cast before the max so the ceiling is a stable long
     val liveMaxRow = s.read.parquet(mvDir)
-      .where(col("batch_id") >= 0)
+      .where(col("batch_id") > prev)
       .agg(max(col("batch_id").cast("long"))).collect()(0)
     val liveMax = if (liveMaxRow.isNullAt(0)) -1L else liveMaxRow.getLong(0)
     compactDir(s, mvDir, Seq("o_orderpriority", "o_year"),
-      partitionCols = Seq("batch_id"), transform = fold)
+      partitionCols = Seq("batch_id"),
+      transform = df => fold(
+        df.where(col("batch_id") < 0 || col("batch_id") > prev)))
     writeCompactedThrough(s, mvDir, math.max(prev, liveMax))
   }
 

@@ -457,7 +457,16 @@ object Resolve {
     * A rewritten customer input invalidates the entry (fingerprint), and
     * Bench clears the cache before every measured run so committed
     * numbers stay honest. At-rest users avoid even this via
-    * `writeEntityIndex`/`writeGoldenTable`; this is the in-session path. */
+    * `writeEntityIndex`/`writeGoldenTable`; this is the in-session path.
+    *
+    * Contract (private[graft], fixed call sites): `variant` IS the cache
+    * key for the population — it must uniquely name the `pop`
+    * transformation ("full" = identity, "idx8" = the %10<8 split); a
+    * new population needs a new name or it silently serves another
+    * population's labels. The synchronized block spans the propagation
+    * build (the Dedup.labelsCache discipline — one builder per session,
+    * concurrent lookups of other variants wait; acceptable because the
+    * declared-query drivers are single-threaded per session). */
   private val labelsCache =
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, String),
@@ -1405,19 +1414,32 @@ object Resolve {
     * read, exactly like the MV log. `seq` must be strictly greater than
     * every seq already in the table (the streaming loop passes its
     * monotone batch_id); a replayed append with the same seq duplicates
-    * rows exactly and the readers dedup them — idempotent. Callers
-    * absorb the batch into the entity index ([[appendEntityIndex]])
-    * alongside, the same probe → absorb step the streaming loop runs;
-    * probe precedes absorb, so a batch never matches itself. */
+    * rows exactly and the readers dedup them — idempotent.
+    *
+    * ABSORB-ONCE: a batch record whose key is ALREADY a current member
+    * is dropped before the appends — re-upserting an absorbed record
+    * (an at-least-once source, or a CDC update arriving as a bare
+    * re-insert) would otherwise append a second delta for the same
+    * physical record, double-counting n_members/total_bal and leaving a
+    * net-+2 member fact a single delete can't fully retract. The
+    * supported UPDATE shape is therefore delete-then-reinsert
+    * (ResolveSpec's delete → re-absorb sequence, or one
+    * [[graft.streaming.Pipeline.streamGoldenApply]] batch, which
+    * applies deletes first). Callers absorb the batch into the entity
+    * index ([[appendEntityIndex]]) alongside, the same probe → absorb
+    * step the streaming loop runs; probe precedes absorb, so a batch
+    * never matches itself. */
   def upsertGoldenTable(s: SparkSession, batch: DataFrame,
       entityIndexPath: String, path: String, seq: Long): Unit = {
     val members = currentMembers(s.read.parquet(s"$path/members"))
-    val assigned = probeEntityIndex(s, batch, entityIndexPath)
+    val fresh = batch.join(
+      members.select("c_custkey").distinct(), Seq("c_custkey"), "left_anti")
+    val assigned = probeEntityIndex(s, fresh, entityIndexPath)
       .join(members.select(col("c_custkey").as("matched_key"),
         col("entity_id").as("matched_entity")).distinct(), Seq("matched_key"), "left")
       .select(col("probe_key").as("c_custkey"),
         coalesce(col("matched_entity"), col("probe_key")).as("entity_id"))
-      .join(batch, Seq("c_custkey"))
+      .join(fresh, Seq("c_custkey"))
       .localCheckpoint() // materialized once: feeds both appends below
     goldenStates(assigned)
       .withColumn("seq", lit(seq)).withColumn("rebuild", lit(false))

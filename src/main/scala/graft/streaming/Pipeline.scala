@@ -762,20 +762,27 @@ object Pipeline {
     * delete path: ONE stream of customer-shaped change rows carrying an
     * `op` column (`"upsert"` inserts/absorbs the record, `"delete"`
     * retracts the record by key — only `c_custkey` is read on deletes),
-    * applied per micro-batch under one batch_id = one `seq`, so the
-    * golden table's monotone-seq contract holds with a single writer.
-    * WITHIN a batch, upserts apply before deletes (a batch's deletes
-    * see its upserts — standard CDC apply order; a record both
-    * upserted and deleted in one batch is absorbed into the entity
-    * index but absent from the served golden table, the documented
-    * degraded-probe state until `deleteFromEntityIndex` runs). The
-    * upsert's delta states land at seq = batch_id and a delete-touched
-    * entity's rebuild row lands at the SAME seq — the visibility rule
-    * serves the rebuild (which already includes the batch's own
-    * members) and the untouched entities' deltas, exactly the
-    * sequential semantics. Replay behavior and the residual
-    * index-append window are [[streamGoldenUpsert]]'s, verbatim:
-    * golden appends dedup by read; the index append runs LAST. */
+    * applied per micro-batch under TWO seqs per batch_id: deletes at
+    * 2·batch_id, upserts at 2·batch_id + 1 — both monotone across
+    * batches, so the golden table's strictly-increasing-seq contract
+    * holds with a single writer, and within a batch the delete's
+    * rebuild (at the even seq) can never supersede the upsert's delta
+    * (at the odd seq above it). DELETES apply before upserts — the
+    * order that makes a CDC UPDATE (delete old version + re-insert new
+    * version in one batch) land correctly: the delete retracts the old
+    * member fact, then the upsert sees the key as no longer current
+    * and absorbs the new version (the absorb-once rule in
+    * `Resolve.upsertGoldenTable` would drop it under the opposite
+    * order); deleting record A and absorbing record B of the SAME
+    * entity in one batch is exact for the same reason (rebuild at the
+    * even seq covers the pre-upsert members, B's delta at the odd seq
+    * stays visible). Contract: at most ONE change per key per
+    * micro-batch (the standard upsert-sink contract — a source
+    * emitting insert+delete of the same key in one batch must collapse
+    * to the last event before the sink). Replay behavior and the
+    * residual index-append window are [[streamGoldenUpsert]]'s,
+    * verbatim: golden appends dedup by read; the index append runs
+    * LAST. */
   def streamGoldenApply(changes: DataFrame, entityIndexPath: String,
       goldenPath: String, checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("2 seconds")): StreamingQuery =
@@ -791,10 +798,10 @@ object Pipeline {
           val b = batch.localCheckpoint()
           val ups = b.where(col("op") === "upsert").drop("op")
           val dels = b.where(col("op") === "delete").select("c_custkey")
-          graft.operators.Resolve.upsertGoldenTable(
-            s, ups, entityIndexPath, goldenPath, seq = batchId)
           graft.operators.Resolve.deleteGoldenRecords(
-            s, dels, goldenPath, seq = batchId)
+            s, dels, goldenPath, seq = 2 * batchId)
+          graft.operators.Resolve.upsertGoldenTable(
+            s, ups, entityIndexPath, goldenPath, seq = 2 * batchId + 1)
           graft.operators.Resolve.appendEntityIndex(ups, entityIndexPath)
           fs.mkdirs(marker.getParent)
           fs.createNewFile(marker)
@@ -1008,8 +1015,14 @@ object Pipeline {
     * — minted 1→0, matched keys repointed to self. Marker present ⇒
     * the prior attempt got past BOTH writes (probe precedes append
     * precedes marker), so the whole batch body is skipped and the
-    * verdicts on disk stay the pre-absorb truth. Marker absent ⇒ the
-    * probe side is still batch-free and the rewrite is deterministic. */
+    * verdicts on disk stay the pre-absorb truth. Marker absent USUALLY
+    * means the probe side is still batch-free (the append hadn't run)
+    * and the rewrite is deterministic; the residual window is
+    * append-committed-but-marker-missing — a replay there still
+    * re-probes an index containing the batch and overwrites that ONE
+    * batch's verdicts with self-matches. One batch wide, recovery =
+    * rebuild; the guard shrinks the r19 hazard from every-replay to
+    * that single crash point, it does not close it. */
   private def ingestLoop(
       probe: (org.apache.spark.sql.SparkSession, DataFrame, String) => DataFrame,
       append: (org.apache.spark.sql.SparkSession, String, DataFrame) => Unit)(

@@ -274,6 +274,14 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       operators.Relational.mvPartialStates(o).unionByName(
         operators.Relational.mvPartialStates(o.where(col("o_orderkey") % 4 === 3)))))
     assert(operators.Relational.readMv(spark, mvDir).collect() === twin2.collect())
+    // a SECOND compaction with the replayed batch-3 partition still on
+    // disk must fold batch 4 but DROP the replay — the fold applies the
+    // same ceiling filter the readers do, or it would double-count what
+    // the first fold already contains
+    operators.IndexMaintenance.compactMvLog(spark, mvDir)
+    assert(operators.Relational.readMv(spark, mvDir).collect() === twin2.collect(),
+      "second compaction folded a replayed already-folded batch")
+    assert(operators.IndexMaintenance.compactedThrough(spark, mvDir) === Some(4L))
   }
 
   test("compactMvSignedLog: signed log folds through the netting merge, replayed retraction dropped") {

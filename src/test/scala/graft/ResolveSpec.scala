@@ -498,6 +498,12 @@ class ResolveSpec extends AnyFunSuite {
     // a REPLAYED upsert (same seq) is read-idempotent too
     operators.Resolve.upsertGoldenTable(spark, b3, ei, gt, seq = 3L)
     assert(operators.Resolve.readGoldenTable(spark, gt).collect() === afterReabsorb)
+    // ABSORB-ONCE: re-upserting already-current records at a NEW seq is a
+    // no-op — an at-least-once source (or a CDC update arriving as a bare
+    // re-insert) must not double-count members/totals
+    operators.Resolve.upsertGoldenTable(spark, b1, ei, gt, seq = 4L)
+    assert(operators.Resolve.readGoldenTable(spark, gt).collect() === afterReabsorb,
+      "re-upsert of absorbed records double-counted")
     // compaction after deletes still folds to one state row per entity
     operators.IndexMaintenance.compactGoldenTable(spark, gt)
     assert(operators.Resolve.readGoldenTable(spark, gt).collect() === afterReabsorb)

@@ -504,7 +504,18 @@ class StreamingSpec extends AnyFunSuite {
     ms.addData(rowsOf(b1, "upsert")); drain()
     ms.addData(rowsOf(cust.join(delKeys, Seq("c_custkey"), "left_semi"), "delete")
       ++ rowsOf(b2, "upsert")); drain()
-    // sequential twin: upserts apply before deletes within the batch
+    // batch 2: the CDC UPDATE shape — delete a batch-0 record and
+    // re-insert it with a corrected balance IN THE SAME BATCH (deletes
+    // apply first, so the absorb-once rule admits the new version)
+    val updKey = b1.join(delKeys, Seq("c_custkey"), "left_anti")
+      .orderBy("c_custkey").select("c_custkey").limit(1)
+      .collect()(0).getLong(0)
+    val updatedRow = cust.where(col("c_custkey") === updKey)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+    ms.addData(rowsOf(cust.where(col("c_custkey") === updKey), "delete")
+      ++ rowsOf(updatedRow, "upsert")); drain()
+    // sequential twin: deletes apply before upserts within each batch,
+    // and the upsert's assignment routes through the POST-delete members
     val labels0 = graft.operators.Resolve.clusterLabelsFrom(idx)
     def assignTwin(pop: org.apache.spark.sql.DataFrame,
         batch: org.apache.spark.sql.DataFrame,
@@ -515,10 +526,17 @@ class StreamingSpec extends AnyFunSuite {
         .select(col("probe_key").as("c_custkey"),
           coalesce(col("matched_entity"), col("probe_key")).as("entity_id"))
     val mem1 = labels0.unionByName(assignTwin(idx, b1, labels0))
-    val mem2 = mem1.unionByName(assignTwin(idx.unionByName(b1), b2, mem1))
-    val mem3 = mem2.join(delKeys, Seq("c_custkey"), "left_anti")
-    val expected = mem3
-      .join(cust.select("c_custkey", "c_name", "c_acctbal"), Seq("c_custkey"))
+    val mem1d = mem1.join(delKeys, Seq("c_custkey"), "left_anti")
+    val mem3 = mem1d.unionByName(assignTwin(idx.unionByName(b1), b2, mem1d))
+    val mem4 = mem3.where(col("c_custkey") =!= updKey)
+    val mem5 = mem4.unionByName(
+      assignTwin(idx.unionByName(b1).unionByName(b2), updatedRow, mem4))
+    // the updated record's NEW attributes must serve; splice them in
+    val attrs = cust.select("c_custkey", "c_name", "c_acctbal")
+      .where(col("c_custkey") =!= updKey)
+      .unionByName(updatedRow.select("c_custkey", "c_name", "c_acctbal"))
+    val expected = mem5
+      .join(attrs, Seq("c_custkey"))
       .groupBy("entity_id").agg(
         count(lit(1)).as("n_members"),
         min_by(col("c_name"), col("c_custkey")).as("surv_name"),
@@ -528,10 +546,12 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("entity_id").collect()
     assert(graft.operators.Resolve.readGoldenTable(spark, gt).collect() === expected)
     assert(expected.nonEmpty)
-    // the mixed batch really deleted something that was served before it
+    // the mixed batch really deleted something that was served before it,
+    // and the update really moved a served value
     assert(delKeys.count() > 0L)
     assert(new java.io.File(s"$gt/appended/0").exists())
     assert(new java.io.File(s"$gt/appended/1").exists())
+    assert(new java.io.File(s"$gt/appended/2").exists())
   }
 
   test("streamEntityResolve: live probes against the persisted entity index match the batch form") {
