@@ -535,6 +535,12 @@ object Dedup {
     * storage is two rounds of labels, not [[ClusterIters]]. */
   private[graft] def propagateMinLabelTracked(
       pairs: DataFrame): (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
+    // NOTE (r21): running this loop with AQE disabled was tried and
+    // REVERTED — static planning loses the runtime SMJ→BHJ conversions
+    // the per-round joins and the pair-front materialization depend on
+    // (q_entity_golden 3.9 → 19.5 s, q_dedup_clusters 1.4 → 46 s at
+    // sf0.1). The per-round stage-job scheduling AQE adds is the cheaper
+    // of the two costs; details in OPTIMIZATION_r21.md.
     val p = pairs.localCheckpoint(false)
     val edges = p.union(p.select(col("d2").as("d1"), col("d1").as("d2")))
     var labels = edges.groupBy(col("d1")).agg(min(col("d2")).as("mn"))

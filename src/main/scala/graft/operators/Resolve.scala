@@ -121,7 +121,17 @@ object Resolve {
       if (maxDist <= 1) delNeighborhood
       else if (window > 0) delNeighborhood2Window(_, window)
       else delNeighborhood2
-    val av = a.select(col("name_a"), explode(nb(col("name_a"))).as("v"))
+    // fanOut (util.scala): the ×(len+1)-to-×(window+1)²/2 neighborhood
+    // explode and the candidate probe below it are MAP-side work of the
+    // pair-distinct exchange, so their parallelism is `a`'s — and the
+    // distinct's tiny post-shuffle output AQE-coalesces to ~1 partition
+    // at bench scale (measured: the whole explode → probe → verify ran
+    // as ONE 6.4 s task at sf0.1). Hash-spreading the deduped names
+    // first is a KB-scale shuffle; a no-op once the scan is wide. Only
+    // the `a` side spreads: `b` is the broadcast-build side, whose
+    // explode is one cheap local pass.
+    val av = fanOut(a, col("name_a"))
+      .select(col("name_a"), explode(nb(col("name_a"))).as("v"))
     val bv = b.select(col("name_b"), explode(nb(col("name_b"))).as("v"))
     // dist is projected and then filtered; Catalyst inlines the alias
     // when pushing the filter, so whether levenshtein evaluates once or
@@ -246,7 +256,10 @@ object Resolve {
     * pairs get scored, never what the score sees) */
   def fuzzyTokenJoin(a: DataFrame, b: DataFrame,
       minScore: Double, dfCap: Long): DataFrame = {
-    val at = a.select(col("name_a"),
+    // the fuzzyJoinWith fan-out discipline: `at` feeds the token explode
+    // and (via the candidate join) the HOF scoring pass — both map-side
+    // of AQE-coalesced-tiny exchanges at bench scale
+    val at = fanOut(a, col("name_a")).select(col("name_a"),
       array_distinct(split(col("name_a"), " ")).as("toks_a"))
     val bt = b.select(col("name_b"),
       array_distinct(split(col("name_b"), " ")).as("toks_b"))
@@ -262,7 +275,10 @@ object Resolve {
     val cand = blockSide(at, "name_a", "toks_a")
       .join(blockSide(bt, "name_b", "toks_b"), Seq("v"))
       .select("name_a", "name_b").distinct()
-    cand.join(at, Seq("name_a")).join(bt, Seq("name_b"))
+    // the per-candidate HOF scoring (|A|×|B| levenshteins per pair) is
+    // map-side of the final exchange — spread the deduped pair list
+    fanOut(cand, col("name_a"), col("name_b"))
+      .join(at, Seq("name_a")).join(bt, Seq("name_b"))
       .select(col("name_a"), col("name_b"),
         size(filter(col("toks_a"),
           ta => exists(col("toks_b"), tb => levenshtein(ta, tb) <= 1))).as("cov_a"),
@@ -311,9 +327,13 @@ object Resolve {
   /** the blocked candidate front BEFORE the levenshtein verify — the
     * frame the blocking-eval instrument counts */
   private def rawCandidates(cust: DataFrame): DataFrame = {
-    val v = cust
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-        col("c_mktsegment"), col("c_acctbal"))
+    // fanOut (util.scala): the ×(len+1) explode + the blocked self-join
+    // probe run map-side of the pair-distinct exchange — on a 1-split
+    // scan they serialized into one ~2 s task at sf0.1; a KB-scale
+    // keyed shuffle spreads them, and is a no-op on wide scans
+    val v = fanOut(cust
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_mktsegment"), col("c_acctbal")), col("c_custkey"))
       .select(col("c_nationkey").as("nat"), col("c_custkey"), col("c_name"),
         col("c_mktsegment"), col("c_acctbal"),
         explode(delNeighborhood(col("c_name"))).as("v"))
@@ -755,7 +775,11 @@ object Resolve {
   /** one exploded row per (deletion variant, record) — the join side of
     * the (nat, v) candidate equi-join, and the index's at-rest schema */
   private def sided(df: DataFrame, side: String): DataFrame =
-    df.select(col("c_nationkey").as("nat"), col("c_custkey"), col("c_name"),
+    // rawCandidates' fan-out discipline: spread under-parallel scans
+    // before the ×(len+1) explode and the (nat, v) probe above it
+    fanOut(df.select(col("c_nationkey"), col("c_custkey"), col("c_name"),
+        col("c_mktsegment"), col("c_acctbal")), col("c_custkey"))
+      .select(col("c_nationkey").as("nat"), col("c_custkey"), col("c_name"),
       col("c_mktsegment"), col("c_acctbal"),
       explode(delNeighborhood(col("c_name"))).as("v"))
       .select(col("nat"), col("v"), col("c_custkey").as(s"key_$side"),

@@ -68,6 +68,57 @@ object util {
   def avgD2(c: Column): Column =
     r4f(sum(d2(c)).cast(DoubleType) / count(c))
 
+  /** Scale-adaptive fan-out before a row-amplifying kernel (deletion-
+    * neighborhood explodes, shingle/n-gram generators, multi-pass regex):
+    * hash-repartition `df` to the session's parallelism ONLY when its
+    * file-scan leaves are too small to have split wide in the first place
+    * (estimated splits = scan bytes / spark.sql.files.maxPartitionBytes).
+    *
+    * Why: a kernel that multiplies rows ×20 does its work on the MAP side
+    * of the next exchange, so its parallelism is its input's — and both
+    * sources of input parallelism collapse on small-vs-cores inputs: a
+    * sub-split-size scan is ONE task (parquet can't split below a row
+    * group), and an interior exchange below the kernel gets AQE-coalesced
+    * by its *input* bytes, which undercount the kernel's amplification
+    * (guide §2: AQE sizes partitions by shuffle bytes, not downstream
+    * cost). Measured at sf0.1: the fuzzy2/ER candidate fronts ran their
+    * whole explode → probe → verify pipeline in one 2-6 s task on a
+    * 32-core box (plans/r21/ before-plans).
+    *
+    * At cluster scale (scan bytes ≫ splits × cores) the estimate clears
+    * the bar and this is a NO-OP — the repartition never appears in the
+    * 100 TB plan, so it costs nothing where scans already parallelize.
+    * The partition count comes from `defaultParallelism` (total cores),
+    * never a constant; keys must be high-cardinality data columns so the
+    * hash placement is deterministic under task retry (guide §2.5). */
+  def fanOut(df: DataFrame, keys: Column*): DataFrame = {
+    require(keys.nonEmpty, "fanOut needs deterministic repartition keys")
+    val sess = df.sparkSession
+    val par = sess.sparkContext.defaultParallelism
+    val maxSplit = sess.sessionState.conf.filesMaxPartitionBytes
+    val leaves = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.sizeInBytes
+    }
+    val estSplits =
+      if (leaves.isEmpty) Long.MaxValue // no visible scan — don't touch
+      else leaves.map(b => math.max(1L, b / math.max(1L, maxSplit))).sum
+    if (estSplits >= par) df
+    else {
+      // hash on a DERIVED key, not the raw columns: a repartition on the
+      // raw key right above an aggregation/join keyed the same way is
+      // elided by EnsureRequirements (child partitioning already
+      // satisfies it) and the surviving ENSURE_REQUIREMENTS exchange is
+      // then AQE-coalesced right back to ~1 partition — measured on
+      // q_join_fuzzy2, whose name_a fan-out vanished from the plan. The
+      // synthetic key is deterministic under retry (guide §2.5: derive
+      // with xxhash64, never rand) and 64× the partition count so the
+      // pmod spreads evenly.
+      val syn = pmod(xxhash64(keys: _*), lit(par * 64L))
+      df.repartition(par, syn)
+    }
+  }
+
   /** driver-side fingerprint of one input table's files (names + sizes +
     * mtimes) — O(#files), no data read. Cache keys derived from it
     * invalidate when the parquet under `dir` is rewritten mid-session
