@@ -282,7 +282,11 @@ object CorpusOps {
     * BIGRAM table (vocab-sized, not corpus-sized); the tf⋈cnt2⋈cnt1
     * equi-joins have one row per key on the build side (no fan-out). */
   def qualityBigram(s: SparkSession, dir: String): DataFrame = {
-    val tf2 = t(s, dir, "documents")
+    // fanOut (util.scala): the bigram explode is map-side of three
+    // sibling exchanges whose column pruning defeats exchange reuse —
+    // measured 3 × 1.8 s single-task map stages at sf0.1
+    val tf2 = fanOut(t(s, dir, "documents").select("doc_id", "text"),
+        col("doc_id"))
       .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
       .select(col("doc_id"), explode(expr(
         "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
@@ -486,7 +490,8 @@ object CorpusOps {
     * regardless of corpus size. No per-doc pair generation anywhere. */
   def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TextExpressions.register(s)
-    val sg = t(s, dir, "documents")
+    val sg = fanOut(t(s, dir, "documents") // the qualityBigram fan-out discipline
+        .select("doc_id", "source", "text"), col("doc_id"))
       .select(col("source"),
         explode(graft.functions.TextExpressions.wordNgrams(toks, 3)).as("gram"))
       .select(col("source"),
@@ -546,7 +551,9 @@ object CorpusOps {
     * map-side combine. */
   def splitLeakage(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TextExpressions.register(s)
-    val sh = t(s, dir, "documents")
+    // the qualityBigram fan-out discipline: sh feeds two pruned branches
+    val sh = fanOut(t(s, dir, "documents").select("doc_id", "text"),
+        col("doc_id"))
       .select(col("doc_id"),
         graft.functions.TextExpressions.wordNgrams(toks, 3).as("grams"),
         splitOf(col("doc_id")).as("split"))
@@ -609,7 +616,9 @@ object CorpusOps {
     * and the spec'd false-positive ceiling carry over. */
   def splitLeakageBloom(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TextExpressions.register(s)
-    val sh = t(s, dir, "documents")
+    // the qualityBigram fan-out discipline (covers the Bloom word fold)
+    val sh = fanOut(t(s, dir, "documents").select("doc_id", "text"),
+        col("doc_id"))
       .select(col("doc_id"),
         graft.functions.TextExpressions.wordNgrams(toks, 3).as("grams"),
         splitOf(col("doc_id")).as("split"))

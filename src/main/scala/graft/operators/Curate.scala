@@ -35,7 +35,10 @@ object Curate {
   /** survivors with PII scrubbed — stages 1+2 of the chain, shared by the
     * declared query, the funnel, and the curated-threshold derivation */
   private def curateScrubbed(s: SparkSession, dir: String): DataFrame =
-    Dedup.dedupSurvivors(s, dir)
+    // fanOut (util.scala): the 3-regex scrub + tokenize + quality score
+    // is the chain's hottest projection and runs map-side of the scored
+    // checkpoint — serialized on the 1-split survivor scan at bench scale
+    fanOut(Dedup.dedupSurvivors(s, dir), col("doc_id"))
       .select(col("doc_id"), col("lang"),
         TextAnalysis.scrubCol(col("text")).as("text"))
 

@@ -31,6 +31,10 @@ object Dedup {
     * ~5 s of every downstream dedup query's time at sf0.1) */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TextExpressions.register(s)
+    // NOTE (r21): a fanOut here was tried and reverted — the native
+    // word-shingle kernel is cheap per row and its partial aggregates
+    // collapse map-side, so the extra exchange was pure overhead
+    // (q_dedup_minhash +0.3 s, q_dedup_clusters +0.5 s at sf0.1)
     t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("grams",
@@ -798,6 +802,9 @@ object Dedup {
   /** eval split = doc_id % mod == 0 — parameterized so the spec can use a
     * denser eval split than the declared 1% key */
   def decontaminateMod(s: SparkSession, dir: String, mod: Int): DataFrame = {
+    // no fanOut: the exact variant's gram semi-join collapses map-side
+    // and the shingle shuffle cost a net +0.3 s at sf0.1 (the Bloom twin
+    // keeps it — its per-gram k-position fold is the heavy consumer)
     val sh = shingled(s, dir)
     val evalDocs = sh.where(col("doc_id") % mod === 0)
     val evalG = evalDocs.select(col("doc_id"), explode(col("grams")).as("gram"))
@@ -898,7 +905,7 @@ object Dedup {
   }
 
   def decontaminateBloomMod(s: SparkSession, dir: String, mod: Int): DataFrame = {
-    val sh = shingled(s, dir)
+    val sh = fanOut(shingled(s, dir), col("doc_id")) // decontaminateMod discipline
     bloomGramHits(
         sh.where(col("doc_id") % mod =!= 0).select(explode(col("grams")).as("gram")),
         sh.where(col("doc_id") % mod === 0))
@@ -3051,7 +3058,9 @@ object Dedup {
     * full hash is computed only at the ~2/(w+1) selected positions. */
   private def winnowGramsOf(docs: DataFrame, w: Int = WinnowW): DataFrame = {
     graft.functions.TextExpressions.register(docs.sparkSession)
-    docs
+    // the shingled() fan-out discipline: the char-gram winnow kernel is
+    // byte-linear per row and explodes ~2/(w+1) of positions
+    fanOut(docs, col("doc_id"))
       .where(length(col("text")) >= SubstrL)
       .select(col("doc_id"), explode(graft.functions.TextExpressions
         .winnowGrams(col("text"), SubstrL, w)).as("g"))
@@ -3196,7 +3205,8 @@ object Dedup {
     * the shared scan-stage front of the whole substring family */
   private def substrGramsOf(docs: DataFrame): DataFrame = {
     graft.functions.TextExpressions.register(docs.sparkSession)
-    docs
+    // the shingled() fan-out discipline: ×(len−L+1) position explode
+    fanOut(docs, col("doc_id"))
       .where(length(col("text")) >= SubstrL)
       .select(col("doc_id"), posexplode(graft.functions.TextExpressions
         .charGramMd5(col("text"), SubstrL)).as(Seq("p0", "h")))

@@ -971,7 +971,8 @@ object TextAnalysis {
 
   def commonSpanRatio(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TextExpressions.register(s)
-    val spans = t(s, dir, "documents")
+    val spans = fanOut(t(s, dir, "documents") // per-token md5 kernel below
+        .select("doc_id", "text"), col("doc_id"))
       .where(size(toks) >= 5)
       .select(col("doc_id"),
         explode(graft.functions.TextExpressions.wordNgrams(toks, 5)).as("g"))
@@ -1197,7 +1198,12 @@ object TextAnalysis {
 
   def scrubCommonSpans(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TextExpressions.register(s)
-    val tokd = t(s, dir, "documents").select(col("doc_id"), toks.as("tk"))
+    // fanOut: the per-token md5 span kernel AND the checkpointed spans
+    // frame inherit this partitioning — on the 1-split scan the whole
+    // query serialized (the materialized checkpoint was 1 partition)
+    val tokd = fanOut(t(s, dir, "documents").select("doc_id", "text"),
+        col("doc_id"))
+      .select(col("doc_id"), toks.as("tk"))
     // ALL span occurrences with their 0-based start positions — the
     // coverage computation needs positions, so this is posexplode over an
     // index transform, not the distinct WordNgrams shingler
