@@ -292,6 +292,13 @@ object CorpusOps {
         "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1), " +
           "(a, b) -> concat(a, ' ', b))")).as("big"))
       .groupBy("doc_id", "big").agg(count(lit(1)).as("tf"))
+      // localCheckpoint: tf2 feeds THREE consumers (cnt2, the join probe,
+      // and cnt1 via cnt2) whose differing column pruning defeats
+      // exchange reuse — the bigram explode ran 3× (3 × ~2 s at sf0.1).
+      // What materializes is the narrow per-doc bigram tf table, the
+      // Curate-discipline trade: one pass + three reads beats three
+      // corpus explodes at any scale.
+      .localCheckpoint()
     val cnt2 = tf2.groupBy("big").agg(sum(col("tf")).as("cnt2"))
       .withColumn("ctx", expr("substring_index(big, ' ', 1)"))
     val cnt1 = cnt2.groupBy("ctx").agg(sum(col("cnt2")).as("cnt1"))
@@ -792,6 +799,9 @@ object CorpusOps {
     val h1 = element_at(hosts, pmod(col("doc_id"), lit(7)).cast(IntegerType) + 1)
     val h2 = element_at(hosts, pmod(col("doc_id") * 3 + 1, lit(7)).cast(IntegerType) + 1)
     val id = col("doc_id").cast(StringType)
+    // no fanOut: tried and reverted — the cheap URL consumers (extract,
+    // frontier) paid the exchange without a kernel heavy enough to
+    // amortize it (family net +1.0 s at sf0.1)
     t(s, dir, "documents").select(col("doc_id"),
       when(pmod(col("doc_id"), lit(5)) === 0, col("text"))
         .when(pmod(col("doc_id"), lit(3)) === 0,

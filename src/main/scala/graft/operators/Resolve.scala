@@ -968,13 +968,20 @@ object Resolve {
     // (c_custkey, entity_id) of the index — memoized per population
     val labels = clusterLabelsCached(s, dir, "idx8",
       _.where(col("c_custkey") % 10 < 8))
-    val stored = goldenStates(labels.join(idx, Seq("c_custkey"))) // the golden table
+    // localCheckpoints (the Curate discipline): `stored` feeds the anti
+    // AND semi+merge branches, `assigned` feeds the delta whose two
+    // consumers (touched, merged) would otherwise re-run the whole
+    // deletion-variant probe front once each — entity/batch-sized
+    // narrow frames, so one pass + N reads wins at any scale
+    val stored = goldenStates(labels.join(idx, Seq("c_custkey")))
+      .localCheckpoint() // the golden table
     val assigned = probeMatches(idx, batch)
       .join(labels.select(col("c_custkey").as("matched_key"),
         col("entity_id").as("matched_entity")), Seq("matched_key"), "left")
       .select(col("probe_key").as("c_custkey"),
         coalesce(col("matched_entity"), col("probe_key")).as("entity_id"))
       .join(batch, Seq("c_custkey"))
+      .localCheckpoint()
     val delta = goldenStates(assigned)
     val touched = delta.select("entity_id")
     val untouched = stored
@@ -1079,6 +1086,11 @@ object Resolve {
       .select(col("probe_key").as("c_custkey"),
         coalesce(col("matched_entity"), col("probe_key")).as("entity_id"))
       .join(batch, Seq("c_custkey"))
+      // localCheckpoint: `members` feeds THREE consumers (stored,
+      // touched, rebuilt) — without the pin each re-runs the probe
+      // front; above the checkpoint only the cheap labels⋈idx join
+      // replays per consumer (labels is already materialized)
+      .localCheckpoint()
     val members = labels.join(idx, Seq("c_custkey"))
       .select("entity_id", "c_custkey", "c_name", "c_acctbal")
       .unionByName(assigned.select("entity_id", "c_custkey", "c_name", "c_acctbal"))
@@ -1186,6 +1198,7 @@ object Resolve {
       .select(col("probe_key").as("c_custkey"),
         coalesce(col("matched_entity"), col("probe_key")).as("entity_id"))
       .join(batch, Seq("c_custkey"))
+      .localCheckpoint() // the retract discipline: probe front runs once
     val oldMembers = labels.join(idx, Seq("c_custkey"))
       .select("entity_id", "c_custkey", "c_name", "c_acctbal")
     val newMembers = oldMembers

@@ -155,6 +155,9 @@ object TextAnalysis {
     // ONE corpus materialization for the whole run; each round folds
     // the accepted merges onto it map-side (BpeMergeStep ≡ applyMerge,
     // BpeSpec-pinned) instead of checkpointing a remapped copy
+    // NOTE (r21): a fanOut of tk0 was tried and reverted — the rounds'
+    // frames are small enough that 32-wide stages cost more scheduling
+    // than they save compute (q_bpe_encode 2.1 → 3.9 s at sf0.1)
     val tk0 = docs.select(split(lower(col("text")), " ").as("tk"))
       .localCheckpoint(false)
     val tk0Ckpt = ckptRdd(tk0)
@@ -765,7 +768,7 @@ object TextAnalysis {
     graft.functions.TextExpressions.register(documents.sparkSession)
     val fields = (2 to 4).map(n => s"top_char_frac_$n") ++
       (5 to 10).map(n => s"dup_char_frac_$n")
-    documents
+    fanOut(documents, col("doc_id")) // 9 gram streams per token — the suite's heaviest per-row kernel
       .select(col("doc_id"), graft.functions.TextExpressions
         .gopherRepetition(toks, length(col("text"))).as("m"))
       .select(col("doc_id") +: fields.map(f => col(s"m.$f").as(f)): _*)
