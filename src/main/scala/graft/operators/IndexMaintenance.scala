@@ -66,7 +66,8 @@ object IndexMaintenance {
     * cleaned up, so a re-run cannot destroy the rollback copy. */
   private def compactDir(s: SparkSession, dir: String,
       clusterCols: Seq[String], partitionCols: Seq[String] = Nil,
-      transform: DataFrame => DataFrame = identity): Unit = {
+      transform: DataFrame => DataFrame = identity,
+      beforeSwap: org.apache.hadoop.fs.Path => Unit = _ => ()): Unit = {
     val fs = hfs(s, dir)
     val dirP = new org.apache.hadoop.fs.Path(dir)
     val tmpP = new org.apache.hadoop.fs.Path(dir + "__compact")
@@ -83,6 +84,11 @@ object IndexMaintenance {
       .write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(tmpP.toString)
+    // sidecars/markers that must survive the swap are staged INTO the
+    // new directory while the live one is still intact — they then
+    // commit atomically with the rename (the live dir is never mutated
+    // before the swap, so a crash here changes nothing)
+    beforeSwap(tmpP)
     if (!fs.rename(dirP, oldP))
       sys.error(s"compact: cannot move $dir aside")
     if (!fs.rename(tmpP, dirP)) {
@@ -213,10 +219,16 @@ object IndexMaintenance {
     * folded. The ceiling is one 1-row maintenance-time aggregate
     * (collect allowlisted); the sidecar is read before the swap (the
     * swap replaces the directory) and re-written after with the running
-    * max, so repeated compactions never lower it. A crash between swap
-    * and sidecar write leaves the pre-existing one-batch-wide
-    * documented window; everything after the write is mechanically
-    * guarded. */
+    * max, so repeated compactions never lower it. The updated ceiling
+    * is staged into `<dir>__compact` BEFORE the swap (beforeSwap hook),
+    * so the fold and its ceiling commit atomically with the rename — a
+    * crash anywhere in the pass leaves either the old dir with the old
+    * ceiling or the new dir with the new one, never a folded log with
+    * a missing/older ceiling (the r20-ADVICE hazard: the in-dir sidecar
+    * used to be DESTROYED by the swap and recreated after, so a crash
+    * in between erased the ceiling entirely and the next compaction
+    * double-folded replayed partitions). The post-swap write stays as
+    * a belt-and-suspenders fallback only. */
   private def compactMvWith(s: SparkSession, mvDir: String,
       fold: DataFrame => DataFrame): Unit = {
     val prev = compactedThrough(s, mvDir).getOrElse(-1L)
@@ -226,11 +238,14 @@ object IndexMaintenance {
       .where(col("batch_id") > prev)
       .agg(max(col("batch_id").cast("long"))).collect()(0)
     val liveMax = if (liveMaxRow.isNullAt(0)) -1L else liveMaxRow.getLong(0)
+    val ceiling = math.max(prev, liveMax)
     compactDir(s, mvDir, Seq("o_orderpriority", "o_year"),
       partitionCols = Seq("batch_id"),
       transform = df => fold(
-        df.where(col("batch_id") < 0 || col("batch_id") > prev)))
-    writeCompactedThrough(s, mvDir, math.max(prev, liveMax))
+        df.where(col("batch_id") < 0 || col("batch_id") > prev)),
+      beforeSwap = tmp => writeCompactedThroughAt(s,
+        new org.apache.hadoop.fs.Path(tmp, "_compacted_through"), ceiling))
+    writeCompactedThrough(s, mvDir, ceiling)
   }
 
   /** the fold ceiling a prior MV-log compaction recorded: batches at or
@@ -247,9 +262,14 @@ object IndexMaintenance {
     }
   }
 
-  private def writeCompactedThrough(s: SparkSession, dir: String, v: Long): Unit = {
-    val fs = hfs(s, dir)
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_compacted_through"), true)
+  private def writeCompactedThrough(s: SparkSession, dir: String, v: Long): Unit =
+    writeCompactedThroughAt(s,
+      new org.apache.hadoop.fs.Path(s"$dir/_compacted_through"), v)
+
+  private def writeCompactedThroughAt(s: SparkSession,
+      file: org.apache.hadoop.fs.Path, v: Long): Unit = {
+    val fs = file.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(file, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
   }
 
@@ -297,12 +317,32 @@ object IndexMaintenance {
     * the live index during the slow part). Until it runs, a probe can
     * still match a deleted record; the golden upsert then finds no
     * current member mapping and mints — degraded verdicts, never
-    * corrupt state. */
+    * corrupt state.
+    *
+    * Writers-quiesced contract (the compactMvLog discipline, now stated
+    * for this family too): run between stream generations — appends
+    * racing the rewrite land in the renamed-away copy and are lost.
+    * The `appended/<batchId>` replay markers that ingestLoop /
+    * streamEntityAbsorb / streamGoldenApply keep under this root are
+    * COPIED into the staging directory before the swap, so they commit
+    * atomically with the rewrite and a post-crash replay still finds
+    * its marker (the r20-ADVICE hazard: the swap used to silently drop
+    * them, and a replayed batch would re-probe an index containing
+    * itself and overwrite its verdicts with self-matches). */
   def deleteFromEntityIndex(s: SparkSession, delKeys: DataFrame,
       indexPath: String): Unit = {
     val keys = delKeys.select(col("c_custkey").as("key_i")).distinct()
     compactDir(s, indexPath, Seq("nat", "v"),
-      transform = _.join(keys, Seq("key_i"), "left_anti"))
+      transform = _.join(keys, Seq("key_i"), "left_anti"),
+      beforeSwap = tmp => {
+        val fs = hfs(s, indexPath)
+        val markers = new org.apache.hadoop.fs.Path(s"$indexPath/appended")
+        if (fs.exists(markers))
+          org.apache.hadoop.fs.FileUtil.copy(fs, markers, fs,
+            new org.apache.hadoop.fs.Path(tmp, "appended"),
+            false /* keep source: the live dir stays intact on crash */,
+            s.sparkContext.hadoopConfiguration)
+      })
   }
 
   // ---- record deletion across the dedup/ANN index families -------------

@@ -761,7 +761,19 @@ object Relational {
         .select("o_orderpriority", "o_year", "n", "total", "min_price", "max_price")))
 
   /** the state log with the fold-ceiling guard applied (shared by
-    * [[readMv]] and [[readMvSigned]]) */
+    * [[readMv]] and [[readMvSigned]]).
+    *
+    * CHECKPOINT-CONTINUITY contract (r20 ADVICE): the guard drops every
+    * partition with 0 <= batch_id <= ceiling, which is only correct
+    * when batch ids stay MONOTONE across restarts — i.e. a stream
+    * restarted after a compaction must resume the SAME checkpoint. A
+    * new generation started with a FRESH checkpoint restarts ids at 0,
+    * so for a non-replayable source its first ceiling+1 batches would
+    * be invisible here and the next compaction's fold filter would
+    * permanently drop them. Starting a fresh checkpoint against a
+    * compacted log requires clearing the `_compacted_through` sidecar
+    * first (equivalently: treat the compacted dir + sidecar + checkpoint
+    * as one unit). */
   private def mvLogGuarded(s: SparkSession, mvDir: String): DataFrame = {
     val df = s.read.parquet(mvDir)
     IndexMaintenance.compactedThrough(s, mvDir) match {

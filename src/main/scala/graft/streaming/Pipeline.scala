@@ -776,10 +776,14 @@ object Pipeline {
     * order); deleting record A and absorbing record B of the SAME
     * entity in one batch is exact for the same reason (rebuild at the
     * even seq covers the pre-upsert members, B's delta at the odd seq
-    * stays visible). Contract: at most ONE change per key per
-    * micro-batch (the standard upsert-sink contract — a source
-    * emitting insert+delete of the same key in one batch must collapse
-    * to the last event before the sink). Replay behavior and the
+    * stays visible). Contract (VALIDATED per batch since r21, not just
+    * documented): per key, a batch may carry ONE event, or exactly one
+    * delete + one upsert — which is always interpreted as the CDC
+    * UPDATE (delete first). A source that means "insert then delete"
+    * within one batch is indistinguishable from UPDATE without an
+    * event-order column and must collapse to the last event before the
+    * sink; any other multi-event shape (two upserts, two deletes, 3+)
+    * fails the batch before anything is written. Replay behavior and the
     * residual index-append window are [[streamGoldenUpsert]]'s,
     * verbatim: golden appends dedup by read; the index append runs
     * LAST. */
@@ -796,6 +800,26 @@ object Pipeline {
         val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (!fs.exists(marker)) {
           val b = batch.localCheckpoint()
+          // VALIDATE the per-key batch contract instead of trusting it
+          // (r20 ADVICE): legal shapes per key are ONE event, or exactly
+          // one delete + one upsert (the CDC UPDATE — applied
+          // deletes-first by design, see the scaladoc). Anything else
+          // (two upserts, two deletes, 3+ events) is ambiguous without
+          // an event-order column and used to apply silently in
+          // whatever order the ops sorted — now the batch fails BEFORE
+          // any write (marker untouched, replay discipline intact) and
+          // the operator sees the breach. One key-sized aggregate per
+          // batch (the allowlisted per-batch action class).
+          val bad = b.groupBy("c_custkey")
+            .agg(count(lit(1)).as("n"), countDistinct(col("op")).as("ops"))
+            .where(col("n") > 2 || (col("n") === 2 && col("ops") < 2))
+            .limit(5).collect().map(_.getLong(0))
+          if (bad.nonEmpty)
+            throw new IllegalArgumentException(
+              "streamGoldenApply: conflicting changes for one key in one " +
+                s"micro-batch (keys ${bad.mkString(", ")}…) — legal per-key " +
+                "shapes are one event or delete+upsert (UPDATE); collapse " +
+                "the CDC feed to the last event per key before the sink")
           val ups = b.where(col("op") === "upsert").drop("op")
           val dels = b.where(col("op") === "delete").select("c_custkey")
           graft.operators.Resolve.deleteGoldenRecords(

@@ -415,6 +415,50 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       "a deleted vector survived in the probe results")
   }
 
+  test("deleteFromEntityIndex: appended/ replay markers survive the swap, verdicts match a survivor rebuild") {
+    val tmp = Files.createTempDirectory("graft_del_ent").toString + "/entidx"
+    val c = util.t(spark, dir, "customer")
+    val idxPop = c.where(col("c_custkey") % 10 < 8)
+    val probes = c.where(col("c_custkey") % 10 >= 8)
+    operators.Resolve.writeEntityIndex(idxPop, tmp)
+    // the replay markers the streaming absorb loop keeps under the SAME
+    // root (Pipeline.ingestLoop writes appended/<batchId>) — the r20
+    // ADVICE hazard was the delete's swap silently dropping them
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/appended"))
+    fs.createNewFile(new org.apache.hadoop.fs.Path(s"$tmp/appended/0"))
+    fs.createNewFile(new org.apache.hadoop.fs.Path(s"$tmp/appended/1"))
+    val delKeys = idxPop.where(col("c_custkey") % 7 === 3)
+      .select("c_custkey").localCheckpoint()
+    operators.IndexMaintenance.deleteFromEntityIndex(spark, delKeys, tmp)
+    assert(new java.io.File(s"$tmp/appended/0").exists(),
+      "replay marker appended/0 must survive the delete's swap")
+    assert(new java.io.File(s"$tmp/appended/1").exists(),
+      "replay marker appended/1 must survive the delete's swap")
+    // verdicts equal a probe against the surviving population rebuilt
+    // directly — deletion changed membership, nothing else
+    val survivors = idxPop.join(delKeys, Seq("c_custkey"), "left_anti")
+    val viaIndex = operators.Resolve.probeEntityIndex(spark, probes, tmp)
+      .orderBy("probe_key")
+    val rebuilt = operators.Resolve.probeMatches(survivors, probes)
+      .orderBy("probe_key")
+    assert(viaIndex.collect() === rebuilt.collect())
+  }
+
+  test("compactMvLog: the fold ceiling is staged into the new directory before the swap") {
+    val mvDir = Files.createTempDirectory("graft_cmp_ceiling").toString + "/mv"
+    val o = util.t(spark, dir, "orders")
+    for (k <- 0 until 2)
+      operators.Relational.mvPartialStates(o.where(col("o_orderkey") % 2 === k))
+        .withColumn("batch_id", lit(k.toLong))
+        .write.mode("append").partitionBy("batch_id").parquet(mvDir)
+    operators.IndexMaintenance.compactMvLog(spark, mvDir)
+    // the ceiling rode the atomic rename (beforeSwap staging), so it is
+    // present and correct even if the post-swap fallback write never ran
+    assert(operators.IndexMaintenance.compactedThrough(spark, mvDir) === Some(1L))
+  }
+
   test("crashed mid-swap state is refused: the __old rollback copy is never deleted") {
     val idx = Files.createTempDirectory("graft_cmp_crash").toString
     operators.Dedup.writeSimhashIndex(spark, dir, idx)

@@ -43,6 +43,10 @@ class SourceHygieneSpec extends AnyFunSuite {
     // (model-metadata class, the BPE/codebook pattern); the catalog then
     // rides plans as InSet literals, never as a join side
     "CorpusOps.scala" -> 2,
+    // Pipeline.streamGoldenApply: ONE per-batch contract-guard aggregate
+    // (≤5 offending keys collected to name them in the failure) — the
+    // allowlisted per-batch decision-metadata class, bounded by limit(5)
+    "Pipeline.scala" -> 1,
     // IndexMaintenance.compactMvWith: ONE 1-row max(batch_id) aggregate
     // (the fold ceiling recorded in the _compacted_through sidecar);
     // deleteFromGramIndex: ONE 1-row content-hash aggregate (the retry

@@ -552,6 +552,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(new java.io.File(s"$gt/appended/0").exists())
     assert(new java.io.File(s"$gt/appended/1").exists())
     assert(new java.io.File(s"$gt/appended/2").exists())
+    // contract guard (r21): two upserts of one key in one batch is an
+    // ambiguous shape — the batch must FAIL before any write (no new
+    // marker), unlike the delete+upsert UPDATE the batch above proved
+    val dupRow = rowsOf(cust.where(col("c_custkey") === updKey), "upsert")
+    ms.addData(dupRow ++ dupRow)
+    val served = graft.operators.Resolve.readGoldenTable(spark, gt).collect()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = Pipeline.streamGoldenApply(
+        ms.toDF().toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+          "c_acctbal", "op"),
+        ei, gt, ckpt, Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    assert(ex.getMessage.contains("conflicting changes")
+      || Option(ex.getCause).exists(_.getMessage.contains("conflicting changes")))
+    assert(!new java.io.File(s"$gt/appended/3").exists(),
+      "the failed batch must not leave a marker")
+    // ...and the served table is untouched by the refused batch
+    assert(graft.operators.Resolve.readGoldenTable(spark, gt).collect() === served)
   }
 
   test("streamEntityResolve: live probes against the persisted entity index match the batch form") {
