@@ -13,7 +13,7 @@ object Bench {
       // box. ~1 MB targets restore reduce-side parallelism at sf ≤ 0.1;
       // production SFs should keep the defaults (partitions fill out on
       // their own at TB scale).
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
